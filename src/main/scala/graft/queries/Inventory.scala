@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType}
+
+import graft.tables.Tables
+
+/**
+ * Canonical relational query inventory (SURVEY.md §5.3 / FIXTURES.md §3):
+ * one representative per delegated-SQL category the reference engine admits
+ * through its gate (reference: src/iceberg_explorer/query/executor.py:107 —
+ * arbitrary read-only WITH/SELECT passes straight to DuckDB).
+ *
+ * Every query is a declarative DataFrame pipeline so Catalyst owns pushdown,
+ * pruning, join selection and AQE; SQL form is used only where the DataFrame
+ * API has no construct (correlated scalar subqueries). Each query carries a
+ * total-order ORDER BY and canonicalized numeric types so results
+ * hash-compare against the DuckDB oracle (`oracle` map, DuckDB dialect).
+ *
+ * Hash-parity rules (SURVEY §5.2(4)):
+ *  - monetary sums: `sum(double)` THEN cast DECIMAL(18,2). The fixtures are
+ *    2-decimal-intent values, so the true sum is an exact 2-dp rational and
+ *    both engines round to it regardless of float summation order. Casting
+ *    each value BEFORE the sum would be wrong: Spark rounds the shortest
+ *    decimal representation of a double while DuckDB rounds its binary
+ *    value, so per-value rounding diverges at .xx5 boundaries.
+ *  - `round` only on values exactly representable at the target scale
+ *    (same boundary-divergence reason).
+ *  - integer-typed outputs cast to identical widths on the oracle side
+ *    (DuckDB `length`/`year`/`row_number`/`ceil` return BIGINT/DOUBLE where
+ *    Spark returns INT/LONG).
+ */
+object Inventory {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Spark-side implementations, keyed by stable query id. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan / project / filter ------------------------------------
+    "q01_scan_filter" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — order
+        // by every output column so the result is totally determined.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // --- joins --------------------------------------------------------
+    "q02_inner_join" -> { (s, d) =>
+      val o = Tables(s, d, "orders").filter(col("o_orderstatus") === "F")
+      val c = Tables(s, d, "customer")
+      // orders ⋈ customer on custkey: customer is the smaller side at any
+      // scale factor; Catalyst/AQE broadcasts it when it fits.
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    },
+    "q03_left_join_agg" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n"))
+        .orderBy(col("c_custkey"))
+    },
+    "q04_semi_join" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    "q05_anti_join" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+    "q06_three_way_join" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val n = Tables(s, d, "nation")
+      val r = Tables(s, d, "region")
+      // nation (25 rows) and region (5 rows) are broadcast dims at ANY
+      // scale factor — explicit hint so the big fact side never shuffles.
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- aggregation ---------------------------------------------------
+    "q07_groupby_agg" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice")).cast(dec2).as("total"),
+          avg(col("l_discount")).cast(dec6).as("avg_disc"),
+          min(col("l_quantity")).as("minq"),
+          max(col("l_quantity")).as("maxq"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q08_distinct_agg" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("custs"))
+        .orderBy(col("o_orderstatus"))
+    },
+    "q09_rollup" -> { (s, d) =>
+      Tables(s, d, "nation")
+        .rollup(col("n_regionkey"), col("n_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey").asc_nulls_first,
+                 col("n_nationkey").asc_nulls_first)
+    },
+    "q10_cube" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
+    "q11_grouping_sets" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
+    "q12_having" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("o_custkey"))
+    },
+
+    // --- window functions ------------------------------------------------
+    "q13_window_rank" -> { (s, d) =>
+      val byNation = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      // Global (unpartitioned) rank: fine at bench SF; at 100 TB a single
+      // ORDER BY window over all rows is a deliberate anti-pattern — the
+      // partitioned row_number next to it is the scalable form.
+      val global = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          row_number().over(byNation).as("rn"),
+          rank().over(global).as("rk"))
+        .orderBy(col("c_custkey"))
+    },
+    "q14_window_analytic" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          sum(col("o_totalprice")).over(w.rowsBetween(-1, 0))
+            .cast(dec2).as("run2"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // --- sort / limit / pagination ----------------------------------------
+    "q15_topk" -> { (s, d) =>
+      // ORDER BY + LIMIT → TakeOrderedAndProject: true distributed top-k,
+      // no global sort even at 100 TB.
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    "q16_offset" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .offset(250).limit(100)
+    },
+
+    // --- set operations -----------------------------------------------
+    "q17_union_all" -> { (s, d) =>
+      Tables(s, d, "nation").select(col("n_name").as("name"))
+        .unionAll(Tables(s, d, "region").select(col("r_name").as("name")))
+        .orderBy(col("name"))
+    },
+    "q18_intersect" -> { (s, d) =>
+      Tables(s, d, "nation").select(col("n_regionkey").as("k"))
+        .intersect(Tables(s, d, "region").select(col("r_regionkey").as("k")))
+        .orderBy(col("k"))
+    },
+    "q19_except" -> { (s, d) =>
+      Tables(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(Tables(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // --- CTE / subqueries ----------------------------------------------
+    "q20_cte" -> { (s, d) =>
+      val big = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).cast(dec2).as("spend"))
+        .filter(col("spend") > 200000)
+      val c = Tables(s, d, "customer")
+      big.join(c, c("c_custkey") === big("o_custkey"))
+        .select(col("c_name"), col("spend"))
+        .orderBy(col("c_name"))
+    },
+    "q21_correlated_subquery" -> { (s, d) =>
+      // Correlated scalar subquery has no DataFrame-API construct; SQL form
+      // — Catalyst decorrelates it into a left outer aggregate join.
+      Tables.register(s, d)
+      s.sql("""SELECT c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
+               FROM customer c ORDER BY c_custkey""")
+    },
+
+    // --- scalar functions ----------------------------------------------
+    "q22_string_fns" -> { (s, d) =>
+      Tables(s, d, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("pfx"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_brand"), lit("#"), lit("-")).as("brand2"),
+          concat(col("p_type"), lit("/"), col("p_brand")).as("tb"))
+        .orderBy(col("p_partkey"))
+    },
+    "q23_regexp" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("w"))
+        .orderBy(col("p_partkey"))
+    },
+    "q24_date_fns" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mstart"),
+          datediff(col("o_orderdate").cast(DateType),
+                   lit(java.sql.Date.valueOf("2026-01-01"))).as("dd"))
+        .orderBy(col("o_orderkey"))
+    },
+    "q25_math_fns" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // l_quantity is integral, so quantity/2 is exactly .0/.5 and
+          // round(_, 1) is exact in both engines (see file header).
+          round(col("l_quantity") / 2, 1).as("r1"),
+          abs(col("l_discount") - 0.05).as("a"),
+          ceil(col("l_quantity")).as("c"),
+          floor(col("l_tax") * 100).as("f"),
+          (col("l_orderkey") % 7).as("m"),
+          sqrt(col("l_quantity")).as("sq"))
+        // order over all (deterministically derived) output columns:
+        // (l_orderkey, l_linenumber) alone is not a total order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("r1"),
+                 col("a"), col("f"))
+        .limit(500)
+    },
+    "q26_case_coalesce" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 150000, "hi")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("lo").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"))
+        .orderBy(col("o_orderkey"))
+    },
+    "q27_cast_matrix" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(IntegerType).as("qi"),
+          col("l_orderkey").cast("string").as("ks"),
+          col("l_discount").cast(DecimalType(8, 4)).as("dd"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qi"), col("dd"))
+        .limit(200)
+    },
+    "q28_array_fns" -> { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("e1"))
+        .orderBy(col("vec_id"))
+    },
+    "q29_approx_distinct" -> { (s, d) =>
+      // HLL sketches differ across engines → declared non-hash-checked
+      // (no oracle entry); ScalaTest asserts ±5 % of exact.
+      Tables(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("ad"))
+    },
+    "q30_events_agg" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast(dec2).as("sv"),
+          min(col("ts")).cast(DateType).as("first_day"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- introspection (shape-checked only, like the reference:
+    //     tests/test_executor.py:437-453) --------------------------------
+    "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
+    "s2_describe" -> { (s, d) =>
+      Tables.register(s, d); s.sql("DESCRIBE lineitem")
+    },
+    "s3_show_tables" -> { (s, d) =>
+      Tables.register(s, d); s.sql("SHOW TABLES")
+    }
+  )
+
+  /** DuckDB-dialect oracle SQL (column names/types matched to the Spark
+    * output; the driver sorts columns by name before hashing). */
+  val oracle: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "q02_inner_join" ->
+      "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_orderstatus = 'F' ORDER BY o.o_orderkey",
+    "q03_left_join_agg" ->
+      "SELECT c.c_custkey, count(o.o_orderkey) AS n FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c.c_custkey",
+    "q04_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000) ORDER BY c_custkey",
+    "q05_anti_join" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey) ORDER BY c_custkey",
+    "q06_three_way_join" ->
+      "SELECT r.r_name, n.n_name, count(*) AS n FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
+    "q07_groupby_agg" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS total, CAST(avg(l_discount) AS DECIMAL(18,6)) AS avg_disc, min(l_quantity) AS minq, max(l_quantity) AS maxq FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q08_distinct_agg" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS custs FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q09_rollup" ->
+      "SELECT n_regionkey, n_nationkey, count(*) AS n FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST",
+    "q10_cube" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q11_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q12_having" ->
+      "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey",
+    "q13_window_rank" ->
+      "SELECT c_custkey, c_acctbal, CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn, CAST(rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk FROM customer ORDER BY c_custkey",
+    "q14_window_analytic" ->
+      "SELECT o_orderkey, o_custkey, lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key, CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run2 FROM orders ORDER BY o_custkey, o_orderkey",
+    "q15_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q16_offset" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 250",
+    "q17_union_all" ->
+      "SELECT n_name AS name FROM nation UNION ALL SELECT r_name FROM region ORDER BY name",
+    "q18_intersect" ->
+      "SELECT n_regionkey AS k FROM nation INTERSECT SELECT r_regionkey FROM region ORDER BY k",
+    "q19_except" ->
+      "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k",
+    "q20_cte" ->
+      "WITH big AS (SELECT o_custkey, CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS spend FROM orders GROUP BY o_custkey) SELECT c.c_name, b.spend FROM big b JOIN customer c ON c.c_custkey = b.o_custkey WHERE b.spend > 200000 ORDER BY c.c_name",
+    "q21_correlated_subquery" ->
+      "SELECT c_custkey, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
+    "q22_string_fns" ->
+      "SELECT p_partkey, upper(substr(p_name, 1, 5)) AS pfx, CAST(length(p_name) AS INTEGER) AS len, replace(p_brand, '#', '-') AS brand2, concat(p_type, '/', p_brand) AS tb FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey",
+    "q23_regexp" ->
+      "SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS w FROM part ORDER BY p_partkey",
+    "q24_date_fns" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart, CAST(date_diff('day', DATE '2026-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd FROM orders ORDER BY o_orderkey",
+    "q25_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, round(l_quantity / 2, 1) AS r1, abs(l_discount - 0.05) AS a, CAST(ceil(l_quantity) AS BIGINT) AS c, CAST(floor(l_tax * 100) AS BIGINT) AS f, l_orderkey % 7 AS m, sqrt(l_quantity) AS sq FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, a, f LIMIT 500",
+    "q26_case_coalesce" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 150000 THEN 'hi' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'lo' END AS bucket, coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st FROM orders ORDER BY o_orderkey",
+    "q27_cast_matrix" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qi, CAST(l_orderkey AS VARCHAR) AS ks, CAST(l_discount AS DECIMAL(8,4)) AS dd FROM lineitem ORDER BY l_orderkey, l_linenumber, qi, dd LIMIT 200",
+    "q28_array_fns" ->
+      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, embedding[1] AS e1 FROM embeddings ORDER BY vec_id",
+    "q30_events_agg" ->
+      "SELECT event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS sv, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY event_type ORDER BY event_type"
+  )
+}

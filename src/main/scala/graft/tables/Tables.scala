@@ -1,0 +1,44 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/**
+ * Fixture-table access for the TPC-H-ish parquet testdata
+ * (`/root/testdata/sf*`, see TESTDATA.md).
+ *
+ * Mirrors the reference's catalog-attach step
+ * (reference: src/iceberg_explorer/query/engine.py:86-110 — DuckDB `ATTACH`
+ * makes catalog tables addressable by name); here the same capability is a
+ * set of temp views over parquet so `spark.sql` queries can address tables
+ * by bare name, while DataFrame pipelines read the parquet directly.
+ *
+ * Scale note: each table is a plain parquet scan — Catalyst pushes filters
+ * and prunes columns into the scan, and on a real cluster the same code
+ * would read a partitioned/bucketed layout or an Iceberg table via a V2
+ * catalog without any query-code change.
+ */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table as a DataFrame (lazy; no job is triggered). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
+      // convert with integer division (`div`, not `/`: epoch-nanos exceed
+      // 2^53 so a double round-trip would corrupt the low bits), matching
+      // DuckDB's CAST(ts_ns AS TIMESTAMP) truncation to micros.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ =>
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view for SQL-form queries. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach { n => apply(spark, dir, n).createOrReplaceTempView(n) }
+}
