@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for suites (one per suite, stopped on exit). */
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sf: String = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // deliberately NOT stopping the session: suites share one local JVM
+    // (Test / fork := true gives one JVM per test run, not per suite)
+    super.afterAll()
+  }
+}

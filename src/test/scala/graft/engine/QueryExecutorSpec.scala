@@ -1,0 +1,151 @@
+package graft.engine
+
+import java.util.UUID
+
+import graft.SparkSuite
+import graft.tables.Tables
+
+/** Lifecycle/state-machine + real-engine integration tests
+  * (reference: tests/test_executor.py:204-245, 341-383, 411-465). */
+class QueryExecutorSpec extends SparkSuite {
+
+  private lazy val executor = new QueryExecutor(spark)
+
+  // --- QueryResult state machine ------------------------------------------
+  test("initial state is pending") {
+    val r = new QueryResult("SELECT 1")
+    assert(r.state == QueryState.Pending && !r.isTerminal)
+  }
+
+  test("setRunning transitions state") {
+    val r = new QueryResult("SELECT 1")
+    r.setRunning()
+    assert(r.state == QueryState.Running && !r.isTerminal)
+  }
+
+  test("setCompleted records rows, schema, metrics") {
+    val r = new QueryResult("SELECT 1")
+    r.setRunning()
+    val df = spark.range(1).toDF("value")
+    r.setCompleted(df.collect().toVector, df.schema)
+    assert(r.state == QueryState.Completed && r.isTerminal)
+    assert(r.rows.length == 1 && r.schema.contains(df.schema))
+    assert(r.metrics.rowsReturned == 1)
+  }
+
+  test("setFailed records error") {
+    val r = new QueryResult("SELECT 1")
+    r.setFailed("Something went wrong")
+    assert(r.state == QueryState.Failed && r.isTerminal)
+    assert(r.errorMessage.contains("Something went wrong"))
+  }
+
+  test("setCancelled is terminal") {
+    val r = new QueryResult("SELECT 1")
+    r.setCancelled()
+    assert(r.state == QueryState.Cancelled && r.isTerminal)
+  }
+
+  // --- real execution (reference runs these against in-memory DuckDB) -----
+  test("aggregation query completes with correct values") {
+    // reference asserts COUNT=10 / SUM=45 over range(10)
+    val r = executor.execute("SELECT count(*) AS c, sum(id) AS s FROM range(10)")
+    assert(r.state == QueryState.Completed)
+    val row = r.rows.head
+    assert(row.getLong(0) == 10 && row.getLong(1) == 45)
+  }
+
+  test("CTE query returns expected rows") {
+    val r = executor.execute(
+      "WITH t AS (SELECT id, id * 2 AS dbl FROM range(5)) SELECT * FROM t")
+    assert(r.rows.length == 5)
+    assert(r.rows.map(_.getLong(1)).sorted == Vector(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("query over fixture tables") {
+    Tables.register(spark, sf)
+    val r = executor.execute("SELECT count(*) AS n FROM lineitem")
+    assert(r.state == QueryState.Completed && r.rows.head.getLong(0) == 6000L)
+  }
+
+  test("invalid SQL rejected before registration") {
+    intercept[InvalidSqlError](executor.execute("DROP TABLE lineitem"))
+  }
+
+  test("failed query records error state") {
+    val ex = intercept[Exception](
+      executor.execute("SELECT * FROM nonexistent_table_xyz"))
+    assert(ex.getMessage != null)
+  }
+
+  test("metrics are tracked") {
+    val r = executor.execute("SELECT * FROM range(100)")
+    assert(r.metrics.rowsReturned == 100)
+    assert(r.metrics.endTime.isDefined)
+  }
+
+  test("max_rows cap truncates driver buffering (enforced, unlike reference)") {
+    val small = new QueryExecutor(spark, QueryConfig(maxRows = 50))
+    val r = small.execute("SELECT * FROM range(1000)")
+    assert(r.rows.length == 50 && r.truncated)
+  }
+
+  test("get_status returns tracked query; cleanup removes it") {
+    val r = executor.execute("SELECT 1 AS one")
+    assert(executor.getStatus(r.queryId).contains(r))
+    executor.cleanup(r.queryId)
+    assert(executor.getStatus(r.queryId).isEmpty)
+  }
+
+  test("cancel unknown query returns false") {
+    assert(!executor.cancel(UUID.randomUUID()))
+  }
+
+  test("cancel terminal query returns false") {
+    val r = executor.execute("SELECT 1 AS one")
+    assert(!executor.cancel(r.queryId))
+  }
+
+  test("timeout kills a long query and records failed state") {
+    val fast = new QueryExecutor(spark, QueryConfig(minTimeout = 1))
+    val t0 = System.nanoTime()
+    intercept[QueryTimeoutError] {
+      // ~1e12-row cartesian count: cannot finish within 1 s
+      fast.execute(
+        "SELECT count(*) FROM range(100000000) a CROSS JOIN range(10000) b",
+        timeout = Some(1))
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 30, s"timeout took ${elapsed}s — job group cancel not effective")
+  }
+
+  test("cancel from another thread transitions a running query to cancelled") {
+    val ex2 = new QueryExecutor(spark)
+    @volatile var caught: Option[Throwable] = None
+    @volatile var started: Option[java.util.UUID] = None
+    val runner = new Thread(() => {
+      try ex2.execute(
+        "SELECT count(*) FROM range(100000000) a CROSS JOIN range(10000) b")
+      catch { case t: Throwable => caught = Some(t) }
+    })
+    runner.start()
+    // wait for the query to register
+    val deadline = System.currentTimeMillis() + 10000
+    while (started.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      started = ex2.activeQueryIds.headOption
+    }
+    assert(started.isDefined, "query never registered")
+    assert(ex2.cancel(started.get))
+    runner.join(30000)
+    assert(!runner.isAlive, "runner did not finish after cancel")
+    assert(caught.exists(_.isInstanceOf[QueryCancelledError]),
+      s"expected QueryCancelledError, got $caught")
+    assert(ex2.getStatus(started.get).exists(_.state == QueryState.Cancelled))
+  }
+
+  test("health check healthy on live session") {
+    val h = GraftEngine.healthCheck(spark)
+    assert(h("engine") == "healthy" && h("status") == "healthy")
+  }
+}
