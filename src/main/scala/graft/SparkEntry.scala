@@ -17,12 +17,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q07_groupby_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Inventory.queries
+    graft.queries.Inventory.queries ++ graft.queries.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Inventory.oracle
+    graft.queries.Inventory.oracle ++ graft.queries.PipelineOps.oracle
 }

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines.
+ *
+ * Four families, in increasing fuzziness: exact (content hash), MinHash+LSH
+ * (set-similarity), SimHash (bitwise fingerprint), and n-gram Jaccard via an
+ * inverted shingle index. Each returns one row per input document with its
+ * cluster representative (`keep_id`) and an `is_dup` flag, so downstream
+ * pipelines can either filter survivors (`!is_dup`) or audit clusters.
+ *
+ * Scale design (the part that matters at 100 TB):
+ *  - Exact dedup groups on a 256-bit content digest, never on the raw text:
+ *    the shuffle moves 32-byte keys, not documents.
+ *  - MinHash/SimHash shuffle only fixed-width signatures; candidate
+ *    generation is a self-equi-join on (band_id, band_hash) — Catalyst
+ *    plans it as a shuffled hash/sort-merge join keyed on the bucket, so
+ *    work is proportional to colliding candidates, not to n².
+ *  - Verification (exact Jaccard / Hamming) happens only on candidate
+ *    pairs, joined back to per-doc signatures.
+ *  - All signature math is Spark built-ins / higher-order functions — no
+ *    UDFs, no driver collects, no Python boundary.
+ */
+object Dedup {
+
+  /** Large prime < 2^31 for the (a*x+b) mod p MinHash family; products
+    * stay < 2^62 so 64-bit arithmetic never overflows. */
+  private val MinHashPrime = 2147483647L
+
+  /** SplitMix64 — deterministic coefficient generator (public-domain
+    * algorithm; same constants as java.util.SplittableRandom). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Exact deduplication by content digest — the baseline every pipeline
+   * runs first. Returns (id, keep_id, n_copies, is_dup) for every doc;
+   * `keep_id` = min id among docs with byte-identical text.
+   */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val digest = sha2(col(textCol), 256)
+    val w = Window.partitionBy(digest)
+    docs
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col(idCol), col("keep_id"), col("n_copies"),
+        (col(idCol) =!= col("keep_id")).as("is_dup"))
+      .orderBy(col(idCol))
+  }
+
+  /**
+   * MinHash signature column: `numHashes` permutation-mins over the shingle
+   * set, one pass over the shingles with an array accumulator
+   * (`aggregate` + `zip_with(least)`).
+   */
+  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val as = array((0 until numHashes).map(i =>
+      lit(math.abs(splitmix64(seed + 2L * i)) % (MinHashPrime - 1) + 1)): _*)
+    val bs = array((0 until numHashes).map(i =>
+      lit(math.abs(splitmix64(seed + 2L * i + 1)) % MinHashPrime)): _*)
+    val init = array_repeat(lit(MinHashPrime), numHashes)
+    aggregate(shingles, init, (acc, s) =>
+      zip_with(acc, zip_with(as, bs, (a, b) => pmod(a * pmod(s, lit(MinHashPrime)) + b, lit(MinHashPrime))), least(_, _)))
+  }
+
+  /**
+   * MinHash + LSH near-duplicate detection.
+   *
+   * shingle → minhash(numHashes) → split signature into `bands` bands of
+   * numHashes/bands rows → candidate pairs = docs sharing any band hash →
+   * verify exact shingle-set Jaccard >= `threshold` → cluster rep = min id
+   * over verified neighbors (one-hop, deterministic).
+   */
+  def minHashLSH(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+
+    // repartition = explicit exchange barrier: the signature projection is
+    // computed ONCE below it, and both self-join sides plus the band
+    // explode reuse the exchange (ReusedExchange) instead of re-evaluating
+    // the (expensive) minhash expression per reference / per band.
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .repartition(col("id"))
+
+    // (id, band_id, band_hash): hash() over the band slice + band id keeps
+    // bands from colliding across positions.
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "band_id", "band_hash")
+
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val bySh = sigs.select(col("id"), col("sh"))
+    val verified = cand
+      .join(bySh.as("a"), col("id_a") === col("a.id"))
+      .join(bySh.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
+      .filter(col("sim") >= threshold)
+
+    clusterReps(docs, idCol, verified)
+  }
+
+  /**
+   * 64-bit SimHash fingerprint of a token array: per bit j, sum +1/-1 over
+   * token hashes' bit j, then take the sign bit. Computed as one
+   * `aggregate` with a 64-int array accumulator.
+   */
+  def simHashBits(tokens: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      transform(tokens, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, transform(bitIdx, j =>
+        when(call_function("shiftright", h, j.cast("int"))
+          .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
+        _ + _))
+    // Recombine sign bits into one BIGINT fingerprint.
+    aggregate(
+      zip_with(counts, bitIdx, (c, j) =>
+        when(c > 0, call_function("shiftleft", lit(1L), j.cast("int")))
+          .otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /**
+   * SimHash near-duplicate detection: fingerprint → 4 x 16-bit chunks →
+   * candidates share any chunk (pigeonhole: Hamming distance <= 3 implies
+   * at least one identical chunk) → verify `bit_count(a XOR b) <= maxHamming`.
+   */
+  def simHash(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // exchange barrier: fingerprints are computed once, the chunk explode
+    // and both self-join sides reuse the exchange (see minHashLSH note).
+    val fps = docs.select(col(idCol).as("id"),
+      simHashBits(Shingles.words(col(textCol))).as("fp"))
+      .repartition(col("id"))
+
+    val chunked = fps.select(col("id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftright", col("fp"), c.cast("int") * 16)
+            .bitwiseAND(0xFFFFL))))
+      .toDF("id", "fp", "chunk_id", "chunk")
+
+    val cand = chunked.as("l").join(chunked.as("r"),
+        col("l.chunk_id") === col("r.chunk_id") &&
+        col("l.chunk") === col("r.chunk") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
+      .distinct()
+
+    val verified = cand
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("double").as("sim"))
+
+    clusterReps(docs, idCol, verified)
+  }
+
+  /**
+   * N-gram Jaccard similarity join via an inverted shingle index:
+   * explode shingles → self-join on shingle → per-pair intersection count →
+   * jaccard from per-doc set sizes. No signatures, exact answer; the
+   * shingle-frequency skew is the scale risk, so hot shingles (appearing in
+   * more than `maxShingleFreq` docs) are dropped from the index — the
+   * standard prefix-filtering trade: a shingle shared by thousands of docs
+   * carries ~no similarity signal but produces quadratic pairs.
+   */
+  def ngramJaccard(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
+      .repartition(col("id"))   // one shingle computation, reused below
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+
+    val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
+    val rare = inverted.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleFreq)
+    val idx = inverted.join(rare.select("s"), "s")
+
+    val inter = idx.as("l").join(idx.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    val verified = inter
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter"))).as("sim"))
+      .filter(col("sim") >= threshold)
+
+    clusterReps(docs, idCol, verified)
+  }
+
+  /**
+   * One row per doc with its one-hop cluster representative: keep_id = min
+   * id among {self} ∪ verified neighbors. Deterministic, single extra
+   * aggregation over the (small) verified-pair set.
+   */
+  private def clusterReps(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val neighborMin = pairs
+      .select(col("id_b").as("id"), col("id_a").as("nb"))
+      .union(pairs.select(col("id_a").as("id"), col("id_b").as("nb")))
+      .groupBy(col("id")).agg(min(col("nb")).as("nb_min"))
+    docs.select(col(idCol).as("id"))
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nb_min"), col("id"))).as("keep_id"))
+      .withColumn("is_dup", col("id") =!= col("keep_id"))
+      .orderBy(col("id"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: treat image/audio/video payloads as opaque
+ * `BinaryType` columns with a typed metadata struct, and run
+ * decode/feature-extract as a per-partition batch transform.
+ *
+ * The decode step itself is STUBBED (this environment has no image/audio
+ * codecs): `fakeDecode` derives deterministic pseudo-features from the raw
+ * bytes. Everything around it is the real production shape:
+ *  - schema: (id, payload BINARY, meta STRUCT<format,width,height,n_bytes>)
+ *  - `mapPartitions` over a typed iterator — the Scala analogue of
+ *    `mapInPandas` batches: the codec is invoked once per partition with a
+ *    stream of records, so per-call setup (model load, codec init) is
+ *    amortized exactly as it would be with a real decoder;
+ *  - output: fixed-width feature vector + extracted metadata, ready for the
+ *    Similarity operators above.
+ *
+ * At 100 TB: payloads never shuffle (map-only), partitions are sized by
+ * `spark.sql.files.maxPartitionBytes`, and the feature output is orders of
+ * magnitude smaller than the input — the classic decode-early/shed-early
+ * pipeline shape.
+ */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType))))))
+
+  /**
+   * Build a deterministic media table from the documents fixture: payload =
+   * UTF-8 bytes of the text (a stand-in blob), metadata derived from it.
+   * In production this column comes straight from parquet/Iceberg BINARY.
+   */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        element_at(split(lit("jpeg,png,wav,mp4"), ","),
+          (col("doc_id") % 4 + 1).cast("int")).as("format"),
+        (col("doc_id") % 640 + 16).cast(IntegerType).as("width"),
+        (col("doc_id") % 480 + 16).cast(IntegerType).as("height"),
+        length(col("text")).cast(LongType).as("n_bytes")).as("meta"))
+
+  /** Deterministic stand-in for a real decoder: a 16-bin byte histogram
+    * normalized to [0,1] — replace with an actual codec in production. */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xFF) >> 4) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < 16) { bins(j) /= payload.length; j += 1 }
+    }
+    bins
+  }
+
+  /**
+   * Per-partition batched feature extraction. The iterator-in/iterator-out
+   * contract means the (stubbed) codec initializes once per partition —
+   * the same batch shape `mapInPandas`/`mapInArrow` gives a Python model.
+   */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (codec/model load in production)
+      rows.map { r =>
+        val meta = r.getStruct(metaIdx)
+        Row(r.getLong(idIdx), meta.getString(0), meta.getLong(3),
+          fakeDecode(r.getAs[Array[Byte]](payloadIdx)).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
+    * "frame", capped at `maxFrames` — the partition/batch plumbing of video
+    * frame sampling with the codec stubbed out. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   stride: Int = 64, maxFrames: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_byte", IntegerType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.flatMap { r =>
+      val payload = r.getAs[Array[Byte]](payloadIdx)
+      val id = r.getLong(idIdx)
+      if (payload == null) Iterator.empty
+      else payload.indices.by(stride).take(maxFrames).zipWithIndex.map {
+        case (off, fi) => Row(id, fi, payload(off) & 0xFF)
+      }
+    }(encoder)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: language ID, quality
+ * scoring, token counting, and winnowing document fingerprints.
+ *
+ * Everything is column expressions (built-ins + higher-order functions) so
+ * the work runs inside whole-stage codegen where possible and distributes
+ * per-row — no UDFs, no collect, schema-stable outputs. At 100 TB each of
+ * these is a map-only pass over the corpus (the ideal shape: zero shuffle).
+ */
+object TextAnalysis {
+
+  // ------------------------------------------------------------------
+  // Language identification — stopword-profile heuristic
+  // ------------------------------------------------------------------
+
+  /** Tiny per-language function-word profiles (public common stopwords).
+    * Real pipelines plug fastText etc.; the heuristic keeps the operator
+    * self-contained and deterministic. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "un", "une", "les", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "为"))
+
+  /** Occurrence count of profile words among the tokens (repeats count —
+    * frequency, not distinct membership, separates close languages). */
+  private def profileHits(tokens: Column, profile: Seq[String]): Column =
+    aggregate(tokens, lit(0),
+      (acc, t) => acc + when(t.isInCollection(profile), 1).otherwise(0))
+
+  /**
+   * Predict the language of a text column: the profile with the most
+   * stopword hits wins; ties and zero-hit docs fall back to "und"
+   * (undetermined, BCP-47 convention).
+   */
+  def langId(text: Column): Column = {
+    val tokens = Shingles.words(text)
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      struct(profileHits(tokens, profile).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** DataFrame form: (id, predicted_lang). */
+  def langIdOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), langId(col(textCol)).as("predicted_lang"))
+      .orderBy(col("id"))
+
+  // ------------------------------------------------------------------
+  // Token counting
+  // ------------------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: runs of word chars or single non-space symbols
+    * (`\w+|[^\w\s]`) — the standard pre-tokenizer regex shape. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** (id, n_chars, n_words, n_subwords) per document. */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        length(col(textCol)).as("n_chars"),
+        wordCount(col(textCol)).as("n_words"),
+        subwordCount(col(textCol)).as("n_subwords"))
+      .orderBy(col("id"))
+
+  // ------------------------------------------------------------------
+  // Quality scoring
+  // ------------------------------------------------------------------
+
+  /**
+   * Per-doc quality signals + composite score, the usual curation features:
+   * length, mean word length, punctuation density, stopword ratio,
+   * alphabetic ratio, max single-word dominance (repetition signal).
+   * Ratios are exact integer divisions rendered as DECIMAL(18,6) so the
+   * output is hash-stable across engines.
+   */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = Shingles.words(t)
+    val nChars = length(t)
+    val nWords = wordCount(t)
+    val nPunct = size(regexp_extract_all(t, lit("[\\p{Punct}]"), lit(0)))
+    val nAlpha = size(regexp_extract_all(t, lit("[A-Za-z]"), lit(0)))
+    val enStops = array(stopwordProfiles("en").map(lit): _*)
+    val nStop = size(array_intersect(tokens, enStops))
+
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("decimal(18,6)") / den).otherwise(lit(0))
+        .cast("decimal(18,6)")
+
+    docs.select(col(idCol).as("id"),
+        nChars.as("n_chars"), nWords.as("n_words"),
+        ratio(nChars, nWords).as("mean_word_len"),
+        ratio(nPunct, nChars).as("punct_ratio"),
+        ratio(nAlpha, nChars).as("alpha_ratio"),
+        ratio(nStop * 10, nWords).as("stop_signal"))
+      // composite: long-enough, alphabetic, not punctuation-soup
+      .withColumn("quality",
+        (when(col("n_words").between(20, 2000), lit(0.4)).otherwise(lit(0.0)) +
+         when(col("alpha_ratio") > 0.5, lit(0.4)).otherwise(lit(0.0)) +
+         when(col("punct_ratio") < 0.1, lit(0.2)).otherwise(lit(0.0)))
+          .cast("decimal(3,1)"))
+      .orderBy(col("id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+  // ------------------------------------------------------------------
+
+  /**
+   * Winnowing fingerprints: hash every k-gram of characters, slide a window
+   * of `window` consecutive k-gram hashes, keep the min of each window.
+   * The distinct mins are the doc's fingerprints — robust to local edits,
+   * used for near-dup and contamination checks at corpus scale.
+   */
+  def winnowingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    // let-bind the normalized text and the gram array: referenced inside
+    // per-element lambdas, they would otherwise be re-evaluated per gram
+    // (O(len²) regex work per document — see Shingles.let).
+    Shingles.let(lower(regexp_replace(text, "\\s+", " "))) { norm =>
+      Shingles.let(transform(
+        sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
+        i => xxhash64(substring(norm, lit(i), lit(k))))) { grams =>
+        val mins = transform(
+          sequence(lit(1), greatest(size(grams) - lit(window - 1), lit(1))),
+          i => array_min(slice(grams, i, lit(window))))
+        array_sort(array_distinct(mins))
+      }
+    }
+
+  /** (id, fingerprints array, n_fingerprints) per document. */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8, window: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        winnowingFingerprints(col(textCol), k, window).as("fps"))
+      .select(col("id"), col("fps"), size(col("fps")).as("n_fps"))
+      .orderBy(col("id"))
+}

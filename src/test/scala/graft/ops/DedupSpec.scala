@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** Semantics specs for the dedup family: planted exact and near-duplicates
+  * must be found; unrelated docs must not be merged. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Base corpus: two identical docs (1,2), one near-dup of them (3: one
+  // word changed out of 24), and two unrelated docs (4,5).
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat sleeps on the warm mat near the old wooden door today"
+  private val nearDup = base.replace("warm", "cold")
+  private def corpus: DataFrame = Seq(
+    (1L, base), (2L, base), (3L, nearDup),
+    (4L, "completely different content about spark query engines and " +
+      "distributed shuffle aggregation plans running on large clusters"),
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text and flags copies") {
+    val out = Dedup.exact(corpus, "text", "doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) == ((1L, 2L, false)))
+    assert(byId(2L) == ((1L, 2L, true)))   // dup of 1
+    assert(byId(3L) == ((3L, 1L, false)))  // near-dup is NOT exact-dup
+    assert(byId(4L) == ((4L, 1L, false)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val out = Dedup.minHashLSH(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 1L)  // identical → clustered
+    assert(out(3L) == 1L)  // near-dup → clustered
+    assert(out(4L) == 4L)  // unrelated → own cluster
+    assert(out(5L) == 5L)
+  }
+
+  test("simhash clusters near-identical docs within hamming bound") {
+    val out = Dedup.simHash(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L) // identical fingerprints
+    assert(out(4L) == 4L)                  // unrelated stays apart
+  }
+
+  test("ngram jaccard exact similarity join matches planted dups") {
+    val out = Dedup.ngramJaccard(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L && out(5L) == 5L)
+  }
+
+  test("minhash signature approximates jaccard") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, base), (3L, nearDup)).toDF("doc_id", "text")
+      .select(col("doc_id"), Shingles.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 128))
+    val Array(a, b) = df.orderBy("doc_id").collect()
+    val sigA = a.getSeq[Long](2); val sigB = b.getSeq[Long](2)
+    val shA = a.getSeq[Long](1).toSet; val shB = b.getSeq[Long](1).toSet
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    val estJ = sigA.zip(sigB).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(trueJ - estJ) < 0.2, s"true=$trueJ est=$estJ")
+  }
+}

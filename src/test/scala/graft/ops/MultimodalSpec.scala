@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.tables.Tables
+
+class MultimodalSpec extends SparkSuite {
+
+  private def media = Multimodal.mediaFromDocuments(
+    Tables(spark, sf, "documents").limit(50))
+
+  test("media table has the declared binary+metadata schema") {
+    val m = media
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val meta = m.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("format", "width", "height", "n_bytes"))
+  }
+
+  test("feature extraction: one fixed-width vector per input, batched per partition") {
+    val out = Multimodal.extractFeatures(spark, media.repartition(4))
+    val rows = out.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.length == 16)
+      // histogram is normalized: sums to ~1 for non-empty payloads
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("fakeDecode is deterministic and length-invariant") {
+    val b = "hello world".getBytes("UTF-8")
+    assert(Multimodal.fakeDecode(b).toSeq == Multimodal.fakeDecode(b.clone()).toSeq)
+    assert(Multimodal.fakeDecode(Array.emptyByteArray).forall(_ == 0f))
+  }
+
+  test("frame sampling respects stride and cap") {
+    val out = Multimodal.sampleFrames(spark, media, stride = 64, maxFrames = 8)
+    val byDoc = out.groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    byDoc.values.foreach { case (n, mx) =>
+      assert(n <= 8 && mx == n - 1)
+    }
+    // doc lengths 44..577 chars → at least 1 frame each
+    assert(byDoc.size == 50)
+  }
+}

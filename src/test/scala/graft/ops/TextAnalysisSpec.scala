@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato es un animal que vive en la casa"),
+      (3L, "der hund ist ein tier und die katze ist klein"),
+      (4L, "le chat est dans la maison et il est chaud"),
+      (5L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdOf(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "fr")
+    assert(out(5L) == "und")
+  }
+
+  test("token counts: chars, whitespace words, subword pieces") {
+    val df = Seq((1L, "Hello, world! It's 42."), (2L, ""), (3L, "  a  b  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((22, 4, 9)))  // Hello , world ! It ' s 42 .
+    assert(out(2L) == ((0, 0, 0)))
+    assert(out(3L) == ((8, 2, 2)))
+  }
+
+  test("quality score rewards long alphabetic low-punct text") {
+    val good = (1L, ("word " * 30).trim)
+    val bad = (2L, "!!! ??? ... ;;; ### @@@")
+    val df = Seq(good, bad).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(7).doubleValue()).toMap
+    assert(out(1L) >= 0.8)
+    assert(out(2L) <= 0.2)
+  }
+
+  test("winnowing fingerprints: shared for near-dups, robust to edits") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val edited = base.replace("river", "creek")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(df, "text", "doc_id")
+      .select("id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(out(1L) == out(2L))                    // identical docs, identical fps
+    val overlap = out(1L).intersect(out(3L)).size.toDouble / out(1L).size
+    assert(overlap > 0.5, s"local edit should preserve most fingerprints: $overlap")
+    assert(out(1L) != out(3L))                    // but not all
+  }
+
+  test("fingerprints are a winnowing subset of all k-gram hashes") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
+    val n = TextAnalysis.fingerprints(df, "text", "doc_id")
+      .select("n_fps").head().getInt(0)
+    // 26 chars → 19 8-grams → 16 windows of 4 → ≤16 distinct mins, ≥5 (19/4)
+    assert(n >= 5 && n <= 16)
+  }
+}
