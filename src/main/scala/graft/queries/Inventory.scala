@@ -304,6 +304,24 @@ object Inventory {
         .orderBy(col("event_type"))
     },
 
+    // --- streaming transforms on batch input (unified batch/stream code:
+    //     the same EventStreams pipelines run under readStream, see
+    //     graft.streaming + its spec; batch mode makes them oracle-checkable)
+    "q31_stream_window_agg" -> { (s, d) =>
+      graft.streaming.EventStreams
+        .windowedTypeCounts(Tables(s, d, "events"), "1 hour", "10 minutes")
+        .withColumn("total_value", col("total_value").cast(dec2))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    "q32_stream_sessions" -> { (s, d) =>
+      // session_window has no DuckDB equivalent → rows-only check; the
+      // gap-fold semantics are pinned by EventStreamsSpec.
+      graft.streaming.EventStreams
+        .userSessions(Tables(s, d, "events"), "30 minutes", "10 minutes")
+        .withColumn("session_value", col("session_value").cast(dec2))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
@@ -375,6 +393,8 @@ object Inventory {
     "q28_array_fns" ->
       "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, embedding[1] AS e1 FROM embeddings ORDER BY vec_id",
     "q30_events_agg" ->
-      "SELECT event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS sv, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY event_type ORDER BY event_type"
+      "SELECT event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS sv, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY event_type ORDER BY event_type",
+    "q31_stream_window_agg" ->
+      "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS total_value FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"
   )
 }

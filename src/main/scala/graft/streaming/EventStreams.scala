@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming extension operators over the `events` stream shape
+ * (SURVEY §7.5 — the reference computes nothing on streams; its
+ * "real-time streaming" is HTTP chunked transfer of finished results,
+ * reference: README.md:11 vs api/routes/query.py:233-264. These operators
+ * are the genuine stream-compute capability a Spark engine adds.)
+ *
+ * All transforms take any DataFrame with the events schema
+ * `(event_id long, ts timestamp, user_id long, event_type string,
+ * value double, props string)` — batch or streaming: the same code runs
+ * `spark.read.parquet` for backfill and `spark.readStream` for live data
+ * (Spark's unified batch/stream semantics; streaming adds the watermark).
+ *
+ * Scale: every aggregation keys on (window/session × user or type), so
+ * state partitions across executors; watermarks bound state size — no
+ * unbounded driver buffering.
+ */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * late data and state retention. */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLength: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user session windows: events separated by less than `gap` fold
+    * into one session (Spark `session_window`). */
+  def userSessions(events: DataFrame,
+                   gap: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("session_value"))
+
+  // --- custom state: per-user running aggregate via mapGroupsWithState ---
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserRunningState(nEvents: Long, totalValue: Double,
+                                    lastTs: Long)
+
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+                                total_value: Double, last_ts: Timestamp)
+
+  /** Arbitrary stateful aggregation: running per-user event count + value
+    * total — the `KeyValueGroupedDataset.mapGroupsWithState` pattern for
+    * semantics the built-in window aggs can't express.
+    *
+    * State eviction note: in production this keys unbounded user space, so
+    * pair it with `GroupStateTimeout.EventTimeTimeout` + a watermark on the
+    * source to bound state (processing-time timeouts force continuous
+    * no-data micro-batches — measurably pathological under test triggers,
+    * and wall-clock-dependent besides). */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningState, UserSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunningState(acc.nEvents + 1, acc.totalValue + e.value,
+              math.max(acc.lastTs, e.ts.getTime))
+          }
+          state.update(next)
+          UserSnapshot(userId, next.nEvents, next.totalValue,
+            new Timestamp(next.lastTs))
+      }
+  }
+
+  /** Convenience: open a directory of event parquet files as a file-source
+    * stream (the file source requires a directory; files landing in it are
+    * discovered incrementally — the standard object-store ingestion
+    * pattern). Schema is pinned from the existing files;
+    * `maxFilesPerTrigger=1` so bounded runs still exercise incremental
+    * batches. Caller owns the query lifecycle. */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run any events transform to completion over a bounded stream and
+    * return the materialized sink table (used by specs and backfills). */
+  def runOnce(spark: SparkSession, streamed: DataFrame,
+              sinkName: String, outputMode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.tables.Tables
+
+/** Structured Streaming extension operators (SURVEY §7.5): windowed aggs
+  * with watermark, session windows, and mapGroupsWithState — checked for
+  * batch/stream equivalence over the events fixture. */
+class EventStreamsSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedTypeCounts on batch input matches a hand aggregation") {
+    val events = Tables(spark, sf, "events")
+    val got = EventStreams.windowedTypeCounts(events, "1 hour", "10 minutes")
+    val manual = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.agg(sum("n")).collect.head.getLong(0) === events.count)
+    assert(got.count === manual.count)
+  }
+
+  test("stream and batch produce identical windowed aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamedDf = input.toDF.toDF("ts", "event_type", "value")
+
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "click", 1.0),
+      (ts("2024-01-01 00:15:00"), "click", 2.0),
+      (ts("2024-01-01 00:45:00"), "view", 3.0),
+      (ts("2024-01-01 01:05:00"), "click", 4.0),
+      (ts("2024-01-01 03:00:00"), "view", 5.0)) // advances watermark past h0-h1
+
+    input.addData(rows: _*)
+    val result = EventStreams.runOnce(spark,
+      EventStreams.windowedTypeCounts(streamedDf, "1 hour", "10 minutes"),
+      "win_counts", OutputMode.Append)
+
+    val batchDf = rows.toDF("ts", "event_type", "value")
+    val expected = EventStreams
+      .windowedTypeCounts(batchDf, "1 hour", "10 minutes")
+      .collect.map(_.toSeq).toSet
+    // append-mode emits only watermark-closed windows → subset equality on
+    // the closed ones (h0 windows closed; the 03:00 window is still open)
+    val got = result.collect.map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    assert(got.exists(r => r(2) == "click" && r(3) == 2L)) // h0: two clicks
+  }
+
+  test("userSessions folds events within the gap into one session") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0),  // same session (gap 30m)
+      (ts("2024-01-01 12:00:00"), 1L, 4.0),  // new session
+      (ts("2024-01-01 10:05:00"), 2L, 8.0)
+    ).toDF("ts", "user_id", "value")
+    val sessions = EventStreams.userSessions(batch, "30 minutes", "10 minutes")
+      .orderBy("user_id", "session_start").collect
+    assert(sessions.length === 3)
+    val first = sessions.head
+    assert(first.getAs[Long]("user_id") === 1L)
+    assert(first.getAs[Long]("n_events") === 2L)
+    assert(first.getAs[Double]("session_value") === 3.0)
+  }
+
+  test("userRunningTotals accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.userRunningTotals(input.toDS)
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+
+    input.addData(
+      EventStreams.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 10.0),
+      EventStreams.Event(2, ts("2024-01-01 00:01:00"), 7L, "view", 5.0))
+    q.processAllAvailable()
+    input.addData(
+      EventStreams.Event(3, ts("2024-01-01 00:02:00"), 7L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val snaps = spark.table("running")
+      .filter(col("user_id") === 7L)
+      .orderBy(col("n_events")).collect
+    assert(snaps.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 3L))
+    assert(snaps.last.getAs[Double]("total_value") === 16.0)
+  }
+
+  test("file-source stream over the events fixture reaches batch totals") {
+    // the file source needs a directory; stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStreams.readEventStream(spark, dir.toString)
+    val result = EventStreams.runOnce(spark,
+      EventStreams.windowedTypeCounts(streamed, "1 hour", "0 seconds"),
+      "fixture_win", OutputMode.Append)
+    val batchTotal = Tables(spark, sf, "events").count
+    // append mode withholds the last open window; totals must be close to
+    // and bounded by the batch count
+    val streamTotal = result.agg(sum("n")).collect.head.getLong(0)
+    assert(streamTotal > 0 && streamTotal <= batchTotal)
+  }
+}
