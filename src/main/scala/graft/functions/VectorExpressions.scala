@@ -1,0 +1,473 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the vector math on the ANN/dedup hot
+ * paths (SURVEY §7.4: "custom Catalyst `Expression` (codegen dot/cosine)").
+ *
+ * Why not `zip_with`/`aggregate` higher-order functions: the HOF path
+ * evaluates a Catalyst lambda per array ELEMENT — one boxed expression-tree
+ * walk per float. These expressions evaluate one tight JVM loop per ROW
+ * over the underlying `ArrayData`, with real `doGenCode` so they stay
+ * inside whole-stage codegen. Measured on the sf0.1 embedding near-dup
+ * pipeline this is the difference between ~60 s and ~2 s.
+ *
+ * All expressions accept `array<float>` or `array<double>` columns and
+ * treat null elements as 0. Nulls at the array level propagate.
+ */
+object VectorExpressions {
+
+  private[functions] def elemAccessor(dt: DataType): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case other => throw new IllegalArgumentException(
+        s"vector expressions need array<float|double>, got $other")
+    }
+
+  private[functions] def elemAt(a: ArrayData, dt: DataType, i: Int): Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  val vectorTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType),
+    ArrayType(FloatType, containsNull = true),
+    ArrayType(DoubleType, containsNull = true))
+}
+
+import VectorExpressions._
+
+/** `vec_dot(a, b)` — dot product of two numeric-array columns. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        dot += elemAt(x, left.dataType, i) * elemAt(y, right.dataType, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val getL = elemAccessor(left.dataType)
+      val getR = elemAccessor(right.dataType)
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double ${ev.value}_acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            ${ev.value}_acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+          }
+        }
+        ${ev.value} = ${ev.value}_acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_cosine(a, b)` — cosine similarity in ONE fused pass (dot and both
+  * norms in the same loop); 0.0 when either norm is 0, matching the
+  * higher-order-function formulation it replaces. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecDot(left, right).checkInputDataTypes()
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else elemAt(x, left.dataType, i)
+      val yi = if (y.isNullAt(i)) 0.0 else elemAt(y, right.dataType, i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val getL = elemAccessor(left.dataType)
+      val getR = elemAccessor(right.dataType)
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.$getL($i);
+          double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.$getR($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = $denom > 0 ? $dot / $denom : 0.0;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_norm(a)` — L2 norm. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecDot(child, child).checkInputDataTypes()
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val xi = elemAt(x, child.dataType, i)
+        acc += xi * xi
+      }
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val xi = ctx.freshName("xi")
+      val get = elemAccessor(child.dataType)
+      s"""
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            double $xi = (double) $a.$get($i);
+            $acc += $xi * $xi;
+          }
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/**
+ * `lsh_bands(vec, planes, rowsPerBand)` — random-hyperplane LSH band keys:
+ * sign bit per (deterministic pseudo-random) hyperplane, packed into
+ * `planes/rowsPerBand` band keys of `rowsPerBand` bits. Returns
+ * `array<long>` indexed by band id.
+ *
+ * The hyperplane matrix is derived from SplitMix64((plane<<32)|dim) — no
+ * state to ship, any executor regenerates it; cached per (planes, dim) in
+ * the expression instance. Same generator as the HOF formulation it
+ * replaces (Similarity.planeComponent).
+ */
+case class LshBands(child: Expression, planes: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(planes % rowsPerBand == 0, "rowsPerBand must divide planes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bands"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecDot(child, child).checkInputDataTypes()
+
+  private def mix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @transient private var planeCache: Array[Array[Double]] = _
+  @transient private var planeCacheDim: Int = -1
+
+  private def planeMatrix(dim: Int): Array[Array[Double]] = {
+    if (planeCacheDim != dim) {
+      planeCache = Array.tabulate(planes, dim)((p, d) =>
+        mix(p.toLong << 32 | d.toLong).toDouble / Long.MaxValue)
+      planeCacheDim = dim
+    }
+    planeCache
+  }
+
+  /** One tight loop per row; called from both eval and generated code. */
+  def compute(x: ArrayData): ArrayData = {
+    val dim = x.numElements()
+    val mat = planeMatrix(dim)
+    val nBands = planes / rowsPerBand
+    val keys = new Array[Long](nBands)
+    var p = 0
+    while (p < planes) {
+      val plane = mat(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        if (!x.isNullAt(i)) dot += elemAt(x, child.dataType, i) * plane(i)
+        i += 1
+      }
+      if (dot >= 0) keys(p / rowsPerBand) |= 1L << (p % rowsPerBand)
+      p += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshBands].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}
+
+/**
+ * `minhash_sig(shingles)` — MinHash signature of a hashed-shingle
+ * `array<long>`: `numHashes` universal-hash minima `(a_i*(s mod p)+b_i)
+ * mod p` over the shingle set, p = 2^31-1; identical semantics (same
+ * SplitMix64 coefficient schedule) to the aggregate/zip_with formulation
+ * in graft.ops.Dedup.minHashSignature, one JVM loop instead of
+ * numHashes × |shingles| interpreted lambda evaluations.
+ */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private val Prime = 2147483647L
+
+  private def mix(s: Long): Long = {
+    var z = s + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(i =>
+    math.abs(mix(seed + 2L * i)) % (Prime - 1) + 1)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i =>
+    math.abs(mix(seed + 2L * i + 1)) % Prime)
+
+  def compute(sh: ArrayData): ArrayData = {
+    val out = Array.fill(numHashes)(Prime)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val s = sh.getLong(j)
+      val sm = ((s % Prime) + Prime) % Prime
+      var i = 0
+      while (i < numHashes) {
+        val h = (as(i) * sm + bs(i)) % Prime
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhExpr", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/**
+ * `simhash64(tokens)` — 64-bit SimHash of an `array<string>` token column:
+ * per bit j, sign of the sum over tokens of ±1 by the token's xxhash64
+ * bit j. Same fingerprint family as graft.ops.Dedup.simHashBits (xxhash64
+ * with Spark's default seed 42), one loop per row.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shExpr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * `winnow(text, k, window)` — winnowing document fingerprints
+ * (Schleimer/Wilkerson/Aiken, SIGMOD'03): xxhash64 every k-character gram,
+ * slide a `window` over consecutive gram hashes keeping each window's min,
+ * return the sorted distinct mins. Semantics identical to the
+ * higher-order-function form in graft.ops.TextAnalysis
+ * (equivalence-tested); one loop per document instead of O(len) substring
+ * lambda evaluations.
+ */
+case class Winnow(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k >= 1 && window >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val len = text.numChars()
+    val n = math.max(len - k + 1, 1)
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // SQL substring semantics (1-based, clamped) to match the HOF form
+      val gram = text.substringSQL(i + 1, k)
+      grams(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(gram, StringType, 42L)
+      i += 1
+    }
+    val m = math.max(n - window + 1, 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w < m) {
+      var mn = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, n)
+      while (j < end) { if (grams(j) < mn) mn = grams(j); j += 1 }
+      mins.add(mn)
+      w += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this, classOf[Winnow].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Document deduplication operators for large-scale training-data pipelines.
  *
@@ -22,8 +24,12 @@ import org.apache.spark.sql.functions._
  *    work is proportional to colliding candidates, not to n².
  *  - Verification (exact Jaccard / Hamming) happens only on candidate
  *    pairs, joined back to per-doc signatures.
- *  - All signature math is Spark built-ins / higher-order functions — no
- *    UDFs, no driver collects, no Python boundary.
+ *  - Signature math (minhash, simhash) runs through native Catalyst
+ *    expressions (graft.functions.MinHashSig / SimHash64 — one JVM loop
+ *    per document instead of hashes × shingles interpreted lambda
+ *    evaluations; the higher-order-function forms below are kept as the
+ *    executable reference semantics and are equivalence-tested against
+ *    the native ones). No UDFs, no driver collects, no Python boundary.
  */
 object Dedup {
 
@@ -90,10 +96,11 @@ object Dedup {
     // computed ONCE below it, and both self-join sides plus the band
     // explode reuse the exchange (ReusedExchange) instead of re-evaluating
     // the (expensive) minhash expression per reference / per band.
+    GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol).as("id"),
         Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
       .repartition(col("id"))
 
     // (id, band_id, band_hash): hash() over the band slice + band id keeps
@@ -153,8 +160,9 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // exchange barrier: fingerprints are computed once, the chunk explode
     // and both self-join sides reuse the exchange (see minHashLSH note).
+    GraftFunctions.register(docs.sparkSession)
     val fps = docs.select(col(idCol).as("id"),
-      simHashBits(Shingles.words(col(textCol))).as("fp"))
+      GraftFunctions.simHash64(Shingles.words(col(textCol))).as("fp"))
       .repartition(col("id"))
 
     val chunked = fps.select(col("id"), col("fp"),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Approximate-nearest-neighbor search and embedding near-dup over an
  * `Array[Float]` embedding column.
@@ -20,21 +22,13 @@ import org.apache.spark.sql.functions._
  *  - `cosineNearDup` — random-hyperplane LSH bucketing, then exact cosine
  *    verification inside buckets (embedding-space near-duplicate dedup).
  *
- * All vector math is `zip_with`/`aggregate` higher-order functions over the
- * array column — distributed per row, no UDF, no driver collect.
+ * Vector math on the hot paths runs through native codegen Catalyst
+ * expressions (graft.functions.VecCosine / LshBands — one JVM loop per
+ * row); the `dot`/`norm`/`cosine` higher-order-function forms below are
+ * kept as the reference semantics they were derived from (and for callers
+ * without a session to register functions on). No UDFs, no driver collect.
  */
 object Similarity {
-
-  /** Deterministic pseudo-random unit-ish hyperplane component (SplitMix64
-    * bit-mixed (plane, dim) index mapped to [-1, 1)). */
-  private def mix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private def planeComponent(plane: Int, d: Int): Double =
-    mix(plane.toLong << 32 | d.toLong).toDouble / Long.MaxValue
 
   /** Dot product of two array columns. */
   def dot(a: Column, b: Column): Column =
@@ -58,11 +52,12 @@ object Similarity {
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String,
       k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),
-        cosine(col("vec"), col("qvec")).as("sim"))
+        GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -83,12 +78,13 @@ object Similarity {
       queries: DataFrame, qVecCol: String, qIdCol: String,
       centroids: DataFrame, cVecCol: String, cIdCol: String,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
 
     def nearestCentroids(df: DataFrame, vc: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col("__rid")).orderBy(col("csim").desc, col("cid"))
       df.crossJoin(broadcast(cent))
-        .withColumn("csim", cosine(col(vc), col("cvec")))
+        .withColumn("csim", GraftFunctions.vecCosine(col(vc), col("cvec")))
         .withColumn("__crk", row_number().over(w))
         .filter(col("__crk") <= n)
         .drop("cvec", "csim", "__crk")
@@ -106,7 +102,7 @@ object Similarity {
 
     val scored = assigned.join(broadcast(probed), Seq("cid"))
       .select(col("query_id"), col("id"),
-        cosine(col("vec"), col("qvec")).as("sim"))
+        GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -129,49 +125,45 @@ object Similarity {
         s => s.getField("m")).as("cvec"))
 
   /**
-   * Random-hyperplane LSH signature: `planes` sign bits packed into bands
-   * of `rowsPerBand` bits; docs sharing any band are candidates.
-   */
-  def lshBandKeys(vec: Column, dim: Int, planes: Int, rowsPerBand: Int): Column = {
-    require(planes % rowsPerBand == 0)
-    val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      when(dot(vec, plane) >= 0, 1L).otherwise(0L)
-    }
-    val bands = (0 until planes / rowsPerBand).map { b =>
-      val packed = bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        .zipWithIndex.map { case (bit, i) => bit * (1L << i) }
-        .reduce(_ + _)
-      struct(lit(b).as("band_id"), packed.as("band_key"))
-    }
-    array(bands: _*)
-  }
-
-  /**
    * Embedding-cosine near-duplicate detection: LSH bucket candidates, exact
    * cosine verify >= `threshold`, one-hop min-id cluster rep per vector —
    * same output shape as the text dedup family (id, keep_id, is_dup).
+   *
+   * Scale design: the banded index carries only (id, band_id, band_key) —
+   * vectors never ride through the candidate self-join or its distinct, so
+   * the big shuffle moves 24-byte rows, not embeddings. Vectors are joined
+   * back for exact verification of the (much smaller) candidate set. Band
+   * keys are `rowsPerBand`-bit (default 8 → 256 buckets per band): for a
+   * near-dup at cosine 0.97 a sign bit agrees w.p. ~0.92, so an 8-bit band
+   * matches w.p. ~0.52 and 6 bands give ~99% recall, while random pairs
+   * collide w.p. 2^-8 per band — candidate count stays ~linear in n.
+   * `dim` is retained for API stability; the plane matrix is derived from
+   * the observed vector length.
    */
   def cosineNearDup(
       corpus: DataFrame, vecCol: String, idCol: String, dim: Int,
-      threshold: Double = 0.95, planes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // exchange barrier so both self-join sides reuse one computation of
-    // the 16 hyperplane dot products per vector.
-    val banded = vecs.select(col("id"), col("vec"),
-        explode(lshBandKeys(col("vec"), dim, planes, rowsPerBand)).as("bk"))
-      .select(col("id"), col("vec"),
-        col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    // the hyperplane signatures per vector.
+    val banded = vecs.select(col("id"),
+        posexplode(GraftFunctions.lshBands(col("vec"), planes, rowsPerBand)))
+      .toDF("id", "band_id", "band_key")
       .repartition(col("band_id"), col("band_key"))
 
-    val verified = banded.as("l").join(banded.as("r"),
+    val cand = banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+
+    val verified = cand
+      .join(vecs.as("a"), col("id_a") === col("a.id"))
+      .join(vecs.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.vecCosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
 
     val neighborMin = verified

@@ -139,11 +139,17 @@ object TextAnalysis {
       }
     }
 
-  /** (id, fingerprints array, n_fingerprints) per document. */
+  /** (id, fingerprints array, n_fingerprints) per document. Runs the
+    * native graft.functions.Winnow expression (one loop per doc); the HOF
+    * form above is the executable reference, equivalence-tested in
+    * VectorExpressionsSpec. */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 8, window: Int = 4): DataFrame =
+                   k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
-        winnowingFingerprints(col(textCol), k, window).as("fps"))
+        graft.functions.GraftFunctions.winnow(
+          lower(regexp_replace(col(textCol), "\\s+", " ")), k, window).as("fps"))
       .select(col("id"), col("fps"), size(col("fps")).as("n_fps"))
       .orderBy(col("id"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Dedup, Shingles, Similarity}
+
+/** The native codegen expressions must agree exactly with the
+  * higher-order-function reference formulations they replace. */
+class VectorExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    (1 to 50).map { i =>
+      (i.toLong,
+        Seq.fill(16)(rnd.nextFloat() * 2 - 1),
+        Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+  }
+
+  test("vec_dot / vec_norm / vec_cosine match the HOF reference forms") {
+    val out = vecs.select(
+      GraftFunctions.vecDot(col("a"), col("b")).as("d1"),
+      Similarity.dot(col("a"), col("b")).as("d2"),
+      GraftFunctions.vecNorm(col("a")).as("n1"),
+      Similarity.norm(col("a")).as("n2"),
+      GraftFunctions.vecCosine(col("a"), col("b")).as("c1"),
+      Similarity.cosine(col("a"), col("b")).as("c2")).collect()
+    // HOF zip_with multiplies in FLOAT before the double sum; the native
+    // loop widens each element to double first — agree to float precision.
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-5)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-5)
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-5)
+    }
+  }
+
+  test("vec expressions run under whole-stage codegen (doGenCode path)") {
+    // a local Seq relation is pre-evaluated by ConvertToLocalRelation, so
+    // assert over a real parquet scan
+    GraftFunctions.register(spark)
+    val emb = graft.tables.Tables(spark, sf, "embeddings")
+    val plan = emb.select(
+      GraftFunctions.vecCosine(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan
+    val hasCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasCodegen, s"expected WholeStageCodegenExec in:\n$plan")
+  }
+
+  test("minhash_sig matches the aggregate/zip_with reference signature") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about distributed query engines"))
+      .toDF("id", "text")
+      .select(col("id"), Shingles.wordShingles(col("text"), 3).as("sh"))
+    val out = docs.select(
+      GraftFunctions.minHashSig(col("sh"), 64).as("fast"),
+      Dedup.minHashSignature(col("sh"), 64).as("ref")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("simhash64 matches the HOF reference fingerprint") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "totally different words in here altogether"))
+      .toDF("id", "text")
+    val out = docs.select(
+      GraftFunctions.simHash64(Shingles.words(col("text"))).as("fast"),
+      Dedup.simHashBits(Shingles.words(col("text"))).as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("lsh_bands: deterministic, bounded keys, identical vectors collide") {
+    GraftFunctions.register(spark)
+    val v = Seq.fill(16)(0.5f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
+      .select(col("id"), GraftFunctions.lshBands(col("vec"), 48, 8).as("bands"))
+    val rows = df.collect()
+    val b1 = rows(0).getSeq[Long](1)
+    val b2 = rows(1).getSeq[Long](1)
+    assert(b1.length === 6)                      // 48 planes / 8 rows
+    assert(b1.forall(k => k >= 0 && k < 256))    // 8-bit keys
+    assert(b1 === b2)                            // same vector → same bands
+  }
+
+  test("winnow matches the HOF winnowing reference") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "The quick   brown fox jumps over the lazy dog"),
+      (2L, "tiny"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("id", "text")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val out = docs.select(
+      GraftFunctions.winnow(norm, 8, 4).as("fast"),
+      graft.ops.TextAnalysis.winnowingFingerprints(col("text"), 8, 4).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+}
