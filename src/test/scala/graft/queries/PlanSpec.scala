@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/**
+ * Physical-plan quality gates — the properties that decide whether a query
+ * survives a 100× scale-up, asserted so a regression in plan shape fails
+ * CI, not a production run:
+ *  - filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+ *  - dimension joins broadcast instead of shuffling the fact side;
+ *  - ORDER BY + LIMIT plans as TakeOrderedAndProject (distributed top-k),
+ *    never a global sort;
+ *  - aggregations run partial (map-side) before the exchange.
+ */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = Inventory.queries(name)(spark, sf)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: predicate pushdown and column pruning reach the scan") {
+    val plan = planOf("q01_scan_filter")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // PushedFilters renders truncated in the plan string — prefix match
+    assert(plan.contains("EqualTo(l_returnfl"), plan)
+    // pruned read schema: only the 4 referenced columns, not all 16
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q06: dimension tables broadcast; fact side never shuffles for the join") {
+    val plan = planOf("q06_three_way_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q15: ORDER BY + LIMIT is distributed top-k, not a global sort") {
+    val plan = planOf("q15_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q07: aggregation is partial before the exchange (map-side combine)") {
+    val plan = planOf("q07_groupby_agg")
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")), aggLines.mkString("\n"))
+    assert(aggLines.size >= 2, aggLines.mkString("\n"))
+  }
+
+  test("q02: filter on orders is pushed below the join") {
+    val plan = planOf("q02_inner_join")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(o_orderstatus"), plan)
+  }
+
+  test("whole-stage codegen spans cover the scan-filter-project pipeline") {
+    // AQE nests stages, so look for the codegen stage markers ("*(n)") in
+    // the final plan string rather than collecting exec nodes
+    val plan = planOf("q01_scan_filter")
+    assert(plan.contains("*(1)"), plan)
+  }
+}
