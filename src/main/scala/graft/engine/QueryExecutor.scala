@@ -38,12 +38,19 @@ final class QueryExecutor(
   /** Validate, execute with timeout, return the terminal QueryResult.
     * Throws like the reference: InvalidSqlError before registration,
     * QueryTimeoutError / QueryCancelledError / the query's own failure
-    * after (state is recorded on the result first). */
-  def execute(sql: String, timeout: Option[Int] = None): QueryResult = {
+    * after (state is recorded on the result first).
+    *
+    * `params` binds positional `?` placeholders (the reference passes
+    * DuckDB positional parameters, e.g. api/routes/catalog.py:236; Spark 4
+    * `spark.sql(sql, args)` is the native equivalent — literals are bound
+    * post-gate, so parameter VALUES can never smuggle keywords past A1). */
+  def execute(sql: String, timeout: Option[Int] = None,
+              params: Seq[Any] = Seq.empty): QueryResult = {
     SqlGate.validate(sql)
     val timeoutSec = validateTimeout(timeout)
 
     val result = new QueryResult(sql)
+    val boundParams = params.toArray
     val cancelled = new AtomicBoolean(false)
     activeQueries.put(result.queryId, result)
     cancelFlags.put(result.queryId, cancelled)
@@ -51,7 +58,7 @@ final class QueryExecutor(
     Metrics.incrementActiveQueries()
     try {
       result.setRunning()
-      runWithTimeout(result, timeoutSec, cancelled)
+      runWithTimeout(result, timeoutSec, cancelled, boundParams)
       Metrics.recordQueryDuration(result.metrics.durationSeconds, result.state.value)
       Metrics.recordQueryRows(result.metrics.rowsReturned)
       result
@@ -69,7 +76,8 @@ final class QueryExecutor(
   }
 
   private def runWithTimeout(
-      result: QueryResult, timeoutSec: Int, cancelled: AtomicBoolean): Unit = {
+      result: QueryResult, timeoutSec: Int, cancelled: AtomicBoolean,
+      params: Array[Any] = Array.empty): Unit = {
     val done = new CountDownLatch(1)
     val errorHolder = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val jobGroup = result.queryId.toString
@@ -80,7 +88,8 @@ final class QueryExecutor(
           // job group tags every job this thread triggers; cancelJobGroup
           // with interruptOnCancel kills the running tasks.
           spark.sparkContext.setJobGroup(jobGroup, result.sql, interruptOnCancel = true)
-          val df = spark.sql(result.sql)
+          val df = if (params.isEmpty) spark.sql(result.sql)
+                   else spark.sql(result.sql, params)
           val schema = df.schema
           if (!cancelled.get()) {
             // bounded driver buffering: maxRows + 1 detects truncation

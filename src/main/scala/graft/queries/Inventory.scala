@@ -304,6 +304,19 @@ object Inventory {
         .orderBy(col("event_type"))
     },
 
+    // --- generators / recursion (reference exercises range() at
+    //     tests/test_executor.py:292,417; recursive CTE is new in Spark 4.1)
+    "q33_recursive_cte" -> { (s, d) =>
+      s.sql("""WITH RECURSIVE t(n) AS (
+                 SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100)
+               SELECT n, n * n AS sq FROM t ORDER BY n""")
+    },
+    "q34_range_generator" -> { (s, d) =>
+      s.range(0, 1000)
+        .selectExpr("id AS i", "id % 7 AS m")
+        .orderBy(col("i"))
+    },
+
     // --- streaming transforms on batch input (unified batch/stream code:
     //     the same EventStreams pipelines run under readStream, see
     //     graft.streaming + its spec; batch mode makes them oracle-checkable)
@@ -394,6 +407,10 @@ object Inventory {
       "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, embedding[1] AS e1 FROM embeddings ORDER BY vec_id",
     "q30_events_agg" ->
       "SELECT event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS sv, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY event_type ORDER BY event_type",
+    "q33_recursive_cte" ->
+      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
+    "q34_range_generator" ->
+      "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
     "q31_stream_window_agg" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS total_value FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"
   )

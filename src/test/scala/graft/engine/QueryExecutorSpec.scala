@@ -97,6 +97,18 @@ class QueryExecutorSpec extends SparkSuite {
     assert(executor.getStatus(r.queryId).isEmpty)
   }
 
+  test("positional parameters bind ? placeholders post-gate") {
+    val r = executor.execute(
+      "SELECT id FROM range(10) WHERE id > ? AND id < ? ORDER BY id",
+      params = Seq(3, 7))
+    assert(r.state == QueryState.Completed)
+    assert(r.rows.map(_.getLong(0)) === Seq(4L, 5L, 6L))
+    // parameter values never reach the gate: a keyword as a VALUE is fine
+    val r2 = executor.execute(
+      "SELECT ? AS s", params = Seq("DROP TABLE t"))
+    assert(r2.rows.head.getString(0) == "DROP TABLE t")
+  }
+
   test("cancel unknown query returns false") {
     assert(!executor.cancel(UUID.randomUUID()))
   }
