@@ -137,6 +137,42 @@ final class QueryExecutor(
     }
   }
 
+  /**
+   * Fire-and-poll execution — registers the query and returns its (live)
+   * QueryResult immediately; state transitions happen on a daemon worker.
+   * This is the reference's actual serving shape: the execute endpoint
+   * dispatches to a thread and other endpoints poll `get_status` while the
+   * query runs (reference: api/routes/query.py:64,122-136). Terminal
+   * outcome (including timeout/cancel/failure) is recorded on the result;
+   * nothing is thrown to the caller.
+   */
+  def executeAsync(sql: String, timeout: Option[Int] = None,
+                   params: Seq[Any] = Seq.empty): QueryResult = {
+    SqlGate.validate(sql)
+    val timeoutSec = validateTimeout(timeout)
+    val result = new QueryResult(sql)
+    val cancelled = new AtomicBoolean(false)
+    activeQueries.put(result.queryId, result)
+    cancelFlags.put(result.queryId, cancelled)
+    Metrics.incrementActiveQueries()
+    val runner = new Thread(() => {
+      try {
+        result.setRunning()
+        runWithTimeout(result, timeoutSec, cancelled, params.toArray)
+        Metrics.recordQueryDuration(result.metrics.durationSeconds, result.state.value)
+        Metrics.recordQueryRows(result.metrics.rowsReturned)
+      } catch {
+        case NonFatal(_) => () // outcome already recorded on the result
+      } finally {
+        Metrics.decrementActiveQueries()
+        cancelFlags.remove(result.queryId)
+      }
+    }, s"graft-async-${result.queryId}")
+    runner.setDaemon(true)
+    runner.start()
+    result
+  }
+
   /** Cancel a running query — idempotent; false if unknown or terminal
     * (reference: executor.py:294-324). */
   def cancel(queryId: UUID): Boolean = {

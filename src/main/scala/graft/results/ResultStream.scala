@@ -100,6 +100,42 @@ object ResultStream {
   }
 
   /**
+   * A18 blocking wait-for-completion: poll a pending/running query every
+   * `pollMs` until terminal, up to `maxWaitSec` (reference: results and
+   * CSV endpoints poll at 100 ms up to 3600 s,
+   * api/routes/query.py:122-136, api/routes/export.py:90-101).
+   * Returns the terminal result, or None on wait timeout.
+   */
+  def awaitCompletion(status: () => Option[QueryResult],
+                      pollMs: Long = 100L,
+                      maxWaitSec: Int = 3600): Option[QueryResult] = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000L * 1000L * 1000L
+    var current = status()
+    while (current.exists(!_.isTerminal)) {
+      if (System.nanoTime() > deadline) return None
+      Thread.sleep(pollMs)
+      current = status()
+    }
+    current
+  }
+
+  /** NDJSON stream that first waits for a running query like the
+    * reference's results endpoint: terminal → stream; wait timeout →
+    * single error line. */
+  def ndjsonAwait(status: () => Option[QueryResult], queryId: String,
+                  pageSize: Int = 100, offset: Int = 0,
+                  pollMs: Long = 100L, maxWaitSec: Int = 3600): Iterator[String] =
+    status() match {
+      case None => ndjson(None, queryId, pageSize, offset)
+      case Some(_) =>
+        awaitCompletion(status, pollMs, maxWaitSec) match {
+          case Some(r) => ndjson(Some(r), queryId, pageSize, offset)
+          case None => Iterator.single(
+            errorLine("Timeout waiting for query completion"))
+        }
+    }
+
+  /**
    * Streaming CSV export with byte cap — header, per-row formatting via
    * [[ValueFormat.csvValue]], flushed in ~8 KiB chunks, aborting when the
    * total exceeds `maxSizeBytes` (reference: export.py:47-150; default cap
