@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions injector for the graft native functions — the
+ * spark-submit route:
+ *
+ * {{{
+ *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+ * }}}
+ *
+ * makes every `graft_*` function available in pure SQL on any session of
+ * the application, with no code call needed. [[GraftFunctions.register]]
+ * does the same wiring imperatively for sessions the library didn't build
+ * (e.g. a host application's session); both routes register identical
+ * builders.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.1.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("graft_vec_dot", "dot product of two numeric arrays") { c =>
+      VecDot(c(0), c(1)) }
+    inject("graft_vec_norm", "L2 norm of a numeric array") { c =>
+      VecNorm(c(0)) }
+    inject("graft_vec_cosine", "cosine similarity of two numeric arrays") { c =>
+      VecCosine(c(0), c(1)) }
+    inject("graft_lsh_bands", "random-hyperplane LSH band keys") { c =>
+      LshBands(c(0), GraftFunctions.literalInt(c(1), "planes"),
+        GraftFunctions.literalInt(c(2), "rowsPerBand")) }
+    inject("graft_minhash_sig", "MinHash signature of hashed shingles") { c =>
+      MinHashSig(c(0), GraftFunctions.literalInt(c(1), "numHashes"),
+        GraftFunctions.literalLong(c(2), "seed")) }
+    inject("graft_simhash64", "64-bit SimHash of a token array") { c =>
+      SimHash64(c(0)) }
+    inject("graft_winnow", "winnowing fingerprints of a text column") { c =>
+      Winnow(c(0), GraftFunctions.literalInt(c(1), "k"),
+        GraftFunctions.literalInt(c(2), "window")) }
+  }
+}

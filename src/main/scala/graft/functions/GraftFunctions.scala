@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions.{call_function, lit}
  */
 object GraftFunctions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
+  private[functions] def literalInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
-  private def longArg(e: Expression, what: String): Long = e match {
+  private[functions] def literalLong(e: Expression, what: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
@@ -38,15 +38,15 @@ object GraftFunctions {
       (c: Seq[Expression]) => VecCosine(c(0), c(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bands",
       (c: Seq[Expression]) => LshBands(c(0),
-        intArg(c(1), "planes"), intArg(c(2), "rowsPerBand")), "built-in")
+        literalInt(c(1), "planes"), literalInt(c(2), "rowsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       (c: Seq[Expression]) => MinHashSig(c(0),
-        intArg(c(1), "numHashes"), longArg(c(2), "seed")), "built-in")
+        literalInt(c(1), "numHashes"), literalLong(c(2), "seed")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       (c: Seq[Expression]) => SimHash64(c(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (c: Seq[Expression]) => Winnow(c(0),
-        intArg(c(1), "k"), intArg(c(2), "window")), "built-in")
+        literalInt(c(1), "k"), literalInt(c(2), "window")), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that

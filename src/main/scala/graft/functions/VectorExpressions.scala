@@ -443,21 +443,28 @@ case class Winnow(child: Expression, k: Int, window: Int)
       i += 1
     }
     val m = math.max(n - window + 1, 1)
-    val mins = new java.util.TreeSet[java.lang.Long]()
+    // primitive collect (skipping consecutive repeats — adjacent windows
+    // usually share their min), then sort + dedupe: no per-window boxing
+    val mins = new Array[Long](m)
+    var nMins = 0
+    var prev = 0L
     var w = 0
     while (w < m) {
       var mn = Long.MaxValue
       var j = w
       val end = math.min(w + window, n)
       while (j < end) { if (grams(j) < mn) mn = grams(j); j += 1 }
-      mins.add(mn)
+      if (nMins == 0 || mn != prev) { mins(nMins) = mn; nMins += 1; prev = mn }
       w += 1
     }
-    val out = new Array[Long](mins.size)
-    val it = mins.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
+    java.util.Arrays.sort(mins, 0, nMins)
+    var uniq = 0
+    var i2 = 0
+    while (i2 < nMins) {
+      if (uniq == 0 || mins(i2) != mins(uniq - 1)) { mins(uniq) = mins(i2); uniq += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, uniq))
   }
 
   override def nullSafeEval(a: Any): Any =
@@ -469,5 +476,76 @@ case class Winnow(child: Expression, k: Int, window: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+/**
+ * `lang_id(tokens, profiles)` — stopword-profile language identification in
+ * one pass over the token array: per profile, count tokens that are profile
+ * members (repeats count); winner = max by (hits, then language code — the
+ * ordering `array_max(struct(hits, lang))` gives), "und" on zero hits.
+ * Semantics identical to graft.ops.TextAnalysis.langId (equivalence-tested).
+ */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+  }
+
+  // profile words as UTF8String sets (sorted by code for deterministic
+  // tie-break order identical to the HOF array_max(struct) form)
+  @transient private lazy val compiled: Array[(String, java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])] =
+    profiles.sortBy(_._1).map { case (lang, words) =>
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      words.foreach(w => set.add(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      (lang, set)
+    }.toArray
+
+  def compute(tokens: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val hits = new Array[Int](compiled.length)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val tok = tokens.getUTF8String(t)
+        var i = 0
+        while (i < compiled.length) {
+          if (compiled(i)._2.contains(tok)) hits(i) += 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    // argmax by (hits, lang) — ties resolve to the LARGEST language code,
+    // matching array_max over struct(hits, lang)
+    var best = 0
+    var i = 1
+    while (i < compiled.length) {
+      if (hits(i) > hits(best) ||
+          (hits(i) == hits(best) && compiled(i)._1 > compiled(best)._1)) best = i
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (hits(best) > 0) compiled(best)._1 else "und")
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this, classOf[LangIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }

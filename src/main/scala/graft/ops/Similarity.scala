@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopKAggregator}
 
 /**
  * Approximate-nearest-neighbor search and embedding near-dup over an
@@ -12,9 +12,10 @@ import graft.functions.GraftFunctions
  *
  * Three tiers:
  *  - `cosineTopK` — exact brute force: broadcast the (small) query set,
- *    one map-side pass over the corpus, per-query top-k via window. The
- *    correctness baseline; O(|corpus| * |queries| * dim) but embarrassingly
- *    parallel and shuffle-free until the final tiny top-k.
+ *    one map-side pass over the corpus, per-query top-k via a bounded-heap
+ *    Aggregator (map-side combine). The correctness baseline;
+ *    O(|corpus| * |queries| * dim) but embarrassingly parallel and the
+ *    exchange only ever moves k rows per (query, partition).
  *  - `ivfTopK` — inverted-file ANN: cluster corpus vectors by nearest
  *    centroid once, probe only the `nprobe` closest centroids per query,
  *    exact re-rank inside probed clusters. The 100 TB path: the scan cost
@@ -58,13 +59,24 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),
         GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("id"), col("sim"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap Aggregator: partial aggregation
+    * keeps k candidates per map task, so the exchange moves k rows per
+    * (query, partition) — never the full |corpus|×|queries| score matrix
+    * (a row_number window would shuffle every scored row). Output matches
+    * the window form exactly: rk 1..k by (sim desc, id asc). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("sim"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .toDF("query_id", "__pos", "__pair")
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("int").as("rk"),
+        col("__pair._2").as("id"),
+        col("__pair._1").as("sim"))
+      .orderBy(col("query_id"), col("rk"))
 
   /**
    * IVF-style ANN. `centroids`: (centroid_id, centroid vector) — typically
@@ -81,13 +93,20 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
 
+    // Nearest-n centroid assignment as a bounded-heap aggregation: the
+    // shuffle moves one aggregated row per input row (payload + n centroid
+    // ids), not the |df| x |centroids| scored cross product a window
+    // ranking would exchange — and the payload vector rides the shuffle
+    // once, not once per centroid.
     def nearestCentroids(df: DataFrame, vc: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
+      val payload = df.columns.filter(_ != "__rid").toSeq
+      val scored = df.crossJoin(broadcast(cent))
         .withColumn("csim", GraftFunctions.vecCosine(col(vc), col("cvec")))
-        .withColumn("__crk", row_number().over(w))
-        .filter(col("__crk") <= n)
-        .drop("cvec", "csim", "__crk")
+      val aggs = payload.map(c => first(col(c)).as(c)) :+
+        TopKAggregator.topK(n)(col("csim"), col("cid")).as("__top")
+      scored.groupBy(col("__rid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(payload.map(col) :+ explode(col("__top._2")).as("cid"): _*)
     }
 
     val assigned = nearestCentroids(
@@ -103,12 +122,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cid"))
       .select(col("query_id"), col("id"),
         GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("id"), col("sim"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`

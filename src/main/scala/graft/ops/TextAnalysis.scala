@@ -48,10 +48,20 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** DataFrame form: (id, predicted_lang). */
-  def langIdOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), langId(col(textCol)).as("predicted_lang"))
+  /** DataFrame form: (id, predicted_lang). Runs the one-pass native
+    * graft.functions.LangIdExpr (the HOF `langId` above is the executable
+    * reference, equivalence-tested in VectorExpressionsSpec). */
+  def langIdOf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_id",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LangIdExpr(c(0), stopwordProfiles.toSeq),
+      "built-in")
+    docs.select(col(idCol).as("id"),
+        call_function("graft_lang_id", Shingles.words(col(textCol)))
+          .as("predicted_lang"))
       .orderBy(col("id"))
+  }
 
   // ------------------------------------------------------------------
   // Token counting

@@ -105,4 +105,31 @@ class VectorExpressionsSpec extends SparkSuite {
       .collect()
     out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
+
+  test("native lang_id matches the HOF reference incl. tie-breaks") {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_id",
+      (c: Seq[Expression]) =>
+        LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq),
+      "built-in")
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is warm"),
+      (2L, "el gato y la casa en que vivimos"),
+      (3L, "der hund und die katze ist ein tier"),
+      (4L, "zzz qqq xxx"),                       // no hits -> und
+      (5L, "de de de"),                          // es/fr tie on 'de'
+      (6L, ""))
+      .toDF("id", "text")
+    val out = docs.select(
+      call_function("graft_lang_id",
+        graft.ops.Shingles.words(col("text"))).as("fast"),
+      graft.ops.TextAnalysis.langId(col("text")).as("ref")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("GraftExtensions injector registers all functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder registration must not throw
+  }
 }
