@@ -93,6 +93,35 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize stand-in: deterministic downsample of the payload to
+    * `targetBytes` by stride sampling, with meta rewritten to the target
+    * dimensions — the byte-in/byte-out plumbing of an image resize with
+    * the codec stubbed out. Output schema == input schema, so resize
+    * stages compose/chain like real preprocessing pipelines. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetWidth: Int = 64, targetHeight: Int = 64,
+             targetBytes: Int = 4096): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val idIdx = media.schema.fieldIndex("id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val meta = r.getStruct(metaIdx)
+        val out =
+          if (payload == null || payload.length <= targetBytes) payload
+          else {
+            val stride = payload.length.toDouble / targetBytes
+            Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
+          }
+        Row(r.getLong(idIdx), out,
+          Row(meta.getString(0), targetWidth, targetHeight,
+            if (out == null) 0L else out.length.toLong))
+      }
+    }(encoder)
+  }
+
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame", capped at `maxFrames` — the partition/batch plumbing of video
     * frame sampling with the codec stubbed out. */

@@ -53,6 +53,16 @@ object EventStreams {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact deduplication on event_id: state is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`) — at 100 TB/day the state
+    * store holds only the watermark horizon, not history. In batch mode
+    * falls back to plain dropDuplicates (no watermark semantics needed). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   // --- custom state: per-user running aggregate via mapGroupsWithState ---
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

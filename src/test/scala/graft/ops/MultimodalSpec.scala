@@ -45,4 +45,19 @@ class MultimodalSpec extends SparkSuite {
     // doc lengths 44..577 chars → at least 1 frame each
     assert(byDoc.size == 50)
   }
+
+  test("resize: bounded payload, rewritten meta, schema-stable for chaining") {
+    val m = media
+    val resized = Multimodal.resize(spark, m, targetBytes = 128)
+    assert(resized.schema === Multimodal.mediaSchema)
+    val rows = resized.collect()
+    assert(rows.forall { r =>
+      val p = r.getAs[Array[Byte]](1)
+      p == null || p.length <= 128
+    })
+    assert(rows.forall(_.getStruct(2).getInt(1) == 64)) // target width
+    // chains: resize output feeds extractFeatures unchanged
+    val feats = Multimodal.extractFeatures(spark, resized)
+    assert(feats.count === m.count)
+  }
 }

@@ -113,4 +113,29 @@ class EventStreamsSpec extends SparkSuite {
     val streamTotal = result.agg(sum("n")).collect.head.getLong(0)
     assert(streamTotal > 0 && streamTotal <= batchTotal)
   }
+
+  test("dedupEvents drops duplicate event_ids in stream and batch modes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val streamedDf = input.toDF.toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupEvents(streamedDf, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:01"), 1.0),   // dup within batch
+      (2L, ts("2024-01-01 00:00:02"), 2.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:01:00"), 2.0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_sink").select("event_id")
+      .collect.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+
+    // batch mode: same call site, plain dropDuplicates
+    val batch = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:01"), 1.0)).toDF("event_id", "ts", "value")
+    assert(EventStreams.dedupEvents(batch).count === 1)
+  }
 }
