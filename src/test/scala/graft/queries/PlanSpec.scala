@@ -64,4 +64,31 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("q01_scan_filter")
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("bucketed tables co-locate the join: no exchange between them") {
+    import org.apache.spark.sql.functions._
+    // bucket both sides on the join key — the 100 TB pattern for repeated
+    // large-large joins: pre-shuffle once at write time, never at read
+    val wh = java.nio.file.Files.createTempDirectory("bucketed_wh")
+    graft.tables.Tables(spark, sf, "orders").write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_bkt")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    graft.tables.Tables(spark, sf, "customer").write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_bkt")
+      .mode("overwrite").saveAsTable("customer_bkt")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // SMJ reads both bucketed sides directly; the only exchange allowed is
+    // the (tiny) post-aggregation one — none may feed the join itself
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"join sides were re-shuffled despite bucketing:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
 }
