@@ -431,15 +431,31 @@ case class Winnow(child: Expression, k: Int, window: Int)
   }
 
   def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte
     val len = text.numChars()
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val baseOff = text.getBaseOffset
+    // char → byte offset table, built once (substringSQL per gram would
+    // re-scan from byte 0 every call — quadratic in document length)
+    val off = new Array[Int](len + 1)
+    var c = 0
+    var b = 0
+    while (b < nBytes) {
+      off(c) = b
+      b += numBytesForFirstByte(org.apache.spark.unsafe.Platform.getByte(
+        base, baseOff + b))
+      c += 1
+    }
+    off(len) = nBytes
     val n = math.max(len - k + 1, 1)
     val grams = new Array[Long](n)
     var i = 0
     while (i < n) {
-      // SQL substring semantics (1-based, clamped) to match the HOF form
-      val gram = text.substringSQL(i + 1, k)
-      grams(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(gram, StringType, 42L)
+      // hash of the k-char gram's bytes == xxhash64(substring(text,i+1,k))
+      val end = off(math.min(i + k, len))
+      grams(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, baseOff + off(i), end - off(i), 42L)
       i += 1
     }
     val m = math.max(n - window + 1, 1)
