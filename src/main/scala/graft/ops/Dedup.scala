@@ -188,13 +188,17 @@ object Dedup {
   }
 
   /**
-   * N-gram Jaccard similarity join via an inverted shingle index:
-   * explode shingles → self-join on shingle → per-pair intersection count →
-   * jaccard from per-doc set sizes. No signatures, exact answer; the
-   * shingle-frequency skew is the scale risk, so hot shingles (appearing in
-   * more than `maxShingleFreq` docs) are dropped from the index — the
-   * standard prefix-filtering trade: a shingle shared by thousands of docs
-   * carries ~no similarity signal but produces quadratic pairs.
+   * N-gram Jaccard similarity join via a prefix-filtered inverted index
+   * (the SSJoin/PPJoin principle): order every doc's shingles by a global
+   * (df asc, shingle) total order and index only the first
+   * |A| - ceil(t*|A|) + 1 — any pair with jaccard >= t MUST collide inside
+   * both prefixes, so recall is exactly 1 while the index (and the
+   * quadratic candidate join behind it) keeps only ~(1-t) of each doc.
+   * Surviving candidates are verified with exact jaccard on the full
+   * shingle sets. Hot shingles (df > `maxShingleFreq`) are additionally
+   * dropped — they sort last (df order) so they rarely reach a prefix,
+   * and a pair whose only shared signal is ultra-common shingles carries
+   * ~no similarity information (documented approximation).
    */
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
@@ -203,24 +207,37 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
       .repartition(col("id"))   // one shingle computation, reused below
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
-    val rare = inverted.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleFreq)
-    val idx = inverted.join(rare.select("s"), "s")
+    val df_ = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = df_.filter(col("df") <= maxShingleFreq)
 
-    val inter = idx.as("l").join(idx.as("r"),
+    // Prefix filtering (exact, PPJoin-style): jaccard(A,B) >= t implies
+    // |A ∩ B| >= t/(1+t) * (|A|+|B|) > 0, and ordering every doc's
+    // shingles by a global total order (df asc, shingle asc — rarest
+    // first), any pair with |A ∩ B| >= 1 + |A| - p must collide within
+    // A's first p shingles. With p = |A| - ceil(t*|A|) + 1 the index
+    // keeps only ~(1-t) of each doc's shingles; candidate pairs shrink
+    // quadratically while recall stays exactly 1 (threshold t bounds
+    // |A ∩ B| >= t*|A| for the smaller side of any qualifying pair).
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val wAll = Window.partitionBy(col("id"))
+    val prefix = inverted.join(rare, "s")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .filter(col("__rk") <= col("__m") - ceil(col("__m") * threshold) + 1)
+      .select(col("id"), col("s"))
+
+    val cand = prefix.as("l").join(prefix.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
 
-    val verified = inter
-      .join(sizes.as("na"), col("id_a") === col("na.id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+    // exact verification on the full shingle sets of surviving pairs
+    val verified = cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("na.n") + col("nb.n") - col("inter"))).as("sim"))
+        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
       .filter(col("sim") >= threshold)
 
     clusterReps(docs, idCol, verified)

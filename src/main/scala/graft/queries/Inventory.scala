@@ -317,6 +317,16 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q35_json_fns" -> { (s, d) =>
+      // events.props holds JSON objects {"k": <int>}; JSON path extraction
+      // + typed cast is the §2.B scalar-function JSON category
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .filter(col("k") % 3 === 0)
+        .orderBy(col("event_id"))
+    },
+
     // --- streaming transforms on batch input (unified batch/stream code:
     //     the same EventStreams pipelines run under readStream, see
     //     graft.streaming + its spec; batch mode makes them oracle-checkable)
@@ -411,6 +421,8 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q35_json_fns" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 = 0 ORDER BY event_id",
     "q31_stream_window_agg" ->
       "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, event_type, count(*) AS n, CAST(sum(value) AS DECIMAL(18,2)) AS total_value FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"
   )

@@ -65,4 +65,39 @@ class DedupSpec extends SparkSuite {
     val estJ = sigA.zip(sigB).count { case (x, y) => x == y } / 128.0
     assert(math.abs(trueJ - estJ) < 0.2, s"true=$trueJ est=$estJ")
   }
+
+  test("prefix-filtered ngram jaccard equals brute force on a random corpus") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha","beta","gamma","delta","epsilon","zeta",
+      "eta","theta","iota","kappa","lambda","mu")
+    // overlapping random docs: enough shared 3-grams to produce pairs
+    val docs = (1L to 40L).map { i =>
+      val base = Vector.fill(20)(vocab(rnd.nextInt(vocab.size)))
+      (i, base.mkString(" "))
+    }
+    // plant some near-dups
+    val planted = docs.take(5).map { case (i, t) =>
+      (i + 100L, t.replaceFirst("\\w+", "omega")) }
+    val corpus = (docs ++ planted).toDF("doc_id", "text")
+
+    val got = Dedup.ngramJaccard(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force: all pairs, exact jaccard, same min-id clustering
+    val sh = corpus.select(col("doc_id").as("id"),
+      Shingles.wordShingles(col("text"), 3).as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
+      .filter(col("sim") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val neighborMin = (pairs.map(p => p._2 -> p._1) ++ pairs.map(p => p._1 -> p._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> math.min(id, neighborMin.getOrElse(id, id))).toMap
+
+    assert(got === expected)
+  }
 }
