@@ -44,6 +44,9 @@ object GraftFunctions {
         literalInt(c(1), "numHashes"), literalLong(c(2), "seed")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       (c: Seq[Expression]) => SimHash64(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      (c: Seq[Expression]) => WordShingleHash(c(0),
+        literalInt(c(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (c: Seq[Expression]) => Winnow(c(0),
         literalInt(c(1), "k"), literalInt(c(2), "window")), "built-in")
@@ -64,4 +67,6 @@ object GraftFunctions {
     call_function("graft_simhash64", tokens)
   def winnow(text: Column, k: Int, window: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(window))
+  def wordShingles(normText: Column, n: Int): Column =
+    call_function("graft_word_shingles", normText, lit(n))
 }

@@ -565,3 +565,77 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
+
+/**
+ * `word_shingles(normText, n)` — distinct xxhash64 word n-gram shingles of
+ * an ALREADY-normalized (lower+trim) text column: tokens split on \\s+,
+ * each n-gram hashed as its space-joined string; documents shorter than n
+ * words fall back to one hash of the whole normalized text. First-
+ * occurrence order, matching `array_distinct` over the sequential HOF form
+ * in graft.ops.Shingles.wordShingles (equivalence-tested on the fixtures).
+ */
+case class WordShingleHash(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+  }
+
+  // Spark's split(str, "\\s+") (limit -1) — Pattern.split with limit -1
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def hashUtf8(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  def compute(norm: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = norm.toString
+    val tokens = ws.split(str, -1)
+    if (tokens.length < n) {
+      new GenericArrayData(Array(hashUtf8(str)))
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val last = tokens.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        seen.add(hashUtf8(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wsExpr", this, classOf[WordShingleHash].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHash =
+    copy(child = newChild)
+}

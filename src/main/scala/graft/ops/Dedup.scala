@@ -99,7 +99,7 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol).as("id"),
-        Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
       .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
       .repartition(col("id"))
 
@@ -204,8 +204,9 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 1000): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
-      Shingles.wordShingles(col(textCol), shingleLen).as("sh"))
+      Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
       .repartition(col("id"))   // one shingle computation, reused below
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
     val df_ = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))

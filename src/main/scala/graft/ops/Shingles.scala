@@ -53,4 +53,12 @@ object Shingles {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Native-expression form of [[wordShingles]] — one JVM loop per doc via
+    * graft.functions.WordShingleHash (caller must have registered
+    * GraftFunctions on the session; the dedup operators do). Identical
+    * output including first-occurrence distinct order — equivalence-tested
+    * over the documents fixture in VectorExpressionsSpec. */
+  def wordShinglesFast(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(lower(trim(text)), n)
 }

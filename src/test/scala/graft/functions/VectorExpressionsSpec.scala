@@ -132,4 +132,18 @@ class VectorExpressionsSpec extends SparkSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder registration must not throw
   }
+
+  test("word_shingles matches the HOF shingling over the documents fixture") {
+    GraftFunctions.register(spark)
+    val docs = graft.tables.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      // edge cases the fixture may not contain
+      .unionByName(Seq((9001L, ""), (9002L, "one"), (9003L, "  two words  "),
+        (9004L, "a b c d e f")).toDF("doc_id", "text"))
+    val out = docs.select(
+      graft.ops.Shingles.wordShinglesFast(col("text"), 3).as("fast"),
+      graft.ops.Shingles.wordShingles(col("text"), 3).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
 }
