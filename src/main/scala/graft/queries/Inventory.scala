@@ -317,6 +317,25 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q36_array_lambdas" -> { (s, d) =>
+      // higher-order array functions (SQL lambda surface); outputs keep
+      // raw float32 values (bitwise-stable across engines) — only
+      // aggregates need decimal canonicalization
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          transform(col("embedding"), x => -x).as("neg"),
+          slice(col("embedding"), 1, 4).as("head4"))
+        .orderBy(col("vec_id"))
+    },
+    "q37_struct_fns" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          struct(col("event_type").as("t"),
+                 col("value").as("v")).as("ev"))
+        .filter(col("ev.v") > 150)
+        .orderBy(col("event_id"))
+    },
     "q35_json_fns" -> { (s, d) =>
       // events.props holds JSON objects {"k": <int>}; JSON path extraction
       // + typed cast is the §2.B scalar-function JSON category
@@ -421,6 +440,10 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q36_array_lambdas" ->
+      "SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos, list_transform(embedding, x -> -x) AS neg, embedding[1:4] AS head4 FROM embeddings ORDER BY vec_id",
+    "q37_struct_fns" ->
+      "SELECT event_id, struct_pack(t := event_type, v := value) AS ev FROM events WHERE value > 150 ORDER BY event_id",
     "q35_json_fns" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 = 0 ORDER BY event_id",
     "q31_stream_window_agg" ->
