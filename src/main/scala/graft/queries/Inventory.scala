@@ -317,6 +317,21 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q38_range_join" -> { (s, d) =>
+      // theta/range join (non-equi): planned as BroadcastNestedLoopJoin
+      // with the 25-row nation side broadcast — the only sane physical
+      // shape for a non-equi join against a small band table
+      val n = Tables(s, d, "nation")
+        .select(col("n_nationkey"),
+          (col("n_nationkey") * 400).as("lo"),
+          (col("n_nationkey") * 400 + 399).as("hi"))
+      val c = Tables(s, d, "customer")
+      c.join(broadcast(n),
+          c("c_acctbal") >= n("lo") && c("c_acctbal") <= n("hi"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_nationkey"))
+    },
     "q36_array_lambdas" -> { (s, d) =>
       // higher-order array functions (SQL lambda surface); outputs keep
       // raw float32 values (bitwise-stable across engines) — only
@@ -440,6 +455,8 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q38_range_join" ->
+      "SELECT n.n_nationkey, count(*) AS n_cust FROM customer c JOIN (SELECT n_nationkey, n_nationkey * 400 AS lo, n_nationkey * 400 + 399 AS hi FROM nation) n ON c.c_acctbal >= n.lo AND c.c_acctbal <= n.hi GROUP BY n.n_nationkey ORDER BY n.n_nationkey",
     "q36_array_lambdas" ->
       "SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos, list_transform(embedding, x -> -x) AS neg, embedding[1:4] AS head4 FROM embeddings ORDER BY vec_id",
     "q37_struct_fns" ->
