@@ -74,6 +74,25 @@ object PipelineOps {
           element_at(col("fps"), -1).as("fp_max"))
     },
 
+    // --- temporal: as-of join (no Spark built-in; composed op) ----------
+    "j01_asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // dedupe right side per (user, ts) so tie-handling is deterministic
+      // across engines
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.AsOf.join(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast(DecimalType(18, 2)).as("purchase_value"),
+          col("click_value").cast(DecimalType(18, 2)).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+
     // --- multimodal plumbing (decode stubbed; shape real) ---------------
     "m01_media_features" -> { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaFromDocuments(docs(s, d)))
@@ -90,6 +109,12 @@ object PipelineOps {
 
   /** DuckDB-dialect oracles for the hash-checkable subset. */
   val oracle: Map[String, String] = Map(
+    "j01_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, CAST(p.value AS DECIMAL(18,2)) AS purchase_value, CAST(c.click_value AS DECIMAL(18,2)) AS click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY p.event_id""",
     "d01_exact_dedup" ->
       """SELECT doc_id AS id, min(doc_id) OVER w AS keep_id, count(*) OVER w AS n_copies, doc_id <> min(doc_id) OVER w AS is_dup FROM documents WINDOW w AS (PARTITION BY text) ORDER BY id""",
     "t01_token_counts" ->
