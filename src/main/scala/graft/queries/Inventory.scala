@@ -317,6 +317,15 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q39_percentile" -> { (s, d) =>
+      // interpolated percentiles over integral-valued quantities land on
+      // exact .0/.5 values in both engines — hash-safe
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+             expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy(col("l_returnflag"))
+    },
     "q38_range_join" -> { (s, d) =>
       // theta/range join (non-equi): planned as BroadcastNestedLoopJoin
       // with the 25-row nation side broadcast — the only sane physical
@@ -455,6 +464,8 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q39_percentile" ->
+      "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q38_range_join" ->
       "SELECT n.n_nationkey, count(*) AS n_cust FROM customer c JOIN (SELECT n_nationkey, n_nationkey * 400 AS lo, n_nationkey * 400 + 399 AS hi FROM nation) n ON c.c_acctbal >= n.lo AND c.c_acctbal <= n.hi GROUP BY n.n_nationkey ORDER BY n.n_nationkey",
     "q36_array_lambdas" ->
