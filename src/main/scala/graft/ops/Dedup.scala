@@ -247,7 +247,11 @@ object Dedup {
   /**
    * One row per doc with its one-hop cluster representative: keep_id = min
    * id among {self} ∪ verified neighbors. Deterministic, single extra
-   * aggregation over the (small) verified-pair set.
+   * aggregation over the (small) verified-pair set. For TRANSITIVE
+   * clusters (duplicate chains a~b~c where a and c never matched
+   * directly), run the verified pairs through
+   * [[ConnectedComponents.clusterReps]] instead — same output shape,
+   * component-wide keep_id.
    */
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
