@@ -317,6 +317,30 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q40_pivot" -> { (s, d) =>
+      // pivot: one column per l_linestatus value (explicit value list so
+      // the plan is a single pass, no distinct-values pre-query)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))
+    },
+    "q41_unpivot" -> { (s, d) =>
+      // unpivot/melt: wide→long on two measure columns
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          col("val"))
+        .limit(400)
+    },
     "q39_percentile" -> { (s, d) =>
       // interpolated percentiles over integral-valued quantities land on
       // exact .0/.5 values in both engines — hash-safe
@@ -464,6 +488,10 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q40_pivot" ->
+      "SELECT l_returnflag, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q41_unpivot" ->
+      "SELECT l_orderkey, l_linenumber, measure, val FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem) UNPIVOT (val FOR measure IN (l_quantity, l_discount)) ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 400",
     "q39_percentile" ->
       "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q38_range_join" ->
