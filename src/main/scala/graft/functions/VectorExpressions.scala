@@ -239,16 +239,21 @@ case class LshBands(child: Expression, planes: Int, rowsPerBand: Int)
     z ^ (z >>> 31)
   }
 
-  @transient private var planeCache: Array[Array[Double]] = _
-  @transient private var planeCacheDim: Int = -1
+  // single volatile holder: tasks may share this instance across threads
+  // (codegen reference objects), and two plain fields could be observed
+  // torn (dim written, matrix not yet visible)
+  @transient @volatile
+  private var planeCache: (Int, Array[Array[Double]]) = _
 
   private def planeMatrix(dim: Int): Array[Array[Double]] = {
-    if (planeCacheDim != dim) {
-      planeCache = Array.tabulate(planes, dim)((p, d) =>
+    val c = planeCache
+    if (c != null && c._1 == dim) c._2
+    else {
+      val m = Array.tabulate(planes, dim)((p, d) =>
         mix(p.toLong << 32 | d.toLong).toDouble / Long.MaxValue)
-      planeCacheDim = dim
+      planeCache = (dim, m)
+      m
     }
-    planeCache
   }
 
   /** One tight loop per row; called from both eval and generated code. */
