@@ -317,6 +317,19 @@ object Inventory {
         .orderBy(col("i"))
     },
 
+    "q42_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q43_scalar_subquery" -> { (s, d) =>
+      // uncorrelated scalar subquery: one-row plan broadcast to all rows
+      Tables.register(s, d)
+      s.sql("""SELECT o_orderkey,
+                 CAST((SELECT max(o_totalprice) FROM orders) AS DECIMAL(18,2)) AS max_price
+               FROM orders ORDER BY o_orderkey LIMIT 100""")
+    },
     "q40_pivot" -> { (s, d) =>
       // pivot: one column per l_linestatus value (explicit value list so
       // the plan is a single pass, no distinct-values pre-query)
@@ -488,6 +501,10 @@ object Inventory {
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) SELECT CAST(n AS INTEGER) AS n, CAST(n * n AS INTEGER) AS sq FROM t ORDER BY n",
     "q34_range_generator" ->
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
+    "q42_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q43_scalar_subquery" ->
+      "SELECT o_orderkey, CAST((SELECT max(o_totalprice) FROM orders) AS DECIMAL(18,2)) AS max_price FROM orders ORDER BY o_orderkey LIMIT 100",
     "q40_pivot" ->
       "SELECT l_returnflag, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q41_unpivot" ->
