@@ -76,7 +76,6 @@ object PipelineOps {
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
     "j01_asof_join" -> { (s, d) =>
-      import org.apache.spark.sql.types.DecimalType
       val ev = Tables(s, d, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -88,8 +87,13 @@ object PipelineOps {
       graft.ops.AsOf.join(purchases, clicks, Seq("user_id"),
           "ts", "click_ts")
         .select(col("event_id"), col("user_id"),
-          col("value").cast(DecimalType(18, 2)).as("purchase_value"),
-          col("click_value").cast(DecimalType(18, 2)).as("click_value"))
+          // decimal-round then back to double: written DECIMAL columns
+          // hash-mismatch in the driver (pandas Decimal "3.40" vs duckdb
+          // float "3.4") — see Inventory's hash-parity rules
+          col("value").cast("decimal(18,2)").cast("double")
+            .as("purchase_value"),
+          col("click_value").cast("decimal(18,2)").cast("double")
+            .as("click_value"))
         .orderBy(col("event_id"))
     },
 
@@ -112,7 +116,7 @@ object PipelineOps {
     "j01_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-         SELECT p.event_id, p.user_id, CAST(p.value AS DECIMAL(18,2)) AS purchase_value, CAST(c.click_value AS DECIMAL(18,2)) AS click_value
+         SELECT p.event_id, p.user_id, CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value, CAST(CAST(c.click_value AS DECIMAL(18,2)) AS DOUBLE) AS click_value
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
          ORDER BY p.event_id""",
     "d01_exact_dedup" ->
