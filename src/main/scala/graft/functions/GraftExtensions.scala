@@ -43,8 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.literalLong(c(2), "seed")) }
     inject("graft_simhash64", "64-bit SimHash of a token array") { c =>
       SimHash64(c(0)) }
+    inject("graft_word_shingles", "hashed word n-gram shingles of a text") { c =>
+      WordShingleHash(c(0), GraftFunctions.literalInt(c(1), "n")) }
     inject("graft_winnow", "winnowing fingerprints of a text column") { c =>
       Winnow(c(0), GraftFunctions.literalInt(c(1), "k"),
         GraftFunctions.literalInt(c(2), "window")) }
+    inject("graft_lang_id", "stopword-profile language id of a token array") { c =>
+      LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq) }
   }
 }

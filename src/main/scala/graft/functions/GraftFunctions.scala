@@ -50,6 +50,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_winnow",
       (c: Seq[Expression]) => Winnow(c(0),
         literalInt(c(1), "k"), literalInt(c(2), "window")), "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      (c: Seq[Expression]) =>
+        LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq),
+      "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that

@@ -44,6 +44,14 @@ object AsOf {
       else right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
 
     val leftCols = left.columns.toSeq
+    // the payload columns come back under their bare names — a collision
+    // with a left column would yield silent duplicate output names and
+    // ambiguous col() downstream
+    val clash = payload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"as-of right payload column(s) ${clash.mkString(", ")} collide with " +
+        "left columns — rename them on the right side or pass rightCols " +
+        "with non-colliding names")
     val ts = "__asof_ts"
     val side = "__asof_side" // 0 = right, 1 = left → right first on ties
 

@@ -225,7 +225,12 @@ object Dedup {
     val prefix = inverted.join(rare, "s")
       .withColumn("__rk", row_number().over(w))
       .withColumn("__m", count(lit(1)).over(wAll))
-      .filter(col("__rk") <= col("__m") - ceil(col("__m") * threshold) + 1)
+      // ceil over a 6-dp pre-round: plain ceil(m * t) in doubles overshoots
+      // when the product lands one ulp above the exact integer (e.g.
+      // 100 * 0.07 = 7.000000000000001 → 8), which would shorten the
+      // prefix below the safe bound and silently drop qualifying pairs.
+      .filter(col("__rk") <=
+        col("__m") - ceil(round(col("__m") * threshold, 6)) + 1)
       .select(col("id"), col("s"))
 
     val cand = prefix.as("l").join(prefix.as("r"),

@@ -66,17 +66,34 @@ object Similarity {
     * keeps k candidates per map task, so the exchange moves k rows per
     * (query, partition) — never the full |corpus|×|queries| score matrix
     * (a row_number window would shuffle every scored row). Output matches
-    * the window form exactly: rk 1..k by (sim desc, id asc). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+    * the window form exactly: rk 1..k by (sim desc, id asc).
+    *
+    * Contract: the id column must be integral (it rides the aggregator's
+    * (double, long) buffer; the output id is cast back to the input
+    * width). Null sims — e.g. a null embedding on either side — are
+    * dropped before aggregation, like the window form's implicit
+    * NULLS LAST beyond rank k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema("id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"top-k id column must be an integral type, got $idType — the " +
+        "bounded-heap aggregator buffers (score: double, id: long) pairs")
+    scored
+      .filter(col("sim").isNotNull)
+      .select(col("query_id"),
+        col("id").cast(LongType).as("id"),
+        col("sim").cast("double").as("sim"))
+      .groupBy(col("query_id"))
       .agg(TopKAggregator.topK(k)(col("sim"), col("id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .toDF("query_id", "__pos", "__pair")
       .select(col("query_id"),
         (col("__pos") + 1).cast("int").as("rk"),
-        col("__pair._2").as("id"),
+        col("__pair._2").cast(idType).as("id"),
         col("__pair._1").as("sim"))
       .orderBy(col("query_id"), col("rk"))
+  }
 
   /**
    * IVF-style ANN. `centroids`: (centroid_id, centroid vector) — typically

@@ -52,11 +52,7 @@ object TextAnalysis {
     * graft.functions.LangIdExpr (the HOF `langId` above is the executable
     * reference, equivalence-tested in VectorExpressionsSpec). */
   def langIdOf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lang_id",
-      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.LangIdExpr(c(0), stopwordProfiles.toSeq),
-      "built-in")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
         call_function("graft_lang_id", Shingles.words(col(textCol)))
           .as("predicted_lang"))

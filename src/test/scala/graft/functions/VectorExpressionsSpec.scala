@@ -128,9 +128,22 @@ class VectorExpressionsSpec extends SparkSuite {
     out.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
   }
 
-  test("GraftExtensions injector registers all functions without error") {
+  test("GraftExtensions injector covers every imperatively-registered name") {
+    GraftFunctions.register(spark)
+    val registered = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder registration must not throw
+    val fld = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredFields.find(_.getName.contains("injectedFunctions"))
+      .getOrElse(fail("SparkSessionExtensions.injectedFunctions field moved"))
+    fld.setAccessible(true)
+    val injected = fld.get(ext)
+      .asInstanceOf[scala.collection.mutable.Buffer[
+        (org.apache.spark.sql.catalyst.FunctionIdentifier, _, _)]]
+      .map(_._1.funcName).toSet
+    assert(injected === registered,
+      "spark-submit (injector) and library (register) SQL surfaces diverged")
   }
 
   test("word_shingles matches the HOF shingling over the documents fixture") {

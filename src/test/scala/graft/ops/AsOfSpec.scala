@@ -39,6 +39,16 @@ class AsOfSpec extends SparkSuite {
       (3L, 400, None)))        // no quotes for key
   }
 
+  test("payload column colliding with a left column is rejected") {
+    // right payload 'qty' collides with left 'qty' → would produce
+    // duplicate output names; must fail fast instead
+    val badQuotes = quotes.withColumnRenamed("px", "qty")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(trades, badQuotes, Seq("sym"), "trade_ts", "quote_ts")
+    }
+    assert(e.getMessage.contains("qty"))
+  }
+
   test("result keeps exactly the left rows and columns plus payload") {
     val out = AsOf.join(trades, quotes, Seq("sym"), "trade_ts", "quote_ts")
     assert(out.count === trades.count)

@@ -62,6 +62,33 @@ class SimilaritySpec extends SparkSuite {
     assert(out(4L) == 4L)
   }
 
+  test("cosineTopK tolerates null embeddings and non-long integral ids") {
+    val corpus = Seq(
+      (1, Option(Seq(1.0f, 0.0f))),
+      (2, Option(Seq(0.9f, 0.1f))),
+      (3, Option.empty[Seq[Float]]),   // null embedding: must not crash
+      (4, Option(Seq(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")     // vec_id is INT, not LONG
+    val queries = corpus.filter(col("vec_id") === 1)
+    val out = Similarity.cosineTopK(
+      corpus, "embedding", "vec_id", queries, "embedding", "vec_id", k = 3)
+    // id column keeps the input's integer width
+    assert(out.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val rows = out.collect().map(r => (r.getInt(1), r.getInt(2)))
+    // the null-embedding row is dropped, not an encoder crash
+    assert(rows.toSeq === Seq((1, 1), (2, 2), (3, 4)))
+  }
+
+  test("cosineTopK rejects non-integral id columns with a clear error") {
+    val corpus = Seq(("a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(
+        corpus, "embedding", "vec_id", corpus, "embedding", "vec_id", k = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("dot/norm/cosine column math is correct") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
     val r = df.select(
