@@ -88,8 +88,12 @@ object TextAnalysis {
    * Per-doc quality signals + composite score, the usual curation features:
    * length, mean word length, punctuation density, stopword ratio,
    * alphabetic ratio, max single-word dominance (repetition signal).
-   * Ratios are exact integer divisions rendered as DECIMAL(18,6) so the
-   * output is hash-stable across engines.
+   *
+   * Ratios are 6-dp TRUNCATING fixed point computed entirely in integer
+   * arithmetic (`num * 10^6 DIV den`, then one IEEE divide by 10^6):
+   * every engine produces bit-identical doubles, with no decimal-vs-float
+   * render ambiguity and no rounding-mode divergence — the hash-parity
+   * shape for derived fractions (see Inventory's header).
    */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
@@ -101,22 +105,29 @@ object TextAnalysis {
     val enStops = array(stopwordProfiles("en").map(lit): _*)
     val nStop = size(array_intersect(tokens, enStops))
 
-    def ratio(num: Column, den: Column): Column =
-      when(den > 0, num.cast("decimal(18,6)") / den).otherwise(lit(0))
-        .cast("decimal(18,6)")
+    def ratio6(num: String, den: String): Column = expr(
+      s"CASE WHEN $den > 0 THEN " +
+        s"CAST(CAST($num AS BIGINT) * 1000000 DIV $den AS DOUBLE) / 1e6 " +
+        "ELSE 0.0 END")
 
     docs.select(col(idCol).as("id"),
         nChars.as("n_chars"), nWords.as("n_words"),
-        ratio(nChars, nWords).as("mean_word_len"),
-        ratio(nPunct, nChars).as("punct_ratio"),
-        ratio(nAlpha, nChars).as("alpha_ratio"),
-        ratio(nStop * 10, nWords).as("stop_signal"))
-      // composite: long-enough, alphabetic, not punctuation-soup
+        nPunct.as("__n_punct"), nAlpha.as("__n_alpha"),
+        nStop.as("__n_stop"))
+      .withColumn("mean_word_len", ratio6("n_chars", "n_words"))
+      .withColumn("punct_ratio", ratio6("__n_punct", "n_chars"))
+      .withColumn("alpha_ratio", ratio6("__n_alpha", "n_chars"))
+      .withColumn("stop_signal", ratio6("__n_stop * 10", "n_words"))
+      // composite: long-enough, alphabetic, not punctuation-soup —
+      // summed in integer tenths so the double is a single exact divide
       .withColumn("quality",
-        (when(col("n_words").between(20, 2000), lit(0.4)).otherwise(lit(0.0)) +
-         when(col("alpha_ratio") > 0.5, lit(0.4)).otherwise(lit(0.0)) +
-         when(col("punct_ratio") < 0.1, lit(0.2)).otherwise(lit(0.0)))
-          .cast("decimal(3,1)"))
+        (when(col("n_words").between(20, 2000), 4).otherwise(0) +
+         when(col("alpha_ratio") > 0.5, 4).otherwise(0) +
+         when(col("punct_ratio") < 0.1, 2).otherwise(0))
+          .cast("double") / 10.0)
+      .select(col("id"), col("n_chars"), col("n_words"),
+        col("mean_word_len"), col("punct_ratio"), col("alpha_ratio"),
+        col("stop_signal"), col("quality"))
       .orderBy(col("id"))
   }
 

@@ -438,8 +438,8 @@ object Inventory {
         .orderBy(col("win_start"), col("event_type"))
     },
     "q32_stream_sessions" -> { (s, d) =>
-      // session_window has no DuckDB equivalent → rows-only check; the
-      // gap-fold semantics are pinned by EventStreamsSpec.
+      // session_window gap-fold semantics are pinned by EventStreamsSpec
+      // AND oracle-checked against a gaps-and-islands SQL reformulation.
       graft.streaming.EventStreams
         .userSessions(Tables(s, d, "events"), "30 minutes", "10 minutes")
         .withColumn("session_value", money(col("session_value")))
@@ -541,6 +541,20 @@ object Inventory {
     "q35_json_fns" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 = 0 ORDER BY event_id",
     "q31_stream_window_agg" ->
-      "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, event_type, count(*) AS n, CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"
+      "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, event_type, count(*) AS n, CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type",
+    // Spark session_window as gaps-and-islands: a session breaks when the
+    // gap to the previous event is >= 30 min; session end = last ts + gap.
+    "q32_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         s AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+         SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 }

@@ -19,6 +19,26 @@ object PipelineOps {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** Brute-force word-3-shingle Jaccard clustering in DuckDB — the exact
+    * answer the sketch-accelerated text dedup paths must reproduce when
+    * their candidate recall is 1 (docs shorter than 3 words fall back to
+    * one whole-text shingle, mirroring Shingles.wordShingles). */
+  private def fuzzyDedupOracle(threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id AS id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+         lower(trim(text)) AS lt FROM documents),
+       sh AS (SELECT id, CASE WHEN len(w) >= 3
+           THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+           ELSE [lt] END AS s FROM d),
+       p AS (SELECT a.id AS id_a, b.id AS id_b FROM sh a JOIN sh b ON a.id < b.id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold),
+       nb AS (SELECT id_b AS id, id_a AS nb FROM p UNION ALL SELECT id_a, id_b FROM p),
+       nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+       SELECT d.id, least(d.id, coalesce(nm.nb_min, d.id)) AS keep_id,
+              d.id <> least(d.id, coalesce(nm.nb_min, d.id)) AS is_dup
+       FROM d LEFT JOIN nm ON d.id = nm.id ORDER BY d.id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
     "d01_exact_dedup" -> { (s, d) =>
@@ -45,7 +65,8 @@ object PipelineOps {
       val queries = corpus.filter(col("vec_id") < 10)
       Similarity.cosineTopK(corpus, "embedding", "vec_id",
           queries, "embedding", "vec_id", k = 5)
-        .withColumn("sim", col("sim").cast("decimal(10,4)"))
+        // 4-dp round, emitted as DOUBLE (see Inventory hash-parity rules)
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
     "e02_ivf_topk" -> { (s, d) =>
       val corpus = embs(s, d)
@@ -54,7 +75,7 @@ object PipelineOps {
       Similarity.ivfTopK(corpus, "embedding", "vec_id",
           queries, "embedding", "vec_id",
           centroids, "cvec", "cid", k = 5, nprobe = 2)
-        .withColumn("sim", col("sim").cast("decimal(10,4)"))
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
 
     // --- text analysis -------------------------------------------------
@@ -111,8 +132,88 @@ object PipelineOps {
     }
   )
 
-  /** DuckDB-dialect oracles for the hash-checkable subset. */
+  /** DuckDB-dialect oracles for the hash-checkable subset.
+    *
+    * The fuzzy-dedup entries (d02/d04/d05) oracle-check against BRUTE-FORCE
+    * exact similarity ≥ threshold: valid because every sketch family here
+    * ends in exact verification of its candidates, so the output equals the
+    * brute-force answer whenever candidate recall is 1 — which holds on the
+    * sf0.01 gate fixture (checked empirically; d03's Hamming-on-SimHash
+    * verification is genuinely engine-specific and stays rows-only, as do
+    * the winnowing fingerprints t04 and the e02 IVF probe subset). */
   val oracle: Map[String, String] = Map(
+    "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
+    "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
+    "d05_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+         p AS (SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b
+               ON a.id < b.id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.97),
+         nb AS (SELECT id_b AS id, id_a AS nb FROM p UNION ALL SELECT id_a, id_b FROM p),
+         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+         SELECT v.id, least(v.id, coalesce(nm.nb_min, v.id)) AS keep_id,
+                v.id <> least(v.id, coalesce(nm.nb_min, v.id)) AS is_dup
+         FROM v LEFT JOIN nm ON v.id = nm.id ORDER BY v.id""",
+    "e01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(c.embedding, q.qvec) AS sim
+           FROM embeddings c CROSS JOIN q),
+         r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "t02_quality_score" ->
+      """WITH b AS (SELECT doc_id AS id, text,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+               ['the','a','of','and','to','in','is','that','it','for'])) AS n_stop
+           FROM documents),
+         r AS (SELECT id, n_chars, CAST(n_words AS INTEGER) AS n_words,
+           CASE WHEN n_words > 0 THEN CAST(CAST(n_chars AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN n_words > 0 THEN CAST(CAST(n_stop AS BIGINT) * 10 * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS stop_signal
+           FROM b)
+         SELECT id, n_chars, n_words, mean_word_len, punct_ratio, alpha_ratio, stop_signal,
+           CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
+                 CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
+                 CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE) / 10.0 AS quality
+         FROM r ORDER BY id""",
+    "t03_lang_id" ->
+      """WITH tok AS (SELECT doc_id AS id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         h AS (SELECT id,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok),
+         best AS (SELECT id, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h)
+         SELECT id, CASE WHEN (b).hits > 0 THEN (b).lang ELSE 'und' END AS predicted_lang
+         FROM best ORDER BY id""",
+    "m01_media_features" ->
+      """WITH d AS (SELECT doc_id AS id,
+           ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
+           CAST(length(text) AS BIGINT) AS n_bytes, text FROM documents),
+         c AS (SELECT id, format, n_bytes,
+           CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+             round(CAST(CAST(len(list_filter([ord(text[i]) FOR i IN range(1, CAST(length(text) AS INT) + 1)],
+               x -> x // 16 = 0)) AS FLOAT) / length(text) AS DOUBLE), 4) END AS f1,
+           CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+             round(CAST(CAST(len(list_filter([ord(text[i]) FOR i IN range(1, CAST(length(text) AS INT) + 1)],
+               x -> x // 16 = 15)) AS FLOAT) / length(text) AS DOUBLE), 4) END AS f16
+           FROM d)
+         SELECT id, format, n_bytes, f1, f16 FROM c ORDER BY id""",
     "j01_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -38,7 +38,7 @@ class TextAnalysisSpec extends SparkSuite {
     val bad = (2L, "!!! ??? ... ;;; ### @@@")
     val df = Seq(good, bad).toDF("doc_id", "text")
     val out = TextAnalysis.qualityScore(df, "text", "doc_id").collect()
-      .map(r => r.getLong(0) -> r.getDecimal(7).doubleValue()).toMap
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
     assert(out(1L) >= 0.8)
     assert(out(2L) <= 0.2)
   }
