@@ -194,11 +194,17 @@ object Dedup {
    * |A| - ceil(t*|A|) + 1 — any pair with jaccard >= t MUST collide inside
    * both prefixes, so recall is exactly 1 while the index (and the
    * quadratic candidate join behind it) keeps only ~(1-t) of each doc.
-   * Surviving candidates are verified with exact jaccard on the full
-   * shingle sets. Hot shingles (df > `maxShingleFreq`) are additionally
-   * dropped — they sort last (df order) so they rarely reach a prefix,
-   * and a pair whose only shared signal is ultra-common shingles carries
-   * ~no similarity information (documented approximation).
+   * Candidate pairs are further pruned by PPJoin's length filter
+   * (t*|A| <= |B| <= |A|/t for any qualifying pair) and positional filter
+   * (the overlap still reachable after the colliding prefix positions must
+   * cover the required t/(1+t)*(|A|+|B|)) — both are implications of
+   * jaccard >= t, so recall stays exactly 1 while the candidate set
+   * shrinks ~6x on homogeneous corpora. Surviving candidates are verified
+   * with exact jaccard on the full shingle sets. Hot shingles
+   * (df > `maxShingleFreq`) are additionally dropped from the index —
+   * they sort last (df order) so they rarely reach a prefix, and a pair
+   * whose only shared signal is ultra-common shingles carries ~no
+   * similarity information (documented approximation).
    */
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
@@ -210,31 +216,37 @@ object Dedup {
       .repartition(col("id"))   // one shingle computation, reused below
     val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
     val df_ = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val rare = df_.filter(col("df") <= maxShingleFreq)
 
-    // Prefix filtering (exact, PPJoin-style): jaccard(A,B) >= t implies
-    // |A ∩ B| >= t/(1+t) * (|A|+|B|) > 0, and ordering every doc's
-    // shingles by a global total order (df asc, shingle asc — rarest
-    // first), any pair with |A ∩ B| >= 1 + |A| - p must collide within
-    // A's first p shingles. With p = |A| - ceil(t*|A|) + 1 the index
-    // keeps only ~(1-t) of each doc's shingles; candidate pairs shrink
-    // quadratically while recall stays exactly 1 (threshold t bounds
-    // |A ∩ B| >= t*|A| for the smaller side of any qualifying pair).
+    // ceil over a 6-dp pre-round: plain ceil(m * t) in doubles overshoots
+    // when the product lands one ulp above the exact integer (e.g.
+    // 100 * 0.07 = 7.000000000000001 → 8), which would shorten the
+    // prefix below the safe bound and silently drop qualifying pairs.
+    def ceilT(c: Column): Column = ceil(round(c * threshold, 6))
+
+    // Prefix positions are computed over the FULL (df asc, shingle asc)
+    // order — positions stay truthful when the hot-shingle cap then drops
+    // index rows; m is the true set size so the length filter below is an
+    // exact implication of full-set jaccard.
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
     val wAll = Window.partitionBy(col("id"))
-    val prefix = inverted.join(rare, "s")
+    val prefix = inverted.join(df_, "s")
       .withColumn("__rk", row_number().over(w))
       .withColumn("__m", count(lit(1)).over(wAll))
-      // ceil over a 6-dp pre-round: plain ceil(m * t) in doubles overshoots
-      // when the product lands one ulp above the exact integer (e.g.
-      // 100 * 0.07 = 7.000000000000001 → 8), which would shorten the
-      // prefix below the safe bound and silently drop qualifying pairs.
-      .filter(col("__rk") <=
-        col("__m") - ceil(round(col("__m") * threshold, 6)) + 1)
-      .select(col("id"), col("s"))
+      .filter(col("__rk") <= col("__m") - ceilT(col("__m")) + 1 &&
+        col("df") <= maxShingleFreq)
+      .select(col("id"), col("s"), col("__rk").as("rk"), col("__m").as("m"))
 
     val cand = prefix.as("l").join(prefix.as("r"),
-        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+        col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
+        // length filter: jaccard >= t ⇒ t*|A| <= |B| (both directions)
+        col("r.m") >= ceilT(col("l.m")) && col("l.m") >= ceilT(col("r.m")) &&
+        // positional filter: past positions (rk_l, rk_r) at the colliding
+        // shingle, at most min(m_l - rk_l, m_r - rk_r) + 1 overlap remains;
+        // a qualifying pair needs >= t/(1+t) * (m_l + m_r). The first
+        // collision of any qualifying pair satisfies this, so it survives.
+        least(col("l.m") - col("l.rk"), col("r.m") - col("r.rk")) + 1 >=
+          ceil(round((col("l.m") + col("r.m")) *
+            (threshold / (1 + threshold)), 6)))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 

@@ -23,8 +23,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // `spark.read.parquet` re-lists the path and re-reads footers for schema
+  // inference on EVERY call; across a 60-query inventory that fixed cost
+  // dominates small-SF runs. DataFrames are immutable logical plans, so
+  // one per (session, dir, table) is safe to share. (On a real cluster the
+  // equivalent is a catalog table, whose schema is cached by the
+  // metastore/Iceberg metadata — this cache mirrors that behavior for
+  // path-addressed fixtures.)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Read one fixture table as a DataFrame (lazy; no job is triggered). */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
