@@ -214,7 +214,10 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
       .repartition(col("id"))   // one shingle computation, reused below
-    val inverted = sh.select(col("id"), explode(col("sh")).as("s"))
+    // set size rides the explode — no second (unordered) window pass is
+    // needed to recover it per shingle row
+    val inverted = sh.select(col("id"), size(col("sh")).as("m"),
+      explode(col("sh")).as("s"))
     val df_ = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))
 
     // ceil over a 6-dp pre-round: plain ceil(m * t) in doubles overshoots
@@ -228,13 +231,11 @@ object Dedup {
     // index rows; m is the true set size so the length filter below is an
     // exact implication of full-set jaccard.
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val wAll = Window.partitionBy(col("id"))
     val prefix = inverted.join(df_, "s")
       .withColumn("__rk", row_number().over(w))
-      .withColumn("__m", count(lit(1)).over(wAll))
-      .filter(col("__rk") <= col("__m") - ceilT(col("__m")) + 1 &&
+      .filter(col("__rk") <= col("m") - ceilT(col("m")) + 1 &&
         col("df") <= maxShingleFreq)
-      .select(col("id"), col("s"), col("__rk").as("rk"), col("__m").as("m"))
+      .select(col("id"), col("s"), col("__rk").as("rk"), col("m"))
 
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
