@@ -337,6 +337,63 @@ object Inventory {
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
+
+    // --- statistical aggregates (order-dependent double math → 6-dp
+    //     decimal round, emitted as double per the hash-parity rules)
+    "q44_stat_aggs" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          money6(stddev_samp(col("l_quantity"))).as("sd_q"),
+          money6(var_samp(col("l_quantity"))).as("var_q"),
+          money6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          money6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"))
+        .orderBy(col("l_returnflag"))
+    },
+    // --- ordered string aggregation: sort_array(collect_list) is the
+    //     deterministic (and shuffle-partial-aggregated) form
+    "q45_string_agg" -> { (s, d) =>
+      Tables(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    },
+    // --- distribution window functions: ntile / percent_rank / cume_dist
+    //     (exact rationals, one IEEE divide → bit-identical cross-engine)
+    "q46_window_distribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    // --- lateral/generator join: one row per (row, array element) with
+    //     the element's position — the table-function join shape
+    "q47_lateral_explode" -> { (s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .toDF("p_partkey", "pos", "word")
+        .select(col("p_partkey"), col("pos").cast("int").as("pos"),
+          col("word"))
+        .orderBy(col("p_partkey"), col("pos"))
+    },
+    // --- conditional/selective aggregates; max_by/min_by keyed on the
+    //     unique o_orderkey so tie-breaking is deterministic
+    "q48_conditional_aggs" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > lit(0.0)).as("all_pos"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_prio"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"))
+        .orderBy(col("o_orderstatus"))
+    },
     "q43_scalar_subquery" -> { (s, d) =>
       // uncorrelated scalar subquery: one-row plan broadcast to all rows
       Tables.register(s, d)
@@ -524,6 +581,16 @@ object Inventory {
       "SELECT range AS i, range % 7 AS m FROM range(0, 1000) ORDER BY i",
     "q42_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q44_stat_aggs" ->
+      "SELECT l_returnflag, CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS sd_q, CAST(CAST(var_samp(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS var_q, CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qp, CAST(CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS cov_qd FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q45_string_agg" ->
+      "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "q46_window_distribution" ->
+      "SELECT c_custkey, c_nationkey, CAST(ntile(4) OVER w AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey",
+    "q47_lateral_explode" ->
+      "SELECT p_partkey, CAST(t.i - 1 AS INT) AS pos, sp[t.i] AS word FROM (SELECT p_partkey, string_split(p_name, ' ') AS sp FROM part), LATERAL (SELECT unnest(generate_series(1, len(sp))) AS i) t ORDER BY p_partkey, pos",
+    "q48_conditional_aggs" ->
+      "SELECT o_orderstatus, CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big, bool_and(o_totalprice > 0.0) AS all_pos, bool_or(o_orderpriority = '1-URGENT') AS any_urgent, arg_max(o_orderpriority, o_orderkey) AS last_prio, arg_min(o_orderpriority, o_orderkey) AS first_prio FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q43_scalar_subquery" ->
       "SELECT o_orderkey, CAST(CAST((SELECT max(o_totalprice) FROM orders) AS DECIMAL(18,2)) AS DOUBLE) AS max_price FROM orders ORDER BY o_orderkey LIMIT 100",
     "q40_pivot" ->
