@@ -1,0 +1,400 @@
+package graft.api
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.catalog.{CatalogProvider, SparkCatalogProvider}
+import graft.engine.{GraftEngine, InvalidSqlError, QueryExecutor, QueryState}
+import graft.results.{ResultStream, ValueFormat}
+import graft.tables.Tables
+
+/**
+ * HTTP façade over the engine — the reference's REST surface re-exposed on
+ * the JDK's built-in `com.sun.net.httpserver` (zero extra dependencies;
+ * SURVEY §7.1(7): "api (thin) — HTTP façade mirroring §2.D ... logic stays
+ * in the engine layers").
+ *
+ * Routes mirror the reference (src/iceberg_explorer/api/routes/):
+ *  - POST   /api/v1/query/execute            (query.py:38)
+ *  - GET    /api/v1/query/{id}/results       (query.py:233, NDJSON stream)
+ *  - GET    /api/v1/query/{id}/status        (query.py:267)
+ *  - POST   /api/v1/query/{id}/cancel        (query.py:312)
+ *  - DELETE /api/v1/query/{id}               (query.py:357)
+ *  - POST   /api/v1/export/csv               (export.py:153, sql XOR query_id)
+ *  - GET    /api/v1/catalog/namespaces       (catalog.py:41)
+ *  - GET    /api/v1/catalog/namespaces/{ns}/tables  (catalog.py:106)
+ *  - GET    /api/v1/catalog/tables/{ns}.{t}/schema  (catalog.py:184)
+ *  - GET    /health                          (health.py:44, 503 on degraded)
+ *
+ * Error bodies are FastAPI-shaped `{"detail": ...}` with the reference's
+ * status codes (400 invalid SQL / bad id / bad page size, 404 unknown
+ * query, 500 execution failure). Namespaces are dot-joined in paths (the
+ * reference uses a unit-separator wire encoding for the same purpose —
+ * see graft.catalog.NamespacePath).
+ *
+ * Concurrency: requests run on a fixed pool; the engine layers are
+ * thread-safe (SURVEY §7.5(6) — Spark inverts the reference's serialized
+ * single-connection model).
+ */
+final class HttpFacade(
+    spark: org.apache.spark.sql.SparkSession,
+    executor: QueryExecutor,
+    provider: CatalogProvider) {
+
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0, threads: Int = 8): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(threads))
+    server.createContext("/", (ex: HttpExchange) => route(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---------------------------------------------------------------- routing
+
+  private def route(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      (method, path.split("/").filter(_.nonEmpty).toList) match {
+        case ("POST", List("api", "v1", "query", "execute")) => execute(ex)
+        case ("GET", List("api", "v1", "query", id, "results")) => results(ex, id)
+        case ("GET", List("api", "v1", "query", id, "status")) => status(ex, id)
+        case ("POST", List("api", "v1", "query", id, "cancel")) => cancel(ex, id)
+        case ("DELETE", List("api", "v1", "query", id)) => cleanup(ex, id)
+        case ("POST", List("api", "v1", "export", "csv")) => exportCsv(ex)
+        case ("GET", List("api", "v1", "catalog", "namespaces")) => namespaces(ex)
+        case ("GET", List("api", "v1", "catalog", "namespaces", ns, "tables")) =>
+          tables(ex, ns)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "schema")) =>
+          schema(ex, tp)
+        case ("GET", List("health")) => health(ex)
+        case _ => sendJson(ex, 404, detail("Not Found"))
+      }
+    } catch {
+      case e: Throwable =>
+        try sendJson(ex, 500, detail(Option(e.getMessage).getOrElse("Internal error")))
+        catch { case _: Throwable => () }
+    } finally ex.close()
+
+  // ---------------------------------------------------------------- handlers
+
+  private def execute(ex: HttpExchange): Unit = {
+    val body = Json.parseObject(readBody(ex))
+    body.get("sql") match {
+      case Some(sql: String) =>
+        val timeout = body.get("timeout").collect { case n: Long => n.toInt }
+        try {
+          val r = executor.execute(sql, timeout)
+          sendJson(ex, 200, Json.obj(
+            "query_id" -> r.queryId.toString, "status" -> r.state.value))
+        } catch {
+          case e: InvalidSqlError => sendJson(ex, 400, detail(e.getMessage))
+          case e: Exception => sendJson(ex, 500, detail(e.getMessage))
+        }
+      case _ => sendJson(ex, 400, detail("Field 'sql' is required"))
+    }
+  }
+
+  private def status(ex: HttpExchange, id: String): Unit =
+    withQueryId(ex, id) { uuid =>
+      executor.getStatus(uuid) match {
+        case None => sendJson(ex, 404, detail(s"Query not found: $id"))
+        case Some(r) =>
+          val rows: Option[Long] =
+            if (r.state == QueryState.Completed) Some(r.metrics.rowsReturned)
+            else None
+          sendJson(ex, 200, Json.obj(
+            "query_id" -> id, "status" -> r.state.value,
+            "rows_processed" -> rows.orNull,
+            "error_message" -> r.errorMessage.orNull))
+      }
+    }
+
+  private def results(ex: HttpExchange, id: String): Unit = {
+    val q = queryParams(ex)
+    val pageSize = q.get("page_size").map(_.toInt).getOrElse(100)
+    val offset = q.get("offset").map(_.toInt).getOrElse(0)
+    if (!ResultStream.ValidPageSizes.contains(pageSize)) {
+      sendJson(ex, 400, detail("Invalid page_size. Must be one of: " +
+        ResultStream.ValidPageSizes.toSeq.sorted.mkString("[", ", ", "]")))
+      return
+    }
+    val lines = ResultStream.ndjsonAwait(
+      () => parseUuid(id).flatMap(executor.getStatus), id, pageSize, offset)
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    lines.foreach { l => out.write(l.getBytes(UTF_8)); out.write('\n') }
+    out.close()
+  }
+
+  private def cancel(ex: HttpExchange, id: String): Unit =
+    withQueryId(ex, id) { uuid =>
+      executor.getStatus(uuid) match {
+        case None => sendJson(ex, 404, detail(s"Query not found: $id"))
+        case Some(_) =>
+          val was = executor.cancel(uuid)
+          val cur = executor.getStatus(uuid).map(_.state.value).getOrElse("unknown")
+          sendJson(ex, 200, Json.obj(
+            "query_id" -> id, "cancelled" -> was, "status" -> cur))
+      }
+    }
+
+  private def cleanup(ex: HttpExchange, id: String): Unit =
+    withQueryId(ex, id) { uuid =>
+      executor.cleanup(uuid)
+      sendJson(ex, 200, Json.obj("query_id" -> id, "cleaned" -> true))
+    }
+
+  private def exportCsv(ex: HttpExchange): Unit = {
+    val body = Json.parseObject(readBody(ex))
+    val sql = body.get("sql").collect { case s: String => s }
+    val queryId = body.get("query_id").collect { case s: String => s }
+    (sql, queryId) match {
+      case (None, None) =>
+        sendJson(ex, 400, detail("Either query_id or sql must be provided"))
+      case (Some(_), Some(_)) =>
+        sendJson(ex, 400, detail("Provide either query_id or sql, not both"))
+      case (Some(s), None) =>
+        try streamCsv(ex, ResultStream.csvForSql(executor, s))
+        catch {
+          case e: InvalidSqlError => sendJson(ex, 400, detail(e.getMessage))
+          case _: Exception => sendJson(ex, 500, detail("Internal server error"))
+        }
+      case (None, Some(qid)) =>
+        withQueryId(ex, qid) { uuid =>
+          executor.getStatus(uuid) match {
+            case None => sendJson(ex, 404, detail(s"Query not found: $qid"))
+            case Some(r) =>
+              try streamCsv(ex, ResultStream.csv(r))
+              catch {
+                case e: ResultStream.CsvExportError =>
+                  sendJson(ex, 400, detail(e.getMessage))
+              }
+          }
+        }
+    }
+  }
+
+  private def streamCsv(ex: HttpExchange, chunks: Iterator[Array[Byte]]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
+    ex.getResponseHeaders.set("Content-Disposition",
+      "attachment; filename=\"" +
+        ValueFormat.sanitizeFilename("query_results.csv") + "\"")
+    ex.sendResponseHeaders(200, 0)
+    val out: OutputStream = ex.getResponseBody
+    chunks.foreach(out.write)
+    out.close()
+  }
+
+  private def namespaces(ex: HttpExchange): Unit =
+    sendJson(ex, 200, Json.obj(
+      "namespaces" -> provider.listNamespaces().map(_.mkString("."))))
+
+  private def tables(ex: HttpExchange, ns: String): Unit = {
+    val parts = ns.split("\\.").toSeq
+    sendJson(ex, 200, Json.obj(
+      "namespace" -> ns, "tables" -> provider.listTables(parts)))
+  }
+
+  private def schema(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      val info = provider.tableSchema(ns, table)
+      sendJson(ex, 200, Json.obj(
+        "namespace" -> info.namespace.mkString("."),
+        "table" -> info.table,
+        "fields" -> info.fields.map(f => Json.obj(
+          "name" -> f.name, "type" -> f.dataType,
+          "nullable" -> f.nullable,
+          "is_partition_column" -> f.isPartitionColumn))))
+    } catch {
+      case e: Exception => sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  private def health(ex: HttpExchange): Unit = {
+    val h = GraftEngine.healthCheck(spark)
+    val status = h.getOrElse("status", "unhealthy")
+    val code = if (status == "healthy") 200 else 503
+    def comp(key: String) =
+      Json.obj("healthy" -> (h.getOrElse(key, "unhealthy") == "healthy"))
+    sendJson(ex, code, Json.obj(
+      "status" -> status,
+      "components" -> Json.obj(
+        "engine" -> comp("engine"), "catalog" -> comp("catalog"))))
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def withQueryId(ex: HttpExchange, id: String)(f: UUID => Unit): Unit =
+    parseUuid(id) match {
+      case Some(uuid) => f(uuid)
+      case None => sendJson(ex, 400, detail(s"Invalid query ID format: $id"))
+    }
+
+  private def parseUuid(id: String): Option[UUID] =
+    try Some(UUID.fromString(id)) catch { case _: IllegalArgumentException => None }
+
+  private def detail(msg: String): String = Json.obj("detail" -> msg)
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  private def sendJson(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    out.write(bytes)
+    out.close()
+  }
+}
+
+object HttpFacade {
+
+  /** Serve the fixture tables over HTTP (blocking until killed):
+    * `runMain graft.api.HttpFacade [port]`. */
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftEngine.buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, sfDir)
+    val facade = new HttpFacade(
+      spark, new QueryExecutor(spark), new SparkCatalogProvider(spark))
+    val bound = facade.start(port)
+    System.err.println(s"[graft-http] serving on 127.0.0.1:$bound")
+    Thread.currentThread.join()
+  }
+}
+
+/** Minimal flat JSON reader/writer for the request/response bodies this
+  * façade exchanges (objects of string/number/bool/null and one level of
+  * nesting on the write side) — deliberately tiny instead of a dependency;
+  * value rendering reuses [[graft.results.ValueFormat]]'s escaping. */
+private[api] object Json {
+
+  /** Render a JSON object; values may be String, Boolean, Long, Int,
+    * null, Seq[String], Seq[String-rendered object], or a pre-rendered
+    * nested object produced by this method (detected by `{`/`[` prefix). */
+  def obj(fields: (String, Any)*): String =
+    fields.map { case (k, v) =>
+      ValueFormat.jsonString(k) + ":" + render(v)
+    }.mkString("{", ",", "}")
+
+  private def render(v: Any): String = v match {
+    case null => "null"
+    case s: String if s.startsWith("{") || s.startsWith("[") => s
+    case s: String => ValueFormat.jsonString(s)
+    case b: Boolean => b.toString
+    case n: Long => n.toString
+    case n: Int => n.toString
+    case xs: Seq[_] => xs.map(render).mkString("[", ",", "]")
+    case other => ValueFormat.jsonString(other.toString)
+  }
+
+  /** Parse a FLAT JSON object: string, integer, boolean, and null values
+    * only (all this façade's request bodies). Unknown/nested structures
+    * fail with IllegalArgumentException. */
+  def parseObject(s: String): Map[String, Any] = {
+    val t = s.trim
+    if (t.isEmpty) return Map.empty
+    val p = new Parser(t)
+    val res = p.obj()
+    p.ws()
+    require(p.eof, s"trailing content in JSON body")
+    res
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(i) == c, s"expected '$c' at $i"); i += 1
+    }
+    def obj(): Map[String, Any] = {
+      ws(); expect('{'); ws()
+      if (!eof && s.charAt(i) == '}') { i += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws()
+        val k = str()
+        ws(); expect(':'); ws()
+        b += (k -> value())
+        ws()
+        if (!eof && s.charAt(i) == ',') i += 1
+        else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def value(): Any = {
+      val c = s.charAt(i)
+      if (c == '"') str()
+      else if (s.startsWith("null", i)) { i += 4; null }
+      else if (s.startsWith("true", i)) { i += 4; true }
+      else if (s.startsWith("false", i)) { i += 5; false }
+      else num()
+    }
+    private def num(): Long = {
+      val start = i
+      if (!eof && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+      while (!eof && s.charAt(i).isDigit) i += 1
+      require(i > start, s"expected a value at $start")
+      s.substring(start, i).toLong
+    }
+    private def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case '"' => b += '"'
+            case '\\' => b += '\\'
+            case '/' => b += '/'
+            case 'n' => b += '\n'
+            case 'r' => b += '\r'
+            case 't' => b += '\t'
+            case 'b' => b += '\b'
+            case 'f' => b += '\f'
+            case 'u' =>
+              b += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => throw new IllegalArgumentException(
+              s"bad escape \\$other")
+          }
+        } else b += c
+        i += 1
+      }
+      i += 1
+      b.toString
+    }
+  }
+}

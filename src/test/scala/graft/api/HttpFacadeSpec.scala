@@ -1,0 +1,144 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+import graft.SparkSuite
+import graft.catalog.SparkCatalogProvider
+import graft.engine.QueryExecutor
+import graft.tables.Tables
+
+/** End-to-end drive of the HTTP façade with the JDK HTTP client —
+  * execute → status → results → csv → cancel → delete, plus catalog and
+  * health, against the reference's routes and status codes
+  * (reference: tests/test_query_api.py shapes). */
+class HttpFacadeSpec extends SparkSuite {
+
+  private lazy val facade = {
+    Tables.register(spark, sf)
+    new HttpFacade(spark, new QueryExecutor(spark),
+      new SparkCatalogProvider(spark))
+  }
+  private lazy val port: Int = facade.start(0)
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    facade.stop()
+    super.afterAll()
+  }
+
+  private def url(path: String) = URI.create(s"http://127.0.0.1:$port$path")
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path)).GET.build(),
+      BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path))
+      .POST(BodyPublishers.ofString(body)).build(), BodyHandlers.ofString())
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path)).DELETE.build(),
+      BodyHandlers.ofString())
+
+  private def fieldOf(json: String, name: String): String = {
+    val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
+    m.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(fail(s"no string field '$name' in $json"))
+  }
+
+  test("execute -> status -> results -> delete round trip") {
+    val exec = post("/api/v1/query/execute",
+      """{"sql": "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"}""")
+    assert(exec.statusCode === 200, exec.body)
+    assert(fieldOf(exec.body, "status") === "completed")
+    val qid = fieldOf(exec.body, "query_id")
+
+    val st = get(s"/api/v1/query/$qid/status")
+    assert(st.statusCode === 200)
+    assert(st.body.contains("\"rows_processed\":25"))
+
+    val res = get(s"/api/v1/query/$qid/results?page_size=100&offset=0")
+    assert(res.statusCode === 200)
+    val lines = res.body.split("\n").toSeq
+    assert(lines.head.contains("\"type\":\"metadata\""))
+    assert(lines.exists(_.contains("\"type\":\"data\"")))
+    assert(lines.last.contains("\"type\":\"complete\""))
+
+    val del = delete(s"/api/v1/query/$qid")
+    assert(del.statusCode === 200 && del.body.contains("\"cleaned\":true"))
+    assert(get(s"/api/v1/query/$qid/status").statusCode === 404)
+  }
+
+  test("invalid SQL is a 400 with the gate's message") {
+    val r = post("/api/v1/query/execute", """{"sql": "DROP TABLE nation"}""")
+    assert(r.statusCode === 400)
+    assert(r.body.contains("detail"))
+  }
+
+  test("missing sql field and malformed ids are 400s") {
+    assert(post("/api/v1/query/execute", """{}""").statusCode === 400)
+    assert(get("/api/v1/query/not-a-uuid/status").statusCode === 400)
+    assert(post("/api/v1/query/not-a-uuid/cancel", "").statusCode === 400)
+  }
+
+  test("unknown query id is a 404; bad page size a 400") {
+    val ghost = java.util.UUID.randomUUID().toString
+    assert(get(s"/api/v1/query/$ghost/status").statusCode === 404)
+    assert(post(s"/api/v1/query/$ghost/cancel", "").statusCode === 404)
+    val exec = post("/api/v1/query/execute", """{"sql": "SELECT 1 AS x"}""")
+    val qid = fieldOf(exec.body, "query_id")
+    assert(get(s"/api/v1/query/$qid/results?page_size=7").statusCode === 400)
+  }
+
+  test("cancel on a finished query reports current state") {
+    val exec = post("/api/v1/query/execute", """{"sql": "SELECT 1 AS x"}""")
+    val qid = fieldOf(exec.body, "query_id")
+    val c = post(s"/api/v1/query/$qid/cancel", "")
+    assert(c.statusCode === 200)
+    assert(fieldOf(c.body, "status") === "completed")
+  }
+
+  test("csv export: inline sql, query_id arm, and the XOR guard") {
+    val inline = post("/api/v1/export/csv",
+      """{"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"}""")
+    assert(inline.statusCode === 200)
+    assert(inline.headers.firstValue("Content-Type").orElse("")
+      .startsWith("text/csv"))
+    val lines = inline.body.trim.split("\r\n").toSeq
+    assert(lines.head === "r_regionkey,r_name")
+    assert(lines.length === 6) // header + 5 regions
+
+    val exec = post("/api/v1/query/execute",
+      """{"sql": "SELECT n_name FROM nation ORDER BY n_name"}""")
+    val qid = fieldOf(exec.body, "query_id")
+    val byId = post("/api/v1/export/csv", s"""{"query_id": "$qid"}""")
+    assert(byId.statusCode === 200)
+    assert(byId.body.trim.split("\r\n").length === 26)
+
+    assert(post("/api/v1/export/csv", "{}").statusCode === 400)
+    assert(post("/api/v1/export/csv",
+      s"""{"sql": "SELECT 1", "query_id": "$qid"}""").statusCode === 400)
+  }
+
+  test("catalog namespaces, tables, and schema") {
+    // catalog routes read the session catalog (temp views are not catalog
+    // tables) — create an external table like the reference's ATTACH would
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    val ns = get("/api/v1/catalog/namespaces")
+    assert(ns.statusCode === 200 && ns.body.contains("httpapi"))
+    val ts = get("/api/v1/catalog/namespaces/httpapi/tables")
+    assert(ts.statusCode === 200 && ts.body.contains("nation"))
+    val sc = get("/api/v1/catalog/tables/httpapi.nation/schema")
+    assert(sc.statusCode === 200)
+    assert(sc.body.contains("n_nationkey") && sc.body.contains("\"table\":\"nation\""))
+    assert(get("/api/v1/catalog/tables/nodots/schema").statusCode === 400)
+  }
+
+  test("health reports healthy on a live session") {
+    val h = get("/health")
+    assert(h.statusCode === 200)
+    assert(fieldOf(h.body, "status") === "healthy")
+  }
+}
