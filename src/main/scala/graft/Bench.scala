@@ -8,23 +8,38 @@ import org.apache.spark.sql.SparkSession
  * `{"metric","value","unit","queries","sf"}` for the driver's BENCH gate.
  *
  * Methodology: a warm-up pass (session/codegen/JIT and parquet footer
- * caches) then timed runs materializing every column through the `noop`
- * DSv2 sink — `count()` would let Catalyst prune projections and
- * under-measure; `collect()` would measure driver transfer instead of the
- * engine. 32 shuffle partitions to match local[32] (not the 200 default —
- * tiny-partition overhead dominates at bench scale; on a real cluster this
- * is cores-proportional, SURVEY §4).
+ * caches) then, per query, MEDIAN OF 3 consecutive timed runs (a single
+ * timed pass lets one GC pause pollute a query's number and makes
+ * round-over-round comparison noise-dominated). Runs materialize every
+ * column through the `noop` DSv2 sink — `count()` would let Catalyst prune
+ * projections and under-measure; `collect()` would measure driver transfer
+ * instead of the engine. 32 shuffle partitions to match local[32] (not the
+ * 200 default — tiny-partition overhead dominates at bench scale; on a real
+ * cluster this is cores-proportional, SURVEY §4).
+ *
+ * `SPARK_GRAFT_BENCH_ONLY=t01_token_counts,t02_quality_score` restricts the
+ * run to a subset (diagnosis loop); unset = full inventory (driver gate).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 65-query
+      // inventory compiles several codegen stages per query, so by the time
+      // the timed pass reaches the alphabetical tail (t01/t02, q46-q48) the
+      // warm-up's entries are evicted and each first run pays a full Janino
+      // recompile — the round-2 "9× regression" was exactly this. 1000
+      // entries keeps the whole inventory resident (a long-lived serving
+      // engine wants the same setting).
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -32,6 +47,7 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warm-up: whole inventory once (JIT, codegen cache, file listing).
     ordered.foreach { case (n, fn) =>
@@ -39,9 +55,13 @@ object Bench {
     }
 
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(name, fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name, fn) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      System.err.println(f"bench $name%-24s runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

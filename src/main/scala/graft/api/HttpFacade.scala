@@ -26,10 +26,14 @@ import graft.tables.Tables
  *  - POST   /api/v1/query/{id}/cancel        (query.py:312)
  *  - DELETE /api/v1/query/{id}               (query.py:357)
  *  - POST   /api/v1/export/csv               (export.py:153, sql XOR query_id)
- *  - GET    /api/v1/catalog/namespaces       (catalog.py:41)
+ *  - GET    /api/v1/catalog/namespaces[?parent=]    (catalog.py:41, 404 on
+ *           unknown parent; parent accepts unit-separator or dotted form)
  *  - GET    /api/v1/catalog/namespaces/{ns}/tables  (catalog.py:106)
  *  - GET    /api/v1/catalog/tables/{ns}.{t}/schema  (catalog.py:184)
+ *  - GET    /api/v1/catalog/tables/{ns}.{t}         (catalog.py:291, full
+ *           details: location, partition spec, snapshots, current snapshot)
  *  - GET    /health                          (health.py:44, 503 on degraded)
+ *  - GET    /ready                           (health.py:96, 503 until ready)
  *
  * Error bodies are FastAPI-shaped `{"detail": ...}` with the reference's
  * status codes (400 invalid SQL / bad id / bad page size, 404 unknown
@@ -77,7 +81,10 @@ final class HttpFacade(
           tables(ex, ns)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "schema")) =>
           schema(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
+          tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
+        case ("GET", List("ready")) => ready(ex)
         case _ => sendJson(ex, 404, detail("Not Found"))
       }
     } catch {
@@ -197,9 +204,60 @@ final class HttpFacade(
     out.close()
   }
 
-  private def namespaces(ex: HttpExchange): Unit =
-    sendJson(ex, 200, Json.obj(
-      "namespaces" -> provider.listNamespaces().map(_.mkString("."))))
+  private def namespaces(ex: HttpExchange): Unit = {
+    // ?parent= scopes the listing for lazy tree expansion (ref
+    // catalog.py:41-103). The reference's wire form is unit-separator
+    // (`accounting%1Ftax`); URI.getQuery percent-decodes, so the handler
+    // sees the separator directly. A plain dotted path is accepted too (this façade's own
+    // path convention).
+    val parent = queryParams(ex).get("parent").filter(_.nonEmpty).map { p =>
+      if (p.contains(graft.catalog.NamespacePath.UnitSeparator))
+        graft.catalog.NamespacePath.parse(p)
+      else p.split("\\.").toSeq
+    }
+    try sendJson(ex, 200, Json.obj(
+      "namespaces" -> provider.listNamespaces(parent).map(_.mkString("."))))
+    catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  private def tableDetails(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      val d = provider.tableDetails(ns, table)
+      // Field names mirror the reference's TableDetails/Snapshot/
+      // PartitionSpec response models (ref models/catalog.py:69-192,
+      // routes/catalog.py:291-373): sort_order is always null there for
+      // now; format is fixed "ICEBERG".
+      def snapJson(sn: graft.catalog.Snapshot): String = Json.obj(
+        "sequence_number" -> sn.sequenceNumber,
+        "snapshot_id" -> sn.snapshotId,
+        "timestamp_ms" -> sn.timestampMs,
+        "manifest_list" -> sn.manifestList)
+      val spec = d.partitionSpec.map { p =>
+        Json.obj("spec_id" -> p.specId, "fields" -> p.fields.map(f =>
+          Json.obj("source_id" -> f.sourceId, "field_id" -> f.fieldId,
+            "name" -> f.name, "transform" -> f.transform)))
+      }.orNull
+      sendJson(ex, 200, Json.obj(
+        "namespace" -> d.namespace,
+        "name" -> d.table,
+        "location" -> d.location,
+        "format" -> "ICEBERG",
+        "partition_spec" -> spec,
+        "sort_order" -> null,
+        "current_snapshot" -> d.currentSnapshot.map(snapJson).orNull,
+        "snapshots" -> d.snapshots.map(snapJson)))
+    } catch {
+      case e: Exception => sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
 
   private def tables(ex: HttpExchange, ns: String): Unit = {
     val parts = ns.split("\\.").toSeq
@@ -238,6 +296,26 @@ final class HttpFacade(
       "components" -> Json.obj(
         "engine" -> comp("engine"), "catalog" -> comp("catalog"))))
   }
+
+  /** Readiness gate (ref health.py:96-126): 200 `{"ready": true}` only when
+    * the full health check passes; 503 with a reason otherwise — the
+    * traffic-admission signal, stricter than /health's degraded state. */
+  private def ready(ex: HttpExchange): Unit =
+    try {
+      val h = GraftEngine.healthCheck(spark)
+      if (h.getOrElse("status", "unhealthy") == "healthy")
+        sendJson(ex, 200, Json.obj("ready" -> true, "reason" -> null))
+      else {
+        val why = Seq("engine", "catalog")
+          .filter(k => h.getOrElse(k, "unhealthy") != "healthy")
+          .mkString("unhealthy: ", ", ", "")
+        sendJson(ex, 503, Json.obj("ready" -> false, "reason" -> why))
+      }
+    } catch {
+      case e: Exception => sendJson(ex, 503, Json.obj(
+        "ready" -> false,
+        "reason" -> Option(e.getMessage).getOrElse("Health check failed")))
+    }
 
   // ---------------------------------------------------------------- helpers
 

@@ -27,6 +27,11 @@ object GraftEngine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", config.engine.memoryLimit)
+      // A serving engine compiles codegen stages for every distinct query
+      // shape it hosts; the default 100-entry generated-class cache thrashes
+      // once the workload exceeds ~30 distinct queries and each re-arrival
+      // pays a full Janino recompile (seconds for wide projections).
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
   }
 

@@ -61,19 +61,41 @@ final class QueryExecutor(
       runWithTimeout(result, timeoutSec, cancelled, boundParams)
       Metrics.recordQueryDuration(result.metrics.durationSeconds, result.state.value)
       Metrics.recordQueryRows(result.metrics.rowsReturned)
+      emitSpan(result, timeoutSec, result.state.value, None)
       result
     } catch {
       case e: QueryTimeoutError =>
-        Metrics.recordQueryDuration(timeoutSec.toDouble, "timeout"); throw e
+        Metrics.recordQueryDuration(timeoutSec.toDouble, "timeout")
+        emitSpan(result, timeoutSec, "timeout", Some("Query timeout")); throw e
       case e: QueryCancelledError =>
-        Metrics.recordQueryDuration(result.metrics.durationSeconds, "cancelled"); throw e
+        Metrics.recordQueryDuration(result.metrics.durationSeconds, "cancelled")
+        emitSpan(result, timeoutSec, "cancelled", None); throw e
       case NonFatal(e) =>
-        Metrics.recordQueryDuration(result.metrics.durationSeconds, "failed"); throw e
+        Metrics.recordQueryDuration(result.metrics.durationSeconds, "failed")
+        emitSpan(result, timeoutSec, "failed",
+          Some(Option(e.getMessage).getOrElse(e.toString))); throw e
     } finally {
       Metrics.decrementActiveQueries()
       cancelFlags.remove(result.queryId)
     }
   }
+
+  /** One trace record per execution, with the reference span's attribute
+    * set and OK/ERROR status semantics (reference: executor.py:181-222 —
+    * timeout/failure are ERROR, cancellation is OK). */
+  private def emitSpan(result: QueryResult, timeoutSec: Int,
+                       status: String, error: Option[String]): Unit =
+    Metrics.recordSpan(QuerySpan(
+      name = "spark.query",
+      queryId = result.queryId.toString,
+      timeoutSeconds = timeoutSec,
+      status = status,
+      durationSeconds = Some(result.metrics.durationSeconds),
+      rowsReturned =
+        if (status == "completed") Some(result.metrics.rowsReturned) else None,
+      statusCode =
+        if (status == "failed" || status == "timeout") "ERROR" else "OK",
+      statusDescription = error))
 
   private def runWithTimeout(
       result: QueryResult, timeoutSec: Int, cancelled: AtomicBoolean,
@@ -161,8 +183,19 @@ final class QueryExecutor(
         runWithTimeout(result, timeoutSec, cancelled, params.toArray)
         Metrics.recordQueryDuration(result.metrics.durationSeconds, result.state.value)
         Metrics.recordQueryRows(result.metrics.rowsReturned)
+        emitSpan(result, timeoutSec, result.state.value, None)
       } catch {
-        case NonFatal(_) => () // outcome already recorded on the result
+        // outcome already recorded on the result; span mirrors it
+        case _: QueryTimeoutError =>
+          Metrics.recordQueryDuration(timeoutSec.toDouble, "timeout")
+          emitSpan(result, timeoutSec, "timeout", Some("Query timeout"))
+        case _: QueryCancelledError =>
+          Metrics.recordQueryDuration(result.metrics.durationSeconds, "cancelled")
+          emitSpan(result, timeoutSec, "cancelled", None)
+        case NonFatal(e) =>
+          Metrics.recordQueryDuration(result.metrics.durationSeconds, "failed")
+          emitSpan(result, timeoutSec, "failed",
+            Some(Option(e.getMessage).getOrElse(e.toString)))
       } finally {
         Metrics.decrementActiveQueries()
         cancelFlags.remove(result.queryId)

@@ -50,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.literalInt(c(2), "window")) }
     inject("graft_lang_id", "stopword-profile language id of a token array") { c =>
       LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq) }
+    inject("graft_text_stats", "one-pass per-document text statistics struct") { c =>
+      TextStatsExpr(c(0)) }
   }
 }

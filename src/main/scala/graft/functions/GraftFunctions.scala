@@ -54,6 +54,8 @@ object GraftFunctions {
       (c: Seq[Expression]) =>
         LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      (c: Seq[Expression]) => TextStatsExpr(c(0)), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -73,4 +75,5 @@ object GraftFunctions {
     call_function("graft_winnow", text, lit(k), lit(window))
   def wordShingles(normText: Column, n: Int): Column =
     call_function("graft_word_shingles", normText, lit(n))
+  def textStats(text: Column): Column = call_function("graft_text_stats", text)
 }

@@ -72,8 +72,20 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
-  /** (id, n_chars, n_words, n_subwords) per document. */
-  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** (id, n_chars, n_words, n_subwords) per document. Runs the one-pass
+    * native graft.functions.TextStatsExpr; the HOF form below is the
+    * executable reference, equivalence-tested in VectorExpressionsSpec. */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        call_function("graft_text_stats", col(textCol)).as("s"))
+      .select(col("id"), col("s.n_chars").as("n_chars"),
+        col("s.n_words").as("n_words"), col("s.n_subwords").as("n_subwords"))
+      .orderBy(col("id"))
+  }
+
+  /** HOF reference form of [[tokenCounts]] (regex/split built-ins). */
+  def tokenCountsHof(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         length(col(textCol)).as("n_chars"),
         wordCount(col(textCol)).as("n_words"),
@@ -96,6 +108,26 @@ object TextAnalysis {
    * shape for derived fractions (see Inventory's header).
    */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        call_function("graft_text_stats", col(textCol)).as("s"))
+      .select(col("id"), col("s.n_chars").as("n_chars"),
+        col("s.n_words").as("n_words"),
+        col("s.mean_word_len").as("mean_word_len"),
+        col("s.punct_ratio").as("punct_ratio"),
+        col("s.alpha_ratio").as("alpha_ratio"),
+        col("s.stop_signal").as("stop_signal"),
+        col("s.quality").as("quality"))
+      .orderBy(col("id"))
+  }
+
+  /** HOF reference form of [[qualityScore]] (regex/array built-ins, ratios
+    * via fixed-point SQL) — the round-2 shipped form; kept as the
+    * equivalence oracle for TextStatsExpr. Its `withColumn` chain is also
+    * the documented CollapseProject hazard: the ratio subtrees re-inline
+    * under the CASE WHEN of `quality` where codegen subexpression
+    * elimination does not reach — the reason the native form exists. */
+  def qualityScoreHof(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     val tokens = Shingles.words(t)
     val nChars = length(t)

@@ -141,4 +141,85 @@ class HttpFacadeSpec extends SparkSuite {
     assert(h.statusCode === 200)
     assert(fieldOf(h.body, "status") === "healthy")
   }
+
+  test("ready reports traffic-admission readiness") {
+    val r = get("/ready")
+    assert(r.statusCode === 200, r.body)
+    assert(r.body.contains("\"ready\":true"))
+  }
+
+  test("table details: reference field names, current snapshot, 404") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    val d = get("/api/v1/catalog/tables/httpapi.nation")
+    assert(d.statusCode === 200, d.body)
+    // reference TableDetails response shape (models/catalog.py:158-192)
+    assert(d.body.contains("\"namespace\":[\"httpapi\"]"))
+    assert(fieldOf(d.body, "name") === "nation")
+    assert(fieldOf(d.body, "format") === "ICEBERG")
+    assert(d.body.contains("\"location\":"))
+    assert(d.body.contains("\"partition_spec\":"))
+    assert(d.body.contains("\"sort_order\":null"))
+    assert(d.body.contains("\"current_snapshot\":"))
+    assert(d.body.contains("\"snapshots\":["))
+    val missing = get("/api/v1/catalog/tables/httpapi.nosuch")
+    assert(missing.statusCode === 404)
+    assert(missing.body.contains("Table not found"))
+    assert(get("/api/v1/catalog/tables/nodots").statusCode === 400)
+  }
+
+  test("table details surfaces Iceberg snapshot history from metadata JSON") {
+    // stage a minimal Iceberg-layout table dir (metadata JSON only — no
+    // runtime jar in this sandbox), mirroring IcebergMetadataSpec's fixture
+    val dir = java.nio.file.Files.createTempDirectory("http_iceberg").toFile
+    val meta = new java.io.File(dir, "metadata")
+    meta.mkdirs()
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"11111111-2222-3333-4444-555555555555",
+         |"location":"file:${dir.getAbsolutePath}",
+         |"current-snapshot-id":2002,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"bucket_id","transform":"bucket[4]","source-id":1,"field-id":1000}]}],
+         |"default-spec-id":0,
+         |"snapshots":[
+         |  {"snapshot-id":1001,"sequence-number":1,"timestamp-ms":1700000000000,
+         |   "manifest-list":"file:${dir.getAbsolutePath}/metadata/snap-1001.avro"},
+         |  {"snapshot-id":2002,"sequence-number":2,"timestamp-ms":1700000100000,
+         |   "manifest-list":"file:${dir.getAbsolutePath}/metadata/snap-2002.avro"}],
+         |"schemas":[]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(meta, "v2.metadata.json").toPath,
+      metaJson.getBytes("UTF-8"))
+    // a catalog table whose LOCATION carries the Iceberg-layout metadata;
+    // schema is explicit so no data files are needed (the details route
+    // reads only catalog + metadata JSON, never the data)
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.iceberg_t (id BIGINT)
+      USING parquet LOCATION '${dir.getAbsolutePath}'""")
+    val d = get("/api/v1/catalog/tables/httpapi.iceberg_t")
+    assert(d.statusCode === 200, d.body)
+    assert(d.body.contains("\"snapshot_id\":1001") &&
+      d.body.contains("\"snapshot_id\":2002"))
+    assert(d.body.contains("\"current_snapshot\":{\"sequence_number\":2"))
+    assert(d.body.contains("\"transform\":\"bucket[4]\""))
+    assert(d.body.contains("\"timestamp_ms\":1700000100000"))
+  }
+
+  test("namespaces honors ?parent= and 404s on unknown parents") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    val all = get("/api/v1/catalog/namespaces")
+    assert(all.statusCode === 200 && all.body.contains("httpapi"))
+    // session catalog namespaces are single-level: a valid parent yields an
+    // empty child list, an unknown parent the reference's 404
+    val scoped = get("/api/v1/catalog/namespaces?parent=httpapi")
+    assert(scoped.statusCode === 200, scoped.body)
+    assert(scoped.body.contains("\"namespaces\":[]"))
+    val unknown = get("/api/v1/catalog/namespaces?parent=no_such_ns")
+    assert(unknown.statusCode === 404, unknown.body)
+    assert(unknown.body.contains("Namespace not found"))
+    // unit-separator wire form (ref catalog.py:46: accounting%1Ftax)
+    val unit = get("/api/v1/catalog/namespaces?parent=no%1Fsuch")
+    assert(unit.statusCode === 404)
+  }
 }

@@ -84,6 +84,39 @@ class QueryExecutorSpec extends SparkSuite {
     assert(r.metrics.endTime.isDefined)
   }
 
+  test("one span per execute with the reference's attributes (A19)") {
+    val before = Metrics.recentSpans.size
+    val r = executor.execute("SELECT * FROM range(42)")
+    val spans = Metrics.recentSpans
+    assert(spans.size == before + 1, "exactly one span per execution")
+    val s = spans.last
+    assert(s.name == "spark.query")
+    assert(s.queryId == r.queryId.toString)
+    assert(s.status == "completed" && s.statusCode == "OK")
+    assert(s.rowsReturned.contains(42L))
+    assert(s.durationSeconds.exists(_ >= 0.0))
+    assert(s.timeoutSeconds == executor.validateTimeout(None))
+    // failed execution → ERROR span with the failure message
+    intercept[Exception](executor.execute("SELECT 1/0 AS x FROM range(1)"))
+    val f = Metrics.recentSpans.last
+    assert(f.status == "failed" && f.statusCode == "ERROR")
+    assert(f.statusDescription.isDefined)
+  }
+
+  test("query_duration_seconds uses the OTel default bucket boundaries") {
+    Metrics.recordQueryDuration(0.3, "spec_status")
+    Metrics.recordQueryDuration(7.0, "spec_status")
+    Metrics.recordQueryDuration(99999.0, "spec_status")
+    val h = Metrics.durationHistogram("spec_status").get
+    assert(h.length == Metrics.DurationBuckets.length + 1)
+    assert(h(1) == 1)        // 0 < 0.3 <= 5
+    assert(h(2) == 1)        // 5 < 7 <= 10
+    assert(h.last == 1)      // overflow bucket
+    assert(h.sum == 3)
+    val (count, sum) = Metrics.durationStats("spec_status")
+    assert(count == 3 && sum > 100006.0 && sum < 100007.0)
+  }
+
   test("max_rows cap truncates driver buffering (enforced, unlike reference)") {
     val small = new QueryExecutor(spark, QueryConfig(maxRows = 50))
     val r = small.execute("SELECT * FROM range(1000)")
@@ -120,11 +153,14 @@ class QueryExecutorSpec extends SparkSuite {
 
   test("timeout kills a long query and records failed state") {
     val fast = new QueryExecutor(spark, QueryConfig(minTimeout = 1))
+    // interruptible long query (see the cancel test below for why a pure
+    // codegen loop would leave zombie tasks starving the suite): ~25 s of
+    // per-row sleeps across 4 threads, killed instantly by the job-group
+    // cancel's thread interrupt
+    spark.udf.register("spec_sleep_udf", (x: Long) => { Thread.sleep(5); x })
     val t0 = System.nanoTime()
     intercept[QueryTimeoutError] {
-      // ~1e12-row cartesian count: cannot finish within 1 s
-      fast.execute(
-        "SELECT count(*) FROM range(100000000) a CROSS JOIN range(10000) b",
+      fast.execute("SELECT sum(spec_sleep_udf(id)) FROM range(20000)",
         timeout = Some(1))
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -133,11 +169,20 @@ class QueryExecutorSpec extends SparkSuite {
 
   test("cancel from another thread transitions a running query to cancelled") {
     val ex2 = new QueryExecutor(spark)
+    // the long query must be INTERRUPTIBLE: a pure codegen cross-join loop
+    // has no interrupt checks between task boundaries, so its cancelled
+    // tasks can occupy every local executor thread for minutes and starve
+    // the rest of the suite (observed: a later SELECT 1 health check queued
+    // behind 4 zombie tasks). A per-row sleep makes the job-group cancel's
+    // thread interrupt land in Thread.sleep and kill tasks immediately —
+    // and even a lost interrupt bounds the tail at ~25 s.
+    spark.udf.register("spec_sleep_udf",
+      (x: Long) => { Thread.sleep(5); x })
     @volatile var caught: Option[Throwable] = None
     @volatile var started: Option[java.util.UUID] = None
     val runner = new Thread(() => {
       try ex2.execute(
-        "SELECT count(*) FROM range(100000000) a CROSS JOIN range(10000) b")
+        "SELECT sum(spec_sleep_udf(id)) FROM range(20000)")
       catch { case t: Throwable => caught = Some(t) }
     })
     runner.start()

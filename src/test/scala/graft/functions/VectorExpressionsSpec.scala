@@ -146,6 +146,27 @@ class VectorExpressionsSpec extends SparkSuite {
       "spark-submit (injector) and library (register) SQL surfaces diverged")
   }
 
+  test("text_stats matches the HOF token-count and quality forms") {
+    import graft.ops.TextAnalysis
+    val docs = graft.tables.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      // adversarial shapes: empty, whitespace-only, padding, unicode,
+      // attached punctuation, stopwords with case, long words, digits
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "   "), (9003L, "  The cat IS on a mat.  "),
+        (9004L, "für die straße 一二三 emoji\ttabs\nnewlines"),
+        (9005L, "the the THE that that it for of and to in is a"),
+        (9006L, "antidisestablishmentarianism x_y_z 3.14159 a1b2"),
+        (9007L, "!!!??? ;;; ___ [brackets] (parens) \"quotes\""))
+        .toDF("doc_id", "text"))
+    val native = TextAnalysis.tokenCounts(docs, "text", "doc_id").collect()
+    val hofTok = TextAnalysis.tokenCountsHof(docs, "text", "doc_id").collect()
+    assert(native.map(_.toSeq) === hofTok.map(_.toSeq))
+    val nativeQ = TextAnalysis.qualityScore(docs, "text", "doc_id").collect()
+    val hofQ = TextAnalysis.qualityScoreHof(docs, "text", "doc_id").collect()
+    assert(nativeQ.map(_.toSeq) === hofQ.map(_.toSeq))
+  }
+
   test("word_shingles matches the HOF shingling over the documents fixture") {
     GraftFunctions.register(spark)
     val docs = graft.tables.Tables(spark, sf, "documents")

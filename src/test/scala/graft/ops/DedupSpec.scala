@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, explode, max}
 
 import graft.SparkSuite
 
@@ -99,5 +100,23 @@ class DedupSpec extends SparkSuite {
       .map(id => id -> math.min(id, neighborMin.getOrElse(id, id))).toMap
 
     assert(got === expected)
+  }
+
+  test("gate fixtures stay below the d04 hot-shingle cap (recall-1 precondition)") {
+    // ngramJaccard's maxShingleFreq drop is a documented recall
+    // approximation; the brute-force oracle comparison is only valid while
+    // no shingle's document frequency reaches the cap on the gate
+    // fixtures — assert it so fixture growth can't silently break the
+    // "recall is exactly 1" justification.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.tables.Tables(spark, dir, "documents")
+      val maxDf = docs
+        .select(explode(Shingles.wordShingles(col("text"), 3)).as("s"))
+        .groupBy(col("s")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxDf < 1000,
+        s"$dir: max shingle df $maxDf reaches the 1000 cap — " +
+          "the d04 oracle's recall-1 precondition no longer holds")
+    }
   }
 }

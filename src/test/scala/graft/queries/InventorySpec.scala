@@ -27,11 +27,14 @@ class InventorySpec extends SparkSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
-  test("q29 approx_count_distinct within 5% of exact (declared non-hash)") {
-    val approx = Inventory.queries("q29_approx_distinct")(spark, sf)
-      .collect().head.getLong(0).toDouble
-    val exact = Tables(spark, sf, "lineitem")
-      .agg(countDistinct(col("l_partkey"))).collect().head.getLong(0).toDouble
+  test("q29 emits the in-query ±5% verdict; raw sketch is within tolerance") {
+    val row = Inventory.queries("q29_approx_distinct")(spark, sf).collect().head
+    assert(row.getBoolean(1), s"within_tol must hold: $row")
+    // and the raw HLL estimate itself (not shipped through the gate because
+    // sketch values are engine-specific) stays within the tolerance
+    val approx = Tables(spark, sf, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"))).collect().head.getLong(0).toDouble
+    val exact = row.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }

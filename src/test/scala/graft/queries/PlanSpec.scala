@@ -65,6 +65,45 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("q48: max_by/min_by aggregate with partial map-side combine") {
+    val plan = planOf("q48_conditional_aggs")
+    val aggLines = plan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")), aggLines.mkString("\n"))
+    // max_by/min_by are declarative aggregates — they must stay in
+    // HashAggregate, not fall back to ObjectHashAggregate
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("q44: statistical aggregates stay in HashAggregate with partials") {
+    val plan = planOf("q44_stat_aggs")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("partial_")), plan)
+  }
+
+  test("q46: one keyed window pass computes all distribution functions") {
+    val plan = planOf("q46_window_distribution")
+    // all three distribution functions must land in ONE Window node (its
+    // rendered line carries all of them) over one hashpartitioning
+    // exchange on the window key. The AQE plan string renders Final +
+    // Initial, so assert per-line, not by node count.
+    assert(plan.linesIterator.exists(l => l.contains("Window [") &&
+      l.contains("ntile(4)") && l.contains("percent_rank") &&
+      l.contains("cume_dist")), plan)
+    assert(plan.contains("hashpartitioning(c_nationkey"), plan)
+  }
+
+  test("t02: quality score is a single text_stats projection (map-only)") {
+    val df = graft.queries.PipelineOps.queries("t02_quality_score")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // no join/aggregate exchanges — the only exchange is the declared
+    // total-order ORDER BY
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"), plan)
+    assert(plan.contains("text_stats"), plan)
+  }
+
   test("bucketed tables co-locate the join: no exchange between them") {
     import org.apache.spark.sql.functions._
     // bucket both sides on the join key — the 100 TB pattern for repeated
