@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / splitting / packing operators for training-data
+ * curation — the selection stage of an LLM data pipeline (after dedup and
+ * quality filtering, before tokenization):
+ *
+ *  - [[hashSplit]]: reproducible k-way train/val/test assignment
+ *  - [[stratifiedQuota]]: per-stratum caps (balance languages/sources)
+ *  - [[packSequences]]: group documents into ~fixed-budget training bins
+ *
+ * Everything is DETERMINISTIC — re-running on the same corpus yields the
+ * same assignment (the property curation pipelines need for resumability
+ * and for train/test-leak audits). Randomness comes from md5 of the id,
+ * not an RNG: md5 hex strings are engine-portable (any SQL engine can
+ * recompute and audit the split), unlike seeded PRNG sampling which is
+ * engine-private — that is what makes these operators oracle-checkable.
+ *
+ * Scale: hashSplit is map-only; stratifiedQuota and packSequences use
+ * KEYED windows only (stratum / shard), so they scale horizontally —
+ * there is no global sort or single-partition window anywhere.
+ */
+object Sampling {
+
+  /** First-two-hex-digit bucket (0..255) of md5 of the id — the shared
+    * deterministic "random" driver for all three operators. */
+  private def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /**
+   * Deterministic k-way split: `split = md5_bucket(id) % k` (0-based).
+   * Fractions are uniform to within 1/256 per split; a doc's assignment
+   * never changes as the corpus grows (unlike `randomSplit`, which
+   * reshuffles with partition layout). Map-only — no shuffle at all.
+   */
+  def hashSplit(df: DataFrame, idCol: String, k: Int,
+                splitCol: String = "split"): DataFrame = {
+    require(k >= 2, "hashSplit needs k >= 2")
+    df.withColumn(splitCol, pmod(md5Bucket(col(idCol)), lit(k)))
+  }
+
+  /**
+   * Per-stratum quota: keep the `n` docs of each stratum that sort first
+   * by (md5(id), id) — a reproducible uniform subsample that caps any
+   * stratum (language, source domain) at `n` docs, the standard rebalance
+   * step for skewed corpora. One keyed shuffle (the stratum window);
+   * quota rank rides along as `rk`.
+   */
+  def stratifiedQuota(df: DataFrame, strataCol: String, idCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "stratifiedQuota needs n >= 1")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= n)
+  }
+
+  /**
+   * Sequence packing: assign each document to a training bin of roughly
+   * `budget` weight (tokens/chars). Documents are deterministically
+   * sharded by md5 bucket (packing is SHARD-LOCAL — the classic
+   * distributed approximation of the inherently-sequential greedy packer:
+   * no global pass, each shard packs independently, so 100 TB packs with
+   * shard-count parallelism); within a shard, docs are laid out in
+   * (md5, id) order and `bin` = running-weight-before DIV budget, i.e.
+   * a bin holds the docs whose preceding cumulative weight falls in the
+   * same budget window. Bins can overflow by at most one document —
+   * streaming next-fit semantics, the standard trade for one-pass packing.
+   *
+   * Output: (id, shard, bin, offset) where `offset` is the weight already
+   * packed into the bin before this doc.
+   */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    budget: Long, shards: Int = 16): DataFrame = {
+    require(budget >= 1 && shards >= 1)
+    val shard = pmod(md5Bucket(col(idCol)), lit(shards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("__before",
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+      // integer DIV, not floor(double /): exact at any cumulative weight
+      .withColumn("bin", expr(s"__before DIV ${budget}L"))
+      .withColumn("offset", col("__before") - col("bin") * budget)
+      .select(col(idCol), col("shard"), col("bin"), col("offset"),
+        col(weightCol))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /**
@@ -95,6 +95,25 @@ object PipelineOps {
           element_at(col("fps"), -1).as("fp_max"))
     },
 
+    // --- deterministic selection: splits / quotas / packing --------------
+    "p01_hash_split" -> { (s, d) =>
+      Sampling.hashSplit(docs(s, d), "doc_id", k = 3)
+        .select(col("doc_id").as("id"), col("split"))
+        .orderBy(col("id"))
+    },
+    "p02_stratified_quota" -> { (s, d) =>
+      Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", n = 30)
+        .select(col("doc_id").as("id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    "p03_pack_sequences" -> { (s, d) =>
+      Sampling.packSequences(docs(s, d), "doc_id", "n_chars",
+          budget = 4096L, shards = 8)
+        .select(col("doc_id").as("id"), col("shard"), col("bin"),
+          col("offset"))
+        .orderBy(col("id"))
+    },
+
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
     "j01_asof_join" -> { (s, d) =>
       val ev = Tables(s, d, "events")
@@ -141,7 +160,36 @@ object PipelineOps {
     * sf0.01 gate fixture (checked empirically; d03's Hamming-on-SimHash
     * verification is genuinely engine-specific and stays rows-only, as do
     * the winnowing fingerprints t04 and the e02 IVF probe subset). */
+  /** DuckDB-side md5 bucket 0..255 of the doc id (parity with
+    * Sampling.md5Bucket: first two hex chars of md5 of the id string;
+    * DuckDB has no hex→int conv, so digits resolve via strpos). */
+  private val duckMd5Bucket =
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
+      "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+
   val oracle: Map[String, String] = Map(
+    "p01_hash_split" ->
+      s"""SELECT doc_id AS id, CAST($duckMd5Bucket % 3 AS INT) AS split
+         FROM documents ORDER BY id""",
+    "p02_stratified_quota" ->
+      """WITH r AS (SELECT doc_id AS id, lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+           FROM documents)
+         SELECT id, lang, rk FROM r WHERE rk <= 30 ORDER BY lang, rk""",
+    "p03_pack_sequences" ->
+      s"""WITH s AS (SELECT doc_id AS id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS m,
+             CAST($duckMd5Bucket % 8 AS INT) AS shard
+           FROM documents),
+         c AS (SELECT id, shard,
+             CAST(coalesce(sum(n_chars) OVER (PARTITION BY shard
+               ORDER BY m, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS bef
+           FROM s)
+         SELECT id, shard, CAST(bef // 4096 AS BIGINT) AS bin,
+                CAST(bef - (bef // 4096) * 4096 AS BIGINT) AS offset
+         FROM c ORDER BY id""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
     "d05_embedding_neardup" ->

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.tables.Tables
+
+/** Determinism + invariant specs for the sampling/splitting/packing ops. */
+class SamplingSpec extends SparkSuite {
+
+  private def docs = Tables(spark, sf, "documents")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("hashSplit is deterministic, complete, and roughly uniform") {
+    val a = Sampling.hashSplit(docs, "doc_id", 3).select("doc_id", "split")
+    val b = Sampling.hashSplit(docs, "doc_id", 3).select("doc_id", "split")
+    assert(a.collect().toSet === b.collect().toSet)
+    val bySplit = a.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set(0, 1, 2))
+    val n = bySplit.values.sum
+    // 3-way split of the fixture: each split within [15%, 55%]
+    bySplit.values.foreach(c =>
+      assert(c > n * 0.15 && c < n * 0.55, bySplit.toString))
+    // assignment matches the declared md5 rule
+    val row = a.orderBy("doc_id").head()
+    val bucket = Integer.parseInt(
+      md5hex(row.getLong(0).toString).substring(0, 2), 16)
+    assert(row.getInt(1) == bucket % 3)
+  }
+
+  test("stratifiedQuota caps every stratum at n, deterministically") {
+    val q = Sampling.stratifiedQuota(docs, "lang", "doc_id", 30)
+    val perLang = q.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, c) =>
+      assert(perLang(lang) == math.min(c, 30L), s"$lang: $perLang vs $full")
+    }
+    assert(q.agg(max("rk")).head().getInt(0) <= 30)
+    // deterministic: the kept id set is stable across runs
+    val ids1 = q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedQuota(docs, "lang", "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
+  test("packSequences matches a local next-fit simulation per shard") {
+    val budget = 2048L
+    val out = Sampling.packSequences(docs, "doc_id", "n_chars", budget, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // recompute: shard by md5 bucket, order by (md5, id), running sum
+    val expected = out.map(_._1).map { id =>
+      val h = md5hex(id.toString)
+      (id, Integer.parseInt(h.substring(0, 2), 16) % 4, h)
+    }.groupBy(_._2).iterator.flatMap { case (shard, members) =>
+      var before = 0L
+      val weights = docs.select("doc_id", "n_chars").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      members.sortBy(m => (m._3, m._1)).map { case (id, _, _) =>
+        val bin = before / budget
+        val off = before - bin * budget
+        val row = (id, shard, bin, off, weights(id))
+        before += weights(id)
+        row
+      }
+    }.toSet
+    assert(out.toSet === expected)
+    // structural invariants: offset always inside the budget window
+    out.foreach { case (_, _, _, off, _) =>
+      assert(off >= 0 && off < budget)
+    }
+  }
+}
