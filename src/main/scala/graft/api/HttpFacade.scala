@@ -235,15 +235,15 @@ final class HttpFacade(
       // PartitionSpec response models (ref models/catalog.py:69-192,
       // routes/catalog.py:291-373): sort_order is always null there for
       // now; format is fixed "ICEBERG".
-      def snapJson(sn: graft.catalog.Snapshot): String = Json.obj(
+      def snapJson(sn: graft.catalog.Snapshot): Json.Raw = Json.Raw(Json.obj(
         "sequence_number" -> sn.sequenceNumber,
         "snapshot_id" -> sn.snapshotId,
         "timestamp_ms" -> sn.timestampMs,
-        "manifest_list" -> sn.manifestList)
+        "manifest_list" -> sn.manifestList))
       val spec = d.partitionSpec.map { p =>
-        Json.obj("spec_id" -> p.specId, "fields" -> p.fields.map(f =>
-          Json.obj("source_id" -> f.sourceId, "field_id" -> f.fieldId,
-            "name" -> f.name, "transform" -> f.transform)))
+        Json.Raw(Json.obj("spec_id" -> p.specId, "fields" -> p.fields.map(f =>
+          Json.Raw(Json.obj("source_id" -> f.sourceId, "field_id" -> f.fieldId,
+            "name" -> f.name, "transform" -> f.transform)))))
       }.orNull
       sendJson(ex, 200, Json.obj(
         "namespace" -> d.namespace,
@@ -255,7 +255,11 @@ final class HttpFacade(
         "current_snapshot" -> d.currentSnapshot.map(snapJson).orNull,
         "snapshots" -> d.snapshots.map(snapJson)))
     } catch {
-      case e: Exception => sendJson(ex, 404, detail(e.getMessage))
+      // only a genuine not-found is a 404; anything else (corrupt metadata
+      // JSON, IO failure) must surface as the route-level 500, not
+      // masquerade as a missing table
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
     }
   }
 
@@ -276,12 +280,13 @@ final class HttpFacade(
       sendJson(ex, 200, Json.obj(
         "namespace" -> info.namespace.mkString("."),
         "table" -> info.table,
-        "fields" -> info.fields.map(f => Json.obj(
+        "fields" -> info.fields.map(f => Json.Raw(Json.obj(
           "name" -> f.name, "type" -> f.dataType,
           "nullable" -> f.nullable,
-          "is_partition_column" -> f.isPartitionColumn))))
+          "is_partition_column" -> f.isPartitionColumn)))))
     } catch {
-      case e: Exception => sendJson(ex, 404, detail(e.getMessage))
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
     }
   }
 
@@ -289,12 +294,12 @@ final class HttpFacade(
     val h = GraftEngine.healthCheck(spark)
     val status = h.getOrElse("status", "unhealthy")
     val code = if (status == "healthy") 200 else 503
-    def comp(key: String) =
-      Json.obj("healthy" -> (h.getOrElse(key, "unhealthy") == "healthy"))
+    def comp(key: String) = Json.Raw(
+      Json.obj("healthy" -> (h.getOrElse(key, "unhealthy") == "healthy")))
     sendJson(ex, code, Json.obj(
       "status" -> status,
-      "components" -> Json.obj(
-        "engine" -> comp("engine"), "catalog" -> comp("catalog"))))
+      "components" -> Json.Raw(Json.obj(
+        "engine" -> comp("engine"), "catalog" -> comp("catalog")))))
   }
 
   /** Readiness gate (ref health.py:96-126): 200 `{"ready": true}` only when
@@ -376,9 +381,16 @@ object HttpFacade {
   * value rendering reuses [[graft.results.ValueFormat]]'s escaping. */
 private[api] object Json {
 
+  /** Pre-rendered JSON spliced verbatim. An EXPLICIT marker, never a
+    * string-prefix heuristic: plain strings that happen to start with
+    * `[`/`{` (e.g. Spark 4 error-class messages like
+    * "[SCHEMA_NOT_FOUND] ...") must be escaped like any other string, or
+    * an error body becomes malformed JSON. */
+  final case class Raw(json: String)
+
   /** Render a JSON object; values may be String, Boolean, Long, Int,
-    * null, Seq[String], Seq[String-rendered object], or a pre-rendered
-    * nested object produced by this method (detected by `{`/`[` prefix). */
+    * null, Seq of renderable values, or [[Raw]] for nested pre-rendered
+    * objects. Every plain string is escaped — no exceptions. */
   def obj(fields: (String, Any)*): String =
     fields.map { case (k, v) =>
       ValueFormat.jsonString(k) + ":" + render(v)
@@ -386,7 +398,7 @@ private[api] object Json {
 
   private def render(v: Any): String = v match {
     case null => "null"
-    case s: String if s.startsWith("{") || s.startsWith("[") => s
+    case Raw(s) => s
     case s: String => ValueFormat.jsonString(s)
     case b: Boolean => b.toString
     case n: Long => n.toString

@@ -72,7 +72,9 @@ final class SparkCatalogProvider(
   private def loadTable(namespace: Seq[String], table: String) =
     try asTables.loadTable(Identifier.of(namespace.toArray, table))
     catch {
-      case e: Exception if isNoSuchTable(e) =>
+      // a missing NAMESPACE on a table load is also "table not found" to
+      // the caller (the reference's PyIceberg NoSuchTableError covers both)
+      case e: Exception if isNoSuchTable(e) || isNoSuchNamespace(e) =>
         throw new NoSuchEntityException(
           s"Table not found: ${(namespace :+ table).mkString(".")}")
     }

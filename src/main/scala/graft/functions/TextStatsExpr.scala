@@ -29,8 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * graft.ops.TextAnalysis (equivalence-tested in VectorExpressionsSpec):
  *
  *  - n_chars    = length(text) — UTF-8 code points
- *  - n_words    = size(split(trim(text),'\s+')) with empty→0 — maximal
- *                 runs of non-whitespace (Java \s = [ \t\n\x0B\f\r])
+ *  - n_words    = size(split(trim(text),'\s+')) with empty→0 — split
+ *                 FIELDS (limit -1 keeps empty fields from tab/newline
+ *                 padding that 0x20-only trim leaves behind), i.e.
+ *                 whitespace-run count + 1 over the space-trimmed text
+ *                 (Java \s = [ \t\n\x0B\f\r])
  *  - n_subwords = size(regexp_extract_all(text,'\w+|[^\w\s]')) — maximal
  *                 [A-Za-z0-9_] runs plus one per other non-space code point
  *  - n_punct    = count of ASCII \p{Punct} chars (33-47,58-64,91-96,123-126)
@@ -74,11 +77,27 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
     val off = text.getBaseOffset
 
     var nChars = 0
-    var nWords = 0
     var nSubwords = 0
     var nPunct = 0
     var nAlpha = 0
     var stopMask = 0 // bit i set = stopword i seen among tokens
+
+    // n_words must equal size(split(trim(text), "\\s+")) with empty→0 (the
+    // HOF/DuckDB-oracle semantics, both of which keep EMPTY FIELDS):
+    // `trim` strips only 0x20, and split with limit -1 keeps the leading/
+    // trailing empty fields produced by non-space whitespace at the ends
+    // ("\tfoo bar" → ["", "foo", "bar"]). So: over the space-trimmed byte
+    // range, fields = whitespace-RUN count + 1 (0 when the range is
+    // empty) — NOT the non-whitespace-run count, which silently diverges
+    // for text padded with tabs/newlines.
+    var trimStart = 0
+    var trimEnd = nBytes
+    while (trimStart < nBytes &&
+      Platform.getByte(base, off + trimStart) == 0x20) trimStart += 1
+    while (trimEnd > trimStart &&
+      Platform.getByte(base, off + trimEnd - 1) == 0x20) trimEnd -= 1
+    var wsRuns = 0
+    var inWsRun = false
 
     var inWord = false     // inside a non-whitespace token run
     var inWordChars = false // inside a [A-Za-z0-9_] run
@@ -94,12 +113,20 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
         nChars += 1
         val isWs = c == 0x20 || (c >= 0x09 && c <= 0x0D)
         if (isWs) {
+          // run-tracking is RANGE-LOCAL: bytes outside [trimStart,trimEnd)
+          // are all 0x20 and must not pre-open a run (a tab at trimStart
+          // preceded by stripped spaces still starts a separator field)
+          if (b >= trimStart && b < trimEnd) {
+            if (!inWsRun) wsRuns += 1
+            inWsRun = true
+          }
           if (inWord) { // token ends: try stopword match
             if (tokLen > 0) stopMask |= matchStop(tok, tokLen)
             inWord = false; inWordChars = false; tokLen = 0
           }
         } else {
-          if (!inWord) { inWord = true; nWords += 1; tokLen = 0 }
+          inWsRun = false
+          if (!inWord) { inWord = true; tokLen = 0 }
           val isWordChar = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
             (c >= '0' && c <= '9') || c == '_'
           if (isWordChar) {
@@ -122,7 +149,8 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
         b += 1
       } else { // non-ASCII code point: non-word, non-space, non-punct
         nChars += 1
-        if (!inWord) { inWord = true; nWords += 1; tokLen = 0 }
+        inWsRun = false
+        if (!inWord) { inWord = true; tokLen = 0 }
         nSubwords += 1
         inWordChars = false
         tokLen = -1 // non-ASCII token can never equal an ASCII stopword
@@ -130,6 +158,9 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
       }
     }
     if (inWord && tokLen > 0) stopMask |= matchStop(tok, tokLen)
+
+    // split-field count over the space-trimmed range (empty range → 0)
+    val nWords = if (trimStart >= trimEnd) 0 else wsRuns + 1
 
     val nStop = Integer.bitCount(stopMask)
     val meanWordLen =
@@ -162,11 +193,12 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 }
 
 object TextStatsExpr {
-  /** EN stopword profile — MUST stay in sync with
-    * graft.ops.TextAnalysis.stopwordProfiles("en"). */
+  /** EN stopword profile — read from the single source of truth so the
+    * native expression, the HOF reference form, and the DuckDB oracle can
+    * never drift apart. */
   val stopwords: Array[String] =
-    Array("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-  private val MaxStopLen = stopwords.map(_.length).max // 4
+    graft.ops.TextAnalysis.stopwordProfiles("en").toArray
+  private val MaxStopLen = stopwords.map(_.length).max
 
   private val stopBytes: Array[Array[Byte]] =
     stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))

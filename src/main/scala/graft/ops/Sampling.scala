@@ -39,7 +39,9 @@ object Sampling {
    */
   def hashSplit(df: DataFrame, idCol: String, k: Int,
                 splitCol: String = "split"): DataFrame = {
-    require(k >= 2, "hashSplit needs k >= 2")
+    // the md5 bucket has 256 values: k beyond that would leave splits
+    // 256..k-1 permanently empty (and uniformity collapses well before)
+    require(k >= 2 && k <= 256, s"hashSplit needs 2 <= k <= 256, got $k")
     df.withColumn(splitCol, pmod(md5Bucket(col(idCol)), lit(k)))
   }
 
@@ -76,7 +78,10 @@ object Sampling {
    */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
                     budget: Long, shards: Int = 16): DataFrame = {
-    require(budget >= 1 && shards >= 1)
+    require(budget >= 1, s"packSequences needs budget >= 1, got $budget")
+    // shards bounded by the 256-value md5 bucket (see hashSplit)
+    require(shards >= 1 && shards <= 256,
+      s"packSequences needs 1 <= shards <= 256, got $shards")
     val shard = pmod(md5Bucket(col(idCol)), lit(shards))
     val w = Window.partitionBy(col("shard"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

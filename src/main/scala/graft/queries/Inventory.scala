@@ -166,11 +166,17 @@ object Inventory {
       // a distributed global rank would be range-partition + offset join).
       val byNation = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      // rank/dense_rank order WITHOUT the unique-key tiebreak: with it
+      // there are never peer rows and both collapse to row_number — the
+      // ties are the semantics this entry exists to exercise. (Still
+      // deterministic: peers share the output value by definition.)
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc)
       Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_acctbal"),
           row_number().over(byNation).as("rn"),
-          rank().over(byNation).as("rk"),
-          dense_rank().over(byNation).as("drk"))
+          rank().over(byBal).as("rk"),
+          dense_rank().over(byBal).as("drk"))
         .orderBy(col("c_custkey"))
     },
     "q14_window_analytic" -> { (s, d) =>
@@ -552,7 +558,7 @@ object Inventory {
     "q12_having" ->
       "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey",
     "q13_window_rank" ->
-      "SELECT c_custkey, c_acctbal, CAST(row_number() OVER w AS INTEGER) AS rn, CAST(rank() OVER w AS INTEGER) AS rk, CAST(dense_rank() OVER w AS INTEGER) AS drk FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) ORDER BY c_custkey",
+      "SELECT c_custkey, c_acctbal, CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn, CAST(rank() OVER wb AS INTEGER) AS rk, CAST(dense_rank() OVER wb AS INTEGER) AS drk FROM customer WINDOW wb AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) ORDER BY c_custkey",
     "q14_window_analytic" ->
       "SELECT o_orderkey, o_custkey, lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key, CAST(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run2 FROM orders ORDER BY o_custkey, o_orderkey",
     "q15_topk" ->

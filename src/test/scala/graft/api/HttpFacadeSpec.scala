@@ -206,6 +206,18 @@ class HttpFacadeSpec extends SparkSuite {
     assert(d.body.contains("\"timestamp_ms\":1700000100000"))
   }
 
+  test("error bodies escape bracket-prefixed engine messages (valid JSON)") {
+    // Spark 4 error-class messages start with "[ERROR_CLASS]" — a
+    // prefix-heuristic JSON renderer would splice them unquoted and emit
+    // malformed bodies; the explicit Raw marker must never fire on them
+    val body = Json.obj(
+      "detail" -> "[SCHEMA_NOT_FOUND] The schema `x` cannot be found.")
+    assert(body ===
+      "{\"detail\":\"[SCHEMA_NOT_FOUND] The schema `x` cannot be found.\"}")
+    // and genuinely nested JSON still splices verbatim via Raw
+    assert(Json.obj("a" -> Json.Raw("""{"b":1}""")) === """{"a":{"b":1}}""")
+  }
+
   test("namespaces honors ?parent= and 404s on unknown parents") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     val all = get("/api/v1/catalog/namespaces")

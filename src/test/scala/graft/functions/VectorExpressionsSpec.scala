@@ -157,7 +157,13 @@ class VectorExpressionsSpec extends SparkSuite {
         (9004L, "für die straße 一二三 emoji\ttabs\nnewlines"),
         (9005L, "the the THE that that it for of and to in is a"),
         (9006L, "antidisestablishmentarianism x_y_z 3.14159 a1b2"),
-        (9007L, "!!!??? ;;; ___ [brackets] (parens) \"quotes\""))
+        (9007L, "!!!??? ;;; ___ [brackets] (parens) \"quotes\""),
+        // leading/trailing NON-SPACE whitespace: trim strips only 0x20 and
+        // split keeps empty fields, so these exercise the n_words
+        // empty-field semantics ("\tfoo bar" → 3 fields, "\t" → 2)
+        (9008L, "\tfoo bar"), (9009L, "foo bar\n"), (9010L, "\t"),
+        (9011L, "\n\nfoo\n\n"), (9012L, "  \tmixed lead"),
+        (9013L, "trail mix\t  "), (9014L, " \t \n "))
         .toDF("doc_id", "text"))
     val native = TextAnalysis.tokenCounts(docs, "text", "doc_id").collect()
     val hofTok = TextAnalysis.tokenCountsHof(docs, "text", "doc_id").collect()

@@ -58,13 +58,13 @@ class SamplingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     // recompute: shard by md5 bucket, order by (md5, id), running sum
+    val weights = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = out.map(_._1).map { id =>
       val h = md5hex(id.toString)
       (id, Integer.parseInt(h.substring(0, 2), 16) % 4, h)
     }.groupBy(_._2).iterator.flatMap { case (shard, members) =>
       var before = 0L
-      val weights = docs.select("doc_id", "n_chars").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       members.sortBy(m => (m._3, m._1)).map { case (id, _, _) =>
         val bin = before / budget
         val off = before - bin * budget
