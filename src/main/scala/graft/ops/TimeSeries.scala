@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series regularization for event streams: resample onto a fixed
+ * grid and gap-fill — the feature-store shape (one row per key per
+ * bucket, no holes) that downstream trainers and as-of joins expect.
+ *
+ * Reference computes nothing like this (its streams are HTTP transfer);
+ * this is engine capability a Spark pipeline adds, like graft.ops.AsOf.
+ *
+ * Scale: the grid is generated PER KEY with `sequence` + `explode`
+ * (row-local fan-out, no driver involvement, no cross-key shuffle), the
+ * observation join is a keyed equi-join, and the forward-fill is a keyed
+ * window — everything partitions by key, so 100 TB of events resample
+ * with key-count parallelism. Grid size per key is bounded by that key's
+ * own [min, max] activity span.
+ */
+object TimeSeries {
+
+  /**
+   * Hourly (or any `step`) resample of `valueCol` aggregated per
+   * (`keyCol`, bucket), with empty buckets forward-filled from the last
+   * observed value (nulls remain before a key's first observation —
+   * there is nothing to fill from).
+   *
+   * Output: (key, bucket, n_events, v, v_ffill) where `v` is the bucket's
+   * own aggregate (null for generated gap rows), `n_events` its event
+   * count (0 for gaps), and `v_ffill` the forward-filled value.
+   */
+  def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, step: String = "1 hour"): DataFrame = {
+    // tumbling-window START as the bucket: epoch-aligned for any `step`
+    // (date_trunc would only be right for whole calendar units). The
+    // window() expression must appear directly in the grouping list for
+    // the analyzer's TimeWindow rewrite; the start field projects after.
+    val obs = events
+      .groupBy(col(keyCol), window(col(tsCol), step).as("__w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("v"))
+      .select(col(keyCol), col("__w.start").as("bucket"),
+        col("n_events"), col("v"))
+
+    // per-key grid over that key's own activity span — sequence() is a
+    // row-local generator, so the fan-out happens where the key lives
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(expr(s"sequence(lo, hi, interval $step)")).as("bucket"))
+
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("v"),
+        // last(ignoreNulls) up to AND INCLUDING the current row IS
+        // forward-fill: a bucket's own value wins, else the latest
+        // preceding non-null
+        last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+}

@@ -137,6 +137,18 @@ object PipelineOps {
         .orderBy(col("event_id"))
     },
 
+    // --- time-series regularization: resample + forward-fill -------------
+    "r01_resample_ffill" -> { (s, d) =>
+      val ev = Tables(s, d, "events").filter(col("event_type") === "purchase")
+      graft.ops.TimeSeries.resampleFill(ev, "user_id", "ts", "value",
+          step = "1 hour")
+        .select(col("user_id"), col("bucket"), col("n_events"),
+          // decimal-round then back to double (hash-parity rules)
+          col("v").cast("decimal(18,2)").cast("double").as("v"),
+          col("v_ffill").cast("decimal(18,2)").cast("double").as("v_ffill"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
     // --- multimodal plumbing (decode stubbed; shape real) ---------------
     "m01_media_features" -> { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaFromDocuments(docs(s, d)))
@@ -262,6 +274,25 @@ object PipelineOps {
                x -> x // 16 = 15)) AS FLOAT) / length(text) AS DOUBLE), 4) END AS f16
            FROM d)
          SELECT id, format, n_bytes, f1, f16 FROM c ORDER BY id""",
+    "r01_resample_ffill" ->
+      """WITH obs AS (SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           FROM obs GROUP BY 1),
+         grid AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+           FROM b),
+         j AS (SELECT g.user_id, g.bucket, o.n_events, o.v
+           FROM grid g LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.bucket = o.bucket)
+         SELECT user_id, bucket, coalesce(n_events, 0) AS n_events,
+           CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS v,
+           CAST(CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS DOUBLE) AS v_ffill
+         FROM j ORDER BY user_id, bucket""",
     "j01_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
