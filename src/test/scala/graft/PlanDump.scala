@@ -70,6 +70,16 @@ object PlanDump {
         "partial+final HashAggregate (the round-2 2.9 s outlier was " +
         "codegen-cache eviction in the bench harness, not the plan — " +
         "fixed by spark.sql.codegen.cache.maxEntries=1000)."),
+    "p03_pack_sequences" ->
+      ("Shard assignment is a map-only md5 projection; the running-sum " +
+        "window keys on shard, so packing parallelizes by shard count " +
+        "with one hash exchange — the distributed form of the " +
+        "inherently-sequential greedy packer."),
+    "r01_resample_ffill" ->
+      ("Per-key grid via Generate(explode(sequence)) — row-local fan-out " +
+        "where the key lives; observation join and forward-fill window " +
+        "both reuse hashpartitioning(user_id); no global operation before " +
+        "the declared ORDER BY."),
     "t02_quality_score" ->
       ("All six curation signals come from ONE native text_stats " +
         "evaluation (ProjectExec subexpression elimination shares it " +

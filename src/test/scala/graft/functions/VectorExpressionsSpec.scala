@@ -173,6 +173,36 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(nativeQ.map(_.toSeq) === hofQ.map(_.toSeq))
   }
 
+  test("text_stats equals the HOF forms on 400 random adversarial strings") {
+    // scalacheck-generated corpus: characters drawn to stress every
+    // boundary in the one-pass scanner — whitespace variants (incl. \x0B
+    // vertical tab and runs at the ends), ASCII letter/digit/punct,
+    // multi-byte unicode, stopwords with mixed case
+    import org.scalacheck.{Gen, rng}
+    val alphabet: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("a", "Z", "m", "q", "3", "_", "."),
+      4 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      2 -> Gen.oneOf("the", "IS", "That", "für", "中文", "😀"),
+      1 -> Gen.oneOf("!", "[", "{", "\"", "\\"))
+    val doc: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val texts = (0 until 400).foldLeft((rng.Seed(42L), List.empty[String])) {
+      case ((seed, acc), _) =>
+        (seed.next, doc.pureApply(Gen.Parameters.default, seed) :: acc)
+    }._2
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = graft.ops.TextAnalysis.qualityScore(df, "text", "doc_id").collect()
+    val hof = graft.ops.TextAnalysis.qualityScoreHof(df, "text", "doc_id").collect()
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.toSeq === h.toSeq, s"diverged on text=${texts(n.getLong(0).toInt)}")
+    }
+    val nTok = graft.ops.TextAnalysis.tokenCounts(df, "text", "doc_id").collect()
+    val hTok = graft.ops.TextAnalysis.tokenCountsHof(df, "text", "doc_id").collect()
+    assert(nTok.map(_.toSeq) === hTok.map(_.toSeq))
+  }
+
   test("word_shingles matches the HOF shingling over the documents fixture") {
     GraftFunctions.register(spark)
     val docs = graft.tables.Tables(spark, sf, "documents")

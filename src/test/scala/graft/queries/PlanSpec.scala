@@ -104,6 +104,26 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("text_stats"), plan)
   }
 
+  test("r01: resample grid + fill use only keyed exchanges (no global sort before ORDER BY)") {
+    val df = graft.queries.PipelineOps.queries("r01_resample_ffill")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // observation agg, grid agg, join, and fill window all key on user_id;
+    // the single rangepartitioning is the declared total-order ORDER BY
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 2, plan)
+    // grid generation is a Generate (explode of sequence), not a join
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("p03: packing is one keyed window over the shard exchange") {
+    val df = graft.queries.PipelineOps.queries("p03_pack_sequences")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bucketed tables co-locate the join: no exchange between them") {
     import org.apache.spark.sql.functions._
     // bucket both sides on the join key — the 100 TB pattern for repeated
