@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM zone too: specs build java.sql.Timestamps (JVM-local) and
+  // assert session-TZ renderings — without this, any non-UTC dev machine
+  // shifts the inputs and time-bucket assertions fail spuriously
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

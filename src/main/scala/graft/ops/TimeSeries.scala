@@ -30,9 +30,34 @@ object TimeSeries {
    * Output: (key, bucket, n_events, v, v_ffill) where `v` is the bucket's
    * own aggregate (null for generated gap rows), `n_events` its event
    * count (0 for gaps), and `v_ffill` the forward-filled value.
+   *
+   * CAVEAT — outlier timestamps: the per-key grid spans that key's OWN
+   * [min, max] bucket range, so one corrupt timestamp (a zeroed 1970
+   * field, a far-future clock skew) inflates that key's grid to the whole
+   * bogus span (and past Spark's sequence-length cap at fine steps).
+   * Like any event-time pipeline, bound the time range BEFORE
+   * regularizing (`events.filter(col(ts).between(...))`); the operator
+   * deliberately does not silently clamp.
    */
   def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, step: String = "1 hour"): DataFrame = {
+    val reserved = Set("bucket", "n_events", "v", "v_ffill", "__w", "__lo", "__hi")
+    require(!Seq(keyCol, tsCol, valueCol).exists(reserved.contains),
+      s"column names $reserved are produced by resampleFill — rename the " +
+        "input column first")
+    // validate `step` up front (expr()/window() only fail at plan analysis,
+    // with an error pointing at generated SQL instead of the parameter)
+    val parsed =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(step))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"resampleFill: unparseable step '$step'", e)
+      }
+    require(parsed != null,
+      s"resampleFill: unparseable step '$step'")
+    val stepInterval = expr(s"interval $step")
+
     // tumbling-window START as the bucket: epoch-aligned for any `step`
     // (date_trunc would only be right for whole calendar units). The
     // window() expression must appear directly in the grouping list for
@@ -46,9 +71,9 @@ object TimeSeries {
     // per-key grid over that key's own activity span — sequence() is a
     // row-local generator, so the fan-out happens where the key lives
     val grid = obs.groupBy(col(keyCol))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol),
-        explode(expr(s"sequence(lo, hi, interval $step)")).as("bucket"))
+        explode(sequence(col("__lo"), col("__hi"), stepInterval)).as("bucket"))
 
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -77,9 +77,12 @@ object PlanDump {
         "inherently-sequential greedy packer."),
     "r01_resample_ffill" ->
       ("Per-key grid via Generate(explode(sequence)) — row-local fan-out " +
-        "where the key lives; observation join and forward-fill window " +
-        "both reuse hashpartitioning(user_id); no global operation before " +
-        "the declared ORDER BY."),
+        "where the key lives. The observation aggregate exchanges on " +
+        "(user_id, window) and the grid join runs broadcast at fixture " +
+        "scale (its own (user_id, bucket) shuffle at 100 TB — keyed " +
+        "either way); the forward-fill window is the only " +
+        "hashpartitioning(user_id) exchange. Nothing global before the " +
+        "declared ORDER BY."),
     "t02_quality_score" ->
       ("All six curation signals come from ONE native text_stats " +
         "evaluation (ProjectExec subexpression elimination shares it " +

@@ -181,7 +181,7 @@ class VectorExpressionsSpec extends SparkSuite {
     import org.scalacheck.{Gen, rng}
     val alphabet: Gen[String] = Gen.frequency(
       6 -> Gen.oneOf("a", "Z", "m", "q", "3", "_", "."),
-      4 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+      4 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
       2 -> Gen.oneOf("the", "IS", "That", "für", "中文", "😀"),
       1 -> Gen.oneOf("!", "[", "{", "\"", "\\"))
     val doc: Gen[String] =

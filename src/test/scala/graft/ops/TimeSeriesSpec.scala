@@ -35,6 +35,17 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out.count(_._1 == 2L) == 1)
   }
 
+  test("resampleFill rejects reserved column names and malformed steps early") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("v", "ts", "value")
+    intercept[IllegalArgumentException](
+      TimeSeries.resampleFill(df, "v", "ts", "value"))
+    val ok = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException](
+      TimeSeries.resampleFill(ok, "user_id", "ts", "value", step = "1 bogus"))
+  }
+
   test("resampleFill honors sub-hour steps with epoch alignment") {
     val events = Seq(
       (1L, ts("2024-01-01 00:07:00"), 1.0),
