@@ -164,6 +164,39 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Text cleanup / normalization
+  // ------------------------------------------------------------------
+
+  /**
+   * Curation-standard text cleanup, applied in a fixed order: strip HTML
+   * tags, mask URLs and emails with placeholder tokens (masking beats
+   * deletion — downstream dedup/quality signals still see that something
+   * was there), drop non-whitespace control characters, collapse all
+   * whitespace runs to single spaces, trim.
+   *
+   * Every pattern stays in the Java∩RE2 common subset with EXPLICIT
+   * whitespace classes (`[ \t\r\n\x0B\f]` instead of `\s`/`\S`, whose
+   * \x0B membership differs between engines) so any SQL engine
+   * reproduces the transform byte-for-byte — which is what makes the
+   * operator oracle-checkable. Chained `regexp_replace` built-ins:
+   * map-only, codegen'd, zero shuffle.
+   */
+  def cleanText(text: Column): Column = {
+    val tags   = regexp_replace(text, "<[^<>]*>", " ")
+    val urls   = regexp_replace(tags, "https?://[^ \\t\\r\\n\\x0B\\f]+", " <URL> ")
+    val emails = regexp_replace(urls,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " <EMAIL> ")
+    val ctrl   = regexp_replace(emails, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(ctrl, "[ \\t\\r\\n\\x0B\\f]+", " "))
+  }
+
+  /** (id, clean, n_chars_clean) per document. */
+  def cleaned(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), cleanText(col(textCol)).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")))
+      .orderBy(col("id"))
+
+  // ------------------------------------------------------------------
   // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   // ------------------------------------------------------------------
 

@@ -88,6 +88,9 @@ object PipelineOps {
     "t03_lang_id" -> { (s, d) =>
       TextAnalysis.langIdOf(docs(s, d), "text", "doc_id")
     },
+    "t05_clean_text" -> { (s, d) =>
+      TextAnalysis.cleaned(docs(s, d), "text", "doc_id")
+    },
     "t04_fingerprints" -> { (s, d) =>
       TextAnalysis.fingerprints(docs(s, d), "text", "doc_id")
         .select(col("id"), col("n_fps"),
@@ -303,6 +306,20 @@ object PipelineOps {
       """SELECT doc_id AS id, min(doc_id) OVER w AS keep_id, count(*) OVER w AS n_copies, doc_id <> min(doc_id) OVER w AS is_dup FROM documents WINDOW w AS (PARTITION BY text) ORDER BY id""",
     "t01_token_counts" ->
       """SELECT doc_id AS id, CAST(length(text) AS INTEGER) AS n_chars, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_subwords FROM documents ORDER BY id""",
+    "t05_clean_text" ->
+      // identical pattern chain (Java∩RE2 subset, explicit whitespace
+      // classes); DuckDB regexp_replace needs the 'g' flag — Spark's is
+      // global by default
+      """WITH c AS (SELECT doc_id AS id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '<[^<>]*>', ' ', 'g'),
+             'https?://[^ \t\r\n\x0B\f]+', ' <URL> ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' <EMAIL> ', 'g'),
+             '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t\r\n\x0B\f]+', ' ', 'g')) AS clean
+           FROM documents)
+         SELECT id, clean, CAST(length(clean) AS INTEGER) AS n_chars_clean
+         FROM c ORDER BY id""",
     "m02_frame_sample" ->
       """SELECT doc_id AS id, CAST(f.i - 1 AS INTEGER) AS frame_idx, CAST(ord(array_extract(text, (f.i - 1) * 64 + 1)) AS INTEGER) AS frame_byte FROM documents, LATERAL (SELECT unnest(generate_series(1, least(8, CAST(ceil(length(text) / 64.0) AS INTEGER)))) AS i) f ORDER BY id, frame_idx"""
   )

@@ -43,6 +43,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2L) <= 0.2)
   }
 
+  test("cleanText strips tags, masks URLs/emails, collapses whitespace") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p>\n\nVisit https://example.com/a?b=1 now"),
+      (2L, "contact me at jane.doe+spam@mail.example.org   today"),
+      (3L, "ctrl\u0001chars\u0007here\u007F gone"),
+      (4L, "  already   clean  text  "),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.cleaned(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world Visit <URL> now")
+    assert(out(2L) == "contact me at <EMAIL> today")
+    assert(out(3L) == "ctrlcharshere gone")
+    assert(out(4L) == "already clean text")
+    assert(out(5L) == "")
+  }
+
   test("winnowing fingerprints: shared for near-dups, robust to edits") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val edited = base.replace("river", "creek")
