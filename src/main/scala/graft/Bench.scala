@@ -63,10 +63,24 @@ object Bench {
       System.err.println(f"bench $name%-24s runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
       name -> times(1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only the LAST 2000 characters of stdout and parses
+    // the JSON line out of that window (BENCH_r01..r03 all show
+    // `"parsed": null` — the full-precision line was ~2400 chars and lost
+    // its opening brace to the window, with sbt's "[success] ..." trailer
+    // (~75 chars) eating into the budget too). Keep the line compact:
+    // 3-decimal per-query seconds, 2-decimal total, numeric sf.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    val line =
+      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    if (line.length > 1900)
+      System.err.println(s"WARN bench JSON line ${line.length} chars — " +
+        "approaching the driver's 2000-char stdout tail window")
+    println(line)
     spark.stop()
   }
 }

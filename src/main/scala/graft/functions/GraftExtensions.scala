@@ -42,12 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig(c(0), GraftFunctions.literalInt(c(1), "numHashes"),
         GraftFunctions.literalLong(c(2), "seed")) }
     inject("graft_simhash64", "64-bit SimHash of a token array") { c =>
-      SimHash64(c(0)) }
+      SimHash64(c(0),
+        if (c.length > 1) GraftFunctions.literalHashMode(c(1), "mode")
+        else false) }
     inject("graft_word_shingles", "hashed word n-gram shingles of a text") { c =>
       WordShingleHash(c(0), GraftFunctions.literalInt(c(1), "n")) }
     inject("graft_winnow", "winnowing fingerprints of a text column") { c =>
       Winnow(c(0), GraftFunctions.literalInt(c(1), "k"),
-        GraftFunctions.literalInt(c(2), "window")) }
+        GraftFunctions.literalInt(c(2), "window"),
+        if (c.length > 3) GraftFunctions.literalHashMode(c(3), "mode")
+        else false) }
     inject("graft_lang_id", "stopword-profile language id of a token array") { c =>
       LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq) }
     inject("graft_text_stats", "one-pass per-document text statistics struct") { c =>

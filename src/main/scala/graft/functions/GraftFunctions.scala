@@ -26,6 +26,16 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+  /** 'xx' (default, xxhash64) | 'md5' (Md5Hash60, DuckDB-reproducible). */
+  private[functions] def literalHashMode(e: Expression, what: String): Boolean =
+    e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s.toString == "md5" => true
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s.toString == "xx" => false
+      case other => throw new IllegalArgumentException(
+        s"$what must be the string literal 'xx' or 'md5', got $other")
+    }
 
   /** Register all graft_* functions in the session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -43,13 +53,15 @@ object GraftFunctions {
       (c: Seq[Expression]) => MinHashSig(c(0),
         literalInt(c(1), "numHashes"), literalLong(c(2), "seed")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
-      (c: Seq[Expression]) => SimHash64(c(0)), "built-in")
+      (c: Seq[Expression]) => SimHash64(c(0),
+        if (c.length > 1) literalHashMode(c(1), "mode") else false), "built-in")
     reg.createOrReplaceTempFunction("graft_word_shingles",
       (c: Seq[Expression]) => WordShingleHash(c(0),
         literalInt(c(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       (c: Seq[Expression]) => Winnow(c(0),
-        literalInt(c(1), "k"), literalInt(c(2), "window")), "built-in")
+        literalInt(c(1), "k"), literalInt(c(2), "window"),
+        if (c.length > 3) literalHashMode(c(3), "mode") else false), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       (c: Seq[Expression]) =>
         LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq),
@@ -69,10 +81,10 @@ object GraftFunctions {
     call_function("graft_lsh_bands", vec, lit(planes), lit(rowsPerBand))
   def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     call_function("graft_minhash_sig", shingles, lit(numHashes), lit(seed))
-  def simHash64(tokens: Column): Column =
-    call_function("graft_simhash64", tokens)
-  def winnow(text: Column, k: Int, window: Int): Column =
-    call_function("graft_winnow", text, lit(k), lit(window))
+  def simHash64(tokens: Column, mode: String = "xx"): Column =
+    call_function("graft_simhash64", tokens, lit(mode))
+  def winnow(text: Column, k: Int, window: Int, mode: String = "xx"): Column =
+    call_function("graft_winnow", text, lit(k), lit(window), lit(mode))
   def wordShingles(normText: Column, n: Int): Column =
     call_function("graft_word_shingles", normText, lit(n))
   def textStats(text: Column): Column = call_function("graft_text_stats", text)

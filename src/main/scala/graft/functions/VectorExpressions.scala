@@ -354,12 +354,51 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 }
 
 /**
- * `simhash64(tokens)` — 64-bit SimHash of an `array<string>` token column:
- * per bit j, sign of the sum over tokens of ±1 by the token's xxhash64
- * bit j. Same fingerprint family as graft.ops.Dedup.simHashBits (xxhash64
- * with Spark's default seed 42), one loop per row.
+ * Cross-engine-reproducible 60-bit hash: the numeric value of the first 15
+ * hex digits of md5 — equal to Spark SQL `conv(substr(md5(x),1,15),16,10)`
+ * and DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`. Used as the hash mode
+ * that lets sketch operators (SimHash, winnowing) be checked against a
+ * DuckDB oracle; xxhash64 stays the default scale path (~5× faster, but
+ * engine-specific). 60 bits keep the value positive in a signed 64-bit
+ * lane in both engines.
  */
-case class SimHash64(child: Expression)
+object Md5Hash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hash of `bytes[off, off+len)`. */
+  def hash(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    // first 8 bytes big-endian, then drop the lowest hex digit (>>> 4)
+    // == value of the first 15 hex chars
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    hash(b, 0, b.length)
+  }
+}
+
+/**
+ * `simhash64(tokens[, mode])` — 64-bit SimHash of an `array<string>` token
+ * column: per bit j, sign of the sum over tokens of ±1 by the token's hash
+ * bit j. Default hash is xxhash64 with Spark's default seed 42 (same
+ * fingerprint family as graft.ops.Dedup.simHashBits); `md5Mode` hashes
+ * tokens with [[Md5Hash60]] instead — slower but reproducible in DuckDB
+ * SQL, which is what lets the d03 gate query carry a real oracle (the
+ * top 4 bits are then always 0 on both sides, so the bit-majority loop
+ * needs no special-casing).
+ */
+case class SimHash64(child: Expression, md5Mode: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes():
@@ -380,8 +419,10 @@ case class SimHash64(child: Expression)
     while (t < n) {
       if (!tokens.isNullAt(t)) {
         val s = tokens.getUTF8String(t)
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, StringType, 42L)
+        val h =
+          if (md5Mode) Md5Hash60.hash(s)
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, StringType, 42L)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -419,7 +460,8 @@ case class SimHash64(child: Expression)
  * (equivalence-tested); one loop per document instead of O(len) substring
  * lambda evaluations.
  */
-case class Winnow(child: Expression, k: Int, window: Int)
+case class Winnow(child: Expression, k: Int, window: Int,
+    md5Mode: Boolean = false)
     extends UnaryExpression {
   require(k >= 1 && window >= 1)
 
@@ -455,12 +497,17 @@ case class Winnow(child: Expression, k: Int, window: Int)
     off(len) = nBytes
     val n = math.max(len - k + 1, 1)
     val grams = new Array[Long](n)
+    // md5 mode needs an on-heap byte[]; same byte offsets apply
+    val heapBytes = if (md5Mode) text.getBytes else null
     var i = 0
     while (i < n) {
       // hash of the k-char gram's bytes == xxhash64(substring(text,i+1,k))
+      // (or Md5Hash60 of the same bytes in md5 mode)
       val end = off(math.min(i + k, len))
-      grams(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, baseOff + off(i), end - off(i), 42L)
+      grams(i) =
+        if (md5Mode) Md5Hash60.hash(heapBytes, off(i), end - off(i))
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, baseOff + off(i), end - off(i), 42L)
       i += 1
     }
     val m = math.max(n - window + 1, 1)

@@ -157,12 +157,16 @@ object Dedup {
    */
   def simHash(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hashMode: String = "xx"): DataFrame = {
     // exchange barrier: fingerprints are computed once, the chunk explode
     // and both self-join sides reuse the exchange (see minHashLSH note).
+    // hashMode "md5" (Md5Hash60 token hashes) makes the whole fingerprint
+    // reproducible in DuckDB SQL — the d03 gate runs that mode so the
+    // Hamming-verified output carries a real oracle; "xx" (xxhash64) is
+    // the default scale path.
     GraftFunctions.register(docs.sparkSession)
     val fps = docs.select(col(idCol).as("id"),
-      GraftFunctions.simHash64(Shingles.words(col(textCol))).as("fp"))
+      GraftFunctions.simHash64(Shingles.words(col(textCol)), hashMode).as("fp"))
       .repartition(col("id"))
 
     val chunked = fps.select(col("id"), col("fp"),

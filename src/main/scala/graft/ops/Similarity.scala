@@ -110,28 +110,62 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
 
-    // Nearest-n centroid assignment as a bounded-heap aggregation: the
-    // shuffle moves one aggregated row per input row (payload + n centroid
-    // ids), not the |df| x |centroids| scored cross product a window
-    // ranking would exchange — and the payload vector rides the shuffle
-    // once, not once per centroid.
-    def nearestCentroids(df: DataFrame, vc: String, n: Int): DataFrame = {
-      val payload = df.columns.filter(_ != "__rid").toSeq
-      val scored = df.crossJoin(broadcast(cent))
-        .withColumn("csim", GraftFunctions.vecCosine(col(vc), col("cvec")))
-      val aggs = payload.map(c => first(col(c)).as(c)) :+
-        TopKAggregator.topK(n)(col("csim"), col("cid")).as("__top")
-      scored.groupBy(col("__rid"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(payload.map(col) :+ explode(col("__top._2")).as("cid"): _*)
-    }
-
-    val assigned = nearestCentroids(
+    val assigned = nearestCentroids(cent,
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         col(idCol).as("__rid")), "vec", 1)
       .select(col("id"), col("vec"), col("cid"))
 
-    val probed = nearestCentroids(
+    probeAndRank(cent, assigned, queries, qVecCol, qIdCol, k, nprobe)
+  }
+
+  /**
+   * IVF top-k over a corpus whose inverted-list assignment already exists
+   * as a column (`listCol` — e.g. a clustering label computed upstream, the
+   * common shape when the index is built once and queried many times).
+   * Only the (few) query vectors do nearest-centroid probing; the corpus
+   * side is a plain projection, which also makes the whole operator
+   * deterministic end-to-end when the centroids are (see
+   * [[minIdCentroids]]) — corpus assignment by nearest-centroid has
+   * float-tie sensitivity at cluster boundaries that a precomputed label
+   * does not.
+   */
+  def ivfTopKPartitioned(
+      corpus: DataFrame, vecCol: String, idCol: String, listCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(listCol).as("cid"))
+    probeAndRank(cent, assigned, queries, qVecCol, qIdCol, k, nprobe)
+  }
+
+  /** Nearest-n centroid assignment as a bounded-heap aggregation: the
+    * shuffle moves one aggregated row per input row (payload + n centroid
+    * ids), not the |df| x |centroids| scored cross product a window
+    * ranking would exchange — and the payload vector rides the shuffle
+    * once, not once per centroid. Ties break by centroid id ascending
+    * (TopKAggregator ordering). */
+  private def nearestCentroids(
+      cent: DataFrame, df: DataFrame, vc: String, n: Int): DataFrame = {
+    val payload = df.columns.filter(_ != "__rid").toSeq
+    val scored = df.crossJoin(broadcast(cent))
+      .withColumn("csim", GraftFunctions.vecCosine(col(vc), col("cvec")))
+    val aggs = payload.map(c => first(col(c)).as(c)) :+
+      TopKAggregator.topK(n)(col("csim"), col("cid")).as("__top")
+    scored.groupBy(col("__rid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(payload.map(col) :+ explode(col("__top._2")).as("cid"): _*)
+  }
+
+  /** Probe `nprobe` nearest centroids per query, exact re-rank within the
+    * probed inverted lists. */
+  private def probeAndRank(
+      cent: DataFrame, assigned: DataFrame,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = nearestCentroids(cent,
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"),
         col(qIdCol).as("__rid")), "qvec", nprobe)
       .select(col("query_id"), col("qvec"), col("cid"))
@@ -141,6 +175,16 @@ object Similarity {
         GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** Medoid-style centroids: the vector of the minimum-id member per label.
+    * Fully deterministic AND bit-identical across engines (no float
+    * accumulation — a mean's summation order perturbs low bits, which can
+    * flip near-tie probe rankings between engines; a member vector cannot).
+    * The centroid set an oracle can reproduce exactly. */
+  def minIdCentroids(df: DataFrame, vecCol: String, idCol: String,
+                     labelCol: String): DataFrame =
+    df.groupBy(col(labelCol).as("cid"))
+      .agg(min_by(col(vecCol), col(idCol)).as("cvec"))
 
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`
     * when a clustering column already exists. */

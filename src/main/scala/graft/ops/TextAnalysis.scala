@@ -226,11 +226,18 @@ object TextAnalysis {
     * form above is the executable reference, equivalence-tested in
     * VectorExpressionsSpec. */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 8, window: Int = 4): DataFrame = {
+                   k: Int = 8, window: Int = 4,
+                   hashMode: String = "xx"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // whitespace collapse spells Java's \s out as an explicit class so the
+    // DuckDB oracle can use the byte-identical class ('[ \t\r\n\x0B\f]+' —
+    // RE2's \s lacks \x0B, so a literal '\s+' would NOT be the same
+    // pattern there); hashMode "md5" makes each gram hash reproducible in
+    // DuckDB (Md5Hash60), which is what lets t04 carry a real oracle.
     docs.select(col(idCol).as("id"),
         graft.functions.GraftFunctions.winnow(
-          lower(regexp_replace(col(textCol), "\\s+", " ")), k, window).as("fps"))
+          lower(regexp_replace(col(textCol), "[ \\t\\r\\n\\u000B\\f]+", " ")),
+          k, window, hashMode).as("fps"))
       .select(col("id"), col("fps"), size(col("fps")).as("n_fps"))
       .orderBy(col("id"))
   }

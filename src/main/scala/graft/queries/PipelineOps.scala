@@ -9,10 +9,12 @@ import graft.tables.Tables
 /**
  * Training-data pipeline operators as driver-contract queries
  * (`SparkEntry.queries` entries over the `documents`/`embeddings`
- * fixtures). Hash-checkable ops carry a DuckDB oracle; signature/hash-
- * based ops (MinHash/SimHash/LSH/xxhash fingerprints) are engine-specific
- * by construction and are declared rows-only — their semantics are pinned
- * by ScalaTest specs with planted duplicates instead.
+ * fixtures). Every entry here carries a DuckDB oracle: the fuzzy families
+ * check against brute-force exact similarity (valid when candidate recall
+ * is 1 — see the oracle map's note), and the hash-sketch ops (SimHash,
+ * winnowing) run their gate queries in md5 hash mode, whose Md5Hash60
+ * token/gram hashes DuckDB recomputes exactly. ScalaTest specs with
+ * planted duplicates additionally pin the xxhash production mode.
  */
 object PipelineOps {
 
@@ -49,7 +51,12 @@ object PipelineOps {
       Dedup.minHashLSH(docs(s, d), "text", "doc_id", threshold = 0.7)
     },
     "d03_simhash_dedup" -> { (s, d) =>
-      Dedup.simHash(docs(s, d), "text", "doc_id", maxHamming = 3)
+      // md5 hash mode: token hashes are Md5Hash60 (= first 15 hex chars of
+      // md5), which DuckDB can recompute — the whole SimHash+Hamming
+      // pipeline gets a real oracle. "xx" (xxhash64) is the faster
+      // default for production corpora.
+      Dedup.simHash(docs(s, d), "text", "doc_id", maxHamming = 3,
+        hashMode = "md5")
     },
     "d04_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccard(docs(s, d), "text", "doc_id", threshold = 0.7)
@@ -69,10 +76,17 @@ object PipelineOps {
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
     "e02_ivf_topk" -> { (s, d) =>
+      // Inverted lists = the existing `label` clustering; centroids = the
+      // min-id member vector per label (bit-identical across engines, no
+      // float accumulation). Only the 10 query vectors probe by nearest
+      // centroid — their top-2/top-3 margins are >= 2.9e-3 on the fixtures,
+      // far above float noise, so the probe set is engine-stable and the
+      // whole operator is oracle-checkable.
       val corpus = embs(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
-      val centroids = Similarity.labelCentroids(corpus, "embedding", "label")
-      Similarity.ivfTopK(corpus, "embedding", "vec_id",
+      val centroids =
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+      Similarity.ivfTopKPartitioned(corpus, "embedding", "vec_id", "label",
           queries, "embedding", "vec_id",
           centroids, "cvec", "cid", k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
@@ -92,7 +106,11 @@ object PipelineOps {
       TextAnalysis.cleaned(docs(s, d), "text", "doc_id")
     },
     "t04_fingerprints" -> { (s, d) =>
-      TextAnalysis.fingerprints(docs(s, d), "text", "doc_id")
+      // md5 gram-hash mode (DuckDB-reproducible) — see d03's note; the
+      // fps array projects to scalars (count/min/max) per the driver's
+      // no-array output rule.
+      TextAnalysis.fingerprints(docs(s, d), "text", "doc_id",
+          hashMode = "md5")
         .select(col("id"), col("n_fps"),
           element_at(col("fps"), 1).as("fp_min"),
           element_at(col("fps"), -1).as("fp_max"))
@@ -172,9 +190,9 @@ object PipelineOps {
     * exact similarity ≥ threshold: valid because every sketch family here
     * ends in exact verification of its candidates, so the output equals the
     * brute-force answer whenever candidate recall is 1 — which holds on the
-    * sf0.01 gate fixture (checked empirically; d03's Hamming-on-SimHash
-    * verification is genuinely engine-specific and stays rows-only, as do
-    * the winnowing fingerprints t04 and the e02 IVF probe subset). */
+    * sf0.01 gate fixture (checked empirically). d03/t04 are checked via a
+    * full reimplementation of the sketch in DuckDB SQL on md5-mode hashes;
+    * e02 via deterministic label lists + min-id-member centroids. */
   /** DuckDB-side md5 bucket 0..255 of the doc id (parity with
     * Sampling.md5Bucket: first two hex chars of md5 of the id string;
     * DuckDB has no hex→int conv, so digits resolve via strpos). */
@@ -207,6 +225,30 @@ object PipelineOps {
          FROM c ORDER BY id""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
+    // Full SimHash reimplementation: Md5Hash60 token hashes (= value of
+    // the first 15 hex chars of md5, the same number Spark computes in
+    // md5 hash mode), per-bit ±1 majority over 64 bits, then pairs with
+    // Hamming(xor) <= 3 and the same one-hop min-neighbor clustering as
+    // the other dedup oracles. Bits 60-63 are 0 on both sides (60-bit
+    // hash), so the 64-bit loop needs no special-casing.
+    "d03_simhash_dedup" ->
+      """WITH tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         tt AS (SELECT id, unnest(w) AS t FROM tok),
+         th AS (SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tt),
+         bits AS (SELECT id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) GROUP BY id, j),
+         fp0 AS (SELECT id, sum(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
+           FROM bits GROUP BY id),
+         fp AS (SELECT tok.id, coalesce(fp0.fp, 0) AS fp
+           FROM tok LEFT JOIN fp0 ON tok.id = fp0.id),
+         p AS (SELECT a.id AS id_a, b.id AS id_b FROM fp a JOIN fp b
+               ON a.id < b.id AND bit_count(xor(a.fp, b.fp)) <= 3),
+         nb AS (SELECT id_b AS id, id_a AS nb FROM p UNION ALL SELECT id_a, id_b FROM p),
+         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+         SELECT f.id, least(f.id, coalesce(nm.nb_min, f.id)) AS keep_id,
+                f.id <> least(f.id, coalesce(nm.nb_min, f.id)) AS is_dup
+         FROM fp f LEFT JOIN nm ON f.id = nm.id ORDER BY f.id""",
     "d05_embedding_neardup" ->
       """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
          p AS (SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b
@@ -216,6 +258,44 @@ object PipelineOps {
          SELECT v.id, least(v.id, coalesce(nm.nb_min, v.id)) AS keep_id,
                 v.id <> least(v.id, coalesce(nm.nb_min, v.id)) AS is_dup
          FROM v LEFT JOIN nm ON v.id = nm.id ORDER BY v.id""",
+    // IVF with label inverted lists + min-id-member centroids: probe the
+    // 2 nearest centroids per query (ties by cid — same ordering as the
+    // engine's TopKAggregator), exact cosine re-rank inside probed lists.
+    "e02_ivf_topk" ->
+      """WITH cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS id,
+             list_cosine_similarity(a.embedding, p.qvec) AS sim
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // Winnowing with Md5Hash60 gram hashes: k=8 char-grams of the
+    // whitespace-collapsed lowercased text, window-of-4 minima, distinct.
+    // The explicit whitespace class matches the Spark side byte for byte
+    // (RE2's \s lacks \x0B, Java's has it). Output projects the
+    // fingerprint set to scalars (count/min/max — order-independent, so
+    // leftmost-vs-rightmost window-min tie policy cannot matter).
+    "t04_fingerprints" ->
+      """WITH nrm AS (SELECT doc_id AS id,
+           lower(regexp_replace(text, '[ \t\r\n\x0B\f]+', ' ', 'g')) AS t
+           FROM documents),
+         g AS (SELECT id, t, CAST(greatest(length(t) - 7, 1) AS INT) AS n FROM nrm),
+         h AS (SELECT id, [('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+             FOR i IN range(1, n + 1)] AS hs FROM g),
+         f AS (SELECT id, list_distinct([list_min(hs[j:j+3])
+             FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps FROM h)
+         SELECT id, CAST(len(fps) AS INT) AS n_fps,
+                list_min(fps) AS fp_min, list_max(fps) AS fp_max
+         FROM f ORDER BY id""",
     "e01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.query_id, c.vec_id AS id,

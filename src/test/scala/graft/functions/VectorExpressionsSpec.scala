@@ -78,6 +78,54 @@ class VectorExpressionsSpec extends SparkSuite {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("md5 hash mode equals conv(substr(md5,1,15),16,10) — the oracle form") {
+    GraftFunctions.register(spark)
+    // a single-token simhash IS the token's hash (one +1/-1 vote per bit),
+    // so simhash64([t], 'md5') must equal the SQL-expressible 60-bit md5
+    // prefix value that the DuckDB oracles recompute.
+    val toks = Seq("a", "", "the quick brown fox", "日本語テキスト", "x y\tz")
+      .toDF("t")
+    val out = toks.select(
+      GraftFunctions.simHash64(array(col("t")), "md5").as("fast"),
+      expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // known value pinned cross-engine: DuckDB ('0x'||substr(md5('a'),1,15))::BIGINT
+    val a = toks.filter(col("t") === "a").select(
+      GraftFunctions.simHash64(array(col("t")), "md5")).head.getLong(0)
+    assert(a === 57446577476672362L)
+  }
+
+  test("winnow md5 mode matches an md5-prefix HOF reference") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "The quick   brown fox jumps over the lazy dog"),
+      (2L, "tiny"),
+      (3L, "")).toDF("id", "text")
+    val norm = lower(regexp_replace(col("text"), "[ \\t\\r\\n\\u000B\\f]+", " "))
+    docs.createOrReplaceTempView("winnow_md5_docs")
+    val refRows = spark.sql(
+      """WITH nrm AS (SELECT id,
+           -- escapes are doubled so they reach the REGEX engine: Spark's
+           -- SQL literal lexer eats unrecognized escapes (a bare \f
+           -- becomes the letter f, which would strip 'f' from the text)
+           lower(regexp_replace(text, '[ \\t\\r\\n\\u000B\\f]+', ' ')) AS t
+           FROM winnow_md5_docs),
+         g AS (SELECT id, t, greatest(length(t) - 7, 1) AS n FROM nrm),
+         h AS (SELECT id, transform(sequence(1, n),
+             i -> cast(conv(substring(md5(substring(t, i, 8)), 1, 15), 16, 10) as bigint)) AS hs
+           FROM g),
+         f AS (SELECT id, array_sort(array_distinct(transform(
+             sequence(1, greatest(size(hs) - 3, 1)),
+             j -> array_min(slice(hs, j, 4))))) AS fps FROM h)
+         SELECT id, fps FROM f ORDER BY id""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fastRows = docs.select(col("id"),
+        GraftFunctions.winnow(norm, 8, 4, "md5").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fastRows === refRows)
+  }
+
   test("lsh_bands: deterministic, bounded keys, identical vectors collide") {
     GraftFunctions.register(spark)
     val v = Seq.fill(16)(0.5f)

@@ -49,6 +49,35 @@ class SimilaritySpec extends SparkSuite {
     assert(recall3 >= 0.3, s"IVF nprobe=3 recall: $recall3")
   }
 
+  test("ivfTopKPartitioned: label lists + min-id centroids, full probe = brute force") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(
+      corpus, "embedding", "vec_id", queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val centroids =
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+    // centroid = the min-id member's vector, verbatim
+    val minIds = corpus.groupBy(col("label"))
+      .agg(min(col("vec_id")).as("mid"))
+    val c0 = centroids
+      .join(minIds, col("cid") === col("label"))
+      .join(corpus, col("vec_id") === col("mid"))
+      .select(col("cvec"), col("embedding")).collect()
+    assert(c0.nonEmpty)
+    c0.foreach(r => assert(r.getSeq[Float](0) === r.getSeq[Float](1)))
+    def ivf(nprobe: Int) = Similarity.ivfTopKPartitioned(
+      corpus, "embedding", "vec_id", "label",
+      queries, "embedding", "vec_id",
+      centroids, "cvec", "cid", k = 5, nprobe = nprobe)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probing every list searches the whole corpus → exact answer
+    assert(ivf(10) == exact)
+    // partial probe returns k rows per query and a subset-quality answer
+    val part = ivf(2)
+    assert(part.size == exact.size)
+  }
+
   test("cosineNearDup clusters planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation
