@@ -56,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LangIdExpr(c(0), graft.ops.TextAnalysis.stopwordProfiles.toSeq) }
     inject("graft_text_stats", "one-pass per-document text statistics struct") { c =>
       TextStatsExpr(c(0)) }
+    inject("graft_gopher_stats", "one-pass repetition/diversity counts struct") { c =>
+      GopherStatsExpr(c(0)) }
+    inject("graft_quantize_int8", "one-pass symmetric int8 quantization struct") { c =>
+      QuantizeInt8Expr(c(0)) }
   }
 }

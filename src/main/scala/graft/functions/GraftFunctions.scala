@@ -68,6 +68,10 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_text_stats",
       (c: Seq[Expression]) => TextStatsExpr(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_gopher_stats",
+      (c: Seq[Expression]) => GopherStatsExpr(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize_int8",
+      (c: Seq[Expression]) => QuantizeInt8Expr(c(0)), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -88,4 +92,8 @@ object GraftFunctions {
   def wordShingles(normText: Column, n: Int): Column =
     call_function("graft_word_shingles", normText, lit(n))
   def textStats(text: Column): Column = call_function("graft_text_stats", text)
+  def gopherStats(tokens: Column): Column =
+    call_function("graft_gopher_stats", tokens)
+  def quantizeInt8(vec: Column): Column =
+    call_function("graft_quantize_int8", vec)
 }

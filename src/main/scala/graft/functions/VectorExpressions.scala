@@ -691,3 +691,157 @@ case class WordShingleHash(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingleHash =
     copy(child = newChild)
 }
+
+/**
+ * `gopher_stats(tokens)` — the Gopher-style repetition/diversity counts in
+ * ONE pass over the token array, as a struct
+ * `(n_words int, n_distinct int, top_freq int, sum_len long)`.
+ *
+ * Replaces the HOF form `array_max(transform(array_distinct(w),
+ * t -> size(filter(w, x -> x = t))))`, which is O(words x distinct) per
+ * document with an interpreted lambda per comparison — here a single
+ * hash-map frequency pass is O(words), and CollapseProject re-inlining
+ * costs nothing because all four counts ride one struct evaluation
+ * (equivalence-tested in VectorExpressionsSpec).
+ */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GopherStatsExpr.schema
+  override def prettyName: String = "gopher_stats"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+  }
+
+  def compute(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val freq = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      Array[Int]](math.max(16, n * 2))
+    var sumLen = 0L
+    var top = 0
+    var i = 0
+    while (i < n) {
+      // null tokens cannot occur from split(); treated as empty string
+      val t =
+        if (tokens.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else tokens.getUTF8String(i)
+      sumLen += t.numChars()
+      var c = freq.get(t)
+      if (c == null) { c = Array(0); freq.put(t.clone(), c) }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, freq.size(), top, sumLen))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gsExpr", this, classOf[GopherStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (InternalRow) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_freq", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false)))
+}
+
+/**
+ * `quantize_int8(vec)` — symmetric int8 quantization of a float/double
+ * array in one fused loop: struct `(scale double, qvec array<int>,
+ * q_min int, q_max int, q_sum long, n_sat int)` with
+ * `scale = 127/max|x|` (0 for all-zero vectors) and
+ * `q_i = floor(x_i * scale + 0.5)` — exactly the HOF/DuckDB-oracle
+ * arithmetic (floor(v + 0.5) half-up, identical across engines), but one
+ * native pass instead of four interpreted lambda sweeps over the array.
+ */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = QuantizeInt8Expr.schema
+  override def prettyName: String = "quantize_int8"
+
+  private lazy val elemIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got $other")
+  }
+
+  def compute(vec: ArrayData): InternalRow = {
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x =
+        if (vec.isNullAt(i)) 0.0
+        else if (elemIsFloat) vec.getFloat(i).toDouble
+        else vec.getDouble(i)
+      xs(i) = x
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs > 0) 127.0 / maxAbs else 0.0
+    val q = new Array[Int](n)
+    var qMin = if (n == 0) 0 else Int.MaxValue
+    var qMax = if (n == 0) 0 else Int.MinValue
+    var qSum = 0L
+    var nSat = 0
+    i = 0
+    while (i < n) {
+      val qi = math.floor(xs(i) * scale + 0.5).toInt
+      q(i) = qi
+      if (qi < qMin) qMin = qi
+      if (qi > qMax) qMax = qi
+      qSum += qi
+      if (qi == 127 || qi == -127) nSat += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(q),
+      if (n == 0) 0 else qMin, if (n == 0) 0 else qMax, qSum, nSat))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qzExpr", this, classOf[QuantizeInt8Expr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (InternalRow) $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("qvec", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("q_min", IntegerType, nullable = false),
+    StructField("q_max", IntegerType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("n_sat", IntegerType, nullable = false)))
+}

@@ -275,6 +275,29 @@ object Dedup {
    * [[ConnectedComponents.clusterReps]] instead — same output shape,
    * component-wide keep_id.
    */
+  /**
+   * Canonical-document selection per dedup cluster: given a dedup result
+   * `(id, keep_id, ...)` (any of the family's outputs — keep_id is the
+   * cluster key) and the source docs, pick each cluster's canonical
+   * document as the LONGEST one (ties: min id) — the usual curation rule
+   * ("keep the most complete copy"), vs. keep_id's arbitrary min-id. One
+   * window over the cluster key; the shuffle moves (id, keep_id, length)
+   * triples, never text.
+   */
+  def canonicalize(
+      dedup: DataFrame, docs: DataFrame,
+      idCol: String, lengthCol: String): DataFrame = {
+    val lens = docs.select(col(idCol).as("id"), col(lengthCol).as("__len"))
+    val w = Window.partitionBy(col("keep_id"))
+      .orderBy(col("__len").desc, col("id"))
+    dedup.select(col("id"), col("keep_id"))
+      .join(lens, Seq("id"))
+      .withColumn("canonical_id", first(col("id")).over(w))
+      .select(col("id"), col("keep_id"), col("canonical_id"),
+        (col("id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy(col("id"))
+  }
+
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val neighborMin = pairs

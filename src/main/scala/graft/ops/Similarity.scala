@@ -176,6 +176,45 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * Symmetric int8 quantization of an embedding column — the standard
+   * storage/bandwidth lever for vector search at corpus scale (4x smaller
+   * than float32, SIMD-friendly dot products). Per vector:
+   * `scale = 127 / max|x|`, `q_i = floor(x_i * scale + 0.5)` (half-up,
+   * spelled as floor(v+0.5) because SQL round() rounding modes differ
+   * across engines while floor does not), all-zero vectors quantize to
+   * zeros with scale 0. Map-only; emits the quantized array plus summary
+   * scalars (min/max/sum/saturation count) that are exact integers — the
+   * oracle-checkable projection.
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        GraftFunctions.quantizeInt8(col(vecCol)).as("s"))
+      .select(col("id"), col("s.scale").as("scale"), col("s.qvec").as("qvec"),
+        col("s.q_min").as("q_min"), col("s.q_max").as("q_max"),
+        col("s.q_sum").as("q_sum"), col("s.n_sat").as("n_sat"))
+  }
+
+  /** HOF reference form of [[quantizeInt8]] — four lambda sweeps per
+    * vector vs. the native expression's one fused loop; kept as the
+    * equivalence oracle for QuantizeInt8Expr. */
+  def quantizeInt8Hof(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    df.select(col(idCol).as("id"), v.as("vec"),
+        when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0)).as("scale"))
+      .select(col("id"), col("scale"),
+        transform(col("vec"),
+          x => floor(x.cast("double") * col("scale") + 0.5).cast("int"))
+          .as("qvec"))
+      .select(col("id"), col("scale"), col("qvec"),
+        array_min(col("qvec")).as("q_min"),
+        array_max(col("qvec")).as("q_max"),
+        aggregate(col("qvec"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+        size(filter(col("qvec"), q => abs(q) === 127)).as("n_sat"))
+  }
+
   /** Medoid-style centroids: the vector of the minimum-id member per label.
     * Fully deterministic AND bit-identical across engines (no float
     * accumulation — a mean's summation order perturbs low bits, which can

@@ -197,6 +197,93 @@ object TextAnalysis {
       .orderBy(col("id"))
 
   // ------------------------------------------------------------------
+  // Repetition / lexical-diversity quality rules (Gopher-style)
+  // ------------------------------------------------------------------
+
+  /**
+   * Gopher-style repetition and diversity filter (Rae et al. 2021,
+   * "Scaling Language Models", §A1.1): documents dominated by a single
+   * repeated token or with collapsed vocabulary are low-quality training
+   * data. Per doc: word count, distinct-word count, top-token frequency,
+   * mean word length, and the derived keep flag
+   * `3 <= mean_word_len <= 10 AND top_ratio < 0.2 AND distinct_ratio > 0.3`.
+   *
+   * Map-only (no shuffle): per-token frequencies come from array HOFs over
+   * the doc's own token list — O(words x distinct) per doc, done where the
+   * doc lives. Ratios use the integer fixed-point form (`x*1e6 DIV n` then
+   * one IEEE divide) so DuckDB reproduces them bit-exactly.
+   */
+  def gopherStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    gopherDerive(docs.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.gopherStats(Shingles.words(col(textCol)))
+        .as("s"))
+      .select(col("id"), col("s.n_words").as("n_words"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.top_freq").as("top_freq"),
+        col("s.sum_len").as("__sum_len")))
+  }
+
+  /** HOF reference form of [[gopherStats]]'s counting pass —
+    * O(words x distinct) interpreted lambdas per doc vs. the native
+    * expression's single hash-map pass; kept as the equivalence oracle for
+    * GopherStatsExpr. */
+  def gopherStatsHof(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    gopherDerive(docs.select(col(idCol).as("id"),
+      Shingles.words(col(textCol)).as("w"))
+      .select(col("id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        array_max(transform(array_distinct(col("w")),
+          t => size(filter(col("w"), x => x === t)))).as("top_freq"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+          .as("__sum_len")))
+
+  /** Shared ratio/flag layer over the (id, n_words, n_distinct, top_freq,
+    * __sum_len) counts. */
+  private def gopherDerive(counts: DataFrame): DataFrame = {
+    // 6-dp truncating fixed point (same idiom as qualityScoreHof.ratio6):
+    // bit-identical doubles in every engine, no rounding-mode divergence
+    def ratio6(num: String, den: String): Column = expr(
+      s"CASE WHEN $den > 0 THEN " +
+        s"CAST(CAST($num AS BIGINT) * 1000000 DIV $den AS DOUBLE) / 1e6 " +
+        "ELSE 0.0 END")
+    counts
+      .withColumn("mean_word_len", ratio6("__sum_len", "n_words"))
+      .withColumn("top_ratio", ratio6("top_freq", "n_words"))
+      .withColumn("distinct_ratio", ratio6("n_distinct", "n_words"))
+      .withColumn("keep",
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("top_ratio") < 0.2 && col("distinct_ratio") > 0.3)
+      .select(col("id"), col("n_words"), col("n_distinct"), col("top_freq"),
+        col("mean_word_len"), col("top_ratio"), col("distinct_ratio"),
+        col("keep"))
+      .orderBy(col("id"))
+  }
+
+  /** Top-`k` word bigrams across the corpus by frequency (ties broken by
+    * gram text ascending — deterministic). The one corpus-level text
+    * statistic here: partial aggregation combines counts map-side, the
+    * exchange carries (gram, count) pairs, and the final top-k is a
+    * TakeOrderedAndProject (no full sort at scale). */
+  def topNgrams(docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val w = Shingles.words(col(textCol))
+    // zip the token list against itself shifted by one — measured 9x
+    // faster than the transform(sequence(1, n-1), i -> element_at(w, i)..)
+    // form (positional-lambda indexing defeats the evaluator; zipping
+    // walks both arrays once). greatest(.., 0) keeps slice lengths legal
+    // for 1-word docs, which then yield an empty gram list and drop at
+    // the explode.
+    val n1 = greatest(size(w) - 1, lit(0))
+    val grams = zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
   // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   // ------------------------------------------------------------------
 

@@ -518,6 +518,16 @@ object Inventory {
         .withColumn("session_value", money(col("session_value")))
         .orderBy(col("user_id"), col("session_start"))
     },
+    "q49_interval_join" -> { (s, d) =>
+      // stream-stream interval join, batch-mode gate (streaming mode with
+      // watermark state eviction is spec-tested over MemoryStreams)
+      val ev = Tables(s, d, "events")
+      graft.streaming.EventStreams.intervalJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), "1 hour")
+        .withColumn("max_value", money(col("max_value")))
+        .orderBy(col("event_id"))
+    },
 
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
@@ -643,6 +653,17 @@ object Inventory {
          SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
                 user_id, count(*) AS n_events,
                 CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
-         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q49_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts, count(*) AS n_matches,
+                CAST(CAST(max(c.value) AS DECIMAL(18,2)) AS DOUBLE) AS max_value
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         GROUP BY p.event_id, p.user_id, p.ts
+         ORDER BY p.event_id"""
   )
 }

@@ -25,7 +25,7 @@ object PipelineOps {
     * answer the sketch-accelerated text dedup paths must reproduce when
     * their candidate recall is 1 (docs shorter than 3 words fall back to
     * one whole-text shingle, mirroring Shingles.wordShingles). */
-  private def fuzzyDedupOracle(threshold: Double): String =
+  private def fuzzyDedupCtes(threshold: Double): String =
     s"""WITH d AS (SELECT doc_id AS id,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
          lower(trim(text)) AS lt FROM documents),
@@ -36,10 +36,14 @@ object PipelineOps {
              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold),
        nb AS (SELECT id_b AS id, id_a AS nb FROM p UNION ALL SELECT id_a, id_b FROM p),
-       nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
-       SELECT d.id, least(d.id, coalesce(nm.nb_min, d.id)) AS keep_id,
-              d.id <> least(d.id, coalesce(nm.nb_min, d.id)) AS is_dup
-       FROM d LEFT JOIN nm ON d.id = nm.id ORDER BY d.id"""
+       nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id),
+       clus AS (SELECT d.id, least(d.id, coalesce(nm.nb_min, d.id)) AS keep_id
+              FROM d LEFT JOIN nm ON d.id = nm.id)"""
+
+  private def fuzzyDedupOracle(threshold: Double): String =
+    s"""${fuzzyDedupCtes(threshold)}
+       SELECT id, keep_id, id <> keep_id AS is_dup
+       FROM clus ORDER BY id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
@@ -114,6 +118,28 @@ object PipelineOps {
         .select(col("id"), col("n_fps"),
           element_at(col("fps"), 1).as("fp_min"),
           element_at(col("fps"), -1).as("fp_max"))
+    },
+
+    "d06_canonical" -> { (s, d) =>
+      // canonical doc per MinHash near-dup cluster: longest text wins
+      // (ties: min id) — composes d02's clustering with docs metadata
+      val dd = Dedup.minHashLSH(docs(s, d), "text", "doc_id", threshold = 0.7)
+      Dedup.canonicalize(dd, docs(s, d), "doc_id", "n_chars")
+    },
+    "e03_quantize" -> { (s, d) =>
+      // int8 quantization summary scalars (exact integers — the qvec array
+      // itself stays out of the output per the driver's no-array rule)
+      Similarity.quantizeInt8(embs(s, d), "embedding", "vec_id")
+        .select(col("id"), col("q_min"), col("q_max"), col("q_sum"),
+          col("n_sat"))
+        .orderBy(col("id"))
+    },
+
+    "t06_gopher" -> { (s, d) =>
+      TextAnalysis.gopherStats(docs(s, d), "text", "doc_id")
+    },
+    "t07_ngrams" -> { (s, d) =>
+      TextAnalysis.topNgrams(docs(s, d), "text", k = 20)
     },
 
     // --- deterministic selection: splits / quotas / packing --------------
@@ -225,6 +251,57 @@ object PipelineOps {
          FROM c ORDER BY id""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
+    // canonical = longest doc per cluster (ties: min id), over the same
+    // brute-force clustering CTEs as d02/d04
+    "d06_canonical" ->
+      s"""${fuzzyDedupCtes(0.7)},
+         l AS (SELECT doc_id AS id, n_chars FROM documents),
+         c AS (SELECT clus.id, clus.keep_id,
+             first_value(clus.id) OVER (PARTITION BY clus.keep_id
+               ORDER BY l.n_chars DESC, clus.id) AS canonical_id
+           FROM clus JOIN l ON clus.id = l.id)
+         SELECT id, keep_id, canonical_id, id <> canonical_id AS is_dup
+         FROM c ORDER BY id""",
+    "e03_quantize" ->
+      """WITH q AS (SELECT vec_id AS id, embedding,
+           CASE WHEN list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) > 0
+                THEN 127.0 / list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding])
+                ELSE 0.0 END AS scale
+           FROM embeddings),
+         v AS (SELECT id,
+             [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) FOR x IN embedding] AS qv
+           FROM q)
+         SELECT id, list_min(qv) AS q_min, list_max(qv) AS q_max,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+         FROM v ORDER BY id""",
+    // integer-count rules with the 6-dp truncating fixed-point ratio form
+    // (DIV in Spark, // in DuckDB — identical on the non-negative counts)
+    "t06_gopher" ->
+      """WITH tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         c AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+             list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)]) AS top_freq,
+             list_sum([length(t) FOR t IN w]) AS sum_len
+           FROM tok),
+         r AS (SELECT id, CAST(n_words AS INT) AS n_words,
+             CAST(n_distinct AS INT) AS n_distinct, CAST(top_freq AS INT) AS top_freq,
+             CASE WHEN n_words > 0 THEN CAST(CAST(sum_len AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN CAST(CAST(top_freq AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS top_ratio,
+             CASE WHEN n_words > 0 THEN CAST(CAST(n_distinct AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS distinct_ratio
+           FROM c)
+         SELECT id, n_words, n_distinct, top_freq, mean_word_len, top_ratio,
+                distinct_ratio,
+                (mean_word_len BETWEEN 3.0 AND 10.0 AND top_ratio < 0.2
+                 AND distinct_ratio > 0.3) AS keep
+         FROM r ORDER BY id""",
+    "t07_ngrams" ->
+      """WITH tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         b AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+             FOR i IN range(1, len(w))]) AS gram FROM tok)
+         SELECT gram, count(*) AS n FROM b GROUP BY gram
+         ORDER BY n DESC, gram LIMIT 20""",
     // Full SimHash reimplementation: Md5Hash60 token hashes (= value of
     // the first 15 hex chars of md5, the same number Spark computes in
     // md5 hash mode), per-bit ±1 majority over 64 bits, then pairs with

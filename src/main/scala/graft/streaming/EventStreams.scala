@@ -63,6 +63,39 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /**
+   * Stream-stream interval join: each left event matched with right-side
+   * events for the same user whose timestamp falls in
+   * `[left.ts - lookback, left.ts]`, aggregated per left event
+   * (n_matches, max matched value). In streaming mode both sides carry
+   * watermarks and the time-bound join condition lets Spark evict state
+   * (unbounded stream-stream joins are rejected by the planner); the same
+   * code path runs in batch, where `withWatermark` is a no-op — the
+   * batch form is the oracle-checkable gate query, the streaming form is
+   * spec-tested over a MemoryStream.
+   *
+   * Scale: state is keyed by user_id and bounded by
+   * `watermark + lookback`; the join shuffles both sides on user_id only.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lookback: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark)
+             else left)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark)
+             else right)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("n_matches"), max(col("r_value")).as("max_value"))
+  }
+
   // --- custom state: per-user running aggregate via mapGroupsWithState ---
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -264,4 +264,22 @@ class VectorExpressionsSpec extends SparkSuite {
       .collect()
     out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
+
+  test("gopher_stats native expression matches the HOF counting reference") {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val fast = graft.ops.TextAnalysis.gopherStats(docs, "text", "doc_id")
+      .collect().map(_.toSeq)
+    val ref = graft.ops.TextAnalysis.gopherStatsHof(docs, "text", "doc_id")
+      .collect().map(_.toSeq)
+    assert(fast.toSeq === ref.toSeq)
+  }
+
+  test("quantize_int8 native expression matches the HOF reference") {
+    val embs = graft.tables.Tables(spark, sf, "embeddings")
+    val fast = Similarity.quantizeInt8(embs, "embedding", "vec_id")
+      .orderBy(col("id")).collect().map(_.toSeq)
+    val ref = Similarity.quantizeInt8Hof(embs, "embedding", "vec_id")
+      .orderBy(col("id")).collect().map(_.toSeq)
+    assert(fast.toSeq === ref.toSeq)
+  }
 }

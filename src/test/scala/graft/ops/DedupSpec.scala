@@ -119,4 +119,20 @@ class DedupSpec extends SparkSuite {
           "the d04 oracle's recall-1 precondition no longer holds")
     }
   }
+
+  test("canonicalize picks the longest doc per cluster, ties by min id") {
+    import org.apache.spark.sql.functions.col
+    val dedup = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one cluster keyed 1
+      (4L, 4L)).toDF("id", "keep_id") // singleton
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie on length -> 2 wins
+      (4L, 2L)).toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalize(dedup, docs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) === (2L, true))
+    assert(out(2L) === (2L, false))
+    assert(out(3L) === (2L, true))
+    assert(out(4L) === (4L, false))
+  }
 }

@@ -128,4 +128,26 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - 3.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
   }
+
+  test("quantizeInt8: range, zero-vector, and reconstruction bounds") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),         // all-zero -> scale 0
+      (3L, Seq(2.0f, 1.0f, -2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // max-|x| element saturates exactly at +/-127
+    assert(out(1L).getAs[Int]("q_min") === -127)
+    assert(out(1L).getAs[Int]("q_max") === 64)    // 0.5 * 127 = 63.5 -> 64
+    assert(out(2L).getAs[Double]("scale") === 0.0)
+    assert(out(2L).getAs[Int]("q_min") === 0)
+    assert(out(3L).getAs[Int]("n_sat") === 2)     // 2.0 and -2.0 saturate
+    // reconstruction: |q/scale - x| <= 0.5/scale for every component
+    val r1 = out(1L)
+    val scale = r1.getAs[Double]("scale")
+    val q = r1.getSeq[Int](r1.fieldIndex("qvec"))
+    val x = Seq(0.5, -1.0, 0.25, 0.0)
+    q.zip(x).foreach { case (qi, xi) =>
+      assert(math.abs(qi / scale - xi) <= 0.5 / scale + 1e-12) }
+  }
 }

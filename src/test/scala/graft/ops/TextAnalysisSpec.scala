@@ -79,4 +79,35 @@ class TextAnalysisSpec extends SparkSuite {
     // 26 chars → 19 8-grams → 16 windows of 4 → ≤16 distinct mins, ≥5 (19/4)
     assert(n >= 5 && n <= 16)
   }
+
+  test("gopherStats flags repetitive and vocabulary-collapsed docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a diverse sentence with many different interesting words here now"),
+      (3L, "ab ab cd cd ef ef gh gh ij ij")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: one word repeated 10x -> top_ratio 1.0, distinct_ratio 0.1
+    assert(out(1L).getAs[Double]("top_ratio") === 1.0)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    // doc 2: all-distinct words of healthy length -> keep
+    assert(out(2L).getAs[Int]("n_distinct") === out(2L).getAs[Int]("n_words"))
+    assert(out(2L).getAs[Boolean]("keep"))
+    // doc 3: mean word length 2 -> fails the [3, 10] band
+    assert(out(3L).getAs[Double]("mean_word_len") === 2.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("topNgrams counts bigrams, breaks ties by gram, skips 1-word docs") {
+    val df = Seq(
+      (1L, "to be or not to be"),
+      (2L, "single"),
+      (3L, "to be honest")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === ("to be", 3L))     // 2x doc1 + 1x doc3
+    // remaining all have count 1 -> ordered by gram text
+    assert(out.drop(1).map(_._2).forall(_ == 1L))
+    assert(out.drop(1).map(_._1) === out.drop(1).map(_._1).sorted)
+  }
 }

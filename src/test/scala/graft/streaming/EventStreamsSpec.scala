@@ -56,6 +56,49 @@ class EventStreamsSpec extends SparkSuite {
     assert(got.exists(r => r(2) == "click" && r(3) == 2L)) // h0: two clicks
   }
 
+  test("intervalJoin: stream-stream with watermarks matches the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val lDf = lIn.toDF.toDF(cols: _*)
+    val rDf = rIn.toDF.toDF(cols: _*)
+
+    val purchases = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 7L, 10.0),
+      (2L, ts("2024-01-01 02:00:00"), 7L, 20.0),
+      (3L, ts("2024-01-01 02:00:00"), 8L, 30.0))
+    val clicks = Seq(
+      (101L, ts("2024-01-01 00:10:00"), 7L, 1.0),  // outside 1h of p1? no: 50min before -> in
+      (102L, ts("2024-01-01 00:59:00"), 7L, 2.0),  // in p1's window only
+      (103L, ts("2024-01-01 01:30:00"), 7L, 3.0),  // in p2's window only
+      (104L, ts("2024-01-01 01:45:00"), 9L, 4.0),  // wrong user
+      // late sentinel advances both watermarks far past all joins
+      (105L, ts("2024-01-01 06:00:00"), 7L, 5.0))
+    val purchaseSentinel = Seq((99L, ts("2024-01-01 06:00:00"), 9L, 0.0))
+
+    lIn.addData(purchases: _*); lIn.addData(purchaseSentinel: _*)
+    rIn.addData(clicks: _*)
+    val streamed = EventStreams.runOnce(spark,
+      EventStreams.intervalJoin(lDf, rDf, "1 hour", "10 minutes"),
+      "ij_sink", OutputMode.Append)
+    val got = streamed.select("event_id", "n_matches", "max_value")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val batch = EventStreams.intervalJoin(
+        purchases.toDF(cols: _*), clicks.toDF(cols: _*), "1 hour")
+      .select("event_id", "n_matches", "max_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch: p1 matches c101+c102, p2 matches c103 (c102 is 61min before
+    // p2 — outside), p3 has no same-user clicks → inner-join drops it
+    assert(batch === Set((1L, 2L, 2.0), (2L, 1L, 3.0)))
+    // stream emits the watermark-closed subset of the batch answer and
+    // nothing else; the sentinel rows push every real window closed
+    assert(got.subsetOf(batch))
+    assert(got.nonEmpty)
+  }
+
   test("userSessions folds events within the gap into one session") {
     import spark.implicits._
     val batch = Seq(
