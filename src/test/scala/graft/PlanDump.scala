@@ -89,7 +89,35 @@ object PlanDump {
         "across the column extracts); map-only, zero shuffle beyond the " +
         "ORDER BY. The round-2 regexp_extract_all form re-evaluated its " +
         "regex subtrees under CollapseProject — replaced by the one-pass " +
-        "expression."))
+        "expression."),
+    "t06_gopher" ->
+      ("All four repetition/diversity counts ride ONE native gopher_stats " +
+        "hash-map pass (O(words), vs the HOF reference's O(words x " +
+        "distinct) lambda sweep — measured 4x); map-only, the ratio layer " +
+        "is arithmetic over the struct fields, zero shuffle beyond the " +
+        "ORDER BY."),
+    "t07_ngrams" ->
+      ("Bigrams via zip_with over the shifted token list (no positional " +
+        "element_at lambdas — 9x), Generate fans out in the scan stage, " +
+        "partial_count combines map-side, and the top-20 is " +
+        "TakeOrderedAndProject — the exchange carries (gram, partial " +
+        "count) pairs, never the exploded stream."),
+    "e03_quantize" ->
+      ("One native quantize_int8 evaluation shared by all six column " +
+        "extracts (fused max-abs + quantize loop); map-only — the 15x " +
+        "over the four-sweep HOF form, and the operator shape that holds " +
+        "at any corpus size."),
+    "q49_interval_join" ->
+      ("Equi-key user_id join with the time bound inside the join " +
+        "condition: broadcast at fixture scale, one keyed shuffle per " +
+        "side at 100 TB (never a cartesian — the range rides the hash " +
+        "join). In streaming mode the identical code keys state by " +
+        "user_id and the watermark + 1 h lookback bound state size."),
+    "d06_canonical" ->
+      ("Composes d02's banded MinHash clustering (ReusedExchange on the " +
+        "signature projection) with one window over keep_id — the " +
+        "canonical-selection shuffle carries (id, keep_id, n_chars) " +
+        "triples, never text."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
