@@ -528,6 +528,35 @@ object Inventory {
         .withColumn("max_value", money(col("max_value")))
         .orderBy(col("event_id"))
     },
+    "q50_hll_union" -> { (s, d) =>
+      // MERGEABLE sketches — the re-aggregatable rollup shape at 100 TB:
+      // per-flag partial HLL sketches (Datasketches binary), union-merged
+      // to one global estimate without rescanning. Sketch bytes are
+      // engine-specific, so the gate emits the q29 shape: exact count +
+      // the in-query ±5 % verdict the Spark side must earn.
+      val li = Tables(s, d, "lineitem")
+      val merged = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      merged.crossJoin(exact).select(col("exact_nd"),
+        (abs(col("est") - col("exact_nd")).cast("double") /
+          col("exact_nd") <= lit(0.05)).as("within_tol"))
+    },
+    "q51_apx_quantile" -> { (s, d) =>
+      // percentile_approx (GK sketch, mergeable) vs the exact interpolated
+      // percentile; the emitted median is the exact one (hash-parity with
+      // DuckDB quantile_cont, q39-established), the sketch result is
+      // checked in-query: accuracy 1000 bounds rank error by n/1000, well
+      // inside one quantity unit on this distribution.
+      Tables(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("apx"),
+          expr("percentile(l_quantity, 0.5)").as("med"))
+        .select(col("l_returnflag"), col("med"),
+          (abs(col("apx") - col("med")) <= lit(1.0)).as("within_tol"))
+        .orderBy(col("l_returnflag"))
+    },
 
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
@@ -664,6 +693,13 @@ object Inventory {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          GROUP BY p.event_id, p.user_id, p.ts
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+    // like q29: the oracle's TRUE is the verdict the Spark side must earn
+    "q50_hll_union" ->
+      "SELECT count(DISTINCT l_partkey) AS exact_nd, TRUE AS within_tol FROM lineitem",
+    "q51_apx_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+         TRUE AS within_tol FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag"""
   )
 }

@@ -38,4 +38,25 @@ class InventorySpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("q50: HLL sketches are mergeable — union of partials tracks the whole") {
+    val li = Tables(spark, sf, "lineitem")
+    val viaUnion = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).collect().head.getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))))
+      .collect().head.getLong(0)
+    // merging per-group sketches must equal sketching the whole relation:
+    // both see the same value set, the sketch is order/partition-insensitive
+    assert(viaUnion === direct)
+    assert(Inventory.queries("q50_hll_union")(spark, sf)
+      .collect().head.getBoolean(1))
+  }
+
+  test("q51: percentile_approx lands within one quantity unit of exact") {
+    val rows = Inventory.queries("q51_apx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"verdict failed: $r"))
+  }
 }
