@@ -26,6 +26,9 @@ import graft.tables.Tables
  *  - POST   /api/v1/query/{id}/cancel        (query.py:312)
  *  - DELETE /api/v1/query/{id}               (query.py:357)
  *  - POST   /api/v1/export/csv               (export.py:153, sql XOR query_id)
+ *  - POST   /api/v1/export/arrow             (columnar IPC stream — the
+ *           reference's Arrow result buffering, executor.py:254-260,
+ *           surfaced as a wire format; sql-only)
  *  - GET    /api/v1/catalog/namespaces[?parent=]    (catalog.py:41, 404 on
  *           unknown parent; parent accepts unit-separator or dotted form)
  *  - GET    /api/v1/catalog/namespaces/{ns}/tables  (catalog.py:106)
@@ -76,6 +79,7 @@ final class HttpFacade(
         case ("POST", List("api", "v1", "query", id, "cancel")) => cancel(ex, id)
         case ("DELETE", List("api", "v1", "query", id)) => cleanup(ex, id)
         case ("POST", List("api", "v1", "export", "csv")) => exportCsv(ex)
+        case ("POST", List("api", "v1", "export", "arrow")) => exportArrow(ex)
         case ("GET", List("api", "v1", "catalog", "namespaces")) => namespaces(ex)
         case ("GET", List("api", "v1", "catalog", "namespaces", ns, "tables")) =>
           tables(ex, ns)
@@ -189,6 +193,34 @@ final class HttpFacade(
                   sendJson(ex, 400, detail(e.getMessage))
               }
           }
+        }
+    }
+  }
+
+  /** Columnar export: the gated SQL streamed as an Arrow IPC stream —
+    * the reference's columnar result transport (executor.py:254-260)
+    * surfaced as a wire format any Arrow client reads directly. sql-only
+    * (buffered results live as rows; re-running the plan IS the columnar
+    * path — batches stream executor → driver → socket one at a time). */
+  private def exportArrow(ex: HttpExchange): Unit = {
+    val body = Json.parseObject(readBody(ex))
+    body.get("sql").collect { case s: String => s } match {
+      case None => sendJson(ex, 400, detail("sql must be provided"))
+      case Some(s) =>
+        try {
+          val df = executor.dataFrameForExport(s)
+          ex.getResponseHeaders.set("Content-Type",
+            "application/vnd.apache.arrow.stream")
+          ex.getResponseHeaders.set("Content-Disposition",
+            "attachment; filename=\"" +
+              ValueFormat.sanitizeFilename("query_results.arrow") + "\"")
+          ex.sendResponseHeaders(200, 0)
+          val out: OutputStream = ex.getResponseBody
+          org.apache.spark.sql.GraftArrow.writeIpcStream(df, out)
+          out.close()
+        } catch {
+          case e: InvalidSqlError => sendJson(ex, 400, detail(e.getMessage))
+          case _: Exception => sendJson(ex, 500, detail("Internal server error"))
         }
     }
   }

@@ -80,6 +80,16 @@ final class QueryExecutor(
     }
   }
 
+  /** Gate-validated DataFrame for columnar export: the same A1 gate and
+    * maxRows bound as [[execute]], but the result stays a logical plan so
+    * the Arrow transport can stream executor-produced IPC batches without
+    * a driver Row-buffer detour (the reference buffers Arrow
+    * RecordBatches the same way, executor.py:254-260). */
+  def dataFrameForExport(sql: String): org.apache.spark.sql.DataFrame = {
+    SqlGate.validate(sql)
+    spark.sql(sql).limit(config.maxRows)
+  }
+
   /** One trace record per execution, with the reference span's attribute
     * set and OK/ERROR status semantics (reference: executor.py:181-222 —
     * timeout/failure are ERROR, cancellation is OK). */

@@ -120,6 +120,44 @@ class HttpFacadeSpec extends SparkSuite {
       s"""{"sql": "SELECT 1", "query_id": "$qid"}""").statusCode === 400)
   }
 
+  test("arrow export: a real IPC stream any Arrow reader decodes") {
+    val resp = client.send(
+      HttpRequest.newBuilder(url("/api/v1/export/arrow"))
+        .POST(BodyPublishers.ofString(
+          """{"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"}"""))
+        .build(),
+      BodyHandlers.ofByteArray())
+    assert(resp.statusCode === 200)
+    assert(resp.headers.firstValue("Content-Type").orElse("")
+      === "application/vnd.apache.arrow.stream")
+    // decode with the stock Arrow Java reader — proves the bytes are a
+    // complete stream (schema message + batches + EOS), not raw batches
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(resp.body), alloc)
+    try {
+      val schema = reader.getVectorSchemaRoot.getSchema
+      assert(schema.getFields.get(0).getName === "r_regionkey")
+      assert(schema.getFields.get(1).getName === "r_name")
+      var rows = 0
+      val names = scala.collection.mutable.ArrayBuffer[String]()
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        val nameVec = root.getVector("r_name")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        for (i <- 0 until root.getRowCount)
+          names += new String(nameVec.get(i), "UTF-8")
+        rows += root.getRowCount
+      }
+      assert(rows === 5)
+      assert(names.head === "AFRICA") // r_regionkey order
+    } finally { reader.close(); alloc.close() }
+
+    assert(post("/api/v1/export/arrow", "{}").statusCode === 400)
+    assert(post("/api/v1/export/arrow",
+      """{"sql": "DROP TABLE region"}""").statusCode === 400)
+  }
+
   test("catalog namespaces, tables, and schema") {
     // catalog routes read the session catalog (temp views are not catalog
     // tables) — create an external table like the reference's ATTACH would
