@@ -68,8 +68,9 @@ object Bench {
     // `"parsed": null` — the full-precision line was ~2400 chars and lost
     // its opening brace to the window, with sbt's "[success] ..." trailer
     // (~75 chars) eating into the budget too). Keep the line compact:
-    // 3-decimal per-query seconds, 2-decimal total, numeric sf.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // 2-decimal per-query seconds (the 78-query inventory budget; full
+    // 3-decimal timings stay on stderr above), 2-decimal total, numeric sf.
+    def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -543,6 +543,20 @@ object Inventory {
         (abs(col("est") - col("exact_nd")).cast("double") /
           col("exact_nd") <= lit(0.05)).as("within_tol"))
     },
+    "q52_bloom_semi" -> { (s, d) =>
+      // Bloom-prefiltered semi join — identical result to the plain semi
+      // join (no false negatives + exact verify), but the fact table is
+      // pruned by a broadcast sketch before any exchange; Spark's AQE
+      // runtime filters use the same expressions when their heuristics
+      // fire, this makes the shape explicit and testable.
+      val dim = Tables(s, d, "part").filter(col("p_size") === 1)
+      graft.ops.Prune
+        .bloomSemiJoin(Tables(s, d, "lineitem"), "l_partkey",
+          dim, "p_partkey", expectedItems = 16384L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), money(sum(col("l_quantity"))).as("sq"))
+        .orderBy(col("l_returnflag"))
+    },
     "q51_apx_quantile" -> { (s, d) =>
       // percentile_approx (GK sketch, mergeable) vs the exact interpolated
       // percentile; the emitted median is the exact one (hash-parity with
@@ -700,6 +714,13 @@ object Inventory {
     "q51_apx_quantile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
          TRUE AS within_tol FROM lineitem GROUP BY l_returnflag
-         ORDER BY l_returnflag"""
+         ORDER BY l_returnflag""",
+    // the bloom prefilter must be invisible in the result
+    "q52_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(CAST(sum(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS sq
+         FROM lineitem WHERE l_partkey IN
+           (SELECT p_partkey FROM part WHERE p_size = 1)
+         GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

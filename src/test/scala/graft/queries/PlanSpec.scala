@@ -116,6 +116,34 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("t06/e03: native-expression ops are map-only single projections") {
+    for ((name, exprName) <- Seq("t06_gopher" -> "gopher_stats",
+                                 "e03_quantize" -> "quantize_int8")) {
+      val df = graft.queries.PipelineOps.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+        s"$name:\n$plan")
+      assert(plan.contains(exprName), s"$name:\n$plan")
+    }
+  }
+
+  test("t07: bigram top-k is partial-agg + TakeOrderedAndProject") {
+    val df = graft.queries.PipelineOps.queries("t07_ngrams")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("q49: interval join is an equi-key join with the range in the condition") {
+    val plan = planOf("q49_interval_join")
+    // never a cartesian/broadcast-nested-loop — the user_id equi key
+    // carries the join, the time bound rides the condition
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("p03: packing is one keyed window over the shard exchange") {
     val df = graft.queries.PipelineOps.queries("p03_pack_sequences")(spark, sf)
     df.collect()
