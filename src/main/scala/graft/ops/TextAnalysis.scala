@@ -312,6 +312,36 @@ object TextAnalysis {
     * native graft.functions.Winnow expression (one loop per doc); the HOF
     * form above is the executable reference, equivalence-tested in
     * VectorExpressionsSpec. */
+  /**
+   * Benchmark-decontamination check: which corpus documents share
+   * winnowing fingerprints with a probe set (eval/test documents)?
+   * Returns (id, probe_id, n_shared) for pairs sharing at least
+   * `minShared` fingerprints — the standard "does the training corpus
+   * contain the benchmark" sweep.
+   *
+   * Scale design: both sides reduce to inverted (fingerprint, id) pairs —
+   * the join shuffles 16-byte rows keyed by fingerprint, never text, and
+   * the probe side is typically small enough that Catalyst broadcasts it.
+   * Self-pairs (same id on both sides) are excluded so a corpus can be
+   * probed against its own subset.
+   */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+                    probes: DataFrame, probeTextCol: String,
+                    probeIdCol: String,
+                    k: Int = 8, window: Int = 4, minShared: Int = 2,
+                    hashMode: String = "xx"): DataFrame = {
+    def inverted(df: DataFrame, t: String, i: String, as: String) =
+      fingerprints(df, t, i, k, window, hashMode)
+        .select(col("id").as(as), explode(col("fps")).as("fp"))
+    inverted(docs, textCol, idCol, "id")
+      .join(inverted(probes, probeTextCol, probeIdCol, "probe_id"), "fp")
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy(col("id"), col("probe_id"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id"), col("probe_id"))
+  }
+
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, window: Int = 4,
                    hashMode: String = "xx"): DataFrame = {

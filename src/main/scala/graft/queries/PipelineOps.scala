@@ -142,6 +142,16 @@ object PipelineOps {
       TextAnalysis.topNgrams(docs(s, d), "text", k = 20)
     },
 
+    "t08_contamination" -> { (s, d) =>
+      // decontamination sweep: corpus docs sharing >= 2 winnowing
+      // fingerprints with the probe subset (ids < 20), md5 hash mode so
+      // the DuckDB oracle recomputes the same fingerprints
+      val all = docs(s, d)
+      TextAnalysis.contamination(all, "text", "doc_id",
+        all.filter(col("doc_id") < 20), "text", "doc_id",
+        hashMode = "md5")
+    },
+
     // --- deterministic selection: splits / quotas / packing --------------
     "p01_hash_split" -> { (s, d) =>
       Sampling.hashSplit(docs(s, d), "doc_id", k = 3)
@@ -373,6 +383,23 @@ object PipelineOps {
          SELECT id, CAST(len(fps) AS INT) AS n_fps,
                 list_min(fps) AS fp_min, list_max(fps) AS fp_max
          FROM f ORDER BY id""",
+    // same winnowing CTEs as t04, self-joined through the inverted
+    // (fingerprint, id) index against the probe subset
+    "t08_contamination" ->
+      """WITH nrm AS (SELECT doc_id AS id,
+           lower(regexp_replace(text, '[ \t\r\n\x0B\f]+', ' ', 'g')) AS t
+           FROM documents),
+         g AS (SELECT id, t, CAST(greatest(length(t) - 7, 1) AS INT) AS n FROM nrm),
+         h AS (SELECT id, [('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+             FOR i IN range(1, n + 1)] AS hs FROM g),
+         f AS (SELECT id, list_distinct([list_min(hs[j:j+3])
+             FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps FROM h),
+         inv AS (SELECT id, unnest(fps) AS fp FROM f),
+         pairs AS (SELECT a.id, b.id AS probe_id, count(*) AS n_shared
+           FROM inv a JOIN inv b ON a.fp = b.fp AND b.id < 20 AND a.id <> b.id
+           GROUP BY a.id, b.id)
+         SELECT id, probe_id, CAST(n_shared AS INT) AS n_shared
+         FROM pairs WHERE n_shared >= 2 ORDER BY id, probe_id""",
     "e01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.query_id, c.vec_id AS id,

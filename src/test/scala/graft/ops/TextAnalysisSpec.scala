@@ -110,4 +110,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.drop(1).map(_._2).forall(_ == 1L))
     assert(out.drop(1).map(_._1) === out.drop(1).map(_._1).sorted)
   }
+
+  test("contamination finds planted probe overlap, skips self and disjoint") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "a completely different document about query engines and joins"),
+      (3L, "unrelated text with its own words entirely elsewhere")).toDF("doc_id", "text")
+    // probe 101 = doc 1 with a small edit; probe 102 = disjoint
+    val probes = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog by the creek"),
+      (102L, "nothing in common with anything above at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, "text", "doc_id",
+        probes, "text", "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 101L)))          // near-identical -> flagged
+    assert(!out.exists(_._2 == 102L))         // disjoint probe never fires
+    assert(!out.exists(p => p._1 == p._2))    // no self-pairs
+  }
 }
