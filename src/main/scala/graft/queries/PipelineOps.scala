@@ -142,6 +142,17 @@ object PipelineOps {
       TextAnalysis.topNgrams(docs(s, d), "text", k = 20)
     },
 
+    "t09_langid_eval" -> { (s, d) =>
+      // classifier evaluation against the fixture's lang ground truth:
+      // the (truth, predicted) confusion matrix — the eval loop every
+      // curation classifier needs, as a first-class relational op
+      val all = docs(s, d)
+      all.select(col("doc_id").as("id"), col("lang"))
+        .join(TextAnalysis.langIdOf(all, "text", "doc_id"), "id")
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted_lang"))
+    },
     "t08_contamination" -> { (s, d) =>
       // decontamination sweep: corpus docs sharing >= 2 winnowing
       // fingerprints with the probe subset (ids < 20), md5 hash mode so
@@ -448,6 +459,26 @@ object PipelineOps {
              {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h)
          SELECT id, CASE WHEN (b).hits > 0 THEN (b).lang ELSE 'und' END AS predicted_lang
          FROM best ORDER BY id""",
+    // t03's prediction CTEs joined back to the lang ground truth
+    "t09_langid_eval" ->
+      """WITH tok AS (SELECT doc_id AS id, lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         h AS (SELECT id, lang,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok),
+         best AS (SELECT id, lang, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h),
+         pred AS (SELECT id, lang,
+             CASE WHEN (b).hits > 0 THEN (b).lang ELSE 'und' END AS predicted_lang
+           FROM best)
+         SELECT lang, predicted_lang, count(*) AS n FROM pred
+         GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""",
     "m01_media_features" ->
       """WITH d AS (SELECT doc_id AS id,
            ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,

@@ -44,4 +44,39 @@ class SkewSpec extends SparkSuite {
       .select("__salt").distinct().count()
     assert(phase1Groups > 1, "hot key stayed in a single salt group")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // one hot key owning 1/4 of rows, thresholds lowered so the fixture
+    // triggers the same OptimizeSkewedJoin path a 100 TB hot key would.
+    // The plan must be COLLECTED through its own QueryExecution — AQE
+    // replans only the execution that actually runs (a .write uses a
+    // separate QueryExecution and leaves this one's plan untouched).
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "100",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "800",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "800",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 1000, 1, 10).selectExpr(
+        "CASE WHEN id < 250 THEN 249 WHEN id >= 750 THEN 1000 ELSE id END AS key1",
+        "id AS value1")
+      val right = spark.range(0, 1000, 1, 10).selectExpr(
+        "CASE WHEN id < 250 THEN 249 ELSE id END AS key2", "id AS value2")
+      val df = left.join(right, col("key1") === col("key2"))
+      val n = df.collect().length
+      assert(n == 63000) // 250*250 hot + 500 tail matches
+      // the final plan nests the join inside a ResultQueryStageExec whose
+      // inner plan is a member, not a child — collect() can't reach it, so
+      // assert on the rendered plan (SMJ prints "SortMergeJoin(skew=true)")
+      val rendered = df.queryExecution.executedPlan.toString
+      assert(rendered.contains("SortMergeJoin(skew=true)"),
+        s"expected OptimizeSkewedJoin to mark the join:\n$rendered")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
