@@ -60,5 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GopherStatsExpr(c(0)) }
     inject("graft_quantize_int8", "one-pass symmetric int8 quantization struct") { c =>
       QuantizeInt8Expr(c(0)) }
+    // Spark's runtime-filter expressions, surfaced for the explicit
+    // bloom-prune operators (mirrors graft.ops.Prune.register)
+    inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c(0), c(1)) }
+    inject("graft_might_contain", "Bloom filter membership probe") { c =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        c(0), c(1)) }
   }
 }

@@ -95,4 +95,32 @@ object Sampling {
       .select(col(idCol), col("shard"), col("bin"), col("offset"),
         col(weightCol))
   }
+
+  /**
+   * Deterministic weighted priority sampling: take `n` documents with
+   * inclusion bias proportional to `weightCol` (e.g. upsample long or
+   * high-quality docs). Each doc gets priority key
+   * `md5_60bit(id) DIV weight` — a doc with twice the weight halves its
+   * key's scale, so it wins the ascending-key race proportionally more
+   * often (the integer-arithmetic analogue of A-Res exponential keys
+   * `-ln(u)/w`, chosen over the float form because every bit is
+   * engine-reproducible; the bias curve is documented as approximate,
+   * the determinism is exact). Re-running on a grown corpus preserves
+   * previously-drawn keys' priorities — stable, auditable sampling.
+   *
+   * Scale: the key is map-only; the global ascending-key top-n plans as
+   * TakeOrderedAndProject — per-partition n then a driver merge, no
+   * global sort.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample needs n >= 1, got $n")
+    val key = expr(
+      s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) " +
+        s"as bigint) DIV greatest(cast($weightCol as bigint), 1L)")
+    df.withColumn("__key", key)
+      .orderBy(col("__key"), col(idCol))
+      .limit(n)
+      .drop("__key")
+  }
 }

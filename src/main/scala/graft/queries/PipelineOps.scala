@@ -182,6 +182,13 @@ object PipelineOps {
         .orderBy(col("id"))
     },
 
+    "p04_weighted_sample" -> { (s, d) =>
+      // 100-doc weighted priority sample, n_chars as the weight
+      Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", n = 100)
+        .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+        .orderBy(col("id"))
+    },
+
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
     "j01_asof_join" -> { (s, d) =>
       val ev = Tables(s, d, "events")
@@ -270,6 +277,13 @@ object PipelineOps {
          SELECT id, shard, CAST(bef // 4096 AS BIGINT) AS bin,
                 CAST(bef - (bef // 4096) * 4096 AS BIGINT) AS offset
          FROM c ORDER BY id""",
+    "p04_weighted_sample" ->
+      """WITH k AS (SELECT doc_id AS id, lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             // greatest(n_chars, 1) AS key
+           FROM documents),
+         s AS (SELECT id, lang, n_chars FROM k ORDER BY key, id LIMIT 100)
+         SELECT id, lang, n_chars FROM s ORDER BY id""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
     // canonical = longest doc per cluster (ties: min id), over the same

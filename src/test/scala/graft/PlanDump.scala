@@ -117,7 +117,23 @@ object PlanDump {
       ("Composes d02's banded MinHash clustering (ReusedExchange on the " +
         "signature projection) with one window over keep_id — the " +
         "canonical-selection shuffle carries (id, keep_id, n_chars) " +
-        "triples, never text."))
+        "triples, never text."),
+    "t08_contamination" ->
+      ("Both corpora reduce to inverted (fingerprint, id) pairs before " +
+        "anything joins — the contamination join shuffles 16-byte rows " +
+        "keyed by fingerprint (probe side broadcast at fixture scale), " +
+        "text never moves; the count-shared aggregate is partial " +
+        "map-side."),
+    "q52_bloom_semi" ->
+      ("The might_contain prefilter evaluates inside the fact scan's " +
+        "codegen stage with the sketch as a plan literal — the shuffle " +
+        "(and the exact semi join behind it) sees only the pruned " +
+        "survivor fraction; sizing the filter wrong costs false-positive " +
+        "rows, never correctness."),
+    "p04_weighted_sample" ->
+      ("Priority key is a map-only md5/weight projection; the global " +
+        "ascending-key top-100 is TakeOrderedAndProject — per-partition " +
+        "top-n then a driver merge, no global sort at any corpus size."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -79,4 +79,25 @@ class SamplingSpec extends SparkSuite {
       assert(off >= 0 && off < budget)
     }
   }
+
+  test("weightedSample: deterministic, biased toward heavy docs, top-k plan") {
+    import spark.implicits._
+    // 500 light docs (w=10) vs 500 heavy docs (w=1000)
+    val df = ((1L to 500L).map((_, 10L)) ++ (501L to 1000L).map((_, 1000L)))
+      .toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(df, "doc_id", "w", 100)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(df, "doc_id", "w", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)                       // rerun-identical
+    val heavy = s1.count(_ > 500L)
+    assert(heavy > 80, s"heavy docs should dominate the sample: $heavy/100")
+    assert(s1.size === 100)
+    // global top-n is TakeOrderedAndProject, not a global sort
+    val q = Sampling.weightedSample(df, "doc_id", "w", 100)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      q.queryExecution.executedPlan.toString)
+  }
 }

@@ -144,6 +144,21 @@ class PlanSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q52: bloom prefilter evaluates on the fact side before the semi join") {
+    val plan = planOf("q52_bloom_semi")
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p04: weighted sample is a map-only key + distributed top-n") {
+    val df = graft.queries.PipelineOps.queries("p04_weighted_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      plan)
+  }
+
   test("p03: packing is one keyed window over the shard exchange") {
     val df = graft.queries.PipelineOps.queries("p03_pack_sequences")(spark, sf)
     df.collect()
