@@ -123,4 +123,46 @@ object Sampling {
       .limit(n)
       .drop("__key")
   }
+
+  /**
+   * Deterministic fractional up/down-sampling by source — the corpus
+   * MIXING step (training mixes specify per-source epoch weights, e.g.
+   * wiki ×2.25, crawl ×0.75): each document is emitted `floor(w)` times,
+   * plus one extra copy iff `md5_bucket(id) < round(frac(w)·256)` — so a
+   * weight of 2.25 duplicates every doc twice and a deterministic ~25 %
+   * of docs (granularity 1/256) a third time, while 0.75 keeps ~75 % of
+   * docs once and 0 drops the source entirely. The same md5 driver as
+   * [[hashSplit]]: assignment is per-id stable under corpus growth and
+   * any SQL engine can recompute which copies exist (epoch-level
+   * auditability that RNG sampling can't give).
+   *
+   * Output: input columns plus `copies` and `copy_ix` (1..copies), one
+   * row per emitted copy. Map-only — weight lookup is a literal map,
+   * the copy fan-out is an explode; no shuffle at any corpus size.
+   */
+  def upsampleMix(df: DataFrame, idCol: String, srcCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach { w =>
+      require(w >= 0 && w <= 256, s"upsampleMix weights must be in [0, 256], got $w")
+    }
+    def whole(w: Double): Long = math.floor(w).toLong
+    def thresh(w: Double): Long = math.round((w - math.floor(w)) * 256)
+    val wholeCol =
+      if (weights.isEmpty) lit(whole(defaultWeight))
+      else coalesce(
+        element_at(typedLit(weights.map { case (s, w) => s -> whole(w) }),
+          col(srcCol)),
+        lit(whole(defaultWeight)))
+    val threshCol =
+      if (weights.isEmpty) lit(thresh(defaultWeight))
+      else coalesce(
+        element_at(typedLit(weights.map { case (s, w) => s -> thresh(w) }),
+          col(srcCol)),
+        lit(thresh(defaultWeight)))
+    df.withColumn("copies",
+        wholeCol + when(md5Bucket(col(idCol)) < threshCol, 1L).otherwise(0L))
+      .filter(col("copies") >= 1)
+      .withColumn("copy_ix", explode(sequence(lit(1L), col("copies"))))
+  }
 }

@@ -358,4 +358,72 @@ object TextAnalysis {
       .select(col("id"), col("fps"), size(col("fps")).as("n_fps"))
       .orderBy(col("id"))
   }
+
+  // ------------------------------------------------------------------
+  // Corpus heavy hitters — Misra-Gries candidates + exact recount
+  // ------------------------------------------------------------------
+
+  /**
+   * All tokens with global frequency strictly greater than `total/k`,
+   * with EXACT counts — the corpus-vocabulary skew report (stopword
+   * discovery, boilerplate detection, tokenizer-vocab sanity).
+   *
+   * The naive form — group every token, sort by count — shuffles the
+   * whole token stream (at 100 TB: the corpus, re-keyed by word). This
+   * one never does: a single `mapPartitions` pass keeps a Misra-Gries
+   * summary of `k` counters per partition and emits only its candidate
+   * tokens. Misra-Gries guarantees any token with partition frequency
+   * > n_p/(k+1) survives the summary, and a token with GLOBAL frequency
+   * > n/k must exceed n_p/k ≥ its share in at least one partition (an
+   * averaging argument over Σn_p = n), so the union of per-partition
+   * candidates is a provable superset of every global heavy hitter —
+   * recall 1, no tuning. The exact recount joins the token stream
+   * against the (tiny, ≤ 32·k rows) broadcast candidate set — the
+   * filter runs map-side inside the scan's codegen stage — and only
+   * candidate tokens reach the partial-aggregate exchange. The final
+   * `HAVING count·k > total` drops false candidates: precision 1 too,
+   * which is what makes the operator oracle-checkable against a plain
+   * exact GROUP BY.
+   *
+   * `mapPartitions` is justified here (SURVEY §4 preference order): the
+   * summary is inherently per-partition imperative state — k counters
+   * with a shared-decrement step — not expressible as an aggregate over
+   * rows without materializing exactly the per-token state the sketch
+   * exists to avoid.
+   */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters needs k >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(Shingles.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      while (it.hasNext) {
+        val t = it.next()
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // shared decrement: k+1 occurrences retire together (the
+            // arriving token plus one from each counter); zeroed
+            // counters free their slots
+            val dead = List.newBuilder[String]
+            counters.foreach { case (w, c) =>
+              if (c == 1L) dead += w else counters.update(w, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
 }

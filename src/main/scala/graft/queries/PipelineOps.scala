@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profile, Sampling, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /**
@@ -153,6 +153,11 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))
     },
+    "t10_heavy_hitters" -> { (s, d) =>
+      // corpus vocabulary skew: every token above 1/33 of the token mass,
+      // exact counts — Misra-Gries candidates bound the shuffle
+      TextAnalysis.heavyHitters(docs(s, d), "text", k = 33)
+    },
     "t08_contamination" -> { (s, d) =>
       // decontamination sweep: corpus docs sharing >= 2 winnowing
       // fingerprints with the probe subset (ids < 20), md5 hash mode so
@@ -187,6 +192,21 @@ object PipelineOps {
       Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", n = 100)
         .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
         .orderBy(col("id"))
+    },
+
+    "p05_upsample_mix" -> { (s, d) =>
+      // training-mix epochs: src0 ×2.25, src1 dropped, src2 ×0.75,
+      // everything else ×1
+      Sampling.upsampleMix(docs(s, d), "doc_id", "source",
+        Map("src0" -> 2.25, "src1" -> 0.0, "src2" -> 0.75))
+        .select(col("doc_id").as("id"), col("source"), col("copy_ix"))
+        .orderBy(col("id"), col("copy_ix"))
+    },
+
+    "x01_profile" -> { (s, d) =>
+      // per-column data-quality summary of the documents table
+      Profile.profile(docs(s, d),
+        Seq("doc_id", "lang", "source", "text", "n_chars"))
     },
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
@@ -284,6 +304,20 @@ object PipelineOps {
            FROM documents),
          s AS (SELECT id, lang, n_chars FROM k ORDER BY key, id LIMIT 100)
          SELECT id, lang, n_chars FROM s ORDER BY id""",
+    // whole copies + one fractional copy iff md5_bucket(id) < frac(w)*256
+    // (src0 2.25 -> 2+[bucket<64]; src1 0; src2 0.75 -> [bucket<192];
+    // default 1) — identical integer arithmetic to Sampling.upsampleMix
+    "p05_upsample_mix" ->
+      s"""WITH c AS (SELECT doc_id AS id, source,
+           (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                        WHEN 'src2' THEN 0 ELSE 1 END)
+           + (CASE WHEN $duckMd5Bucket <
+               (CASE source WHEN 'src0' THEN 64 WHEN 'src1' THEN 0
+                            WHEN 'src2' THEN 192 ELSE 0 END)
+              THEN 1 ELSE 0 END) AS copies
+           FROM documents)
+         SELECT id, source, unnest(generate_series(1, copies)) AS copy_ix
+         FROM c ORDER BY id, copy_ix""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
     // canonical = longest doc per cluster (ties: min id), over the same
@@ -493,6 +527,46 @@ object PipelineOps {
            FROM best)
          SELECT lang, predicted_lang, count(*) AS n FROM pred
          GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""",
+    // exact heavy hitters — valid as t10's oracle because the Misra-Gries
+    // stage only BOUNDS the candidate set (recall 1 by the averaging
+    // argument in TextAnalysis.heavyHitters); the exact recount + HAVING
+    // make the output equal the brute-force answer on any input
+    "t10_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+             '\s+')) AS token FROM documents),
+         t2 AS (SELECT token FROM tok WHERE token <> ''),
+         tot AS (SELECT count(*) AS total FROM t2)
+         SELECT token, count(*) AS n FROM t2, tot GROUP BY token, tot.total
+         HAVING count(*) * 33 > tot.total
+         ORDER BY n DESC, token""",
+    "x01_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             count(*) - count(doc_id) AS n_nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val,
+             CAST(max(doc_id) AS VARCHAR) AS max_val,
+             CAST(sum(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sum_len
+           FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+             count(DISTINCT lang), min(lang), max(lang),
+             CAST(sum(length(lang)) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+             count(DISTINCT source), min(source), max(source),
+             CAST(sum(length(source)) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'text', count(*), count(*) - count(text),
+             count(DISTINCT text), min(text), max(text),
+             CAST(sum(length(text)) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR),
+             CAST(sum(length(CAST(n_chars AS VARCHAR))) AS BIGINT)
+           FROM documents)
+         SELECT * FROM p ORDER BY col_name""",
     "m01_media_features" ->
       """WITH d AS (SELECT doc_id AS id,
            ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,

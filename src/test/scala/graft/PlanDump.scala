@@ -133,7 +133,25 @@ object PlanDump {
     "p04_weighted_sample" ->
       ("Priority key is a map-only md5/weight projection; the global " +
         "ascending-key top-100 is TakeOrderedAndProject — per-partition " +
-        "top-n then a driver merge, no global sort at any corpus size."))
+        "top-n then a driver merge, no global sort at any corpus size."),
+    "t10_heavy_hitters" ->
+      ("The naive form shuffles the whole token stream; here a one-pass " +
+        "per-partition Misra-Gries summary (mapPartitions, k counters) " +
+        "emits <= k candidates per partition — a provable superset of " +
+        "every global heavy hitter — and the exact recount joins the " +
+        "stream against the BROADCAST candidate set, so only candidate " +
+        "tokens survive to the partial-aggregate exchange."),
+    "p05_upsample_mix" ->
+      ("Weight lookup is a literal map, the copy fan-out is " +
+        "explode(sequence) — a Generate inside the scan's stage. The " +
+        "operator is map-only (zero exchanges) at any corpus size; the " +
+        "only shuffle in the inventory entry is its presentation " +
+        "ORDER BY."),
+    "x01_profile" ->
+      ("Every column's count/nulls/distinct/min/max/sum-len computes in " +
+        "ONE aggregation pass (Expand feeds the multi-count-distinct, " +
+        "partials map-side); the per-column pivot is a literal-array " +
+        "explode of the single result row — no join, no second scan."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

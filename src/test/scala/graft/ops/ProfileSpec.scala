@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("profile: exact per-column counts, nulls, ranges on a known fixture") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "aa"), (2L, null), (3L, "bb"), (null, "aa"), (5L, "ccc"))
+      .toDF("id", "s")
+    val out = Profile.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5), r.getLong(6)))).toMap
+    //                     rows nulls distinct min  max   sum_len
+    assert(out("id") === ((5L, 1L, 4L, "1", "5", 4L)))
+    assert(out("s") === ((5L, 1L, 3L, "aa", "ccc", 9L)))
+  }
+
+  test("profile: typed min/max (bigint 499 > 99), unknown column rejected") {
+    val df = (1L to 499L).toDF("n")
+    val row = Profile.profile(df, Seq("n")).collect().head
+    assert(row.getString(4) === "1" && row.getString(5) === "499")
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope"))
+    }
+  }
+
+  test("profile: single aggregation pass — no join, one scan") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val q = Profile.profile(df, Seq("id", "s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // multi-count-distinct plans via Expand over the one input scan
+    assert(plan.contains("Expand"), plan)
+  }
+}

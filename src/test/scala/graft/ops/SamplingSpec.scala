@@ -100,4 +100,34 @@ class SamplingSpec extends SparkSuite {
       .contains("TakeOrderedAndProject"),
       q.queryExecution.executedPlan.toString)
   }
+
+  test("upsampleMix: whole+fractional copies, drops, default weight, no shuffle") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "src")
+    val weights = Map("src0" -> 2.25, "src1" -> 0.0, "src2" -> 0.75)
+    val out = Sampling.upsampleMix(df, "doc_id", "src", weights)
+    val perDoc = out.groupBy("doc_id", "src")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every emitted doc's copy count is floor(w) or floor(w)+1
+    perDoc.foreach { case (id, src, n) =>
+      val w = weights.getOrElse(src, 1.0)
+      assert(n == math.floor(w).toLong || n == math.floor(w).toLong + 1,
+        s"doc $id src $src copies $n for weight $w")
+    }
+    val bySrc = perDoc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(!bySrc.contains("src1"))                  // weight 0 -> dropped
+    assert(bySrc("src3") == 100L)                    // default weight 1
+    assert(bySrc("src0") > 200L && bySrc("src0") < 260L)   // ~2.25x of 100
+    assert(bySrc("src2") > 55L && bySrc("src2") < 95L)     // ~0.75x of 100
+    // deterministic re-run
+    val again = Sampling.upsampleMix(df, "doc_id", "src", weights)
+      .select("doc_id", "copy_ix").as[(Long, Long)].collect().toSet
+    assert(again ===
+      out.select("doc_id", "copy_ix").as[(Long, Long)].collect().toSet)
+    // map-only: no exchange anywhere in the plan
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -127,4 +127,38 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.exists(_._2 == 102L))         // disjoint probe never fires
     assert(!out.exists(p => p._1 == p._2))    // no self-pairs
   }
+
+  test("heavyHitters equals brute force on a skewed corpus, any partitioning") {
+    // planted zipf-ish skew: "alpha" dominates, a long uniform tail keeps
+    // the Misra-Gries summaries churning (decrement events fire)
+    val docs = (1 to 120).map { i =>
+      val tail = (1 to 40).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")
+      (i.toLong, s"alpha beta alpha $tail alpha gamma")
+    }
+    val k = 25
+    def bruteForce(df: org.apache.spark.sql.DataFrame) = {
+      val toks = df.select(explode(split(lower(trim(col("text"))), "\\s+"))
+        .as("token")).filter(col("token") =!= "")
+      val total = toks.count()
+      toks.groupBy("token").count()
+        .filter(col("count") * k > lit(total))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      val got = TextAnalysis.heavyHitters(df, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === bruteForce(df), s"parts=$parts")
+      assert(got.contains("alpha"), s"parts=$parts")
+    }
+  }
+
+  test("heavyHitters recount join broadcasts the candidate set") {
+    val df = (1 to 50).map(i => (i.toLong, s"x y z w$i")).toDF("doc_id", "text")
+    val q = TextAnalysis.heavyHitters(df, "text", k = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

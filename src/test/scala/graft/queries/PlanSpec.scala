@@ -159,6 +159,37 @@ class PlanSpec extends SparkSuite {
       plan)
   }
 
+  test("t10: recount joins broadcast candidates; token stream never sort-merges") {
+    val df = graft.queries.PipelineOps.queries("t10_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("p05: upsample mix is map-only — no exchange below the output sort") {
+    val df = graft.queries.PipelineOps.queries("p05_upsample_mix")(spark, sf)
+    df.collect()
+    // the inventory entry adds a presentation ORDER BY (one exchange);
+    // the operator itself must contribute none: exactly that one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") ||
+      plan.split("Exchange").length <= 3, plan)
+    assert(plan.contains("Generate"), plan)     // the copy fan-out explode
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("x01: profile is one aggregation — Expand, no join, single scan") {
+    val df = graft.queries.PipelineOps.queries("x01_profile")(spark, sf)
+    df.collect()
+    // AQE prints Final + Initial plans; count scans in the final one only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("p03: packing is one keyed window over the shard exchange") {
     val df = graft.queries.PipelineOps.queries("p03_pack_sequences")(spark, sf)
     df.collect()
