@@ -85,6 +85,8 @@ final class HttpFacade(
           tables(ex, ns)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "schema")) =>
           schema(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "profile")) =>
+          profileRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -316,6 +318,61 @@ final class HttpFacade(
           "name" -> f.name, "type" -> f.dataType,
           "nullable" -> f.nullable,
           "is_partition_column" -> f.isPartitionColumn)))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Content profile of a catalog table: one row per column with exact
+    * count / null / distinct / min-max / sum-len statistics
+    * (graft.ops.Profile — ONE aggregation pass over the table).
+    * `?columns=a,b` restricts the profiled set; the default is every
+    * non-nested column. Extends the reference's metadata-only catalog
+    * introspection (routes/catalog.py) with a content-quality summary;
+    * the result is one row per column, so the response is always tiny
+    * even though the scan is table-sized — at warehouse scale submit the
+    * same operator through the async query path instead. */
+  private def profileRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val profilable = df.schema.fields.filter(_.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }).map(_.name).toSeq
+      val cols = queryParams(ex).get("columns").filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(profilable)
+      val unknown = cols.filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (cols.isEmpty) {
+        sendJson(ex, 400, detail("No profilable columns")); return
+      }
+      val rows = graft.ops.Profile.profile(df, cols).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "profile" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "column" -> r.getString(0),
+          "n_rows" -> r.getLong(1),
+          "n_nulls" -> r.getLong(2),
+          "n_distinct" -> r.getLong(3),
+          "min" -> r.getString(4),
+          "max" -> r.getString(5),
+          "sum_len" ->
+            (if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -174,6 +174,28 @@ class HttpFacadeSpec extends SparkSuite {
     assert(get("/api/v1/catalog/tables/nodots/schema").statusCode === 400)
   }
 
+  test("table profile: per-column stats, columns param, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    val p = get("/api/v1/catalog/tables/httpapi.nation/profile")
+    assert(p.statusCode === 200, p.body)
+    assert(p.body.contains("\"table\":\"httpapi.nation\""))
+    // nation has 25 rows, n_nationkey 0..24, no nulls
+    assert(p.body.contains("\"column\":\"n_nationkey\""))
+    assert(p.body.contains("\"n_rows\":25"))
+    assert(p.body.contains("\"n_nulls\":0"))
+    assert(p.body.contains("\"n_distinct\":25"))
+    val sub = get("/api/v1/catalog/tables/httpapi.nation/profile?columns=n_name")
+    assert(sub.statusCode === 200, sub.body)
+    assert(sub.body.contains("n_name") && !sub.body.contains("n_nationkey"))
+    assert(get("/api/v1/catalog/tables/httpapi.nation/profile?columns=bogus")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nosuch/profile")
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/profile").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
