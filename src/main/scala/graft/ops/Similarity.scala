@@ -196,6 +196,44 @@ object Similarity {
         col("s.q_sum").as("q_sum"), col("s.n_sat").as("n_sat"))
   }
 
+  /**
+   * Matryoshka truncation report (Kusupati et al., "Matryoshka
+   * Representation Learning", NeurIPS'22): for each vector, the L2 norm
+   * of its first `m` dimensions, the energy fraction the head retains
+   * vs the full vector, and the first coordinate after renormalizing
+   * the head — the quality check run before shipping truncated
+   * embeddings to a cheaper index tier.
+   *
+   * Map-only, one pass per row; the two sums of squares are let-bound
+   * (Shingles.let) so the `when` branches reference lambda variables
+   * instead of re-evaluating the fold (conditional branches are outside
+   * codegen subexpression elimination). Values round through
+   * DECIMAL(12,6) — the e01-established cross-engine float parity path.
+   */
+  def matryoshka(df: DataFrame, vecCol: String, idCol: String,
+                 m: Int): DataFrame = {
+    require(m >= 1, s"matryoshka needs m >= 1, got $m")
+    def sumSq(v: Column): Column =
+      aggregate(v, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+    def dec6(c: Column): Column = c.cast("decimal(12,6)").cast("double")
+    val vc = col(vecCol)
+    val s = Shingles.let(sumSq(slice(vc, 1, m))) { ssm =>
+      Shingles.let(sumSq(vc)) { ssf =>
+        struct(
+          dec6(sqrt(ssm)).as("norm_m"),
+          dec6(when(ssf > 0, ssm / ssf).otherwise(lit(0.0d))).as("energy"),
+          dec6(when(ssm > 0,
+            element_at(vc, 1).cast("double") / sqrt(ssm))
+            .otherwise(lit(0.0d))).as("q1"))
+      }
+    }
+    df.select(col(idCol).as("id"), s.as("s"))
+      .select(col("id"), col("s.norm_m").as("norm_m"),
+        col("s.energy").as("energy"), col("s.q1").as("q1"))
+      .orderBy(col("id"))
+  }
+
   /** HOF reference form of [[quantizeInt8]] — four lambda sweeps per
     * vector vs. the native expression's one fused loop; kept as the
     * equivalence oracle for QuantizeInt8Expr. */

@@ -359,6 +359,42 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /**
+   * Token-rarity quality report — the deterministic stand-in for the
+   * CCNet-style LM quality filter: per document, how common its tokens
+   * are in the corpus overall. Gibberish / OCR noise / boilerplate-free
+   * junk is dominated by corpus-rare tokens (hapaxes), while natural
+   * prose re-uses the corpus vocabulary; filtering on these signals is
+   * the classic curation step (a real LM perplexity scorer plugs in the
+   * same shape — per-token scores joined back and aggregated per doc).
+   * All outputs are exact integers: corpus frequencies, not float log
+   * probabilities, so the result is bit-identical on any engine.
+   *
+   * Output per doc: n_tokens, sum_freq (Σ corpus frequency of each
+   * token occurrence), min_freq (the rarest token's frequency), n_hapax
+   * (occurrences of corpus-unique tokens).
+   *
+   * Scale: vocab is a partial-aggregated (token, freq) table — tiny
+   * relative to the corpus (vocabularies grow ~Heaps' law, sublinearly);
+   * the join back re-shuffles the token stream keyed by token (or
+   * broadcasts the vocab when it fits), then one keyed aggregation by
+   * doc id. Two shuffles total, both keyed — no global ordering.
+   */
+  def tokenRarity(docs: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(Shingles.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    toks.join(vocab, "token")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        min(col("freq")).as("min_freq"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------
   // Corpus heavy hitters — Misra-Gries candidates + exact recount
   // ------------------------------------------------------------------

@@ -135,6 +135,11 @@ object PipelineOps {
         .orderBy(col("id"))
     },
 
+    "e04_matryoshka" -> { (s, d) =>
+      // head-quality report for 16-dim matryoshka truncation
+      Similarity.matryoshka(embs(s, d), "embedding", "vec_id", m = 16)
+    },
+
     "t06_gopher" -> { (s, d) =>
       TextAnalysis.gopherStats(docs(s, d), "text", "doc_id")
     },
@@ -152,6 +157,11 @@ object PipelineOps {
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))
+    },
+    "t11_token_rarity" -> { (s, d) =>
+      // per-doc corpus-frequency quality signals (exact-integer stand-in
+      // for an LM perplexity filter)
+      TextAnalysis.tokenRarity(docs(s, d), "text", "doc_id")
     },
     "t10_heavy_hitters" -> { (s, d) =>
       // corpus vocabulary skew: every token above 1/33 of the token mass,
@@ -470,6 +480,19 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "e04_matryoshka" ->
+      """WITH v AS (SELECT vec_id AS id,
+           [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),
+         n AS (SELECT id, e,
+           list_sum([x * x FOR x IN e[1:16]]) AS ssm,
+           list_sum([x * x FOR x IN e]) AS ssf FROM v)
+         SELECT id,
+           CAST(CAST(sqrt(ssm) AS DECIMAL(12,6)) AS DOUBLE) AS norm_m,
+           CAST(CAST(CASE WHEN ssf > 0 THEN ssm / ssf ELSE 0 END
+             AS DECIMAL(12,6)) AS DOUBLE) AS energy,
+           CAST(CAST(CASE WHEN ssm > 0 THEN e[1] / sqrt(ssm) ELSE 0 END
+             AS DECIMAL(12,6)) AS DOUBLE) AS q1
+         FROM n ORDER BY id""",
     "t02_quality_score" ->
       """WITH b AS (SELECT doc_id AS id, text,
            CAST(length(text) AS INTEGER) AS n_chars,
@@ -539,6 +562,18 @@ object PipelineOps {
          SELECT token, count(*) AS n FROM t2, tot GROUP BY token, tot.total
          HAVING count(*) * 33 > tot.total
          ORDER BY n DESC, token""",
+    "t11_token_rarity" ->
+      """WITH tok AS (SELECT doc_id AS id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t2 AS (SELECT id, token FROM tok WHERE token <> ''),
+         v AS (SELECT token, count(*) AS freq FROM t2 GROUP BY token)
+         SELECT id, count(*) AS n_tokens,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           min(freq) AS min_freq,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+         FROM t2 JOIN v USING (token) GROUP BY id ORDER BY id""",
     "x01_profile" ->
       """WITH p AS (
            SELECT 'doc_id' AS col_name, count(*) AS n_rows,

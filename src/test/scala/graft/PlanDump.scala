@@ -151,7 +151,18 @@ object PlanDump {
       ("Every column's count/nulls/distinct/min/max/sum-len computes in " +
         "ONE aggregation pass (Expand feeds the multi-count-distinct, " +
         "partials map-side); the per-column pivot is a literal-array " +
-        "explode of the single result row — no join, no second scan."))
+        "explode of the single result row — no join, no second scan."),
+    "e04_matryoshka" ->
+      ("Map-only per-vector pass; both sums of squares are let-bound " +
+        "lambda variables so the conditional (when) branches re-use them " +
+        "instead of re-running the fold — the t02 CollapseProject lesson " +
+        "applied at design time."),
+    "t11_token_rarity" ->
+      ("Vocab is a partial-aggregated (token, freq) table (sublinear in " +
+        "the corpus, Heaps' law); the join back is keyed by token " +
+        "(broadcast at fixture scale) and the per-doc rollup keys on id " +
+        "— two keyed shuffles, exact-integer outputs, no floats to " +
+        "drift."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -150,4 +150,25 @@ class SimilaritySpec extends SparkSuite {
     q.zip(x).foreach { case (qi, xi) =>
       assert(math.abs(qi / scale - xi) <= 0.5 / scale + 1e-12) }
   }
+
+  test("matryoshka: head norm, retained energy, renormalized q1, zero edge") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)),      // head(2) = full vector
+      (2L, Seq(1.0f, 0.0f, 2.0f, 2.0f)),      // head(2) holds 1/9 energy
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),      // zero head
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))      // zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshka(df, "embedding", "vec_id", m = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((5.0, 1.0, 0.6)))     // 3-4-5; q1 = 3/5
+    assert(out(2L)._1 === 1.0)
+    assert(math.abs(out(2L)._2 - 1.0 / 9.0) < 1e-6)
+    assert(out(2L)._3 === 1.0)
+    assert(out(3L) === ((0.0, 0.0, 0.0)))     // zero head -> q1 guard
+    assert(out(4L) === ((0.0, 0.0, 0.0)))     // zero vector -> energy guard
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshka(df, "embedding", "vec_id", m = 0)
+    }
+  }
 }

@@ -128,6 +128,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.exists(p => p._1 == p._2))    // no self-pairs
   }
 
+  test("tokenRarity: exact corpus-frequency signals per doc") {
+    val df = Seq(
+      (1L, "the the cat"),        // corpus freqs: the=3, cat=2
+      (2L, "the cat zzyx"),       // zzyx is a hapax
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    //                 n_tokens sum_freq      min_freq n_hapax
+    assert(out(1L) === ((3L, 3L + 3L + 2L, 2L, 0L)))
+    assert(out(2L) === ((3L, 3L + 2L + 1L, 1L, 1L)))
+    assert(!out.contains(3L))    // whitespace-only doc has no tokens
+  }
+
   test("heavyHitters equals brute force on a skewed corpus, any partitioning") {
     // planted zipf-ish skew: "alpha" dominates, a long uniform tail keeps
     // the Misra-Gries summaries churning (decrement events fire)
