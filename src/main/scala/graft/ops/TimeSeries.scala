@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
  * Reference computes nothing like this (its streams are HTTP transfer);
  * this is engine capability a Spark pipeline adds, like graft.ops.AsOf.
  *
- * Scale: the grid is generated PER KEY with `sequence` + `explode`
- * (row-local fan-out, no driver involvement, no cross-key shuffle), the
- * observation join is a keyed equi-join, and the forward-fill is a keyed
- * window — everything partitions by key, so 100 TB of events resample
- * with key-count parallelism. Grid size per key is bounded by that key's
- * own [min, max] activity span.
+ * Scale: gap rows are generated per OBSERVED bucket pair with `lag` +
+ * `sequence` + `explode` (row-local fan-out between consecutive
+ * observations — no second source scan, no grid join), and the
+ * forward-fill is a keyed window — everything partitions by key, so
+ * 100 TB of events resample with key-count parallelism. Grid size per
+ * key is bounded by that key's own [min, max] activity span.
  */
 object TimeSeries {
 
@@ -41,7 +41,7 @@ object TimeSeries {
    */
   def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, step: String = "1 hour"): DataFrame = {
-    val reserved = Set("bucket", "n_events", "v", "v_ffill", "__w", "__lo", "__hi")
+    val reserved = Set("bucket", "n_events", "v", "v_ffill", "__w", "__prev", "__obs")
     require(!Seq(keyCol, tsCol, valueCol).exists(reserved.contains),
       s"column names $reserved are produced by resampleFill — rename the " +
         "input column first")
@@ -68,18 +68,34 @@ object TimeSeries {
       .select(col(keyCol), col("__w.start").as("bucket"),
         col("n_events"), col("v"))
 
-    // per-key grid over that key's own activity span — sequence() is a
-    // row-local generator, so the fan-out happens where the key lives
-    val grid = obs.groupBy(col(keyCol))
-      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-      .select(col(keyCol),
-        explode(sequence(col("__lo"), col("__hi"), stepInterval)).as("bucket"))
+    // Gap filling without a grid join: each observation learns its
+    // predecessor bucket via lag() over the key, then explodes the run
+    // [prev+step .. bucket] in ONE Generate — the last element is the
+    // observation itself, the rest are the gap rows (buckets are
+    // epoch-aligned multiples of `step`, so the run is exact). Earlier
+    // form derived a per-key [min, max] grid from a SECOND reference to
+    // `obs` and left-joined observations back: two source scans (column
+    // pruning differed per branch, so the exchanges never unified) plus
+    // a join. This shape scans once, and the fill window inherits the
+    // lag window's key partitioning — the explode is row-local, so no
+    // exchange sits between the two windows (pinned in PlanSpec).
+    val w0 = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val runs = obs
+      .withColumn("__prev", lag(col("bucket"), 1).over(w0))
+      .select(col(keyCol), col("n_events"), col("v"),
+        col("bucket").as("__obs"),
+        explode(when(col("__prev").isNull, array(col("bucket")))
+          .otherwise(sequence(col("__prev") + stepInterval, col("bucket"),
+            stepInterval))).as("bucket"))
 
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq(keyCol, "bucket"), "left")
+    runs
       .select(col(keyCol), col("bucket"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("bucket") === col("__obs"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        when(col("bucket") === col("__obs"), col("v")).as("v"))
+      .select(col(keyCol), col("bucket"), col("n_events"),
         col("v"),
         // last(ignoreNulls) up to AND INCLUDING the current row IS
         // forward-fill: a bucket's own value wins, else the latest

@@ -76,13 +76,14 @@ object PlanDump {
         "with one hash exchange — the distributed form of the " +
         "inherently-sequential greedy packer."),
     "r01_resample_ffill" ->
-      ("Per-key grid via Generate(explode(sequence)) — row-local fan-out " +
-        "where the key lives. The observation aggregate exchanges on " +
-        "(user_id, window) and the grid join runs broadcast at fixture " +
-        "scale (its own (user_id, bucket) shuffle at 100 TB — keyed " +
-        "either way); the forward-fill window is the only " +
-        "hashpartitioning(user_id) exchange. Nothing global before the " +
-        "declared ORDER BY."),
+      ("Gap rows come from ONE Generate: lag() hands each observation its " +
+        "predecessor bucket and the run [prev+step .. bucket] explodes " +
+        "row-locally (last element = the observation itself) — no grid " +
+        "join, and the source scans ONCE (the earlier grid-join form " +
+        "read it twice because per-branch column pruning kept the " +
+        "exchanges from unifying). The fill window inherits the lag " +
+        "window's hashpartitioning(user_id), so only two keyed exchanges " +
+        "exist before the declared ORDER BY."),
     "t02_quality_score" ->
       ("All six curation signals come from ONE native text_stats " +
         "evaluation (ProjectExec subexpression elimination shares it " +

@@ -108,12 +108,20 @@ class PlanSpec extends SparkSuite {
     val df = graft.queries.PipelineOps.queries("r01_resample_ffill")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // observation agg, grid agg, join, and fill window all key on user_id;
+    // observation agg, lag window, and fill window all key on user_id;
     // the single rangepartitioning is the declared total-order ORDER BY
     assert(plan.contains("hashpartitioning(user_id"), plan)
     assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 2, plan)
-    // grid generation is a Generate (explode of sequence), not a join
+    // gap generation is a Generate (explode of the per-run sequence),
+    // not a join, and the whole operator reads the source ONCE
     assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Join"), plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 1, finalPlan)
+    // the fill window inherits the lag window's key partitioning: only
+    // the two aggregate/window exchanges plus the presentation sort
+    assert(finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) <= 2, finalPlan)
   }
 
   test("t06/e03: native-expression ops are map-only single projections") {
