@@ -298,6 +298,71 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /**
+   * Incremental deduplication: flag which DELTA documents duplicate the
+   * existing CORPUS — the daily-increment shape (yesterday's corpus is
+   * already deduped; only the new batch needs checking). Two layers:
+   * `exact_dup_of` = min corpus id with byte-identical text (sha2-256
+   * digest join), `fuzzy_dup_of` = min corpus id with shingle-set
+   * Jaccard >= `threshold` (MinHash bands, delta side joined against
+   * corpus side); `is_new` = neither matched.
+   *
+   * Scale: the exact layer pre-aggregates the corpus to one
+   * (digest, min id) row per distinct text — a 32-byte-keyed join. The
+   * fuzzy layer reuses the d02 band index CROSS-SET: delta bands probe
+   * corpus bands, so candidate generation costs |delta| x band-collision
+   * rate, never corpus² — the corpus index is exactly what a production
+   * pipeline keeps materialized between increments. Candidate recall is
+   * 1 under the same band-threshold argument as [[minHashLSH]] (pairs
+   * >= threshold share a band on the gate fixture), which is what makes
+   * the brute-force cross-set oracle valid.
+   */
+  def incremental(
+      corpus: DataFrame, delta: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    GraftFunctions.register(corpus.sparkSession)
+
+    val corpusDigests = corpus
+      .select(sha2(col(textCol), 256).as("__dig"), col(idCol).as("cid"))
+      .groupBy(col("__dig")).agg(min(col("cid")).as("exact_dup_of"))
+    val exact = delta
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("__dig"))
+      .join(corpusDigests, Seq("__dig"), "left")
+      .select(col("id"), col("exact_dup_of"))
+
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
+      .repartition(col("id"))
+    def bandsOf(s: DataFrame) = s.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "band_id", "band_hash")
+    val deltaSigs = sigs(delta)
+    val corpusSigs = sigs(corpus)
+    val cand = bandsOf(deltaSigs).as("l")
+      .join(bandsOf(corpusSigs).as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.id").as("did"), col("r.id").as("cid"))
+      .distinct()
+    val fuzzy = cand
+      .join(deltaSigs.select(col("id").as("did"), col("sh").as("dsh")), Seq("did"))
+      .join(corpusSigs.select(col("id").as("cid"), col("sh").as("csh")), Seq("cid"))
+      .filter(Shingles.jaccard(col("dsh"), col("csh")) >= threshold)
+      .groupBy(col("did")).agg(min(col("cid")).as("fuzzy_dup_of"))
+      .withColumnRenamed("did", "id")
+
+    exact.join(fuzzy, Seq("id"), "left")
+      .select(col("id"), col("exact_dup_of"), col("fuzzy_dup_of"),
+        (col("exact_dup_of").isNull && col("fuzzy_dup_of").isNull).as("is_new"))
+      .orderBy(col("id"))
+  }
+
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val neighborMin = pairs

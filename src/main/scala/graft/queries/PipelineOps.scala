@@ -71,6 +71,16 @@ object PipelineOps {
     },
 
     // --- similarity search --------------------------------------------
+    "d07_incremental" -> { (s, d) =>
+      // daily-increment shape: docs >= 480 are "today's batch", the rest
+      // the already-deduped corpus; threshold matches d02/d04 (0.7, band
+      // recall 1 verified on the gate fixture)
+      val all = docs(s, d)
+      Dedup.incremental(all.filter(col("doc_id") < 480),
+        all.filter(col("doc_id") >= 480), "text", "doc_id",
+        threshold = 0.7)
+    },
+
     "e01_cosine_topk" -> { (s, d) =>
       val corpus = embs(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
@@ -329,6 +339,32 @@ object PipelineOps {
          SELECT id, source, unnest(generate_series(1, copies)) AS copy_ix
          FROM c ORDER BY id, copy_ix""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
+    // cross-set brute force: delta (id >= 480) against corpus (id < 480),
+    // same shingle/Jaccard CTEs as d02's oracle; valid because the band
+    // index's candidate recall is 1 on the gate fixture (d02's argument)
+    "d07_incremental" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+           lower(trim(text)) AS lt, text FROM documents),
+         sh AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+               FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM d),
+         delta AS (SELECT id, text FROM d WHERE id >= 480),
+         corp AS (SELECT id, text FROM d WHERE id < 480),
+         ex AS (SELECT dl.id, min(c.id) AS exact_dup_of
+                FROM delta dl JOIN corp c ON dl.text = c.text GROUP BY dl.id),
+         fz AS (SELECT a.id, min(b.id) AS fuzzy_dup_of
+                FROM sh a JOIN sh b ON a.id >= 480 AND b.id < 480
+                  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.7
+                GROUP BY a.id)
+         SELECT dl.id, ex.exact_dup_of, fz.fuzzy_dup_of,
+           (ex.exact_dup_of IS NULL AND fz.fuzzy_dup_of IS NULL) AS is_new
+         FROM delta dl LEFT JOIN ex ON dl.id = ex.id
+           LEFT JOIN fz ON dl.id = fz.id
+         ORDER BY dl.id""",
     "d04_ngram_jaccard" -> fuzzyDedupOracle(0.7),
     // canonical = longest doc per cluster (ties: min id), over the same
     // brute-force clustering CTEs as d02/d04

@@ -163,7 +163,14 @@ object PlanDump {
         "the corpus, Heaps' law); the join back is keyed by token " +
         "(broadcast at fixture scale) and the per-doc rollup keys on id " +
         "— two keyed shuffles, exact-integer outputs, no floats to " +
-        "drift."))
+        "drift."),
+    "d07_incremental" ->
+      ("The increment shape: candidate generation joins DELTA bands " +
+        "against CORPUS bands (cost ~ |delta| x collision rate, never " +
+        "corpus²) and the exact layer joins 32-byte digests against the " +
+        "corpus pre-aggregated to one row per distinct text; both delta " +
+        "sides broadcast at fixture scale. The corpus band index is what " +
+        "a production pipeline keeps materialized between increments."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

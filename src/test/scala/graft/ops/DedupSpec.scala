@@ -120,6 +120,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental flags delta docs against the corpus: exact, fuzzy, new") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "completely unrelated corpus document about query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog by the river"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog by the river"),  // exact (of 1, min id)
+      (102L, "the quick brown fox jumps over the lazy dog by the creek"),  // fuzzy only
+      (103L, "entirely new content that matches nothing in the corpus"))   // new
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, delta, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(101L)._1 === Some(1L))           // exact match, min corpus id
+    assert(out(101L)._2 === Some(1L))           // exact pairs are fuzzy too
+    assert(out(101L)._3 === false)
+    assert(out(102L)._1 === None)
+    assert(out(102L)._2 === Some(1L))
+    assert(out(102L)._3 === false)
+    assert(out(103L) === ((None, None, true)))
+  }
+
   test("canonicalize picks the longest doc per cluster, ties by min id") {
     import org.apache.spark.sql.functions.col
     val dedup = Seq(
