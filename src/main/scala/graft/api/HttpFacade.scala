@@ -361,7 +361,10 @@ final class HttpFacade(
       if (cols.isEmpty) {
         sendJson(ex, 400, detail("No profilable columns")); return
       }
-      val rows = graft.ops.Profile.profile(df, cols).collect()
+      // ?approx=true swaps exact count-distinct for HLL++ — the sane
+      // default for warehouse-sized tables (see Profile.profile)
+      val approx = queryParams(ex).get("approx").contains("true")
+      val rows = graft.ops.Profile.profile(df, cols, approx).collect()
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "profile" -> rows.toSeq.map(r => Json.Raw(Json.obj(

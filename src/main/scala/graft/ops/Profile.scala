@@ -29,21 +29,33 @@ object Profile {
 
   /** One row per requested column: (col_name, n_rows, n_nulls,
     * n_distinct, min_val, max_val, sum_len) where sum_len totals the
-    * string-rendered length (code points) of non-null values. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    val missing = cols.filterNot(df.columns.contains)
+    * string-rendered length (code points) of non-null values.
+    * Duplicate column requests collapse to one row each.
+    *
+    * `approximate = true` swaps the exact `count_distinct` for
+    * `approx_count_distinct` (HLL++, default ~5 % relative error) — the
+    * 100 TB path: exact distinct counts are the only metric here that
+    * shuffles per-VALUE state (via Expand), everything else partial-
+    * aggregates to one row per partition. The x01 gate query runs the
+    * exact form (oracle-checkable); the HTTP profile route and any
+    * warehouse-scale caller should pass approximate. */
+  def profile(df: DataFrame, cols: Seq[String],
+              approximate: Boolean = false): DataFrame = {
+    val colsU = cols.distinct
+    require(colsU.nonEmpty, "profile needs at least one column")
+    val missing = colsU.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: columns not in schema: $missing")
-    val aggs = cols.flatMap { c =>
+    val aggs = colsU.flatMap { c =>
       Seq(
         count(col(c)).as(s"__${c}__cnt"),
-        count_distinct(col(c)).as(s"__${c}__nd"),
+        (if (approximate) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__${c}__nd"),
         min(col(c)).cast("string").as(s"__${c}__min"),
         max(col(c)).cast("string").as(s"__${c}__max"),
         sum(length(col(c).cast("string")).cast("long")).as(s"__${c}__len"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = cols.map { c =>
+    val rows = colsU.map { c =>
       struct(
         lit(c).as("col_name"),
         col("__n").as("n_rows"),

@@ -191,6 +191,9 @@ class HttpFacadeSpec extends SparkSuite {
     assert(sub.body.contains("n_name") && !sub.body.contains("n_nationkey"))
     assert(get("/api/v1/catalog/tables/httpapi.nation/profile?columns=bogus")
       .statusCode === 400)
+    // approximate mode serves (HLL++ distinct counts)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/profile?approx=true")
+      .statusCode === 200)
     assert(get("/api/v1/catalog/tables/httpapi.nosuch/profile")
       .statusCode === 404)
     assert(get("/api/v1/catalog/tables/nodots/profile").statusCode === 400)

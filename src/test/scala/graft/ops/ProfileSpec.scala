@@ -27,6 +27,21 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("profile: duplicate column requests collapse; approximate mode close") {
+    val df = (1L to 1000L).toDF("n")
+    val out = Profile.profile(df, Seq("n", "n", "n"))
+    assert(out.count() === 1)
+    val approx = Profile.profile(df, Seq("n"), approximate = true)
+      .collect().head.getLong(3)
+    // HLL++ default rsd is 5%; allow a wide safety band
+    assert(approx > 800L && approx < 1200L, s"approx distinct $approx")
+    // approximate mode must not plan the per-value Expand rewrite
+    val q = Profile.profile(df, Seq("n"), approximate = true)
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("Expand"),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("profile: single aggregation pass — no join, one scan") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val q = Profile.profile(df, Seq("id", "s"))
