@@ -95,12 +95,17 @@ object Bench {
       .getOrElse("\"" + sfDir + "\"")
     val fullLine =
       s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":${jsonMap(results)},"sf":$sfNum}"""
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"WARN could not write $benchOut: $e") }
+    // only a FULL-inventory run may overwrite the committed record — a
+    // SPARK_GRAFT_BENCH_ONLY diagnosis run would clobber it with a
+    // partial map and a bogus one-query total
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"WARN could not write $benchOut: $e") }
+    }
     val line =
       s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":${jsonMap(results.filter(r => isHeadline(r._1)))},"sf":$sfNum}"""
     if (line.length > 1900)

@@ -353,10 +353,13 @@ final class HttpFacade(
       val cols = queryParams(ex).get("columns").filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(profilable)
-      val unknown = cols.filterNot(df.columns.contains)
+      // validate against the PROFILABLE set, not the full schema — an
+      // explicitly requested nested-type column must 400, not surface a
+      // raw AnalysisException as a 500
+      val unknown = cols.filterNot(profilable.contains)
       if (unknown.nonEmpty) {
         sendJson(ex, 400,
-          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+          detail(s"Unknown or non-profilable columns: ${unknown.mkString(", ")}")); return
       }
       if (cols.isEmpty) {
         sendJson(ex, 400, detail("No profilable columns")); return

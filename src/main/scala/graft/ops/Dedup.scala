@@ -92,23 +92,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
 
-    // repartition = explicit exchange barrier: the signature projection is
-    // computed ONCE below it, and both self-join sides plus the band
-    // explode reuse the exchange (ReusedExchange) instead of re-evaluating
-    // the (expensive) minhash expression per reference / per band.
-    GraftFunctions.register(docs.sparkSession)
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
-      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
-      .repartition(col("id"))
-
-    // (id, band_id, band_hash): hash() over the band slice + band id keeps
-    // bands from colliding across positions.
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .toDF("id", "band_id", "band_hash")
+    val sigs = minHashSigs(docs, textCol, idCol, shingleLen, numHashes)
+    val banded = bandedIndex(sigs, bands, rows)
 
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -323,7 +308,6 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    GraftFunctions.register(corpus.sparkSession)
 
     val corpusDigests = corpus
       .select(sha2(col(textCol), 256).as("__dig"), col(idCol).as("cid"))
@@ -333,19 +317,10 @@ object Dedup {
       .join(corpusDigests, Seq("__dig"), "left")
       .select(col("id"), col("exact_dup_of"))
 
-    def sigs(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
-      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
-      .repartition(col("id"))
-    def bandsOf(s: DataFrame) = s.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .toDF("id", "band_id", "band_hash")
-    val deltaSigs = sigs(delta)
-    val corpusSigs = sigs(corpus)
-    val cand = bandsOf(deltaSigs).as("l")
-      .join(bandsOf(corpusSigs).as("r"),
+    val deltaSigs = minHashSigs(delta, textCol, idCol, shingleLen, numHashes)
+    val corpusSigs = minHashSigs(corpus, textCol, idCol, shingleLen, numHashes)
+    val cand = bandedIndex(deltaSigs, bands, rows).as("l")
+      .join(bandedIndex(corpusSigs, bands, rows).as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash"))
       .select(col("l.id").as("did"), col("r.id").as("cid"))
@@ -362,6 +337,35 @@ object Dedup {
         (col("exact_dup_of").isNull && col("fuzzy_dup_of").isNull).as("is_new"))
       .orderBy(col("id"))
   }
+
+  /**
+   * Shared MinHash machinery for [[minHashLSH]] (self-join clustering)
+   * and [[incremental]] (cross-set probe) — ONE construction so the
+   * band-recall argument proven for d02 transfers to d07 by identity,
+   * not by parallel maintenance of two copies.
+   *
+   * The `repartition(id)` is an explicit exchange barrier: the signature
+   * projection is computed ONCE below it, and every consumer (self-join
+   * sides, band explode, verify joins) reuses the exchange
+   * (ReusedExchange) instead of re-evaluating the expensive minhash
+   * expression per reference.
+   */
+  private def minHashSigs(docs: DataFrame, textCol: String, idCol: String,
+                          shingleLen: Int, numHashes: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
+      .repartition(col("id"))
+  }
+
+  /** (id, band_id, band_hash): hash() over the band slice + band id keeps
+    * bands from colliding across positions. */
+  private def bandedIndex(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "band_id", "band_hash")
 
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -108,6 +108,11 @@ object Sampling {
    * the determinism is exact). Re-running on a grown corpus preserves
    * previously-drawn keys' priorities — stable, auditable sampling.
    *
+   * Weights are INTEGER-granular: the weight casts to bigint (2.9
+   * truncates to 2), and rows whose weight is below 1 are EXCLUDED from
+   * the sample — a zero/negative-weight doc must never compete, not
+   * compete at weight 1.
+   *
    * Scale: the key is map-only; the global ascending-key top-n plans as
    * TakeOrderedAndProject — per-partition n then a driver merge, no
    * global sort.
@@ -115,10 +120,14 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 1, s"weightedSample needs n >= 1, got $n")
+    require(!df.columns.contains("__key"),
+      "column name __key is produced by weightedSample — rename the " +
+        "input column first")
     val key = expr(
       s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) " +
-        s"as bigint) DIV greatest(cast($weightCol as bigint), 1L)")
-    df.withColumn("__key", key)
+        s"as bigint) DIV cast($weightCol as bigint)")
+    df.filter(col(weightCol).cast("bigint") >= 1)
+      .withColumn("__key", key)
       .orderBy(col("__key"), col(idCol))
       .limit(n)
       .drop("__key")
@@ -146,6 +155,10 @@ object Sampling {
     (weights.values.toSeq :+ defaultWeight).foreach { w =>
       require(w >= 0 && w <= 256, s"upsampleMix weights must be in [0, 256], got $w")
     }
+    val reserved = Seq("copies", "copy_ix").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column names $reserved are produced by upsampleMix — rename the " +
+        "input columns first")
     def whole(w: Double): Long = math.floor(w).toLong
     def thresh(w: Double): Long = math.round((w - math.floor(w)) * 256)
     val wholeCol =

@@ -434,10 +434,19 @@ object TextAnalysis {
     val toks = docs
       .select(explode(Shingles.words(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val candidates = toks.as[String].mapPartitions { it =>
+    // One summary pass emits the candidates AND each partition's token
+    // count (a null-token sentinel row) — the corpus is tokenized exactly
+    // TWICE per call: this pass and the recount. The summary is tiny
+    // (<= partitions x (k+1) rows), so a lazy localCheckpoint shares the
+    // one materialization between its two consumers (candidates, total) —
+    // without it each consumer would re-run the whole scan (Spark plans
+    // trees, not DAGs; same device as ConnectedComponents' rounds).
+    val summary = toks.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var nP = 0L
       while (it.hasNext) {
         val t = it.next()
+        nP += 1
         counters.get(t) match {
           case Some(c) => counters.update(t, c + 1)
           case None if counters.size < k => counters.update(t, 1L)
@@ -452,9 +461,12 @@ object TextAnalysis {
             dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("total"))
+      counters.keysIterator.map(t => (t, 0L)) ++ Iterator((null: String, nP))
+    }.toDF("token", "cnt").localCheckpoint(false)
+    val candidates = summary.filter(col("token").isNotNull)
+      .select(col("token")).distinct()
+    val total = summary.filter(col("token").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     toks.join(broadcast(candidates), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -320,8 +320,8 @@ object PipelineOps {
     "p04_weighted_sample" ->
       """WITH k AS (SELECT doc_id AS id, lang, n_chars,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             // greatest(n_chars, 1) AS key
-           FROM documents),
+             // n_chars AS key
+           FROM documents WHERE n_chars >= 1),
          s AS (SELECT id, lang, n_chars FROM k ORDER BY key, id LIMIT 100)
          SELECT id, lang, n_chars FROM s ORDER BY id""",
     // whole copies + one fractional copy iff md5_bucket(id) < frac(w)*256

@@ -178,11 +178,14 @@ class PlanSpec extends SparkSuite {
   test("p05: upsample mix is map-only — no exchange below the output sort") {
     val df = graft.queries.PipelineOps.queries("p05_upsample_mix")(spark, sf)
     df.collect()
-    // the inventory entry adds a presentation ORDER BY (one exchange);
-    // the operator itself must contribute none: exactly that one
+    // the inventory entry adds a presentation ORDER BY (one range
+    // exchange); the operator itself must contribute zero exchanges
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange") ||
-      plan.split("Exchange").length <= 3, plan)
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) === 0, plan)
+    assert(plan.linesIterator
+      .count(_.contains("Exchange rangepartitioning")) <= 1, plan)
     assert(plan.contains("Generate"), plan)     // the copy fan-out explode
     assert(!plan.contains("Join"), plan)
   }
