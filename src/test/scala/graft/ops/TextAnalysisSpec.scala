@@ -167,6 +167,35 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("heavyHitters equals brute force on randomized corpora (fixed seed)") {
+    // randomized distributions exercise the decrement path from many
+    // angles (uniform, zipf-ish, adversarial alternation); seed fixed so
+    // failures reproduce
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val vocabSize = 20 + rnd.nextInt(200)
+      val k = 2 + rnd.nextInt(40)
+      val docs = (1 to 30).map { i =>
+        val words = (1 to 50 + rnd.nextInt(100)).map { _ =>
+          // skew: token ids drawn as min of two uniforms -> low ids common
+          val a = rnd.nextInt(vocabSize); val b = rnd.nextInt(vocabSize)
+          s"w${math.min(a, b)}"
+        }
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(8))
+      val toks = df.select(explode(split(lower(trim(col("text"))), "\\s+"))
+        .as("token")).filter(col("token") =!= "")
+      val total = toks.count()
+      val brute = toks.groupBy("token").count()
+        .filter(col("count") * k > lit(total))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = TextAnalysis.heavyHitters(df, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === brute, s"trial=$trial vocab=$vocabSize k=$k")
+    }
+  }
+
   test("heavyHitters recount join broadcasts the candidate set") {
     val df = (1 to 50).map(i => (i.toLong, s"x y z w$i")).toDF("doc_id", "text")
     val q = TextAnalysis.heavyHitters(df, "text", k = 4)
