@@ -108,7 +108,8 @@ class DedupSpec extends SparkSuite {
     // no shingle's document frequency reaches the cap on the gate
     // fixtures — assert it so fixture growth can't silently break the
     // "recall is exactly 1" justification.
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val docs = graft.tables.Tables(spark, dir, "documents")
       val maxDf = docs
         .select(explode(Shingles.wordShingles(col("text"), 3)).as("s"))
