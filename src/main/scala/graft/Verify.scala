@@ -14,11 +14,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=d03_simhash_dedup,t04_fingerprints restricts
     // the dump (local iteration); unset = full inventory (driver gate).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A full-inventory run owns the whole directory: wipe it first so a
+    // reused outDir can't leak stale results for queries that were since
+    // renamed or removed into the compare (per-query subdirs are already
+    // mode=overwrite; this covers the ones this run does NOT write).
+    if (only.isEmpty) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val root = new java.io.File(outDir)
+      if (root.exists()) root.listFiles().foreach(rm)
+    }
+    new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
