@@ -367,6 +367,63 @@ object Dedup {
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .toDF("id", "band_id", "band_hash")
 
+  /**
+   * Sub-document (chunk-level) deduplication, CCNet/RefinedWeb-style
+   * (Wenzek et al. 2020 dedupe paragraphs by hash; Penedo et al. 2023
+   * drop exact substrings repeated across the crawl): split every
+   * document into consecutive `chunkWords`-word chunks, count each
+   * chunk's document frequency across the corpus, drop chunks appearing
+   * in more than `maxDocFreq` distinct documents (boilerplate /
+   * cross-document repetition), and reassemble the surviving chunks in
+   * order. Output per doc: (id, kept_text, n_chunks, n_dropped).
+   *
+   * Scale design: the frequency pass aggregates (chunk, id) pairs — a
+   * keyed shuffle with map-side combine; the *hot-chunk set* (df >
+   * maxDocFreq) is then tiny by a heavy-hitter bound (at most
+   * total_chunks / (maxDocFreq+1) entries, and in real crawls orders of
+   * magnitude smaller), so the filtering join is a broadcast left-anti —
+   * document text never rides a second shuffle. Reassembly groups by doc
+   * id with collect_list over (pos, chunk), sorted in-place per doc.
+   */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int = 8, maxDocFreq: Int = 1): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val w = chunkWords
+    val chunks = docs
+      .select(col(idCol).as("id"), Shingles.words(col(textCol)).as("w"))
+      .select(col("id"), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(col("w")) / lit(w.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))))
+      .toDF("id", "pos", "chunk")
+      // exchange barrier: the frequency pass, the anti-join probe, and
+      // the per-doc totals all reuse one computation of the chunk table.
+      .repartition(col("id"))
+
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("chunk"))
+
+    val reassembled = chunks
+      .join(broadcast(hot), Seq("chunk"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("kept_text"))
+
+    chunks.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("id"))
+  }
+
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val neighborMin = pairs

@@ -253,6 +253,37 @@ object Similarity {
         size(filter(col("qvec"), q => abs(q) === 127)).as("n_sat"))
   }
 
+  /**
+   * K-means assignment step: every corpus vector mapped to its
+   * nearest centroid by cosine (the Lloyd-iteration E-step, and the
+   * partitioner used when sharding an embedding corpus across index
+   * shards). Output: one row per corpus vector — (id, cid, sim), ties
+   * broken by centroid id ascending.
+   *
+   * Scale design: the centroid set is broadcast (k is small by
+   * construction); scoring is map-side codegen (`VecCosine`), and the
+   * argmax runs through the bounded-heap Aggregator with k=1, so the
+   * exchange moves one (id, cid, sim) row per corpus vector — never the
+   * |corpus| x k scored matrix a row_number window would shuffle, and the
+   * embedding itself never rides the shuffle at all.
+   */
+  def assignCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("cid"),
+        GraftFunctions.vecCosine(col("vec"), col("cvec")).as("csim"))
+      .filter(col("csim").isNotNull)
+      .groupBy(col("id"))
+      .agg(TopKAggregator.topK(1)(col("csim"), col("cid")).as("__top"))
+      .select(col("id"),
+        col("__top").getItem(0).getField("_2").as("cid"),
+        col("__top").getItem(0).getField("_1").as("sim"))
+  }
+
   /** Medoid-style centroids: the vector of the minimum-id member per label.
     * Fully deterministic AND bit-identical across engines (no float
     * accumulation — a mean's summation order perturbs low bits, which can

@@ -518,6 +518,21 @@ object Inventory {
         .withColumn("session_value", money(col("session_value")))
         .orderBy(col("user_id"), col("session_start"))
     },
+    "q53_stateful_totals" -> { (s, d) =>
+      // arbitrary stateful aggregation (mapGroupsWithState) in batch mode:
+      // per-user running totals collapse to final snapshots, which a plain
+      // GROUP BY oracle reproduces. last_ts carries millisecond precision
+      // (java.sql.Timestamp.getTime in the state fold), so the oracle
+      // truncates its max(ts) the same way.
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.userRunningTotals(ev).toDF()
+        .withColumn("total_value", money(col("total_value")))
+        .orderBy(col("user_id"))
+    },
     "q49_interval_join" -> { (s, d) =>
       // stream-stream interval join, batch-mode gate (streaming mode with
       // watermark state eviction is spec-tested over MemoryStreams)
@@ -697,6 +712,11 @@ object Inventory {
                 user_id, count(*) AS n_events,
                 CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q53_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+         date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP))) AS last_ts
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q49_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
            FROM events WHERE event_type = 'purchase'),

@@ -81,6 +81,13 @@ object PipelineOps {
         threshold = 0.7)
     },
 
+    "d08_chunk_dedup" -> { (s, d) =>
+      // sub-document dedup: drop 5-word chunks appearing in > 1 distinct
+      // docs (the CCNet/RefinedWeb boilerplate-removal shape)
+      Dedup.chunkDedup(docs(s, d), "text", "doc_id",
+        chunkWords = 5, maxDocFreq = 1)
+    },
+
     "e01_cosine_topk" -> { (s, d) =>
       val corpus = embs(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
@@ -149,6 +156,16 @@ object PipelineOps {
       // head-quality report for 16-dim matryoshka truncation
       Similarity.matryoshka(embs(s, d), "embedding", "vec_id", m = 16)
     },
+    "e05_kmeans_assign" -> { (s, d) =>
+      // Lloyd E-step: every corpus vector to its nearest of 8 seed
+      // centroids (the min-id vectors — deterministic, no float
+      // accumulation; see minIdCentroids' engine-parity note)
+      val corpus = embs(s, d)
+      Similarity.assignCentroids(corpus, "embedding", "vec_id",
+          corpus.filter(col("vec_id") < 8), "embedding", "vec_id")
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+        .orderBy(col("id"))
+    },
 
     "t06_gopher" -> { (s, d) =>
       TextAnalysis.gopherStats(docs(s, d), "text", "doc_id")
@@ -186,6 +203,20 @@ object PipelineOps {
       TextAnalysis.contamination(all, "text", "doc_id",
         all.filter(col("doc_id") < 20), "text", "doc_id",
         hashMode = "md5")
+    },
+
+    "t12_pii_redact" -> { (s, d) =>
+      // the fixtures carry no PII, so the gate plants deterministic PII
+      // derived from doc_id (same expression on the oracle side) — the
+      // redaction regexes are then exercised for real on every row
+      TextAnalysis.piiRedact(
+        docs(s, d).withColumn("text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") % 200) + 1).cast("string"))),
+        "text", "doc_id")
     },
 
     // --- deterministic selection: splits / quotas / packing --------------
@@ -295,6 +326,68 @@ object PipelineOps {
       "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
 
   val oracle: Map[String, String] = Map(
+    // chunk-level dedup: same 5-word non-overlapping chunking (1-based
+    // inclusive list slices), doc-frequency > 1 = hot, reassembly ordered
+    // by chunk position
+    "d08_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         ch AS (SELECT id,
+             unnest([{'pos': i, 'chunk': array_to_string(w[i*5+1:i*5+5], ' ')}
+                     FOR i IN range(0, CAST(ceil(len(w) / 5.0) AS INT))]) AS u
+           FROM d),
+         c AS (SELECT id, u.pos AS pos, u.chunk AS chunk FROM ch),
+         hot AS (SELECT chunk FROM c GROUP BY chunk
+                 HAVING count(DISTINCT id) > 1),
+         kept AS (SELECT id, pos, chunk FROM c
+                  WHERE chunk NOT IN (SELECT chunk FROM hot)),
+         agg AS (SELECT id, count(*) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+                 FROM kept GROUP BY id),
+         tot AS (SELECT id, count(*) AS n_chunks FROM c GROUP BY id)
+         SELECT t.id, coalesce(a.kept_text, '') AS kept_text, t.n_chunks,
+                t.n_chunks - coalesce(a.n_kept, 0) AS n_dropped
+         FROM tot t LEFT JOIN agg a USING (id) ORDER BY t.id""",
+    // k-means assignment step: argmax cosine over the 8 seed centroids,
+    // ties by centroid id ascending (TopKAggregator ordering). The
+    // DOUBLE[] casts matter: DuckDB evaluates float32-list cosine in
+    // float32, whose ~1e-7 error crosses a 4-dp rounding boundary on
+    // this 500x8 score matrix, while VecCosine accumulates in double.
+    "e05_kmeans_assign" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT e.vec_id AS id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.cvec AS DOUBLE[])) AS csim
+           FROM embeddings e CROSS JOIN cent c),
+         r AS (SELECT id, cid, csim,
+             row_number() OVER (PARTITION BY id
+               ORDER BY csim DESC, cid) AS rk
+           FROM scored WHERE csim IS NOT NULL)
+         SELECT id, cid, CAST(CAST(csim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk = 1 ORDER BY id""",
+    // PII redaction over the deterministically-planted text (see the
+    // query entry); patterns are in the RE2 ∩ java.regex common subset
+    "t12_pii_redact" ->
+      """WITH p AS (SELECT doc_id AS id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) AS t
+           FROM documents)
+         SELECT id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\+\d{1,3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
+         FROM p ORDER BY id""",
     "p01_hash_split" ->
       s"""SELECT doc_id AS id, CAST($duckMd5Bucket % 3 AS INT) AS split
          FROM documents ORDER BY id""",

@@ -146,6 +146,40 @@ class DedupSpec extends SparkSuite {
     assert(out(103L) === ((None, None, true)))
   }
 
+  test("chunkDedup drops cross-doc repeated chunks, keeps order") {
+    // 4-word chunks; docs 1 and 2 share their first chunk (boilerplate),
+    // doc 3 is disjoint. maxDocFreq=1 -> the shared chunk is dropped
+    // from both carriers, unique chunks survive in position order.
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "totally original content right here")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id",
+        chunkWords = 4, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("alpha beta gamma delta", 2L, 1L)))
+    assert(out(2L) === (("epsilon zeta eta theta", 2L, 1L)))
+    assert(out(3L) === (("totally original content right here", 2L, 0L)))
+  }
+
+  test("chunkDedup: fully-boilerplate doc empties; freq threshold holds") {
+    val b = "one two three four"
+    val docs = Seq(
+      (1L, b), (2L, b), (3L, b),      // chunk in 3 docs
+      (4L, "five six seven eight")).toDF("doc_id", "text")
+    // maxDocFreq=2: df=3 > 2 -> dropped everywhere
+    val strict = Dedup.chunkDedup(docs, "text", "doc_id", 4, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(1L) === "" && strict(2L) === "" && strict(3L) === "")
+    assert(strict(4L) === "five six seven eight")
+    // maxDocFreq=3: df=3 <= 3 -> everything kept
+    val lax = Dedup.chunkDedup(docs, "text", "doc_id", 4, maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax(1L) === b && lax(3L) === b)
+  }
+
   test("canonicalize picks the longest doc per cluster, ties by min id") {
     import org.apache.spark.sql.functions.col
     val dedup = Seq(

@@ -30,6 +30,38 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("assignCentroids matches brute-force argmax with cid tie-break") {
+    val corpus = embeddings
+    val centroids = corpus.filter(col("vec_id") < 8)
+    val got = Similarity.assignCentroids(corpus, "embedding", "vec_id",
+        centroids, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // brute force through the same cosine expression, argmax via window
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val cent = centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"))
+    val want = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("cid"),
+        graft.functions.GraftFunctions.vecCosine(col("vec"), col("cvec"))
+          .as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    assert(got.size === want.size)
+    got.foreach { case (id, (cid, sim)) =>
+      assert(want(id)._1 === cid, s"centroid mismatch for $id")
+      assert(math.abs(want(id)._2 - sim) < 1e-12)
+    }
+    // centroid rows assign to themselves at cosine 1
+    (0L until 8L).foreach(c => assert(got(c)._1 === c && got(c)._2 > 0.9999))
+  }
+
   test("ivfTopK: probing all clusters equals brute force; partial probe recalls some") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)

@@ -59,6 +59,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(5L) == "")
   }
 
+  test("piiRedact masks emails, phones, IPv4 and counts each match") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and d@e.io please"),
+      (2L, "call +1-555-0142 or +44-207-9460 soon"),
+      (3L, "host 192.168.0.1 peered with 10.0.0.254"),
+      (4L, "version 1.2.3 costs +5 dollars, no pii here"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) === (("mail <EMAIL> and <EMAIL> please", 2, 0, 0)))
+    assert(out(2L) === (("call <PHONE> or <PHONE> soon", 0, 2, 0)))
+    assert(out(3L) === (("host <IP> peered with <IP>", 0, 0, 2)))
+    // dotted versions (3 octets) and bare "+5" must NOT be redacted
+    assert(out(4L) === (("version 1.2.3 costs +5 dollars, no pii here",
+      0, 0, 0)))
+    assert(out(5L) === (("", 0, 0, 0)))
+  }
+
   test("winnowing fingerprints: shared for near-dups, robust to edits") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val edited = base.replace("river", "creek")
