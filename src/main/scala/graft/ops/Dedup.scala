@@ -382,25 +382,31 @@ object Dedup {
    * maxDocFreq) is then tiny by a heavy-hitter bound (at most
    * total_chunks / (maxDocFreq+1) entries, and in real crawls orders of
    * magnitude smaller), so the filtering join is a broadcast left-anti —
-   * document text never rides a second shuffle. Reassembly groups by doc
-   * id with collect_list over (pos, chunk), sorted in-place per doc.
+   * document text never rides a second shuffle. Per-doc totals come
+   * map-side from `size(chunk array)` (no aggregation pass at all), and
+   * reassembly groups by doc id with collect_list over (pos, chunk),
+   * sorted in-place per doc. The chunk table is evaluated twice (hot-set
+   * pass + filter pass) — both map-side from the scan; a production
+   * pipeline at 100 TB materializes it once between the passes.
    */
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
                  chunkWords: Int = 8, maxDocFreq: Int = 1): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val w = chunkWords
-    val chunks = docs
+    val withChunks = docs
       .select(col(idCol).as("id"), Shingles.words(col(textCol)).as("w"))
-      .select(col("id"), posexplode(
+      .select(col("id"),
         transform(
           sequence(lit(0),
             ceil(size(col("w")) / lit(w.toDouble)).cast("int") - 1),
-          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))))
+          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))
+          .as("ch"))
+    val base = withChunks.select(col("id"),
+      size(col("ch")).cast("long").as("n_chunks"))
+    val chunks = withChunks
+      .select(col("id"), posexplode(col("ch")))
       .toDF("id", "pos", "chunk")
-      // exchange barrier: the frequency pass, the anti-join probe, and
-      // the per-doc totals all reuse one computation of the chunk table.
-      .repartition(col("id"))
 
     val hot = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("id")).as("df"))
@@ -415,8 +421,7 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
             s => s.getField("chunk")), " ").as("kept_text"))
 
-    chunks.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
-      .join(reassembled, Seq("id"), "left")
+    base.join(reassembled, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("kept_text"), lit("")).as("kept_text"),
         col("n_chunks"),

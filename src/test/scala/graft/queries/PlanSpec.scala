@@ -175,6 +175,42 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d08: hot-chunk filter is a broadcast anti-join; chunk table reused") {
+    val df = graft.queries.PipelineOps.queries("d08_chunk_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (small) hot-chunk set broadcasts — doc chunks never shuffle for
+    // the filtering join
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    // per-doc totals are map-side size(chunk array) — no count-only
+    // aggregation pass over the exploded chunks
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("e05: centroids broadcast; top-1 aggregates partially before exchange") {
+    val df = graft.queries.PipelineOps.queries("e05_kmeans_assign")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // bounded-heap udaf keeps partial aggregation: one candidate row per
+    // (vector, partition) rides the exchange, not the 8x score matrix
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_(") && plan.contains("TopKAggregator"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("t12: PII redaction is map-only — no exchange below the output sort") {
+    val df = graft.queries.PipelineOps.queries("t12_pii_redact")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+    // exactly one exchange: the rangepartitioning for the declared ORDER BY
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
+  }
+
   test("p05: upsample mix is map-only — no exchange below the output sort") {
     val df = graft.queries.PipelineOps.queries("p05_upsample_mix")(spark, sf)
     df.collect()
