@@ -170,7 +170,32 @@ object PlanDump {
         "corpus²) and the exact layer joins 32-byte digests against the " +
         "corpus pre-aggregated to one row per distinct text; both delta " +
         "sides broadcast at fixture scale. The corpus band index is what " +
-        "a production pipeline keeps materialized between increments."))
+        "a production pipeline keeps materialized between increments."),
+    "d08_chunk_dedup" ->
+      ("The hot-chunk set (doc-freq > threshold) is tiny by a " +
+        "heavy-hitter bound, so the filtering join is a BROADCAST " +
+        "left-anti — the exploded chunk stream never shuffles to be " +
+        "filtered. Per-doc totals are size(chunk array) in the scan " +
+        "projection (no count-only aggregation pass; AQE pushes joins " +
+        "below repartition barriers, so the earlier ReusedExchange " +
+        "design could not hold). The only keyed shuffles are the " +
+        "frequency aggregate and the per-doc reassembly."),
+    "e05_kmeans_assign" ->
+      ("The Lloyd E-step at scale: centroids broadcast, vec_cosine " +
+        "scores in the scan's codegen stage, and the argmax is the " +
+        "bounded-heap aggregator with k=1 — ONE (id, cid, sim) row per " +
+        "corpus vector rides the exchange; the embedding itself never " +
+        "shuffles and the |corpus| x k score matrix never materializes."),
+    "t12_pii_redact" ->
+      ("Three codegen regexp_replace + three regexp_count per row in a " +
+        "single projection — map-only, scan-bound at any corpus size; " +
+        "the only exchange is the declared presentation ORDER BY."),
+    "q53_stateful_totals" ->
+      ("mapGroupsWithState in batch: one hashpartitioning(user_id) " +
+        "exchange feeds MapGroups — state folding is per-group local. " +
+        "In streaming mode the identical code keys state by user; " +
+        "production pairs it with an event-time timeout to bound the " +
+        "state store (scaladoc note in EventStreams)."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
