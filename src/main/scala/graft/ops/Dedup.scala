@@ -393,20 +393,7 @@ object Dedup {
                  chunkWords: Int = 8, maxDocFreq: Int = 1): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val w = chunkWords
-    val withChunks = docs
-      .select(col(idCol).as("id"), Shingles.words(col(textCol)).as("w"))
-      .select(col("id"),
-        transform(
-          sequence(lit(0),
-            ceil(size(col("w")) / lit(w.toDouble)).cast("int") - 1),
-          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))
-          .as("ch"))
-    val base = withChunks.select(col("id"),
-      size(col("ch")).cast("long").as("n_chunks"))
-    val chunks = withChunks
-      .select(col("id"), posexplode(col("ch")))
-      .toDF("id", "pos", "chunk")
+    val (base, chunks) = chunkTable(docs, textCol, idCol, chunkWords)
 
     val hot = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("id")).as("df"))
@@ -421,13 +408,70 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
             s => s.getField("chunk")), " ").as("kept_text"))
 
+    reportKept(base, reassembled)
+  }
+
+  /**
+   * Intra-document repetition removal (the within-doc counterpart of
+   * [[chunkDedup]], and the scalable stand-in for Gopher's "duplicate
+   * line fraction" REMOVAL step rather than its filter): a chunk that
+   * repeats inside one document keeps only its first occurrence; order
+   * is otherwise preserved. Output matches chunkDedup:
+   * (id, kept_text, n_chunks, n_dropped).
+   *
+   * Scale design: fully doc-local semantics, so both aggregations key on
+   * the doc — first-occurrence selection groups on (id, chunk), then the
+   * reassembly groups on id; no corpus-global state at all, which makes
+   * this the cheapest member of the dedup family (two keyed shuffles,
+   * partition-pruned to the doc id).
+   */
+  def intraDocDedup(docs: DataFrame, textCol: String, idCol: String,
+                    chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val (base, chunks) = chunkTable(docs, textCol, idCol, chunkWords)
+
+    val reassembled = chunks
+      .groupBy(col("id"), col("chunk"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("kept_text"))
+
+    reportKept(base, reassembled)
+  }
+
+  /** (per-doc totals, exploded chunk table) for the chunk-dedup family:
+    * consecutive `w`-word chunks (last one may be shorter), totals taken
+    * map-side from the chunk array so no counting pass runs later. */
+  private def chunkTable(docs: DataFrame, textCol: String, idCol: String,
+                         w: Int): (DataFrame, DataFrame) = {
+    val withChunks = docs
+      .select(col(idCol).as("id"), Shingles.words(col(textCol)).as("w"))
+      .select(col("id"),
+        transform(
+          sequence(lit(0),
+            ceil(size(col("w")) / lit(w.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))
+          .as("ch"))
+    val base = withChunks.select(col("id"),
+      size(col("ch")).cast("long").as("n_chunks"))
+    val chunks = withChunks
+      .select(col("id"), posexplode(col("ch")))
+      .toDF("id", "pos", "chunk")
+    (base, chunks)
+  }
+
+  /** Join surviving-chunk aggregates back to the per-doc totals;
+    * fully-dropped docs surface with empty text, not missing rows. */
+  private def reportKept(base: DataFrame, reassembled: DataFrame): DataFrame =
     base.join(reassembled, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("kept_text"), lit("")).as("kept_text"),
         col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .orderBy(col("id"))
-  }
 
   private def clusterReps(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -178,4 +178,57 @@ object Sampling {
       .filter(col("copies") >= 1)
       .withColumn("copy_ix", explode(sequence(lit(1L), col("copies"))))
   }
+
+  /**
+   * Temperature-scaled source mixing at α = 0.5 — the data-recipe
+   * operator behind "sample low-resource sources up": a source's share
+   * of the `budget` is proportional to sqrt(its doc count), the α = 0.5
+   * point of the p(s) ∝ n_s^α family used for multilingual/multi-source
+   * training mixes (e.g. the mBERT/XLM exponent-smoothed sampling). The
+   * per-doc copy count then follows [[upsampleMix]]'s md5-fractional
+   * rule, so the emitted epoch is deterministic and SQL-auditable.
+   *
+   * Everything after the one sqrt is EXACT integer arithmetic (sqrt is
+   * IEEE correctly-rounded, so engines agree bit-for-bit; scaled to
+   * integer micros before any summation, so no float-order drift):
+   * `s_s = floor(sqrt(n_s)·1e6)`, `T = Σ s_s`,
+   * `rate_256(s) = (budget·s_s·256) div (T·n_s)` — the per-doc emission
+   * rate in 1/256ths — and `copies = rate_256 div 256 +
+   * [md5_bucket(id) < rate_256 mod 256]`.
+   *
+   * Scale design: the per-source rate table is a tiny aggregate
+   * (map-side-combined count per source) cross-joined as a broadcast;
+   * the application side is map-only (lookup + explode) — the corpus
+   * never shuffles.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 1, s"temperatureMix budget must be >= 1, got $budget")
+    val reserved = Seq("copies", "copy_ix", "rate_256").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column names $reserved are produced by temperatureMix — rename " +
+        "the input columns first")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n_src"))
+      .withColumn("__s_scaled",
+        floor(sqrt(col("__n_src").cast("double")) * 1e6).cast("long"))
+    val total = counts.agg(sum(col("__s_scaled")).as("__t_scaled"))
+    // DECIMAL(38,0) intermediates: budget × s_scaled × 256 overflows
+    // 64 bits once budget·sqrt(n_s) passes ~3.6e16 (a plausible
+    // corpus-scale product); DuckDB's same expression promotes to
+    // HUGEINT, so both engines stay exact.
+    val rates = counts.crossJoin(total)
+      .withColumn("rate_256",
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * __s_scaled * 256) " +
+          "div (CAST(__t_scaled AS DECIMAL(38,0)) * __n_src) AS BIGINT)"))
+      .select(col(srcCol), col("rate_256"))
+
+    df.join(broadcast(rates), Seq(srcCol))
+      .withColumn("copies",
+        expr("rate_256 div 256") +
+          when(md5Bucket(col(idCol)) < col("rate_256") % 256, 1L)
+            .otherwise(0L))
+      .filter(col("copies") >= 1)
+      .withColumn("copy_ix", explode(sequence(lit(1L), col("copies"))))
+  }
 }

@@ -87,6 +87,11 @@ object PipelineOps {
       Dedup.chunkDedup(docs(s, d), "text", "doc_id",
         chunkWords = 5, maxDocFreq = 1)
     },
+    "d09_intradoc_dedup" -> { (s, d) =>
+      // within-doc repetition removal: 2-word chunks (the fixture's
+      // vocabulary makes longer intra-doc repeats vanishingly rare)
+      Dedup.intraDocDedup(docs(s, d), "text", "doc_id", chunkWords = 2)
+    },
 
     "e01_cosine_topk" -> { (s, d) =>
       val corpus = embs(s, d)
@@ -253,6 +258,14 @@ object PipelineOps {
         .select(col("doc_id").as("id"), col("source"), col("copy_ix"))
         .orderBy(col("id"), col("copy_ix"))
     },
+    "p06_temperature_mix" -> { (s, d) =>
+      // sqrt-temperature language mix: 600-doc budget shared by lang
+      // share ∝ sqrt(docs per lang) — upsamples low-resource langs
+      Sampling.temperatureMix(docs(s, d), "doc_id", "lang", budget = 600L)
+        .select(col("doc_id").as("id"), col("lang"), col("rate_256"),
+          col("copy_ix"))
+        .orderBy(col("id"), col("copy_ix"))
+    },
 
     "x01_profile" -> { (s, d) =>
       // per-column data-quality summary of the documents table
@@ -348,6 +361,24 @@ object PipelineOps {
          SELECT t.id, coalesce(a.kept_text, '') AS kept_text, t.n_chunks,
                 t.n_chunks - coalesce(a.n_kept, 0) AS n_dropped
          FROM tot t LEFT JOIN agg a USING (id) ORDER BY t.id""",
+    // intra-doc repetition removal: first occurrence per (doc, chunk)
+    // survives, order by original position
+    "d09_intradoc_dedup" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         ch AS (SELECT id,
+             unnest([{'pos': i, 'chunk': array_to_string(w[i*2+1:i*2+2], ' ')}
+                     FOR i IN range(0, CAST(ceil(len(w) / 2.0) AS INT))]) AS u
+           FROM d),
+         c AS (SELECT id, u.pos AS pos, u.chunk AS chunk FROM ch),
+         f AS (SELECT id, chunk, min(pos) AS pos FROM c GROUP BY id, chunk),
+         agg AS (SELECT id, count(*) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+                 FROM f GROUP BY id),
+         tot AS (SELECT id, count(*) AS n_chunks FROM c GROUP BY id)
+         SELECT t.id, coalesce(a.kept_text, '') AS kept_text, t.n_chunks,
+                t.n_chunks - coalesce(a.n_kept, 0) AS n_dropped
+         FROM tot t LEFT JOIN agg a USING (id) ORDER BY t.id""",
     // k-means assignment step: argmax cosine over the 8 seed centroids,
     // ties by centroid id ascending (TopKAggregator ordering). The
     // DOUBLE[] casts matter: DuckDB evaluates float32-list cosine in
@@ -391,6 +422,26 @@ object PipelineOps {
     "p01_hash_split" ->
       s"""SELECT doc_id AS id, CAST($duckMd5Bucket % 3 AS INT) AS split
          FROM documents ORDER BY id""",
+    // sqrt-temperature mix: integer-exact after the one (correctly-
+    // rounded) sqrt — scaled micros, integer sums, integer div; the
+    // fractional copy follows p05's md5-bucket rule
+    "p06_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_src,
+             CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS s_scaled
+           FROM documents GROUP BY lang),
+         t AS (SELECT sum(s_scaled) AS t_scaled FROM c),
+         r AS (SELECT lang,
+             CAST((600 * s_scaled * 256) // (t_scaled * n_src) AS BIGINT)
+               AS rate_256
+           FROM c, t),
+         d AS (SELECT doc_id AS id, documents.lang, rate_256,
+             rate_256 // 256
+               + CASE WHEN $duckMd5Bucket < rate_256 % 256
+                      THEN 1 ELSE 0 END AS copies
+           FROM documents JOIN r USING (lang))
+         SELECT id, lang, rate_256,
+                unnest(generate_series(1, copies)) AS copy_ix
+         FROM d WHERE copies >= 1 ORDER BY id, copy_ix""",
     "p02_stratified_quota" ->
       """WITH r AS (SELECT doc_id AS id, lang,
            CAST(row_number() OVER (PARTITION BY lang

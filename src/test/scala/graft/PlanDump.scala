@@ -195,7 +195,19 @@ object PlanDump {
         "exchange feeds MapGroups — state folding is per-group local. " +
         "In streaming mode the identical code keys state by user; " +
         "production pairs it with an event-time timeout to bound the " +
-        "state store (scaladoc note in EventStreams)."))
+        "state store (scaladoc note in EventStreams)."),
+    "d09_intradoc_dedup" ->
+      ("Fully doc-local semantics: first-occurrence selection groups on " +
+        "(id, chunk), reassembly on id — two keyed shuffles, zero " +
+        "corpus-global state; the cheapest dedup-family member and " +
+        "embarrassingly partition-parallel at any corpus size."),
+    "p06_temperature_mix" ->
+      ("The per-source rate table is one map-side-combined count " +
+        "aggregate (rows = |sources|) broadcast back; the application " +
+        "side is a broadcast-join lookup + explode — the corpus never " +
+        "shuffles. All rate arithmetic is integer (DECIMAL(38,0) " +
+        "intermediates) after one correctly-rounded sqrt, so the emitted " +
+        "epoch is bit-identical on any engine."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -180,6 +180,20 @@ class DedupSpec extends SparkSuite {
     assert(lax(1L) === b && lax(3L) === b)
   }
 
+  test("intraDocDedup keeps first occurrence of a repeated chunk, in order") {
+    val docs = Seq(
+      (1L, "click here now click here now buy stuff today"),
+      (2L, "no repeats in this doc at all ok")).toDF("doc_id", "text")
+    // 3-word chunks: doc 1 = [click here now, click here now, buy stuff
+    // today] -> second occurrence dropped; doc 2 untouched (chunks
+    // [no repeats in, this doc at, all ok])
+    val out = Dedup.intraDocDedup(docs, "text", "doc_id", chunkWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("click here now buy stuff today", 3L, 1L)))
+    assert(out(2L) === (("no repeats in this doc at all ok", 3L, 0L)))
+  }
+
   test("canonicalize picks the longest doc per cluster, ties by min id") {
     import org.apache.spark.sql.functions.col
     val dedup = Seq(

@@ -130,4 +130,41 @@ class SamplingSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("temperatureMix: sqrt-share rates, budget tracking, determinism") {
+    import spark.implicits._
+    // skewed sources: 320 / 60 / 20 docs
+    val df = ((1L to 320L).map(i => (i, "big")) ++
+      (321L to 380L).map(i => (i, "mid")) ++
+      (381L to 400L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(df, "doc_id", "src", budget = 400L)
+
+    // rates follow sqrt shares exactly (integer arithmetic re-derived)
+    val sBig = math.floor(math.sqrt(320.0) * 1e6).toLong
+    val sMid = math.floor(math.sqrt(60.0) * 1e6).toLong
+    val sSml = math.floor(math.sqrt(20.0) * 1e6).toLong
+    val t = sBig + sMid + sSml
+    val rates = out.select("src", "rate_256").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("big") === 400L * sBig * 256 / (t * 320))
+    assert(rates("mid") === 400L * sMid * 256 / (t * 60))
+    assert(rates("small") === 400L * sSml * 256 / (t * 20))
+    // sqrt temperature flattens: small's per-doc rate exceeds big's
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+
+    // emitted copies track the per-source quota: exact up to the
+    // md5-bucket selection of WHICH docs carry the fractional copy
+    // (deviation bounded like a binomial draw over n docs, ~3·sqrt(n))
+    val emitted = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    Seq("big" -> 320L, "mid" -> 60L, "small" -> 20L).foreach { case (s, n) =>
+      val expect = rates(s).toDouble / 256 * n
+      assert(math.abs(emitted(s) - expect) <= 3 * math.sqrt(n.toDouble) + 1,
+        s"$s emitted ${emitted(s)} vs expected ~$expect")
+    }
+    // deterministic: second run emits the identical multiset
+    val again = Sampling.temperatureMix(df, "doc_id", "src", budget = 400L)
+      .select("doc_id", "copy_ix").as[(Long, Long)].collect().toSet
+    assert(again === out.select("doc_id", "copy_ix")
+      .as[(Long, Long)].collect().toSet)
+  }
 }

@@ -211,6 +211,18 @@ class PlanSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
+  test("p06: temperature mix applies as a broadcast lookup — corpus never shuffles") {
+    val df = graft.queries.PipelineOps.queries("p06_temperature_mix")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only non-broadcast exchanges: the tiny per-source count
+    // aggregate (+ its single-row total) and the presentation ORDER BY —
+    // never a corpus-wide hash shuffle of the documents side
+    assert(!plan.contains("hashpartitioning(doc_id"), plan)
+  }
+
   test("p05: upsample mix is map-only — no exchange below the output sort") {
     val df = graft.queries.PipelineOps.queries("p05_upsample_mix")(spark, sf)
     df.collect()
