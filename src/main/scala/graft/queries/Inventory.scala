@@ -589,6 +589,44 @@ object Inventory {
 
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
+    "q54_range_frame" -> { (s, d) =>
+      // time-interval window frame (RANGE BETWEEN INTERVAL): the moving
+      // 1 h per-user sum/count — frame bounds by VALUE, not row offsets,
+      // which rows-frame q14 cannot express
+      Tables.register(s, d)
+      s.sql("""SELECT event_id, user_id, ts,
+                 CAST(CAST(sum(value) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+                   AS mv_1h,
+                 count(*) OVER w AS n_1h
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               ORDER BY event_id""")
+    },
+    "q55_lateral_subquery" -> { (s, d) =>
+      // correlated LATERAL derived table with per-row ORDER BY + LIMIT:
+      // top-2 customers by balance per nation — the "top-n per group via
+      // lateral" idiom (distinct from q47's lateral explode)
+      Tables.register(s, d)
+      s.sql("""SELECT n.n_name, t.c_name, t.bal
+               FROM nation n,
+               LATERAL (SELECT c_name,
+                          CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                            AS bal
+                        FROM customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY bal DESC, c_name LIMIT 2) t
+               ORDER BY n.n_name, t.bal DESC, t.c_name""")
+    },
+    "q56_group_by_all" -> { (s, d) =>
+      // GROUP BY ALL dialect form (infers grouping keys from the select
+      // list) — same result as an explicit key list
+      Tables.register(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 min(l_quantity) AS minq
+               FROM lineitem GROUP BY ALL
+               ORDER BY l_returnflag, l_linestatus""")
+    },
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
     "s2_describe" -> { (s, d) =>
       Tables.register(s, d); s.sql("DESCRIBE lineitem")
@@ -717,6 +755,28 @@ object Inventory {
          CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
          date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP))) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q54_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(CAST(sum(value) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS mv_1h,
+         count(*) OVER w AS n_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q55_lateral_subquery" ->
+      """SELECT n.n_name, t.c_name, t.bal
+         FROM nation n,
+         LATERAL (SELECT c_name,
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY bal DESC, c_name LIMIT 2) t
+         ORDER BY n.n_name, t.bal DESC, t.c_name""",
+    "q56_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         min(l_quantity) AS minq
+         FROM lineitem GROUP BY ALL
+         ORDER BY l_returnflag, l_linestatus""",
     "q49_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
            FROM events WHERE event_type = 'purchase'),

@@ -211,6 +211,22 @@ class PlanSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
+  test("q54: interval-range frame is one keyed window pass") {
+    val plan = planOf("q54_range_frame")
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q55: correlated lateral top-n decorrelates — no per-row re-execution") {
+    val plan = planOf("q55_lateral_subquery")
+    // Catalyst rewrites the LATERAL ... ORDER BY ... LIMIT into a
+    // window/rank over a single join — never a cartesian or a
+    // nested-loop re-run of the subquery per outer row
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window") || plan.contains("TakeOrdered"), plan)
+  }
+
   test("p06: temperature mix applies as a broadcast lookup — corpus never shuffles") {
     val df = graft.queries.PipelineOps.queries("p06_temperature_mix")(spark, sf)
     df.collect()
