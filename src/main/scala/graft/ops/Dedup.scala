@@ -198,6 +198,18 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 1000): DataFrame =
+    clusterReps(docs, idCol,
+      ngramJaccardPairs(docs, textCol, idCol, shingleLen, threshold,
+        maxShingleFreq))
+
+  /** The verified similar-pair set behind [[ngramJaccard]] —
+    * (id_a, id_b, sim) with id_a < id_b and exact Jaccard >= threshold.
+    * Exposed so transitive clustering (ConnectedComponents.clusterReps)
+    * and audit queries can consume the raw pairs. */
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 1000): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
@@ -241,14 +253,12 @@ object Dedup {
       .distinct()
 
     // exact verification on the full shingle sets of surviving pairs
-    val verified = cand
+    cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
         Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
       .filter(col("sim") >= threshold)
-
-    clusterReps(docs, idCol, verified)
   }
 
   /**

@@ -92,6 +92,16 @@ object PipelineOps {
       // vocabulary makes longer intra-doc repeats vanishingly rare)
       Dedup.intraDocDedup(docs(s, d), "text", "doc_id", chunkWords = 2)
     },
+    "d10_transitive_clusters" -> { (s, d) =>
+      // TRANSITIVE dedup clusters (a~b~c in one cluster even when a!~c):
+      // pointer-jumping connected components over the exact Jaccard>=0.7
+      // pair set — 23 of the gate fixture's docs land in a different
+      // cluster than d04's one-hop assignment, so the oracle genuinely
+      // distinguishes the closure
+      val all = docs(s, d)
+      graft.ops.ConnectedComponents.clusterReps(all, "doc_id",
+        Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
+    },
 
     "e01_cosine_topk" -> { (s, d) =>
       val corpus = embs(s, d)
@@ -361,6 +371,21 @@ object PipelineOps {
          SELECT t.id, coalesce(a.kept_text, '') AS kept_text, t.n_chunks,
                 t.n_chunks - coalesce(a.n_kept, 0) AS n_dropped
          FROM tot t LEFT JOIN agg a USING (id) ORDER BY t.id""",
+    // transitive closure of the brute-force Jaccard pair set via a
+    // recursive reachability CTE (UNION-dedup fixpoint), min id per
+    // component — the ground truth for pointer-jumping label propagation
+    "d10_transitive_clusters" -> {
+      val ctes = fuzzyDedupCtes(0.7).replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$ctes,
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (SELECT a, a FROM e
+               UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id)
+         SELECT d2.id, least(d2.id, coalesce(c.keep, d2.id)) AS keep_id,
+                d2.id <> least(d2.id, coalesce(c.keep, d2.id)) AS is_dup
+         FROM d d2 LEFT JOIN comp c ON d2.id = c.id ORDER BY d2.id"""
+    },
     // intra-doc repetition removal: first occurrence per (doc, chunk)
     // survives, order by original position
     "d09_intradoc_dedup" ->

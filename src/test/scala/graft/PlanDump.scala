@@ -207,7 +207,15 @@ object PlanDump {
         "side is a broadcast-join lookup + explode — the corpus never " +
         "shuffles. All rate arithmetic is integer (DECIMAL(38,0) " +
         "intermediates) after one correctly-rounded sqrt, so the emitted " +
-        "epoch is bit-identical on any engine."))
+        "epoch is bit-identical on any engine."),
+    "d10_transitive_clusters" ->
+      ("d04's PPJoin pair generation feeds pointer-jumping label " +
+        "propagation: each round is two id-keyed joins + one min-agg " +
+        "over the PAIR set (tiny vs the corpus), label tables " +
+        "localCheckpointed so lineage stays flat; O(log diameter) " +
+        "rounds. The oracle is a DuckDB recursive reachability CTE — " +
+        "23 gate docs differ from the one-hop assignment, so the " +
+        "closure is genuinely exercised."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -180,6 +180,31 @@ class DedupSpec extends SparkSuite {
     assert(lax(1L) === b && lax(3L) === b)
   }
 
+  test("transitive clusters merge duplicate chains the one-hop form splits") {
+    // chain: 1 ~ 2 (one word changed) and 2 ~ 3 (one more word changed)
+    // but 1 !~ 3 at this threshold — the transitive closure puts all
+    // three in cluster 1, while one-hop assigns 3 its min NEIGHBOR (2)
+    val d3 = nearDup.replace("dog", "cat")
+    val chain = Seq((1L, base), (2L, nearDup), (3L, d3),
+      (4L, "completely unrelated text about query planners"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(chain, "text", "doc_id",
+      threshold = 0.65)
+    val sims = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims.contains((1L, 2L)) && sims.contains((2L, 3L)) &&
+      !sims.contains((1L, 3L)), s"fixture sims: $sims")
+
+    val trans = ConnectedComponents.clusterReps(chain, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trans === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+
+    val oneHop = Dedup.ngramJaccard(chain, "text", "doc_id",
+        threshold = 0.65)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop(3L) === 2L) // one-hop stops at the direct neighbor
+  }
+
   test("intraDocDedup keeps first occurrence of a repeated chunk, in order") {
     val docs = Seq(
       (1L, "click here now click here now buy stuff today"),
