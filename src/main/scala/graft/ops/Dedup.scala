@@ -410,15 +410,8 @@ object Dedup {
       .filter(col("df") > maxDocFreq)
       .select(col("chunk"))
 
-    val reassembled = chunks
-      .join(broadcast(hot), Seq("chunk"), "left_anti")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-            s => s.getField("chunk")), " ").as("kept_text"))
-
-    reportKept(base, reassembled)
+    reportKept(base,
+      reassemble(chunks.join(broadcast(hot), Seq("chunk"), "left_anti")))
   }
 
   /**
@@ -440,25 +433,32 @@ object Dedup {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     val (base, chunks) = chunkTable(docs, textCol, idCol, chunkWords)
 
-    val reassembled = chunks
-      .groupBy(col("id"), col("chunk"))
-      .agg(min(col("pos")).as("pos"))
-      .groupBy(col("id"))
+    reportKept(base,
+      reassemble(chunks.groupBy(col("id"), col("chunk"))
+        .agg(min(col("pos")).as("pos"))))
+  }
+
+  /** Per-doc reassembly of surviving (id, pos, chunk) rows: survivor
+    * count + position-ordered re-concatenation. Must stay in lockstep
+    * with the d08/d09 oracles' `string_agg(chunk, ' ' ORDER BY pos)`. */
+  private def reassemble(survivors: DataFrame): DataFrame =
+    survivors.groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
             s => s.getField("chunk")), " ").as("kept_text"))
 
-    reportKept(base, reassembled)
-  }
-
   /** (per-doc totals, exploded chunk table) for the chunk-dedup family:
     * consecutive `w`-word chunks (last one may be shorter), totals taken
-    * map-side from the chunk array so no counting pass runs later. */
+    * map-side from the chunk array so no counting pass runs later.
+    * NULL text coalesces to "" (one empty chunk, same as an empty
+    * string) — without it `size(null) = -1` feeds `sequence(0, -2)`,
+    * whose descending-range semantics would fabricate phantom chunks. */
   private def chunkTable(docs: DataFrame, textCol: String, idCol: String,
                          w: Int): (DataFrame, DataFrame) = {
     val withChunks = docs
-      .select(col(idCol).as("id"), Shingles.words(col(textCol)).as("w"))
+      .select(col(idCol).as("id"),
+        Shingles.words(coalesce(col(textCol), lit(""))).as("w"))
       .select(col("id"),
         transform(
           sequence(lit(0),

@@ -223,7 +223,13 @@ object Sampling {
           "div (CAST(__t_scaled AS DECIMAL(38,0)) * __n_src) AS BIGINT)"))
       .select(col(srcCol), col("rate_256"))
 
-    df.join(broadcast(rates), Seq(srcCol))
+    // null-safe join: a NULL source forms its own group in the rate
+    // table (like any other value), and must match back — a plain
+    // equi-join would silently drop every null-source doc while its
+    // count still inflated T
+    df.join(broadcast(rates.withColumnRenamed(srcCol, "__mix_src")),
+        col(srcCol) <=> col("__mix_src"))
+      .drop("__mix_src")
       .withColumn("copies",
         expr("rate_256 div 256") +
           when(md5Bucket(col(idCol)) < col("rate_256") % 256, 1L)

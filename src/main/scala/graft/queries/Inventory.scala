@@ -587,8 +587,7 @@ object Inventory {
         .orderBy(col("l_returnflag"))
     },
 
-    // --- introspection (shape-checked only, like the reference:
-    //     tests/test_executor.py:437-453) --------------------------------
+    // --- dialect widenings (oracle-checked, identical SQL both engines) --
     "q54_range_frame" -> { (s, d) =>
       // time-interval window frame (RANGE BETWEEN INTERVAL): the moving
       // 1 h per-user sum/count — frame bounds by VALUE, not row offsets,
@@ -627,6 +626,9 @@ object Inventory {
                FROM lineitem GROUP BY ALL
                ORDER BY l_returnflag, l_linestatus""")
     },
+
+    // --- introspection (shape-checked only, like the reference:
+    //     tests/test_executor.py:437-453) --------------------------------
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
     "s2_describe" -> { (s, d) =>
       Tables.register(s, d); s.sql("DESCRIBE lineitem")

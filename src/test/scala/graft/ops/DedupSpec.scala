@@ -164,6 +164,17 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === (("totally original content right here", 2L, 0L)))
   }
 
+  test("chunkDedup treats NULL text as empty — no phantom chunks") {
+    val docs = Seq((1L, Option("real words here ok")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id", chunkWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("real words here ok", 1L, 0L)))
+    // null text ≡ "" : one empty chunk, kept (df = 1)
+    assert(out(2L) === (("", 1L, 0L)))
+  }
+
   test("chunkDedup: fully-boilerplate doc empties; freq threshold holds") {
     val b = "one two three four"
     val docs = Seq(

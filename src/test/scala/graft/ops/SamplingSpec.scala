@@ -167,4 +167,17 @@ class SamplingSpec extends SparkSuite {
     assert(again === out.select("doc_id", "copy_ix")
       .as[(Long, Long)].collect().toSet)
   }
+
+  test("temperatureMix: NULL source forms its own group, docs not dropped") {
+    import spark.implicits._
+    val df = ((1L to 90L).map(i => (i, Option("a"))) ++
+      (91L to 100L).map(i => (i, None: Option[String]))).toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(df, "doc_id", "src", budget = 100L)
+    val bySrc = out.groupBy("src").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null group participates like any source: sqrt share of the
+    // budget, not silently dropped by the rate join
+    assert(bySrc.contains(None), s"null-source docs vanished: $bySrc")
+    assert(bySrc(None) >= 10L) // sqrt temperature upsamples the minority
+  }
 }
