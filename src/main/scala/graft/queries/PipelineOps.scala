@@ -220,6 +220,22 @@ object PipelineOps {
         hashMode = "md5")
     },
 
+    "t13_url_facts" -> { (s, d) =>
+      // URL filtering stage: the fixtures carry no URLs, so the gate
+      // plants deterministic ones from doc_id (same expression on the
+      // oracle side) — host/domain/tld parsing and the blocklist flag
+      // then exercise on every row
+      val planted = docs(s, d).withColumn("url", concat(
+        lit("https://sub"), (col("doc_id") % 7).cast("string"),
+        lit(".site"), (col("doc_id") % 13).cast("string"), lit("."),
+        element_at(typedLit(Seq("com", "org", "net", "io")),
+          ((col("doc_id") % 4) + 1).cast("int")),
+        lit("/p"), (col("doc_id") % 5).cast("string"),
+        expr("repeat('/x', CAST(doc_id % 3 AS INT))")))
+      graft.ops.Urls.flagBlocked(
+        graft.ops.Urls.parse(planted, "url", "doc_id"),
+        Seq("site3.com", "site7.io", "site11.org"))
+    },
     "t12_pii_redact" -> { (s, d) =>
       // the fixtures carry no PII, so the gate plants deterministic PII
       // derived from doc_id (same expression on the oracle side) — the
@@ -422,6 +438,30 @@ object PipelineOps {
            FROM scored WHERE csim IS NOT NULL)
          SELECT id, cid, CAST(CAST(csim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk = 1 ORDER BY id""",
+    // URL facts over deterministically-planted URLs (see the query
+    // entry): identical regex extraction chain, literal IN blocklist
+    "t13_url_facts" ->
+      """WITH p AS (SELECT doc_id AS id,
+           'https://sub' || CAST(doc_id % 7 AS VARCHAR)
+             || '.site' || CAST(doc_id % 13 AS VARCHAR) || '.'
+             || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                 WHEN 2 THEN 'net' ELSE 'io' END)
+             || '/p' || CAST(doc_id % 5 AS VARCHAR)
+             || repeat('/x', CAST(doc_id % 3 AS INT)) AS url
+           FROM documents),
+         h AS (SELECT id, url,
+           regexp_replace(lower(regexp_extract(url,
+             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), ':\d+$', '') AS host
+           FROM p)
+         SELECT id, url, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           regexp_extract(host, '\.([^.]+)$', 1) AS tld,
+           CASE WHEN host = '' THEN 0 ELSE greatest(
+             CAST(length(regexp_replace(url, '[^/]', '', 'g')) AS INT) - 2,
+             0) END AS path_depth,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             IN ('site3.com', 'site7.io', 'site11.org') AS is_blocked
+         FROM h ORDER BY id""",
     // PII redaction over the deterministically-planted text (see the
     // query entry); patterns are in the RE2 ∩ java.regex common subset
     "t12_pii_redact" ->

@@ -215,7 +215,12 @@ object PlanDump {
         "localCheckpointed so lineage stays flat; O(log diameter) " +
         "rounds. The oracle is a DuckDB recursive reachability CTE — " +
         "23 gate docs differ from the one-hop assignment, so the " +
-        "closure is genuinely exercised."))
+        "closure is genuinely exercised."),
+    "t13_url_facts" ->
+      ("URL parse + blocklist flag is one codegen regex projection per " +
+        "row — map-only, scan-bound; the blocklist is a literal IN " +
+        "(switch to a broadcast join past the literal threshold). The " +
+        "only exchange is the declared presentation ORDER BY."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Semantics specs for the URL curation operators: parse edge cases
+  * (ports, uppercase hosts, relative/garbage URLs) and blocklist flags. */
+class UrlsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("parse extracts host/domain/tld/path depth; survives junk input") {
+    val df = Seq(
+      (1L, "https://Sub.Example.COM/a/b/c"),
+      (2L, "http://example.org:8080/x"),
+      (3L, "https://localhost/"),
+      (4L, "not a url at all"),
+      (5L, "ftp://files.archive.net")).toDF("doc_id", "url")
+    val out = Urls.parse(df, "url", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getInt(5)))).toMap
+    assert(out(1L) === (("sub.example.com", "example.com", "com", 3)))
+    assert(out(2L) === (("example.org", "example.org", "org", 1)))   // port stripped
+    assert(out(3L) === (("localhost", "", "", 1)))                    // single label
+    assert(out(4L) === (("", "", "", 0)))                             // unparseable
+    assert(out(5L) === (("files.archive.net", "archive.net", "net", 0)))
+  }
+
+  test("flagBlocked flags by registered domain, not host") {
+    val df = Seq(
+      (1L, "https://spam.bad.com/x"),
+      (2L, "https://good.com/x"),
+      (3L, "https://bad.com.good.org/x")).toDF("doc_id", "url") // suffix trick
+    val out = Urls.flagBlocked(Urls.parse(df, "url", "doc_id"),
+        Seq("bad.com"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out(1L) === true)   // subdomain of a blocked domain
+    assert(out(2L) === false)
+    assert(out(3L) === false)  // registered domain is good.org
+  }
+}
