@@ -533,6 +533,19 @@ object Inventory {
         .withColumn("total_value", money(col("total_value")))
         .orderBy(col("user_id"))
     },
+    "q57_stateful_breakdown" -> { (s, d) =>
+      // flatMapGroupsWithState (0..N rows per group) in batch mode:
+      // per-(user, type) running counts collapse to final snapshots,
+      // reproduced by a plain two-key GROUP BY oracle
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.userTypeBreakdown(ev).toDF()
+        .withColumn("total_value", money(col("total_value")))
+        .orderBy(col("user_id"), col("event_type"))
+    },
     "q49_interval_join" -> { (s, d) =>
       // stream-stream interval join, batch-mode gate (streaming mode with
       // watermark state eviction is spec-tested over MemoryStreams)
@@ -757,6 +770,11 @@ object Inventory {
          CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
          date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP))) AS last_ts
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q57_stateful_breakdown" ->
+      """SELECT user_id, event_type, count(*) AS n,
+         CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     "q54_range_frame" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
          CAST(CAST(sum(value) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS mv_1h,

@@ -134,6 +134,33 @@ object EventStreams {
       }
   }
 
+  final case class TypeCount(user_id: Long, event_type: String,
+                             n: Long, total_value: Double)
+
+  /** Arbitrary stateful aggregation with 0..N output rows per group —
+    * the `flatMapGroupsWithState` pattern (vs [[userRunningTotals]]'s
+    * exactly-one-row `mapGroupsWithState`): per-user running counts and
+    * value totals BY EVENT TYPE, emitted as one row per (user, type)
+    * seen so far. Same state-eviction note as userRunningTotals. */
+  def userTypeBreakdown(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Map[String, (Long, Double)], TypeCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[Map[String, (Long, Double)]]) =>
+          val next = batch.foldLeft(
+            state.getOption.getOrElse(Map.empty[String, (Long, Double)])) {
+            (m, e) =>
+              val (n, v) = m.getOrElse(e.event_type, (0L, 0.0))
+              m.updated(e.event_type, (n + 1, v + e.value))
+          }
+          state.update(next)
+          next.iterator.map { case (t, (n, v)) => TypeCount(userId, t, n, v) }
+      }
+  }
+
   /** Convenience: open a directory of event parquet files as a file-source
     * stream (the file source requires a directory; files landing in it are
     * discovered incrementally — the standard object-store ingestion

@@ -140,6 +140,32 @@ class EventStreamsSpec extends SparkSuite {
     assert(snaps.last.getAs[Double]("total_value") === 16.0)
   }
 
+  test("userTypeBreakdown emits per-(user,type) rows, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.userTypeBreakdown(input.toDS)
+      .writeStream.format("memory").queryName("breakdown")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      EventStreams.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 10.0),
+      EventStreams.Event(2, ts("2024-01-01 00:01:00"), 7L, "view", 5.0))
+    q.processAllAvailable()
+    input.addData(
+      EventStreams.Event(3, ts("2024-01-01 00:02:00"), 7L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // second batch re-emits the updated click row from carried state
+    // (n=2, total 11) alongside the untouched view row
+    val rows = spark.table("breakdown")
+      .filter(col("user_id") === 7L && col("event_type") === "click")
+      .orderBy(col("n")).collect
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(1L, 2L))
+    assert(rows.last.getAs[Double]("total_value") === 11.0)
+  }
+
   test("file-source stream over the events fixture reaches batch totals") {
     // the file source needs a directory; stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
