@@ -422,20 +422,39 @@ object Dedup {
    * is otherwise preserved. Output matches chunkDedup:
    * (id, kept_text, n_chunks, n_dropped).
    *
-   * Scale design: fully doc-local semantics, so both aggregations key on
-   * the doc — first-occurrence selection groups on (id, chunk), then the
-   * reassembly groups on id; no corpus-global state at all, which makes
-   * this the cheapest member of the dedup family (two keyed shuffles,
-   * partition-pruned to the doc id).
+   * Scale design: fully doc-local semantics, so the whole operator is
+   * ONE map-side projection — no explode, no shuffle, no join. Per doc:
+   * index the chunk array, array_sort by (chunk, pos) so duplicates are
+   * adjacent, keep each run's head (= pos-minimal occurrence), sort the
+   * survivors back by pos, rejoin. Two O(c log c) local sorts per doc
+   * (c = chunk count); every intermediate is bound once via
+   * [[Shingles.let]] so nothing re-evaluates per array element. The
+   * exploded groupBy((id, chunk)) form this replaced shuffled every
+   * chunk of the corpus twice for identical output.
    */
   def intraDocDedup(docs: DataFrame, textCol: String, idCol: String,
                     chunkWords: Int = 8): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
-    val (base, chunks) = chunkTable(docs, textCol, idCol, chunkWords)
-
-    reportKept(base,
-      reassemble(chunks.groupBy(col("id"), col("chunk"))
-        .agg(min(col("pos")).as("pos"))))
+    val out = Shingles.let(chunkArray(textCol, chunkWords)) { ch =>
+      Shingles.let(array_sort(
+          transform(ch, (c, i) => struct(c.as("c"), i.as("i"))))) { byChunk =>
+        val runHeads = filter(byChunk, (s, j) =>
+          (j === 0) || element_at(byChunk, j).getField("c") =!= s.getField("c"))
+        Shingles.let(array_sort(transform(runHeads,
+            s => struct(s.getField("i").as("i"), s.getField("c").as("c"))))) {
+          inOrder =>
+            struct(
+              array_join(transform(inOrder, s => s.getField("c")), " ")
+                .as("kept_text"),
+              size(ch).cast("long").as("n_chunks"),
+              (size(ch) - size(inOrder)).cast("long").as("n_dropped"))
+        }
+      }
+    }
+    docs.select(col(idCol).as("id"), out.as("__r"))
+      .select(col("id"), col("__r.kept_text"), col("__r.n_chunks"),
+        col("__r.n_dropped"))
+      .orderBy(col("id"))
   }
 
   /** Per-doc reassembly of surviving (id, pos, chunk) rows: survivor
@@ -448,23 +467,27 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
             s => s.getField("chunk")), " ").as("kept_text"))
 
+  /** Consecutive `w`-word chunk array of a text column (last chunk may be
+    * shorter). NULL text coalesces to "" (one empty chunk, same as an
+    * empty string) — without it `size(null) = -1` feeds `sequence(0, -2)`,
+    * whose descending-range semantics would fabricate phantom chunks.
+    * The word array is let-bound so the split runs once per row, not once
+    * per generated chunk. */
+  private def chunkArray(textCol: String, w: Int): Column =
+    Shingles.let(Shingles.words(coalesce(col(textCol), lit("")))) { wds =>
+      transform(
+        sequence(lit(0),
+          ceil(size(wds) / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(wds, i * w + 1, lit(w)), " "))
+    }
+
   /** (per-doc totals, exploded chunk table) for the chunk-dedup family:
-    * consecutive `w`-word chunks (last one may be shorter), totals taken
-    * map-side from the chunk array so no counting pass runs later.
-    * NULL text coalesces to "" (one empty chunk, same as an empty
-    * string) — without it `size(null) = -1` feeds `sequence(0, -2)`,
-    * whose descending-range semantics would fabricate phantom chunks. */
+    * totals taken map-side from the chunk array so no counting pass runs
+    * later. */
   private def chunkTable(docs: DataFrame, textCol: String, idCol: String,
                          w: Int): (DataFrame, DataFrame) = {
     val withChunks = docs
-      .select(col(idCol).as("id"),
-        Shingles.words(coalesce(col(textCol), lit(""))).as("w"))
-      .select(col("id"),
-        transform(
-          sequence(lit(0),
-            ceil(size(col("w")) / lit(w.toDouble)).cast("int") - 1),
-          i => array_join(slice(col("w"), i * w + 1, lit(w)), " "))
-          .as("ch"))
+      .select(col(idCol).as("id"), chunkArray(textCol, w).as("ch"))
     val base = withChunks.select(col("id"),
       size(col("ch")).cast("long").as("n_chunks"))
     val chunks = withChunks

@@ -284,6 +284,62 @@ object Similarity {
         col("__top").getItem(0).getField("_1").as("sim"))
   }
 
+  /**
+   * Product-quantization assignment step (Jégou et al. 2011, "Product
+   * Quantization for Nearest Neighbor Search", IEEE TPAMI): split each
+   * vector into `m` contiguous subvectors and code each against a
+   * per-subspace codebook by squared-L2 argmin. Output: one row per
+   * (vector, subspace) — (id, sub, code, dist2) with ties broken by
+   * code ascending; dist2 rounds through DECIMAL(10,4) (the
+   * e01/e05-established cross-engine float parity path — the argmin
+   * itself compares full-precision doubles computed with identical
+   * arithmetic on both engines). Codebooks derive from `seeds`'
+   * subvectors — deterministic and engine-reproducible for the same
+   * reason as [[minIdCentroids]] (member vectors, no float
+   * accumulation); a production index trains them with per-subspace
+   * k-means instead.
+   *
+   * Scale design: the codebook broadcasts (m × |seeds| entries); the
+   * corpus explodes m-fold but each exploded row carries only a dim/m
+   * subvector, the scored cross product never shuffles (map-side
+   * codegen + bounded-heap top-1 with partial aggregation), and the
+   * exchange moves one (id, sub, code, dist2) row per subvector. PQ
+   * codes cut vector storage from dim×4 bytes to m bytes — the
+   * standard memory lever for billion-vector indexes.
+   */
+  def pqAssign(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      seeds: DataFrame, sVecCol: String, sIdCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    def subvecs(vc: String): Column =
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col(vc), i * sub + 1, lit(sub))))
+    val cb = seeds.select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol))
+      .toDF("code", "sub", "cvec")
+    val parts = corpus.select(col(idCol).as("id"), subvecs(vecCol))
+      .toDF("id", "sub", "svec")
+    // negated squared L2 so the max-heap aggregator yields the argmin;
+    // (x−y)·(x−y), not pow(·,2) — the oracle spells the same product, and
+    // identical double arithmetic is what makes the argmin engine-stable
+    val negD2 = aggregate(
+      zip_with(col("svec"), col("cvec"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0d), _ + _) * -1
+    parts.join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"), col("code"), negD2.as("score"))
+      .groupBy(col("id"), col("sub"))
+      .agg(TopKAggregator.topK(1)(col("score"), col("code")).as("__top"))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        col("__top").getItem(0).getField("_2").as("code"),
+        (col("__top").getItem(0).getField("_1") * -1)
+          .cast("decimal(10,4)").cast("double").as("dist2"))
+      .orderBy(col("id"), col("sub"))
+  }
+
   /** Medoid-style centroids: the vector of the minimum-id member per label.
     * Fully deterministic AND bit-identical across engines (no float
     * accumulation — a mean's summation order perturbs low bits, which can
@@ -349,11 +405,53 @@ object Similarity {
         GraftFunctions.vecCosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
 
-    val neighborMin = verified
+    minNeighborReps(vecs.select(col("id")), verified)
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication"): embedding-space deduplication restricted to
+   * within-cluster pairs. The paper's two-stage shape: k-means the
+   * corpus (here: any precomputed cluster column — `assignCentroids`
+   * output, or the fixtures' `label`), then compare pairwise cosine
+   * ONLY inside each cluster and drop all but one member of every
+   * near-duplicate group. Output matches the dedup family:
+   * (id, keep_id, is_dup) with the one-hop min-id representative.
+   *
+   * Scale design: the quadratic term is Σ cluster_size², the knob the
+   * paper itself turns (more clusters → smaller c_i); the self-join is
+   * cluster-keyed and co-partitioned behind ONE `repartition(cl)`
+   * exchange that both sides reuse (ReusedExchange), so each embedding
+   * rides exactly one shuffle, scoring is map-side codegen
+   * (`VecCosine`), and only the sparse verified pair set (24-byte rows)
+   * moves afterwards. A runaway cluster is the known failure mode —
+   * cap cluster sizes in the upstream clustering, not here.
+   */
+  def semDedup(
+      corpus: DataFrame, vecCol: String, idCol: String, clusterCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val vecs = corpus.select(col(clusterCol).as("cl"), col(idCol).as("id"),
+        col(vecCol).as("vec"))
+      .repartition(col("cl"))
+    val verified = vecs.as("a").join(vecs.as("b"),
+        col("a.cl") === col("b.cl") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        GraftFunctions.vecCosine(col("a.vec"), col("b.vec")).as("sim"))
+      .filter(col("sim") >= threshold)
+    minNeighborReps(vecs.select(col("id")), verified)
+  }
+
+  /** One-hop min-id cluster representative per id over an (id_a, id_b)
+    * pair set — the dedup family's shared output shape:
+    * (id, keep_id, is_dup). */
+  private def minNeighborReps(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val neighborMin = pairs
       .select(col("id_b").as("id"), col("id_a").as("nb"))
-      .union(verified.select(col("id_a").as("id"), col("id_b").as("nb")))
+      .union(pairs.select(col("id_a").as("id"), col("id_b").as("nb")))
       .groupBy(col("id")).agg(min(col("nb")).as("nb_min"))
-    vecs.select(col("id"))
+    ids
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("nb_min"), col("id"))).as("keep_id"))

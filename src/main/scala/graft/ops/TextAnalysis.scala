@@ -438,6 +438,53 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Sliding-window chunking (RAG / context-window preparation)
+  // ------------------------------------------------------------------
+
+  /**
+   * Overlapping fixed-size word-window chunks of each document — the
+   * chunking stage in front of embedding/retrieval indexes and
+   * context-window packing: window `window` words, step `stride`
+   * (stride < window leaves window−stride words of overlap between
+   * consecutive chunks so no phrase is split at every boundary;
+   * stride = window degenerates to the chunk-dedup family's
+   * consecutive chunks). One row per chunk:
+   * (id, chunk_ix, chunk_text, n_words), the final chunk may be
+   * shorter, and every word of the doc is covered —
+   * chunks/doc = 1 + ceil(max(0, len − window)/stride).
+   *
+   * Map-only plus one Generate (posexplode): chunk construction is
+   * per-doc arithmetic over a let-bound word array (the split runs
+   * once per row, not once per chunk), nothing shuffles, and the
+   * output order key (id, chunk_ix) is computed where the doc lives.
+   */
+  def slidingChunks(docs: DataFrame, textCol: String, idCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"slidingChunks needs window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"slidingChunks needs 1 <= stride <= window, got stride=$stride")
+    val chunks =
+      Shingles.let(Shingles.words(coalesce(col(textCol), lit("")))) { w =>
+        Shingles.let(size(w)) { len =>
+          transform(
+            sequence(lit(0),
+              ceil(greatest(len - window, lit(0)) / lit(stride.toDouble))
+                .cast("int")),
+            i => struct(
+              array_join(slice(w, i * stride + 1, lit(window)), " ")
+                .as("chunk_text"),
+              least(lit(window), len - i * stride).cast("long")
+                .as("n_words")))
+        }
+      }
+    docs.select(col(idCol).as("id"), posexplode(chunks))
+      .toDF("id", "chunk_ix", "c")
+      .select(col("id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_words").as("n_words"))
+      .orderBy(col("id"), col("chunk_ix"))
+  }
+
+  // ------------------------------------------------------------------
   // Corpus heavy hitters — Misra-Gries candidates + exact recount
   // ------------------------------------------------------------------
 

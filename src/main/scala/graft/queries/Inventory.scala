@@ -640,6 +640,125 @@ object Inventory {
                ORDER BY l_returnflag, l_linestatus""")
     },
 
+    "q58_stream_dedup" -> { (s, d) =>
+      // streaming exact dedup (dropDuplicatesWithinWatermark under
+      // readStream — watermark-bounded state, spec-tested; batch
+      // fallback here) over an at-least-once feed simulated by unioning
+      // the events with themselves — full-row duplicates make the kept
+      // row deterministic, so the result is exactly the original table
+      val ev = Tables(s, d, "events")
+      graft.streaming.EventStreams.dedupEvents(ev.unionAll(ev))
+        .orderBy(col("event_id"))
+    },
+    "q59_nullsafe_join" -> { (s, d) =>
+      // null-safe equality join (Spark `<=>`, DuckDB IS NOT DISTINCT
+      // FROM): NULL keys match each other where `=` would drop them —
+      // both sides plant NULL keys so the semantics exercise for real
+      Tables.register(s, d)
+      s.sql("""SELECT a.k, a.na, b.nb
+               FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_orderkey % 5 END AS k,
+                            count(*) AS na
+                     FROM orders GROUP BY 1) a
+               JOIN (SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL
+                              ELSE c_custkey % 5 END AS k,
+                            count(*) AS nb
+                     FROM customer GROUP BY 1) b
+               ON a.k <=> b.k
+               ORDER BY a.k NULLS FIRST""")
+    },
+    "q60_map_fns" -> { (s, d) =>
+      // MAP column + higher-order map functions (map_from_entries,
+      // map_filter, transform_values), exploded back to rows — the MAP
+      // itself is engine-internal, so the oracle reproduces the
+      // relational effect of the same pipeline. The fixture has
+      // duplicate (orderkey, linenumber) pairs, so quantities pre-sum
+      // per line — map keys must be unique (DUPLICATED_MAP_KEY errors
+      // under the default spark.sql.mapKeyDedupPolicy=EXCEPTION).
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("l_quantity"))
+      li.groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(
+            collect_list(struct(col("l_linenumber"), col("l_quantity")))))
+          .as("m"))
+        .select(col("l_orderkey"),
+          size(map_filter(col("m"), (_, v) => v > 25)).cast("long")
+            .as("n_big"),
+          explode(transform_values(col("m"), (_, v) => v * 2)))
+        .toDF("l_orderkey", "n_big", "ln", "q2")
+        .orderBy(col("l_orderkey"), col("ln"))
+    },
+    "q61_variant" -> { (s, d) =>
+      // Spark 4 VARIANT type: parse_json into the binary semi-structured
+      // type, then typed variant_get extraction (vs q35's string-path
+      // JSON functions)
+      Tables.register(s, d)
+      s.sql("""SELECT event_id,
+                 variant_get(parse_json(props), '$.k', 'int') AS k
+               FROM events
+               WHERE variant_get(parse_json(props), '$.k', 'int') >= 50
+               ORDER BY event_id""")
+    },
+    "q62_bitwise" -> { (s, d) =>
+      // bitwise aggregates (bit_and/bit_or/bit_xor) + shift/mask scalars
+      Tables.register(s, d)
+      s.sql("""SELECT l_returnflag,
+                 bit_and(l_linenumber) AS b_and,
+                 bit_or(l_linenumber) AS b_or,
+                 bit_xor(CAST(l_orderkey & 255 AS INT)) AS b_xor,
+                 CAST(sum(shiftleft(l_linenumber, 2)) AS BIGINT) AS s_shift
+               FROM lineitem
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    "q63_setops_all" -> { (s, d) =>
+      // multiset set-ops (INTERSECT ALL / EXCEPT ALL — q18/q19 cover the
+      // deduplicating set forms); identical SQL both engines
+      Tables.register(s, d)
+      s.sql("""SELECT l_linenumber, 'both' AS side FROM
+                 (SELECT l_linenumber FROM lineitem
+                  WHERE l_orderkey % 2 = 0 AND l_orderkey < 2000
+                  INTERSECT ALL
+                  SELECT l_linenumber FROM lineitem
+                  WHERE l_quantity > 10 AND l_orderkey < 2000)
+               UNION ALL
+               SELECT l_linenumber, 'only_even' AS side FROM
+                 (SELECT l_linenumber FROM lineitem
+                  WHERE l_orderkey % 2 = 0 AND l_orderkey < 2000
+                  EXCEPT ALL
+                  SELECT l_linenumber FROM lineitem
+                  WHERE l_quantity > 10 AND l_orderkey < 2000)
+               ORDER BY side, l_linenumber""")
+    },
+    "q64_collation" -> { (s, d) =>
+      // Spark 4 collations: group case-insensitively via UTF8_LCASE on
+      // planted mixed-case values; output canonicalized (lower(min)) so
+      // the result is engine-independent — the oracle groups by lower()
+      Tables.register(s, d)
+      s.sql("""WITH t AS (SELECT CASE WHEN c_custkey % 2 = 0
+                   THEN upper(c_mktsegment) ELSE lower(c_mktsegment)
+                 END AS seg FROM customer)
+               SELECT lower(min(seg)) AS seg_lc, count(*) AS n,
+                      count(DISTINCT seg) AS n_variants
+               FROM t GROUP BY collate(seg, 'UTF8_LCASE')
+               ORDER BY seg_lc""")
+    },
+    "q65_try_fns" -> { (s, d) =>
+      // ANSI-safe try_* error handling: division by zero, bad casts,
+      // out-of-bounds array index — NULL instead of runtime failure
+      Tables.register(s, d)
+      s.sql("""SELECT o_orderkey,
+                 try_divide(o_totalprice, o_orderkey % 3) AS td,
+                 try_cast(CASE WHEN o_orderkey % 2 = 0
+                     THEN substr(CAST(o_orderkey AS STRING), 1, 3)
+                     ELSE substr(o_orderpriority, 3, 3) END AS INT) AS tc,
+                 try_element_at(array(o_orderkey),
+                   CAST(1 + o_orderkey % 3 AS INT)) AS te
+               FROM orders ORDER BY o_orderkey""")
+    },
+
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
@@ -797,6 +916,83 @@ object Inventory {
          min(l_quantity) AS minq
          FROM lineitem GROUP BY ALL
          ORDER BY l_returnflag, l_linestatus""",
+    // dedup of the self-unioned feed = exactly the original table
+    "q58_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+         value, props
+         FROM events ORDER BY event_id""",
+    "q59_nullsafe_join" ->
+      """SELECT a.k, a.na, b.nb
+         FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderkey % 5 END AS k,
+                      count(*) AS na
+               FROM orders GROUP BY 1) a
+         JOIN (SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL
+                        ELSE c_custkey % 5 END AS k,
+                      count(*) AS nb
+               FROM customer GROUP BY 1) b
+         ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY a.k NULLS FIRST""",
+    // the relational effect of the map pipeline: doubled values per line,
+    // per-order count of quantities the map_filter kept
+    "q60_map_fns" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+           sum(l_quantity) AS l_quantity
+           FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1, 2)
+         SELECT l_orderkey,
+         CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_big,
+         l_linenumber AS ln, l_quantity * 2 AS q2
+         FROM li ORDER BY l_orderkey, ln""",
+    "q61_variant" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+         ORDER BY event_id""",
+    "q62_bitwise" ->
+      """SELECT l_returnflag,
+         bit_and(l_linenumber) AS b_and,
+         bit_or(l_linenumber) AS b_or,
+         bit_xor(CAST(l_orderkey & 255 AS INT)) AS b_xor,
+         CAST(sum(l_linenumber << 2) AS BIGINT) AS s_shift
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q63_setops_all" ->
+      """SELECT l_linenumber, 'both' AS side FROM
+           (SELECT l_linenumber FROM lineitem
+            WHERE l_orderkey % 2 = 0 AND l_orderkey < 2000
+            INTERSECT ALL
+            SELECT l_linenumber FROM lineitem
+            WHERE l_quantity > 10 AND l_orderkey < 2000)
+         UNION ALL
+         SELECT l_linenumber, 'only_even' AS side FROM
+           (SELECT l_linenumber FROM lineitem
+            WHERE l_orderkey % 2 = 0 AND l_orderkey < 2000
+            EXCEPT ALL
+            SELECT l_linenumber FROM lineitem
+            WHERE l_quantity > 10 AND l_orderkey < 2000)
+         ORDER BY side, l_linenumber""",
+    // the collation group is exactly the lower() group on this data —
+    // the engine-independent canonical form
+    "q64_collation" ->
+      """WITH t AS (SELECT CASE WHEN c_custkey % 2 = 0
+             THEN upper(c_mktsegment) ELSE lower(c_mktsegment)
+           END AS seg FROM customer)
+         SELECT lower(min(seg)) AS seg_lc, count(*) AS n,
+                count(DISTINCT seg) AS n_variants
+         FROM t GROUP BY lower(seg)
+         ORDER BY seg_lc""",
+    // DuckDB: x/0 is NULL (no try_divide needed), TRY_CAST matches, and
+    // out-of-bounds list indexing is NULL
+    "q65_try_fns" ->
+      """SELECT o_orderkey,
+         o_totalprice / (o_orderkey % 3) AS td,
+         TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+             THEN substr(CAST(o_orderkey AS VARCHAR), 1, 3)
+             ELSE substr(o_orderpriority, 3, 3) END AS INTEGER) AS tc,
+         ([o_orderkey])[CAST(1 + o_orderkey % 3 AS INT)] AS te
+         FROM orders ORDER BY o_orderkey""",
     "q49_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
            FROM events WHERE event_type = 'purchase'),

@@ -103,6 +103,16 @@ object PipelineOps {
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
     },
 
+    "d11_semdedup" -> { (s, d) =>
+      // SemDeDup (Abbas et al. 2023): embedding near-dup restricted to
+      // within-cluster pairs — clusters = the fixture's k-means `label`
+      // column. The 0.97-threshold float margins are established by d05,
+      // whose global brute-force pair set is a superset of the
+      // within-cluster one.
+      Similarity.semDedup(embs(s, d), "embedding", "vec_id", "label",
+        threshold = 0.97)
+    },
+
     "e01_cosine_topk" -> { (s, d) =>
       val corpus = embs(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
@@ -180,6 +190,16 @@ object PipelineOps {
           corpus.filter(col("vec_id") < 8), "embedding", "vec_id")
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
         .orderBy(col("id"))
+    },
+
+    "e06_pq_assign" -> { (s, d) =>
+      // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
+      // codebooks = the 8 seed vectors' subvectors (deterministic, same
+      // argument as e05's seeds)
+      val corpus = embs(s, d)
+      Similarity.pqAssign(corpus, "embedding", "vec_id",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+        m = 4, dim = 64)
     },
 
     "t06_gopher" -> { (s, d) =>
@@ -291,6 +311,14 @@ object PipelineOps {
         .select(col("doc_id").as("id"), col("lang"), col("rate_256"),
           col("copy_ix"))
         .orderBy(col("id"), col("copy_ix"))
+    },
+
+    "p07_chunk_windows" -> { (s, d) =>
+      // sliding-window chunking: 40-word windows, stride 30 (10-word
+      // overlap between consecutive chunks) — the RAG/context-packing
+      // chunker in front of an embedding index
+      TextAnalysis.slidingChunks(docs(s, d), "text", "doc_id",
+        window = 40, stride = 30)
     },
 
     "x01_profile" -> { (s, d) =>
@@ -650,6 +678,32 @@ object PipelineOps {
          SELECT f.id, least(f.id, coalesce(nm.nb_min, f.id)) AS keep_id,
                 f.id <> least(f.id, coalesce(nm.nb_min, f.id)) AS is_dup
          FROM fp f LEFT JOIN nm ON f.id = nm.id ORDER BY f.id""",
+    // SemDeDup: d05's brute force with the pair set restricted to
+    // same-label (within-cluster) pairs
+    "d11_semdedup" ->
+      """WITH v AS (SELECT vec_id AS id, label, embedding FROM embeddings),
+         p AS (SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b
+               ON a.label = b.label AND a.id < b.id
+               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.97),
+         nb AS (SELECT id_b AS id, id_a AS nb FROM p UNION ALL SELECT id_a, id_b FROM p),
+         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+         SELECT v.id, least(v.id, coalesce(nm.nb_min, v.id)) AS keep_id,
+                v.id <> least(v.id, coalesce(nm.nb_min, v.id)) AS is_dup
+         FROM v LEFT JOIN nm ON v.id = nm.id ORDER BY v.id""",
+    // sliding-window chunker: same 1-based inclusive list slices as the
+    // d08/d09 chunk oracles, window 40 / stride 30
+    "p07_chunk_windows" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         ch AS (SELECT id,
+             unnest([{'ix': i,
+                      'chunk': array_to_string(w[i*30+1:i*30+40], ' '),
+                      'nw': least(40, len(w) - i*30)}
+                     FOR i IN range(0, 1 + CAST(ceil(greatest(len(w) - 40, 0) / 30.0) AS INT))]) AS u
+           FROM d)
+         SELECT id, CAST(u.ix AS BIGINT) AS chunk_ix, u.chunk AS chunk_text,
+                CAST(u.nw AS BIGINT) AS n_words
+         FROM ch ORDER BY id, chunk_ix""",
     "d05_embedding_neardup" ->
       """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
          p AS (SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b
@@ -725,6 +779,27 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // PQ assignment: same subvector slicing (1-based inclusive), same
+    // (x−y)·(x−y) double product, argmin ties by code ascending
+    "e06_pq_assign" ->
+      """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         cb AS (SELECT e.vec_id AS code, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
+           FROM embeddings e, subs s WHERE e.vec_id < 8),
+         parts AS (SELECT e.vec_id AS id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
+           FROM embeddings e, subs s),
+         scored AS (SELECT p.id, p.sub, c.code,
+             list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
+                       FOR i IN range(1, 17)]) AS d2
+           FROM parts p JOIN cb c ON p.sub = c.sub),
+         r AS (SELECT id, sub, code, d2,
+             row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2, code) AS rk
+           FROM scored)
+         SELECT id, CAST(sub AS BIGINT) AS sub, code,
+                CAST(CAST(d2 AS DECIMAL(10,4)) AS DOUBLE) AS dist2
+         FROM r WHERE rk = 1 ORDER BY id, sub""",
     "e04_matryoshka" ->
       """WITH v AS (SELECT vec_id AS id,
            [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings),

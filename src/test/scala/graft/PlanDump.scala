@@ -197,10 +197,12 @@ object PlanDump {
         "production pairs it with an event-time timeout to bound the " +
         "state store (scaladoc note in EventStreams)."),
     "d09_intradoc_dedup" ->
-      ("Fully doc-local semantics: first-occurrence selection groups on " +
-        "(id, chunk), reassembly on id — two keyed shuffles, zero " +
-        "corpus-global state; the cheapest dedup-family member and " +
-        "embarrassingly partition-parallel at any corpus size."),
+      ("Fully doc-local semantics, realized as a fully map-only plan: " +
+        "first-occurrence selection runs INSIDE the row via two " +
+        "let-bound local array sorts (by (chunk,pos), dedupe run heads, " +
+        "back by pos) — no explode, no aggregation, no join; the only " +
+        "exchange is the declared presentation ORDER BY. The cheapest " +
+        "dedup-family member at any corpus size."),
     "p06_temperature_mix" ->
       ("The per-source rate table is one map-side-combined count " +
         "aggregate (rows = |sources|) broadcast back; the application " +
@@ -220,7 +222,22 @@ object PlanDump {
       ("URL parse + blocklist flag is one codegen regex projection per " +
         "row — map-only, scan-bound; the blocklist is a literal IN " +
         "(switch to a broadcast join past the literal threshold). The " +
-        "only exchange is the declared presentation ORDER BY."))
+        "only exchange is the declared presentation ORDER BY."),
+    "d11_semdedup" ->
+      ("SemDeDup: the pair join is equi-keyed on the cluster column " +
+        "(id< and the cosine threshold ride in the join condition) — " +
+        "the quadratic term is bounded by Σ cluster_size², the knob the " +
+        "paper turns via k; embeddings ride one cluster-keyed exchange, " +
+        "only sparse verified pairs move afterwards."),
+    "p07_chunk_windows" ->
+      ("Sliding-window chunking is chunk arithmetic over a let-bound " +
+        "word array + one Generate (posexplode) — map-only, no shuffle " +
+        "below the declared (id, chunk_ix) ORDER BY."),
+    "e06_pq_assign" ->
+      ("PQ assignment: codebooks broadcast; the corpus explodes m-fold " +
+        "into dim/m subvectors scored map-side; the bounded-heap top-1 " +
+        "aggregates partially, so the exchange moves one coded row per " +
+        "subvector — never the |corpus|×|codebook| score matrix."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -123,6 +123,50 @@ class SimilaritySpec extends SparkSuite {
     assert(out(4L) == 4L)
   }
 
+  test("pqAssign: seeds code to themselves at 0; argmin matches brute force") {
+    val corpus = embeddings.filter(col("vec_id") < 48)
+    val seeds = embeddings.filter(col("vec_id") < 8)
+    val out = Similarity.pqAssign(corpus, "embedding", "vec_id",
+      seeds, "embedding", "vec_id", m = 4, dim = 64).collect()
+    assert(out.length === 48 * 4)
+    out.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), r)   // own codeword
+      assert(r.getDouble(3) === 0.0, r)          // at distance 0
+    }
+    // brute-force argmin over the seed subvectors, double arithmetic
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float], s: Int): Double =
+      (s * 16 until s * 16 + 16).foldLeft(0.0) { (acc, i) =>
+        val d = a(i).toDouble - b(i).toDouble; acc + d * d
+      }
+    out.foreach { r =>
+      val (id, sub, code) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val best = (0L until 8L).minBy(c =>
+        (d2(vecs(id), vecs(c), sub.toInt), c))
+      assert(code === best, s"id=$id sub=$sub")
+    }
+    intercept[IllegalArgumentException](Similarity.pqAssign(corpus,
+      "embedding", "vec_id", seeds, "embedding", "vec_id", m = 5, dim = 64))
+  }
+
+  test("semDedup flags near-dups within a cluster, ignores cross-cluster twins") {
+    val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation
+    val v2 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq(
+      (1L, v1.toSeq, 0), (2L, v1b.toSeq, 0), (3L, v2.toSeq, 0),
+      // exact twin of vector 1 but in another cluster: SemDeDup must NOT
+      // flag it (within-cluster pairs only — the d05 global form would)
+      (4L, v1.toSeq, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(df, "embedding", "vec_id", "label",
+        threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 1L, false), (2L, 1L, true),
+      (3L, 3L, false), (4L, 4L, false)))
+  }
+
   test("cosineTopK tolerates null embeddings and non-long integral ids") {
     val corpus = Seq(
       (1, Option(Seq(1.0f, 0.0f))),

@@ -161,6 +161,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.contains(3L))    // whitespace-only doc has no tokens
   }
 
+  test("slidingChunks covers every word with overlap; final chunk may be short") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(docs, "text", "doc_id",
+        window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g h", 4L), (1L, 3L, "g h i", 3L),
+      (2L, 0L, "x y", 2L)))
+  }
+
+  test("slidingChunks: stride = window is disjoint; bad strides rejected") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(docs, "text", "doc_id", 2, 2)
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a b", 2L), ("c d", 2L), ("e", 1L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.slidingChunks(docs, "text", "doc_id", 2, 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.slidingChunks(docs, "text", "doc_id", 0, 1))
+  }
+
   test("heavyHitters equals brute force on a skewed corpus, any partitioning") {
     // planted zipf-ish skew: "alpha" dominates, a long uniform tail keeps
     // the Misra-Gries summaries churning (decrement events fire)

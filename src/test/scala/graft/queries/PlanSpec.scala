@@ -189,6 +189,42 @@ class PlanSpec extends SparkSuite {
       !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d09: intra-doc dedup is map-only — no exchange below the output sort") {
+    val df = graft.queries.PipelineOps.queries("d09_intradoc_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // fully doc-local: no explode, no aggregation, no join — the only
+    // exchange is the rangepartitioning for the declared ORDER BY
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
+      !plan.contains("Generate"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
+  }
+
+  test("d11: semdedup pairs join equi-keyed on the cluster column") {
+    val df = graft.queries.PipelineOps.queries("d11_semdedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // within-cluster pairs only: an equi-join ON the cluster key (the
+    // id< and cosine predicates ride in the join condition), never a
+    // cartesian over the corpus — the property that bounds the operator
+    // at Σ cluster_size². (At spec scale AQE broadcasts one self-join
+    // side, so the repartition(cl) exchange shows reuse only at real
+    // scale — the join keying is the scale-invariant to pin.)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join \\[cl#".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("p07: sliding chunks are map-only + one Generate, no shuffle") {
+    val df = graft.queries.PipelineOps.queries("p07_chunk_windows")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
+  }
+
   test("e05: centroids broadcast; top-1 aggregates partially before exchange") {
     val df = graft.queries.PipelineOps.queries("e05_kmeans_assign")(spark, sf)
     df.collect()
