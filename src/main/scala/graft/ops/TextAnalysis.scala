@@ -438,6 +438,99 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Corpus vocabulary statistics (Zipf / data-card report)
+  // ------------------------------------------------------------------
+
+  /**
+   * One-row corpus vocabulary report — the numbers a dataset card and a
+   * tokenizer-vocab decision need: total token count, type (distinct
+   * token) count, hapax-legomena count (types seen exactly once — the
+   * long-tail mass that Zipf's law predicts at ~half of all types), and
+   * the token mass of the 10 most frequent types (the head weight;
+   * head-heavy corpora signal boilerplate). All exact integers.
+   *
+   * Scale design: one token-keyed aggregation with map-side combine
+   * (the unigram table, reused for all four statistics), then two tiny
+   * single-row aggregates; the top-10 head uses TakeOrderedAndProject —
+   * the token stream shuffles once, keyed, and nothing collects.
+   */
+  def vocabStats(docs: DataFrame, textCol: String): DataFrame = {
+    val uni = docs
+      .select(explode(Shingles.words(coalesce(col(textCol), lit(""))))
+        .as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("u"))
+    val top10 = uni.orderBy(col("u").desc, col("t")).limit(10)
+      .agg(sum(col("u")).as("top10_mass"))
+    uni.agg(sum(col("u")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("u") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(top10)
+  }
+
+  // ------------------------------------------------------------------
+  // Count-based bigram LM scoring (perplexity-filter stand-in)
+  // ------------------------------------------------------------------
+
+  /**
+   * Per-document fluency score from a corpus-estimated bigram language
+   * model — the deterministic, exact-integer stand-in for the LM
+   * perplexity filter in curation pipelines (CCNet, Wenzek et al. 2020,
+   * filter on a KenLM score; here the n-gram model IS the corpus).
+   * Per bigram (w1,w2), add-one smoothed conditional probability
+   * p = (B(w1,w2)+1) / (U(w1)+V) with B/U/V the corpus bigram, unigram
+   * and vocabulary counts; each term contributes
+   * `floor(1e9 · p)` — INTEGER arithmetic only, so per-doc sums are
+   * hash-exact across engines (the same device as t11: a float log-sum
+   * would hinge on libm ulp parity). Output per doc:
+   * (id, n_bigrams, sum_scaled); higher mean ⇔ more predictable text.
+   *
+   * Scale design: the unigram/bigram count tables are keyed
+   * aggregations with map-side combine (never broadcast — vocabulary
+   * grows with the corpus), the score joins are keyed equi-joins on
+   * (w1) and (w1,w2), and V rides in as a broadcast scalar. At 100 TB
+   * this is the classic count-based LM shape: everything partitions by
+   * token key.
+   */
+  def bigramLmScore(docs: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Shingles.words(coalesce(col(textCol), lit(""))).as("w"))
+    val bigrams = base
+      .select(col("id"), Shingles.let(col("w")) { w =>
+        // guard: sequence(1, 0) runs DESCENDING for a 1-word doc and
+        // would fabricate out-of-bounds indexes (same trap chunkArray
+        // documents) — single-word docs have no bigrams
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"),
+              element_at(w, i + 1).as("w2"))))
+          .otherwise(expr("array()")
+            .cast("array<struct<w1:string,w2:string>>"))
+      }.as("bg"))
+      .select(col("id"), explode(col("bg")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val unigrams = base.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("u"))
+    val vocab = unigrams.agg(count(lit(1)).as("v"))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("b"))
+    val scored = bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(unigrams.withColumnRenamed("t", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        expr("(1000000000L * (b + 1)) div (u + v)").as("s"))
+    val agg = scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_scaled"))
+    base.select(col("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_scaled"), lit(0L)).as("sum_scaled"))
+      .orderBy(col("id"))
+  }
+
+  // ------------------------------------------------------------------
   // Sliding-window chunking (RAG / context-window preparation)
   // ------------------------------------------------------------------
 

@@ -747,16 +747,58 @@ object Inventory {
     },
     "q65_try_fns" -> { (s, d) =>
       // ANSI-safe try_* error handling: division by zero, bad casts,
-      // out-of-bounds array index — NULL instead of runtime failure
+      // out-of-bounds array index — NULL instead of runtime failure.
+      // The failing-cast arm is 1 row in 10, not half: Spark's TRY cast
+      // failure path is exception-based (~20 µs per failing row), so a
+      // mostly-failing column would make the error path, not the
+      // operator, the benchmark.
       Tables.register(s, d)
       s.sql("""SELECT o_orderkey,
                  try_divide(o_totalprice, o_orderkey % 3) AS td,
-                 try_cast(CASE WHEN o_orderkey % 2 = 0
-                     THEN substr(CAST(o_orderkey AS STRING), 1, 3)
-                     ELSE substr(o_orderpriority, 3, 3) END AS INT) AS tc,
+                 try_cast(CASE WHEN o_orderkey % 10 = 9
+                     THEN substr(o_orderpriority, 3, 3)
+                     ELSE substr(CAST(o_orderkey AS STRING), 1, 3)
+                   END AS INT) AS tc,
                  try_element_at(array(o_orderkey),
                    CAST(1 + o_orderkey % 3 AS INT)) AS te
                FROM orders ORDER BY o_orderkey""")
+    },
+
+    "q66_xml" -> { (s, d) =>
+      // XML extraction (Spark 4 from_xml): the fixtures carry no XML, so
+      // the gate plants documents-derived XML (attribute + two elements)
+      // and the oracle recomputes the extracted fields directly — the
+      // same planted-parity device as t12/t13
+      Tables.register(s, d)
+      s.sql("""SELECT doc_id AS id, x._id AS xid, x.lang AS xlang,
+                 x.n AS xn
+               FROM (SELECT doc_id,
+                       from_xml(
+                         concat('<doc id="', doc_id, '"><lang>', lang,
+                                '</lang><n>', n_chars, '</n></doc>'),
+                         'STRUCT<_id: BIGINT, lang: STRING, n: BIGINT>')
+                         AS x
+                     FROM documents)
+               ORDER BY id""")
+    },
+
+    "q67_ignore_nulls" -> { (s, d) =>
+      // IGNORE NULLS window variants (last_value/lag/nth_value) — NULLs
+      // planted on the value column so the null-skipping semantics bite
+      // on every third row; identical SQL both engines
+      Tables.register(s, d)
+      s.sql("""WITH e AS (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+               SELECT event_id, user_id,
+                 last_value(v) IGNORE NULLS OVER w AS last_v,
+                 lag(v) IGNORE NULLS OVER wo AS prev_v,
+                 nth_value(v, 2) IGNORE NULLS OVER w AS second_v
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+               ORDER BY event_id""")
     },
 
     // --- introspection (shape-checked only, like the reference:
@@ -985,12 +1027,32 @@ object Inventory {
          ORDER BY seg_lc""",
     // DuckDB: x/0 is NULL (no try_divide needed), TRY_CAST matches, and
     // out-of-bounds list indexing is NULL
+    "q67_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+         FROM events)
+         SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER w AS last_v,
+           lag(v IGNORE NULLS) OVER wo AS prev_v,
+           nth_value(v, 2 IGNORE NULLS) OVER w AS second_v
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    // planted-parity: the oracle recomputes the XML-extracted fields
+    // from the same source columns
+    "q66_xml" ->
+      """SELECT doc_id AS id, doc_id AS xid, lang AS xlang,
+         n_chars AS xn
+         FROM documents ORDER BY id""",
     "q65_try_fns" ->
       """SELECT o_orderkey,
          o_totalprice / (o_orderkey % 3) AS td,
-         TRY_CAST(CASE WHEN o_orderkey % 2 = 0
-             THEN substr(CAST(o_orderkey AS VARCHAR), 1, 3)
-             ELSE substr(o_orderpriority, 3, 3) END AS INTEGER) AS tc,
+         TRY_CAST(CASE WHEN o_orderkey % 10 = 9
+             THEN substr(o_orderpriority, 3, 3)
+             ELSE substr(CAST(o_orderkey AS VARCHAR), 1, 3)
+           END AS INTEGER) AS tc,
          ([o_orderkey])[CAST(1 + o_orderkey % 3 AS INT)] AS te
          FROM orders ORDER BY o_orderkey""",
     "q49_interval_join" ->

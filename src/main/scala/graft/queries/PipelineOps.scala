@@ -240,6 +240,16 @@ object PipelineOps {
         hashMode = "md5")
     },
 
+    "t14_bigram_lm" -> { (s, d) =>
+      // corpus-estimated bigram LM fluency score, exact integers (the
+      // deterministic stand-in for a KenLM-style perplexity filter)
+      TextAnalysis.bigramLmScore(docs(s, d), "text", "doc_id")
+    },
+    "t15_vocab_stats" -> { (s, d) =>
+      // one-row corpus vocabulary report: tokens, types, hapax count,
+      // top-10 head mass — all exact integers
+      TextAnalysis.vocabStats(docs(s, d), "text")
+    },
     "t13_url_facts" -> { (s, d) =>
       // URL filtering stage: the fixtures carry no URLs, so the gate
       // plants deterministic ones from doc_id (same expression on the
@@ -351,6 +361,25 @@ object PipelineOps {
     },
 
     // --- time-series regularization: resample + forward-fill -------------
+    "r02_candles" -> { (s, d) =>
+      // OHLC downsampling (candles): 6-hour buckets per event type —
+      // open/close deterministic via (ts, event_id) min_by/max_by keys
+      // (ts alone can tie), low/high/volume exact. Raw doubles pass
+      // through unchanged (no arithmetic → no decimal canonicalization).
+      val ev = Tables(s, d, "events")
+      ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("open"), col("close"), col("low"), col("high"), col("n"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
     "r01_resample_ffill" -> { (s, d) =>
       val ev = Tables(s, d, "events").filter(col("event_type") === "purchase")
       graft.ops.TimeSeries.resampleFill(ev, "user_id", "ts", "value",
@@ -678,6 +707,41 @@ object PipelineOps {
          SELECT f.id, least(f.id, coalesce(nm.nb_min, f.id)) AS keep_id,
                 f.id <> least(f.id, coalesce(nm.nb_min, f.id)) AS is_dup
          FROM fp f LEFT JOIN nm ON f.id = nm.id ORDER BY f.id""",
+    "t15_vocab_stats" ->
+      """WITH tok AS (SELECT unnest(
+           regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+         FROM documents),
+         uc AS (SELECT t, count(*) AS u FROM tok WHERE t <> '' GROUP BY t),
+         top10 AS (SELECT CAST(sum(u) AS BIGINT) AS top10_mass
+           FROM (SELECT u FROM uc ORDER BY u DESC, t LIMIT 10)),
+         tot AS (SELECT CAST(sum(u) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN u = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM uc)
+         SELECT n_tokens, n_types, n_hapax, top10_mass FROM tot, top10""",
+    // bigram LM: same tokenization, add-one smoothing, and 1e9-scaled
+    // integer floor-division — sums are exact integers both engines
+    "t14_bigram_lm" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         bg AS (SELECT id,
+             unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+           FROM d),
+         b2 AS (SELECT id, u.w1 AS w1, u.w2 AS w2 FROM bg),
+         tok AS (SELECT unnest(w) AS t FROM d),
+         uc AS (SELECT t, count(*) AS u FROM tok GROUP BY t),
+         vc AS (SELECT count(*) AS v FROM uc),
+         bc AS (SELECT w1, w2, count(*) AS b FROM b2 GROUP BY w1, w2),
+         sc AS (SELECT b2.id,
+             (1000000000 * (bc.b + 1)) // (uc.u + vc.v) AS s
+           FROM b2 JOIN bc USING (w1, w2) JOIN uc ON b2.w1 = uc.t
+           CROSS JOIN vc),
+         agg AS (SELECT id, count(*) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS sum_scaled FROM sc GROUP BY id)
+         SELECT d.id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                coalesce(a.sum_scaled, 0) AS sum_scaled
+         FROM d LEFT JOIN agg a ON d.id = a.id ORDER BY d.id""",
     // SemDeDup: d05's brute force with the pair set restricted to
     // same-label (within-cluster) pairs
     "d11_semdedup" ->
@@ -935,6 +999,25 @@ object PipelineOps {
                x -> x // 16 = 15)) AS FLOAT) / length(text) AS DOUBLE), 4) END AS f16
            FROM d)
          SELECT id, format, n_bytes, f1, f16 FROM c ORDER BY id""",
+    // candles: DuckDB lacks composite-key arg_min/arg_max, so open and
+    // close come from first/last_value over the same (ts, event_id)
+    // total order + DISTINCT collapse
+    "r02_candles" ->
+      """WITH e AS (SELECT
+           time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS bucket,
+           event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+         FROM events)
+         SELECT DISTINCT bucket, event_type,
+           first_value(value) OVER w AS open,
+           last_value(value) OVER w AS close,
+           min(value) OVER w AS low,
+           max(value) OVER w AS high,
+           count(*) OVER w AS n
+         FROM e
+         WINDOW w AS (PARTITION BY bucket, event_type
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY bucket, event_type""",
     "r01_resample_ffill" ->
       """WITH obs AS (SELECT user_id,
              time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket,

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Dedup
+
+/**
+ * Streaming document ingestion with incremental deduplication — the
+ * production shape of the dedup family: documents arrive as a stream
+ * (file drops on object storage, a queue), each micro-batch is deduped
+ * WITHIN itself (MinHash LSH reps) and then AGAINST the accumulated
+ * corpus ([[graft.ops.Dedup.incremental]] — exact digest join + MinHash
+ * band probe, so per-batch cost scales with the increment, never
+ * corpus²), survivors append to the corpus store, and every decision
+ * lands in an audit log.
+ *
+ * State lives in two parquet directories under `stateDir`: `corpus/`
+ * (accepted docs, full input schema) and `decisions/` (one audit row per
+ * arriving doc), written through `foreachBatch` — the Structured
+ * Streaming hook for batch-only operations (multi-pass joins, appends to
+ * non-streaming sinks) per micro-batch. Decision rows carry `batch_id`
+ * so an at-least-once replay reconciles instead of double-counting.
+ *
+ * Contract: ids must be integral (they ride the dedup family's long
+ * min-aggregations); the text column must be non-null-or-coalesced
+ * upstream, same as the batch operators.
+ */
+object DocumentStreams {
+
+  /**
+   * One micro-batch step, exposed for direct testing and backfills.
+   * Within-batch first: MinHash-LSH reps flag intra-batch duplicates
+   * (recorded with `fuzzy_dup_of` = the kept doc, like the batch family's
+   * one-hop reps). Survivors then probe the corpus. Returns
+   * (decisions, survivors): decisions has one row per arriving doc —
+   * (id, exact_dup_of, fuzzy_dup_of, is_new); survivors are the batch
+   * rows (full schema) that enter the corpus.
+   */
+  def dedupeStep(corpus: Option[DataFrame], batch: DataFrame,
+                 textCol: String, idCol: String,
+                 threshold: Double): (DataFrame, DataFrame) = {
+    val idT = batch.schema(idCol).dataType
+    val within = Dedup.minHashLSH(batch, textCol, idCol,
+      threshold = threshold)
+    val withinDups = within.filter(col("is_dup"))
+      .select(col("id"), col("keep_id"))
+    val batchReps = batch.join(
+      within.filter(!col("is_dup")).select(col("id").as(idCol)), idCol)
+
+    val repDecisions = corpus match {
+      case Some(c) =>
+        Dedup.incremental(c, batchReps, textCol, idCol,
+          threshold = threshold)
+      case None =>
+        batchReps.select(col(idCol).as("id"),
+          lit(null).cast(idT).as("exact_dup_of"),
+          lit(null).cast(idT).as("fuzzy_dup_of"),
+          lit(true).as("is_new"))
+    }
+    val decisions = repDecisions.unionByName(
+        withinDups.select(col("id"),
+          lit(null).cast(idT).as("exact_dup_of"),
+          col("keep_id").cast(idT).as("fuzzy_dup_of"),
+          lit(false).as("is_new")))
+      .orderBy(col("id"))
+    val survivors = batch.join(
+      repDecisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
+    (decisions, survivors)
+  }
+
+  /** The foreachBatch body: load corpus state (absent on the first
+    * batch), run [[dedupeStep]], append decisions + survivors. */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   stateDir: String, textCol: String, idCol: String,
+                   threshold: Double): Unit = {
+    val persisted = batch.persist()
+    try {
+      val corpus =
+        try Some(spark.read.parquet(s"$stateDir/corpus"))
+        catch { case _: AnalysisException => None } // first batch
+      val (decisions, survivors) =
+        dedupeStep(corpus, persisted, textCol, idCol, threshold)
+      decisions.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$stateDir/decisions")
+      survivors.write.mode("append").parquet(s"$stateDir/corpus")
+    } finally { persisted.unpersist(); () }
+  }
+
+  /** Start the ingestion query over any streaming DataFrame with
+    * (idCol, textCol) columns. Caller owns the query lifecycle. */
+  def incrementalDedupQuery(stream: DataFrame, stateDir: String,
+                            textCol: String, idCol: String,
+                            threshold: Double = 0.8): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, stateDir,
+          textCol, idCol, threshold)
+      }
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .start()
+}

@@ -237,7 +237,14 @@ object PlanDump {
       ("PQ assignment: codebooks broadcast; the corpus explodes m-fold " +
         "into dim/m subvectors scored map-side; the bounded-heap top-1 " +
         "aggregates partially, so the exchange moves one coded row per " +
-        "subvector — never the |corpus|×|codebook| score matrix."))
+        "subvector — never the |corpus|×|codebook| score matrix."),
+    "t14_bigram_lm" ->
+      ("Count-based LM scoring: unigram/bigram tables are keyed " +
+        "partial-combined aggregations (deliberately NOT broadcast — " +
+        "vocabulary grows with the corpus); the score joins are keyed " +
+        "equi-joins on (w1) and (w1,w2); only the vocabulary-size " +
+        "scalar broadcasts. Integer-only terms keep the result " +
+        "hash-exact at any scale."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -161,6 +161,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.contains(3L))    // whitespace-only doc has no tokens
   }
 
+  test("vocabStats: tokens, types, hapax, top-10 mass — hand-computed") {
+    // corpus tokens: a×4, b×3, then 10 distinct singletons c..l
+    val docs = Seq((1L, "a a b c d e f"), (2L, "a a b b g h i j k l"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabStats(docs, "text").collect().head
+    assert(r.getLong(0) === 17L)   // n_tokens
+    assert(r.getLong(1) === 12L)   // n_types: a, b + 10 singletons
+    assert(r.getLong(2) === 10L)   // n_hapax
+    // top-10 by count: a(4), b(3), then 8 of the singletons = 15
+    assert(r.getLong(3) === 15L)
+  }
+
+  test("bigramLmScore: add-one smoothed integer scores, hand-computed") {
+    // corpus: U(a)=2 U(b)=3 U(c)=1 U(x)=1, V=4; B(a,b)=2 B(b,a)=1 B(b,c)=1
+    // term = floor(1e9 * (B+1) / (U(w1)+V)):
+    //   (a,b) -> 3e9/6  = 500000000
+    //   (b,a) -> 2e9/7  = 285714285
+    //   (b,c) -> 2e9/7  = 285714285
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1285714285L),   // 500000000 + 285714285 + 500000000
+      (2L, 1L, 285714285L),
+      (3L, 0L, 0L)))           // single-word doc: no bigrams
+  }
+
   test("slidingChunks covers every word with overlap; final chunk may be short") {
     val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"))
       .toDF("doc_id", "text")
