@@ -431,6 +431,11 @@ object Dedup {
    * [[Shingles.let]] so nothing re-evaluates per array element. The
    * exploded groupBy((id, chunk)) form this replaced shuffled every
    * chunk of the corpus twice for identical output.
+   *
+   * Contract: one output row PER INPUT ROW — `idCol` is assumed unique
+   * (it is a document key). A caller feeding duplicate ids gets per-row
+   * dedup, not the old exploded form's cross-row (id, chunk) merge;
+   * dedupe rows first if ids can repeat.
    */
   def intraDocDedup(docs: DataFrame, textCol: String, idCol: String,
                     chunkWords: Int = 8): DataFrame = {
@@ -507,12 +512,22 @@ object Dedup {
       .orderBy(col("id"))
 
   private def clusterReps(
-      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    minNeighborReps(docs.select(col(idCol).as("id")), pairs)
+
+  /** One-hop min-id cluster representative per id over an (id_a, id_b)
+    * pair set — THE shared output contract of the whole dedup family
+    * (text: minHashLSH/simHash/ngramJaccard; embedding:
+    * cosineNearDup/semDedup): (id, keep_id, is_dup), keep_id = the
+    * smallest id among self ∪ neighbors. One definition so a tie-break
+    * change can never diverge the families. */
+  private[ops] def minNeighborReps(ids: DataFrame,
+                                   pairs: DataFrame): DataFrame = {
     val neighborMin = pairs
       .select(col("id_b").as("id"), col("id_a").as("nb"))
       .union(pairs.select(col("id_a").as("id"), col("id_b").as("nb")))
       .groupBy(col("id")).agg(min(col("nb")).as("nb_min"))
-    docs.select(col(idCol).as("id"))
+    ids
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("nb_min"), col("id"))).as("keep_id"))

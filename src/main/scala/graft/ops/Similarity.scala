@@ -331,6 +331,10 @@ object Similarity {
       lit(0.0d), _ + _) * -1
     parts.join(broadcast(cb), Seq("sub"))
       .select(col("id"), col("sub"), col("code"), negD2.as("score"))
+      // null scores (null embedding, or a vector shorter than `dim` —
+      // zip_with pads the short side with nulls) drop before the
+      // aggregation, same contract as rankTopK/assignCentroids
+      .filter(col("score").isNotNull)
       .groupBy(col("id"), col("sub"))
       .agg(TopKAggregator.topK(1)(col("score"), col("code")).as("__top"))
       .select(col("id"), col("sub").cast("long").as("sub"),
@@ -443,19 +447,8 @@ object Similarity {
     minNeighborReps(vecs.select(col("id")), verified)
   }
 
-  /** One-hop min-id cluster representative per id over an (id_a, id_b)
-    * pair set — the dedup family's shared output shape:
-    * (id, keep_id, is_dup). */
-  private def minNeighborReps(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val neighborMin = pairs
-      .select(col("id_b").as("id"), col("id_a").as("nb"))
-      .union(pairs.select(col("id_a").as("id"), col("id_b").as("nb")))
-      .groupBy(col("id")).agg(min(col("nb")).as("nb_min"))
-    ids
-      .join(neighborMin, Seq("id"), "left")
-      .select(col("id"),
-        least(col("id"), coalesce(col("nb_min"), col("id"))).as("keep_id"))
-      .withColumn("is_dup", col("id") =!= col("keep_id"))
-      .orderBy(col("id"))
-  }
+  /** The dedup family's shared one-hop min-id representative — one
+    * definition for both families, see [[Dedup.minNeighborReps]]. */
+  private def minNeighborReps(ids: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.minNeighborReps(ids, pairs)
 }

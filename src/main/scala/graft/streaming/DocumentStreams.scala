@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -59,12 +59,13 @@ object DocumentStreams {
           lit(null).cast(idT).as("fuzzy_dup_of"),
           lit(true).as("is_new"))
     }
+    // no orderBy: decisions feed an unordered parquet append — a sort
+    // here would add a range exchange to every micro-batch for nothing
     val decisions = repDecisions.unionByName(
-        withinDups.select(col("id"),
-          lit(null).cast(idT).as("exact_dup_of"),
-          col("keep_id").cast(idT).as("fuzzy_dup_of"),
-          lit(false).as("is_new")))
-      .orderBy(col("id"))
+      withinDups.select(col("id"),
+        lit(null).cast(idT).as("exact_dup_of"),
+        col("keep_id").cast(idT).as("fuzzy_dup_of"),
+        lit(false).as("is_new")))
     val survivors = batch.join(
       repDecisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
     (decisions, survivors)
@@ -77,9 +78,16 @@ object DocumentStreams {
                    threshold: Double): Unit = {
     val persisted = batch.persist()
     try {
+      // explicit existence probe, NOT a catch on the read: a transient
+      // read failure (listing error, schema inference on a gutted dir)
+      // must FAIL the batch — swallowing it as "first batch" would
+      // silently reset the corpus and re-admit every past duplicate
+      val corpusPath = new org.apache.hadoop.fs.Path(s"$stateDir/corpus")
+      val fs = corpusPath.getFileSystem(
+        spark.sessionState.newHadoopConf())
       val corpus =
-        try Some(spark.read.parquet(s"$stateDir/corpus"))
-        catch { case _: AnalysisException => None } // first batch
+        if (fs.exists(corpusPath)) Some(spark.read.parquet(s"$stateDir/corpus"))
+        else None
       val (decisions, survivors) =
         dedupeStep(corpus, persisted, textCol, idCol, threshold)
       decisions.withColumn("batch_id", lit(batchId))
