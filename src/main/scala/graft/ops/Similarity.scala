@@ -310,27 +310,47 @@ object Similarity {
   def pqAssign(
       corpus: DataFrame, vecCol: String, idCol: String,
       seeds: DataFrame, sVecCol: String, sIdCol: String,
+      m: Int, dim: Int): DataFrame =
+    pqCodes(corpus, vecCol, idCol, seeds, sVecCol, sIdCol, m, dim)
+      .select(col("id"), col("sub"), col("code"),
+        col("d2").cast("decimal(10,4)").cast("double").as("dist2"))
+      .orderBy(col("id"), col("sub"))
+
+  /** Subvector explosion: (pos, slice) rows for `m` contiguous `sub`-dim
+    * slices of an array column. */
+  private def subvecs(vc: String, m: Int, sub: Int): Column =
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      i => slice(col(vc), i * sub + 1, lit(sub))))
+
+  /** Squared L2 distance of two array columns, accumulated in double with
+    * (x−y)·(x−y) — not pow(·,2) — so the oracle can spell the identical
+    * arithmetic and argmins stay engine-stable. */
+  private def sumSqDiff(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0d), _ + _)
+
+  /** Shared PQ coding pass behind [[pqAssign]] and [[ivfPqTopK]]:
+    * (id, sub, code, d2) — the argmin codeword per (vector, subspace),
+    * unordered. */
+  private def pqCodes(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      seeds: DataFrame, sVecCol: String, sIdCol: String,
       m: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split into m=$m equal subspaces")
     val sub = dim / m
-    def subvecs(vc: String): Column =
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        i => slice(col(vc), i * sub + 1, lit(sub))))
-    val cb = seeds.select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol))
+    val cb = seeds
+      .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
       .toDF("code", "sub", "cvec")
-    val parts = corpus.select(col(idCol).as("id"), subvecs(vecCol))
+    val parts = corpus.select(col(idCol).as("id"), subvecs(vecCol, m, sub))
       .toDF("id", "sub", "svec")
-    // negated squared L2 so the max-heap aggregator yields the argmin;
-    // (x−y)·(x−y), not pow(·,2) — the oracle spells the same product, and
-    // identical double arithmetic is what makes the argmin engine-stable
-    val negD2 = aggregate(
-      zip_with(col("svec"), col("cvec"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0d), _ + _) * -1
+    // negated squared L2 so the max-heap aggregator yields the argmin
     parts.join(broadcast(cb), Seq("sub"))
-      .select(col("id"), col("sub"), col("code"), negD2.as("score"))
+      .select(col("id"), col("sub"), col("code"),
+        (sumSqDiff(col("svec"), col("cvec")) * -1).as("score"))
       // null scores (null embedding, or a vector shorter than `dim` —
       // zip_with pads the short side with nulls) drop before the
       // aggregation, same contract as rankTopK/assignCentroids
@@ -339,9 +359,80 @@ object Similarity {
       .agg(TopKAggregator.topK(1)(col("score"), col("code")).as("__top"))
       .select(col("id"), col("sub").cast("long").as("sub"),
         col("__top").getItem(0).getField("_2").as("code"),
-        (col("__top").getItem(0).getField("_1") * -1)
-          .cast("decimal(10,4)").cast("double").as("dist2"))
-      .orderBy(col("id"), col("sub"))
+        (col("__top").getItem(0).getField("_1") * -1).as("d2"))
+  }
+
+  /**
+   * IVF-PQ top-k search (Jégou et al. 2011 §IV): the full modern ANN
+   * serving stack — a coarse quantizer prunes the corpus to `nprobe`
+   * inverted lists ([[ivfTopKPartitioned]]'s probe), and candidates are
+   * scored by ASYMMETRIC DISTANCE (ADC): per query, a distance table of
+   * squared L2 from each query subvector to every codeword is
+   * precomputed, and a candidate's distance is the sum of m table
+   * lookups over its PQ codes — the original vectors are never read
+   * after coding. Output: (query_id, rk, id, dist) — approximated
+   * squared L2, ascending, ties by id.
+   *
+   * Determinism/oracle parity: each distance-table entry rounds through
+   * DECIMAL(18,9) BEFORE the per-candidate sum, so the m-term sum is
+   * exact decimal arithmetic — order-independent and engine-identical
+   * (a double sum's order would be scheduler-dependent); at this value
+   * scale distinct decimals stay distinct as doubles, so the rank
+   * comparison is stable too.
+   *
+   * Scale design: the coded corpus (m small ints per vector) is the
+   * only large input; the probe set and the |queries|·m·|codebook|
+   * distance tables broadcast; scoring is a map-side join + one keyed
+   * partial-aggregated sum per (query, candidate); the bounded-heap
+   * top-k moves k rows per (query, partition). This is the shape that
+   * serves billion-vector indexes: memory ∝ codes, not vectors.
+   */
+  def ivfPqTopK(
+      corpus: DataFrame, vecCol: String, idCol: String, listCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      seeds: DataFrame, sVecCol: String, sIdCol: String,
+      m: Int, dim: Int, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val codes = pqCodes(corpus, vecCol, idCol, seeds, sVecCol, sIdCol,
+      m, dim).select(col("id"), col("sub"), col("code"))
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    val probed = nearestCentroids(cent,
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"),
+        col(qIdCol).as("__rid")), "qvec", nprobe)
+      .select(col("query_id"), col("cid"))
+    val cb = seeds
+      .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
+      .toDF("code", "sub", "cvec")
+    val qparts = queries
+      .select(col(qIdCol).as("query_id"), subvecs(qVecCol, m, sub))
+      .toDF("query_id", "sub", "qsvec")
+    val dt = qparts.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sumSqDiff(col("qsvec"), col("cvec"))
+          .cast("decimal(18,9)").as("d"))
+    val cand = corpus.select(col(idCol).as("id"), col(listCol).as("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .select(col("query_id"), col("id"))
+    val dist = cand.join(codes, Seq("id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d")).as("dist"))
+    dist
+      .select(col("query_id"), col("id").cast("long").as("id"),
+        (col("dist").cast("double") * -1).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("score"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .toDF("query_id", "__pos", "__pair")
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rk"),
+        col("__pair._2").as("id"),
+        (col("__pair._1") * -1).as("dist"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Medoid-style centroids: the vector of the minimum-id member per label.

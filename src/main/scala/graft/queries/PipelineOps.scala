@@ -192,6 +192,21 @@ object PipelineOps {
         .orderBy(col("id"))
     },
 
+    "e07_ivfpq_topk" -> { (s, d) =>
+      // the full ANN serving stack: coarse probe over the label lists
+      // (e02's min-id centroids) + PQ asymmetric-distance scoring
+      // (e06's seed codebooks); distance-table entries round through
+      // DECIMAL(18,9) before the per-candidate sum, so ADC distances
+      // are exact decimal arithmetic on both engines
+      val corpus = embs(s, d)
+      val centroids =
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+      Similarity.ivfPqTopK(corpus, "embedding", "vec_id", "label",
+        corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
+        centroids, "cvec", "cid",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+        m = 4, dim = 64, k = 5, nprobe = 2)
+    },
     "e06_pq_assign" -> { (s, d) =>
       // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
       // codebooks = the 8 seed vectors' subvectors (deterministic, same
@@ -842,6 +857,51 @@ object PipelineOps {
            FROM scored WHERE sim IS NOT NULL)
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // IVF-PQ: e06's coding + e02's probe + decimal ADC sums; ties by id
+    "e07_ivfpq_topk" ->
+      """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         cb AS (SELECT e.vec_id AS code, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
+           FROM embeddings e, subs s WHERE e.vec_id < 8),
+         parts AS (SELECT e.vec_id AS id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
+           FROM embeddings e, subs s),
+         scored0 AS (SELECT p.id, p.sub, c.code,
+             list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
+                       FOR i IN range(1, 17)]) AS d2
+           FROM parts p JOIN cb c ON p.sub = c.sub),
+         codes AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2, code) AS rk
+             FROM scored0) WHERE rk = 1),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, cid FROM p0 WHERE prk <= 2),
+         qparts AS (SELECT e.vec_id AS query_id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS qsvec
+           FROM embeddings e, subs s WHERE e.vec_id < 10),
+         dt AS (SELECT qp.query_id, qp.sub, c.code,
+             CAST(list_sum([(qp.qsvec[i] - c.cvec[i]) * (qp.qsvec[i] - c.cvec[i])
+                            FOR i IN range(1, 17)]) AS DECIMAL(18,9)) AS d
+           FROM qparts qp JOIN cb c ON qp.sub = c.sub),
+         cand AS (SELECT p.query_id, a.vec_id AS id
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         dist AS (SELECT c.query_id, c.id, sum(dt.d) AS dist
+           FROM cand c JOIN codes k ON c.id = k.id
+           JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub
+             AND dt.code = k.code
+           GROUP BY c.query_id, c.id),
+         r AS (SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, id) AS rk FROM dist)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(dist AS DOUBLE) AS dist
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // PQ assignment: same subvector slicing (1-based inclusive), same
     // (x−y)·(x−y) double product, argmin ties by code ascending

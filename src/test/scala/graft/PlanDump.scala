@@ -244,7 +244,14 @@ object PlanDump {
         "vocabulary grows with the corpus); the score joins are keyed " +
         "equi-joins on (w1) and (w1,w2); only the vocabulary-size " +
         "scalar broadcasts. Integer-only terms keep the result " +
-        "hash-exact at any scale."))
+        "hash-exact at any scale."),
+    "e07_ivfpq_topk" ->
+      ("IVF-PQ search: the probe set and per-query ADC distance tables " +
+        "broadcast; the coded corpus (m small ints per vector) is the " +
+        "only large input — scored by a map-side join, the m-term sum " +
+        "partial-aggregates per (query, candidate), and the bounded-heap " +
+        "top-k moves k rows per (query, partition). Memory ∝ codes, " +
+        "never vectors — the billion-vector serving shape."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

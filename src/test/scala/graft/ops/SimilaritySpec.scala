@@ -150,6 +150,29 @@ class SimilaritySpec extends SparkSuite {
       "embedding", "vec_id", seeds, "embedding", "vec_id", m = 5, dim = 64))
   }
 
+  test("ivfPqTopK: k ADC-ranked rows per query, ascending distance") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val cents = Similarity.minIdCentroids(corpus, "embedding", "vec_id",
+      "label")
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val out = Similarity.ivfPqTopK(corpus, "embedding", "vec_id", "label",
+      queries, "embedding", "vec_id", cents, "cvec", "cid",
+      seeds, "embedding", "vec_id",
+      m = 4, dim = 64, k = 5, nprobe = 2).collect()
+    assert(out.length === 50)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to 5))
+      val ds = sorted.map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, ds.toSeq)
+    }
+    intercept[IllegalArgumentException](Similarity.ivfPqTopK(corpus,
+      "embedding", "vec_id", "label", queries, "embedding", "vec_id",
+      cents, "cvec", "cid", seeds, "embedding", "vec_id",
+      m = 5, dim = 64))
+  }
+
   test("semDedup flags near-dups within a cluster, ignores cross-cluster twins") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation

@@ -225,6 +225,18 @@ class PlanSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
+  test("e07: ADC tables broadcast; candidate distance sum partial-aggregates") {
+    val df = graft.queries.PipelineOps.queries("e07_ivfpq_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-query distance tables and probe set join broadcast — the
+    // coded corpus never rides a join exchange it doesn't need
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the m-term ADC sum combines map-side before any exchange
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("e05: centroids broadcast; top-1 aggregates partially before exchange") {
     val df = graft.queries.PipelineOps.queries("e05_kmeans_assign")(spark, sf)
     df.collect()
