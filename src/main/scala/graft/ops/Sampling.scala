@@ -237,4 +237,42 @@ object Sampling {
       .filter(col("copies") >= 1)
       .withColumn("copy_ix", explode(sequence(lit(1L), col("copies"))))
   }
+
+  /**
+   * Reproducible corpus shuffle with EXPLICIT positions: every row gets
+   * its exact rank 0..n−1 in the order of `md5(seed || id)` — the
+   * deterministic training-order shuffle (new epoch seed ⇒ new
+   * permutation; same seed ⇒ byte-identical order on any engine, the
+   * property reproducible-training runs need).
+   *
+   * Scale design — global rank WITHOUT a global window: the md5 key's
+   * first byte buckets rows 0..255 uniformly; ranks are the bucket's
+   * cumulative offset (a 256-row aggregate, trivially small) plus a
+   * BUCKET-KEYED row_number. Bucket is a prefix of the key, so
+   * (bucket, key, id) order ≡ (key, id) order and the composition is
+   * the exact global rank — q13's single-partition-window anti-pattern
+   * never appears; the only per-row shuffle is the 256-way keyed window
+   * exchange. Output: (id, key, pos).
+   */
+  def shufflePositions(df: DataFrame, idCol: String,
+                       seed: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("key"))
+      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10)
+        .cast("int"))
+    // 256-row offset table: the one global window runs on aggregate
+    // counts, never on corpus rows
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        sum(col("n")).over(Window.orderBy(col("bucket"))) - col("n"))
+      .select(col("bucket"), col("offset"))
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos",
+        (col("offset") + row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("key"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("key"), col("pos"))
+      .orderBy(col("id"))
+  }
 }

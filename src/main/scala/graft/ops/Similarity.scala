@@ -79,21 +79,32 @@ object Similarity {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"top-k id column must be an integral type, got $idType — the " +
         "bounded-heap aggregator buffers (score: double, id: long) pairs")
+    heapRank(
+      scored.filter(col("sim").isNotNull)
+        .select(col("query_id"), col("id").cast(LongType).as("id"),
+          col("sim").cast("double").as("score")),
+      k, "sim", negateOut = false)
+      .select(col("query_id"), col("rk"),
+        col("id").cast(idType).as("id"), col("sim"))
+  }
+
+  /** Shared heap-rank tail for [[rankTopK]] and [[ivfPqTopK]]: rank a
+    * (query_id, id: long, score: double) table DESC by score (ties id
+    * asc) into (query_id, rk, id, `valCol`); `negateOut` restores the
+    * sign when the caller negated a distance for the max-heap. */
+  private def heapRank(scored: DataFrame, k: Int, valCol: String,
+                       negateOut: Boolean): DataFrame =
     scored
-      .filter(col("sim").isNotNull)
-      .select(col("query_id"),
-        col("id").cast(LongType).as("id"),
-        col("sim").cast("double").as("sim"))
       .groupBy(col("query_id"))
-      .agg(TopKAggregator.topK(k)(col("sim"), col("id")).as("__top"))
+      .agg(TopKAggregator.topK(k)(col("score"), col("id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
       .toDF("query_id", "__pos", "__pair")
       .select(col("query_id"),
         (col("__pos") + 1).cast("int").as("rk"),
-        col("__pair._2").cast(idType).as("id"),
-        col("__pair._1").as("sim"))
+        col("__pair._2").as("id"),
+        (if (negateOut) col("__pair._1") * -1 else col("__pair._1"))
+          .as(valCol))
       .orderBy(col("query_id"), col("rk"))
-  }
 
   /**
    * IVF-style ANN. `centroids`: (centroid_id, centroid vector) — typically
@@ -421,18 +432,11 @@ object Similarity {
       .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d")).as("dist"))
-    dist
-      .select(col("query_id"), col("id").cast("long").as("id"),
-        (col("dist").cast("double") * -1).as("score"))
-      .filter(col("score").isNotNull)
-      .groupBy(col("query_id"))
-      .agg(TopKAggregator.topK(k)(col("score"), col("id")).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .toDF("query_id", "__pos", "__pair")
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rk"),
-        col("__pair._2").as("id"),
-        (col("__pair._1") * -1).as("dist"))
-      .orderBy(col("query_id"), col("rk"))
+    heapRank(
+      dist.select(col("query_id"), col("id").cast("long").as("id"),
+          (col("dist").cast("double") * -1).as("score"))
+        .filter(col("score").isNotNull),
+      k, "dist", negateOut = true)
   }
 
   /** Medoid-style centroids: the vector of the minimum-id member per label.
@@ -500,7 +504,7 @@ object Similarity {
         GraftFunctions.vecCosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
 
-    minNeighborReps(vecs.select(col("id")), verified)
+    Dedup.minNeighborReps(vecs.select(col("id")), verified)
   }
 
   /**
@@ -535,11 +539,6 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         GraftFunctions.vecCosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
-    minNeighborReps(vecs.select(col("id")), verified)
+    Dedup.minNeighborReps(vecs.select(col("id")), verified)
   }
-
-  /** The dedup family's shared one-hop min-id representative — one
-    * definition for both families, see [[Dedup.minNeighborReps]]. */
-  private def minNeighborReps(ids: DataFrame, pairs: DataFrame): DataFrame =
-    Dedup.minNeighborReps(ids, pairs)
 }

@@ -455,11 +455,15 @@ object TextAnalysis {
    * the token stream shuffles once, keyed, and nothing collects.
    */
   def vocabStats(docs: DataFrame, textCol: String): DataFrame = {
+    // lazy localCheckpoint: the unigram table has two consumers (head
+    // mass, totals) and Spark plans trees, not DAGs — without it the
+    // token scan + aggregation would run twice (heavyHitters' device)
     val uni = docs
       .select(explode(Shingles.words(coalesce(col(textCol), lit(""))))
         .as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("u"))
+      .localCheckpoint(false)
     val top10 = uni.orderBy(col("u").desc, col("t")).limit(10)
       .agg(sum(col("u")).as("top10_mass"))
     uni.agg(sum(col("u")).as("n_tokens"), count(lit(1)).as("n_types"),
@@ -509,6 +513,9 @@ object TextAnalysis {
       }.as("bg"))
       .select(col("id"), explode(col("bg")).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // two consumers (count table, score join) — share one
+      // materialization instead of re-tokenizing the corpus per branch
+      .localCheckpoint(false)
     val unigrams = base.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("u"))
     val vocab = unigrams.agg(count(lit(1)).as("v"))

@@ -346,6 +346,12 @@ object PipelineOps {
         window = 40, stride = 30)
     },
 
+    "p08_shuffle_order" -> { (s, d) =>
+      // reproducible training-order shuffle: exact global rank of
+      // md5("epoch1:" || id), computed without a global window
+      Sampling.shufflePositions(docs(s, d), "doc_id", "epoch1")
+    },
+
     "x01_profile" -> { (s, d) =>
       // per-column data-quality summary of the documents table
       Profile.profile(docs(s, d),
@@ -722,6 +728,14 @@ object PipelineOps {
          SELECT f.id, least(f.id, coalesce(nm.nb_min, f.id)) AS keep_id,
                 f.id <> least(f.id, coalesce(nm.nb_min, f.id)) AS is_dup
          FROM fp f LEFT JOIN nm ON f.id = nm.id ORDER BY f.id""",
+    // shuffle positions: the oracle's global row_number is the spec the
+    // bucketed-rank composition must equal exactly
+    "p08_shuffle_order" ->
+      """WITH k AS (SELECT doc_id AS id,
+           md5('epoch1:' || doc_id) AS key FROM documents)
+         SELECT id, key,
+           CAST(row_number() OVER (ORDER BY key, id) - 1 AS BIGINT) AS pos
+         FROM k ORDER BY id""",
     "t15_vocab_stats" ->
       """WITH tok AS (SELECT unnest(
            regexp_split_to_array(lower(trim(text)), '\s+')) AS t

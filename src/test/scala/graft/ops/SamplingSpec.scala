@@ -16,6 +16,24 @@ class SamplingSpec extends SparkSuite {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("shufflePositions: exact global md5 rank without a global window") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("doc_id")
+    val out = Sampling.shufflePositions(df, "doc_id", "epochA")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // positions are the permutation 0..n-1 in (key, id) order
+    assert(out.map(_._3).sorted.toSeq === (0L until 500L))
+    val byKey = out.sortBy(t => (t._2, t._1))
+    assert(byKey.map(_._3).toSeq === (0L until 500L), "rank != key order")
+    // a different seed permutes differently; the same seed is stable
+    val other = Sampling.shufflePositions(df, "doc_id", "epochB")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.exists(t => other(t._1) != t._3))
+    val again = Sampling.shufflePositions(df, "doc_id", "epochA")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall(t => again(t._1) == t._3))
+  }
+
   test("hashSplit is deterministic, complete, and roughly uniform") {
     val a = Sampling.hashSplit(docs, "doc_id", 3).select("doc_id", "split")
     val b = Sampling.hashSplit(docs, "doc_id", 3).select("doc_id", "split")
