@@ -107,6 +107,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
 
   /**
+   * Hard-negative mining for contrastive/embedding training (the
+   * in-batch-negatives upgrade used by DPR/SimCSE-style pipelines): for
+   * every query vector, the k most-similar corpus vectors with a
+   * DIFFERENT label — maximally confusable non-matches, the examples a
+   * contrastive loss learns most from. Same engine as [[cosineTopK]]
+   * (broadcast queries, codegen cosine, bounded-heap top-k — the
+   * exchange moves k rows per (query, partition)); the label-exclusion
+   * predicate rides in the join condition so excluded pairs are never
+   * scored.
+   */
+  def hardNegatives(
+      corpus: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      qLabelCol: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("qvec"), col(qLabelCol).as("qlbl"))
+    val scored = c.join(broadcast(q), col("lbl") =!= col("qlbl"))
+      .select(col("query_id"), col("id"),
+        GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /**
    * IVF-style ANN. `centroids`: (centroid_id, centroid vector) — typically
    * k-means output; any deterministic partitioner works (the fixtures use
    * per-label means). Corpus vectors are assigned to their nearest centroid

@@ -207,6 +207,15 @@ object PipelineOps {
         corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
         m = 4, dim = 64, k = 5, nprobe = 2)
     },
+    "e08_hard_negatives" -> { (s, d) =>
+      // contrastive-training negative mining: per query, the 5 most
+      // similar vectors with a DIFFERENT label
+      val corpus = embs(s, d)
+      Similarity.hardNegatives(corpus, "embedding", "vec_id", "label",
+          corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
+          "label", k = 5)
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+    },
     "e06_pq_assign" -> { (s, d) =>
       // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
       // codebooks = the 8 seed vectors' subvectors (deterministic, same
@@ -861,6 +870,20 @@ object PipelineOps {
            GROUP BY a.id, b.id)
          SELECT id, probe_id, CAST(n_shared AS INT) AS n_shared
          FROM pairs WHERE n_shared >= 2 ORDER BY id, probe_id""",
+    // hard negatives: e01's brute force with the same-label pairs
+    // excluded in the join
+    "e08_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlbl
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(c.embedding, q.qvec) AS sim
+           FROM embeddings c JOIN q ON c.label <> q.qlbl),
+         r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "e01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.query_id, c.vec_id AS id,

@@ -150,6 +150,24 @@ class SimilaritySpec extends SparkSuite {
       "embedding", "vec_id", seeds, "embedding", "vec_id", m = 5, dim = 64))
   }
 
+  test("hardNegatives excludes same-label vectors, ranks the rest by cosine") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(corpus, "embedding", "vec_id",
+      "label", queries, "embedding", "vec_id", "label", k = 5)
+    val labels = corpus.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === 25)
+    // no result may share its query's label (its own id is excluded too,
+    // since a vector always has its own label)
+    rows.foreach { case (qid, _, id) =>
+      assert(labels(id) !== labels(qid), s"q=$qid got same-label $id")
+      assert(id !== qid)
+    }
+  }
+
   test("ivfPqTopK: k ADC-ranked rows per query, ascending distance") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)
