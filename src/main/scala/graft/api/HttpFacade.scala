@@ -367,18 +367,37 @@ final class HttpFacade(
       // ?approx=true swaps exact count-distinct for HLL++ — the sane
       // default for warehouse-sized tables (see Profile.profile)
       val approx = queryParams(ex).get("approx").contains("true")
-      val rows = graft.ops.Profile.profile(df, cols, approx).collect()
+      // ?group_by=<col> switches to the per-stratum report
+      // (Profile.profileBy); the group column must exist and may not be
+      // the only profiled column
+      val groupBy = queryParams(ex).get("group_by")
+      if (groupBy.exists(g => !df.columns.contains(g))) {
+        sendJson(ex, 400,
+          detail(s"Unknown group_by column: ${groupBy.get}")); return
+      }
+      if (groupBy.exists(g => cols.filterNot(_ == g).isEmpty)) {
+        sendJson(ex, 400,
+          detail("group_by needs at least one other profiled column")); return
+      }
+      val rows = groupBy match {
+        case Some(g) =>
+          graft.ops.Profile.profileBy(df, g, cols.filterNot(_ == g), approx)
+            .collect()
+        case None => graft.ops.Profile.profile(df, cols, approx).collect()
+      }
+      val off = if (groupBy.isDefined) 1 else 0
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "profile" -> rows.toSeq.map(r => Json.Raw(Json.obj(
-          "column" -> r.getString(0),
-          "n_rows" -> r.getLong(1),
-          "n_nulls" -> r.getLong(2),
-          "n_distinct" -> r.getLong(3),
-          "min" -> r.getString(4),
-          "max" -> r.getString(5),
-          "sum_len" ->
-            (if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))))))))
+          (Seq("column" -> (r.getString(off): Any),
+            "n_rows" -> r.getLong(off + 1),
+            "n_nulls" -> r.getLong(off + 2),
+            "n_distinct" -> r.getLong(off + 3),
+            "min" -> r.getString(off + 4),
+            "max" -> r.getString(off + 5),
+            "sum_len" -> (if (r.isNullAt(off + 6)) null
+                          else java.lang.Long.valueOf(r.getLong(off + 6)))) ++
+            groupBy.map(_ => "group" -> (r.getString(0): Any)).toSeq): _*)))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -41,11 +41,45 @@ object Profile {
     * warehouse-scale caller should pass approximate. */
   def profile(df: DataFrame, cols: Seq[String],
               approximate: Boolean = false): DataFrame = {
+    val colsU = checked(df, cols)
+    df.agg(count(lit(1)).as("__n"), metricAggs(colsU, approximate): _*)
+      .select(explode(array(pivotRows(colsU): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** [[profile]] per group: one row per (group value, column) — the
+    * per-stratum data-card report (e.g. per-language corpus stats).
+    * The group value renders as a string (`group_val`, NULL group = its
+    * own row) for a schema-stable output. Same single-aggregation-pass
+    * shape: the only difference is that the pass is keyed, so partial
+    * aggregation and the Expand-based distinct counts now shuffle per
+    * (group × metric) instead of once. */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                approximate: Boolean = false): DataFrame = {
+    require(df.columns.contains(groupCol),
+      s"profileBy: group column $groupCol not in schema")
+    val colsU = checked(df, cols)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), metricAggs(colsU, approximate): _*)
+      .select(col(groupCol).cast("string").as("group_val"),
+        explode(array(pivotRows(colsU): _*)).as("p"))
+      .select(col("group_val"), col("p.*"))
+      .orderBy(col("group_val"), col("col_name"))
+  }
+
+  private def checked(df: DataFrame, cols: Seq[String]): Seq[String] = {
     val colsU = cols.distinct
     require(colsU.nonEmpty, "profile needs at least one column")
     val missing = colsU.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: columns not in schema: $missing")
-    val aggs = colsU.flatMap { c =>
+    colsU
+  }
+
+  /** The five metric aggregates per profiled column. */
+  private def metricAggs(colsU: Seq[String],
+                         approximate: Boolean): Seq[org.apache.spark.sql.Column] =
+    colsU.flatMap { c =>
       Seq(
         count(col(c)).as(s"__${c}__cnt"),
         (if (approximate) approx_count_distinct(col(c))
@@ -54,8 +88,10 @@ object Profile {
         max(col(c)).cast("string").as(s"__${c}__max"),
         sum(length(col(c).cast("string")).cast("long")).as(s"__${c}__len"))
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = colsU.map { c =>
+
+  /** Pivot the wide aggregate row into one struct per profiled column. */
+  private def pivotRows(colsU: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    colsU.map { c =>
       struct(
         lit(c).as("col_name"),
         col("__n").as("n_rows"),
@@ -65,8 +101,4 @@ object Profile {
         col(s"__${c}__max").as("max_val"),
         col(s"__${c}__len").as("sum_len"))
     }
-    one.select(explode(array(rows: _*)).as("p"))
-      .select(col("p.*"))
-      .orderBy(col("col_name"))
-  }
 }

@@ -366,6 +366,12 @@ object PipelineOps {
       Profile.profile(docs(s, d),
         Seq("doc_id", "lang", "source", "text", "n_chars"))
     },
+    "x02_profile_by" -> { (s, d) =>
+      // per-language data-card report: the same single-pass column
+      // profile, keyed by the lang stratum
+      Profile.profileBy(docs(s, d), "lang",
+        Seq("doc_id", "text", "n_chars"))
+    },
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
     "j01_asof_join" -> { (s, d) =>
@@ -1055,6 +1061,32 @@ object PipelineOps {
            CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hapax
          FROM t2 JOIN v USING (token) GROUP BY id ORDER BY id""",
+    // grouped profile: x01's per-column UNION ALL aggregates with a
+    // GROUP BY lang on every arm
+    "x02_profile_by" ->
+      """WITH p AS (
+           SELECT CAST(lang AS VARCHAR) AS group_val, 'doc_id' AS col_name,
+             count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val,
+             CAST(max(doc_id) AS VARCHAR) AS max_val,
+             CAST(sum(length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sum_len
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT CAST(lang AS VARCHAR), 'n_chars', count(*),
+             count(*) - count(n_chars), count(DISTINCT n_chars),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+             CAST(sum(length(CAST(n_chars AS VARCHAR))) AS BIGINT)
+           FROM documents GROUP BY lang
+           UNION ALL
+           SELECT CAST(lang AS VARCHAR), 'text', count(*),
+             count(*) - count(text), count(DISTINCT text),
+             CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR),
+             CAST(sum(length(text)) AS BIGINT)
+           FROM documents GROUP BY lang)
+         SELECT group_val, col_name, n_rows, n_nulls, n_distinct,
+                min_val, max_val, sum_len
+         FROM p ORDER BY group_val, col_name""",
     "x01_profile" ->
       """WITH p AS (
            SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -197,6 +197,16 @@ class HttpFacadeSpec extends SparkSuite {
     assert(get("/api/v1/catalog/tables/httpapi.nosuch/profile")
       .statusCode === 404)
     assert(get("/api/v1/catalog/tables/nodots/profile").statusCode === 400)
+    // grouped profile: one stats row per (region, column)
+    val g = get("/api/v1/catalog/tables/httpapi.nation/profile" +
+      "?group_by=n_regionkey&columns=n_nationkey")
+    assert(g.statusCode === 200, g.body)
+    assert(g.body.contains("\"group\":\"0\""), g.body)
+    assert(g.body.contains("\"n_rows\":5"))        // 5 nations per region
+    assert(get("/api/v1/catalog/tables/httpapi.nation/profile" +
+      "?group_by=bogus").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/profile" +
+      "?group_by=n_regionkey&columns=n_regionkey").statusCode === 400)
   }
 
   test("health reports healthy on a live session") {

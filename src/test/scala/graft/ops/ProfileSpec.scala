@@ -18,6 +18,22 @@ class ProfileSpec extends SparkSuite {
     assert(out("s") === ((5L, 1L, 3L, "aa", "ccc", 9L)))
   }
 
+  test("profileBy: per-group metrics; NULL group forms its own row") {
+    val df = Seq[(String, java.lang.Long)](
+      ("en", 1L), ("en", 3L), ("de", 2L), (null, 7L), ("de", null))
+      .toDF("lang", "v")
+    val out = Profile.profileBy(df, "lang", Seq("v"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5),
+          r.getString(6)))).toMap
+    //                          rows nulls distinct min  max
+    assert(out(Some("en")) === ((2L, 0L, 2L, "1", "3")))
+    assert(out(Some("de")) === ((2L, 1L, 1L, "2", "2")))
+    assert(out(None) === ((1L, 0L, 1L, "7", "7")))
+    intercept[IllegalArgumentException](
+      Profile.profileBy(df, "nope", Seq("v")))
+  }
+
   test("profile: typed min/max (bigint 499 > 99), unknown column rejected") {
     val df = (1L to 499L).toDF("n")
     val row = Profile.profile(df, Seq("n")).collect().head
