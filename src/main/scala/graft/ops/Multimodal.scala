@@ -122,6 +122,101 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Integer nibble-count histogram of a payload — the exact-integer
+    * companion of [[fakeDecode]]'s normalized bins. Counts (not ratios)
+    * so the near-dup decision in [[mediaNearDup]] can be pure integer
+    * arithmetic. */
+  def countHistogram(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](16)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xFF) >> 4) += 1L
+        i += 1
+      }
+    }
+    bins
+  }
+
+  /**
+   * Media near-duplicate detection over the (stubbed-codec) content
+   * histograms — the perceptual-dedup stage of a multimodal pipeline,
+   * blocked by format (a jpeg is never a dup of a wav). Output matches
+   * the dedup family: (id, keep_id, is_dup), one-hop min-id reps.
+   *
+   * The similarity decision is EXACT: cosine(a,b) >= ppm/10⁶ over
+   * nonnegative integer count vectors rewrites to
+   * `10¹²·dot(a,b)² >= ppm²·‖a‖²·‖b‖²` — dot and the squared norms are
+   * exact integers, the products run in DECIMAL(38,0) (no rounding; no
+   * overflow for payloads up to ~250 KB, which also keeps the DuckDB
+   * HUGEINT oracle in range — larger media wants the counts bucketed
+   * coarser first), so both engines decide every pair identically with
+   * zero float involvement (an irrational-cosine compare would hinge on
+   * libm parity exactly at the threshold). The threshold is
+   * parts-per-million because count histograms of same-language text are
+   * near-collinear — percent granularity can't separate true near-dups
+   * from the baseline. Zero-histogram payloads (empty/null) compare as
+   * mutual duplicates by this convention — identical empty content.
+   *
+   * Scale design: histograms are map-side (payloads never shuffle). The
+   * pair stage must NOT key its exchange on `format` — 4 distinct keys
+   * would collapse the quadratic work onto 4 shuffle partitions. Instead
+   * the probe side hash-spreads on id across the full core count and the
+   * build side (16 longs + 2 scalars per row — payload-free) broadcasts,
+   * so every core carries an even slice of the n²/formats pairs. A
+   * double-precision prescreen with a wide relative margin (double
+   * products are exact to ~4 ulps; the margin is 1e-9) discards ~all
+   * non-candidates before the exact DECIMAL confirm runs. Broadcast +
+   * quadratic-within-format is the exact-verify tier: at corpus scale put
+   * an LSH bucket (Similarity.cosineNearDup over the counts) in front and
+   * keep this as the verifier on candidate buckets, the d04/d02 split.
+   */
+  def mediaNearDup(spark: SparkSession, media: DataFrame,
+                   thresholdPpm: Int = 999990): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("hist", ArrayType(LongType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val hists = media.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx), r.getStruct(metaIdx).getString(0),
+          countHistogram(r.getAs[Array[Byte]](payloadIdx)).toSeq)
+      }
+    }(encoder)
+      .withColumn("nn",
+        aggregate(transform(col("hist"), x => x * x), lit(0L), _ + _))
+    val dec = "decimal(38,0)"
+    val thr2 = thresholdPpm.toLong * thresholdPpm
+    // explicit partition count: the histogram table is tiny BEFORE the
+    // join and huge AFTER (row-explosive broadcast join), so AQE's
+    // input-size-based coalescing would fold the exchange to 1 partition
+    // and serialize the n² work; a user-specified count is exempt
+    val nPart = spark.sparkContext.defaultParallelism
+    val pairs = hists.repartition(nPart, col("id")).as("a")
+      .join(broadcast(hists.as("b")),
+        col("a.format") === col("b.format") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        aggregate(zip_with(col("a.hist"), col("b.hist"), _ * _),
+          lit(0L), _ + _).as("dot"),
+        col("a.nn").as("na"), col("b.nn").as("nb"))
+      // conservative double prescreen (keeps every true candidate); the
+      // decimal stage below stays the sole arbiter of the output
+      .filter(lit(1.0e12) * col("dot") * col("dot") >=
+        lit(thr2.toDouble) * col("na") * col("nb") * lit(1.0 - 1e-9))
+      .filter(
+        lit(1000000000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
+          >= lit(thr2).cast(dec) *
+            col("na").cast(dec) * col("nb").cast(dec))
+      .select(col("id_a"), col("id_b"))
+    Dedup.minNeighborReps(hists.select(col("id")), pairs)
+  }
+
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame", capped at `maxFrames` — the partition/batch plumbing of video
     * frame sampling with the codec stubbed out. */

@@ -438,6 +438,13 @@ object PipelineOps {
     "m02_frame_sample" -> { (s, d) =>
       Multimodal.sampleFrames(s, Multimodal.mediaFromDocuments(docs(s, d)))
         .orderBy(col("id"), col("frame_idx"))
+    },
+    "m03_media_neardup" -> { (s, d) =>
+      // format-blocked perceptual dedup over the stubbed-codec content
+      // histograms; the cosine >= 0.99999 decision is pure integer
+      // arithmetic (see Multimodal.mediaNearDup), so it hash-verifies
+      Multimodal.mediaNearDup(s, Multimodal.mediaFromDocuments(docs(s, d)),
+        thresholdPpm = 999990)
     }
   )
 
@@ -1115,6 +1122,33 @@ object PipelineOps {
              CAST(sum(length(CAST(n_chars AS VARCHAR))) AS BIGINT)
            FROM documents)
          SELECT * FROM p ORDER BY col_name""",
+    // media near-dup: same nibble histograms as m01 but as exact integer
+    // counts; the threshold test is 10¹²·dot² >= 999990²·na·nb in HUGEINT
+    "m03_media_neardup" ->
+      """WITH d AS (SELECT doc_id AS id,
+           ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
+           text FROM documents),
+         h AS (SELECT id, format,
+             [CAST(len(list_filter(
+                [ord(text[i]) FOR i IN range(1, CAST(length(text) AS INT) + 1)],
+                x -> x // 16 = b)) AS BIGINT)
+              FOR b IN range(0, 16)] AS hist
+           FROM d),
+         n AS (SELECT id, format, hist,
+             list_sum([x * x FOR x IN hist]) AS nn FROM h),
+         pd AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_sum([a.hist[i] * b.hist[i] FOR i IN range(1, 17)]) AS dot,
+             a.nn AS na, b.nn AS nb
+           FROM n a JOIN n b ON a.format = b.format AND a.id < b.id),
+         p AS (SELECT id_a, id_b FROM pd
+           WHERE CAST(1000000000000 AS HUGEINT) * dot * dot
+                 >= CAST(999980000100 AS HUGEINT) * na * nb),
+         nb AS (SELECT id_b AS id, id_a AS nb FROM p
+                UNION ALL SELECT id_a, id_b FROM p),
+         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+         SELECT h.id, least(h.id, coalesce(nm.nb_min, h.id)) AS keep_id,
+                h.id <> least(h.id, coalesce(nm.nb_min, h.id)) AS is_dup
+         FROM h LEFT JOIN nm ON h.id = nm.id ORDER BY h.id""",
     "m01_media_features" ->
       """WITH d AS (SELECT doc_id AS id,
            ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,

@@ -35,6 +35,26 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.fakeDecode(Array.emptyByteArray).forall(_ == 0f))
   }
 
+  test("mediaNearDup: same-format identical content flagged; formats block") {
+    import spark.implicits._
+    // ids 1, 5, 9 share a format (id % 4 == 1); id 2 does not
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc"), (5L, "aaaa bbbb cccc"), // identical content
+      (2L, "aaaa bbbb cccc"),                         // other format
+      (9L, "zzzz !!!! ####")                          // dissimilar content
+    ).toDF("doc_id", "text")
+    val out = Multimodal.mediaNearDup(spark,
+        Multimodal.mediaFromDocuments(docs), thresholdPpm = 999990)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, false)))
+    assert(out(5L) === ((1L, true)))   // identical histogram, same format
+    assert(out(2L) === ((2L, false)))  // format-blocked despite identity
+    assert(out(9L) === ((9L, false)))  // cosine far below threshold
+    intercept[IllegalArgumentException](Multimodal.mediaNearDup(spark,
+      Multimodal.mediaFromDocuments(docs), thresholdPpm = 1000001))
+  }
+
   test("frame sampling respects stride and cap") {
     val out = Multimodal.sampleFrames(spark, media, stride = 64, maxFrames = 8)
     val byDoc = out.groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
