@@ -663,4 +663,55 @@ object TextAnalysis {
       .select(col("token"), col("n"))
       .orderBy(col("n").desc, col("token"))
   }
+
+  // ------------------------------------------------------------------
+  // Readability scoring
+  // ------------------------------------------------------------------
+
+  /**
+   * Flesch readability scoring — the classic document-level readability
+   * quality filter (Flesch reading ease + Flesch–Kincaid grade level),
+   * with the dictionary syllable counter replaced by the standard
+   * vowel-group heuristic so the whole feature reduces to three counts
+   * per document. The heuristic contract both engines implement:
+   * syllables = maximal `[aeiouyAEIOUY]+` runs, sentences = maximal
+   * `[.!?]+` runs, words = whitespace tokens.
+   *
+   * All derived values are 6-dp TRUNCATING fixed point in integer
+   * arithmetic (`num * 10^6 DIV den`, constants as integer fractions:
+   * 0.39 = 39/100, 11.8 = 118/10, 1.015 = 1015/1000, 84.6 = 846/10),
+   * with one exact IEEE divide by 1e6 at the edge — bit-identical
+   * doubles across engines, the same hash-parity shape as
+   * [[qualityScore]].
+   *
+   * The counting layer is separated from the ratio layer by a
+   * `repartition(id)` exchange barrier: without it `CollapseProject`
+   * re-inlines the regex-count subtrees into every CASE branch of the
+   * ratio projection (the round-2 t02 regression). The barrier shuffles
+   * (id, 3 longs) rows — ~28 bytes/doc, negligible at any corpus scale —
+   * and buys a plan where each regex runs exactly once per document.
+   */
+  def readability(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("id"),
+        wordCount(t).cast("long").as("n_words"),
+        size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sentences"),
+        size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .repartition(col("id"))
+      .withColumn("__wps6", expr("CASE WHEN n_sentences > 0 THEN " +
+        "n_words * 1000000 DIV n_sentences ELSE 0 END"))
+      .withColumn("__spw6", expr("CASE WHEN n_words > 0 THEN " +
+        "n_syllables * 1000000 DIV n_words ELSE 0 END"))
+      .select(col("id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        expr("CAST(__wps6 AS DOUBLE) / 1e6").as("words_per_sentence"),
+        expr("CAST(__spw6 AS DOUBLE) / 1e6").as("syllables_per_word"),
+        expr("CAST(39 * __wps6 DIV 100 + 118 * __spw6 DIV 10 " +
+          "- 15590000 AS DOUBLE) / 1e6").as("fk_grade"),
+        expr("CAST(206835000 - 1015 * __wps6 DIV 1000 " +
+          "- 846 * __spw6 DIV 10 AS DOUBLE) / 1e6").as("reading_ease"))
+      .orderBy(col("id"))
+  }
 }

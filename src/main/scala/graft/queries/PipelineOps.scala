@@ -274,6 +274,12 @@ object PipelineOps {
       // top-10 head mass — all exact integers
       TextAnalysis.vocabStats(docs(s, d), "text")
     },
+    "t16_readability" -> { (s, d) =>
+      // Flesch reading-ease + FK grade with the vowel-group syllable
+      // heuristic; 6-dp truncating fixed point throughout, so the
+      // derived doubles hash-verify (see TextAnalysis.readability)
+      TextAnalysis.readability(docs(s, d), "text", "doc_id")
+    },
     "t13_url_facts" -> { (s, d) =>
       // URL filtering stage: the fixtures carry no URLs, so the gate
       // plants deterministic ones from doc_id (same expression on the
@@ -758,6 +764,32 @@ object PipelineOps {
          SELECT id, key,
            CAST(row_number() OVER (ORDER BY key, id) - 1 AS BIGINT) AS pos
          FROM k ORDER BY id""",
+    // Flesch scores in 6-dp truncating fixed point: same three counts,
+    // same integer-fraction constants, `//` mirrors Spark's DIV
+    "t16_readability" ->
+      """WITH c AS (SELECT doc_id AS id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+             AS n_syllables
+           FROM documents),
+         r AS (SELECT *,
+           CASE WHEN n_sentences > 0
+                THEN n_words * 1000000 // n_sentences ELSE 0 END AS wps6,
+           CASE WHEN n_words > 0
+                THEN n_syllables * 1000000 // n_words ELSE 0 END AS spw6
+           FROM c)
+         SELECT id, n_words, n_sentences, n_syllables,
+           CAST(wps6 AS DOUBLE) / 1e6 AS words_per_sentence,
+           CAST(spw6 AS DOUBLE) / 1e6 AS syllables_per_word,
+           CAST(39 * wps6 // 100 + 118 * spw6 // 10 - 15590000 AS DOUBLE)
+             / 1e6 AS fk_grade,
+           CAST(206835000 - 1015 * wps6 // 1000 - 846 * spw6 // 10 AS DOUBLE)
+             / 1e6 AS reading_ease
+         FROM r ORDER BY id""",
     "t15_vocab_stats" ->
       """WITH tok AS (SELECT unnest(
            regexp_split_to_array(lower(trim(text)), '\s+')) AS t

@@ -275,4 +275,50 @@ class TextAnalysisSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("readability: counts, fixed-point ratios, degenerate docs") {
+    // "See the cat. It sat!" — 5 words, 2 sentence runs; vowel runs:
+    // ee, e, a, i, a = 5 syllables
+    val docs = Seq(
+      (1L, "See the cat. It sat!"),
+      (2L, ""),           // empty: all counts 0, ratios 0 by convention
+      (3L, "zzz grr")     // no vowels, no sentence marks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) === 5L)  // n_words
+    assert(out(1L).getLong(2) === 2L)  // n_sentences ('.', '!')
+    assert(out(1L).getLong(3) === 5L)  // n_syllables
+    // wps6 = 5*1e6 DIV 2 = 2500000; spw6 = 5*1e6 DIV 5 = 1000000
+    assert(out(1L).getDouble(4) === 2.5)
+    assert(out(1L).getDouble(5) === 1.0)
+    // fk6 = 39*2500000 DIV 100 + 118*1000000 DIV 10 - 15590000
+    //     = 975000 + 11800000 - 15590000 = -2815000
+    assert(out(1L).getDouble(6) === -2.815)
+    // re6 = 206835000 - 1015*2500000 DIV 1000 - 846*1000000 DIV 10
+    //     = 206835000 - 2537500 - 84600000 = 119697500
+    assert(out(1L).getDouble(7) === 119.6975)
+
+    assert(out(2L).getLong(1) === 0L)
+    assert(out(2L).getDouble(4) === 0.0 && out(2L).getDouble(5) === 0.0)
+    // all-zero ratios: fk = -15.59, ease = 206.835 (the formula constants)
+    assert(out(2L).getDouble(6) === -15.59)
+    assert(out(2L).getDouble(7) === 206.835)
+
+    assert(out(3L).getLong(2) === 0L && out(3L).getLong(3) === 0L)
+  }
+
+  test("readability: the regex counts sit behind an exchange barrier") {
+    // one Exchange between counting and ratio layers, so CollapseProject
+    // cannot re-inline the three regex subtrees into the CASE branches.
+    // (repartition on the input keeps ConvertToLocalRelation from
+    // constant-folding the whole pipeline at optimize time)
+    val docs = Seq((1L, "a b. c")).toDF("doc_id", "text").repartition(2)
+    val q = TextAnalysis.readability(docs, "text", "doc_id")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression"), plan)
+    // the regex counting appears exactly once per count column
+    assert("regexp_extract_all".r.findAllIn(plan).size === 2, plan)
+  }
 }
