@@ -475,6 +475,44 @@ object Similarity {
     df.groupBy(col(labelCol).as("cid"))
       .agg(min_by(col(vecCol), col(idCol)).as("cvec"))
 
+  /**
+   * IVF index quality report — the introspection pass an ANN serving
+   * stack runs over its inverted lists: per-list population, corpus
+   * share, and mean squared-L2 residual to the list centroid (the
+   * quantization-error signal that drives nlist re-tuning and re-training
+   * decisions; a skewed share column is why probe-count heuristics fail).
+   *
+   * Engine parity: each per-vector residual is computed with the shared
+   * `(x−y)·(x−y)` double accumulation and rounded to DECIMAL(18,9)
+   * BEFORE the list SUM — decimal addition is exact and order-free, so
+   * shuffle partial-aggregation order can't flip low bits (the e06/e07
+   * device); share and mean are truncating integer fixed point (6/9 dp).
+   *
+   * Scale: one broadcast join (centroid set = nlist rows), one keyed
+   * aggregation with map-side partials; full vectors never shuffle — the
+   * exchange carries (cid, count, decimal) partials only.
+   */
+  def ivfStats(corpus: DataFrame, vecCol: String, idCol: String,
+               listCol: String, centroids: DataFrame, cVecCol: String,
+               cIdCol: String): DataFrame = {
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    val per = corpus
+      .select(col(listCol).as("cid"), col(vecCol).as("vec"))
+      .join(broadcast(cent), "cid")
+      .select(col("cid"),
+        sumSqDiff(col("vec"), col("cvec")).cast("decimal(18,9)").as("r9"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("r9")).as("__sumr"))
+    val tot = per.agg(sum(col("n_vectors")).as("__total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        expr("CAST(n_vectors * 1000000 DIV __total AS DOUBLE) / 1e6")
+          .as("share"),
+        expr("CAST(CAST(__sumr * 1000000000 AS BIGINT) DIV n_vectors " +
+          "AS DOUBLE) / 1e9").as("mean_sq_residual"))
+      .orderBy(col("cid"))
+  }
+
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`
     * when a clustering column already exists. */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =

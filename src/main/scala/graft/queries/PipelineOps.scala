@@ -216,6 +216,15 @@ object PipelineOps {
           "label", k = 5)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
+    "e09_ivf_stats" -> { (s, d) =>
+      // index introspection over the e02/e07 label lists: population,
+      // corpus share, mean squared residual to the min-id centroid —
+      // decimal-summed residuals so the report hash-verifies
+      val corpus = embs(s, d)
+      Similarity.ivfStats(corpus, "embedding", "vec_id", "label",
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+        "cvec", "cid")
+    },
     "e06_pq_assign" -> { (s, d) =>
       // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
       // codebooks = the 8 seed vectors' subvectors (deterministic, same
@@ -987,6 +996,28 @@ object PipelineOps {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // PQ assignment: same subvector slicing (1-based inclusive), same
     // (x−y)·(x−y) double product, argmin ties by code ascending
+    // IVF index report: residuals to the min-id list centroid, rounded
+    // to DECIMAL(18,9) before the order-free decimal SUM; share/mean as
+    // truncating fixed point (`//` = Spark DIV)
+    "e09_ivf_stats" ->
+      """WITH cent AS (SELECT label AS cid,
+           arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         r AS (SELECT e.label AS cid,
+             CAST(list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+               (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+               FOR i IN range(1, len(e.embedding) + 1)])
+             AS DECIMAL(18,9)) AS r9
+           FROM embeddings e JOIN cent c ON e.label = c.cid),
+         per AS (SELECT cid, count(*) AS n_vectors, sum(r9) AS sumr
+           FROM r GROUP BY cid),
+         tot AS (SELECT sum(n_vectors) AS total FROM per)
+         SELECT cid, n_vectors,
+           CAST(n_vectors * 1000000 // total AS DOUBLE) / 1e6 AS share,
+           CAST(CAST(sumr * 1000000000 AS BIGINT) // n_vectors AS DOUBLE)
+             / 1e9 AS mean_sq_residual
+         FROM per, tot ORDER BY cid""",
     "e06_pq_assign" ->
       """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
          cb AS (SELECT e.vec_id AS code, s.sub,

@@ -288,4 +288,38 @@ class SimilaritySpec extends SparkSuite {
       Similarity.matryoshka(df, "embedding", "vec_id", m = 0)
     }
   }
+
+  test("ivfStats: per-list counts, shares, mean residual to the centroid") {
+    // list 0: centroid = vec 1 (min id). residuals: vec1 -> 0,
+    // vec2 -> (1-0)^2 + 0 = 1, vec3 -> 0 + (2-0)^2 = 4; mean = 5/3
+    // list 1: single member -> residual 0
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 2.0f), 0),
+      (4L, Seq(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfStats(df, "embedding", "vec_id", "label",
+        Similarity.minIdCentroids(df, "embedding", "vec_id", "label"),
+        "cvec", "cid")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0)._1 === 3L)
+    assert(out(0)._2 === 0.75)                 // 3*1e6 DIV 4 / 1e6
+    // (0 + 1 + 4) * 1e9 DIV 3 = 1666666666 -> 1.666666666 (truncating)
+    assert(out(0)._3 === 1.666666666)
+    assert(out(1) === ((1L, 0.25, 0.0)))
+  }
+
+  test("ivfStats broadcasts the centroid set; vectors never shuffle") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, Seq(i.toFloat, 0.0f), i % 4)).toDF("vec_id", "embedding", "label")
+    val q = Similarity.ivfStats(df, "embedding", "vec_id", "label",
+      Similarity.minIdCentroids(df, "embedding", "vec_id", "label"),
+      "cvec", "cid")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
