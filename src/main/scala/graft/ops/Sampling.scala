@@ -275,4 +275,54 @@ object Sampling {
       .select(col("id"), col("key"), col("pos"))
       .orderBy(col("id"))
   }
+
+  /**
+   * Split-leakage audit: near-duplicate pairs that cross split
+   * boundaries — the train/test contamination check a training pipeline
+   * runs before shipping a split (a near-dup of an eval doc left in
+   * train inflates the benchmark; deduplicating across the boundary is
+   * the fix, and this report is the evidence).
+   *
+   * `pairs` is any verified similar-pair set (id_a, id_b) — e.g.
+   * [[graft.ops.Dedup.ngramJaccardPairs]] — and `splits` any (id, split)
+   * assignment ([[hashSplit]] or an external one). Output is the FIXED
+   * k(k+1)/2-row audit matrix over the observed split values (diagonal
+   * and zero rows included, so "no row" can never be misread as "no
+   * leakage"): pair count and distinct documents involved per unordered
+   * split pair. Nonzero off-diagonal = leakage.
+   *
+   * Scale: two id-keyed equi-joins of the pair set against the (id,
+   * split) projection — the shuffles carry ids and one small int, never
+   * text; the matrix itself is k(k+1)/2 rows. The distinct-doc count
+   * dedups (split_lo, split_hi, doc) triples, which is bounded by
+   * 2 × pairs, not by the corpus.
+   */
+  def splitLeakage(splits: DataFrame, idCol: String, splitCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val s = splits.select(col(idCol), col(splitCol))
+    val lab = pairs.select(col("id_a"), col("id_b"))
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("__sa")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+    val nPairs = lab.groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = lab
+      .select(col("split_lo"), col("split_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vals = s.select(col(splitCol).as("__v")).distinct()
+    val matrix = vals.as("a").crossJoin(vals.as("b"))
+      .filter(col("a.__v") <= col("b.__v"))
+      .select(col("a.__v").as("split_lo"), col("b.__v").as("split_hi"))
+    matrix.join(nPairs, Seq("split_lo", "split_hi"), "left")
+      .join(nDocs, Seq("split_lo", "split_hi"), "left")
+      .select(col("split_lo"), col("split_hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
 }

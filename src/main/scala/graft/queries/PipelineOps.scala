@@ -387,6 +387,15 @@ object PipelineOps {
       Profile.profileBy(docs(s, d), "lang",
         Seq("doc_id", "text", "n_chars"))
     },
+    "x03_split_leakage" -> { (s, d) =>
+      // train/test contamination audit: the p01 split crossed with the
+      // d04/d10 exact-Jaccard pair set — fixed 6-row matrix (k=3),
+      // nonzero off-diagonal rows are leaked near-dup pairs
+      val all = docs(s, d)
+      Sampling.splitLeakage(
+        Sampling.hashSplit(all, "doc_id", k = 3), "doc_id", "split",
+        Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
+    },
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
     "j01_asof_join" -> { (s, d) =>
@@ -1131,6 +1140,32 @@ object PipelineOps {
            CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hapax
          FROM t2 JOIN v USING (token) GROUP BY id ORDER BY id""",
+    // leakage audit: the d04 pair CTEs + the p01 md5 split, assembled
+    // into the fixed k(k+1)/2 matrix with zero rows preserved
+    "x03_split_leakage" ->
+      s"""${fuzzyDedupCtes(0.7)},
+         sp AS (SELECT doc_id AS id, CAST($duckMd5Bucket % 3 AS INT) AS s
+                FROM documents),
+         lab AS (SELECT p.id_a, p.id_b,
+             least(sa.s, sb.s) AS split_lo, greatest(sa.s, sb.s) AS split_hi
+           FROM p JOIN sp sa ON p.id_a = sa.id
+                  JOIN sp sb ON p.id_b = sb.id),
+         cnt AS (SELECT split_lo, split_hi, count(*) AS n_pairs
+           FROM lab GROUP BY 1, 2),
+         dset AS (SELECT DISTINCT split_lo, split_hi, u
+           FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS u
+                 FROM lab)),
+         dc AS (SELECT split_lo, split_hi, count(*) AS n_docs
+           FROM dset GROUP BY 1, 2),
+         vals AS (SELECT DISTINCT s AS v FROM sp),
+         mat AS (SELECT a.v AS split_lo, b.v AS split_hi
+           FROM vals a JOIN vals b ON a.v <= b.v)
+         SELECT m.split_lo, m.split_hi,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d2.n_docs, 0) AS BIGINT) AS n_docs
+         FROM mat m LEFT JOIN cnt c USING (split_lo, split_hi)
+           LEFT JOIN dc d2 USING (split_lo, split_hi)
+         ORDER BY m.split_lo, m.split_hi""",
     // grouped profile: x01's per-column UNION ALL aggregates with a
     // GROUP BY lang on every arm
     "x02_profile_by" ->

@@ -198,4 +198,24 @@ class SamplingSpec extends SparkSuite {
     assert(bySrc.contains(None), s"null-source docs vanished: $bySrc")
     assert(bySrc(None) >= 10L) // sqrt temperature upsamples the minority
   }
+
+  test("splitLeakage: fixed matrix, diagonal vs cross rows, zero rows") {
+    import spark.implicits._
+    val splits = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2), (5L, 2))
+      .toDF("doc_id", "split")
+    // (1,2) within split 0; (1,3) crosses 0-1; (3,4) crosses 1-2;
+    // (4,5) within 2; doc 3 participates in two buckets
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.splitLeakage(splits, "doc_id", "split", pairs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 6)                    // k(k+1)/2 with k=3
+    assert(out((0, 0)) === ((1L, 2L)))        // within-train pair
+    assert(out((0, 1)) === ((1L, 2L)))        // leaked 0-1
+    assert(out((0, 2)) === ((0L, 0L)))        // zero row present
+    assert(out((1, 1)) === ((0L, 0L)))
+    assert(out((1, 2)) === ((1L, 2L)))        // leaked 1-2
+    assert(out((2, 2)) === ((1L, 2L)))
+  }
 }
