@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph operators over edge lists — the web/host-graph signals
+ * a corpus-curation pipeline derives from link structure (host authority
+ * for quality weighting: a page's host rank is a standard feature in
+ * crawl-corpus filtering, alongside the text-level signals in
+ * TextAnalysis).
+ */
+object Graphs {
+
+  /**
+   * PageRank with EXACT integer arithmetic: ranks are `scale`-denominator
+   * fixed point (default 1e12) and every update is integer
+   * multiply/divide —
+   *
+   *   r_{t+1}(v) = base + 85 · (Σ_{u→v} r_t(u) DIV out(u)) DIV 100,
+   *   base = (15 · scale DIV 100) DIV n,  r_0(v) = scale DIV n
+   *
+   * — so a FIXED iteration count yields bit-identical ranks on any
+   * engine (float PageRank diverges across summation orders; truncating
+   * DIV + exact BIGINT sums make the oracle an unrolled SQL of the same
+   * arithmetic). Self-loops and duplicate edges are dropped.
+   * Dangling-node mass is dropped too (the standard simplification:
+   * ranks then sum to < scale; relative ordering — what curation
+   * weighting consumes — is unaffected).
+   *
+   * Scale shape per round: one src-keyed join of the rank table against
+   * the edge list + one dst-keyed sum with map-side partials — rank rows
+   * are (node, long) and the edge list is materialized once
+   * (`localCheckpoint`) and reused every round, with each round's rank
+   * table checkpointed so the logical plan stays flat across iterations
+   * (the ConnectedComponents device). The one driver-side value is the
+   * node COUNT (a scalar, not a collect).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out"))
+      .localCheckpoint(true)
+    val base = (scale * 15L / 100L) / n
+    var r = nodes.withColumn("pr", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val mass = e.join(r.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst"), expr("pr DIV out").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      r = nodes
+        .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(mass, 0) DIV 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("pr").as("pr_scaled"),
+        (col("pr").cast("double") / lit(scale.toDouble)).as("pagerank"))
+      .orderBy(col("pr_scaled").desc, col("node"))
+  }
+}

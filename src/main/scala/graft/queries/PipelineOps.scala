@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Profile, Sampling, Similarity, TextAnalysis}
@@ -44,6 +44,17 @@ object PipelineOps {
     s"""${fuzzyDedupCtes(threshold)}
        SELECT id, keep_id, id <> keep_id AS is_dup
        FROM clus ORDER BY id"""
+
+  /** One unrolled PageRank round for the g01 oracle: contribution sum
+    * from r{i-1}, then the damped integer update (see Graphs.pageRank —
+    * identical truncating arithmetic, `//` = Spark DIV). */
+  private def prRound(i: Int): String =
+    s"""m$i AS (SELECT e.dst AS node, sum(p.pr // o.out_deg) AS mass
+          FROM edges e JOIN r${i - 1} p ON e.src = p.node
+          JOIN od o ON e.src = o.src GROUP BY e.dst),
+       r$i AS (SELECT x.node,
+            150000000000 // n + 85 * coalesce(m.mass, 0) // 100 AS pr
+          FROM nodes x CROSS JOIN nn LEFT JOIN m$i m ON x.node = m.node)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
@@ -395,6 +406,21 @@ object PipelineOps {
       Sampling.splitLeakage(
         Sampling.hashSplit(all, "doc_id", k = 3), "doc_id", "split",
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
+    },
+
+    "g01_host_pagerank" -> { (s, d) =>
+      // host-authority signal over a planted link graph (fixtures carry
+      // no links): src = t13's host of doc_id, dst = host of 2*doc_id+1,
+      // 3 exact-integer PageRank iterations — hash-verifies bit-for-bit
+      def tld(c: Column) = element_at(typedLit(Seq("com", "org", "net",
+        "io")), (pmod(c, lit(4)) + 1).cast("int"))
+      def host(c: Column) = concat(
+        lit("sub"), pmod(c, lit(7)).cast("string"),
+        lit(".site"), pmod(c, lit(13)).cast("string"), lit("."), tld(c))
+      val edges = docs(s, d).select(
+        host(col("doc_id")).as("src"),
+        host(col("doc_id") * 2 + 1).as("dst"))
+      graft.ops.Graphs.pageRank(edges, "src", "dst", iters = 3)
     },
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
@@ -1140,6 +1166,31 @@ object PipelineOps {
            CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hapax
          FROM t2 JOIN v USING (token) GROUP BY id ORDER BY id""",
+    // integer-exact PageRank over the planted host graph: 3 unrolled
+    // rounds of the identical truncating arithmetic
+    "g01_host_pagerank" ->
+      s"""WITH h AS (SELECT
+           'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+             || CAST(doc_id % 13 AS VARCHAR) || '.'
+             || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                WHEN 2 THEN 'net' ELSE 'io' END AS src,
+           'sub' || CAST((doc_id * 2 + 1) % 7 AS VARCHAR) || '.site'
+             || CAST((doc_id * 2 + 1) % 13 AS VARCHAR) || '.'
+             || CASE (doc_id * 2 + 1) % 4 WHEN 0 THEN 'com'
+                WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END AS dst
+           FROM documents),
+         edges AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+         r0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes, nn),
+         ${prRound(1)},
+         ${prRound(2)},
+         ${prRound(3)}
+         SELECT node, CAST(pr AS BIGINT) AS pr_scaled,
+           CAST(pr AS DOUBLE) / 1e12 AS pagerank
+         FROM r3 ORDER BY pr_scaled DESC, node""",
     // leakage audit: the d04 pair CTEs + the p01 md5 split, assembled
     // into the fixed k(k+1)/2 matrix with zero rows preserved
     "x03_split_leakage" ->

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank: exact integer ranks on a hand-computed 3-node graph") {
+    // A->B, B->A, C->A (+ a duplicate edge and a self-loop, both dropped)
+    val edges = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("C", "A"),
+      ("A", "A")).toDF("s", "t")
+    // n=3, scale=1e12: r0 = 333333333333 each, base = 50000000000
+    // iter1: mass(A)=r0(B)+r0(C)=666666666666 -> r1(A)=50e9+85*mass DIV 100
+    //        = 616666666666; r1(B)=333333333333; r1(C)=50000000000
+    // iter2: mass(A)=r1(B)+r1(C)=383333333333 -> r2(A)=375833333333
+    //        mass(B)=r1(A)=616666666666 -> r2(B)=574166666666
+    val out = Graphs.pageRank(edges, "s", "t", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "A" -> 375833333333L, "B" -> 574166666666L, "C" -> 50000000000L))
+  }
+
+  test("pageRank: rank order is stable and mass concentrates on sinks-in") {
+    // star: everyone links to H
+    val edges = (1 to 9).map(i => (s"n$i", "H")).toDF("s", "t")
+    val rows = Graphs.pageRank(edges, "s", "t", iters = 3).collect()
+    assert(rows.head.getString(0) === "H")            // top rank first
+    assert(rows.head.getLong(1) > rows.last.getLong(1) * 5)
+    // doubles are the exact scaled division of the integer ranks
+    assert(rows.head.getDouble(2) === rows.head.getLong(1) / 1e12)
+  }
+
+  test("pageRank input validation") {
+    val edges = Seq(("A", "B")).toDF("s", "t")
+    intercept[IllegalArgumentException](
+      Graphs.pageRank(edges, "s", "t", iters = 0))
+    intercept[IllegalArgumentException](
+      Graphs.pageRank(edges.filter("s = 'zzz'"), "s", "t"))
+  }
+}
