@@ -251,7 +251,42 @@ object PlanDump {
         "only large input — scored by a map-side join, the m-term sum " +
         "partial-aggregates per (query, candidate), and the bounded-heap " +
         "top-k moves k rows per (query, partition). Memory ∝ codes, " +
-        "never vectors — the billion-vector serving shape."))
+        "never vectors — the billion-vector serving shape."),
+    "m03_media_neardup" ->
+      ("Histograms are map-side (payloads never shuffle). The pair join " +
+        "deliberately does NOT key on format (4 distinct keys would " +
+        "serialize the quadratic work onto 4 partitions): the probe side " +
+        "hash-spreads on id with an EXPLICIT partition count — AQE's " +
+        "input-size coalescing would fold the tiny pre-join exchange to " +
+        "1 partition, which is wrong for a row-explosive join — and the " +
+        "payload-free build side broadcasts. The double prescreen kills " +
+        "~all pairs before the exact DECIMAL confirm."),
+    "t16_readability" ->
+      ("The three regex counts sit below a (id, 3 longs) repartition " +
+        "exchange; the fixed-point ratio projection is above it — the " +
+        "barrier stops CollapseProject from re-inlining the regex " +
+        "subtrees into the CASE branches (the round-2 t02 hazard). Each " +
+        "regex runs exactly once per document; the barrier rows are " +
+        "~28 bytes/doc."),
+    "e09_ivf_stats" ->
+      ("Index introspection: the centroid set (nlist rows) broadcasts; " +
+        "residuals are computed map-side and rounded to DECIMAL(18,9) " +
+        "before the keyed aggregation, so the exchange moves (cid, " +
+        "count, decimal) partials — full vectors never shuffle and the " +
+        "decimal sums are order-free (hash-exact)."),
+    "x03_split_leakage" ->
+      ("Leakage audit: the verified pair set joins the (id, split) " +
+        "projection twice — id-keyed shuffles of id+int rows, text " +
+        "never moves; the k(k+1)/2 matrix is built from a distinct-" +
+        "values cross join (k rows a side) and left-joins the counts " +
+        "so zero rows survive."),
+    "g01_host_pagerank" ->
+      ("Iterative PageRank (final-round plan shown): each round is one " +
+        "src-keyed join of the (node, long) rank table against the " +
+        "checkpointed edge list + one dst-keyed partial-combined sum; " +
+        "localCheckpoint per round keeps the lineage flat, so round N " +
+        "plans over RDD scans, not an N-deep logical tree. Integer " +
+        "fixed-point updates make the iterative result hash-exact."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
