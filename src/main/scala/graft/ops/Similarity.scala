@@ -513,6 +513,36 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /**
+   * ANN recall@k — the standard quality harness for an approximate
+   * index: per query, |approx ∩ exact| / k against the brute-force
+   * ground truth ([[cosineTopK]] vs [[ivfTopK]]/[[ivfPqTopK]] results).
+   * This is the number an index owner trades against probe cost when
+   * tuning nprobe/nlist (pairs with [[ivfStats]], which explains WHY
+   * recall dropped — skewed lists, fat residuals).
+   *
+   * Inputs are any two (query_id, id) result sets; queries missing from
+   * `approx` surface as recall 0, not as absent rows. Recall is 6-dp
+   * truncating fixed point (n_hits·10⁶ DIV k) — hash-exact.
+   *
+   * Scale: one (query_id, id)-keyed equi-join of two k·|queries|-row
+   * sets + one tiny aggregation — independent of corpus size.
+   */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"annRecall needs k >= 1, got $k")
+    val ex = exact.select(col("query_id"), col("id"))
+    val ap = approx.select(col("query_id"), col("id"))
+    val hits = ex.join(ap, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    ex.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        expr(s"CAST(n_hits * 1000000 DIV $k AS DOUBLE) / 1e6"))
+      .orderBy(col("query_id"))
+  }
+
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`
     * when a clustering column already exists. */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =

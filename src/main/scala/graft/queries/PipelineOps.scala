@@ -236,6 +236,19 @@ object PipelineOps {
         Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
         "cvec", "cid")
     },
+    "e10_ann_recall" -> { (s, d) =>
+      // recall@5 of the e02 IVF probe against the e01 brute force —
+      // the nprobe/nlist tuning number, per query
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5)
+      val approx = Similarity.ivfTopKPartitioned(corpus, "embedding",
+        "vec_id", "label", queries, "embedding", "vec_id",
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+        "cvec", "cid", k = 5, nprobe = 2)
+      Similarity.annRecall(exact, approx, k = 5)
+    },
     "e06_pq_assign" -> { (s, d) =>
       // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
       // codebooks = the 8 seed vectors' subvectors (deterministic, same
@@ -1031,6 +1044,45 @@ object PipelineOps {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // PQ assignment: same subvector slicing (1-based inclusive), same
     // (x−y)·(x−y) double product, argmin ties by code ascending
+    // recall@5: e01's brute-force CTEs vs e02's probe CTEs, intersected
+    // per query; missing queries surface as recall 0
+    "e10_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+         sx AS (SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(c.embedding, q.qvec) AS sim
+           FROM embeddings c CROSS JOIN q),
+         rx AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, id) AS rk
+           FROM sx WHERE sim IS NOT NULL),
+         ex AS (SELECT query_id, id FROM rx WHERE rk <= 5),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                        c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
+         sa AS (SELECT p.query_id, a.vec_id AS id,
+             list_cosine_similarity(a.embedding, p.qvec) AS sim
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         ra AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, id) AS rk
+           FROM sa WHERE sim IS NOT NULL),
+         ap AS (SELECT query_id, id FROM ra WHERE rk <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hits
+           FROM ex e JOIN ap a ON e.query_id = a.query_id AND e.id = a.id
+           GROUP BY e.query_id),
+         qs AS (SELECT DISTINCT query_id FROM ex)
+         SELECT qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS DOUBLE) / 1e6
+             AS recall
+         FROM qs LEFT JOIN hits h USING (query_id)
+         ORDER BY qs.query_id""",
     // IVF index report: residuals to the min-id list centroid, rounded
     // to DECIMAL(18,9) before the order-free decimal SUM; share/mean as
     // truncating fixed point (`//` = Spark DIV)

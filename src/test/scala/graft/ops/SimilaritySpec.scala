@@ -311,6 +311,21 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1) === ((1L, 0.25, 0.0)))
   }
 
+  test("annRecall: per-query hits, zero rows for missed queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "id")
+    // query 1: 2/3 recovered; query 2: none (e.g. probe missed the list)
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (2L, 97L), (2L, 96L)).toDF("query_id", "id")
+    val out = Similarity.annRecall(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((2L, 0.666666)))   // truncating 6-dp
+    assert(out(2L) === ((0L, 0.0)))        // present, not silently absent
+    intercept[IllegalArgumentException](
+      Similarity.annRecall(exact, approx, k = 0))
+  }
+
   test("ivfStats broadcasts the centroid set; vectors never shuffle") {
     val df = (1 to 40).map(i =>
       (i.toLong, Seq(i.toFloat, 0.0f), i % 4)).toDF("vec_id", "embedding", "label")
