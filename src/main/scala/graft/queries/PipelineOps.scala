@@ -421,6 +421,19 @@ object PipelineOps {
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
     },
 
+    "x04_cluster_histogram" -> { (s, d) =>
+      // dedup-audit view of the d10 closure: cluster-size distribution
+      // (how much mass sits in big near-dup clusters is the number that
+      // picks the jaccard threshold)
+      val all = docs(s, d)
+      graft.ops.ConnectedComponents.clusterReps(all, "doc_id",
+          Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
     "g01_host_pagerank" -> { (s, d) =>
       // host-authority signal over a planted link graph (fixtures carry
       // no links): src = t13's host of doc_id, dst = host of 2*doc_id+1,
@@ -1218,6 +1231,24 @@ object PipelineOps {
            CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hapax
          FROM t2 JOIN v USING (token) GROUP BY id ORDER BY id""",
+    // cluster-size histogram over the same recursive closure as d10
+    "x04_cluster_histogram" -> {
+      val ctes = fuzzyDedupCtes(0.7).replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$ctes,
+         e2 AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (SELECT a, a FROM e2
+               UNION SELECT reach.id, e2.b FROM reach
+                     JOIN e2 ON reach.r = e2.a),
+         comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id),
+         s1 AS (SELECT least(d2.id, coalesce(c.keep, d2.id)) AS keep_id
+                FROM d d2 LEFT JOIN comp c ON d2.id = c.id),
+         sz AS (SELECT keep_id, count(*) AS cluster_size
+                FROM s1 GROUP BY keep_id)
+         SELECT cluster_size, count(*) AS n_clusters,
+                cluster_size * count(*) AS n_docs
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
+    },
     // integer-exact PageRank over the planted host graph: 3 unrolled
     // rounds of the identical truncating arithmetic
     "g01_host_pagerank" ->
