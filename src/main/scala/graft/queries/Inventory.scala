@@ -800,6 +800,35 @@ object Inventory {
                wo AS (PARTITION BY user_id ORDER BY ts, event_id)
                ORDER BY event_id""")
     },
+    "q68_salted_join" -> { (s, d) =>
+      // explicit skew salting end-to-end: the salted (key, salt) join is
+      // value-identical to the plain equi-join — the oracle IS the plain
+      // join — while the plan splits every hot key saltFactor ways (the
+      // knob AQE skew handling can't reach for shuffled-hash/agg shapes)
+      val li = Tables(s, d, "lineitem")
+        .withColumnRenamed("l_partkey", "partkey")
+      val pt = Tables(s, d, "part")
+        .withColumnRenamed("p_partkey", "partkey")
+        .select(col("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, pt, "partkey", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+    "q69_stream_enrich" -> { (s, d) =>
+      // stream-static enrichment (stateless streaming join; see
+      // EventStreams.enrich + the stream-vs-batch equivalence spec) in
+      // its batch form: every event keeps flowing, dimension misses
+      // surface as NULLs
+      graft.streaming.EventStreams.enrich(
+          Tables(s, d, "events"),
+          Tables(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_nationkey"))
+        .orderBy(col("event_id"))
+    },
 
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
@@ -1025,6 +1054,18 @@ object Inventory {
                 count(DISTINCT seg) AS n_variants
          FROM t GROUP BY lower(seg)
          ORDER BY seg_lc""",
+    // the salted join is value-identical to the plain equi-join — sums
+    // of small-integer-valued doubles are exact, so no decimal rounding
+    // guard is needed
+    "q68_salted_join" ->
+      """SELECT p.p_brand, count(*) AS n, sum(l.l_quantity) AS sum_qty
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "q69_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_nationkey
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     // DuckDB: x/0 is NULL (no try_divide needed), TRY_CAST matches, and
     // out-of-bounds list indexing is NULL
     "q67_ignore_nulls" ->

@@ -167,6 +167,21 @@ object EventStreams {
     * pattern). Schema is pinned from the existing files;
     * `maxFilesPerTrigger=1` so bounded runs still exercise incremental
     * batches. Caller owns the query lifecycle. */
+  /**
+   * Stream-static enrichment join: the unbounded event stream joins a
+   * bounded dimension table (left join, so events with no dimension row
+   * pass through with NULLs rather than silently dropping). Spark's
+   * stream-static join keeps NO state and needs no watermark — the
+   * static side is simply joined per micro-batch — so this is the
+   * cheapest streaming join shape; the dimension broadcasts (enrichment
+   * dims are catalog-sized; a corpus-sized static side would want a
+   * bucketed join instead). Batch mode is the identical plain left
+   * equi-join, which is what the oracle checks.
+   */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema

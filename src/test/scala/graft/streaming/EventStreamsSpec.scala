@@ -99,6 +99,30 @@ class EventStreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("enrich: stream-static left join matches batch; misses -> NULLs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("ck", "name")
+    val input = MemoryStream[(Long, Long, Double)]
+    val streamedDf = input.toDF.toDF("event_id", "user_id", "value")
+    // user 9 has no dimension row — must pass through with NULL name
+    val rows = Seq((100L, 1L, 1.0), (101L, 2L, 2.0), (102L, 9L, 3.0))
+    input.addData(rows: _*)
+    val result = EventStreams.runOnce(spark,
+      EventStreams.enrich(streamedDf, dim, "user_id", "ck")
+        .select(col("event_id"), col("name")),
+      "enriched", OutputMode.Append)
+    val got = result.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1))).toMap
+    val batch = EventStreams.enrich(
+        rows.toDF("event_id", "user_id", "value"), dim, "user_id", "ck")
+      .select(col("event_id"), col("name"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === batch)
+    assert(got === Map(100L -> Some("alice"), 101L -> Some("bob"),
+      102L -> None))
+  }
+
   test("userSessions folds events within the gap into one session") {
     import spark.implicits._
     val batch = Seq(
