@@ -277,6 +277,45 @@ object Sampling {
   }
 
   /**
+   * Curriculum ordering: exact global training positions sorted by a
+   * difficulty/quality signal DESCENDING, shuffled deterministically
+   * within each quality tier (md5(seed‖id) — so same-quality docs are
+   * not fed in storage order). The curriculum-learning data order:
+   * easy/high-quality first, each tier internally shuffled, positions
+   * stable under corpus growth of OTHER tiers' buckets.
+   *
+   * Same device as [[shufflePositions]]: the one global window runs
+   * over the (quality, bucket) COUNT table (|tiers|·256 rows), never
+   * over corpus rows; within-group ranks are bucket-keyed windows. The
+   * composition equals `row_number() OVER (ORDER BY quality DESC, key,
+   * id)` — which is the oracle — without a single-partition sort at any
+   * scale.
+   *
+   * `qualityCol` must be equality-stable across engines (the fixture
+   * feeds t02's fixed-point `quality`, hash-exact by construction).
+   */
+  def curriculumPositions(df: DataFrame, idCol: String,
+                          qualityCol: String, seed: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(qualityCol).as("q"),
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("key"))
+      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10)
+        .cast("int"))
+    val offsets = keyed.groupBy(col("q"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        sum(col("n")).over(
+          Window.orderBy(col("q").desc, col("bucket"))) - col("n"))
+      .select(col("q"), col("bucket"), col("offset"))
+    keyed.join(broadcast(offsets), Seq("q", "bucket"))
+      .withColumn("pos",
+        (col("offset") + row_number().over(
+          Window.partitionBy(col("q"), col("bucket"))
+            .orderBy(col("key"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("q").as("quality"), col("pos"))
+      .orderBy(col("id"))
+  }
+
+  /**
    * Split-leakage audit: near-duplicate pairs that cross split
    * boundaries — the train/test contamination check a training pipeline
    * runs before shipping a split (a near-dup of an eval doc left in

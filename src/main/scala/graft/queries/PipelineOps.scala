@@ -411,6 +411,14 @@ object PipelineOps {
       Profile.profileBy(docs(s, d), "lang",
         Seq("doc_id", "text", "n_chars"))
     },
+    "p09_curriculum" -> { (s, d) =>
+      // curriculum-learning order: t02's fixed-point quality DESC, each
+      // tier internally md5-shuffled; exact global positions via the p08
+      // bucket-offset device (no global window over corpus rows)
+      val q = TextAnalysis.qualityScore(docs(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality"))
+      Sampling.curriculumPositions(q, "doc_id", "quality", seed = "epoch1")
+    },
     "x03_split_leakage" -> { (s, d) =>
       // train/test contamination audit: the p01 split crossed with the
       // d04/d10 exact-Jaccard pair set — fixed 6-row matrix (k=3),
@@ -1057,6 +1065,33 @@ object PipelineOps {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // PQ assignment: same subvector slicing (1-based inclusive), same
     // (x−y)·(x−y) double product, argmin ties by code ascending
+    // curriculum order: t02's quality CTEs + the plain global
+    // row_number the bucket-offset composition must equal
+    "p09_curriculum" ->
+      """WITH b AS (SELECT doc_id AS id, text,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             AS n_words,
+           len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+           FROM documents),
+         r AS (SELECT id, n_words,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio
+           FROM b),
+         q AS (SELECT id,
+           CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
+                 CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
+                 CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS quality
+           FROM r),
+         k AS (SELECT id, quality,
+           md5('epoch1:' || CAST(id AS VARCHAR)) AS key FROM q)
+         SELECT id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, key, id) - 1
+             AS BIGINT) AS pos
+         FROM k ORDER BY id""",
     // recall@5: e01's brute-force CTEs vs e02's probe CTEs, intersected
     // per query; missing queries surface as recall 0
     "e10_ann_recall" ->

@@ -199,6 +199,27 @@ class SamplingSpec extends SparkSuite {
     assert(bySrc(None) >= 10L) // sqrt temperature upsamples the minority
   }
 
+  test("curriculumPositions equals the global-window spec") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 4).toDouble / 4.0))
+      .toDF("doc_id", "q")
+    val got = Sampling.curriculumPositions(df, "doc_id", "q", "s1")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // spec: one global row_number over (q DESC, md5(seed:id), id)
+    val spec = df.select(col("doc_id"), col("q"),
+        md5(concat(lit("s1:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("key"), col("doc_id"))).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === spec)
+    // high-quality tier occupies the leading positions
+    val tier = df.filter(col("q") === 0.75).select("doc_id")
+      .as[Long].collect().toSet
+    val leading = got.filter(_._2 < tier.size).keySet
+    assert(leading === tier)
+  }
+
   test("splitLeakage: fixed matrix, diagonal vs cross rows, zero rows") {
     import spark.implicits._
     val splits = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2), (5L, 2))
