@@ -102,4 +102,52 @@ object TimeSeries {
         // preceding non-null
         last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
   }
+
+  /**
+   * Gap report — the downtime/coverage audit of a time series: one row
+   * per maximal run of MISSING buckets per key (gap start/end bucket and
+   * the exact missing count). The dual of [[resampleFill]]: instead of
+   * materializing the gap rows, each lag() pair whose distance exceeds
+   * one step IS a gap island — so the operator emits one row per gap
+   * with no Generate at all, and a key whose series is years of
+   * downtime costs one row, not years of buckets.
+   *
+   * Scale: one keyed aggregation (bucketing) + one keyed lag window —
+   * both partition by `keyCol`; nothing global, nothing exploded.
+   * n_missing is integer epoch arithmetic (buckets are epoch-aligned
+   * multiples of the step), so the report hash-verifies.
+   */
+  def gapReport(events: DataFrame, keyCol: String, tsCol: String,
+                step: String = "1 hour"): DataFrame = {
+    val parsed =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(step))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"gapReport: unparseable step '$step'", e)
+      }
+    require(parsed != null && parsed.months == 0,
+      s"gapReport: step '$step' must be a fixed-length interval " +
+        "(no month/year units — buckets must be epoch-aligned)")
+    val stepSeconds =
+      parsed.days * 86400L + parsed.microseconds / 1000000L
+    require(stepSeconds > 0, s"gapReport: step '$step' must be positive")
+    val stepInterval = expr(s"interval $step")
+
+    val obs = events
+      .groupBy(col(keyCol), window(col(tsCol), step).as("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__w.start").as("bucket"))
+    val w0 = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    obs
+      .withColumn("__prev", lag(col("bucket"), 1).over(w0))
+      .filter(col("__prev").isNotNull &&
+        col("bucket") > col("__prev") + stepInterval)
+      .select(col(keyCol),
+        (col("__prev") + stepInterval).as("gap_start"),
+        (col("bucket") - stepInterval).as("gap_end"),
+        ((unix_timestamp(col("bucket")) - unix_timestamp(col("__prev")))
+          / stepSeconds - 1).cast("long").as("n_missing"))
+      .orderBy(col(keyCol), col("gap_start"))
+  }
 }

@@ -411,6 +411,14 @@ object PipelineOps {
       Profile.profileBy(docs(s, d), "lang",
         Seq("doc_id", "text", "n_chars"))
     },
+    "r03_gap_report" -> { (s, d) =>
+      // downtime audit: one row per maximal missing-bucket run per user
+      // (6 h buckets over purchase events) — the lag-pair IS the island,
+      // no gap rows materialize
+      graft.ops.TimeSeries.gapReport(
+        Tables(s, d, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", step = "6 hours")
+    },
     "p09_curriculum" -> { (s, d) =>
       // curriculum-learning order: t02's fixed-point quality DESC, each
       // tier internally md5-shuffled; exact global positions via the p08
@@ -1065,6 +1073,22 @@ object PipelineOps {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // PQ assignment: same subvector slicing (1-based inclusive), same
     // (x−y)·(x−y) double product, argmin ties by code ascending
+    // gap islands from lag pairs; n_missing in integer epoch arithmetic
+    "r03_gap_report" ->
+      """WITH obs AS (SELECT user_id,
+             time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS bucket
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         l AS (SELECT user_id, bucket,
+             lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+           FROM obs)
+         SELECT user_id,
+           prev + INTERVAL 6 HOUR AS gap_start,
+           bucket - INTERVAL 6 HOUR AS gap_end,
+           CAST(epoch(bucket) - epoch(prev) AS BIGINT) // 21600 - 1
+             AS n_missing
+         FROM l WHERE prev IS NOT NULL
+           AND bucket > prev + INTERVAL 6 HOUR
+         ORDER BY user_id, gap_start""",
     // curriculum order: t02's quality CTEs + the plain global
     // row_number the bucket-offset composition must equal
     "p09_curriculum" ->

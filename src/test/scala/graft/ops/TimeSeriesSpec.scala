@@ -59,4 +59,29 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out === Seq(
       "00:00" -> 1.0, "00:15" -> 1.0, "00:30" -> 1.0, "00:45" -> 3.0))
   }
+
+  test("gapReport: one row per missing-bucket island, exact counts") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1.0),   // bucket 00
+      (1L, ts("2024-01-01 03:20:00"), 1.0),   // bucket 03 -> gap 01-02
+      (1L, ts("2024-01-01 04:05:00"), 1.0),   // bucket 04 (adjacent, no gap)
+      (1L, ts("2024-01-01 09:00:00"), 1.0),   // bucket 09 -> gap 05-08
+      (2L, ts("2024-01-01 00:00:00"), 1.0))   // single obs -> no gaps
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapReport(events, "user_id", "ts", "1 hour")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    assert(out === Array(
+      (1L, "2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0", 2L),
+      (1L, "2024-01-01 05:00:00.0", "2024-01-01 08:00:00.0", 4L)))
+  }
+
+  test("gapReport rejects calendar-unit and malformed steps") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException](
+      TimeSeries.gapReport(df, "user_id", "ts", "1 month"))
+    intercept[IllegalArgumentException](
+      TimeSeries.gapReport(df, "user_id", "ts", "1 bogus"))
+  }
 }
