@@ -155,8 +155,11 @@ object Multimodal {
    * libm parity exactly at the threshold). The threshold is
    * parts-per-million because count histograms of same-language text are
    * near-collinear — percent granularity can't separate true near-dups
-   * from the baseline. Zero-histogram payloads (empty/null) compare as
-   * mutual duplicates by this convention — identical empty content.
+   * from the baseline. Zero-histogram payloads (empty/null) are mutual
+   * duplicates of EACH OTHER only — the predicate requires both norms
+   * positive, or both zero: without that guard `0 >= 0` would link an
+   * empty payload to every same-format row (and, as min id, crown it
+   * keep_id for the whole format).
    *
    * Scale design: histograms are map-side (payloads never shuffle). The
    * pair stage must NOT key its exchange on `format` — 4 distinct keys
@@ -191,6 +194,10 @@ object Multimodal {
     }(encoder)
       .withColumn("nn",
         aggregate(transform(col("hist"), x => x * x), lit(0L), _ + _))
+      // materialize once: the payload scan feeds the probe side, the
+      // broadcast build side, AND the reps id list — without this the
+      // full media scan/decode runs three times
+      .localCheckpoint(true)
     val dec = "decimal(38,0)"
     val thr2 = thresholdPpm.toLong * thresholdPpm
     // explicit partition count: the histogram table is tiny BEFORE the
@@ -210,9 +217,11 @@ object Multimodal {
       .filter(lit(1.0e12) * col("dot") * col("dot") >=
         lit(thr2.toDouble) * col("na") * col("nb") * lit(1.0 - 1e-9))
       .filter(
-        lit(1000000000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
-          >= lit(thr2).cast(dec) *
-            col("na").cast(dec) * col("nb").cast(dec))
+        (col("na") > 0 && col("nb") > 0 &&
+          lit(1000000000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
+            >= lit(thr2).cast(dec) *
+              col("na").cast(dec) * col("nb").cast(dec)) ||
+        (col("na") === 0 && col("nb") === 0))
       .select(col("id_a"), col("id_b"))
     Dedup.minNeighborReps(hists.select(col("id")), pairs)
   }

@@ -255,25 +255,43 @@ object Sampling {
    * exchange. Output: (id, key, pos).
    */
   def shufflePositions(df: DataFrame, idCol: String,
-                       seed: String): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"),
-        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("key"))
-      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10)
-        .cast("int"))
-    // 256-row offset table: the one global window runs on aggregate
-    // counts, never on corpus rows
-    val offsets = keyed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        sum(col("n")).over(Window.orderBy(col("bucket"))) - col("n"))
-      .select(col("bucket"), col("offset"))
-    keyed.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("pos",
-        (col("offset") + row_number().over(
-          Window.partitionBy(col("bucket"))
-            .orderBy(col("key"), col("id"))) - 1).cast("long"))
+                       seed: String): DataFrame =
+    bucketOffsetPositions(df, idCol, seed, tierCols = Nil)
       .select(col("id"), col("key"), col("pos"))
       .orderBy(col("id"))
+
+  /**
+   * Shared bucket-offset device behind [[shufflePositions]] and
+   * [[curriculumPositions]]: exact global rank over
+   * (tierCols…, md5(seed‖id), id) composed from a (tier, bucket) COUNT
+   * offset table (the one global window runs over ≤ |tiers|·256
+   * aggregate rows) + bucket-keyed row_number windows — never a global
+   * window over corpus rows. `tierCols` are (column, descending) leading
+   * sort keys; empty = pure shuffle.
+   */
+  private def bucketOffsetPositions(df: DataFrame, idCol: String,
+      seed: String, tierCols: Seq[(String, Boolean)]): DataFrame = {
+    val keyed = df.select(Seq(col(idCol).as("id"),
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("key")) ++
+        tierCols.map { case (c, _) => col(c) }: _*)
+      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10)
+        .cast("int"))
+    val tiers = tierCols.map { case (c, _) => col(c) }
+    val tierOrder = tierCols.map { case (c, desc) =>
+      if (desc) col(c).desc else col(c).asc }
+    val groupCols = tiers :+ col("bucket")
+    val offsets = keyed.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        sum(col("n")).over(
+          Window.orderBy(tierOrder :+ col("bucket").asc: _*)) - col("n"))
+      .select(groupCols :+ col("offset"): _*)
+    keyed.join(broadcast(offsets),
+        tierCols.map(_._1) :+ "bucket")
+      .withColumn("pos",
+        (col("offset") + row_number().over(
+          Window.partitionBy(groupCols: _*)
+            .orderBy(col("key"), col("id"))) - 1).cast("long"))
   }
 
   /**
@@ -295,25 +313,12 @@ object Sampling {
    * feeds t02's fixed-point `quality`, hash-exact by construction).
    */
   def curriculumPositions(df: DataFrame, idCol: String,
-                          qualityCol: String, seed: String): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(qualityCol).as("q"),
-        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("key"))
-      .withColumn("bucket", conv(substring(col("key"), 1, 2), 16, 10)
-        .cast("int"))
-    val offsets = keyed.groupBy(col("q"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        sum(col("n")).over(
-          Window.orderBy(col("q").desc, col("bucket"))) - col("n"))
-      .select(col("q"), col("bucket"), col("offset"))
-    keyed.join(broadcast(offsets), Seq("q", "bucket"))
-      .withColumn("pos",
-        (col("offset") + row_number().over(
-          Window.partitionBy(col("q"), col("bucket"))
-            .orderBy(col("key"), col("id"))) - 1).cast("long"))
-      .select(col("id"), col("q").as("quality"), col("pos"))
+                          qualityCol: String, seed: String): DataFrame =
+    bucketOffsetPositions(
+        df.select(col(idCol), col(qualityCol).as("__q")),
+        idCol, seed, tierCols = Seq(("__q", true)))
+      .select(col("id"), col("__q").as("quality"), col("pos"))
       .orderBy(col("id"))
-  }
 
   /**
    * Split-leakage audit: near-duplicate pairs that cross split
@@ -328,7 +333,10 @@ object Sampling {
    * k(k+1)/2-row audit matrix over the observed split values (diagonal
    * and zero rows included, so "no row" can never be misread as "no
    * leakage"): pair count and distinct documents involved per unordered
-   * split pair. Nonzero off-diagonal = leakage.
+   * split pair. Nonzero off-diagonal = leakage. A pair id with no split
+   * assignment is NOT silently dropped: it lands in the `unassignedSplit`
+   * bucket (default -1), which joins the matrix axes when present — an
+   * audit that discards unauditable rows would defeat itself.
    *
    * Scale: two id-keyed equi-joins of the pair set against the (id,
    * split) projection — the shuffles carry ids and one small int, never
@@ -337,11 +345,16 @@ object Sampling {
    * 2 × pairs, not by the corpus.
    */
   def splitLeakage(splits: DataFrame, idCol: String, splitCol: String,
-                   pairs: DataFrame): DataFrame = {
+                   pairs: DataFrame, unassignedSplit: Int = -1): DataFrame = {
     val s = splits.select(col(idCol), col(splitCol))
     val lab = pairs.select(col("id_a"), col("id_b"))
-      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("__sa")), "id_a")
-      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("__sb")), "id_b")
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("__sa")),
+        Seq("id_a"), "left")
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("__sb")),
+        Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__sa"), lit(unassignedSplit)).as("__sa"),
+        coalesce(col("__sb"), lit(unassignedSplit)).as("__sb"))
       .select(col("id_a"), col("id_b"),
         least(col("__sa"), col("__sb")).as("split_lo"),
         greatest(col("__sa"), col("__sb")).as("split_hi"))
@@ -353,7 +366,12 @@ object Sampling {
       .distinct()
       .groupBy(col("split_lo"), col("split_hi"))
       .agg(count(lit(1)).as("n_docs"))
+    // matrix axes: the observed split values, plus the unassigned bucket
+    // whenever any pair landed in it
     val vals = s.select(col(splitCol).as("__v")).distinct()
+      .union(lab.select(col("split_lo").as("__v")))
+      .union(lab.select(col("split_hi").as("__v")))
+      .distinct()
     val matrix = vals.as("a").crossJoin(vals.as("b"))
       .filter(col("a.__v") <= col("b.__v"))
       .select(col("a.__v").as("split_lo"), col("b.__v").as("split_hi"))

@@ -134,10 +134,11 @@ object TimeSeries {
     require(stepSeconds > 0, s"gapReport: step '$step' must be positive")
     val stepInterval = expr(s"interval $step")
 
+    // observed-bucket set: distinct (key, bucket) — no dead count buffer
     val obs = events
-      .groupBy(col(keyCol), window(col(tsCol), step).as("__w"))
-      .agg(count(lit(1)).as("__n"))
+      .select(col(keyCol), window(col(tsCol), step).as("__w"))
       .select(col(keyCol), col("__w.start").as("bucket"))
+      .distinct()
     val w0 = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
     obs
       .withColumn("__prev", lag(col("bucket"), 1).over(w0))

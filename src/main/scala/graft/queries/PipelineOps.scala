@@ -19,6 +19,23 @@ import graft.tables.Tables
 object PipelineOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Deterministic planted host of an id — ONE definition shared by
+    * t13's URL planting and g01's link graph (and mirrored by
+    * [[duckHost]] on the oracle side), so the graph can't silently
+    * drift from the URLs it claims to model. */
+  private def plantedHost(c: Column): Column = concat(
+    lit("sub"), pmod(c, lit(7)).cast("string"),
+    lit(".site"), pmod(c, lit(13)).cast("string"), lit("."),
+    element_at(typedLit(Seq("com", "org", "net", "io")),
+      (pmod(c, lit(4)) + 1).cast("int")))
+
+  /** DuckDB spelling of [[plantedHost]] for an id expression. */
+  private def duckHost(idExpr: String): String =
+    s"'sub' || CAST(($idExpr) % 7 AS VARCHAR) || '.site' || " +
+      s"CAST(($idExpr) % 13 AS VARCHAR) || '.' || " +
+      s"(CASE ($idExpr) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' " +
+      s"WHEN 2 THEN 'net' ELSE 'io' END)"
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
   /** Brute-force word-3-shingle Jaccard clustering in DuckDB — the exact
@@ -319,10 +336,7 @@ object PipelineOps {
       // oracle side) — host/domain/tld parsing and the blocklist flag
       // then exercise on every row
       val planted = docs(s, d).withColumn("url", concat(
-        lit("https://sub"), (col("doc_id") % 7).cast("string"),
-        lit(".site"), (col("doc_id") % 13).cast("string"), lit("."),
-        element_at(typedLit(Seq("com", "org", "net", "io")),
-          ((col("doc_id") % 4) + 1).cast("int")),
+        lit("https://"), plantedHost(col("doc_id")),
         lit("/p"), (col("doc_id") % 5).cast("string"),
         expr("repeat('/x', CAST(doc_id % 3 AS INT))")))
       graft.ops.Urls.flagBlocked(
@@ -454,14 +468,9 @@ object PipelineOps {
       // host-authority signal over a planted link graph (fixtures carry
       // no links): src = t13's host of doc_id, dst = host of 2*doc_id+1,
       // 3 exact-integer PageRank iterations — hash-verifies bit-for-bit
-      def tld(c: Column) = element_at(typedLit(Seq("com", "org", "net",
-        "io")), (pmod(c, lit(4)) + 1).cast("int"))
-      def host(c: Column) = concat(
-        lit("sub"), pmod(c, lit(7)).cast("string"),
-        lit(".site"), pmod(c, lit(13)).cast("string"), lit("."), tld(c))
       val edges = docs(s, d).select(
-        host(col("doc_id")).as("src"),
-        host(col("doc_id") * 2 + 1).as("dst"))
+        plantedHost(col("doc_id")).as("src"),
+        plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.pageRank(edges, "src", "dst", iters = 3)
     },
 
@@ -632,15 +641,15 @@ object PipelineOps {
          FROM r WHERE rk = 1 ORDER BY id""",
     // URL facts over deterministically-planted URLs (see the query
     // entry): identical regex extraction chain, literal IN blocklist
+    // the planted-host fragment interpolates via duckHost; the regex
+    // tail stays a raw literal (s"" would eat the \d and $ anchors)
     "t13_url_facts" ->
-      """WITH p AS (SELECT doc_id AS id,
-           'https://sub' || CAST(doc_id % 7 AS VARCHAR)
-             || '.site' || CAST(doc_id % 13 AS VARCHAR) || '.'
-             || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                                 WHEN 2 THEN 'net' ELSE 'io' END)
+      (s"""WITH p AS (SELECT doc_id AS id,
+           'https://' || ${duckHost("doc_id")}
              || '/p' || CAST(doc_id % 5 AS VARCHAR)
              || repeat('/x', CAST(doc_id % 3 AS INT)) AS url
-           FROM documents),
+           FROM documents),""" +
+      """
          h AS (SELECT id, url,
            regexp_replace(lower(regexp_extract(url,
              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), ':\d+$', '') AS host
@@ -653,7 +662,7 @@ object PipelineOps {
              0) END AS path_depth,
            regexp_extract(host, '([^.]+\.[^.]+)$', 1)
              IN ('site3.com', 'site7.io', 'site11.org') AS is_blocked
-         FROM h ORDER BY id""",
+         FROM h ORDER BY id"""),
     // PII redaction over the deterministically-planted text (see the
     // query entry); patterns are in the RE2 ∩ java.regex common subset
     "t12_pii_redact" ->
@@ -1312,14 +1321,8 @@ object PipelineOps {
     // rounds of the identical truncating arithmetic
     "g01_host_pagerank" ->
       s"""WITH h AS (SELECT
-           'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
-             || CAST(doc_id % 13 AS VARCHAR) || '.'
-             || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                                WHEN 2 THEN 'net' ELSE 'io' END AS src,
-           'sub' || CAST((doc_id * 2 + 1) % 7 AS VARCHAR) || '.site'
-             || CAST((doc_id * 2 + 1) % 13 AS VARCHAR) || '.'
-             || CASE (doc_id * 2 + 1) % 4 WHEN 0 THEN 'com'
-                WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END AS dst
+           ${duckHost("doc_id")} AS src,
+           ${duckHost("doc_id * 2 + 1")} AS dst
            FROM documents),
          edges AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
          nodes AS (SELECT src AS node FROM edges
@@ -1432,8 +1435,10 @@ object PipelineOps {
              a.nn AS na, b.nn AS nb
            FROM n a JOIN n b ON a.format = b.format AND a.id < b.id),
          p AS (SELECT id_a, id_b FROM pd
-           WHERE CAST(1000000000000 AS HUGEINT) * dot * dot
-                 >= CAST(999980000100 AS HUGEINT) * na * nb),
+           WHERE (na > 0 AND nb > 0 AND
+                  CAST(1000000000000 AS HUGEINT) * dot * dot
+                    >= CAST(999980000100 AS HUGEINT) * na * nb)
+              OR (na = 0 AND nb = 0)),
          nb AS (SELECT id_b AS id, id_a AS nb FROM p
                 UNION ALL SELECT id_a, id_b FROM p),
          nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)

@@ -161,12 +161,6 @@ object EventStreams {
       }
   }
 
-  /** Convenience: open a directory of event parquet files as a file-source
-    * stream (the file source requires a directory; files landing in it are
-    * discovered incrementally — the standard object-store ingestion
-    * pattern). Schema is pinned from the existing files;
-    * `maxFilesPerTrigger=1` so bounded runs still exercise incremental
-    * batches. Caller owns the query lifecycle. */
   /**
    * Stream-static enrichment join: the unbounded event stream joins a
    * bounded dimension table (left join, so events with no dimension row
@@ -180,8 +174,17 @@ object EventStreams {
    */
   def enrich(events: DataFrame, dim: DataFrame,
              eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    // side-qualified references: a plain col() would be ambiguous when
+    // the stream and the dimension share the key column name
+    events.join(broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
 
+  /** Convenience: open a directory of event parquet files as a file-source
+    * stream (the file source requires a directory; files landing in it are
+    * discovered incrementally — the standard object-store ingestion
+    * pattern). Schema is pinned from the existing files;
+    * `maxFilesPerTrigger=1` so bounded runs still exercise incremental
+    * batches. Caller owns the query lifecycle. */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema

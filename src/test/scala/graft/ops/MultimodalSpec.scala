@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.mediaFromDocuments(docs), thresholdPpm = 1000001))
   }
 
+  test("mediaNearDup: empty payloads pair with each other, never content") {
+    import spark.implicits._
+    // ids 13, 17, 21 share a format (id % 4 == 1); 13 and 17 are empty
+    val docs = Seq((13L, ""), (17L, ""), (21L, "real content here"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaNearDup(spark,
+        Multimodal.mediaFromDocuments(docs), thresholdPpm = 999990)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(13L) === ((13L, false)))
+    assert(out(17L) === ((13L, true)))  // empty ~ empty
+    // without the both-norms guard, 0 >= 0 would link 13 to 21 too
+    assert(out(21L) === ((21L, false)))
+  }
+
   test("frame sampling respects stride and cap") {
     val out = Multimodal.sampleFrames(spark, media, stride = 64, maxFrames = 8)
     val byDoc = out.groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))

@@ -239,4 +239,16 @@ class SamplingSpec extends SparkSuite {
     assert(out((1, 2)) === ((1L, 2L)))        // leaked 1-2
     assert(out((2, 2)) === ((1L, 2L)))
   }
+
+  test("splitLeakage: pairs with unassigned ids land in the -1 bucket") {
+    import spark.implicits._
+    val splits = Seq((1L, 0), (2L, 1)).toDF("doc_id", "split")
+    // doc 9 has no split row — the (1,9) pair must NOT vanish
+    val pairs = Seq((1L, 9L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Sampling.splitLeakage(splits, "doc_id", "split", pairs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((-1, 0)) === 1L)               // surfaced, not dropped
+    assert(out((0, 1)) === 1L)
+    assert(out.size === 6)                    // axes now {-1, 0, 1}
+  }
 }
