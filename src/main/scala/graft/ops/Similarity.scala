@@ -514,6 +514,36 @@ object Similarity {
   }
 
   /**
+   * Embedding outlier report: the k vectors FARTHEST from their list
+   * centroid, per list — the mislabel/noise candidates a data-cleaning
+   * pass reviews first (the per-vector drill-down of [[ivfStats]]'s
+   * mean residual). Residuals rank by the shared `(x−y)·(x−y)` double
+   * (bit-identical across engines), ties by id ascending; the output
+   * residual rounds to DECIMAL(12,6) for hash parity.
+   *
+   * Scale: broadcast centroid join + the bounded-heap top-k aggregator —
+   * the exchange moves k rows per (list, partition), never the corpus.
+   */
+  def embeddingOutliers(corpus: DataFrame, vecCol: String, idCol: String,
+      listCol: String, centroids: DataFrame, cVecCol: String,
+      cIdCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"embeddingOutliers needs k >= 1, got $k")
+    val cent = centroids.select(col(cIdCol).as("query_id"),
+      col(cVecCol).as("cvec"))
+    val scored = corpus.select(col(listCol).as("query_id"),
+        col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cent), "query_id")
+      .select(col("query_id"), col("id"),
+        sumSqDiff(col("vec"), col("cvec")).as("score"))
+      .filter(col("score").isNotNull)
+    heapRank(scored, k, "residual", negateOut = false)
+      .withColumnRenamed("query_id", "cid")
+      .withColumn("residual",
+        col("residual").cast("decimal(12,6)").cast("double"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  /**
    * ANN recall@k — the standard quality harness for an approximate
    * index: per query, |approx ∩ exact| / k against the brute-force
    * ground truth ([[cosineTopK]] vs [[ivfTopK]]/[[ivfPqTopK]] results).

@@ -665,6 +665,41 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Corpus novelty
+  // ------------------------------------------------------------------
+
+  /**
+   * Corpus-novelty score: the fraction of a document's distinct word
+   * shingles that occur NOWHERE else in the corpus — high novelty =
+   * original writing, low novelty = boilerplate/template mass (the
+   * inverse signal of d08's hot-chunk removal, per doc instead of per
+   * chunk). The ratio is 6-dp truncating fixed point, hash-exact.
+   *
+   * Scale: the same inverted-index shape as the PPJoin — shingle rows
+   * are (id, hash64); the document-frequency aggregation partial-
+   * combines map-side, and the join back to shingle rows is keyed on
+   * the shingle hash. Text never shuffles; the `repartition(id)`
+   * exchange barrier materializes the shingle set once for both the
+   * index and the per-doc recount (the d04 device).
+   */
+  def noveltyScore(docs: DataFrame, textCol: String, idCol: String,
+                   shingleLen: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val inverted = docs.select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("sh")).as("s"))
+    val df_ = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    inverted.join(df_, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", expr(
+        "CAST(n_unique * 1000000 DIV n_shingles AS DOUBLE) / 1e6"))
+      .orderBy(col("id"))
+  }
+
+  // ------------------------------------------------------------------
   // Readability scoring
   // ------------------------------------------------------------------
 

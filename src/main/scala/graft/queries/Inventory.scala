@@ -815,6 +815,15 @@ object Inventory {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("p_brand"))
     },
+    "q70_stream_sliding" -> { (s, d) =>
+      // sliding-window aggregation (1 h window every 15 min — each event
+      // in 4 windows) in batch form; stream form shares the code path
+      graft.streaming.EventStreams
+        .slidingTypeCounts(Tables(s, d, "events"),
+          "1 hour", "15 minutes", "10 minutes")
+        .withColumn("total_value", money(col("total_value")))
+        .orderBy(col("win_start"), col("event_type"))
+    },
     "q69_stream_enrich" -> { (s, d) =>
       // stream-static enrichment (stateless streaming join; see
       // EventStreams.enrich + the stream-vs-batch equivalence spec) in
@@ -1066,6 +1075,20 @@ object Inventory {
            c.c_name, c.c_nationkey
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    // each event expands to its 4 overlapping windows (1 h / 15 min,
+    // epoch-aligned in both engines)
+    "q70_stream_sliding" ->
+      """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+           FROM events),
+         w AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - CAST(i AS INT) * INTERVAL 15 MINUTE AS win_start,
+               event_type, value
+           FROM x, (SELECT unnest(range(0, 4)) AS i))
+         SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+         FROM w GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
     // DuckDB: x/0 is NULL (no try_divide needed), TRY_CAST matches, and
     // out-of-bounds list indexing is NULL
     "q67_ignore_nulls" ->

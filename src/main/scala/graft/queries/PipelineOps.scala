@@ -253,6 +253,14 @@ object PipelineOps {
         Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
         "cvec", "cid")
     },
+    "e11_outliers" -> { (s, d) =>
+      // data-cleaning drill-down: the 3 vectors farthest from their
+      // list centroid, per label list
+      val corpus = embs(s, d)
+      Similarity.embeddingOutliers(corpus, "embedding", "vec_id", "label",
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+        "cvec", "cid", k = 3)
+    },
     "e10_ann_recall" -> { (s, d) =>
       // recall@5 of the e02 IVF probe against the e01 brute force —
       // the nprobe/nlist tuning number, per query
@@ -323,6 +331,12 @@ object PipelineOps {
       // one-row corpus vocabulary report: tokens, types, hapax count,
       // top-10 head mass — all exact integers
       TextAnalysis.vocabStats(docs(s, d), "text")
+    },
+    "t17_novelty" -> { (s, d) =>
+      // originality signal: fraction of each doc's shingles with corpus
+      // document frequency 1 (string-vs-hashed shingle equivalence is
+      // the same injectivity argument d04 documents)
+      TextAnalysis.noveltyScore(docs(s, d), "text", "doc_id")
     },
     "t16_readability" -> { (s, d) =>
       // Flesch reading-ease + FK grade with the vowel-group syllable
@@ -859,6 +873,26 @@ object PipelineOps {
          SELECT id, key,
            CAST(row_number() OVER (ORDER BY key, id) - 1 AS BIGINT) AS pos
          FROM k ORDER BY id""",
+    // novelty: d04's shingle CTEs + df recount; string shingles stand
+    // in for the xx-hashed ones (injective on the fixture, as for d04)
+    "t17_novelty" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+           lower(trim(text)) AS lt FROM documents),
+         sh AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                 FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM d),
+         inv AS (SELECT id, unnest(s) AS s FROM sh),
+         dfq AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+         per AS (SELECT id, count(*) AS n_shingles,
+             sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+           FROM inv JOIN dfq USING (s) GROUP BY id)
+         SELECT id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_unique * 1000000 // n_shingles AS DOUBLE) / 1e6
+             AS novelty
+         FROM per ORDER BY id""",
     // Flesch scores in 6-dp truncating fixed point: same three counts,
     // same integer-fraction constants, `//` mirrors Spark's DIV
     "t16_readability" ->
@@ -1125,6 +1159,25 @@ object PipelineOps {
            CAST(row_number() OVER (ORDER BY quality DESC, key, id) - 1
              AS BIGINT) AS pos
          FROM k ORDER BY id""",
+    // outliers: e09's residual CTE ranked per list; raw-double ranks
+    // (same left-to-right sum both engines), DECIMAL(12,6) output
+    "e11_outliers" ->
+      """WITH cent AS (SELECT label AS cid,
+           arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         r AS (SELECT e.label AS cid, e.vec_id AS id,
+             list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+               (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+               FOR i IN range(1, len(e.embedding) + 1)]) AS score
+           FROM embeddings e JOIN cent c ON e.label = c.cid),
+         rk AS (SELECT cid, id, score,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY score DESC, id) AS rk
+           FROM r WHERE score IS NOT NULL)
+         SELECT cid, CAST(rk AS INT) AS rk, id,
+           CAST(CAST(score AS DECIMAL(12,6)) AS DOUBLE) AS residual
+         FROM rk WHERE rk <= 3 ORDER BY cid, rk""",
     // recall@5: e01's brute-force CTEs vs e02's probe CTEs, intersected
     // per query; missing queries surface as recall 0
     "e10_ann_recall" ->

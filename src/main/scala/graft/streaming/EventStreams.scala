@@ -39,6 +39,25 @@ object EventStreams {
               col("window.end").as("win_end"),
               col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (overlapping) window counts/sums per event type: a window
+    * of `windowLength` starts every `slide`, so each event lands in
+    * windowLength/slide windows — the standard shape for rolling-rate
+    * dashboards where tumbling windows would quantize the signal. State
+    * is bounded by watermark × overlap factor; the overlap multiplies
+    * STATE rows, not input shuffles (one exchange, same as tumbling). */
+  def slidingTypeCounts(events: DataFrame,
+                        windowLength: String = "1 hour",
+                        slide: String = "15 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"),
+              col("event_type"), col("n"), col("total_value"))
+
   /** Per-user session windows: events separated by less than `gap` fold
     * into one session (Spark `session_window`). */
   def userSessions(events: DataFrame,

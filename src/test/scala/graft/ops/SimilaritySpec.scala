@@ -337,4 +337,26 @@ class SimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("embeddingOutliers: farthest-from-centroid first, k bound, ties by id") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), 0),   // centroid (min id)
+      (2L, Seq(3.0f, 0.0f), 0),   // residual 9
+      (3L, Seq(0.0f, 2.0f), 0),   // residual 4
+      (4L, Seq(1.0f, 0.0f), 0),   // residual 1
+      (5L, Seq(9.0f, 9.0f), 1))   // own list, residual 0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(df, "embedding", "vec_id",
+        "label", Similarity.minIdCentroids(df, "embedding", "vec_id",
+          "label"), "cvec", "cid", k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+    assert(out.toMap === Map(
+      (0, 1) -> ((2L, 9.0)), (0, 2) -> ((3L, 4.0)),
+      (1, 1) -> ((5L, 0.0))))
+    intercept[IllegalArgumentException](Similarity.embeddingOutliers(
+      df, "embedding", "vec_id", "label",
+      Similarity.minIdCentroids(df, "embedding", "vec_id", "label"),
+      "cvec", "cid", k = 0))
+  }
 }

@@ -321,4 +321,20 @@ class TextAnalysisSpec extends SparkSuite {
     // the regex counting appears exactly once per count column
     assert("regexp_extract_all".r.findAllIn(plan).size === 2, plan)
   }
+
+  test("noveltyScore: unique-shingle fraction, short-doc fallback") {
+    // doc 1 and 2 share the shingle "a b c"; doc 1 has one unique
+    // shingle ("b c d"); doc 3 is short (<3 words) -> whole-text shingle
+    val docs = Seq(
+      (1L, "a b c d"),      // shingles: "a b c", "b c d"
+      (2L, "a b c"),        // shingle:  "a b c"  (df 2, not unique)
+      (3L, "zz yy")         // short fallback: unique whole text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 0L, 0.0)))   // boilerplate: nothing unique
+    assert(out(3L) === ((1L, 1L, 1.0)))
+  }
 }

@@ -231,4 +231,15 @@ class EventStreamsSpec extends SparkSuite {
       (1L, ts("2024-01-01 00:00:01"), 1.0)).toDF("event_id", "ts", "value")
     assert(EventStreams.dedupEvents(batch).count === 1)
   }
+
+  test("slidingTypeCounts: each event lands in windowLength/slide windows") {
+    import spark.implicits._
+    val df = Seq((ts("2024-01-01 01:07:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStreams.slidingTypeCounts(df, "1 hour", "15 minutes")
+      .collect().map(r => r.getTimestamp(0).toString).sorted
+    // 4 overlapping windows cover 01:07: starts 00:15..01:00
+    assert(out === Array("2024-01-01 00:15:00.0", "2024-01-01 00:30:00.0",
+      "2024-01-01 00:45:00.0", "2024-01-01 01:00:00.0"))
+  }
 }
