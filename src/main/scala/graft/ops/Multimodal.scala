@@ -178,27 +178,7 @@ object Multimodal {
                    thresholdPpm: Int = 999990): DataFrame = {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
       s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("format", StringType),
-      StructField("hist", ArrayType(LongType, containsNull = false))))
-    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIdx = media.schema.fieldIndex("id")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val metaIdx = media.schema.fieldIndex("meta")
-    val hists = media.mapPartitions { rows =>
-      rows.map { r =>
-        Row(r.getLong(idIdx), r.getStruct(metaIdx).getString(0),
-          countHistogram(r.getAs[Array[Byte]](payloadIdx)).toSeq)
-      }
-    }(encoder)
-      .withColumn("nn",
-        aggregate(transform(col("hist"), x => x * x), lit(0L), _ + _))
-      // materialize once: the payload scan feeds the probe side, the
-      // broadcast build side, AND the reps id list — without this the
-      // full media scan/decode runs three times
-      .localCheckpoint(true)
-    val dec = "decimal(38,0)"
+    val hists = histsOf(media).localCheckpoint(true)
     val thr2 = thresholdPpm.toLong * thresholdPpm
     // explicit partition count: the histogram table is tiny BEFORE the
     // join and huge AFTER (row-explosive broadcast join), so AQE's
@@ -212,16 +192,107 @@ object Multimodal {
         aggregate(zip_with(col("a.hist"), col("b.hist"), _ * _),
           lit(0L), _ + _).as("dot"),
         col("a.nn").as("na"), col("b.nn").as("nb"))
-      // conservative double prescreen (keeps every true candidate); the
-      // decimal stage below stays the sole arbiter of the output
-      .filter(lit(1.0e12) * col("dot") * col("dot") >=
-        lit(thr2.toDouble) * col("na") * col("nb") * lit(1.0 - 1e-9))
-      .filter(
-        (col("na") > 0 && col("nb") > 0 &&
-          lit(1000000000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
-            >= lit(thr2).cast(dec) *
-              col("na").cast(dec) * col("nb").cast(dec)) ||
-        (col("na") === 0 && col("nb") === 0))
+      .filter(ppmExact(thr2))
+      .select(col("id_a"), col("id_b"))
+    Dedup.minNeighborReps(hists.select(col("id")), pairs)
+  }
+
+  /** (id, format, hist, nn) rows from a media table — the map-side
+    * histogram pass shared by both near-dup tiers. Callers
+    * `localCheckpoint` the result: it feeds 3 consumers (pair probe,
+    * pair build/index, reps id list) and must not re-scan payloads. */
+  private def histsOf(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("hist", ArrayType(LongType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx), r.getStruct(metaIdx).getString(0),
+          countHistogram(r.getAs[Array[Byte]](payloadIdx)).toSeq)
+      }
+    }(encoder)
+      .withColumn("nn",
+        aggregate(transform(col("hist"), x => x * x), lit(0L), _ + _))
+  }
+
+  /** The exact ppm-cosine gate over (dot, na, nb) columns: a conservative
+    * double prescreen (margin 1e-9 vs ~4-ulp product error — keeps every
+    * true candidate) ANDed with the DECIMAL(38,0) decision; both-zero
+    * norms pair, zero-vs-positive never does. Shared by [[mediaNearDup]]
+    * and [[mediaNearDupScaled]] so the two tiers cannot drift. */
+  private def ppmExact(thr2: Long): org.apache.spark.sql.Column = {
+    val dec = "decimal(38,0)"
+    (lit(1.0e12) * col("dot") * col("dot") >=
+      lit(thr2.toDouble) * col("na") * col("nb") * lit(1.0 - 1e-9)) &&
+    ((col("na") > 0 && col("nb") > 0 &&
+      lit(1000000000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
+        >= lit(thr2).cast(dec) * col("na").cast(dec) * col("nb").cast(dec)) ||
+     (col("na") === 0 && col("nb") === 0))
+  }
+
+  /**
+   * [[mediaNearDup]]'s declared 100 TB path, made real: LSH bucketing
+   * over the (float view of the) count histograms generates candidate
+   * pairs — ~linear in corpus size instead of quadratic-within-format —
+   * and the IDENTICAL exact integer ppm gate ([[ppmExact]]) verifies
+   * them, so a surviving pair is exactly as trustworthy as the
+   * brute-force tier's. Same output shape and, at the default
+   * threshold, the same output: at cosine ≥ 0.99999 a sign bit of a
+   * random hyperplane disagrees w.p. θ/π ≈ 1.4e-3, an 8-bit band
+   * matches w.p. ≈ 0.989, and 6 bands miss together w.p. ≈ 2e-12 — the
+   * d05/d02 recall argument, stated here because the oracle IS the
+   * brute-force result. All-zero histograms share one LSH key, so the
+   * empty-payload convention survives bucketing.
+   *
+   * HONEST CAVEAT, measured: bucketing pays off only when the feature
+   * has angular diversity. The text-derived nibble histograms of the
+   * fixture are near-collinear (every English doc points the same way),
+   * so the buckets degenerate toward format-blocking and the candidate
+   * set stays ~quadratic with ~6× band multiplicity on top — at sf0.1
+   * this tier measures ~4.3 s vs the broadcast tier's ~1.3 s. Real
+   * perceptual hashes (pHash bits, CLIP embeddings) spread over the
+   * sphere and flip that comparison; pick the tier by feature
+   * distribution, not by corpus size alone.
+   */
+  def mediaNearDupScaled(spark: SparkSession, media: DataFrame,
+                         thresholdPpm: Int = 999990,
+                         planes: Int = 48, rowsPerBand: Int = 8): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    graft.functions.GraftFunctions.register(spark)
+    val hists = histsOf(media).localCheckpoint(true)
+    val thr2 = thresholdPpm.toLong * thresholdPpm
+    // explicit partition count for the same reason as the brute tier:
+    // the banded index is tiny before the self-join and explosive after,
+    // so AQE coalescing must not fold it to one partition
+    val nPart = spark.sparkContext.defaultParallelism
+    val banded = hists.select(col("id"), col("format"),
+        posexplode(graft.functions.GraftFunctions.lshBands(
+          transform(col("hist"), x => x.cast("float")), planes, rowsPerBand)))
+      .toDF("id", "format", "band_id", "band_key")
+      .repartition(nPart, col("band_id"), col("band_key"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.format") === col("r.format") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(hists.select(col("id").as("id_a"), col("hist").as("__ha"),
+        col("nn").as("na")), "id_a")
+      .join(hists.select(col("id").as("id_b"), col("hist").as("__hb"),
+        col("nn").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("__ha"), col("__hb"), _ * _),
+          lit(0L), _ + _).as("dot"),
+        col("na"), col("nb"))
+      .filter(ppmExact(thr2))
       .select(col("id_a"), col("id_b"))
     Dedup.minNeighborReps(hists.select(col("id")), pairs)
   }

@@ -36,6 +36,36 @@ object PipelineOps {
       s"CAST(($idExpr) % 13 AS VARCHAR) || '.' || " +
       s"(CASE ($idExpr) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' " +
       s"WHEN 2 THEN 'net' ELSE 'io' END)"
+
+  /** Shared by the m03 (brute-force) and m04 (LSH-bucketed) media
+    * near-dup tiers — one exact gate, one oracle. */
+  private val mediaNearDupOracle: String =
+    """WITH d AS (SELECT doc_id AS id,
+           ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
+           text FROM documents),
+         h AS (SELECT id, format,
+             [CAST(len(list_filter(
+                [ord(text[i]) FOR i IN range(1, CAST(length(text) AS INT) + 1)],
+                x -> x // 16 = b)) AS BIGINT)
+              FOR b IN range(0, 16)] AS hist
+           FROM d),
+         n AS (SELECT id, format, hist,
+             list_sum([x * x FOR x IN hist]) AS nn FROM h),
+         pd AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_sum([a.hist[i] * b.hist[i] FOR i IN range(1, 17)]) AS dot,
+             a.nn AS na, b.nn AS nb
+           FROM n a JOIN n b ON a.format = b.format AND a.id < b.id),
+         p AS (SELECT id_a, id_b FROM pd
+           WHERE (na > 0 AND nb > 0 AND
+                  CAST(1000000000000 AS HUGEINT) * dot * dot
+                    >= CAST(999980000100 AS HUGEINT) * na * nb)
+              OR (na = 0 AND nb = 0)),
+         nb AS (SELECT id_b AS id, id_a AS nb FROM p
+                UNION ALL SELECT id_a, id_b FROM p),
+         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
+         SELECT h.id, least(h.id, coalesce(nm.nb_min, h.id)) AS keep_id,
+                h.id <> least(h.id, coalesce(nm.nb_min, h.id)) AS is_dup
+         FROM h LEFT JOIN nm ON h.id = nm.id ORDER BY h.id"""
   private def embs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
   /** Brute-force word-3-shingle Jaccard clustering in DuckDB — the exact
@@ -560,6 +590,14 @@ object PipelineOps {
       // arithmetic (see Multimodal.mediaNearDup), so it hash-verifies
       Multimodal.mediaNearDup(s, Multimodal.mediaFromDocuments(docs(s, d)),
         thresholdPpm = 999990)
+    },
+    "m04_media_neardup_lsh" -> { (s, d) =>
+      // m03's declared scale path made real: LSH candidate buckets +
+      // the identical exact ppm gate — the oracle is the brute-force
+      // result (miss probability ≈ 2e-12 per qualifying pair at this
+      // threshold; see Multimodal.mediaNearDupScaled)
+      Multimodal.mediaNearDupScaled(s,
+        Multimodal.mediaFromDocuments(docs(s, d)), thresholdPpm = 999990)
     }
   )
 
@@ -1470,34 +1508,12 @@ object PipelineOps {
            FROM documents)
          SELECT * FROM p ORDER BY col_name""",
     // media near-dup: same nibble histograms as m01 but as exact integer
-    // counts; the threshold test is 10¹²·dot² >= 999990²·na·nb in HUGEINT
-    "m03_media_neardup" ->
-      """WITH d AS (SELECT doc_id AS id,
-           ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
-           text FROM documents),
-         h AS (SELECT id, format,
-             [CAST(len(list_filter(
-                [ord(text[i]) FOR i IN range(1, CAST(length(text) AS INT) + 1)],
-                x -> x // 16 = b)) AS BIGINT)
-              FOR b IN range(0, 16)] AS hist
-           FROM d),
-         n AS (SELECT id, format, hist,
-             list_sum([x * x FOR x IN hist]) AS nn FROM h),
-         pd AS (SELECT a.id AS id_a, b.id AS id_b,
-             list_sum([a.hist[i] * b.hist[i] FOR i IN range(1, 17)]) AS dot,
-             a.nn AS na, b.nn AS nb
-           FROM n a JOIN n b ON a.format = b.format AND a.id < b.id),
-         p AS (SELECT id_a, id_b FROM pd
-           WHERE (na > 0 AND nb > 0 AND
-                  CAST(1000000000000 AS HUGEINT) * dot * dot
-                    >= CAST(999980000100 AS HUGEINT) * na * nb)
-              OR (na = 0 AND nb = 0)),
-         nb AS (SELECT id_b AS id, id_a AS nb FROM p
-                UNION ALL SELECT id_a, id_b FROM p),
-         nm AS (SELECT id, min(nb) AS nb_min FROM nb GROUP BY id)
-         SELECT h.id, least(h.id, coalesce(nm.nb_min, h.id)) AS keep_id,
-                h.id <> least(h.id, coalesce(nm.nb_min, h.id)) AS is_dup
-         FROM h LEFT JOIN nm ON h.id = nm.id ORDER BY h.id""",
+    // counts; the threshold test is 10¹²·dot² >= 999990²·na·nb in HUGEINT.
+    // m04 (LSH-bucketed tier) shares this oracle: same exact gate, and
+    // the bucketing's miss probability (~2e-12/pair) is the documented
+    // d05-style recall argument
+    "m03_media_neardup" -> mediaNearDupOracle,
+    "m04_media_neardup_lsh" -> mediaNearDupOracle,
     "m01_media_features" ->
       """WITH d AS (SELECT doc_id AS id,
            ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,

@@ -95,4 +95,20 @@ class MultimodalSpec extends SparkSuite {
     val feats = Multimodal.extractFeatures(spark, resized)
     assert(feats.count === m.count)
   }
+
+  test("mediaNearDupScaled matches the brute-force tier on the fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc"), (5L, "aaaa bbbb cccc"),  // same-format dups
+      (2L, "aaaa bbbb cccc"),                          // other format
+      (9L, "zzzz !!!! ####"),                          // dissimilar
+      (13L, ""), (17L, "")                             // empty pair
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2))).toSet
+    assert(collect(Multimodal.mediaNearDupScaled(spark, media)) ===
+      collect(Multimodal.mediaNearDup(spark, media)))
+  }
 }
