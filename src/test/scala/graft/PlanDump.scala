@@ -286,7 +286,41 @@ object PlanDump {
         "checkpointed edge list + one dst-keyed partial-combined sum; " +
         "localCheckpoint per round keeps the lineage flat, so round N " +
         "plans over RDD scans, not an N-deep logical tree. Integer " +
-        "fixed-point updates make the iterative result hash-exact."))
+        "fixed-point updates make the iterative result hash-exact."),
+    "t17_novelty" ->
+      ("Novelty is the PPJoin inverted-index shape: shingle rows are " +
+        "(id, hash64) behind one repartition(id) exchange reused by the " +
+        "df aggregation and the recount join; text never shuffles and " +
+        "the df aggregation partial-combines map-side."),
+    "e11_outliers" ->
+      ("Outlier drill-down: centroids broadcast, residuals scored " +
+        "map-side, and the bounded-heap top-k aggregates partially — " +
+        "the exchange moves k rows per (list, partition), never the " +
+        "corpus."),
+    "q70_stream_sliding" ->
+      ("Sliding windows expand each event to windowLength/slide state " +
+        "rows INSIDE the aggregation operator (one keyed exchange, same " +
+        "as tumbling) — the overlap multiplies state, not shuffles."),
+    "r03_gap_report" ->
+      ("Gap islands come straight from lag() pairs: one keyed " +
+        "aggregation (distinct observed buckets) + one keyed window; no " +
+        "Generate, nothing global — a key with years of downtime emits " +
+        "one row."),
+    "p09_curriculum" ->
+      ("Curriculum positions reuse the bucket-offset device: the only " +
+        "global window runs over the (quality, bucket) count table " +
+        "(~tiers*256 rows); corpus rows see bucket-keyed windows and a " +
+        "broadcast offset join only."),
+    "q68_salted_join" ->
+      ("Salted join: the salt column splits every hot key saltFactor " +
+        "ways before the exchange; the replicated build side is " +
+        "generated by an explode, and the final rollup restores " +
+        "plain-join values exactly."),
+    "m04_media_neardup_lsh" ->
+      ("LSH media tier: banded index rows (id, band, key) self-join " +
+        "behind an explicit-count exchange (AQE must not fold the tiny " +
+        "pre-join index to one partition); candidates verify through " +
+        "the identical exact decimal gate as the broadcast tier."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
