@@ -700,6 +700,59 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Vocabulary growth (Heaps-law report)
+  // ------------------------------------------------------------------
+
+  /**
+   * Vocabulary-growth report: types/tokens/docs observed in the corpus
+   * prefix up to each checkpoint (id ≤ maxId·pct DIV 100) — the
+   * Heaps-law curve a corpus card plots, and the practical estimator
+   * for "how much NEW vocabulary does the next crawl slice buy".
+   * Prefixes are by id order, so the report is deterministic and every
+   * number is an exact integer.
+   *
+   * Scale: token explode → two keyed aggregations (per-doc counts,
+   * per-type first-occurrence id) — both partial-combined; the
+   * checkpoint sums are conditional aggregates over those compact
+   * tables against the broadcast one-row max, |pcts| rows out.
+   */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+                  pcts: Seq[Int] = Seq(20, 40, 60, 80, 100)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"vocabGrowth pcts must be in [1,100], got $pcts")
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Shingles.words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val perDoc = tok.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    val firstDoc = tok.groupBy(col("t")).agg(min(col("id")).as("fd"))
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    def thr(p: Int) = expr(s"mx * $p DIV 100")
+    val docAgg = docs.select(col(idCol).as("id")).crossJoin(broadcast(mx))
+      .agg(pcts.map(p => sum(when(col("id") <= thr(p), 1L)
+        .otherwise(0L)).as(s"nd_$p")).head,
+        pcts.tail.map(p => sum(when(col("id") <= thr(p), 1L)
+          .otherwise(0L)).as(s"nd_$p")): _*)
+    val tokAgg = perDoc.crossJoin(broadcast(mx))
+      .agg(pcts.map(p => sum(when(col("id") <= thr(p), col("n_tok"))
+        .otherwise(lit(0L))).as(s"nt_$p")).head,
+        pcts.tail.map(p => sum(when(col("id") <= thr(p), col("n_tok"))
+          .otherwise(lit(0L))).as(s"nt_$p")): _*)
+    val typAgg = firstDoc.crossJoin(broadcast(mx))
+      .agg(pcts.map(p => sum(when(col("fd") <= thr(p), 1L)
+        .otherwise(0L)).as(s"ny_$p")).head,
+        pcts.tail.map(p => sum(when(col("fd") <= thr(p), 1L)
+          .otherwise(0L)).as(s"ny_$p")): _*)
+    docAgg.crossJoin(tokAgg).crossJoin(typAgg).crossJoin(broadcast(mx))
+      .select(explode(array(pcts.map(p => struct(
+        lit(p).as("pct"), thr(p).as("threshold_id"),
+        col(s"nd_$p").as("n_docs"), col(s"nt_$p").as("n_tokens"),
+        col(s"ny_$p").as("n_types"))): _*)).as("r"))
+      .select(col("r.pct"), col("r.threshold_id"), col("r.n_docs"),
+        col("r.n_tokens"), col("r.n_types"))
+      .orderBy(col("pct"))
+  }
+
+  // ------------------------------------------------------------------
   // Readability scoring
   // ------------------------------------------------------------------
 

@@ -362,6 +362,11 @@ object PipelineOps {
       // top-10 head mass — all exact integers
       TextAnalysis.vocabStats(docs(s, d), "text")
     },
+    "t18_vocab_growth" -> { (s, d) =>
+      // Heaps-law corpus card: docs/tokens/types in the id-ordered
+      // prefix at 20..100% checkpoints — exact integers throughout
+      TextAnalysis.vocabGrowth(docs(s, d), "text", "doc_id")
+    },
     "t17_novelty" -> { (s, d) =>
       // originality signal: fraction of each doc's shingles with corpus
       // document frequency 1 (string-vs-hashed shingle equivalence is
@@ -911,6 +916,34 @@ object PipelineOps {
          SELECT id, key,
            CAST(row_number() OVER (ORDER BY key, id) - 1 AS BIGINT) AS pos
          FROM k ORDER BY id""",
+    // Heaps checkpoints: conditional sums over per-doc counts and
+    // per-type first-occurrence ids against the scalar max
+    "t18_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id AS id, t FROM (SELECT doc_id, unnest(
+             regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+           FROM documents) WHERE t <> ''),
+         pd AS (SELECT id, count(*) AS n_tok FROM tk GROUP BY id),
+         fd AS (SELECT t, min(id) AS fd FROM tk GROUP BY t),
+         mx AS (SELECT max(doc_id) AS mx FROM documents),
+         th AS (SELECT pct, mx * pct // 100 AS thr
+           FROM (SELECT unnest([20, 40, 60, 80, 100]) AS pct), mx),
+         d AS (SELECT th.pct,
+             sum(CASE WHEN dd.doc_id <= th.thr THEN 1 ELSE 0 END) AS n_docs
+           FROM th CROSS JOIN documents dd GROUP BY th.pct),
+         tkc AS (SELECT th.pct,
+             sum(CASE WHEN pd.id <= th.thr THEN n_tok ELSE 0 END)
+               AS n_tokens
+           FROM th CROSS JOIN pd GROUP BY th.pct),
+         ty AS (SELECT th.pct,
+             sum(CASE WHEN fd.fd <= th.thr THEN 1 ELSE 0 END) AS n_types
+           FROM th CROSS JOIN fd GROUP BY th.pct)
+         SELECT CAST(th.pct AS INT) AS pct, th.thr AS threshold_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types
+         FROM th JOIN d USING (pct) JOIN tkc USING (pct)
+           JOIN ty USING (pct)
+         ORDER BY pct""",
     // novelty: d04's shingle CTEs + df recount; string shingles stand
     // in for the xx-hashed ones (injective on the fixture, as for d04)
     "t17_novelty" ->

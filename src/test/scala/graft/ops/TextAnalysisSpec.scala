@@ -337,4 +337,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2L) === ((1L, 0L, 0.0)))   // boilerplate: nothing unique
     assert(out(3L) === ((1L, 1L, 1.0)))
   }
+
+  test("vocabGrowth: exact prefix checkpoints, hand-computed") {
+    // ids 1..10; doc i has text "w<i> shared" -> each prefix of k docs
+    // has k+1 types (k unique + "shared"), 2k tokens, k docs
+    val docs = (1L to 10L).map(i => (i, s"w$i shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "text", "doc_id",
+        pcts = Seq(50, 100))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(50) === ((5L, 5L, 10L, 6L)))     // thr=5: 5 docs, 10 tok
+    assert(out(100) === ((10L, 10L, 20L, 11L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowth(docs, "text", "doc_id", pcts = Seq(0)))
+  }
 }
