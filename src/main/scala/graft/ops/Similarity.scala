@@ -527,19 +527,30 @@ object Similarity {
   def embeddingOutliers(corpus: DataFrame, vecCol: String, idCol: String,
       listCol: String, centroids: DataFrame, cVecCol: String,
       cIdCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(k >= 1, s"embeddingOutliers needs k >= 1, got $k")
+    val idType = corpus.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"embeddingOutliers id column must be an integral type, got " +
+        s"$idType — the bounded-heap aggregator buffers (double, long)")
     val cent = centroids.select(col(cIdCol).as("query_id"),
       col(cVecCol).as("cvec"))
     val scored = corpus.select(col(listCol).as("query_id"),
-        col(idCol).as("id"), col(vecCol).as("vec"))
+        col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .join(broadcast(cent), "query_id")
       .select(col("query_id"), col("id"),
         sumSqDiff(col("vec"), col("cvec")).as("score"))
       .filter(col("score").isNotNull)
     heapRank(scored, k, "residual", negateOut = false)
       .withColumnRenamed("query_id", "cid")
+      // DECIMAL(38,6): same 6-dp parity guard as (12,6) but with the
+      // headroom a residual can actually need — Spark's non-ANSI cast
+      // nulls on overflow while DuckDB's throws, so a narrow precision
+      // would make the engines diverge exactly on the extreme rows an
+      // OUTLIER report exists to surface
       .withColumn("residual",
-        col("residual").cast("decimal(12,6)").cast("double"))
+        col("residual").cast("decimal(38,6)").cast("double"))
+      .withColumn("id", col("id").cast(idType))
       .orderBy(col("cid"), col("rk"))
   }
 

@@ -720,9 +720,15 @@ object TextAnalysis {
                   pcts: Seq[Int] = Seq(20, 40, 60, 80, 100)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"vocabGrowth pcts must be in [1,100], got $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"vocabGrowth pcts must be distinct (they name agg columns), got $pcts")
+    // id-keyed barrier: the scan + tokenize + explode feeds BOTH keyed
+    // aggregations below — the shared exchange is computed once and
+    // reused (ReusedExchange), not re-scanned per grouping key
     val tok = docs.select(col(idCol).as("id"),
         explode(Shingles.words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
+      .repartition(col("id"))
     val perDoc = tok.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
     val firstDoc = tok.groupBy(col("t")).agg(min(col("id")).as("fd"))
     val mx = docs.agg(max(col(idCol)).as("mx"))

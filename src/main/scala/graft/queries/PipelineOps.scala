@@ -1231,7 +1231,7 @@ object PipelineOps {
              AS BIGINT) AS pos
          FROM k ORDER BY id""",
     // outliers: e09's residual CTE ranked per list; raw-double ranks
-    // (same left-to-right sum both engines), DECIMAL(12,6) output
+    // (same left-to-right sum both engines), DECIMAL(38,6) output
     "e11_outliers" ->
       """WITH cent AS (SELECT label AS cid,
            arg_min(embedding, vec_id) AS cvec
@@ -1247,7 +1247,7 @@ object PipelineOps {
                ORDER BY score DESC, id) AS rk
            FROM r WHERE score IS NOT NULL)
          SELECT cid, CAST(rk AS INT) AS rk, id,
-           CAST(CAST(score AS DECIMAL(12,6)) AS DOUBLE) AS residual
+           CAST(CAST(score AS DECIMAL(38,6)) AS DOUBLE) AS residual
          FROM rk WHERE rk <= 3 ORDER BY cid, rk""",
     // recall@5: e01's brute-force CTEs vs e02's probe CTEs, intersected
     // per query; missing queries surface as recall 0

@@ -26,18 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
-    * late data and state retention. */
+    * late data and state retention — the slide == windowLength degenerate
+    * case of [[slidingTypeCounts]] (one body to maintain). */
   def windowedTypeCounts(events: DataFrame,
                          windowLength: String = "1 hour",
                          watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value")).as("total_value"))
-      .select(col("window.start").as("win_start"),
-              col("window.end").as("win_end"),
-              col("event_type"), col("n"), col("total_value"))
+    slidingTypeCounts(events, windowLength, windowLength, watermark)
 
   /** Sliding (overlapping) window counts/sums per event type: a window
     * of `windowLength` starts every `slide`, so each event lands in
