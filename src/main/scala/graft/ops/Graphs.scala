@@ -70,4 +70,47 @@ object Graphs {
         (col("pr").cast("double") / lit(scale.toDouble)).as("pagerank"))
       .orderBy(col("pr_scaled").desc, col("node"))
   }
+
+  /**
+   * Per-node degree/link-structure report — the cheap (non-iterative)
+   * link signals crawl curation reads before anything PageRank-shaped:
+   * out-degree, in-degree, and the node's RECIPROCAL edge count (links
+   * whose reverse edge also exists). A high-out/zero-in host is the
+   * link-farm/SEO-spam silhouette; near-total reciprocity flags link
+   * exchanges — both standard crawl-quality features, exact integers.
+   *
+   * Edges normalize like [[pageRank]] (nulls and self-loops dropped,
+   * duplicates collapsed) so the two reports describe the same graph.
+   *
+   * Scale: degree counts are node-keyed aggregations with map-side
+   * partials; reciprocity is one self-equi-join of the (src, dst) edge
+   * list on the reversed key — every shuffle carries 2-column edge rows,
+   * and nothing is iterative or global.
+   */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    // an edge (a,b) is reciprocal iff (b,a) exists; count per source node
+    val recip = e.as("f").join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .groupBy(col("f.src").as("node"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    outDeg.join(inDeg, Seq("node"), "full_outer")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+      .withColumn("is_sink_like",
+        col("out_deg") === 0L && col("in_deg") > 0L)
+      .withColumn("is_farm_like",
+        col("in_deg") === 0L && col("out_deg") >= 3L)
+      .orderBy(col("node"))
+  }
 }

@@ -321,6 +321,116 @@ object Sampling {
       .orderBy(col("id"))
 
   /**
+   * DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169 —
+   * "Data Selection for Language Models via Importance Resampling"):
+   * score every raw document by how much its hashed-bigram feature
+   * profile resembles a TARGET subcorpus relative to the raw corpus —
+   * the domain-targeted selection signal ("pick crawl docs that look
+   * like Wikipedia") used to build pretraining mixes.
+   *
+   * The paper's shape is kept exactly — hashed n-gram features, per-
+   * feature target-vs-raw likelihood ratios under add-one smoothing,
+   * per-document sum over feature occurrences — but the per-feature
+   * term is the SCALED INTEGER ratio
+   * `s(b) = ((n_t(b)+1)·(R+B)·10⁶) div ((n_r(b)+1)·(T+B))`
+   * (≈ 10⁶·p_target(b)/p_raw(b)) instead of its logarithm: log is the
+   * one non-exact step in DSIR, and a monotone per-feature surrogate
+   * keeps every bit engine-reproducible (same trade as t11/t14, the
+   * perplexity stand-ins). Features are word bigrams hashed to 256
+   * md5 buckets (the paper uses 10⁴ hash buckets; the bucket count is
+   * the only fidelity knob and 256 keeps the oracle's hex-digit md5
+   * spelling). Docs with fewer than two words score 0 — present, not
+   * dropped.
+   *
+   * Scale: feature extraction is map-only explode; the bucket table is
+   * ≤ B rows (aggregated map-side, broadcast back); the per-doc sum is
+   * one (id, bucket)-keyed partial-aggregated count then an id-keyed
+   * sum — shuffles carry (id, bucket, count), never text. DECIMAL(38,0)
+   * intermediates: n·R·10⁶ passes 2⁶³ at ~10⁴ × corpus-bigram scale,
+   * DuckDB's HUGEINT promotes the same way, both stay exact.
+   *
+   * Output: (id, n_feats, dsir_score) — rank DESC and take the top
+   * budget to select.
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val feats = df
+      .select(col(idCol).as("id"), isTarget.as("__tgt"),
+        split(lower(trim(col(textCol))), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("id"), col("__tgt"),
+        explode(expr("transform(sequence(1, size(__w) - 1), " +
+          "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+          .as("__f"))
+      .select(col("id"), col("__tgt"), md5Bucket(col("__f")).as("__b"))
+    val counts = feats.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n_raw"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__n_tgt"))
+    val totals = counts.agg(sum(col("__n_raw")).as("__r"),
+      sum(col("__n_tgt")).as("__t"))
+    val scores = counts.crossJoin(totals)
+      .select(col("__b"),
+        expr("CAST((CAST(__n_tgt + 1 AS DECIMAL(38,0)) * (__r + 256) " +
+          "* 1000000) div (CAST(__n_raw + 1 AS DECIMAL(38,0)) " +
+          "* (__t + 256)) AS BIGINT)").as("__s"))
+    val perDoc = feats.groupBy(col("id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(scores), Seq("__b"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c") * col("__s")).as("dsir_score"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
+
+  /**
+   * Split-drift audit: does each split's feature distribution match the
+   * corpus? Total-variation distance (in ppm) between a split's
+   * bucketed-feature histogram and the whole corpus's — the check run
+   * after [[hashSplit]] before trusting val/test numbers (a length-
+   * skewed test split silently shifts benchmark difficulty even with
+   * zero leakage; this is [[splitLeakage]]'s distributional sibling).
+   *
+   * `TV(s) = (Σ_b |n_sb·N − n_b·N_s| · 10⁶) div (2·N_s·N)` — exact
+   * integer arithmetic end-to-end (DECIMAL(38,0): n_sb·N passes 2⁶³ at
+   * ~10¹⁰-doc corpora; DuckDB promotes to HUGEINT identically). Buckets
+   * are `least(feature div width, nBuckets−1)` over a non-negative
+   * feature (length, token count, quality tier).
+   *
+   * Scale: one (split, bucket)-keyed count with map-side partials; the
+   * histogram table is k·nBuckets rows, everything after it is
+   * broadcast-sized. Output: (split, n_docs, tv_ppm) per observed split.
+   */
+  def splitDrift(df: DataFrame, splitCol: String, featureCol: String,
+                 bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1, s"splitDrift needs bucketWidth >= 1, got $bucketWidth")
+    require(nBuckets >= 2, s"splitDrift needs nBuckets >= 2, got $nBuckets")
+    // integer DIV, not double /: exact at any feature magnitude
+    val bucketed = df.select(col(splitCol).as("split"),
+      expr(s"least(greatest(CAST($featureCol AS BIGINT), 0L) " +
+        s"DIV ${bucketWidth}L, ${nBuckets - 1L}L)").as("bucket"))
+    val sb = bucketed.groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("n_sb"))
+    val b = sb.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+    val s = sb.groupBy(col("split")).agg(sum(col("n_sb")).as("n_s"))
+    val n = sb.agg(sum(col("n_sb")).as("n"))
+    // dense (split × bucket) grid: a bucket absent from one split still
+    // contributes |0·N − n_b·N_s| — dropping it would understate drift
+    val grid = s.crossJoin(b).crossJoin(n)
+    grid.join(sb, Seq("split", "bucket"), "left")
+      .select(col("split"), col("n_s"), col("n"),
+        abs(coalesce(col("n_sb"), lit(0L)).cast("decimal(38,0)") * col("n")
+          - col("n_b").cast("decimal(38,0)") * col("n_s")).as("__d"))
+      .groupBy(col("split"))
+      .agg(first(col("n_s")).as("n_docs"),
+        expr("CAST((sum(__d) * 1000000) div " +
+          "(2 * CAST(first(n_s) AS DECIMAL(38,0)) * first(n)) AS BIGINT)")
+          .as("tv_ppm"))
+      .orderBy(col("split"))
+  }
+
+  /**
    * Split-leakage audit: near-duplicate pairs that cross split
    * boundaries — the train/test contamination check a training pipeline
    * runs before shipping a split (a near-dup of an eval doc left in

@@ -465,6 +465,70 @@ object Similarity {
       k, "dist", negateOut = true)
   }
 
+  /**
+   * Sign-bit binary quantization: each embedding packs to ceil(dim/32)
+   * 32-bit words (bit j of word w set iff coordinate 32w+j is > 0) — the
+   * 1-bit tier of the quantization ladder (float32 → int8 [[quantizeInt8]]
+   * → PQ codes [[pqAssign]] → sign bits): 32× smaller than float32, and
+   * similarity becomes Hamming distance, i.e. XOR + popcount — the
+   * binary-embedding retrieval trick (Charikar 2002 random-hyperplane
+   * sketches with the identity basis; what vector stores ship as "binary
+   * quantization"). Words stay below 2^32 so the packing is exact BIGINT
+   * arithmetic on any engine — no sign-bit edge case at dim 64.
+   *
+   * Map-only. Output: (id, sig: array<bigint>).
+   */
+  def binaryQuantize(df: DataFrame, vecCol: String, idCol: String,
+                     dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), binarySig(vecCol, dim).as("sig"))
+
+  /** The packed sign-bit signature expression behind [[binaryQuantize]]
+    * and [[hammingTopK]] — SQL-HOF form so the oracle can spell the
+    * identical per-bit arithmetic. */
+  private[ops] def binarySig(vecCol: String, dim: Int): Column = {
+    require(dim >= 1, s"binarySig needs dim >= 1, got $dim")
+    val words = (dim + 31) / 32
+    expr(s"""transform(sequence(0, ${words - 1}), w ->
+      aggregate(sequence(w * 32, least(w * 32 + 31, ${dim - 1})), 0L,
+        (acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0.0,
+          shiftleft(1L, i % 32), 0L)))""")
+  }
+
+  /**
+   * Hamming top-k over binary signatures: for every query, the k corpus
+   * vectors with the fewest differing sign bits — the coarse-search stage
+   * of a binary-quantized index (scan cost is a popcount per word vs a
+   * float dot product; the standard serving pattern re-ranks the Hamming
+   * candidates with full-precision vectors, which is [[cosineTopK]] over
+   * the survivors). Distances are exact integers, so ranks hash-verify
+   * bit-for-bit (ties break by id ascending — Hamming ties are common).
+   *
+   * Scale: same engine as [[cosineTopK]] — broadcast query signatures,
+   * map-side XOR+popcount, bounded-heap top-k (the exchange moves k rows
+   * per (query, partition)); the corpus side reads ceil(dim/32) longs
+   * per row, never the float vector.
+   */
+  def hammingTopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      dim: Int, k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      binarySig(vecCol, dim).as("sig"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      binarySig(qVecCol, dim).as("qsig"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id").cast("long").as("id"),
+        aggregate(
+          zip_with(col("sig"), col("qsig"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), _ + _).as("ham"))
+      .filter(col("ham").isNotNull)
+      .select(col("query_id"), col("id"),
+        (col("ham").cast("double") * -1).as("score"))
+    heapRank(scored, k, "dist", negateOut = true)
+      .withColumn("dist", col("dist").cast("bigint"))
+  }
+
   /** Medoid-style centroids: the vector of the minimum-id member per label.
     * Fully deterministic AND bit-identical across engines (no float
     * accumulation — a mean's summation order perturbs low bits, which can

@@ -151,4 +151,54 @@ object TimeSeries {
           / stepSeconds - 1).cast("long").as("n_missing"))
       .orderBy(col(keyCol), col("gap_start"))
   }
+
+  /**
+   * Rolling z-score anomaly detection: flag each observation whose value
+   * deviates more than `zThreshold` standard deviations from the mean of
+   * its key's trailing window (the previous `n` observations, current row
+   * EXCLUDED — the detector must not contaminate its own baseline). The
+   * streaming-telemetry outlier pass (spend spikes, metric jumps) in its
+   * batch form.
+   *
+   * EXACT integer arithmetic: values fix to 4-dp micro-units
+   * (`vi = cast(cast(v as decimal(14,4)) * 10000 as bigint)` — the
+   * established double→decimal cast parity path), and the flag is the
+   * algebraic test `(vi·c − S)² > z²·(c·SS − S²)` over BIGINT window
+   * sums S=Σvi, SS=Σvi² (z² scaled — μ and σ are never materialized as
+   * floats), with every product in DECIMAL(38,0) so nothing can wrap:
+   * the report hash-verifies bit-for-bit on any engine. Windows shorter
+   * than `minObs` observations flag false (no baseline, no verdict).
+   *
+   * Scale: one keyed window (partitioned by `keyCol`, ordered by
+   * (`tsCol`, `idCol`) so timestamp ties can't flip frames across
+   * engines) — key-count parallelism, no global sort.
+   */
+  def rollingZScore(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valueCol: String, n: Int = 20,
+                    minObs: Int = 8, zThreshold: Int = 3): DataFrame = {
+    require(n >= 2, s"rollingZScore needs n >= 2, got $n")
+    require(minObs >= 2 && minObs <= n,
+      s"rollingZScore needs 2 <= minObs <= n, got $minObs")
+    require(zThreshold >= 1, s"rollingZScore needs zThreshold >= 1, got $zThreshold")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-n.toLong, -1L)
+    events
+      .withColumn("__vi",
+        (col(valueCol).cast("decimal(14,4)") * 10000).cast("bigint"))
+      .withColumn("__c", count(col("__vi")).over(w))
+      .withColumn("__s", sum(col("__vi")).over(w))
+      .withColumn("__ss", sum(col("__vi") * col("__vi")).over(w))
+      .select(col(idCol), col(keyCol), col(tsCol),
+        col(valueCol).cast("decimal(18,2)").cast("double").as("value"),
+        col("__c").as("n_window"),
+        (col("__c") >= minObs &&
+          expr(s"""(CAST(__vi AS DECIMAL(38,0)) * __c - __s)
+                   * (CAST(__vi AS DECIMAL(38,0)) * __c - __s)
+                 > ${zThreshold.toLong * zThreshold}
+                   * (CAST(__c AS DECIMAL(38,0)) * __ss
+                      - CAST(__s AS DECIMAL(38,0)) * __s)"""))
+          .as("is_anomaly"))
+      .orderBy(col(idCol))
+  }
 }

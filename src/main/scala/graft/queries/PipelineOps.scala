@@ -195,6 +195,14 @@ object PipelineOps {
           centroids, "cvec", "cid", k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
+    "e12_hamming_topk" -> { (s, d) =>
+      // 1-bit tier: sign-packed signatures (64 dims → two exact 32-bit
+      // words), XOR+popcount ranking — integer distances hash-verify
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      Similarity.hammingTopK(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", dim = 64, k = 5)
+    },
 
     // --- text analysis -------------------------------------------------
     "t01_token_counts" -> { (s, d) =>
@@ -490,6 +498,21 @@ object PipelineOps {
         .select(col("id").as("doc_id"), col("quality"))
       Sampling.curriculumPositions(q, "doc_id", "quality", seed = "epoch1")
     },
+    "p10_dsir" -> { (s, d) =>
+      // DSIR-style domain selection: score every doc's hashed-bigram
+      // profile against the lang='en' target subcorpus (integer
+      // likelihood-ratio surrogate — see Sampling.dsirWeights)
+      Sampling.dsirWeights(docs(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("id"))
+    },
+    "x05_split_drift" -> { (s, d) =>
+      // distributional audit of the p01 split: per-split length-histogram
+      // total-variation distance vs the corpus, exact ppm integers
+      Sampling.splitDrift(
+        Sampling.hashSplit(docs(s, d), "doc_id", k = 3),
+        "split", "n_chars", bucketWidth = 200L, nBuckets = 10)
+    },
     "x03_split_leakage" -> { (s, d) =>
       // train/test contamination audit: the p01 split crossed with the
       // d04/d10 exact-Jaccard pair set — fixed 6-row matrix (k=3),
@@ -521,6 +544,21 @@ object PipelineOps {
         plantedHost(col("doc_id")).as("src"),
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.pageRank(edges, "src", "dst", iters = 3)
+    },
+    "g02_degree_stats" -> { (s, d) =>
+      // the non-iterative link signals over the same planted host graph:
+      // in/out degree, reciprocity, sink/link-farm silhouettes
+      val edges = docs(s, d).select(
+        plantedHost(col("doc_id")).as("src"),
+        plantedHost(col("doc_id") * 2 + 1).as("dst"))
+      graft.ops.Graphs.degreeStats(edges, "src", "dst")
+    },
+    "r04_rolling_zscore" -> { (s, d) =>
+      // trailing-window outlier flags per user (current row excluded from
+      // its own baseline); the z>3 test is exact integer algebra
+      graft.ops.TimeSeries.rollingZScore(Tables(s, d, "events"),
+        "user_id", "ts", "event_id", "value", n = 20, minObs = 8,
+        zThreshold = 3)
     },
 
     // --- temporal: as-of join (no Spark built-in; composed op) ----------
@@ -1140,6 +1178,25 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // 1-bit signatures: identical per-bit packing arithmetic (32-bit
+    // words as BIGINTs), XOR+popcount distance, ties by id
+    "e12_hamming_topk" ->
+      """WITH sig AS (SELECT vec_id AS id,
+           [CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+               FOR i IN range(w * 32, least(w * 32 + 32, 64))]) AS BIGINT)
+            FOR w IN range(0, 2)] AS sig
+           FROM embeddings),
+         q AS (SELECT id AS query_id, sig AS qsig FROM sig WHERE id < 10),
+         scored AS (SELECT q.query_id, c.id,
+             CAST(list_sum([bit_count(xor(c.sig[i], q.qsig[i]))
+               FOR i IN range(1, 3)]) AS BIGINT) AS ham
+           FROM sig c CROSS JOIN q),
+         r AS (SELECT query_id, id, ham,
+             row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rk
+           FROM scored)
+         SELECT query_id, CAST(rk AS INT) AS rk, id, ham AS dist
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // IVF-PQ: e06's coding + e02's probe + decimal ADC sums; ties by id
     "e07_ivfpq_topk" ->
       """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
@@ -1460,6 +1517,99 @@ object PipelineOps {
          SELECT node, CAST(pr AS BIGINT) AS pr_scaled,
            CAST(pr AS DOUBLE) / 1e12 AS pagerank
          FROM r3 ORDER BY pr_scaled DESC, node""",
+    // same normalized edge list as g01; reciprocity via the reversed
+    // self-join; all counts exact integers
+    "g02_degree_stats" ->
+      s"""WITH h AS (SELECT
+           ${duckHost("doc_id")} AS src,
+           ${duckHost("doc_id * 2 + 1")} AS dst
+           FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+         od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+         ind AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1),
+         rc AS (SELECT f.src AS node, count(*) AS n_reciprocal
+           FROM e f JOIN e r ON f.src = r.dst AND f.dst = r.src GROUP BY 1),
+         n AS (SELECT node FROM od UNION SELECT node FROM ind)
+         SELECT n.node,
+           coalesce(out_deg, 0) AS out_deg,
+           coalesce(in_deg, 0) AS in_deg,
+           coalesce(n_reciprocal, 0) AS n_reciprocal,
+           coalesce(out_deg, 0) = 0 AND coalesce(in_deg, 0) > 0
+             AS is_sink_like,
+           coalesce(in_deg, 0) = 0 AND coalesce(out_deg, 0) >= 3
+             AS is_farm_like
+         FROM n LEFT JOIN od USING (node) LEFT JOIN ind USING (node)
+         LEFT JOIN rc USING (node) ORDER BY node""",
+    // trailing-window z-score: identical micro-unit fixing and integer
+    // algebra ((vi*c - S)^2 > 9*(c*SS - S^2)); HUGEINT == Spark's
+    // DECIMAL(38,0) product path
+    "r04_rolling_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+           CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS vi
+           FROM events),
+         w AS (SELECT event_id, user_id, ts, value, vi,
+             count(vi) OVER win AS c,
+             sum(vi) OVER win AS s,
+             sum(vi * vi) OVER win AS ss
+           FROM e WINDOW win AS (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           CAST(c AS BIGINT) AS n_window,
+           c >= 8 AND
+             (CAST(vi AS HUGEINT) * c - s) * (CAST(vi AS HUGEINT) * c - s)
+             > 9 * (CAST(c AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+             AS is_anomaly
+         FROM w ORDER BY event_id""",
+    // DSIR surrogate: same hashed-bigram buckets (md5 hex digits), same
+    // add-one smoothed integer ratio, same per-doc occurrence sum
+    "p10_dsir" ->
+      s"""WITH d AS (SELECT doc_id AS id, lang = 'en' AS tgt,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+         f0 AS (SELECT id, tgt,
+             unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+           FROM d WHERE len(w) >= 2),
+         f AS (SELECT id, tgt,
+             (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16 +
+               strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1 AS b
+           FROM f0),
+         counts AS (SELECT b, count(*) AS n_raw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+           FROM f GROUP BY b),
+         tot AS (SELECT sum(n_raw) AS r, sum(n_tgt) AS t FROM counts),
+         scores AS (SELECT b,
+             CAST((CAST(n_tgt + 1 AS HUGEINT) * (r + 256) * 1000000)
+               // (CAST(n_raw + 1 AS HUGEINT) * (t + 256)) AS BIGINT) AS s
+           FROM counts, tot),
+         per AS (SELECT id, b, count(*) AS c FROM f GROUP BY id, b),
+         ds AS (SELECT per.id, CAST(sum(c) AS BIGINT) AS n_feats,
+             CAST(sum(c * s) AS BIGINT) AS dsir_score
+           FROM per JOIN scores USING (b) GROUP BY per.id)
+         SELECT d.id, coalesce(ds.n_feats, 0) AS n_feats,
+           coalesce(ds.dsir_score, 0) AS dsir_score
+         FROM d LEFT JOIN ds ON d.id = ds.id ORDER BY d.id""",
+    // split-drift TV distance: p01's md5 split, integer histogram
+    // algebra, dense split x bucket grid with absent buckets kept
+    "x05_split_drift" ->
+      s"""WITH s0 AS (SELECT CAST($duckMd5Bucket % 3 AS INT) AS split,
+           least(greatest(n_chars, 0) // 200, 9) AS bucket FROM documents),
+         sb AS (SELECT split, bucket, count(*) AS n_sb
+           FROM s0 GROUP BY split, bucket),
+         b AS (SELECT bucket, sum(n_sb) AS n_b FROM sb GROUP BY bucket),
+         s AS (SELECT split, sum(n_sb) AS n_s FROM sb GROUP BY split),
+         n AS (SELECT sum(n_sb) AS n FROM sb),
+         g AS (SELECT s.split, s.n_s, b.bucket, b.n_b, n.n
+           FROM s CROSS JOIN b CROSS JOIN n),
+         j AS (SELECT g.split, g.n_s, g.n,
+             abs(CAST(coalesce(sb.n_sb, 0) AS HUGEINT) * g.n
+               - CAST(g.n_b AS HUGEINT) * g.n_s) AS d
+           FROM g LEFT JOIN sb ON g.split = sb.split AND g.bucket = sb.bucket)
+         SELECT split, CAST(first(n_s) AS BIGINT) AS n_docs,
+           CAST((sum(d) * 1000000)
+             // (2 * CAST(first(n_s) AS HUGEINT) * first(n)) AS BIGINT)
+             AS tv_ppm
+         FROM j GROUP BY split ORDER BY split""",
     // leakage audit: the d04 pair CTEs + the p01 md5 split, assembled
     // into the fixed k(k+1)/2 matrix with zero rows preserved
     "x03_split_leakage" ->

@@ -37,4 +37,20 @@ class GraphsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Graphs.pageRank(edges.filter("s = 'zzz'"), "s", "t"))
   }
+
+  test("degreeStats: degrees, reciprocity, and silhouettes on a hand graph") {
+    // A<->B reciprocal; C fans out to A,B,D with no inbound (farm-like);
+    // D receives only (sink-like); duplicate edge and self-loop dropped
+    val edges = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("C", "A"),
+      ("C", "B"), ("C", "D"), ("A", "D"), ("D", "D")).toDF("s", "t")
+    val out = Graphs.degreeStats(edges, "s", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out("A") === ((2L, 2L, 1L, false, false)))
+    assert(out("B") === ((1L, 2L, 1L, false, false)))
+    assert(out("C") === ((3L, 0L, 0L, false, true)))   // link-farm silhouette
+    assert(out("D") === ((0L, 2L, 0L, true, false)))   // sink
+    assert(out.size === 4)
+  }
 }

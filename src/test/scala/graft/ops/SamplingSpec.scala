@@ -251,4 +251,46 @@ class SamplingSpec extends SparkSuite {
     assert(out((0, 1)) === 1L)
     assert(out.size === 6)                    // axes now {-1, 0, 1}
   }
+
+  test("dsirWeights: target-profile docs outrank off-profile, shorts score 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target subcorpus is "the cat sat"-flavored; doc 10 is a raw doc
+    // with the target's bigrams, doc 11 shares none of them
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat sat again and again", true),
+      (3L, "a dog ran far away today", false),
+      (10L, "the cat sat on a mat", false),
+      (11L, "zebra quark flux omega delta pi", false),
+      (12L, "word", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = Sampling.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 6)                    // every doc present
+    assert(out(10L)._2 > out(11L)._2)         // target-like wins
+    assert(out(12L) === ((0L, 0L)))           // sub-bigram doc: zero, not absent
+    assert(out(10L)._1 === 5L)                // 6 words -> 5 bigram occurrences
+  }
+
+  test("splitDrift: identical distributions score 0, skew is exact ppm") {
+    import spark.implicits._
+    // split 0: features 0,0 (bucket 0 twice); split 1: 0 and 250
+    // (buckets 0 and 2) at width 100 -> hand TV: 250000 ppm each side
+    val df = Seq((0, 0L), (0, 0L), (1, 0L), (1, 250L))
+      .toDF("split", "f")
+    val out = Sampling.splitDrift(df, "split", "f", 100L, 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0 -> ((2L, 250000L)), 1 -> ((2L, 250000L))))
+
+    val same = Seq((0, 0L), (0, 150L), (1, 0L), (1, 150L))
+      .toDF("split", "f")
+    val zero = Sampling.splitDrift(same, "split", "f", 100L, 4)
+      .collect().map(_.getLong(2))
+    assert(zero === Array(0L, 0L))
+    intercept[IllegalArgumentException](
+      Sampling.splitDrift(df, "split", "f", 0L, 4))
+    intercept[IllegalArgumentException](
+      Sampling.splitDrift(df, "split", "f", 100L, 1))
+  }
 }

@@ -359,4 +359,40 @@ class SimilaritySpec extends SparkSuite {
       Similarity.minIdCentroids(df, "embedding", "vec_id", "label"),
       "cvec", "cid", k = 0))
   }
+
+  test("binaryQuantize: exact sign-bit packing into 32-bit words") {
+    // 64 dims, positives at 0, 1, 33; zeros and negatives clear
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 0.5f; v(1) = 2.0f; v(33) = 1e-9f; v(40) = 0.0f
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.binaryQuantize(df, "embedding", "vec_id", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) === Seq(3L, 2L))           // word0 = bits 0+1, word1 = bit 1
+  }
+
+  test("binaryQuantize: ragged last word at non-multiple-of-32 dims") {
+    val df = Seq((1L, Seq(1.0f, -1.0f, 1.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    // dim 5 -> one word, bits 0,2,3 set = 13
+    val out = Similarity.binaryQuantize(df, "embedding", "vec_id", dim = 5)
+      .collect().head.getSeq[Long](1)
+    assert(out === Seq(13L))
+    intercept[IllegalArgumentException](
+      Similarity.binaryQuantize(df, "embedding", "vec_id", dim = 0))
+  }
+
+  test("hammingTopK: exact popcount distances, ties break by id") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),     // sig 1111
+      (2L, Seq(1.0f, 1.0f, 1.0f, -1.0f)),    // dist 1 to query
+      (3L, Seq(-1.0f, 1.0f, 1.0f, -1.0f)),   // dist 2
+      (4L, Seq(1.0f, -1.0f, -1.0f, 1.0f)))   // dist 2 (tie with 3, id wins)
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val out = Similarity.hammingTopK(corpus, "embedding", "vec_id",
+        q, "embedding", "vec_id", dim = 4, k = 3)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3))))
+    assert(out === Array(
+      1 -> ((1L, 0L)), 2 -> ((2L, 1L)), 3 -> ((3L, 2L))))
+  }
 }

@@ -84,4 +84,51 @@ class TimeSeriesSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TimeSeries.gapReport(df, "user_id", "ts", "1 bogus"))
   }
+
+  test("rollingZScore: spike flags, baseline rows and flat series do not") {
+    // 10 steady observations then a spike; minObs 4 so rows 1-3 have no
+    // verdict (false), rows 5-10 see a zero-variance window (no flag for
+    // equal values, flag for ANY deviation), row 11 is the spike
+    val events = (1 to 10).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i - 1}%02d:00:00"), 1L, 10.0)) :+
+      ((11L, ts("2024-01-01 10:00:00"), 1L, 100.0))
+    val df = events.toDF("event_id", "ts", "user_id", "value")
+    val out = TimeSeries.rollingZScore(df, "user_id", "ts", "event_id",
+        "value", n = 20, minObs = 4, zThreshold = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((0L, false)))         // empty window
+    assert(out(4L) === ((3L, false)))         // below minObs
+    assert(out(5L) === ((4L, false)))         // flat series: no anomaly
+    assert(out(10L) === ((9L, false)))
+    assert(out(11L) === ((10L, true)))        // spike vs zero-variance base
+  }
+
+  test("rollingZScore: 3-sigma boundary is exact (strict inequality)") {
+    // window = {0, 8}: mean 4e4 micro-units... use values 0 and 8:
+    // vi in {0, 80000}; for x with window {0,8,0,8}: S=160000, SS=1.28e10,
+    // c=4 -> variance term 9*(c*SS - S^2)=9*(5.12e10-2.56e10)=2.304e11;
+    // (x*4-160000)^2 for x=16 (vi=160000): (480000)^2=2.304e11 -> NOT >
+    // (exactly 3 sigma, strict), for x=17: flagged
+    val base = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 0.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, 8.0),
+      (3L, ts("2024-01-01 02:00:00"), 1L, 0.0),
+      (4L, ts("2024-01-01 03:00:00"), 1L, 8.0))
+    val at3 = base :+ ((5L, ts("2024-01-01 04:00:00"), 1L, 16.0))
+    val past3 = base :+ ((5L, ts("2024-01-01 04:00:00"), 1L, 17.0))
+    def flag(rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Boolean =
+      TimeSeries.rollingZScore(rows.toDF("event_id", "ts", "user_id", "value"),
+          "user_id", "ts", "event_id", "value", n = 4, minObs = 4,
+          zThreshold = 3)
+        .filter($"event_id" === 5L).collect().head.getBoolean(5)
+    assert(!flag(at3))                        // exactly 3 sigma: not flagged
+    assert(flag(past3))
+    intercept[IllegalArgumentException](TimeSeries.rollingZScore(
+      base.toDF("event_id", "ts", "user_id", "value"),
+      "user_id", "ts", "event_id", "value", n = 1))
+    intercept[IllegalArgumentException](TimeSeries.rollingZScore(
+      base.toDF("event_id", "ts", "user_id", "value"),
+      "user_id", "ts", "event_id", "value", n = 4, minObs = 5))
+  }
 }
