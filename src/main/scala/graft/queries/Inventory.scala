@@ -839,6 +839,69 @@ object Inventory {
         .orderBy(col("event_id"))
     },
 
+    "q71_null_aware_anti" -> { (s, d) =>
+      // NOT IN (subquery): null-aware anti-join semantics — the subquery
+      // column is nullable-SCHEMA (planner must use the null-aware plan,
+      // BroadcastNestedLoopJoin fallback avoided only when Spark proves
+      // null-freeness) while null-free in DATA, so the result is
+      // non-trivial; identical SQL both engines
+      Tables.register(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+               ORDER BY c_custkey""")
+    },
+    "q72_exists_subquery" -> { (s, d) =>
+      // correlated EXISTS + NOT EXISTS in one predicate — both
+      // decorrelate to semi/anti joins (plan-pinned in PlanSpec)
+      Tables.register(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT')
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice < 50000)
+               ORDER BY c_custkey""")
+    },
+    "q73_agg_filter" -> { (s, d) =>
+      // FILTER (WHERE ...) clause on aggregates — per-branch conditional
+      // aggregation without CASE rewrites; one pass, partial-aggregated
+      Tables.register(s, d)
+      s.sql("""SELECT o_orderpriority,
+                 count(*) AS n_all,
+                 count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+                 CAST(CAST(sum(o_totalprice)
+                     FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(18,2))
+                   AS DOUBLE) AS total_f,
+                 count(DISTINCT o_custkey)
+                   FILTER (WHERE o_orderstatus = 'O') AS custs_o
+               FROM orders
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    "q74_values_join" -> { (s, d) =>
+      // inline VALUES table as a join dimension (constant-folded,
+      // broadcast by construction) — identical SQL both engines
+      Tables.register(s, d)
+      s.sql("""SELECT t.tier, count(*) AS n_nations
+               FROM nation n
+               JOIN (VALUES (0, 'west'), (1, 'americas'), (2, 'apac'),
+                            (3, 'emea'), (4, 'mideast'))
+                 AS t(rk, tier)
+                 ON n.n_regionkey = t.rk
+               GROUP BY t.tier ORDER BY t.tier""")
+    },
+    "q75_tuple_in" -> { (s, d) =>
+      // multi-column (tuple) IN subquery — decorrelates to a two-key
+      // semi join, not a nested-loop filter
+      Tables.register(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+               WHERE (l_orderkey, l_linenumber) IN
+                 (SELECT o_orderkey, 1 FROM orders
+                  WHERE o_totalprice > 300000)
+               ORDER BY l_orderkey, l_linenumber, l_quantity""")
+    },
+
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
@@ -1091,6 +1154,43 @@ object Inventory {
          ORDER BY win_start, event_type""",
     // DuckDB: x/0 is NULL (no try_divide needed), TRY_CAST matches, and
     // out-of-bounds list indexing is NULL
+    "q71_null_aware_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q72_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000)
+         ORDER BY c_custkey""",
+    "q73_agg_filter" ->
+      """SELECT o_orderpriority,
+         count(*) AS n_all,
+         count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+         CAST(CAST(sum(o_totalprice)
+             FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(18,2))
+           AS DOUBLE) AS total_f,
+         count(DISTINCT o_custkey)
+           FILTER (WHERE o_orderstatus = 'O') AS custs_o
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q74_values_join" ->
+      """SELECT t.tier, count(*) AS n_nations
+         FROM nation n
+         JOIN (VALUES (0, 'west'), (1, 'americas'), (2, 'apac'),
+                      (3, 'emea'), (4, 'mideast')) AS t(rk, tier)
+           ON n.n_regionkey = t.rk
+         GROUP BY t.tier ORDER BY t.tier""",
+    // dialect split: DuckDB spells the tuple with an explicit ROW
+    // constructor (bare (a, b) IN (subquery) binds as single-column there)
+    "q75_tuple_in" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE ROW(l_orderkey, l_linenumber) IN
+           (SELECT ROW(o_orderkey, 1) FROM orders WHERE o_totalprice > 300000)
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q67_ignore_nulls" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v

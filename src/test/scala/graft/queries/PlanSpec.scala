@@ -321,6 +321,29 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q71/q72/q75: subquery predicates decorrelate to hash joins") {
+    // NOT IN over a nullable column still plans as a single null-aware
+    // broadcast join (one pass over customer), EXISTS/NOT EXISTS become
+    // semi/anti hash joins, and the tuple IN is a two-key semi join —
+    // none may fall back to a per-row nested-loop re-execution
+    val q71 = planOf("q71_null_aware_anti")
+    assert(!q71.contains("CartesianProduct"), q71)
+    val q72 = planOf("q72_exists_subquery")
+    assert(q72.contains("LeftSemi"), q72)
+    assert(q72.contains("LeftAnti"), q72)
+    assert(!q72.contains("CartesianProduct"), q72)
+    val q75 = planOf("q75_tuple_in")
+    assert(q75.contains("LeftSemi"), q75)
+    assert(!q75.contains("CartesianProduct"), q75)
+    assert(!q75.contains("BroadcastNestedLoop"), q75)
+  }
+
+  test("q74: inline VALUES dimension broadcasts — fact side never shuffles") {
+    val plan = planOf("q74_values_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bucketed tables co-locate the join: no exchange between them") {
     import org.apache.spark.sql.functions._
     // bucket both sides on the join key — the 100 TB pattern for repeated
