@@ -101,4 +101,37 @@ object Profile {
         col(s"__${c}__max").as("max_val"),
         col(s"__${c}__len").as("sum_len"))
     }
+
+  /**
+   * Class-balance report — the label-distribution check run before
+   * training a classifier (or weighting a mixture) on labeled data: one
+   * row per label with its count and corpus share, plus the corpus-level
+   * Gini impurity `1 − Σ (n_i/N)²` repeated on every row (the standard
+   * one-number imbalance summary: 0 = one class holds everything,
+   * (k−1)/k = perfectly balanced over k classes).
+   *
+   * Exact integer arithmetic throughout: shares and the Gini are
+   * truncating ppm fixed point, the squared-count sum runs in
+   * DECIMAL(38,0) (n_i² passes 2⁶³ at ~3·10⁹ rows per label; DuckDB's
+   * HUGEINT promotes identically). NULL labels form their own row —
+   * an imbalance report that silently dropped unlabeled rows would
+   * understate the problem.
+   *
+   * Scale: one label-keyed count with map-side partials; everything
+   * downstream runs over the k-row label table (broadcast-sized).
+   */
+  def classBalance(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(col("n")).as("__t"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("__sq"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("CAST(n * 1000000 DIV __t AS BIGINT)").as("share_ppm"),
+        expr("CAST((CAST(__t AS DECIMAL(38,0)) * __t - __sq) * 1000000 " +
+          "DIV (CAST(__t AS DECIMAL(38,0)) * __t) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy(col("label"))
+  }
 }

@@ -195,6 +195,19 @@ object PipelineOps {
           centroids, "cvec", "cid", k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
+    "e13_hamming_recall" -> { (s, d) =>
+      // the e10 harness pointed at the 1-bit tier: recall@5 of Hamming
+      // coarse search vs the exact cosine ground truth — the number that
+      // decides whether the binary index needs a re-rank stage
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      Similarity.annRecall(
+        Similarity.cosineTopK(corpus, "embedding", "vec_id",
+          queries, "embedding", "vec_id", k = 5),
+        Similarity.hammingTopK(corpus, "embedding", "vec_id",
+          queries, "embedding", "vec_id", dim = 64, k = 5),
+        k = 5)
+    },
     "e12_hamming_topk" -> { (s, d) =>
       // 1-bit tier: sign-packed signatures (64 dims → two exact 32-bit
       // words), XOR+popcount ranking — integer distances hash-verify
@@ -505,6 +518,11 @@ object PipelineOps {
       Sampling.dsirWeights(docs(s, d), "doc_id", "text",
           col("lang") === "en")
         .orderBy(col("id"))
+    },
+    "x06_class_balance" -> { (s, d) =>
+      // label-distribution report over the embeddings labels: per-label
+      // share + corpus Gini impurity, exact ppm integers
+      Profile.classBalance(embs(s, d), "label")
     },
     "x05_split_drift" -> { (s, d) =>
       // distributional audit of the p01 split: per-split length-histogram
@@ -1178,6 +1196,39 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    // e01's exact top-5 ∩ e12's Hamming top-5, per query, 6-dp fixed point
+    "e13_hamming_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(c.embedding, q.qvec) AS sim
+           FROM embeddings c CROSS JOIN q),
+         ex AS (SELECT query_id, id FROM (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)
+               AS rk
+           FROM scored WHERE sim IS NOT NULL) WHERE rk <= 5),
+         sig AS (SELECT vec_id AS id,
+           [CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+               FOR i IN range(w * 32, least(w * 32 + 32, 64))]) AS BIGINT)
+            FOR w IN range(0, 2)] AS sig
+           FROM embeddings),
+         hq AS (SELECT id AS query_id, sig AS qsig FROM sig WHERE id < 10),
+         hscored AS (SELECT hq.query_id, c.id,
+             CAST(list_sum([bit_count(xor(c.sig[i], hq.qsig[i]))
+               FOR i IN range(1, 3)]) AS BIGINT) AS ham
+           FROM sig c CROSS JOIN hq),
+         ap AS (SELECT query_id, id FROM (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rk
+           FROM hscored) WHERE rk <= 5),
+         hits AS (SELECT ex.query_id, count(*) AS c
+           FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.id = ap.id
+           GROUP BY ex.query_id)
+         SELECT qq.query_id, CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(c, 0) * 1000000 // 5 AS DOUBLE) / 1e6 AS recall
+         FROM (SELECT DISTINCT query_id FROM ex) qq
+         LEFT JOIN hits ON qq.query_id = hits.query_id
+         ORDER BY qq.query_id""",
     // 1-bit signatures: identical per-bit packing arithmetic (32-bit
     // words as BIGINTs), XOR+popcount distance, ties by id
     "e12_hamming_topk" ->
@@ -1589,6 +1640,18 @@ object PipelineOps {
          SELECT d.id, coalesce(ds.n_feats, 0) AS n_feats,
            coalesce(ds.dsir_score, 0) AS dsir_score
          FROM d LEFT JOIN ds ON d.id = ds.id ORDER BY d.id""",
+    // class balance: exact ppm shares + Gini impurity in HUGEINT (==
+    // Spark's DECIMAL(38,0) path); NULL labels keep their own row
+    "x06_class_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+           GROUP BY label),
+         t AS (SELECT sum(n) AS t,
+             sum(CAST(n AS HUGEINT) * n) AS sq FROM c)
+         SELECT label, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+           CAST((CAST(t AS HUGEINT) * t - sq) * 1000000
+             // (CAST(t AS HUGEINT) * t) AS BIGINT) AS gini_ppm
+         FROM c, t ORDER BY label""",
     // split-drift TV distance: p01's md5 split, integer histogram
     // algebra, dense split x bucket grid with absent buckets kept
     "x05_split_drift" ->

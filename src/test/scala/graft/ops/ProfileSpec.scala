@@ -67,4 +67,16 @@ class ProfileSpec extends SparkSuite {
     // multi-count-distinct plans via Expand over the one input scan
     assert(plan.contains("Expand"), plan)
   }
+
+  test("classBalance: exact ppm shares and Gini, NULL label kept") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), None)
+      .map(Tuple1(_)).toDF("label")
+    // N=5: shares 600000/200000/200000; gini = (25-(9+1+1))*1e6 DIV 25
+    val out = Profile.classBalance(df, "label")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(Some("a")) === ((3L, 600000L, 560000L)))
+    assert(out(Some("b")) === ((1L, 200000L, 560000L)))
+    assert(out(None) === ((1L, 200000L, 560000L)))
+  }
 }
