@@ -153,6 +153,51 @@ object TimeSeries {
   }
 
   /**
+   * Batch sessionization — assign every event its session index per key,
+   * where a new session starts after `gap` of inactivity (the
+   * gaps-and-islands cumulative-sum form of what `session_window` does
+   * for streaming aggregation in q32; this per-EVENT assignment is the
+   * shape funnel/attribution queries join against). Session indexes are
+   * 1-based in (ts, id) order; `is_session_start` marks the boundary
+   * rows. All integer epoch arithmetic — hash-exact.
+   *
+   * Scale: two stacked keyed windows (lag, then running sum) over one
+   * partition-by-key exchange — key-count parallelism, no global sort.
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, gap: String = "30 minutes"): DataFrame = {
+    val parsed =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"sessionize: unparseable gap '$gap'", e)
+      }
+    require(parsed != null && parsed.months == 0,
+      s"sessionize: gap '$gap' must be a fixed-length interval")
+    val gapSeconds = parsed.days * 86400L + parsed.microseconds / 1000000L
+    require(gapSeconds > 0, s"sessionize: gap '$gap' must be positive")
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val run = order.rowsBetween(Window.unboundedPreceding, 0L)
+    // integer MICROsecond epochs: the fixtures carry sub-second
+    // timestamps, and a truncated-seconds comparison would classify a
+    // boundary pair differently from an engine comparing full precision
+    events
+      .withColumn("__prev",
+        lag(expr(s"unix_micros($tsCol)"), 1).over(order))
+      .withColumn("is_session_start",
+        col("__prev").isNull ||
+          expr(s"unix_micros($tsCol)") - col("__prev") >
+            gapSeconds * 1000000L)
+      .withColumn("session_ix",
+        sum(when(col("is_session_start"), 1L).otherwise(0L)).over(run))
+      .select(col(idCol), col(keyCol), col(tsCol), col("session_ix"),
+        col("is_session_start"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Rolling z-score anomaly detection: flag each observation whose value
    * deviates more than `zThreshold` standard deviations from the mean of
    * its key's trailing window (the previous `n` observations, current row

@@ -901,6 +901,18 @@ object Inventory {
                   WHERE o_totalprice > 300000)
                ORDER BY l_orderkey, l_linenumber, l_quantity""")
     },
+    "q76_grouping_fns" -> { (s, d) =>
+      // GROUPING() introspection over CUBE — how a consumer tells a real
+      // NULL group from a rollup row; identical SQL both engines
+      Tables.register(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                 count(*) AS n
+               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+               ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST""")
+    },
 
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
@@ -1184,6 +1196,14 @@ object Inventory {
                       (3, 'emea'), (4, 'mideast')) AS t(rk, tier)
            ON n.n_regionkey = t.rk
          GROUP BY t.tier ORDER BY t.tier""",
+    "q76_grouping_fns" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         CAST(grouping(l_linestatus) AS INT) AS g_ls,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+           l_linestatus NULLS FIRST""",
     // dialect split: DuckDB spells the tuple with an explicit ROW
     // constructor (bare (a, b) IN (subquery) binds as single-column there)
     "q75_tuple_in" ->

@@ -571,6 +571,30 @@ object PipelineOps {
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.degreeStats(edges, "src", "dst")
     },
+    "r05_sessionize" -> { (s, d) =>
+      // per-event session assignment (30-min inactivity gap) — the
+      // gaps-and-islands batch form of q32's session_window
+      graft.ops.TimeSeries.sessionize(Tables(s, d, "events"),
+        "user_id", "ts", "event_id", gap = "30 minutes")
+    },
+    "x07_dedup_impact" -> { (s, d) =>
+      // data-card accounting: per source, how many docs and chars exact
+      // dedup removes — exact integers, ppm fixed point
+      val all = docs(s, d)
+      Dedup.exact(all, "text", "doc_id")
+        .join(all.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("is_dup"), col("n_chars")).otherwise(0L))
+            .as("chars_removed"))
+        .withColumn("removed_ppm",
+          expr("CASE WHEN chars_total > 0 THEN " +
+            "CAST(chars_removed * 1000000 DIV chars_total AS BIGINT) END"))
+        .orderBy(col("source"))
+    },
     "r04_rolling_zscore" -> { (s, d) =>
       // trailing-window outlier flags per user (current row excluded from
       // its own baseline); the z>3 test is exact integer algebra
@@ -1591,6 +1615,38 @@ object PipelineOps {
              AS is_farm_like
          FROM n LEFT JOIN od USING (node) LEFT JOIN ind USING (node)
          LEFT JOIN rc USING (node) ORDER BY node""",
+    // sessionize: same lag/cumulative-sum gaps-and-islands arithmetic,
+    // integer epoch seconds
+    "r05_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev
+           FROM events),
+         s AS (SELECT event_id, user_id, ts,
+             (prev IS NULL OR epoch_us(ts) - prev > 1800000000)
+               AS is_session_start
+           FROM e)
+         SELECT event_id, user_id, ts,
+           CAST(sum(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_ix,
+           is_session_start
+         FROM s ORDER BY event_id""",
+    // dedup impact: d01's digest windows aggregated per source
+    "x07_dedup_impact" ->
+      """WITH dec AS (SELECT doc_id, source, n_chars,
+           doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_removed,
+           CASE WHEN sum(n_chars) > 0 THEN
+             CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) * 1000000
+               // sum(n_chars) AS BIGINT) END AS removed_ppm
+         FROM dec GROUP BY source ORDER BY source""",
     // trailing-window z-score: identical micro-unit fixing and integer
     // algebra ((vi*c - S)^2 > 9*(c*SS - S^2)); HUGEINT == Spark's
     // DECIMAL(38,0) product path

@@ -320,7 +320,45 @@ object PlanDump {
       ("LSH media tier: banded index rows (id, band, key) self-join " +
         "behind an explicit-count exchange (AQE must not fold the tiny " +
         "pre-join index to one partition); candidates verify through " +
-        "the identical exact decimal gate as the broadcast tier."))
+        "the identical exact decimal gate as the broadcast tier."),
+    "e12_hamming_topk" ->
+      ("1-bit tier: signatures pack in the scan-project stage (SQL-HOF " +
+        "arithmetic, whole-stage codegen); query signatures broadcast; " +
+        "XOR+popcount scoring is map-side and the bounded-heap top-k " +
+        "moves k rows per (query, partition) — the corpus side reads " +
+        "two longs per row, never the float vector."),
+    "p10_dsir" ->
+      ("Feature explode is map-only; the bucket score table is <=256 " +
+        "rows (map-side-combined counts, broadcast back); the per-doc " +
+        "sum is one (id,bucket)-keyed partial aggregation then an " +
+        "id-keyed sum — shuffles carry (id, bucket, count), never text."),
+    "r04_rolling_zscore" ->
+      ("One keyed window (user, ordered by ts+id) computes count/sum/" +
+        "sumsq in a single Window node; the anomaly test is scalar " +
+        "decimal algebra in the following project — key-count " +
+        "parallelism, no global sort below the output ORDER BY."),
+    "g02_degree_stats" ->
+      ("Degree counts are node-keyed partial-aggregated counts; " +
+        "reciprocity is one self-equi-join on the reversed (src,dst) " +
+        "key — every shuffle carries 2-column edge rows; nothing " +
+        "iterative, nothing global."),
+    "x05_split_drift" ->
+      ("One (split,bucket)-keyed count with map-side partials; the " +
+        "histogram table (k x nBuckets rows) drives everything " +
+        "downstream at broadcast size — corpus rows shuffle once, as " +
+        "2-int rows."),
+    "x06_class_balance" ->
+      ("One label-keyed count with map-side partials; the k-row label " +
+        "table cross-joins the single-row total as a broadcast — " +
+        "shares and Gini are scalar decimal projections."),
+    "q71_null_aware_anti" ->
+      ("NOT IN over a nullable-schema column: plans as a null-aware " +
+        "anti join in one pass over customer — no per-row subquery " +
+        "re-execution."),
+    "q73_agg_filter" ->
+      ("FILTER (WHERE) aggregates stay in HashAggregate with partial_ " +
+        "combine; the filtered count(DISTINCT) plans via Expand over " +
+        "the single scan — no self-joins for the conditional branches."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

@@ -85,6 +85,29 @@ class TimeSeriesSpec extends SparkSuite {
       TimeSeries.gapReport(df, "user_id", "ts", "1 bogus"))
   }
 
+  test("sessionize: gap starts new session, boundary is strict, per-key") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 00:29:00"), 1L),   // within gap -> session 1
+      (3L, ts("2024-01-01 00:59:00"), 1L),   // exactly 30 min later: NOT new
+      (4L, ts("2024-01-01 01:29:01"), 1L),   // 30m01s -> session 2
+      (5L, ts("2024-01-01 00:00:00"), 2L))   // other key: own session 1
+      .toDF("event_id", "ts", "user_id")
+    val out = TimeSeries.sessionize(events, "user_id", "ts", "event_id",
+        gap = "30 minutes")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false)))        // exactly gap: same session
+    assert(out(4L) === ((2L, true)))
+    assert(out(5L) === ((1L, true)))
+    intercept[IllegalArgumentException](
+      TimeSeries.sessionize(events, "user_id", "ts", "event_id", "1 month"))
+    intercept[IllegalArgumentException](
+      TimeSeries.sessionize(events, "user_id", "ts", "event_id", "bogus"))
+  }
+
   test("rollingZScore: spike flags, baseline rows and flat series do not") {
     // 10 steady observations then a spike; minObs 4 so rows 1-3 have no
     // verdict (false), rows 5-10 see a zero-variance window (no flag for
