@@ -534,4 +534,69 @@ object Dedup {
       .withColumn("is_dup", col("id") =!= col("keep_id"))
       .orderBy(col("id"))
   }
+
+  /**
+   * MinHash estimator-quality harness — the sketch-side sibling of the
+   * ANN recall report (Similarity.annRecall): for every verified
+   * similar pair, the k-permutation MinHash agreement count next to the
+   * EXACT Jaccard, both in ppm fixed point. This is the number that
+   * justifies d02's banding parameters (E[n_agree/k] = jaccard; the
+   * spread at a given k is the false-negative budget).
+   *
+   * Permutations hash in ENGINE-REPRODUCIBLE md5 space: h_i(s) = the
+   * 60-bit value of the first 15 hex chars of md5("i:" ‖ shingle) — the
+   * [[graft.functions.Md5Hash60]] construction spelled in portable SQL
+   * (`conv(substring(md5(..),1,15),16,10)`), so a DuckDB oracle
+   * recomputes every signature bit-for-bit. Production sketches use the
+   * xxhash64 mode (~5× faster, engine-private); the ESTIMATOR QUALITY
+   * measured here transfers — both are uniform 60+-bit hash families
+   * over the same shingle sets.
+   *
+   * Scale: signatures are one map-side pass (k·|shingles| md5s per
+   * doc — k stays small, this is a diagnostic, not the dedup path);
+   * the pair join carries signatures + shingle sets only for the
+   * verified-pair ids, bounded by the pair set, not the corpus.
+   */
+  def minhashEstimate(
+      docs: DataFrame, textCol: String, idCol: String, pairs: DataFrame,
+      k: Int = 16, shingleLen: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 64, s"minhashEstimate needs 1 <= k <= 64, got $k")
+    val n = shingleLen
+    // raw STRING shingles (wordShingles hashes them; the estimator needs
+    // the strings so each permutation can re-hash) — same fallback rule:
+    // docs shorter than n words shingle to the whole normalized text
+    val sh = Shingles.let(Shingles.words(col(textCol))) { w =>
+      val grams = transform(
+        sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))
+      array_distinct(
+        when(size(w) >= n, grams)
+          .otherwise(array(lower(trim(col(textCol))))))
+    }
+    val sig = expr(
+      s"""transform(sequence(0, ${k - 1}), i ->
+        array_min(transform(__sh, s ->
+          CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', s)),
+            1, 15), 16, 10) AS BIGINT))))""")
+    val sigs = docs
+      .select(col(idCol).as("id"), sh.as("__sh"))
+      .select(col("id"), col("__sh"), sig.as("__sig"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("__sh").as("__sha"),
+        col("__sig").as("__siga")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("__sh").as("__shb"),
+        col("__sig").as("__sigb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("__siga"), col("__sigb"), _ === _),
+          x => x)).cast("long").as("n_agree"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long")
+          .as("__i"),
+        size(col("__sha")).cast("long").as("__ma"),
+        size(col("__shb")).cast("long").as("__mb"))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        expr(s"CAST(n_agree * 1000000 DIV $k AS BIGINT)").as("est_ppm"),
+        expr("CAST(__i * 1000000 DIV (__ma + __mb - __i) AS BIGINT)")
+          .as("exact_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -161,6 +161,15 @@ object PipelineOps {
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
     },
 
+    "d12_minhash_quality" -> { (s, d) =>
+      // sketch-quality harness: md5-space 16-perm MinHash agreement vs
+      // exact Jaccard for every verified d04 pair — the report that
+      // justifies d02's band parameters
+      val all = docs(s, d)
+      Dedup.minhashEstimate(all, "text", "doc_id",
+        Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7),
+        k = 16)
+    },
     "d11_semdedup" -> { (s, d) =>
       // SemDeDup (Abbas et al. 2023): embedding near-dup restricted to
       // within-cluster pairs — clusters = the fixture's k-means `label`
@@ -570,6 +579,17 @@ object PipelineOps {
         plantedHost(col("doc_id")).as("src"),
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.degreeStats(edges, "src", "dst")
+    },
+    "r06_funnel" -> { (s, d) =>
+      // view -> click -> purchase completion per user, first-touch,
+      // strictly ordered; microsecond epochs, exact
+      graft.ops.Behavior.funnel(Tables(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    },
+    "r07_cohort_retention" -> { (s, d) =>
+      // weekly retention triangle over integer epoch weeks
+      graft.ops.Behavior.cohortRetention(Tables(s, d, "events"),
+        "user_id", "ts")
     },
     "r05_sessionize" -> { (s, d) =>
       // per-event session assignment (30-min inactivity gap) — the
@@ -1615,6 +1635,56 @@ object PipelineOps {
              AS is_farm_like
          FROM n LEFT JOIN od USING (node) LEFT JOIN ind USING (node)
          LEFT JOIN rc USING (node) ORDER BY node""",
+    // minhash quality: same md5-space permutations (first 15 hex chars
+    // of md5("i:" || shingle)), same d04-CTE pair set and shingle sets
+    "d12_minhash_quality" ->
+      s"""${fuzzyDedupCtes(0.7)},
+         sig AS (SELECT id, s,
+             [list_min([('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x),
+                 1, 15))::BIGINT FOR x IN s]) FOR i IN range(0, 16)] AS sig
+           FROM sh),
+         est AS (SELECT p.id_a, p.id_b,
+             CAST(list_sum([CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END
+               FOR j IN range(1, 17)]) AS BIGINT) AS n_agree,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) AS ma, len(b.s) AS mb
+           FROM p JOIN sig a ON p.id_a = a.id JOIN sig b ON p.id_b = b.id)
+         SELECT id_a, id_b, n_agree,
+           CAST(n_agree * 1000000 // 16 AS BIGINT) AS est_ppm,
+           CAST(i * 1000000 // (ma + mb - i) AS BIGINT) AS exact_ppm
+         FROM est ORDER BY id_a, id_b""",
+    // funnel: per-step first-touch mins with strict-after join chaining,
+    // integer microsecond epochs
+    "r06_funnel" ->
+      """WITH s1 AS (SELECT user_id AS key, min(epoch_us(ts)) AS t1_us
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT s1.key, s1.t1_us, min(e.t) AS t2_us
+           FROM s1 LEFT JOIN (SELECT user_id, epoch_us(ts) AS t
+             FROM events WHERE event_type = 'click') e
+             ON s1.key = e.user_id AND e.t > s1.t1_us
+           GROUP BY s1.key, s1.t1_us),
+         s3 AS (SELECT s2.key, s2.t1_us, s2.t2_us, min(e.t) AS t3_us
+           FROM s2 LEFT JOIN (SELECT user_id, epoch_us(ts) AS t
+             FROM events WHERE event_type = 'purchase') e
+             ON s2.key = e.user_id AND e.t > s2.t2_us
+           GROUP BY s2.key, s2.t1_us, s2.t2_us)
+         SELECT key, t1_us, t2_us, t3_us,
+           CAST(CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS depth
+         FROM s3 ORDER BY key""",
+    // cohort retention: integer epoch weeks (micros div week)
+    "r07_cohort_retention" ->
+      """WITH w AS (SELECT user_id AS key,
+           epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT key, min(wk) AS cohort FROM w GROUP BY key),
+         a AS (SELECT DISTINCT key, wk FROM w)
+         SELECT f.cohort AS cohort_week, a.wk - f.cohort AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f USING (key)
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
     // sessionize: same lag/cumulative-sum gaps-and-islands arithmetic,
     // integer epoch seconds
     "r05_sessionize" ->

@@ -245,4 +245,29 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === (2L, true))
     assert(out(4L) === (4L, false))
   }
+
+  test("minhashEstimate: identical docs agree on all permutations, " +
+    "disjoint docs on none, estimate tracks exact jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),     // identical to 1
+      (3L, "alpha beta gamma delta epsilon eta"),      // near-dup of 1
+      (4L, "one two three four five six"))             // disjoint
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.minhashEstimate(docs, "text", "doc_id", pairs, k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((1L, 2L)) === ((16L, 1000000L, 1000000L)))   // identical
+    assert(out((1L, 4L))._1 === 0L)                         // disjoint
+    assert(out((1L, 4L))._3 === 0L)
+    val (agree13, est13, exact13) = out((1L, 3L))
+    // 4 shingles each, 3 shared -> exact jaccard 3/5 = 600000 ppm; the
+    // 16-perm estimate must be a plausible draw around it
+    assert(exact13 === 600000L)
+    assert(agree13 >= 4L && agree13 <= 15L, s"agree=$agree13")
+    assert(est13 === agree13 * 1000000L / 16L)
+    intercept[IllegalArgumentException](
+      Dedup.minhashEstimate(docs, "text", "doc_id", pairs, k = 0))
+  }
 }
