@@ -87,6 +87,8 @@ final class HttpFacade(
           schema(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "profile")) =>
           profileRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "balance")) =>
+          balanceRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -398,6 +400,54 @@ final class HttpFacade(
             "sum_len" -> (if (r.isNullAt(off + 6)) null
                           else java.lang.Long.valueOf(r.getLong(off + 6)))) ++
             groupBy.map(_ => "group" -> (r.getString(0): Any)).toSeq): _*)))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Class-balance report of one column (`?column=` required): per-value
+    * counts, ppm shares, and the corpus Gini impurity
+    * (graft.ops.Profile.classBalance — one keyed aggregation). The label
+    * cardinality bounds the response; a high-cardinality column is a
+    * caller error surfaced as 400 when more than `maxLabels` (default
+    * 1000) rows come back — balance reports are for label-like columns. */
+  private def balanceRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val column = queryParams(ex).get("column").filter(_.nonEmpty)
+      if (column.isEmpty) {
+        sendJson(ex, 400, detail("column parameter is required")); return
+      }
+      if (!df.columns.contains(column.get)) {
+        sendJson(ex, 400, detail(s"Unknown column: ${column.get}")); return
+      }
+      val maxLabels = 1000
+      val rows = graft.ops.Profile.classBalance(df, column.get)
+        .limit(maxLabels + 1).collect()
+      if (rows.length > maxLabels) {
+        sendJson(ex, 400, detail(
+          s"Column ${column.get} has more than $maxLabels distinct " +
+            "values — balance reports are for label-like columns")); return
+      }
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "column" -> column.get,
+        "gini_ppm" -> (if (rows.isEmpty) null
+                       else java.lang.Long.valueOf(rows.head.getLong(3))),
+        "balance" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "label" -> (if (r.isNullAt(0)) null
+                      else String.valueOf(r.get(0))),
+          "n" -> r.getLong(1),
+          "share_ppm" -> r.getLong(2))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -358,7 +358,29 @@ object PlanDump {
     "q73_agg_filter" ->
       ("FILTER (WHERE) aggregates stay in HashAggregate with partial_ " +
         "combine; the filtered count(DISTINCT) plans via Expand over " +
-        "the single scan — no self-joins for the conditional branches."))
+        "the single scan — no self-joins for the conditional branches."),
+    "r05_sessionize" ->
+      ("Gaps-and-islands sessionization: lag + running sum share ONE " +
+        "Window node over one partition-by-user exchange — per-event " +
+        "session ids with key-count parallelism, no generate, no join."),
+    "r06_funnel" ->
+      ("Per-step min-aggregations (map-side partial) chained by keyed " +
+        "left joins with the strict-after predicate in the join " +
+        "condition — k-1 key-sized joins, the event scan filtered to " +
+        "one step before each aggregation."),
+    "r07_cohort_retention" ->
+      ("Integer epoch-week bucketing is map-only; first-week min, " +
+        "(key,week) distinct and the (cohort,offset) count are all " +
+        "partial-aggregated keyed exchanges of (long,long) rows."),
+    "d12_minhash_quality" ->
+      ("Signatures are one map-side HOF pass (k md5s per shingle); the " +
+        "verified-pair joins carry signatures only for pair ids — " +
+        "bounded by the pair set, not the corpus; estimator and exact " +
+        "jaccard are computed in the same projection."),
+    "x07_dedup_impact" ->
+      ("d01's digest window feeds a source-keyed aggregation with " +
+        "map-side partials — the only shuffles are the digest window's " +
+        "hash exchange and the 20-row source rollup."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

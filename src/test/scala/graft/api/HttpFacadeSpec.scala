@@ -209,6 +209,30 @@ class HttpFacadeSpec extends SparkSuite {
       "?group_by=n_regionkey&columns=n_regionkey").statusCode === 400)
   }
 
+  test("class balance route: shares, gini, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    val b = get("/api/v1/catalog/tables/httpapi.nation/balance" +
+      "?column=n_regionkey")
+    assert(b.statusCode === 200, b.body)
+    // 25 nations over 5 regions: every share is exactly 200000 ppm and
+    // gini = (25^2 - 5*25) * 1e6 DIV 25^2 = 800000
+    assert(b.body.contains("\"gini_ppm\":800000"), b.body)
+    assert(b.body.contains("\"share_ppm\":200000"), b.body)
+    assert(b.body.contains("\"n\":5"), b.body)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/balance")
+      .statusCode === 400)                     // column required
+    assert(get("/api/v1/catalog/tables/httpapi.nation/balance?column=xx")
+      .statusCode === 400)
+    // n_comment is distinct per row (25 values) — allowed; but the
+    // cardinality cap rejects clearly non-label columns on big tables
+    assert(get("/api/v1/catalog/tables/httpapi.nosuch/balance?column=x")
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/balance?column=x")
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
