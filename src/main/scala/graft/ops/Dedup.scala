@@ -578,10 +578,24 @@ object Dedup {
         array_min(transform(__sh, s ->
           CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', s)),
             1, 15), 16, 10) AS BIGINT))))""")
+    // signatures only for docs that appear in some pair: the estimator
+    // is per-PAIR, so hashing the whole corpus (k md5s per shingle per
+    // doc, and twice — once under each join side's subtree) is pure
+    // waste; the semi-join keeps the k·|shingles| md5 work proportional
+    // to the pair set, and the checkpoint computes it once
+    // materialize the pair set first: it is consumed twice (ids below,
+    // then the estimator join) and is typically the output of the whole
+    // PPJoin verify machinery — without the checkpoint that subtree
+    // executes once per consumer
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val pairIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sigs = docs
       .select(col(idCol).as("id"), sh.as("__sh"))
+      .join(pairIds, Seq("id"), "left_semi")
       .select(col("id"), col("__sh"), sig.as("__sig"))
-    pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    p
       .join(sigs.select(col("id").as("id_a"), col("__sh").as("__sha"),
         col("__sig").as("__siga")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("__sh").as("__shb"),

@@ -87,6 +87,71 @@ object Graphs {
    * list on the reversed key — every shuffle carries 2-column edge rows,
    * and nothing is iterative or global.
    */
+  /**
+   * Per-node triangle count + local clustering coefficient over the
+   * UNDIRECTED simplification of an edge list — the link-graph
+   * cohesion signal (genuine community hosts sit in many triangles;
+   * link farms form stars and near-zero clustering).
+   *
+   * Exact integers throughout: `clustering_ppm` is
+   * `2·T·1e6 DIV (deg·(deg−1))` (truncating), 0 when deg < 2.
+   *
+   * Scale shape — degree-ordered orientation (the compact-forward
+   * algorithm, Latapy 2008): each undirected edge is oriented from its
+   * (degree, node)-smaller endpoint to the larger, so every node's
+   * out-degree is O(√m) on any graph and the wedge set (the quadratic
+   * intermediate) is Σ C(out,2) = O(m^1.5) instead of Σ C(deg,2),
+   * which a hub would otherwise blow up. Each triangle is generated
+   * exactly once, at its order-minimal vertex, and closed by one
+   * equi-join against the oriented edge list; every shuffle row is a
+   * 2-or-3-column id tuple. The oracle counts the same triangle set
+   * with the simpler min-id wedge (the SET is orientation-invariant).
+   */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // undirected canonical edges (a < b), nulls/self-loops/dups dropped
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, node): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        // the head endpoint's (degree, node) key orders the wedge arms
+        when(aFirst, struct(col("db").as("d"), col("b").as("n")))
+          .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("vk"))
+      .localCheckpoint(true)
+    // wedges at the order-minimal vertex: (u->v, u->w) with v <ord w,
+    // closed by the oriented edge v->w
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.vk.d") < col("e2.vk.d") ||
+           (col("e1.vk.d") === col("e2.vk.d") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
   def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&

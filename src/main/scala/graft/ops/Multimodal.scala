@@ -271,6 +271,16 @@ object Multimodal {
     // the banded index is tiny before the self-join and explosive after,
     // so AQE coalescing must not fold it to one partition
     val nPart = spark.sparkContext.defaultParallelism
+    // NOTE on the tempting mean-centering "fix" for near-collinear
+    // histograms: hashing the centered residuals spreads the population
+    // across hyperplanes (smaller buckets, faster join) but CHANGES THE
+    // METRIC — a true near-dup pair at raw cosine ≥ t can have its
+    // small residuals at a large angle, landing in different buckets
+    // (measured: it drops a planted near-dup at sf0.01). Candidate
+    // recall must hold in the same space the exact gate decides in, so
+    // the bands hash the raw histograms; on a degenerate (near-
+    // collinear) population the m03 broadcast tier is the faster tool,
+    // and the crossover condition is documented there.
     val banded = hists.select(col("id"), col("format"),
         posexplode(graft.functions.GraftFunctions.lshBands(
           transform(col("hist"), x => x.cast("float")), planes, rowsPerBand)))

@@ -322,6 +322,43 @@ object Similarity {
   }
 
   /**
+   * Lloyd M-step — the other half of the k-means iteration
+   * [[assignCentroids]] starts: per (centroid, dimension), the member
+   * count and coordinate mean of the assigned vectors. One
+   * assign-update round is the training loop's unit of work; a caller
+   * iterates assign→update to convergence.
+   *
+   * Engine parity: each coordinate casts float→double (exact) and
+   * rounds to DECIMAL(18,9) BEFORE the order-free decimal SUM; the mean
+   * is truncating 9-dp fixed point (`sum·1e9 DIV n`) — the e09 device,
+   * so the update hash-verifies bit-for-bit where a float mean would
+   * depend on summation order.
+   *
+   * Scale: assignment is the broadcast+bounded-heap e05 path; the
+   * update explodes each vector to (cid, dim, decimal) rows — a dim×
+   * fan-out of NARROW rows feeding one keyed aggregation with map-side
+   * partials, so the exchange carries nlist×dim partial rows, not
+   * vectors. No iteration inside the operator, no driver collects.
+   */
+  def kmeansUpdate(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    val assigned = assignCentroids(corpus, vecCol, idCol,
+      centroids, cVecCol, cIdCol)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assigned.join(vecs, "id")
+      .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .select(col("cid"), col("dim"),
+        col("x").cast("double").cast("decimal(18,9)").as("x9"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("x9")).as("s9"))
+      .select(col("cid"), col("dim"), col("n_assigned"),
+        (expr("CAST(s9 * 1000000000 AS BIGINT) DIV n_assigned")
+          .cast("double") / lit(1e9)).as("mean"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  /**
    * Product-quantization assignment step (Jégou et al. 2011, "Product
    * Quantization for Nearest Neighbor Search", IEEE TPAMI): split each
    * vector into `m` contiguous subvectors and code each against a

@@ -280,6 +280,13 @@ object PipelineOps {
         .orderBy(col("id"))
     },
 
+    "e14_kmeans_update" -> { (s, d) =>
+      // Lloyd M-step over the e05 assignment: per (centroid, dim)
+      // member count + coordinate mean, exact decimal arithmetic
+      val corpus = embs(s, d)
+      Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id")
+    },
     "e07_ivfpq_topk" -> { (s, d) =>
       // the full ANN serving stack: coarse probe over the label lists
       // (e02's min-id centroids) + PQ asymmetric-distance scoring
@@ -580,6 +587,14 @@ object PipelineOps {
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.degreeStats(edges, "src", "dst")
     },
+    "g03_triangles" -> { (s, d) =>
+      // graph-cohesion signal over the same planted host graph:
+      // per-node triangle count + clustering coefficient in exact ppm
+      val edges = docs(s, d).select(
+        plantedHost(col("doc_id")).as("src"),
+        plantedHost(col("doc_id") * 2 + 1).as("dst"))
+      graft.ops.Graphs.triangles(edges, "src", "dst")
+    },
     "r06_funnel" -> { (s, d) =>
       // view -> click -> purchase completion per user, first-touch,
       // strictly ordered; microsecond epochs, exact
@@ -796,6 +811,30 @@ object PipelineOps {
            FROM scored WHERE csim IS NOT NULL)
          SELECT id, cid, CAST(CAST(csim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk = 1 ORDER BY id""",
+    // Lloyd M-step: e05's assignment CTE, then per-(cid, dim) decimal
+    // coordinate sums (rounded to DECIMAL(18,9) BEFORE the order-free
+    // SUM) and the truncating 9-dp mean — same arithmetic as Spark
+    "e14_kmeans_update" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT e.vec_id AS id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.cvec AS DOUBLE[])) AS csim
+           FROM embeddings e CROSS JOIN cent c),
+         r AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+               ORDER BY csim DESC, cid) AS rk
+           FROM scored WHERE csim IS NOT NULL),
+         a AS (SELECT id, cid FROM r WHERE rk = 1),
+         x AS (SELECT a.cid, i.i - 1 AS dim,
+             CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(18,9)) AS x9
+           FROM a JOIN embeddings e ON a.id = e.vec_id
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         g AS (SELECT cid, dim, count(*) AS n_assigned, sum(x9) AS s9
+           FROM x GROUP BY cid, dim)
+         SELECT cid, dim, n_assigned,
+           CAST(CAST(s9 * 1000000000 AS BIGINT) // n_assigned AS DOUBLE)
+             / 1e9 AS mean
+         FROM g ORDER BY cid, dim""",
     // URL facts over deterministically-planted URLs (see the query
     // entry): identical regex extraction chain, literal IN blocklist
     // the planted-host fragment interpolates via duckHost; the regex
@@ -1635,6 +1674,32 @@ object PipelineOps {
              AS is_farm_like
          FROM n LEFT JOIN od USING (node) LEFT JOIN ind USING (node)
          LEFT JOIN rc USING (node) ORDER BY node""",
+    // same undirected canonical edge set as the Spark side; triangles
+    // counted once at their min-id vertex (the triangle SET is
+    // orientation-invariant, so this matches Spark's degree-ordered
+    // generation); clustering is the same truncating ppm integer
+    "g03_triangles" ->
+      s"""WITH h AS (SELECT
+           ${duckHost("doc_id")} AS src,
+           ${duckHost("doc_id * 2 + 1")} AS dst
+           FROM documents),
+         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM h WHERE src <> dst),
+         deg AS (SELECT node, count(*) AS degree FROM
+           (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pn AS (SELECT node, count(*) AS n_triangles FROM
+           (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+         SELECT d.node, d.degree,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+             THEN 2 * coalesce(pn.n_triangles, 0) * 1000000
+                  // (d.degree * (d.degree - 1))
+             ELSE 0 END AS clustering_ppm
+         FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node""",
     // minhash quality: same md5-space permutations (first 15 hex chars
     // of md5("i:" || shingle)), same d04-CTE pair set and shingle sets
     "d12_minhash_quality" ->

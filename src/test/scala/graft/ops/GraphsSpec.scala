@@ -38,6 +38,30 @@ class GraphsSpec extends SparkSuite {
       Graphs.pageRank(edges.filter("s = 'zzz'"), "s", "t"))
   }
 
+  test("triangles: counts and clustering ppm on a hand graph") {
+    // triangle {1,2,3}; {1,2,4} via 4-1 and 4-2; pendant edge 5-6;
+    // reversed duplicate (2,1) and self-loop (3,3) dropped
+    val edges = Seq((1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (5, 6),
+      (2, 1), (3, 3)).toDF("s", "t")
+    val out = Graphs.triangles(edges, "s", "t")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((3L, 2L, 666666L)))   // 2*2e6 DIV (3*2)
+    assert(out(2) === ((3L, 2L, 666666L)))
+    assert(out(3) === ((2L, 1L, 1000000L)))  // its one edge pair closes
+    assert(out(4) === ((2L, 1L, 1000000L)))
+    assert(out(5) === ((1L, 0L, 0L)))        // deg < 2 -> 0, not div-by-0
+    assert(out(6) === ((1L, 0L, 0L)))
+    assert(out.size === 6)
+  }
+
+  test("triangles: hub star has none; output ordered by node") {
+    val star = (1 to 8).map(i => (0, i)).toDF("s", "t")
+    val rows = Graphs.triangles(star, "s", "t").collect()
+    assert(rows.map(_.getLong(2)).forall(_ === 0L))
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 8))
+  }
+
   test("degreeStats: degrees, reciprocity, and silhouettes on a hand graph") {
     // A<->B reciprocal; C fans out to A,B,D with no inbound (farm-like);
     // D receives only (sink-like); duplicate edge and self-loop dropped

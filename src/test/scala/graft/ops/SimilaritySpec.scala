@@ -62,6 +62,42 @@ class SimilaritySpec extends SparkSuite {
     (0L until 8L).foreach(c => assert(got(c)._1 === c && got(c)._2 > 0.9999))
   }
 
+  test("kmeansUpdate: exact per-dimension means on a hand fixture") {
+    // 2-D, binary-exact coordinates: ids 0,1 nearest c10=(1,0);
+    // ids 2,3 nearest c11=(0,1)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.75f, 0.25f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.25f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
+        cents, "embedding", "vec_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out((10L, 0)) === ((2L, 0.875)))
+    assert(out((10L, 1)) === ((2L, 0.125)))
+    assert(out((11L, 0)) === ((2L, 0.125)))
+    assert(out((11L, 1)) === ((2L, 0.875)))
+    assert(out.size === 4)
+  }
+
+  test("kmeansUpdate: truncating 9-dp mean, not float division") {
+    // one centroid, three vectors: mean of dim 0 is 1/3 -> truncates
+    // to 0.333333333 exactly (1e9-scaled integer DIV)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
+        cents, "embedding", "vec_id")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(0) === 0.333333333)
+    assert(out(1) === 0.666666666)
+  }
+
   test("ivfTopK: probing all clusters equals brute force; partial probe recalls some") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)
