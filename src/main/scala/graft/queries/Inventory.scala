@@ -556,6 +556,17 @@ object Inventory {
         .withColumn("max_value", money(col("max_value")))
         .orderBy(col("event_id"))
     },
+    "q79_interval_join_outer" -> { (s, d) =>
+      // left-outer stream-stream interval join: purchases with NO click
+      // in the preceding hour survive with n_matches = 0 (batch gate;
+      // streaming watermark semantics spec-tested)
+      val ev = Tables(s, d, "events")
+      graft.streaming.EventStreams.intervalJoinOuter(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), "1 hour")
+        .withColumn("max_value", money(col("max_value")))
+        .orderBy(col("event_id"))
+    },
     "q50_hll_union" -> { (s, d) =>
       // MERGEABLE sketches — the re-aggregatable rollup shape at 100 TB:
       // per-flag partial HLL sketches (Datasketches binary), union-merged
@@ -914,6 +925,33 @@ object Inventory {
                  l_linestatus NULLS FIRST""")
     },
 
+    "q77_distinct_on" -> { (s, d) =>
+      // "latest row per key" — DuckDB spells it DISTINCT ON; Spark's
+      // idiom is the rank-1 window (row_number, filter, drop), which
+      // plans as one keyed Window over one exchange
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    "q78_execute_immediate" -> { (s, d) =>
+      // Spark 4 session variables + EXECUTE IMMEDIATE: the dynamic-SQL
+      // surface a serving layer uses for parameterized templates; the
+      // variable binds via USING, the statement text is data
+      Tables.register(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_qty INT DEFAULT 45")
+      s.sql("SET VAR graft_min_qty = 48")
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_quantity >= ? GROUP BY l_returnflag
+         ORDER BY l_returnflag' USING graft_min_qty""")
+    },
+
     // --- introspection (shape-checked only, like the reference:
     //     tests/test_executor.py:437-453) --------------------------------
     "s1_explain" -> { (s, d) => s.sql("EXPLAIN SELECT 1") },
@@ -1204,6 +1242,18 @@ object Inventory {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
            l_linestatus NULLS FIRST""",
+    // DuckDB's native DISTINCT ON vs Spark's rank-1 window: same rows
+    // (first per custkey under date DESC, key ASC)
+    "q77_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+         FROM orders
+         ORDER BY o_custkey, o_orderdate DESC, o_orderkey""",
+    // the EXECUTE IMMEDIATE template with the variable inlined
+    "q78_execute_immediate" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_quantity >= 48 GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     // dialect split: DuckDB spells the tuple with an explicit ROW
     // constructor (bare (a, b) IN (subquery) binds as single-column there)
     "q75_tuple_in" ->
@@ -1247,6 +1297,19 @@ object Inventory {
          SELECT p.event_id, p.user_id, p.ts, count(*) AS n_matches,
                 CAST(CAST(max(c.value) AS DECIMAL(18,2)) AS DOUBLE) AS max_value
          FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         GROUP BY p.event_id, p.user_id, p.ts
+         ORDER BY p.event_id""",
+    // left-outer twin of q49: count(c.user_id) so null-joined rows count 0
+    "q79_interval_join_outer" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts,
+                count(c.user_id) AS n_matches,
+                CAST(CAST(max(c.value) AS DECIMAL(18,2)) AS DOUBLE) AS max_value
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
          GROUP BY p.event_id, p.user_id, p.ts
          ORDER BY p.event_id""",

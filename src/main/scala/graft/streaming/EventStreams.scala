@@ -109,6 +109,40 @@ object EventStreams {
       .agg(count(lit(1)).as("n_matches"), max(col("r_value")).as("max_value"))
   }
 
+  /**
+   * LEFT OUTER variant of [[intervalJoin]]: every left event survives,
+   * unmatched ones with `n_matches = 0` and NULL `max_value` — the
+   * "purchases with no preceding click" attribution shape an inner join
+   * silently drops. In streaming mode the outer side emits its
+   * null-joined rows only once the watermark passes the join window
+   * (the engine must prove no future match can arrive before it can
+   * emit the negative); batch is the oracle-checkable gate.
+   *
+   * Scale: identical state story to the inner form — keyed by user_id,
+   * bounded by watermark + lookback; the count aggregates the non-null
+   * right key, so the null-joined row contributes 0, not 1.
+   */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        lookback: String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark)
+             else left)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark)
+             else right)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"),
+        "left_outer")
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(col("r_user_id")).as("n_matches"),
+        max(col("r_value")).as("max_value"))
+  }
+
   // --- custom state: per-user running aggregate via mapGroupsWithState ---
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

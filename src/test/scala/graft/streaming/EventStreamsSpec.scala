@@ -99,6 +99,39 @@ class EventStreamsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("intervalJoinOuter: unmatched purchases survive with zero matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 7L, 10.0),
+      (3L, ts("2024-01-01 02:00:00"), 8L, 30.0))   // no user-8 clicks
+    val clicks = Seq(
+      (102L, ts("2024-01-01 00:59:00"), 7L, 2.0))
+    // batch gate: outer keeps p3 at n=0/NULL where inner drops it
+    val batch = EventStreams.intervalJoinOuter(
+        purchases.toDF(cols: _*), clicks.toDF(cols: _*), "1 hour")
+      .select("event_id", "n_matches", "max_value")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(batch === Set((1L, 1L, Some(2.0)), (3L, 0L, None)))
+
+    // streaming: watermarks + time bound accepted by the planner; the
+    // sentinel advances the watermark so the negative can be emitted
+    val lIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val rIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    lIn.addData(purchases: _*)
+    lIn.addData(Seq((99L, ts("2024-01-01 06:00:00"), 9L, 0.0)): _*)
+    rIn.addData(clicks: _*)
+    rIn.addData(Seq((105L, ts("2024-01-01 06:00:00"), 7L, 5.0)): _*)
+    val streamed = EventStreams.runOnce(spark,
+      EventStreams.intervalJoinOuter(lIn.toDF.toDF(cols: _*),
+        rIn.toDF.toDF(cols: _*), "1 hour", "10 minutes"),
+      "ijo_sink", OutputMode.Append)
+    val got = streamed.select("event_id", "n_matches", "max_value")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got.subsetOf(batch ++ Set((99L, 0L, None))))
+  }
+
   test("enrich: stream-static left join matches batch; misses -> NULLs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
