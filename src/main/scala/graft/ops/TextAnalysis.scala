@@ -808,4 +808,41 @@ object TextAnalysis {
           "- 846 * __spw6 DIV 10 AS DOUBLE) / 1e6").as("reading_ease"))
       .orderBy(col("id"))
   }
+
+  /**
+   * Encoding-anomaly ("mojibake") score — the cheap filter that catches
+   * double-encoded and lossily-decoded documents before they poison a
+   * training corpus: counts of U+FFFD replacement characters and of the
+   * classic UTF-8-read-as-Latin-1 indicator characters 'Ã' (the é/á/ö
+   * family mis-decodes to 'Ã©'/'Ã¡'/…) and 'â' ('â€™'/'â€"' — curly
+   * quote/dash mis-decodes), as a ppm rate of the character count.
+   *
+   * In clean English text all three characters are vanishingly rare, so
+   * a rate above ~1000 ppm is a reliable corruption flag; corpora that
+   * legitimately contain them (French, Portuguese) calibrate
+   * `suspectPpm` instead. `replace`+`length` only — map-only,
+   * codegen'd, exact integers, and a SQL oracle evaluates the identical
+   * expressions.
+   */
+  def mojibakeScore(df: DataFrame, textCol: String, idCol: String,
+                    suspectPpm: Long = 1000): DataFrame = {
+    require(suspectPpm >= 0, s"suspectPpm must be >= 0, got $suspectPpm")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("n_replacement",
+        (col("n_chars") -
+          length(expr("replace(__t, '�', '')"))).cast("long"))
+      .withColumn("n_latin1_marks",
+        (lit(2) * col("n_chars")
+          - length(expr("replace(__t, 'Ã', '')"))
+          - length(expr("replace(__t, 'â', '')"))).cast("long"))
+      .withColumn("moji_ppm",
+        expr("CASE WHEN n_chars > 0 THEN " +
+          "(n_replacement + n_latin1_marks) * 1000000 DIV n_chars " +
+          "ELSE 0 END"))
+      .select(col("id"), col("n_chars"), col("n_replacement"),
+        col("n_latin1_marks"), col("moji_ppm"),
+        (col("moji_ppm") >= suspectPpm).as("is_suspect"))
+      .orderBy(col("id"))
+  }
 }

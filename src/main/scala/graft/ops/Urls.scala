@@ -57,4 +57,57 @@ object Urls {
     parsed.withColumn("is_blocked",
       col("domain").isin(blockedDomains: _*))
   }
+
+  /**
+   * Canonical form of a URL for identity-level dedup — the
+   * normalization every crawl pipeline applies before comparing URLs
+   * (the same page is fetched as `HTTP://Host/p?utm_source=feed#top`
+   * and `https://host/p`):
+   *
+   *   - fragment dropped; scheme collapsed to `https` (http/https serve
+   *     the same document in the overwhelming case — callers who need
+   *     scheme-distinct identity can pre-split on it);
+   *   - host lowercased, default port (`:80`/`:443`) stripped;
+   *   - tracking parameters (`utm_*`, `fbclid`, `gclid`) removed;
+   *   - remaining query parameters SORTED (param order is not
+   *     identity); empty query dropped;
+   *   - trailing path slashes stripped.
+   *
+   * Pure column expression in the RE2 ∩ java.regex subset plus
+   * split/array_sort/array_join — map-only, codegen-friendly, no UDF.
+   */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val h = regexp_replace(lower(hostPort), ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val keptParams = filter(split(q, "&"), p =>
+      !p.rlike("^(utm_[a-z]+|fbclid|gclid)=") && p =!= "")
+    val sortedQ = array_join(array_sort(keptParams), "&")
+    concat(lit("https://"), h, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /**
+   * URL-identity dedup: group documents by [[canonicalize]]d URL, keep
+   * the min id per group — the cheap pre-text dedup tier (CCNet et al.
+   * dedup by URL before ever hashing content). Output is the dedup
+   * family shape (id, canon_url, keep_id, is_dup).
+   *
+   * Scale: canonicalization is map-only; the only shuffle is the
+   * min-aggregation keyed by canonical URL (partial-combined), and the
+   * rejoin is by the same key — two exchanges of (url, id) pairs.
+   */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val c = df.select(col(idCol).as("id"),
+      canonicalize(col(urlCol)).as("canon_url"))
+    val reps = c.groupBy(col("canon_url"))
+      .agg(min(col("id")).as("keep_id"))
+    c.join(reps, "canon_url")
+      .select(col("id"), col("canon_url"), col("keep_id"),
+        (col("id") =!= col("keep_id")).as("is_dup"))
+      .orderBy(col("id"))
+  }
 }

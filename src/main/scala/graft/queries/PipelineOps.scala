@@ -170,6 +170,31 @@ object PipelineOps {
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7),
         k = 16)
     },
+    "d13_url_dedup" -> { (s, d) =>
+      // URL-identity dedup — the pre-text tier: plant URLs whose scheme
+      // case, default port, tracking params, param order, trailing
+      // slash, and fragment all vary, then dedup on the canonical form.
+      // doc_id % 40 hosts force real collision groups.
+      val planted = docs(s, d).withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, upper(plantedHost(col("doc_id") % 40)))
+          .otherwise(plantedHost(col("doc_id") % 40)),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("?utm_source=feed&ref=r"),
+            (col("doc_id") % 10).cast("string")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("?ref=r"), (col("doc_id") % 10).cast("string"),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 6 === 2, lit("?b=2&a=1"))
+          .when(col("doc_id") % 6 === 3, lit("?a=1&b=2"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit(""))))
+      graft.ops.Urls.urlDedup(planted, "url", "doc_id")
+    },
     "d11_semdedup" -> { (s, d) =>
       // SemDeDup (Abbas et al. 2023): embedding near-dup restricted to
       // within-cluster pairs — clusters = the fixture's k-means `label`
@@ -409,6 +434,18 @@ object PipelineOps {
       // document frequency 1 (string-vs-hashed shingle equivalence is
       // the same injectivity argument d04 documents)
       TextAnalysis.noveltyScore(docs(s, d), "text", "doc_id")
+    },
+    "t19_mojibake" -> { (s, d) =>
+      // encoding-anomaly filter: fixtures are clean, so corruption is
+      // planted deterministically (the t13 device) — id%7==0 docs get
+      // the Ã© mis-decode, ==1 get U+FFFD, ==2 get â€™; the rest stay
+      // clean and must score 0
+      val planted = docs(s, d).withColumn("text",
+        when(col("doc_id") % 7 === 0, expr("replace(text, 'e', 'Ã©')"))
+          .when(col("doc_id") % 7 === 1, expr("replace(text, 'a', '�')"))
+          .when(col("doc_id") % 7 === 2, expr("replace(text, 'o', 'â€™')"))
+          .otherwise(col("text")))
+      TextAnalysis.mojibakeScore(planted, "text", "doc_id")
     },
     "t16_readability" -> { (s, d) =>
       // Flesch reading-ease + FK grade with the vowel-group syllable
@@ -1023,6 +1060,66 @@ object PipelineOps {
              FOR i IN range(1, len(w))]) AS gram FROM tok)
          SELECT gram, count(*) AS n FROM b GROUP BY gram
          ORDER BY n DESC, gram LIMIT 20""",
+    // URL-identity dedup: identical plant + canonicalization chain
+    // (fragment, scheme collapse, host case, default port, tracker
+    // params, param sort, trailing slash) spelled in DuckDB's regex and
+    // list functions
+    "d13_url_dedup" ->
+      (s"""WITH p AS (SELECT doc_id AS id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(${duckHost("doc_id % 40")})
+                 ELSE ${duckHost("doc_id % 40")} END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+           '/p' || CAST(doc_id % 5 AS VARCHAR) ||
+           (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+           (CASE doc_id % 6
+              WHEN 0 THEN '?utm_source=feed&ref=r' || CAST(doc_id % 10 AS VARCHAR)
+              WHEN 1 THEN '?ref=r' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+              WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?a=1&b=2' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+           FROM documents),""" +
+      """
+         nf AS (SELECT id, regexp_replace(url, '#.*$', '') AS nf FROM p),
+         parts AS (SELECT id,
+           regexp_replace(lower(regexp_extract(nf,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             ':(80|443)$', '') AS h,
+           regexp_replace(regexp_extract(regexp_extract(nf,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
+             '^([^?]*)', 1), '/+$', '') AS pth,
+           regexp_extract(nf, '\?(.*)$', 1) AS q
+           FROM nf),
+         cq AS (SELECT id, h, pth,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid)=')
+                  AND x <> '')), '&') AS sq FROM parts),
+         c AS (SELECT id, 'https://' || h || pth ||
+             (CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END)
+             AS canon_url FROM cq),
+         r AS (SELECT canon_url, min(id) AS keep_id FROM c GROUP BY 1)
+         SELECT c.id, c.canon_url, r.keep_id,
+                c.id <> r.keep_id AS is_dup
+         FROM c JOIN r USING (canon_url) ORDER BY c.id"""),
+    // mojibake: same plant, same replace+length counting, same
+    // truncating ppm and >= 1000 flag
+    "t19_mojibake" ->
+      """WITH p AS (SELECT doc_id AS id,
+           CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', 'Ã©')
+                WHEN doc_id % 7 = 1 THEN replace(text, 'a', '�')
+                WHEN doc_id % 7 = 2 THEN replace(text, 'o', 'â€™')
+                ELSE text END AS t FROM documents),
+         m AS (SELECT id, length(t) AS n_chars,
+           length(t) - length(replace(t, '�', '')) AS n_replacement,
+           2 * length(t) - length(replace(t, 'Ã', ''))
+             - length(replace(t, 'â', '')) AS n_latin1_marks
+           FROM p),
+         s AS (SELECT id, n_chars, n_replacement, n_latin1_marks,
+           CASE WHEN n_chars > 0 THEN
+             (n_replacement + n_latin1_marks) * 1000000 // n_chars
+             ELSE 0 END AS moji_ppm FROM m)
+         SELECT id, n_chars, n_replacement, n_latin1_marks, moji_ppm,
+                moji_ppm >= 1000 AS is_suspect
+         FROM s ORDER BY id""",
     // Full SimHash reimplementation: Md5Hash60 token hashes (= value of
     // the first 15 hex chars of md5, the same number Spark computes in
     // md5 hash mode), per-bit ±1 majority over 64 bits, then pairs with

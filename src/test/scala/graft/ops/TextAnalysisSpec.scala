@@ -351,4 +351,24 @@ class TextAnalysisSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.vocabGrowth(docs, "text", "doc_id", pcts = Seq(0)))
   }
+
+  test("mojibakeScore: counts, ppm, and the clean-text zero") {
+    val df = Seq(
+      (1L, "clean ascii text"),                    // 16 chars, all clean
+      (2L, "cafÃ© mis-decoded"),         // one Ã mark
+      (3L, "lost��bytes"),               // two U+FFFD
+      (4L, "itâ€™s fine"),          // â€™ curly-quote moji
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) === ((16L, 0L, 0L, 0L, false)))
+    assert(out(2L) === ((17L, 0L, 1L, 58823L, true)))
+    assert(out(3L) === ((11L, 2L, 0L, 181818L, true)))
+    assert(out(4L) === ((11L, 0L, 1L, 90909L, true)))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, false)))   // no div-by-zero
+    intercept[IllegalArgumentException](
+      TextAnalysis.mojibakeScore(df, "text", "doc_id", suspectPpm = -1))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 /** Semantics specs for the URL curation operators: parse edge cases
@@ -22,6 +24,37 @@ class UrlsSpec extends SparkSuite {
     assert(out(3L) === (("localhost", "", "", 1)))                    // single label
     assert(out(4L) === (("", "", "", 0)))                             // unparseable
     assert(out(5L) === (("files.archive.net", "archive.net", "net", 0)))
+  }
+
+  test("canonicalize: scheme/case/port/trackers/param-order/slash/fragment") {
+    val df = Seq(
+      (1L, "HTTP://Example.COM:80/page/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://example.com/page?a=1&b=2"),
+      (3L, "https://example.com:443/page?b=2&utm_campaign=y&a=1"),
+      (4L, "https://example.com/page?fbclid=abc"),
+      (5L, "https://example.com/other")).toDF("doc_id", "url")
+    val out = df.select(col("doc_id"),
+        Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1-4 all collapse to the same canonical identity
+    assert(out(1L) === "https://example.com/page?a=1&b=2")
+    assert(out(2L) === out(1L))
+    assert(out(3L) === out(1L))
+    assert(out(4L) === "https://example.com/page")
+    assert(out(5L) === "https://example.com/other")
+  }
+
+  test("urlDedup groups by canonical identity, min id wins") {
+    val df = Seq(
+      (10L, "https://example.com/p?x=1&utm_source=a"),
+      (11L, "HTTP://EXAMPLE.com/p/?x=1#top"),
+      (12L, "https://example.com/q")).toDF("doc_id", "url")
+    val out = Urls.urlDedup(df, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(10L) === ((10L, false)))
+    assert(out(11L) === ((10L, true)))
+    assert(out(12L) === ((12L, false)))
   }
 
   test("flagBlocked flags by registered domain, not host") {
