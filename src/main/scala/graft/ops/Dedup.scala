@@ -92,6 +92,24 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
 
+    clusterReps(docs, idCol, minHashPairs(docs, textCol, idCol,
+      shingleLen, numHashes, bands, threshold))
+  }
+
+  /**
+   * The verified near-dup PAIR set behind [[minHashLSH]], exposed for
+   * composition (transitive clustering, pipeline audits): banded
+   * candidate generation, then exact shingle-Jaccard verification —
+   * output (id_a, id_b, sim) with id_a < id_b. Same recall argument as
+   * [[minHashLSH]]: every pair at/above the threshold shares a band on
+   * the gate fixture, and every emitted pair is exactly verified.
+   */
+  def minHashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
     val sigs = minHashSigs(docs, textCol, idCol, shingleLen, numHashes)
     val banded = bandedIndex(sigs, bands, rows)
 
@@ -103,14 +121,52 @@ object Dedup {
       .distinct()
 
     val bySh = sigs.select(col("id"), col("sh"))
-    val verified = cand
+    cand
       .join(bySh.as("a"), col("id_a") === col("a.id"))
       .join(bySh.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
         Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
 
-    clusterReps(docs, idCol, verified)
+  /**
+   * The full corpus-dedup pipeline in one call — what a user actually
+   * runs before training: exact dedup (sha-256 digest), MinHash+LSH
+   * fuzzy pairs over the exact survivors, TRANSITIVE clustering
+   * (connected components, not one-hop), then canonical selection
+   * (longest doc per cluster, ties to min id). Output one row per
+   * input doc: (id, exact_rep, cluster_rep, canonical_id, is_kept) —
+   * `is_kept` marks exactly the docs a training run would retain.
+   *
+   * Scale: digest window is a 32-byte-keyed exchange (d01); the fuzzy
+   * tier shuffles signatures only (d02); components run pointer-jumping
+   * rounds over the verified PAIR set, which is orders of magnitude
+   * smaller than the corpus (d10); canonical selection is one keyed
+   * window over survivor ids. Nothing all-pairs, nothing collected.
+   */
+  def dedupPipeline(
+      docs: DataFrame, textCol: String, idCol: String, lengthCol: String,
+      shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val er = docs.select(col(idCol).as("id"),
+        sha2(col(textCol), 256).as("__dig"))
+      .select(col("id"),
+        min(col("id")).over(Window.partitionBy(col("__dig")))
+          .as("exact_rep"))
+    val survivors = docs.join(
+      er.filter(col("id") === col("exact_rep"))
+        .select(col("id").as(idCol)), Seq(idCol))
+    val pairs = minHashPairs(survivors, textCol, idCol,
+      shingleLen, numHashes, bands, threshold)
+    val reps = graft.ops.ConnectedComponents.clusterReps(
+      survivors.select(col(idCol)), idCol, pairs)
+    val canon = canonicalize(reps, survivors, idCol, lengthCol)
+    er.join(canon.select(col("id").as("exact_rep"),
+        col("keep_id").as("cluster_rep"), col("canonical_id")),
+        Seq("exact_rep"))
+      .select(col("id"), col("exact_rep"), col("cluster_rep"),
+        col("canonical_id"), (col("id") === col("canonical_id")).as("is_kept"))
+      .orderBy(col("id"))
   }
 
   /**

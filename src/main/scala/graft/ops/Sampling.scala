@@ -97,6 +97,28 @@ object Sampling {
   }
 
   /**
+   * Packing-efficiency report over [[packSequences]]'s assignment — the
+   * padding-waste number a data card publishes: per (shard, bin), how
+   * many docs START in the bin and their weight total, plus the bin's
+   * fill rate against the budget in exact ppm. The all-but-last bins of
+   * each shard fill to ~budget by construction; the report quantifies
+   * the tail waste and any pathological doc-length skew.
+   *
+   * Scale: one partial-combined aggregation keyed by (shard, bin) over
+   * packSequences' map-side output — the exchange carries 4-long rows.
+   */
+  def packStats(df: DataFrame, idCol: String, weightCol: String,
+                budget: Long, shards: Int = 16): DataFrame = {
+    packSequences(df, idCol, weightCol, budget, shards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("w_total"))
+      .withColumn("fill_ppm",
+        expr(s"w_total * 1000000 DIV ${budget}L"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /**
    * Deterministic weighted priority sampling: take `n` documents with
    * inclusion bias proportional to `weightCol` (e.g. upsample long or
    * high-quality docs). Each doc gets priority key

@@ -170,6 +170,14 @@ object PipelineOps {
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7),
         k = 16)
     },
+    "d14_dedup_pipeline" -> { (s, d) =>
+      // the one call a user runs before training: exact digest dedup ->
+      // MinHash fuzzy pairs over survivors -> transitive components ->
+      // longest-doc canonical; is_kept marks the retained corpus.
+      // Threshold matches d02/d04 (0.7, band recall 1 on the fixture).
+      Dedup.dedupPipeline(docs(s, d), "text", "doc_id", "n_chars",
+        threshold = 0.7)
+    },
     "d13_url_dedup" -> { (s, d) =>
       // URL-identity dedup — the pre-text tier: plant URLs whose scheme
       // case, default port, tracking params, param order, trailing
@@ -499,6 +507,12 @@ object PipelineOps {
         .orderBy(col("id"))
     },
 
+    "p11_pack_stats" -> { (s, d) =>
+      // padding-waste data-card number over p03's packing: per
+      // (shard, bin) doc count, weight total, fill ppm vs the budget
+      Sampling.packStats(docs(s, d), "doc_id", "n_chars",
+        budget = 4096L, shards = 8)
+    },
     "p04_weighted_sample" -> { (s, d) =>
       // 100-doc weighted priority sample, n_chars as the weight
       Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", n = 100)
@@ -947,6 +961,24 @@ object PipelineOps {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
            FROM documents)
          SELECT id, lang, rk FROM r WHERE rk <= 30 ORDER BY lang, rk""",
+    // p03's CTEs + one GROUP BY: docs/weight starting per (shard, bin)
+    // and the truncating ppm fill rate
+    "p11_pack_stats" ->
+      s"""WITH s AS (SELECT doc_id AS id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS m,
+             CAST($duckMd5Bucket % 8 AS INT) AS shard
+           FROM documents),
+         c AS (SELECT id, shard, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (PARTITION BY shard
+               ORDER BY m, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS bef
+           FROM s),
+         b AS (SELECT shard, CAST(bef // 4096 AS BIGINT) AS bin, n_chars
+           FROM c)
+         SELECT shard, bin, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS w_total,
+                CAST(sum(n_chars) AS BIGINT) * 1000000 // 4096 AS fill_ppm
+         FROM b GROUP BY shard, bin ORDER BY shard, bin""",
     "p03_pack_sequences" ->
       s"""WITH s AS (SELECT doc_id AS id, n_chars,
              md5(CAST(doc_id AS VARCHAR)) AS m,
@@ -1060,6 +1092,45 @@ object PipelineOps {
              FOR i IN range(1, len(w))]) AS gram FROM tok)
          SELECT gram, count(*) AS n FROM b GROUP BY gram
          ORDER BY n DESC, gram LIMIT 20""",
+    // full pipeline: text-window exact groups (same partition as the
+    // sha-256 digest), brute-force jaccard pairs over survivors (valid
+    // by d02's band-recall argument), recursive reachability (d10's
+    // device), longest-doc-first canonical window
+    "d14_dedup_pipeline" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT doc_id AS id, text, n_chars FROM documents),
+         er AS (SELECT id, min(id) OVER (PARTITION BY text) AS exact_rep
+                FROM d0),
+         s0 AS (SELECT d0.id, d0.text, d0.n_chars
+                FROM d0 JOIN er ON d0.id = er.id
+                WHERE er.id = er.exact_rep),
+         w0 AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+                lower(trim(text)) AS lt, n_chars FROM s0),
+         sh AS (SELECT id, n_chars, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+               FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM w0),
+         p AS (SELECT a.id AS id_a, b.id AS id_b
+               FROM sh a JOIN sh b ON a.id < b.id
+               AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   >= 0.7),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (SELECT a, a FROM e
+               UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         comp AS (SELECT id, min(r) AS keep FROM reach GROUP BY id),
+         cl AS (SELECT s.id, s.n_chars,
+                least(s.id, coalesce(c.keep, s.id)) AS cluster_rep
+                FROM sh s LEFT JOIN comp c ON s.id = c.id),
+         can AS (SELECT id, cluster_rep,
+                first_value(id) OVER (PARTITION BY cluster_rep
+                  ORDER BY n_chars DESC, id) AS canonical_id
+                FROM cl)
+         SELECT er.id, er.exact_rep, can.cluster_rep, can.canonical_id,
+                er.id = can.canonical_id AS is_kept
+         FROM er JOIN can ON er.exact_rep = can.id
+         ORDER BY er.id""",
     // URL-identity dedup: identical plant + canonicalization chain
     // (fragment, scheme collapse, host case, default port, tracker
     // params, param sort, trailing slash) spelled in DuckDB's regex and

@@ -270,4 +270,24 @@ class DedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Dedup.minhashEstimate(docs, "text", "doc_id", pairs, k = 0))
   }
+
+  test("dedupPipeline: exact tier, transitive fuzzy tier, longest canonical") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, base),                 // fuzzy-dups with 3 (J = 7/8)
+      (2L, base),                 // exact dup of 1
+      (3L, base + " tonight"),    // longest in the cluster -> canonical
+      (4L, "completely different text with no overlap at all ok"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val out = Dedup.dedupPipeline(docs, "text", "doc_id", "n_chars",
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((1L, 1L, 3L, false)))   // cluster kept by 3
+    assert(out(2L) === ((1L, 1L, 3L, false)))   // exact dup follows 1
+    assert(out(3L) === ((3L, 1L, 3L, true)))    // longest wins
+    assert(out(4L) === ((4L, 4L, 4L, true)))    // singleton survives
+  }
 }

@@ -293,4 +293,18 @@ class SamplingSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Sampling.splitDrift(df, "split", "f", 100L, 1))
   }
+
+  test("packStats: per-bin counts and fill ppm, order-independent") {
+    import spark.implicits._
+    // one shard, equal weights: bin membership depends only on rank
+    // (md5 order), so counts are deterministic whatever the order
+    val df = (1L to 5L).map(i => (i, 4L)).toDF("doc_id", "w")
+    val out = Sampling.packStats(df, "doc_id", "w",
+        budget = 10L, shards = 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cumulative starts 0,4,8,12,16 -> bins 0,0,0,1,1
+    assert(out(0L) === ((3L, 12L, 1200000L)))
+    assert(out(1L) === ((2L, 8L, 800000L)))
+  }
 }
