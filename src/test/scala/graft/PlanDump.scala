@@ -380,7 +380,44 @@ object PlanDump {
     "x07_dedup_impact" ->
       ("d01's digest window feeds a source-keyed aggregation with " +
         "map-side partials — the only shuffles are the digest window's " +
-        "hash exchange and the 20-row source rollup."))
+        "hash exchange and the 20-row source rollup."),
+    "g03_triangles" ->
+      ("Degree-ordered orientation (compact-forward): every node's " +
+        "out-degree is O(sqrt m), so the wedge self-join is O(m^1.5) on " +
+        "any graph — hubs cannot blow up the intermediate; all shuffles " +
+        "carry 2-3 column id tuples, the closing check is one equi-join."),
+    "e14_kmeans_update" ->
+      ("Assignment reuses e05's broadcast + bounded-heap top-1; the " +
+        "M-step explodes vectors to (cid,dim,decimal) NARROW rows " +
+        "feeding one partial-combined aggregation — the exchange " +
+        "carries nlist*dim partials, never vectors."),
+    "q77_distinct_on" ->
+      ("One Window node (row_number) over one hash exchange keyed by " +
+        "o_custkey, filter rk=1 — and Spark inserts WindowGroupLimit " +
+        "on BOTH sides of the exchange, so each partition ships only " +
+        "its per-key top row instead of the whole table."),
+    "q79_interval_join_outer" ->
+      ("Left-outer SortMergeJoin keyed on user_id with the interval " +
+        "bound as join condition; count(non-null right key) makes the " +
+        "null-joined row a 0 — in streaming the same shape bounds " +
+        "state by watermark + lookback."),
+    "d13_url_dedup" ->
+      ("Canonicalization is a pure codegen expression chain (regex + " +
+        "split/array_sort) in the scan stage; the only shuffles are " +
+        "the canonical-key min-aggregation and its rejoin."),
+    "d14_dedup_pipeline" ->
+      ("The flagship composition: digest-window exchange (32-byte " +
+        "keys), signature-only MinHash band join over exact survivors, " +
+        "pointer-jumping rounds on the verified pair set only, one " +
+        "keyed canonical window — nothing all-pairs, nothing collected."),
+    "p11_pack_stats" ->
+      ("packSequences' per-shard window feeds a (shard,bin)-keyed " +
+        "HashAggregate with map-side partials — the report exchange " +
+        "carries 4-long rows."),
+    "t19_mojibake" ->
+      ("Map-only: replace+length counting in one codegen projection " +
+        "over the scan; the ppm arithmetic is exact integer DIV — no " +
+        "shuffle except the presentation sort."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
