@@ -49,8 +49,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // The closure-heavy queries (d10/d12/d14, m04, x03/x04) localCheckpoint
+      // intermediate pair sets; those RDD blocks outlive the query and, over
+      // 160+ queries × 4 passes, fill the block manager until the heavy tail
+      // measures GC/eviction churn instead of the query (full-inventory runs
+      // showed m04 at 2.7× its isolated median). Dropping leftover blocks
+      // between queries makes each measurement independent of inventory order.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

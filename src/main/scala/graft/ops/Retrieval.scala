@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical retrieval over the document corpus: BM25 term-weighted top-k.
+ *
+ * The reference's query surface is SQL-shaped (iceberg-explorer
+ * `query/executor.py` executes arbitrary SELECTs); a training-data
+ * pipeline additionally needs keyword retrieval over the corpus itself —
+ * "find the documents most about X" — for targeted curation, eval-set
+ * mining, and contamination triage (the lexical complement of
+ * [[Similarity.cosineTopK]]'s dense retrieval).
+ *
+ * Scoring is Robertson/Spärck-Jones BM25 (k1 = 1.2, b = 0.75) with one
+ * deliberate, documented twist: every factor is computed in exact integer
+ * fixed point (the t14/e14-established cross-engine determinism device) so
+ * results hash-verify bit-for-bit against the DuckDB oracle.
+ * Specifically, the logarithmic idf is replaced by its log-free rational
+ * core — idf_rat = (2·(N−df)+1) / (2·df+1), i.e. the argument of
+ * Robertson's log((N−df+0.5)/(df+0.5)) — scaled by 1e6 and floor-divided.
+ * The ln is monotone, so per-term document ordering is IDENTICAL to
+ * textbook BM25; only the relative weighting of different query terms in
+ * the sum changes (rarer terms weigh heavier than with the log damping —
+ * a defensible retrieval variant, and deterministic).
+ *
+ * Per (doc, term):
+ *   dlr   = (9000 · dl · N) div total_tokens          -- k1·b·dl/avgdl, ×1e4
+ *   denom = 10000·tf + 3000 + dlr                     -- tf + k1(1−b+b·dl/avgdl), ×1e4
+ *   term  = (idf_rat · tf · 22000) div denom          -- idf · tf·(k1+1)/denom, ×1e6
+ * score = Σ term over matched query terms; top-k by (score desc, id asc).
+ *
+ * Scale design (100 TB): the token explode is the only corpus-sized
+ * stage and it partial-aggregates map-side into (id, term) counts before
+ * the shuffle; df and the corpus stats are tiny aggregates broadcast onto
+ * the tf rows (|query terms| + 1 rows — never a corpus-sized join build);
+ * the final top-k is TakeOrderedAndProject (per-partition heaps, k rows
+ * per partition to the driver), never a global sort. Magnitudes: with
+ * idf_rat ≤ 2e6·N/1 and tf·22000, the product stays under 2^63 for
+ * corpora to ~10^8 docs with tf ≤ 10^3; past that, widen the two
+ * products to DECIMAL(38,0) — the floor-division contract is unchanged.
+ */
+object Retrieval {
+
+  /**
+   * BM25 top-k: the k highest-scoring documents for a bag of query
+   * terms. Output: (id, n_terms_hit, score_scaled), score descending,
+   * ties broken by id ascending (total order — deterministic top-k).
+   *
+   * Tokenization matches the t-series convention exactly (lower, trim,
+   * split on whitespace runs) so dl here equals t01's token count.
+   */
+  def bm25TopK(
+      docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "bm25TopK needs k > 0")
+
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+
+    // Per-doc length (every token, not just query terms) + corpus stats.
+    val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+
+    val qTok = tok.filter(col("t").isInCollection(queryTerms))
+    // Document frequency per query term: tiny result (≤ |queryTerms|).
+    val df = qTok.groupBy(col("t"))
+      .agg(count_distinct(col("id")).as("df"))
+    // Term frequency per (doc, term): map-side partial agg before shuffle.
+    val tf = qTok.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+
+    val scored = tf
+      .join(dl, "id")
+      .join(broadcast(df), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        expr("(1000000L * (2L * (n_docs - df) + 1L)) DIV (2L * df + 1L)")
+          .as("idf_rat"),
+        col("tf"), col("dl"), col("n_docs"), col("total_tokens"))
+      .select(col("id"),
+        expr("""(idf_rat * tf * 22000L) DIV
+                (10000L * tf + 3000L + (9000L * dl * n_docs) DIV total_tokens)""")
+          .as("term"))
+
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("term")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -320,6 +320,12 @@ object PipelineOps {
       Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
         corpus.filter(col("vec_id") < 8), "embedding", "vec_id")
     },
+    "e15_gram_matrix" -> { (s, d) =>
+      // uncentered second-moment matrix of the corpus — the whitening/
+      // PCA/drift statistic; products generated inside each row, so the
+      // only shuffle is the fixed d^2 partial-sum exchange
+      Similarity.gramMatrix(embs(s, d), "embedding", "vec_id")
+    },
     "e07_ivfpq_topk" -> { (s, d) =>
       // the full ANN serving stack: coarse probe over the label lists
       // (e02's min-id centroids) + PQ asymmetric-distance scoring
@@ -426,6 +432,13 @@ object PipelineOps {
       // corpus-estimated bigram LM fluency score, exact integers (the
       // deterministic stand-in for a KenLM-style perplexity filter)
       TextAnalysis.bigramLmScore(docs(s, d), "text", "doc_id")
+    },
+    "t20_bm25_topk" -> { (s, d) =>
+      // lexical retrieval: integer-BM25 top-10 docs for a fixed query
+      // bag (the keyword complement of e01's dense retrieval) — log-free
+      // rational idf keeps every factor an exact integer
+      graft.ops.Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
+        Seq("spark", "join", "vector", "window"), k = 10)
     },
     "t15_vocab_stats" -> { (s, d) =>
       // one-row corpus vocabulary report: tokens, types, hapax count,
@@ -1332,6 +1345,45 @@ object PipelineOps {
          SELECT d.id, coalesce(a.n_bigrams, 0) AS n_bigrams,
                 coalesce(a.sum_scaled, 0) AS sum_scaled
          FROM d LEFT JOIN agg a ON d.id = a.id ORDER BY d.id""",
+    // integer BM25: same tokenization as t14, log-free rational idf
+    // (x1e6), x1e4 length normalization, one floor division per factor —
+    // exact integers end to end; top-10 total-ordered by (score, id)
+    "t20_bm25_topk" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT id, unnest(w) AS t FROM d),
+         dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         qt AS (SELECT id, t FROM tok
+                WHERE t IN ('spark', 'join', 'vector', 'window')),
+         df AS (SELECT t, count(DISTINCT id) AS df FROM qt GROUP BY t),
+         tf AS (SELECT id, t, count(*) AS tf FROM qt GROUP BY id, t),
+         sc AS (SELECT tf.id,
+             ((1000000 * (2 * (st.n_docs - df.df) + 1)) // (2 * df.df + 1))
+               * tf.tf * 22000
+               // (10000 * tf.tf + 3000
+                   + (9000 * dl.dl * st.n_docs) // st.total_tokens) AS term
+           FROM tf JOIN dl USING (id) JOIN df USING (t) CROSS JOIN st)
+         SELECT id, count(*) AS n_terms_hit,
+                CAST(sum(term) AS BIGINT) AS score_scaled
+         FROM sc GROUP BY id
+         ORDER BY score_scaled DESC, id LIMIT 10""",
+    // Gram matrix: 6-dp float->DECIMAL quantization scaled to BIGINT
+    // (coarser than e14's 9 dp so the exact sum stays under 2^53 and
+    // the final DOUBLE cast is lossless — DuckDB's HUGEINT->DOUBLE is
+    // not correctly rounded, measured); oracle takes the readable
+    // self-join shape
+    "e15_gram_matrix" ->
+      """WITH c AS (SELECT vec_id AS id, i.i - 1 AS dim,
+             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS xi
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                      CAST(a.xi AS HUGEINT) * b.xi AS prod
+               FROM c a JOIN c b ON a.id = b.id AND a.dim <= b.dim)
+         SELECT dim_i, dim_j, count(*) AS n_vecs,
+                CAST(sum(prod) AS DOUBLE) / 1e12 AS gram
+         FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""",
     // SemDeDup: d05's brute force with the pair set restricted to
     // same-label (within-cluster) pairs
     "d11_semdedup" ->

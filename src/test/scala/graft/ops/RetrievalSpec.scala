@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Hand corpus: 4 docs, 3 tokens each → N=4, total_tokens=12, avgdl=3.
+  private def corpus = Seq(
+    (1L, "spark spark spark"),   // tf(spark)=3
+    (2L, "spark join b"),        // tf(spark)=1, tf(join)=1
+    (3L, "join c d"),            // tf(join)=1
+    (4L, "e f g")                // no hits
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed integer scores, rarer term weighs heavier") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // df(spark)=2, df(join)=2; idf_rat = (1e6*(2*(4-2)+1)) DIV (2*2+1)
+    //   = 5_000_000 DIV 5 = 1_000_000 for both terms.
+    // dlr = (9000*3*4) DIV 12 = 9000 for every doc (all dl=3).
+    // term(tf) = (1_000_000*tf*22000) DIV (10000*tf + 3000 + 9000)
+    //   tf=1 → 2.2e10 DIV 22000 = 1_000_000
+    //   tf=3 → 6.6e10 DIV 42000 = 1_571_428
+    assert(out.toSeq == Seq(
+      (2L, 2L, 2000000L),   // spark+join, one each
+      (1L, 1L, 1571428L),   // spark×3: saturation < 2 single hits
+      (3L, 1L, 1000000L)))  // doc 4 has no hits → absent
+  }
+
+  test("bm25: rare term outweighs common term (rational idf)") {
+    // "rare" appears in 1 doc, "common" in 3 → idf_rat differs.
+    val df = Seq(
+      (1L, "rare x x"), (2L, "common x x"), (3L, "common x x"),
+      (4L, "common x x")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, "text", "doc_id",
+        Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // idf_rat(rare) = (1e6*7) DIV 3 = 2_333_333;
+    // idf_rat(common) = (1e6*3) DIV 7 = 428_571 — doc 1 must rank first.
+    assert(out.head._1 == 1L)
+    assert(out.head._2 > out(1)._2)
+    // ties below the head break by id ascending
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bm25: k caps the result and empty-hit docs never appear") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("spark"), k = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L)
+  }
+
+  test("bm25: validation") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "text", "doc_id", Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 0)
+    }
+  }
+}

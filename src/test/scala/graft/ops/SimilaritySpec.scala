@@ -98,6 +98,42 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1) === 0.666666666)
   }
 
+  test("gramMatrix: exact scaled products on a hand fixture") {
+    // two 3-d vectors with binary-exact coords: (1, 0.5, -2), (0.25, 2, 4)
+    // gram[i][j] = v1[i]*v1[j] + v2[i]*v2[j], ×1e18 after the ×1e9 per-
+    // coordinate quantization
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.5f, -2.0f)),
+      (1L, Array(0.25f, 2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.gramMatrix(corpus, "embedding", "vec_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // per-coordinate ×1e6 quantization (coords are binary-exact here);
+    // the exact sums stay < 2^53, so toDouble below is lossless — the
+    // same cast the op performs
+    val v1 = Seq(1000000L, 500000L, -2000000L).map(BigInt(_))
+    val v2 = Seq(250000L, 2000000L, 4000000L).map(BigInt(_))
+    for (i <- 0 to 2; j <- i to 2) {
+      val exact = v1(i) * v1(j) + v2(i) * v2(j)
+      assert(exact.abs < BigInt(2).pow(53))
+      assert(out((i, j)) === ((2L, exact.toDouble / 1e12)),
+        s"dim pair ($i,$j)")
+    }
+    // upper triangle only: 3*(3+1)/2 entries
+    assert(out.size === 6)
+  }
+
+  test("gramMatrix: null embeddings drop, symmetry pairs absent") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.gramMatrix(corpus, "embedding", "vec_id").collect()
+    assert(rows.forall(_.getLong(2) == 1L))
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((0, 0), (0, 1), (1, 1)))
+  }
+
   test("ivfTopK: probing all clusters equals brute force; partial probe recalls some") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)
