@@ -417,7 +417,17 @@ object PlanDump {
     "t19_mojibake" ->
       ("Map-only: replace+length counting in one codegen projection " +
         "over the scan; the ppm arithmetic is exact integer DIV — no " +
-        "shuffle except the presentation sort."))
+        "shuffle except the presentation sort."),
+    "t20_bm25_topk" ->
+      ("The token explode partial-aggregates map-side into (id,term) " +
+        "counts; df and corpus stats are broadcast (|terms|+1 rows) onto " +
+        "the tf rows — the corpus never sits on a join build side; the " +
+        "final top-k is TakeOrderedAndProject, never a global sort."),
+    "e15_gram_matrix" ->
+      ("All d(d+1)/2 products generate INSIDE each row (nested " +
+        "transform over the quantized array — no self-join), so the " +
+        "only exchange is the partial-aggregated d^2 running sums per " +
+        "partition: fixed-size, independent of corpus row count."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
