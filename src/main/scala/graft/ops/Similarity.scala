@@ -817,10 +817,12 @@ object Similarity {
               CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
                    AS BIGINT))""").as("xi"))
       .select(explode(expr(
+        // pure BIGINT products: |xi| ≤ a few 1e6 under the documented
+        // envelope, so xi[i]*xi[j] ≤ ~1e13 and the sum < 2^53 — no
+        // decimal widening needed, the whole pipeline stays primitive
         """flatten(transform(sequence(0, size(xi) - 1), i ->
              transform(sequence(i, size(xi) - 1), j ->
-               struct(i AS dim_i, j AS dim_j,
-                      CAST(xi[i] AS DECIMAL(38,0)) * xi[j] AS prod))))"""))
+               struct(i AS dim_i, j AS dim_j, xi[i] * xi[j] AS prod))))"""))
         .as("p"))
       .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
       .groupBy(col("dim_i"), col("dim_j"))
