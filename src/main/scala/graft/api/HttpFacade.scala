@@ -430,6 +430,17 @@ final class HttpFacade(
       if (!df.columns.contains(column.get)) {
         sendJson(ex, 400, detail(s"Unknown column: ${column.get}")); return
       }
+      // same convention as profileRoute: an explicitly requested
+      // non-groupable column (map/array/struct) is a caller error — 400,
+      // not a raw AnalysisException surfaced as 500
+      val groupable = df.schema(column.get).dataType match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+      if (!groupable) {
+        sendJson(ex, 400, detail(
+          s"Column ${column.get} is not groupable (map type)")); return
+      }
       val maxLabels = 1000
       val rows = graft.ops.Profile.classBalance(df, column.get)
         .limit(maxLabels + 1).collect()

@@ -89,9 +89,6 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val rows = numHashes / bands
-
     clusterReps(docs, idCol, minHashPairs(docs, textCol, idCol,
       shingleLen, numHashes, bands, threshold))
   }
@@ -148,14 +145,21 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String, lengthCol: String,
       shingleLen: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    // materialize the digest tier once: er feeds the survivor filter AND
+    // the final join, and survivors feed the signature build, the
+    // component closure, and the canonical window — without the
+    // checkpoint the corpus-sized sha2 scan + 32-byte exchange re-execute
+    // once per consumer (the same waste minhashEstimate pins down)
     val er = docs.select(col(idCol).as("id"),
         sha2(col(textCol), 256).as("__dig"))
       .select(col("id"),
         min(col("id")).over(Window.partitionBy(col("__dig")))
           .as("exact_rep"))
+      .localCheckpoint(true)
     val survivors = docs.join(
       er.filter(col("id") === col("exact_rep"))
         .select(col("id").as(idCol)), Seq(idCol))
+      .localCheckpoint(true)
     val pairs = minHashPairs(survivors, textCol, idCol,
       shingleLen, numHashes, bands, threshold)
     val reps = graft.ops.ConnectedComponents.clusterReps(

@@ -72,22 +72,6 @@ object Graphs {
   }
 
   /**
-   * Per-node degree/link-structure report — the cheap (non-iterative)
-   * link signals crawl curation reads before anything PageRank-shaped:
-   * out-degree, in-degree, and the node's RECIPROCAL edge count (links
-   * whose reverse edge also exists). A high-out/zero-in host is the
-   * link-farm/SEO-spam silhouette; near-total reciprocity flags link
-   * exchanges — both standard crawl-quality features, exact integers.
-   *
-   * Edges normalize like [[pageRank]] (nulls and self-loops dropped,
-   * duplicates collapsed) so the two reports describe the same graph.
-   *
-   * Scale: degree counts are node-keyed aggregations with map-side
-   * partials; reciprocity is one self-equi-join of the (src, dst) edge
-   * list on the reversed key — every shuffle carries 2-column edge rows,
-   * and nothing is iterative or global.
-   */
-  /**
    * Per-node triangle count + local clustering coefficient over the
    * UNDIRECTED simplification of an edge list — the link-graph
    * cohesion signal (genuine community hosts sit in many triangles;
@@ -152,6 +136,22 @@ object Graphs {
       .orderBy(col("node"))
   }
 
+  /**
+   * Per-node degree/link-structure report — the cheap (non-iterative)
+   * link signals crawl curation reads before anything PageRank-shaped:
+   * out-degree, in-degree, and the node's RECIPROCAL edge count (links
+   * whose reverse edge also exists). A high-out/zero-in host is the
+   * link-farm/SEO-spam silhouette; near-total reciprocity flags link
+   * exchanges — both standard crawl-quality features, exact integers.
+   *
+   * Edges normalize like [[pageRank]] (nulls and self-loops dropped,
+   * duplicates collapsed) so the two reports describe the same graph.
+   *
+   * Scale: degree counts are node-keyed aggregations with map-side
+   * partials; reciprocity is one self-equi-join of the (src, dst) edge
+   * list on the reversed key — every shuffle carries 2-column edge rows,
+   * and nothing is iterative or global.
+   */
   def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&

@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
  * the shuffle; df and the corpus stats are tiny aggregates broadcast onto
  * the tf rows (|query terms| + 1 rows — never a corpus-sized join build);
  * the final top-k is TakeOrderedAndProject (per-partition heaps, k rows
- * per partition to the driver), never a global sort. Magnitudes: with
- * idf_rat ≤ 2e6·N/1 and tf·22000, the product stays under 2^63 for
- * corpora to ~10^8 docs with tf ≤ 10^3; past that, widen the two
- * products to DECIMAL(38,0) — the floor-division contract is unchanged.
+ * per partition to the driver), never a global sort. Magnitudes: the
+ * worst-case product idf_rat·tf·22000 ≈ 1.5e10·N·tf (df = 1), so BIGINT
+ * holds while N·tf ≤ ~6e8 — e.g. 6e5 docs at tf ≤ 10^3, or 6e8 docs at
+ * tf ≤ 1. For web-scale corpora widen the two products to
+ * DECIMAL(38,0) — the floor-division contract is unchanged.
  */
 object Retrieval {
 

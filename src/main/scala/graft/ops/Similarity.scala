@@ -525,10 +525,16 @@ object Similarity {
   private[ops] def binarySig(vecCol: String, dim: Int): Column = {
     require(dim >= 1, s"binarySig needs dim >= 1, got $dim")
     val words = (dim + 31) / 32
-    expr(s"""transform(sequence(0, ${words - 1}), w ->
-      aggregate(sequence(w * 32, least(w * 32 + 31, ${dim - 1})), 0L,
-        (acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0.0,
-          shiftleft(1L, i % 32), 0L)))""")
+    // size guard first: under ANSI (Spark 4 default) an out-of-bounds
+    // element_at THROWS, so a single truncated vector would abort the
+    // whole job instead of being dropped by the caller's isNotNull
+    // filter; short or null vectors signature to NULL instead
+    expr(s"""IF(size($vecCol) >= $dim,
+      transform(sequence(0, ${words - 1}), w ->
+        aggregate(sequence(w * 32, least(w * 32 + 31, ${dim - 1})), 0L,
+          (acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0.0,
+            shiftleft(1L, i % 32), 0L))),
+      CAST(NULL AS ARRAY<BIGINT>))""")
   }
 
   /**

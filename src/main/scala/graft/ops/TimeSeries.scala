@@ -175,8 +175,11 @@ object TimeSeries {
       }
     require(parsed != null && parsed.months == 0,
       s"sessionize: gap '$gap' must be a fixed-length interval")
-    val gapSeconds = parsed.days * 86400L + parsed.microseconds / 1000000L
-    require(gapSeconds > 0, s"sessionize: gap '$gap' must be positive")
+    // keep full microsecond precision: the comparison below is in
+    // micros, so truncating to seconds would silently shrink gaps like
+    // "1 second 500 milliseconds" and reject sub-second gaps outright
+    val gapMicros = parsed.days * 86400L * 1000000L + parsed.microseconds
+    require(gapMicros > 0, s"sessionize: gap '$gap' must be positive")
     val order = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
     val run = order.rowsBetween(Window.unboundedPreceding, 0L)
@@ -188,8 +191,7 @@ object TimeSeries {
         lag(expr(s"unix_micros($tsCol)"), 1).over(order))
       .withColumn("is_session_start",
         col("__prev").isNull ||
-          expr(s"unix_micros($tsCol)") - col("__prev") >
-            gapSeconds * 1000000L)
+          expr(s"unix_micros($tsCol)") - col("__prev") > gapMicros)
       .withColumn("session_ix",
         sum(when(col("is_session_start"), 1L).otherwise(0L)).over(run))
       .select(col(idCol), col(keyCol), col(tsCol), col("session_ix"),
@@ -233,7 +235,10 @@ object TimeSeries {
         (col(valueCol).cast("decimal(14,4)") * 10000).cast("bigint"))
       .withColumn("__c", count(col("__vi")).over(w))
       .withColumn("__s", sum(col("__vi")).over(w))
-      .withColumn("__ss", sum(col("__vi") * col("__vi")).over(w))
+      // square inside DECIMAL: __vi is a ×1e4 fixed-point BIGINT, so a
+      // |value| above ~3e5 would overflow the BIGINT square (ANSI throw)
+      .withColumn("__ss",
+        sum(col("__vi").cast("decimal(38,0)") * col("__vi")).over(w))
       .select(col(idCol), col(keyCol), col(tsCol),
         col(valueCol).cast("decimal(18,2)").cast("double").as("value"),
         col("__c").as("n_window"),

@@ -86,8 +86,13 @@ object Urls {
     val keptParams = filter(split(q, "&"), p =>
       !p.rlike("^(utm_[a-z]+|fbclid|gclid)=") && p =!= "")
     val sortedQ = array_join(array_sort(keptParams), "&")
-    concat(lit("https://"), h, path,
-      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+    // no parseable scheme+host → NULL, not "https://": otherwise every
+    // malformed/relative/garbage URL would share one canonical identity
+    // and a dedup pass would silently drop all but one of those docs
+    when(h =!= "",
+      concat(lit("https://"), h, path,
+        when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit(""))))
+      .otherwise(lit(null).cast("string"))
   }
 
   /**
@@ -103,11 +108,15 @@ object Urls {
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val c = df.select(col(idCol).as("id"),
       canonicalize(col(urlCol)).as("canon_url"))
-    val reps = c.groupBy(col("canon_url"))
+    // NULL canon = "no URL identity": such docs are their own keepers —
+    // they must NOT pool into one giant pseudo-group
+    val reps = c.filter(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
       .agg(min(col("id")).as("keep_id"))
-    c.join(reps, "canon_url")
-      .select(col("id"), col("canon_url"), col("keep_id"),
-        (col("id") =!= col("keep_id")).as("is_dup"))
+    c.join(reps, Seq("canon_url"), "left")
+      .select(col("id"), col("canon_url"),
+        coalesce(col("keep_id"), col("id")).as("keep_id"),
+        (col("id") =!= coalesce(col("keep_id"), col("id"))).as("is_dup"))
       .orderBy(col("id"))
   }
 }

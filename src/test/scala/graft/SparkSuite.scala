@@ -10,6 +10,10 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
+    // unique warehouse per test JVM: a killed run must not leave table
+    // locations behind that collide with the next run's fresh catalog
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -225,6 +225,14 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)                     // column required
     assert(get("/api/v1/catalog/tables/httpapi.nation/balance?column=xx")
       .statusCode === 400)
+    // a map column is not groupable — caller error (400), not a raw
+    // AnalysisException surfaced as 500 (profileRoute convention)
+    spark.sql("""CREATE TABLE IF NOT EXISTS httpapi.mapped
+      USING parquet AS SELECT map('k', 'v') AS props, 1 AS x""")
+    assert(get("/api/v1/catalog/tables/httpapi.mapped/balance?column=props")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.mapped/balance?column=x")
+      .statusCode === 200)
     // n_comment is distinct per row (25 values) — allowed; but the
     // cardinality cap rejects clearly non-label columns on big tables
     assert(get("/api/v1/catalog/tables/httpapi.nosuch/balance?column=x")

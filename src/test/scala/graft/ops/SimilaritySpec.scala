@@ -453,6 +453,25 @@ class SimilaritySpec extends SparkSuite {
       Similarity.binaryQuantize(df, "embedding", "vec_id", dim = 0))
   }
 
+  test("binaryQuantize: truncated/null vectors signature to NULL (no ANSI throw)") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 1.0f, 1.0f)),
+      (2L, Seq(1.0f, -1.0f)),                  // shorter than dim
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryQuantize(df, "embedding", "vec_id", dim = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+    // and the top-k over the same corpus drops the malformed rows
+    // instead of aborting the job
+    val q = df.filter($"vec_id" === 1L)
+    val ranked = Similarity.hammingTopK(df, "embedding", "vec_id",
+      q, "embedding", "vec_id", dim = 4, k = 5)
+    assert(ranked.collect().map(_.getLong(2)).toSet === Set(1L))
+  }
+
   test("hammingTopK: exact popcount distances, ties break by id") {
     val corpus = Seq(
       (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),     // sig 1111

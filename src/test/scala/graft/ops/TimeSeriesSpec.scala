@@ -108,6 +108,38 @@ class TimeSeriesSpec extends SparkSuite {
       TimeSeries.sessionize(events, "user_id", "ts", "event_id", "bogus"))
   }
 
+  test("sessionize: sub-second gaps keep full microsecond precision") {
+    // 1.2 s apart with a 1.5 s gap -> same session (a seconds-truncated
+    // gap would have split them); with a 500 ms gap -> new session
+    val events = Seq(
+      (1L, new java.sql.Timestamp(0L), 1L),
+      (2L, new java.sql.Timestamp(1200L), 1L))
+      .toDF("event_id", "ts", "user_id")
+    def ix(gap: String) =
+      TimeSeries.sessionize(events, "user_id", "ts", "event_id", gap)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wide = ix("1 second 500 milliseconds")
+    assert(wide(1L) === 1L && wide(2L) === 1L)
+    val narrow = ix("500 milliseconds")
+    assert(narrow(1L) === 1L && narrow(2L) === 2L)
+  }
+
+  test("rollingZScore: large magnitudes stay in DECIMAL (no BIGINT square overflow)") {
+    // |value| = 1e6 -> vi = 1e10; vi*vi = 1e20 would overflow a BIGINT
+    // square under ANSI — the sum-of-squares must widen first
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1000000.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, 1000000.0),
+      (3L, ts("2024-01-01 02:00:00"), 1L, 1000000.0),
+      (4L, ts("2024-01-01 03:00:00"), 1L, -1000000.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = TimeSeries.rollingZScore(events, "user_id", "ts", "event_id",
+        "value", n = 4, minObs = 2, zThreshold = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(3L) === false)   // flat prefix
+    assert(out(4L) === true)    // sign flip vs zero-variance base
+  }
+
   test("rollingZScore: spike flags, baseline rows and flat series do not") {
     // 10 steady observations then a spike; minObs 4 so rows 1-3 have no
     // verdict (false), rows 5-10 see a zero-variance window (no flag for

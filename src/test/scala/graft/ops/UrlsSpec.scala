@@ -44,6 +44,35 @@ class UrlsSpec extends SparkSuite {
     assert(out(5L) === "https://example.com/other")
   }
 
+  test("canonicalize: malformed/relative/garbage URLs yield NULL, not a shared identity") {
+    val df = Seq(
+      (1L, "example.com/page"),      // scheme-less
+      (2L, "/relative/path"),
+      (3L, "not a url at all"),
+      (4L, "https://real.com/p")).toDF("doc_id", "url")
+    val out = df.select(col("doc_id"), Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+    assert(out(4L) === Some("https://real.com/p"))
+  }
+
+  test("urlDedup: NULL-canon docs are their own keepers, never pooled") {
+    val df = Seq(
+      (20L, "garbage one"), (21L, "garbage two"),
+      (22L, "https://example.com/p"), (23L, "HTTPS://example.com/p"))
+      .toDF("doc_id", "url")
+    val out = Urls.urlDedup(df, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // the two malformed docs each keep themselves — no pseudo-group
+    assert(out(20L) === ((20L, false)))
+    assert(out(21L) === ((21L, false)))
+    assert(out(22L) === ((22L, false)))
+    assert(out(23L) === ((22L, true)))
+  }
+
   test("urlDedup groups by canonical identity, min id wins") {
     val df = Seq(
       (10L, "https://example.com/p?x=1&utm_source=a"),
