@@ -220,18 +220,24 @@ object Dedup {
             .bitwiseAND(0xFFFFL))))
       .toDF("id", "fp", "chunk_id", "chunk")
 
-    val cand = chunked.as("l").join(chunked.as("r"),
+    // Verify BEFORE de-duplicating candidates: the Hamming gate is one
+    // xor+popcount per joined row, so running it on the raw chunk
+    // collisions (≤4× multiplicity) costs almost nothing, while the
+    // distinct() then shuffles only the VERIFIED pairs — a set bounded by
+    // the true near-dup count — instead of the full candidate explosion
+    // with two 64-bit fingerprints per row. (The old distinct-then-verify
+    // order made this exchange the operator's memory-pressure amplifier
+    // inside long benchmark runs: 1.5 s isolated, 26 s under heap churn.)
+    // `ham` is a function of the pair, so it rides through distinct().
+    val verified = chunked.as("l").join(chunked.as("r"),
         col("l.chunk_id") === col("r.chunk_id") &&
         col("l.chunk") === col("r.chunk") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("ham"))
+      .filter(col("ham") <= maxHamming)
       .distinct()
-
-    val verified = cand
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("double").as("sim"))
+      .select(col("id_a"), col("id_b"), col("ham").cast("double").as("sim"))
 
     clusterReps(docs, idCol, verified)
   }

@@ -180,12 +180,21 @@ object Multimodal {
       s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
     val hists = histsOf(media).localCheckpoint(true)
     val thr2 = thresholdPpm.toLong * thresholdPpm
-    // explicit partition count: the histogram table is tiny BEFORE the
-    // join and huge AFTER (row-explosive broadcast join), so AQE's
-    // input-size-based coalescing would fold the exchange to 1 partition
-    // and serialize the n² work; a user-specified count is exempt
     val nPart = spark.sparkContext.defaultParallelism
-    val pairs = hists.repartition(nPart, col("id")).as("a")
+    Dedup.minNeighborReps(hists.select(col("id")),
+      brutePairsOf(hists, thr2, nPart))
+  }
+
+  /** The broadcast-quadratic-within-format exact pair stage, shared by the
+    * brute tier and [[mediaNearDupScaled]]'s auto-fallback.
+    *
+    * Explicit partition count: the histogram table is tiny BEFORE the
+    * join and huge AFTER (row-explosive broadcast join), so AQE's
+    * input-size-based coalescing would fold the exchange to 1 partition
+    * and serialize the n² work; a user-specified count is exempt. */
+  private def brutePairsOf(hists: DataFrame, thr2: Long,
+                           nPart: Int): DataFrame =
+    hists.repartition(nPart, col("id")).as("a")
       .join(broadcast(hists.as("b")),
         col("a.format") === col("b.format") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -194,8 +203,6 @@ object Multimodal {
         col("a.nn").as("na"), col("b.nn").as("nb"))
       .filter(ppmExact(thr2))
       .select(col("id_a"), col("id_b"))
-    Dedup.minNeighborReps(hists.select(col("id")), pairs)
-  }
 
   /** (id, format, hist, nn) rows from a media table — the map-side
     * histogram pass shared by both near-dup tiers. Callers
@@ -249,15 +256,36 @@ object Multimodal {
    * brute-force result. All-zero histograms share one LSH key, so the
    * empty-payload convention survives bucketing.
    *
-   * HONEST CAVEAT, measured: bucketing pays off only when the feature
-   * has angular diversity. The text-derived nibble histograms of the
-   * fixture are near-collinear (every English doc points the same way),
-   * so the buckets degenerate toward format-blocking and the candidate
-   * set stays ~quadratic with ~6× band multiplicity on top — at sf0.1
-   * this tier measures ~4.3 s vs the broadcast tier's ~1.3 s. Real
+   * HONEST CAVEAT, measured — and the reason this tier AUTO-SELECTS:
+   * bucketing pays off only when the feature has angular diversity. The
+   * text-derived nibble histograms of the fixture are near-collinear
+   * (every English doc points the same way), so the buckets degenerate
+   * toward format-blocking and the candidate set stays ~quadratic with
+   * ~6× band multiplicity on top — strictly more pair work than the m03
+   * broadcast tier, with a distinct() on the explosion for dessert. Real
    * perceptual hashes (pHash bits, CLIP embeddings) spread over the
-   * sphere and flip that comparison; pick the tier by feature
-   * distribution, not by corpus size alone.
+   * sphere and flip that comparison. The right tier is therefore a
+   * DATA property, not a corpus-size property, so this operator measures
+   * it: a cheap probe aggregates the banded index (one pass over n×bands
+   * rows, no join) into the LSH tier's candidate mass Σ_bucket C(k,2)
+   * and compares it against the brute tier's Σ_format C(n,2); if
+   * bucketing isn't cutting at least half the pair work it runs the
+   * brute pair stage instead (same [[ppmExact]] gate, so the output is
+   * identical either way — the probe changes COST, never the answer).
+   * The probe itself is two scalar aggregates over the checkpointed
+   * histogram table — at 100 TB that's the price of one extra
+   * metadata-sized pass, orders below the cost of running the wrong
+   * tier.
+   *
+   * NOTE on the tempting mean-centering "fix" for near-collinear
+   * histograms: hashing the centered residuals spreads the population
+   * across hyperplanes (smaller buckets, faster join) but CHANGES THE
+   * METRIC — a true near-dup pair at raw cosine ≥ t can have its
+   * small residuals at a large angle, landing in different buckets
+   * (measured: it drops a planted near-dup at sf0.01). Candidate
+   * recall must hold in the same space the exact gate decides in, so
+   * the bands hash the raw histograms and degenerate populations take
+   * the brute path via the probe instead.
    */
   def mediaNearDupScaled(spark: SparkSession, media: DataFrame,
                          thresholdPpm: Int = 999990,
@@ -271,39 +299,43 @@ object Multimodal {
     // the banded index is tiny before the self-join and explosive after,
     // so AQE coalescing must not fold it to one partition
     val nPart = spark.sparkContext.defaultParallelism
-    // NOTE on the tempting mean-centering "fix" for near-collinear
-    // histograms: hashing the centered residuals spreads the population
-    // across hyperplanes (smaller buckets, faster join) but CHANGES THE
-    // METRIC — a true near-dup pair at raw cosine ≥ t can have its
-    // small residuals at a large angle, landing in different buckets
-    // (measured: it drops a planted near-dup at sf0.01). Candidate
-    // recall must hold in the same space the exact gate decides in, so
-    // the bands hash the raw histograms; on a degenerate (near-
-    // collinear) population the m03 broadcast tier is the faster tool,
-    // and the crossover condition is documented there.
     val banded = hists.select(col("id"), col("format"),
         posexplode(graft.functions.GraftFunctions.lshBands(
           transform(col("hist"), x => x.cast("float")), planes, rowsPerBand)))
       .toDF("id", "format", "band_id", "band_key")
-      .repartition(nPart, col("band_id"), col("band_key"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band_id") === col("r.band_id") &&
-        col("l.band_key") === col("r.band_key") &&
-        col("l.format") === col("r.format") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val pairs = cand
-      .join(hists.select(col("id").as("id_a"), col("hist").as("__ha"),
-        col("nn").as("na")), "id_a")
-      .join(hists.select(col("id").as("id_b"), col("hist").as("__hb"),
-        col("nn").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("__ha"), col("__hb"), _ * _),
-          lit(0L), _ + _).as("dot"),
-        col("na"), col("nb"))
-      .filter(ppmExact(thr2))
-      .select(col("id_a"), col("id_b"))
+    // candidate-mass probe: pair work each tier would do, in doubles — a
+    // cost comparison needs 2 significant digits, and double can't
+    // overflow where Σ k(k-1) on a trillion-row bucket would wrap a long
+    def pairMass(grouped: DataFrame): Double =
+      grouped.agg(coalesce(
+        sum(col("count").cast("double") * (col("count") - 1).cast("double")),
+        lit(0.0)).as("m")).head().getDouble(0)
+    val lshMass = pairMass(
+      banded.groupBy(col("format"), col("band_id"), col("band_key")).count())
+    val bruteMass = pairMass(hists.groupBy(col("format")).count())
+    val pairs =
+      if (lshMass * 2 >= bruteMass) brutePairsOf(hists, thr2, nPart)
+      else {
+        val idx = banded.repartition(nPart, col("band_id"), col("band_key"))
+        val cand = idx.as("l").join(idx.as("r"),
+            col("l.band_id") === col("r.band_id") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.format") === col("r.format") &&
+            col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          .distinct()
+        cand
+          .join(hists.select(col("id").as("id_a"), col("hist").as("__ha"),
+            col("nn").as("na")), "id_a")
+          .join(hists.select(col("id").as("id_b"), col("hist").as("__hb"),
+            col("nn").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            aggregate(zip_with(col("__ha"), col("__hb"), _ * _),
+              lit(0L), _ + _).as("dot"),
+            col("na"), col("nb"))
+          .filter(ppmExact(thr2))
+          .select(col("id_a"), col("id_b"))
+      }
     Dedup.minNeighborReps(hists.select(col("id")), pairs)
   }
 

@@ -36,11 +36,16 @@ import org.apache.spark.sql.functions._
  * the shuffle; df and the corpus stats are tiny aggregates broadcast onto
  * the tf rows (|query terms| + 1 rows — never a corpus-sized join build);
  * the final top-k is TakeOrderedAndProject (per-partition heaps, k rows
- * per partition to the driver), never a global sort. Magnitudes: the
- * worst-case product idf_rat·tf·22000 ≈ 1.5e10·N·tf (df = 1), so BIGINT
- * holds while N·tf ≤ ~6e8 — e.g. 6e5 docs at tf ≤ 10^3, or 6e8 docs at
- * tf ≤ 1. For web-scale corpora widen the two products to
- * DECIMAL(38,0) — the floor-division contract is unchanged.
+ * per partition to the driver), never a global sort. Magnitudes: the two
+ * row-level products (idf_rat·tf·22000 ≈ 1.5e10·N·tf at df = 1, and
+ * 9000·dl·N) would overflow BIGINT on corpora past N·tf ≈ 6e8 — under
+ * ANSI mode that aborts the job, under non-ANSI it silently wraps to
+ * wrong scores — so both run in DECIMAL(38,0) unconditionally (the
+ * floor-division contract is unchanged: `DIV` on decimal operands still
+ * yields the exact integral quotient as BIGINT). 38 digits hold to
+ * ~1e38, far past any corpus; the one remaining envelope is the final
+ * per-term quotient itself, ≤ ~4.4e6·N, which fits BIGINT to N ≈ 2e12
+ * docs.
  */
 object Retrieval {
 
@@ -82,8 +87,9 @@ object Retrieval {
           .as("idf_rat"),
         col("tf"), col("dl"), col("n_docs"), col("total_tokens"))
       .select(col("id"),
-        expr("""(idf_rat * tf * 22000L) DIV
-                (10000L * tf + 3000L + (9000L * dl * n_docs) DIV total_tokens)""")
+        expr("""(CAST(idf_rat AS DECIMAL(38,0)) * tf * 22000) DIV
+                (10000L * tf + 3000L +
+                 (CAST(9000 AS DECIMAL(38,0)) * dl * n_docs) DIV total_tokens)""")
           .as("term"))
 
     scored.groupBy(col("id"))

@@ -159,7 +159,11 @@ object TimeSeries {
    * for streaming aggregation in q32; this per-EVENT assignment is the
    * shape funnel/attribution queries join against). Session indexes are
    * 1-based in (ts, id) order; `is_session_start` marks the boundary
-   * rows. All integer epoch arithmetic — hash-exact.
+   * rows. All integer epoch arithmetic — hash-exact. Boundary semantics
+   * MATCH `session_window`'s half-open [ts, ts+gap) window: two events
+   * exactly `gap` apart are in DIFFERENT sessions (the comparison is
+   * `delta >= gap`, not `>`), so a funnel built on this operator agrees
+   * with its streaming q32 counterpart at the exact boundary.
    *
    * Scale: two stacked keyed windows (lag, then running sum) over one
    * partition-by-key exchange — key-count parallelism, no global sort.
@@ -191,7 +195,7 @@ object TimeSeries {
         lag(expr(s"unix_micros($tsCol)"), 1).over(order))
       .withColumn("is_session_start",
         col("__prev").isNull ||
-          expr(s"unix_micros($tsCol)") - col("__prev") > gapMicros)
+          expr(s"unix_micros($tsCol)") - col("__prev") >= gapMicros)
       .withColumn("session_ix",
         sum(when(col("is_session_start"), 1L).otherwise(0L)).over(run))
       .select(col(idCol), col(keyCol), col(tsCol), col("session_ix"),

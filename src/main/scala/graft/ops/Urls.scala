@@ -67,8 +67,13 @@ object Urls {
    *   - fragment dropped; scheme collapsed to `https` (http/https serve
    *     the same document in the overwhelming case — callers who need
    *     scheme-distinct identity can pre-split on it);
-   *   - host lowercased, default port (`:80`/`:443`) stripped;
-   *   - tracking parameters (`utm_*`, `fbclid`, `gclid`) removed;
+   *   - host lowercased, userinfo (`user:pass@`) and default port
+   *     (`:80`/`:443`) stripped — `https://user@host/p` and
+   *     `https://host/p` fetch the same document;
+   *   - tracking parameters (`utm_*`, `fbclid`, `gclid`) removed,
+   *     case-insensitively (`UTM_SOURCE=x`) and whether or not they
+   *     carry a value (`?utm_source`), with digits allowed in the
+   *     suffix (`utm_id`);
    *   - remaining query parameters SORTED (param order is not
    *     identity); empty query dropped;
    *   - trailing path slashes stripped.
@@ -79,12 +84,13 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    val h = regexp_replace(lower(hostPort), ":(80|443)$", "")
+    val h = regexp_replace(
+      regexp_replace(lower(hostPort), "^[^@/]+@", ""), ":(80|443)$", "")
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val q = regexp_extract(rest, "\\?(.*)$", 1)
     val keptParams = filter(split(q, "&"), p =>
-      !p.rlike("^(utm_[a-z]+|fbclid|gclid)=") && p =!= "")
+      !p.rlike("^(?i)(utm_[a-z0-9]+|fbclid|gclid)(=|$)") && p =!= "")
     val sortedQ = array_join(array_sort(keptParams), "&")
     // no parseable scheme+host → NULL, not "https://": otherwise every
     // malformed/relative/garbage URL would share one canonical identity

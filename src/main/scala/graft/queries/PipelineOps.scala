@@ -877,7 +877,15 @@ object PipelineOps {
          FROM r WHERE rk = 1 ORDER BY id""",
     // Lloyd M-step: e05's assignment CTE, then per-(cid, dim) decimal
     // coordinate sums (rounded to DECIMAL(18,9) BEFORE the order-free
-    // SUM) and the truncating 9-dp mean — same arithmetic as Spark
+    // SUM) and the truncating 9-dp mean — same arithmetic as Spark.
+    // DIVISION PARITY: Spark's `DIV` truncates toward zero; DuckDB's
+    // `//` is version/type-dependent (this build truncates on BIGINT
+    // but floors elsewhere, and Python-lineage docs say floor) — for a
+    // NEGATIVE coordinate sum that doesn't divide evenly floor and
+    // trunc differ by 1 (one 9-dp ulp of the mean), so the oracle
+    // computes the truncating quotient explicitly via sign/abs rather
+    // than hinging parity on `//`'s dialect (floor == trunc on
+    // nonnegative operands; n_assigned > 0 by construction)
     "e14_kmeans_update" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
            FROM embeddings WHERE vec_id < 8),
@@ -894,11 +902,15 @@ object PipelineOps {
            FROM a JOIN embeddings e ON a.id = e.vec_id
            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
          g AS (SELECT cid, dim, count(*) AS n_assigned, sum(x9) AS s9
-           FROM x GROUP BY cid, dim)
+           FROM x GROUP BY cid, dim),
+         b AS (SELECT cid, dim, n_assigned,
+             CAST(s9 * 1000000000 AS BIGINT) AS s
+           FROM g)
          SELECT cid, dim, n_assigned,
-           CAST(CAST(s9 * 1000000000 AS BIGINT) // n_assigned AS DOUBLE)
+           CAST(CASE WHEN s < 0 THEN -((-s) // n_assigned)
+                     ELSE s // n_assigned END AS DOUBLE)
              / 1e9 AS mean
-         FROM g ORDER BY cid, dim""",
+         FROM b ORDER BY cid, dim""",
     // URL facts over deterministically-planted URLs (see the query
     // entry): identical regex extraction chain, literal IN blocklist
     // the planted-host fragment interpolates via duckHost; the regex
@@ -1165,8 +1177,9 @@ object PipelineOps {
       """
          nf AS (SELECT id, regexp_replace(url, '#.*$', '') AS nf FROM p),
          parts AS (SELECT id,
-           regexp_replace(lower(regexp_extract(nf,
+           regexp_replace(regexp_replace(lower(regexp_extract(nf,
              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             '^[^@/]+@', ''),
              ':(80|443)$', '') AS h,
            regexp_replace(regexp_extract(regexp_extract(nf,
              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
@@ -1175,7 +1188,7 @@ object PipelineOps {
            FROM nf),
          cq AS (SELECT id, h, pth,
            array_to_string(list_sort(list_filter(string_split(q, '&'),
-             x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid)=')
+             x -> NOT regexp_matches(x, '^(?i)(utm_[a-z0-9]+|fbclid|gclid)(=|$)')
                   AND x <> '')), '&') AS sq FROM parts),
          c AS (SELECT id, 'https://' || h || pth ||
              (CASE WHEN length(sq) > 0 THEN '?' || sq ELSE '' END)
@@ -1978,7 +1991,7 @@ object PipelineOps {
              ORDER BY ts, event_id) AS prev
            FROM events),
          s AS (SELECT event_id, user_id, ts,
-             (prev IS NULL OR epoch_us(ts) - prev > 1800000000)
+             (prev IS NULL OR epoch_us(ts) - prev >= 1800000000)
                AS is_session_start
            FROM e)
          SELECT event_id, user_id, ts,

@@ -317,10 +317,23 @@ object PlanDump {
         "generated by an explode, and the final rollup restores " +
         "plain-join values exactly."),
     "m04_media_neardup_lsh" ->
-      ("LSH media tier: banded index rows (id, band, key) self-join " +
-        "behind an explicit-count exchange (AQE must not fold the tiny " +
-        "pre-join index to one partition); candidates verify through " +
-        "the identical exact decimal gate as the broadcast tier."),
+      ("LSH media tier, AUTO-TIERED: a two-aggregate candidate-mass " +
+        "probe (Σ C(bucket,2) over the banded index vs Σ C(n_format,2)) " +
+        "picks the cheaper pair stage before it runs — on this fixture's " +
+        "near-collinear histograms the probe routes to the broadcast " +
+        "exact tier (so the plan below shows the m03 shape); on " +
+        "angularly-diverse features the banded self-join runs behind an " +
+        "explicit-count exchange (AQE must not fold the tiny pre-join " +
+        "index to one partition). Either path verifies through the " +
+        "identical exact decimal gate, so the tier changes cost only."),
+    "q61_variant" ->
+      ("parse_json evaluates ONCE per row: the extraction sits behind a " +
+        "single-element explode, and predicates on a generator output " +
+        "cannot be pushed below the Generate — written plainly, the " +
+        "filter and projection each re-parse (PushDownPredicates + " +
+        "CollapseProject re-inline any deterministic alias). Expect " +
+        "Generate(explode) above the scan, Filter(k >= 50) above it, " +
+        "and NO variant_get in the scan node."),
     "e12_hamming_topk" ->
       ("1-bit tier: signatures pack in the scan-project stage (SQL-HOF " +
         "arithmetic, whole-stage codegen); query signatures broadcast; " +

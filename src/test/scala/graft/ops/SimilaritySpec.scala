@@ -98,6 +98,24 @@ class SimilaritySpec extends SparkSuite {
     assert(out(1) === 0.666666666)
   }
 
+  test("kmeansUpdate: negative non-exact sum truncates toward zero") {
+    // one centroid, three vectors with a NEGATIVE dim-0 sum (-1) that
+    // does not divide 3 evenly: Spark's DIV truncates toward zero, so
+    // the 9-dp mean is -0.333333333, NOT floor's -0.333333334 — the
+    // DuckDB oracle (PipelineOps e14) computes the same truncating
+    // quotient via sign/abs because `//` floors toward −∞
+    val corpus = Seq(
+      (0L, Array(-1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((9L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
+        cents, "embedding", "vec_id")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(0) === -0.333333333)
+    assert(out(1) === 0.666666666)
+  }
+
   test("gramMatrix: exact scaled products on a hand fixture") {
     // two 3-d vectors with binary-exact coords: (1, 0.5, -2), (0.25, 2, 4)
     // gram[i][j] = v1[i]*v1[j] + v2[i]*v2[j], ×1e18 after the ×1e9 per-

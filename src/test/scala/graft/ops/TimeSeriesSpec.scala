@@ -85,12 +85,13 @@ class TimeSeriesSpec extends SparkSuite {
       TimeSeries.gapReport(df, "user_id", "ts", "1 bogus"))
   }
 
-  test("sessionize: gap starts new session, boundary is strict, per-key") {
+  test("sessionize: gap starts new session, half-open boundary, per-key") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L),
       (2L, ts("2024-01-01 00:29:00"), 1L),   // within gap -> session 1
-      (3L, ts("2024-01-01 00:59:00"), 1L),   // exactly 30 min later: NOT new
-      (4L, ts("2024-01-01 01:29:01"), 1L),   // 30m01s -> session 2
+      (3L, ts("2024-01-01 00:59:00"), 1L),   // exactly 30 min later: NEW
+      //   (session_window's [ts, ts+gap) half-open boundary — q32 parity)
+      (4L, ts("2024-01-01 01:28:59"), 1L),   // 29m59s -> same session 2
       (5L, ts("2024-01-01 00:00:00"), 2L))   // other key: own session 1
       .toDF("event_id", "ts", "user_id")
     val out = TimeSeries.sessionize(events, "user_id", "ts", "event_id",
@@ -99,8 +100,8 @@ class TimeSeriesSpec extends SparkSuite {
       .toMap
     assert(out(1L) === ((1L, true)))
     assert(out(2L) === ((1L, false)))
-    assert(out(3L) === ((1L, false)))        // exactly gap: same session
-    assert(out(4L) === ((2L, true)))
+    assert(out(3L) === ((2L, true)))         // exactly gap: new session
+    assert(out(4L) === ((2L, false)))
     assert(out(5L) === ((1L, true)))
     intercept[IllegalArgumentException](
       TimeSeries.sessionize(events, "user_id", "ts", "event_id", "1 month"))
