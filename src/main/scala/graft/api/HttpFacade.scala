@@ -542,8 +542,11 @@ object HttpFacade {
     val spark = GraftEngine.buildSession()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
-    val facade = new HttpFacade(
-      spark, new QueryExecutor(spark), new SparkCatalogProvider(spark))
+    // config-gated Iceberg REST binding: lights up the live catalog when
+    // the runtime jar is present, falls back to the session catalog here
+    val provider = graft.catalog.IcebergCatalogBinding.providerFor(
+      spark, graft.engine.AppConfig.fromEnv().catalog)
+    val facade = new HttpFacade(spark, new QueryExecutor(spark), provider)
     val bound = facade.start(port)
     System.err.println(s"[graft-http] serving on 127.0.0.1:$bound")
     Thread.currentThread.join()

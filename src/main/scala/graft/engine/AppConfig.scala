@@ -22,7 +22,25 @@ final case class EngineConfig(
 
 final case class ExportConfig(maxSizeBytes: Long = 1073741824L) // 1 GiB
 
-final case class CatalogConfig(name: String = "default", warehouse: String = "")
+/** S3-compatible storage credentials for the Iceberg FileIO
+  * (reference: config.py S3Config, env prefix
+  * ICEBERG_EXPLORER_CATALOG__S3__). */
+final case class S3Config(
+    endpoint: Option[String] = None,
+    accessKeyId: Option[String] = None,
+    secretAccessKey: Option[String] = None,
+    region: Option[String] = None)
+
+/** Catalog connection settings (reference: config.py CatalogConfig —
+  * same fields, same defaults: type "rest", uri localhost:8181). */
+final case class CatalogConfig(
+    name: String = "default",
+    warehouse: String = "",
+    catalogType: String = "rest",
+    uri: String = "http://localhost:8181",
+    credential: Option[String] = None,
+    token: Option[String] = None,
+    s3: S3Config = S3Config())
 
 final case class AppConfig(
     query: QueryConfig = QueryConfig(),
@@ -48,6 +66,17 @@ object AppConfig {
         maxSizeBytes = longEnv("ICEBERG_EXPLORER_EXPORT__MAX_SIZE_BYTES", 1073741824L)),
       catalog = CatalogConfig(
         name = env.getOrElse("ICEBERG_EXPLORER_CATALOG__NAME", "default"),
-        warehouse = env.getOrElse("ICEBERG_EXPLORER_CATALOG__WAREHOUSE", "")))
+        warehouse = env.getOrElse("ICEBERG_EXPLORER_CATALOG__WAREHOUSE", ""),
+        catalogType = env.getOrElse("ICEBERG_EXPLORER_CATALOG__TYPE", "rest"),
+        uri = env.getOrElse("ICEBERG_EXPLORER_CATALOG__URI",
+          "http://localhost:8181"),
+        credential = env.get("ICEBERG_EXPLORER_CATALOG__CREDENTIAL"),
+        token = env.get("ICEBERG_EXPLORER_CATALOG__TOKEN"),
+        s3 = S3Config(
+          endpoint = env.get("ICEBERG_EXPLORER_CATALOG__S3__ENDPOINT"),
+          accessKeyId = env.get("ICEBERG_EXPLORER_CATALOG__S3__ACCESS_KEY_ID"),
+          secretAccessKey =
+            env.get("ICEBERG_EXPLORER_CATALOG__S3__SECRET_ACCESS_KEY"),
+          region = env.get("ICEBERG_EXPLORER_CATALOG__S3__REGION"))))
   }
 }
