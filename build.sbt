@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run's stdout must reach the caller UNprefixed: the bench driver
+// keeps the last 2000 chars of stdout and parses a bare JSON line out of
+// it, and sbt's default logged output prepends "[info] " to every line
+// (BENCH_r01–r04 all recorded `"parsed": null` because of that prefix).
+// StdoutOutput pipes the forked process's stdout/stderr straight through.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

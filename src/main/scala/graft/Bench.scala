@@ -7,94 +7,199 @@ import org.apache.spark.sql.SparkSession
  * `SPARK_GRAFT_SF_DIR` and prints one JSON line
  * `{"metric","value","unit","queries","sf"}` for the driver's BENCH gate.
  *
- * Methodology: a warm-up pass (session/codegen/JIT and parquet footer
- * caches) then, per query, MEDIAN OF 3 consecutive timed runs (a single
- * timed pass lets one GC pause pollute a query's number and makes
- * round-over-round comparison noise-dominated). Runs materialize every
- * column through the `noop` DSv2 sink — `count()` would let Catalyst prune
- * projections and under-measure; `collect()` would measure driver transfer
- * instead of the engine. 32 shuffle partitions to match local[32] (not the
- * 200 default — tiny-partition overhead dominates at bench scale; on a real
- * cluster this is cores-proportional, SURVEY §4).
+ * Methodology: per query, MEDIAN OF 3 consecutive timed runs after a
+ * warm-up pass (session/codegen/JIT and parquet footer caches; a single
+ * timed pass lets one GC pause pollute a query's number). Runs materialize
+ * every column through the `noop` DSv2 sink — `count()` would let Catalyst
+ * prune projections and under-measure; `collect()` would measure driver
+ * transfer instead of the engine. 32 shuffle partitions to match local[32]
+ * (not the 200 default — tiny-partition overhead dominates at bench scale;
+ * on a real cluster this is cores-proportional, SURVEY §4).
  *
- * `SPARK_GRAFT_BENCH_ONLY=t01_token_counts,t02_quality_score` restricts the
- * run to a subset (diagnosis loop); unset = full inventory (driver gate).
+ * ISOLATION (round 5): the driver's round-4 artifact measured 352.65 s for
+ * an inventory whose committed in-process total is 105.0 s, with
+ * within-query run times growing monotonically (x04 runs=[4.0, 5.5, 11.8])
+ * and a contiguous run-order block (q61–q71) at 20–53× — the signature of
+ * accumulated single-JVM state (codegen classes, broadcast/block-manager
+ * residue, promoted-heap GC pressure) over 164 queries × 4 passes, not of
+ * slow operators. In-JVM cleanup (blocking unpersist + cache clears) was
+ * tried in round 4 and was not sufficient under the driver's conditions,
+ * so the harness now makes isolation STRUCTURAL: the parent process forks
+ * a fresh child JVM per chunk of ~12 queries (same JVM args + classpath as
+ * itself), each child warms and times only its chunk, and the parent
+ * aggregates. Accumulated state is bounded at ~48 query executions per JVM
+ * regardless of inventory size, so per-query numbers are independent of
+ * inventory order and length — the property the round-4 harness lost.
+ * Chunk-boundary JVM/session startup (~8 s × ~14 children) is wall-clock
+ * overhead but is never inside any query's timed window.
+ *
+ * Modes:
+ *  - default (driver gate): fork-per-chunk as above.
+ *  - `SPARK_GRAFT_BENCH_ONLY=t01,t02` — in-process run of just that subset
+ *    (diagnosis loop; equivalent to a single child).
+ *  - `SPARK_GRAFT_BENCH_INPROC=1` — full inventory in one JVM (the
+ *    round-4 behavior, kept for measuring the accumulation delta itself).
+ *  - `--child <names>` argv — internal: child-JVM entry, prints
+ *    `GRAFT_TIME <name> <median> <r1> <r2> <r3>` lines on stdout.
  *
  * Output: stdout carries ONE JSON line whose `value` is the full-inventory
  * total and whose `queries` map is the HEADLINE subset (the driver records
  * only the last 2000 chars of stdout — see BASELINE.md "Stdout protocol");
  * the full per-query map is written to `SPARK_GRAFT_BENCH_OUT` (default
  * /root/repo/BENCH_FULL.json) and per-run 3-decimal timings to stderr.
+ * build.sbt sets `run / outputStrategy := StdoutOutput` so the forked
+ * run's stdout reaches the driver UNprefixed — rounds 1–4 all recorded
+ * `"parsed": null` because sbt's default logger prepended `[info] ` to
+ * the JSON line.
  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries; a 65-query
-      // inventory compiles several codegen stages per query, so by the time
-      // the timed pass reaches the alphabetical tail (t01/t02, q46-q48) the
-      // warm-up's entries are evicted and each first run pays a full Janino
-      // recompile — the round-2 "9× regression" was exactly this. 1000
-      // entries keeps the whole inventory resident (a long-lived serving
-      // engine wants the same setting).
+      // The generated-class cache defaults to 100 entries; even a 12-query
+      // chunk compiles dozens of codegen stages, and a long-lived serving
+      // engine wants the whole workload resident anyway.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // The closure-heavy queries (d10/d12/d14, m04, x03/x04) localCheckpoint
-      // intermediate pair sets; those RDD blocks outlive the query and, over
-      // 160+ queries × 4 passes, fill the block manager until the heavy tail
-      // measures GC/eviction churn instead of the query (full-inventory runs
-      // showed m04 at 2.7× its isolated median). Dropping leftover blocks
-      // between queries makes each measurement independent of inventory order.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+  /** One measured execution. Unpersists only the blocks THIS query left
+   * behind (snapshot diff, not a blanket sweep — a blanket sweep would
+   * silently evict anything a future fixture registry deliberately caches
+   * across queries, changing what the benchmark measures with no signal).
+   * The closure-heavy queries (d10/d12/d14, m04, x03/x04) localCheckpoint
+   * intermediate pair sets; left in place those blocks accumulate until
+   * the heavy tail measures eviction churn instead of the query. */
+  private def runOnce(spark: SparkSession, sfDir: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
     }
+  }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-
-    // Warm-up: whole inventory once (JIT, codegen cache, file listing).
-    ordered.foreach { case (n, fn) =>
-      try run(n, fn) catch { case _: Throwable => () }
+  /** Warm-up + 3 timed runs per query, in one (fresh) SparkSession.
+   * Returns (name, median, sortedRuns). */
+  private def timeQueries(names: Seq[String], sfDir: String,
+                          cpus: String): Seq[(String, Double, Seq[Double])] = {
+    val spark = buildSession(cpus)
+    val qs = names.flatMap(n => SparkEntry.queries.get(n).map(fn => n -> fn))
+    qs.foreach { case (_, fn) =>
+      try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
     }
-
-    val results = ordered.map { case (name, fn) =>
+    val res = qs.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try run(name, fn) catch { case _: Throwable => () }
+        try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       System.err.println(f"bench $name%-24s runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
-      name -> times(1)
+      (name, times(1), times)
     }
+    spark.stop()
+    res
+  }
+
+  /** Fork one child JVM over a chunk of query names; parse its GRAFT_TIME
+   * lines. JVM args (Xmx, add-opens, -D props) are copied from this
+   * process so child behavior matches; env is inherited (SF dir, CPUs).
+   * Child stderr passes through to ours (per-run timings, Spark WARNs);
+   * child stdout is captured and parsed, never echoed to our stdout. */
+  private def forkChunk(chunk: Seq[String]): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--child", chunk.mkString(","))).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    // Watchdog: a wedged child must not hang the whole bench. 1200 s is
+    // ~10× the slowest committed chunk; on trip, whatever GRAFT_TIME lines
+    // already arrived are kept and the stragglers get solo retries.
+    val watchdog = new Thread(() => {
+      try {
+        if (!p.waitFor(1200, java.util.concurrent.TimeUnit.SECONDS)) {
+          System.err.println(s"WARN bench child timed out; killing (chunk ${chunk.head}..${chunk.last})")
+          p.destroyForcibly()
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val timeRe = """GRAFT_TIME (\S+) ([0-9.]+).*""".r
+    val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+      .getLines().collect { case timeRe(n, t) => n -> t.toDouble }.toMap
+    p.waitFor()
+    watchdog.interrupt()
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // ---- child mode: time a chunk, print machine-readable lines, exit ----
+    if (args.length >= 2 && args(0) == "--child") {
+      val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      timeQueries(names, sfDir, cpus).foreach { case (n, med, ts) =>
+        println(f"GRAFT_TIME $n $med%.4f ${ts.map(t => f"$t%.4f").mkString(" ")}")
+      }
+      // Spark's stop() can leave non-daemon threads; a lingering child
+      // would trip the parent watchdog, so exit explicitly.
+      sys.exit(0)
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val inproc = only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_INPROC")
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
+    val results: Seq[(String, Double)] =
+      if (inproc) timeQueries(ordered, sfDir, cpus).map(r => (r._1, r._2))
+      else {
+        val chunkSize = sys.env.get("SPARK_GRAFT_BENCH_CHUNK")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(12)
+        val measured = scala.collection.mutable.Map.empty[String, Double]
+        ordered.grouped(chunkSize).foreach { chunk =>
+          measured ++= forkChunk(chunk)
+          val missing = chunk.filterNot(measured.contains)
+          // A query can be missing if its child crashed mid-chunk (OOM,
+          // segfault): give each straggler one solo fresh-JVM retry, then
+          // record a loud sentinel rather than silently shrinking the total.
+          missing.foreach { n =>
+            System.err.println(s"WARN bench child missed $n; solo retry")
+            measured ++= forkChunk(Seq(n))
+            if (!measured.contains(n)) {
+              System.err.println(s"WARN bench $n failed twice; recording 99.0")
+              measured(n) = 99.0
+            }
+          }
+        }
+        ordered.map(n => n -> measured(n))
+      }
+
     // The driver records only the LAST 2000 characters of stdout and parses
-    // the JSON line out of that window (BENCH_r01..r03 all show
-    // `"parsed": null` — the full-precision line was ~2400 chars and lost
-    // its opening brace to the window, with sbt's "[success] ..." trailer
-    // (~75 chars) eating into the budget too), and the inventory grows
-    // every round, so an all-queries map cannot fit forever (81 entries at
-    // 2 decimals = 1908 chars — 18 chars of slack left). The stdout line
-    // therefore carries `value` = the FULL-inventory total plus a
-    // `queries` map of the HEADLINE queries (every pipeline/flagship op —
-    // anything not named q*/s* — plus a fixed relational set); the full
-    // per-query inventory is written to BENCH_FULL.json in the repo (and
-    // 3-decimal timings to stderr above) for round-over-round comparison.
-    def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // At 147 queries even the every-pipeline-op map (~77 entries) no
-    // longer fits the 2000-char window, so the stdout map is an explicit
-    // per-family flagship set (~27 entries, ~750 chars — room to grow);
-    // BENCH_FULL.json still records every query.
+    // the JSON line out of that window, and the inventory grows every round,
+    // so an all-queries map cannot fit (81 entries at 2 decimals = 1908
+    // chars). The stdout line therefore carries `value` = the FULL-inventory
+    // total plus a `queries` map of an explicit per-family flagship set
+    // (~28 entries, ~750 chars); the full per-query inventory is written to
+    // BENCH_FULL.json (and 3-decimal timings to stderr) for
+    // round-over-round comparison.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val headline = Set(
       "q01_scan_filter", "q07_groupby_agg", "q13_window_rank",
       "q35_json_fns", "q49_interval_join", "q50_hll_union",
@@ -107,15 +212,14 @@ object Bench {
       "r01_resample_ffill", "r04_rolling_zscore",
       "m03_media_neardup", "m04_media_neardup_lsh",
       "g01_host_pagerank", "j01_asof_join")
-    def isHeadline(n: String) = headline(n)
     def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      rs.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
     val fullLine =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":${jsonMap(results)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonMap(results)},"sf":$sfNum}"""
     // only a FULL-inventory run may overwrite the committed record — a
     // SPARK_GRAFT_BENCH_ONLY diagnosis run would clobber it with a
     // partial map and a bogus one-query total
@@ -128,11 +232,10 @@ object Bench {
         System.err.println(s"WARN could not write $benchOut: $e") }
     }
     val line =
-      s"""{"metric":"total","value":${"%.2f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":${jsonMap(results.filter(r => isHeadline(r._1)))},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonMap(results.filter(r => headline(r._1)))},"sf":$sfNum}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench JSON line ${line.length} chars — " +
         "approaching the driver's 2000-char stdout tail window")
     println(line)
-    spark.stop()
   }
 }
