@@ -95,13 +95,23 @@ object Bench {
       try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
     }
     val res = qs.map { case (name, fn) =>
+      // A throwing query must NOT record its (instant) failure time as a
+      // measurement — the round-5 testdata regeneration made 40 events
+      // queries fail in ~0.1 s each and the total silently DROPPED 15 s,
+      // reading as an improvement. Record the same loud 99.0 sentinel as
+      // a crashed child instead.
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
+        try runOnce(spark, sfDir, fn) catch { case e: Throwable =>
+          failed = true
+          System.err.println(
+            s"WARN bench $name run failed: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       System.err.println(f"bench $name%-24s runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
-      (name, times(1), times)
+      (name, if (failed) 99.0 else times(1), times)
     }
     spark.stop()
     res

@@ -235,11 +235,18 @@ object EventStreams {
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same vintage split as Tables: TIMESTAMP(NANOS)-era files arrive as
+    // Long under nanosAsLong; the round-5 regeneration writes micros NTZ
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Run any events transform to completion over a bounded stream and

@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /**
  * Fixture-table access for the TPC-H-ish parquet testdata
@@ -39,14 +39,23 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
-      // convert with integer division (`div`, not `/`: epoch-nanos exceed
-      // 2^53 so a double round-trip would corrupt the low bits), matching
-      // DuckDB's CAST(ts_ns AS TIMESTAMP) truncation to micros.
+      // events.ts varies by testdata vintage: TIMESTAMP(NANOS) in the
+      // round-1..4 generations (Spark's vectorized reader rejects it,
+      // [PARQUET_TYPE_ILLEGAL] — read nanos as Long and truncate with
+      // integer division: epoch-nanos exceed 2^53, a double round-trip
+      // would corrupt the low bits), plain TIMESTAMP(MICROS) NTZ from
+      // the round-5 regeneration on. Normalize BOTH to session-TZ
+      // TimestampType so every downstream operator sees one type (the
+      // session TZ is pinned UTC, so NTZ→LTZ is instant-preserving and
+      // unix_micros/window bucketing are unchanged across vintages).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }
