@@ -97,4 +97,52 @@ object Retrieval {
       .orderBy(col("score_scaled").desc, col("id"))
       .limit(k)
   }
+
+  /**
+   * Reciprocal-rank fusion of named rank lists (hybrid retrieval:
+   * lexical BM25 + dense cosine is the canonical pair, but any number
+   * of lists fuse). Cormack/Clarke/Buettcher RRF with the usual c = 60:
+   *
+   *   rrf(id) = Σ_lists 1e9 div (c + rank_list(id))
+   *
+   * — the 1/(c+r) weight in exact ×1e9 fixed point (one floor division
+   * per membership, t14/t20's determinism device), summed over the lists
+   * the id appears in. Absent-from-list contributes nothing (standard
+   * RRF; no imputed rank). Output: one row per id seen in any list, with
+   * per-list rank columns (`rank_<name>`, null when absent), `n_lists`,
+   * and `rrf_scaled`; top-k by (rrf_scaled desc, id asc) — a total
+   * order, so the cut is deterministic.
+   *
+   * Scale design (100 TB): the inputs are already top-k lists (each k
+   * rows, produced by engines with their own bounded-exchange designs —
+   * [[bm25TopK]]'s TakeOrderedAndProject, [[Similarity.cosineTopK]]'s
+   * bounded-heap aggregator), so everything here operates on |lists|·k
+   * rows regardless of corpus size: the union + groupBy is a
+   * few-hundred-row exchange and the final sort is a top-k over ≤
+   * |lists|·k rows. Nothing corpus-sized enters this operator.
+   */
+  def rrfFusion(
+      lists: Seq[(String, DataFrame)], idCol: String, rankCol: String,
+      c: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFusion needs at least one rank list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rrfFusion list names must be distinct")
+    require(c >= 0 && k > 0, "rrfFusion needs c >= 0 and k > 0")
+
+    val tagged = lists.map { case (name, df) =>
+      df.select(col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rank"), lit(name).as("src"))
+    }.reduce(_ unionAll _)
+
+    val rankCols = lists.map { case (name, _) =>
+      max(when(col("src") === name, col("rank"))).as(s"rank_$name")
+    }
+    val aggs =
+      rankCols :+ count(lit(1)).as("n_lists") :+
+        sum(expr(s"1000000000L DIV ($c + rank)")).as("rrf_scaled")
+    tagged.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("rrf_scaled").desc, col("id"))
+      .limit(k)
+  }
 }

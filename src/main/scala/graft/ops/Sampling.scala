@@ -514,4 +514,74 @@ object Sampling {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy(col("split_lo"), col("split_hi"))
   }
+
+  /**
+   * Mixture-weight solver: allocate a token budget across domains under
+   * per-domain repetition caps — the "how many tokens of each source
+   * goes into the training mix" step (UniMax-style: equal shares,
+   * capped at `cap = epochs × available`, excess redistributed to
+   * uncapped domains — water-filling).
+   *
+   * Exact integer closed form (no iteration): with caps sorted
+   * ascending, a domain at rank r is capped iff even a threshold equal
+   * to its own cap cannot spend the budget —
+   * `P_{r−1} + cap_r · (n − r + 1) ≤ T` (P = running cap prefix sum).
+   * The uncapped u = n − R domains then share `rem = T − P_R` as
+   * `t = rem div u` each, and the `rem − t·u < u` leftover tokens go
+   * +1 apiece to the first uncapped domains in (cap, domain) order —
+   * largest-remainder rounding with a deterministic tie order, so
+   * `Σ alloc = min(T, Σ cap)` EXACTLY. If every domain caps
+   * (Σ cap ≤ T), alloc = cap and the shortfall is visible as
+   * Σ alloc < T. All divisions are single floor divisions on BIGINT —
+   * bit-identical in DuckDB.
+   *
+   * `capExpr` is evaluated per domain against columns (domain, avail) —
+   * e.g. `expr("avail * 4")` for a flat 4-epoch cap, or a per-domain
+   * epoch schedule keyed off the domain name.
+   *
+   * Scale design (100 TB): the only corpus-sized stage is the
+   * per-domain `sum(weight)` with map-side partial aggregation; domain
+   * cardinality is small by construction (sources/languages, 10s–1000s),
+   * so the sort window and prefix sums run on a domain-count-sized
+   * single partition and everything downstream is broadcast-sized.
+   * Output: (domain, avail, cap, alloc, epochs_ppm = 1e6·alloc div
+   * avail), ordered by domain.
+   */
+  def mixtureAllocation(df: DataFrame, domainCol: String,
+                        weightCol: String, capExpr: Column,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"mixtureAllocation needs budget >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+
+    val avail = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(weightCol)).as("avail"))
+      .select(col("domain"), col("avail"), capExpr.cast("long").as("cap"))
+    // domain-count-sized from here down: a tiny single-partition window
+    // over (cap, domain) — unique, hence a total order
+    val w = Window.orderBy(col("cap"), col("domain"))
+    val ranked = avail
+      .withColumn("r", row_number().over(w))
+      .withColumn("p", sum(col("cap")).over(w))       // P_r inclusive
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy(col("cap"), col("domain"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // capped iff P_{r-1} + cap_r·(n−r+1) ≤ T  (P_{r-1} = p − cap)
+    val flagged = ranked.withColumn("capped",
+      col("p") - col("cap") + col("cap") * (col("n") - col("r") + 1) <= lit(budget))
+    val caps = flagged.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("big_r"),
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("p_r"))
+    flagged.crossJoin(broadcast(caps))
+      .withColumn("u", col("n") - col("big_r"))
+      .withColumn("t", when(col("u") > 0,
+        expr(s"(${budget}L - p_r) DIV u")).otherwise(lit(0L)))
+      .withColumn("rem", lit(budget) - col("p_r") - col("t") * col("u"))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("t") +
+          when(col("r") - col("big_r") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("domain"), col("avail"), col("cap"), col("alloc"),
+        expr("CASE WHEN avail > 0 THEN (1000000L * alloc) DIV avail " +
+          "ELSE 0L END").as("epochs_ppm"))
+      .orderBy(col("domain"))
+  }
 }

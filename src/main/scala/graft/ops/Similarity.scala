@@ -816,6 +816,17 @@ object Similarity {
    * avoids.
    */
   def gramMatrix(corpus: DataFrame, vecCol: String, idCol: String): DataFrame =
+    gramIntUpper(corpus, vecCol)
+      // the accumulated integer is < 2^53, so this cast is lossless —
+      // both engines produce the identical double
+      .select(col("dim_i"), col("dim_j"), col("n_vecs"),
+        (col("g").cast("double") / lit(1e12)).as("gram"))
+      .orderBy(col("dim_i"), col("dim_j"))
+
+  /** Integer upper-triangle Gram core shared by [[gramMatrix]] and
+    * [[pcaPowerIteration]]: (dim_i ≤ dim_j, n_vecs, g = Σ xi·xj) with
+    * coordinates 6-dp-quantized to ×1e6 BIGINT. */
+  private def gramIntUpper(corpus: DataFrame, vecCol: String): DataFrame =
     corpus
       .filter(col(vecCol).isNotNull)
       .select(expr(
@@ -833,9 +844,110 @@ object Similarity {
       .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
       .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("prod")).as("g"))
-      // the accumulated integer is < 2^53, so this cast is lossless —
-      // both engines produce the identical double
-      .select(col("dim_i"), col("dim_j"), col("n_vecs"),
-        (col("g").cast("double") / lit(1e12)).as("gram"))
-      .orderBy(col("dim_i"), col("dim_j"))
+
+  /**
+   * Embedding-drift report between two corpus snapshots: per dimension
+   * pair, the per-vector mean second moment of each snapshot and the
+   * absolute drift between them — the e15 Gram put to its monitoring use
+   * ("did the embedding distribution move between last month's corpus
+   * and this month's?"; a retrain/re-index trigger). Top-k most-drifted
+   * pairs, exact integers end to end.
+   *
+   * Means are per-vector (g DIV n, truncating — the e14 device, mirrored
+   * sign/abs in the DuckDB oracle) so snapshots of different sizes
+   * compare directly; a dim pair absent from one side reports n = 0 and
+   * mean 0.
+   *
+   * Scale design (100 TB): two independent Gram accumulations (each
+   * in-row product generation + the fixed d² partial-sum exchange — see
+   * [[gramMatrix]]); the join/diff/top-k then run on ≤ d² rows
+   * regardless of corpus sizes.
+   */
+  def gramDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                k: Int = 20): DataFrame = {
+    require(k > 0, s"gramDrift needs k > 0, got $k")
+    val ga = gramIntUpper(a, vecCol).select(col("dim_i"), col("dim_j"),
+      col("n_vecs").as("n_a"), col("g").as("g_a"))
+    val gb = gramIntUpper(b, vecCol).select(col("dim_i"), col("dim_j"),
+      col("n_vecs").as("n_b"), col("g").as("g_b"))
+    ga.join(gb, Seq("dim_i", "dim_j"), "full_outer")
+      .select(col("dim_i"), col("dim_j"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("g_a"), lit(0L)).as("g_a"),
+        coalesce(col("g_b"), lit(0L)).as("g_b"))
+      .select(col("dim_i"), col("dim_j"), col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a > 0 THEN g_a DIV n_a ELSE 0L END")
+          .as("mean_a_scaled"),
+        expr("CASE WHEN n_b > 0 THEN g_b DIV n_b ELSE 0L END")
+          .as("mean_b_scaled"))
+      .withColumn("drift_scaled",
+        abs(col("mean_a_scaled") - col("mean_b_scaled")))
+      .orderBy(col("drift_scaled").desc, col("dim_i"), col("dim_j"))
+      .limit(k)
+  }
+
+  /**
+   * Top principal direction of the (uncentered) embedding Gram matrix by
+   * fixed-count power iteration — the spectral summary behind whitening
+   * / anisotropy diagnostics ("is the embedding space collapsing toward
+   * one direction?"), PCA-based dim-reduction seeding, and ABTT-style
+   * dominant-direction removal.
+   *
+   * Determinism: everything is exact integers. The Gram matrix is the
+   * e15 6-dp-quantized ×1e6 BIGINT form; v₀ = 1e6·𝟙; each step computes
+   * w = G·v in DECIMAL(38,0) (|w| ≤ d·|g|·1e6 ≈ 1e24 at d = 64,
+   * |corpus| = 2000 — far past BIGINT, comfortably inside 38 digits)
+   * and renormalizes by the max-abs component: v′ = (w·1e6) div max|w|,
+   * a single truncating division per component (DuckDB mirrors it
+   * sign/abs-explicitly, the e14 device). Max-norm instead of L2 keeps
+   * the iteration sqrt-free and the scale pinned at |v| ≤ 1e6. The
+   * iterate converges to the dominant eigendirection (all-ones start ⇒
+   * deterministic sign); `growth = max|w| div 1e6` is the per-step gain,
+   * a fixed-point Rayleigh-style estimate of λ_max in Gram units.
+   *
+   * Scale design (100 TB): the ONLY corpus-sized stage is the Gram
+   * accumulation itself (e15's in-row d(d+1)/2 product generation with
+   * map-side partial sums — only the fixed d² partial-sum matrix ever
+   * shuffles). The iteration then runs on d² ≤ 4096 rows REGARDLESS of
+   * corpus size: the mirrored Gram is localCheckpoint'd (cutting the
+   * corpus scan out of the 8-iteration lineage — without it every
+   * iteration would rescan the corpus), and each step is a tiny
+   * broadcast join + d-row aggregate. Output: d rows (dim,
+   * comp = v/1e6 as double, growth), dim-ordered.
+   */
+  def pcaPowerIteration(corpus: DataFrame, vecCol: String, idCol: String,
+                        iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"pcaPowerIteration needs 1 <= iters <= 64, got $iters")
+    val upper = gramIntUpper(corpus, vecCol)
+    // mirror the strict upper triangle to get the full symmetric matrix
+    val full = upper.select(col("dim_i").as("i"), col("dim_j").as("j"), col("g"))
+      .unionAll(upper.filter(col("dim_i") =!= col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("g")))
+      .localCheckpoint()
+    var v = full.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v"))
+    var growth = lit(0L)
+    for (_ <- 1 to iters) {
+      // w is referenced twice (max and the division) — checkpoint to
+      // keep the plan linear in iters, not exponential
+      val w = full.join(v, full("j") === v("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("g").cast("decimal(38,0)") * col("v")).as("w"))
+        .localCheckpoint()
+      // greatest(·,1): an all-zero Gram (degenerate corpus) yields m = 0
+      // and v = 0 either way — the clamp just keeps ANSI from aborting
+      // on DIV 0
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1)).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("dim"),
+          expr("CAST((w * 1000000) DIV m AS BIGINT)").as("v"),
+          expr("CAST(m DIV 1000000 AS BIGINT)").as("growth"))
+      growth = col("growth")
+    }
+    v.select(col("dim"), (col("v").cast("double") / lit(1e6)).as("comp"),
+        growth.as("growth"))
+      .orderBy(col("dim"))
+  }
 }

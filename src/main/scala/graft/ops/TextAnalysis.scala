@@ -325,6 +325,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * BPE merge statistics: corpus-wide counts of adjacent character pairs
+   * WITHIN words — the statistic a byte-pair-encoding trainer computes
+   * each merge round (round one over raw characters is exactly this
+   * table), and the tokenizer-health diagnostic behind "which merges
+   * would a domain-adapted vocab learn first?".
+   *
+   * Tokenization matches the t-series convention (lower/trim/whitespace
+   * words). Pairs are generated INSIDE each row with [[topNgrams]]'s
+   * shifted-zip device applied at character level (split on the empty
+   * pattern appends one trailing "" element under Java regex semantics —
+   * filtered before zipping), so the only exchange carries
+   * (pair, partial count) and (pair, id) distinct rows after map-side
+   * combine, and the final top-k is a TakeOrderedAndProject. Output:
+   * (pair, n_occurrences, n_docs), count desc, ties by pair ascending.
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 30): DataFrame = {
+    require(k > 0, s"bpePairCounts needs k > 0, got $k")
+    val pairs = flatten(transform(Shingles.words(col(textCol)), wd => {
+      val c = filter(split(wd, ""), ch => ch =!= "")
+      val n1 = greatest(size(c) - 1, lit(0))
+      zip_with(slice(c, lit(1), n1), slice(c, lit(2), n1),
+        (x, y) => concat(x, y))
+    }))
+    docs.select(col(idCol).as("id"), explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   // ------------------------------------------------------------------

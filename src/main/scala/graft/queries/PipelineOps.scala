@@ -326,6 +326,22 @@ object PipelineOps {
       // only shuffle is the fixed d^2 partial-sum exchange
       Similarity.gramMatrix(embs(s, d), "embedding", "vec_id")
     },
+    "e16_pca_power" -> { (s, d) =>
+      // dominant eigendirection of the e15 Gram by 8 exact-integer
+      // power steps — the anisotropy / dominant-direction-removal
+      // diagnostic; after the Gram accumulation everything runs on
+      // d^2 rows regardless of corpus size
+      Similarity.pcaPowerIteration(embs(s, d), "embedding", "vec_id",
+        iters = 8)
+    },
+    "e17_gram_drift" -> { (s, d) =>
+      // embedding drift between two corpus snapshots (vec_id parity as
+      // the stand-in for "last month vs this month"): top-20 dim pairs
+      // by |mean second moment| shift, exact integers
+      val all = embs(s, d)
+      Similarity.gramDrift(all.filter(col("vec_id") % 2 === 0),
+        all.filter(col("vec_id") % 2 === 1), "embedding", k = 20)
+    },
     "e07_ivfpq_topk" -> { (s, d) =>
       // the full ANN serving stack: coarse probe over the label lists
       // (e02's min-id centroids) + PQ asymmetric-distance scoring
@@ -440,6 +456,29 @@ object PipelineOps {
       graft.ops.Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
         Seq("spark", "join", "vector", "window"), k = 10)
     },
+    "t21_rrf_fusion" -> { (s, d) =>
+      // hybrid retrieval: t20's lexical BM25 top-20 fused with the dense
+      // cosine top-20 for the vec_id-0 probe (doc_id and vec_id share
+      // the 0..N id space in the fixtures) by reciprocal-rank fusion —
+      // both inputs arrive as k-row lists, so the fusion itself never
+      // touches a corpus-sized row set
+      val bm = graft.ops.Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
+          Seq("spark", "join", "vector", "window"), k = 20)
+        // 20-row post-limit frame: the single-partition window is fine
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_scaled").desc, col("id"))))
+      val corpus = embs(s, d)
+      val dense = Similarity.cosineTopK(corpus, "embedding", "vec_id",
+        corpus.filter(col("vec_id") === 0), "embedding", "vec_id", k = 20)
+      graft.ops.Retrieval.rrfFusion(
+        Seq("bm25" -> bm, "dense" -> dense), "id", "rk", c = 60, k = 10)
+    },
+    "t22_bpe_merges" -> { (s, d) =>
+      // BPE round-one merge table: top-30 adjacent character pairs
+      // within words, corpus-wide exact counts + doc frequencies
+      TextAnalysis.bpePairCounts(docs(s, d), "text", "doc_id", k = 30)
+    },
     "t15_vocab_stats" -> { (s, d) =>
       // one-row corpus vocabulary report: tokens, types, hapax count,
       // top-10 head mass — all exact integers
@@ -525,6 +564,14 @@ object PipelineOps {
       // (shard, bin) doc count, weight total, fill ppm vs the budget
       Sampling.packStats(docs(s, d), "doc_id", "n_chars",
         budget = 4096L, shards = 8)
+    },
+    "p12_mixture_alloc" -> { (s, d) =>
+      // UniMax-style token-budget water-filling across languages:
+      // 2-epoch caps against a 250k-char budget — on the sf0.01 fixture
+      // the four low-resource langs cap and `en` absorbs the remainder,
+      // exercising both branches of the closed form
+      Sampling.mixtureAllocation(docs(s, d), "lang", "n_chars",
+        expr("avail * 2"), budget = 250000L)
     },
     "p04_weighted_sample" -> { (s, d) =>
       // 100-doc weighted priority sample, n_chars as the weight
@@ -800,6 +847,26 @@ object PipelineOps {
   private val duckMd5Bucket =
     "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
       "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+
+  /** One unrolled e16 power step in DuckDB: w = G·v in HUGEINT, then the
+    * max-abs renormalization with the explicit sign/abs truncating
+    * division that mirrors Spark's toward-zero `DIV` (the e14 device;
+    * DuckDB's `//` floors). greatest(·,1) mirrors the engine's ANSI
+    * div-by-zero clamp on an all-zero Gram. */
+  private def duckPowerStep(k: Int): String = {
+    val prev = if (k == 1) "v0" else s"v${k - 1}"
+    // AS MATERIALIZED: each w_k is referenced twice (m_k and v_k) —
+    // left to the inliner, the 8-step chain re-expands the whole prefix
+    // 2^k times and the oracle never finishes
+    s"""w$k AS MATERIALIZED (SELECT gm.i AS dim, sum(gm.g * v.v) AS w
+           FROM gm JOIN $prev v ON gm.j = v.dim GROUP BY gm.i),
+         m$k AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m FROM w$k),
+         v$k AS MATERIALIZED (SELECT dim,
+             CASE WHEN w < 0 THEN -((-w * 1000000) // m)
+                  ELSE (w * 1000000) // m END AS v,
+             m // 1000000 AS growth
+           FROM w$k CROSS JOIN m$k)"""
+  }
 
   val oracle: Map[String, String] = Map(
     // chunk-level dedup: same 5-word non-overlapping chunking (1-based
@@ -1397,6 +1464,143 @@ object PipelineOps {
          SELECT dim_i, dim_j, count(*) AS n_vecs,
                 CAST(sum(prod) AS DOUBLE) / 1e12 AS gram
          FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""",
+    // power iteration on the e15 Gram: same quantized HUGEINT Gram CTEs,
+    // then 8 unrolled w = G·v / max-abs-renormalize steps — every
+    // division is the explicit truncating sign/abs form, so the iterate
+    // is bit-identical to the engine's DECIMAL(38,0) DIV path
+    "e16_pca_power" ->
+      s"""WITH c AS (SELECT vec_id AS id, i.i - 1 AS dim,
+             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS xi
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                      CAST(a.xi AS HUGEINT) * b.xi AS prod
+               FROM c a JOIN c b ON a.id = b.id AND a.dim <= b.dim),
+         ut AS (SELECT dim_i, dim_j, sum(prod) AS g
+                FROM p GROUP BY dim_i, dim_j),
+         gm AS (SELECT dim_i AS i, dim_j AS j, g FROM ut
+                UNION ALL
+                SELECT dim_j, dim_i, g FROM ut WHERE dim_i <> dim_j),
+         v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v
+                FROM gm),
+         ${(1 to 8).map(duckPowerStep).mkString(",\n         ")}
+         SELECT dim, CAST(v AS DOUBLE) / 1e6 AS comp,
+                CAST(growth AS BIGINT) AS growth
+         FROM v8 ORDER BY dim""",
+    // gram drift: the e15 CTE computed per vec_id parity, full-joined,
+    // truncating sign/abs per-vector means (Spark DIV truncates toward
+    // zero, DuckDB // floors), top-20 by (drift desc, dims asc)
+    "e17_gram_drift" ->
+      """WITH c AS (SELECT vec_id % 2 AS par, vec_id AS id, i.i - 1 AS dim,
+             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS xi
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         p AS (SELECT a.par, a.dim AS dim_i, b.dim AS dim_j,
+                      CAST(a.xi AS HUGEINT) * b.xi AS prod
+               FROM c a JOIN c b ON a.id = b.id AND a.dim <= b.dim),
+         ut AS (SELECT par, dim_i, dim_j, count(*) AS n, sum(prod) AS g
+                FROM p GROUP BY par, dim_i, dim_j),
+         ja AS (SELECT dim_i, dim_j, n AS n_a, g AS g_a FROM ut WHERE par = 0),
+         jb AS (SELECT dim_i, dim_j, n AS n_b, g AS g_b FROM ut WHERE par = 1),
+         m AS (SELECT dim_i, dim_j,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             coalesce(g_a, 0) AS g_a, coalesce(g_b, 0) AS g_b
+           FROM ja FULL JOIN jb USING (dim_i, dim_j)),
+         mm AS (SELECT dim_i, dim_j, n_a, n_b,
+             CASE WHEN n_a = 0 THEN 0
+                  WHEN g_a < 0 THEN -((-g_a) // n_a)
+                  ELSE g_a // n_a END AS mean_a,
+             CASE WHEN n_b = 0 THEN 0
+                  WHEN g_b < 0 THEN -((-g_b) // n_b)
+                  ELSE g_b // n_b END AS mean_b
+           FROM m)
+         SELECT dim_i, dim_j, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(mean_a AS BIGINT) AS mean_a_scaled,
+                CAST(mean_b AS BIGINT) AS mean_b_scaled,
+                CAST(abs(mean_a - mean_b) AS BIGINT) AS drift_scaled
+         FROM mm ORDER BY drift_scaled DESC, dim_i, dim_j LIMIT 20""",
+    // BPE pair table: per-word 2-char slices (w[i:i+1] is character-
+    // indexed inclusive in DuckDB, matching Spark's split-on-empty +
+    // shifted zip), exact counts + doc frequencies, top-30
+    "t22_bpe_merges" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+         wd AS (SELECT id, unnest(ws) AS w FROM d),
+         pr AS (SELECT id, unnest([w[i:i+1]
+             FOR i IN range(1, CAST(length(w) AS INT))]) AS pair
+           FROM wd WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n_occurrences,
+                count(DISTINCT id) AS n_docs
+         FROM pr GROUP BY pair
+         ORDER BY n_occurrences DESC, pair LIMIT 30""",
+    // water-filling mixture allocation: the closed form mirrored with
+    // window functions — capped-prefix test, exact floor-division equal
+    // share, largest-remainder +1s in (cap, domain) order
+    "p12_mixture_alloc" ->
+      """WITH av AS (SELECT lang AS domain,
+             CAST(sum(n_chars) AS BIGINT) AS avail,
+             CAST(sum(n_chars) * 2 AS BIGINT) AS cap
+           FROM documents GROUP BY lang),
+         rk AS (SELECT domain, avail, cap,
+             row_number() OVER (ORDER BY cap, domain) AS r,
+             sum(cap) OVER (ORDER BY cap, domain ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n
+           FROM av),
+         fl AS (SELECT *, p - cap + cap * (n - r + 1) <= 250000 AS capped
+                FROM rk),
+         cs AS (SELECT
+             coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
+             coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
+           FROM fl),
+         tt AS (SELECT fl.*, cs.big_r, cs.p_r, fl.n - cs.big_r AS u
+                FROM fl CROSS JOIN cs),
+         t2 AS (SELECT *, CASE WHEN u > 0 THEN (250000 - p_r) // u
+                          ELSE 0 END AS t FROM tt),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE t + CASE WHEN r - big_r <= 250000 - p_r - t * u
+                           THEN 1 ELSE 0 END END AS alloc
+           FROM t2)
+         SELECT domain, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+                CAST(CASE WHEN avail > 0 THEN (1000000 * alloc) // avail
+                     ELSE 0 END AS BIGINT) AS epochs_ppm
+         FROM al ORDER BY domain""",
+    // RRF hybrid fusion: t20's BM25 CTE chain at k=20 + e01's dense
+    // cosine ranking for the vec_id-0 probe at k=20, fused by
+    // 1e9 // (60 + rank) — all-positive integers, floor = trunc
+    "t21_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT id, unnest(w) AS t FROM d),
+         dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         qt AS (SELECT id, t FROM tok
+                WHERE t IN ('spark', 'join', 'vector', 'window')),
+         dfq AS (SELECT t, count(DISTINCT id) AS df FROM qt GROUP BY t),
+         tf AS (SELECT id, t, count(*) AS tf FROM qt GROUP BY id, t),
+         sc AS (SELECT tf.id,
+             ((1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1))
+               * tf.tf * 22000
+               // (10000 * tf.tf + 3000
+                   + (9000 * dl.dl * st.n_docs) // st.total_tokens) AS term
+           FROM tf JOIN dl USING (id) JOIN dfq USING (t) CROSS JOIN st),
+         bm AS (SELECT id, sum(term) AS score FROM sc GROUP BY id),
+         bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+                 FROM bm ORDER BY score DESC, id LIMIT 20),
+         q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         ds AS (SELECT c.vec_id AS id,
+                list_cosine_similarity(c.embedding, q.qvec) AS sim
+                FROM embeddings c CROSS JOIN q),
+         dr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+                FROM ds WHERE sim IS NOT NULL ORDER BY sim DESC, id LIMIT 20),
+         u AS (SELECT id, rank, 'bm25' AS src FROM bmr
+               UNION ALL SELECT id, rank, 'dense' FROM dr)
+         SELECT id, max(CASE WHEN src = 'bm25' THEN rank END) AS rank_bm25,
+                max(CASE WHEN src = 'dense' THEN rank END) AS rank_dense,
+                count(*) AS n_lists,
+                CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
+         FROM u GROUP BY id ORDER BY rrf_scaled DESC, id LIMIT 10""",
     // SemDeDup: d05's brute force with the pair set restricted to
     // same-label (within-cluster) pairs
     "d11_semdedup" ->

@@ -61,4 +61,57 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("spark"), k = 0)
     }
   }
+
+  // (id, rank) rank lists for the fusion tests
+  private def rankList(rows: (Long, Long)*) = rows.toDF("id", "rk")
+
+  test("rrf: hand-computed fusion at c=0, per-list ranks, null absences") {
+    val a = rankList(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val b = rankList(2L -> 1L, 3L -> 2L, 4L -> 3L)
+    val out = Retrieval.rrfFusion(Seq("a" -> a, "b" -> b), "id", "rk",
+        c = 0, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getLong(4)))
+    // 1e9/rank weights: id2 = 1e9/2 + 1e9 = 1.5e9; id1 = 1e9;
+    // id3 = 1e9/3 + 1e9/2 = 833333333; id4 = 1e9/3
+    assert(out.toSeq === Seq(
+      (2L, Some(2L), Some(1L), 2L, 1500000000L),
+      (1L, Some(1L), None, 1L, 1000000000L),
+      (3L, Some(3L), Some(2L), 2L, 833333333L),
+      (4L, None, Some(3L), 1L, 333333333L)))
+  }
+
+  test("rrf: equal scores break by id ascending and k cuts the tail") {
+    // id 9 only in list a at rank 3, id 8 only in list b at rank 3 —
+    // identical fused score, id 8 must sort first
+    val a = rankList(1L -> 1L, 2L -> 2L, 9L -> 3L)
+    val b = rankList(1L -> 1L, 2L -> 2L, 8L -> 3L)
+    val out = Retrieval.rrfFusion(Seq("a" -> a, "b" -> b), "id", "rk",
+      c = 60, k = 3).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 2L, 8L))
+  }
+
+  test("rrf: single list degenerates to the input ranking") {
+    val a = rankList(5L -> 1L, 6L -> 2L, 7L -> 3L)
+    val out = Retrieval.rrfFusion(Seq("only" -> a), "id", "rk", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(5L -> 1L, 6L -> 2L, 7L -> 3L))
+  }
+
+  test("rrf: validation") {
+    val a = rankList(1L -> 1L)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq.empty, "id", "rk")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq("x" -> a, "x" -> a), "id", "rk")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq("x" -> a), "id", "rk", c = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq("x" -> a), "id", "rk", k = 0)
+    }
+  }
 }

@@ -307,4 +307,51 @@ class SamplingSpec extends SparkSuite {
     assert(out(0L) === ((3L, 12L, 1200000L)))
     assert(out(1L) === ((2L, 8L, 800000L)))
   }
+
+  private def mixRows(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("domain", "w")
+  }
+
+  private def allocOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+
+  test("mixtureAllocation: water-filling caps the small domains exactly") {
+    val df = mixRows("a" -> 4L, "a" -> 6L, "b" -> 20L, "c" -> 100L)
+    val out = allocOf(Sampling.mixtureAllocation(df, "domain", "w",
+      expr("avail * 2"), budget = 100L))
+    // caps 20/40/200 vs budget 100: a and b cap (prefix test
+    // 0+20*3=60 and 20+40*2=100 both <= 100), c takes the 40 remainder
+    assert(out("a") === ((10L, 20L, 20L, 2000000L)))
+    assert(out("b") === ((20L, 40L, 40L, 2000000L)))
+    assert(out("c") === ((100L, 200L, 40L, 400000L)))
+    assert(out.values.map(_._3).sum === 100L)   // spends the budget exactly
+  }
+
+  test("mixtureAllocation: largest-remainder +1s go to first domains in order") {
+    val df = mixRows("x" -> 100L, "y" -> 100L, "z" -> 100L)
+    val out = allocOf(Sampling.mixtureAllocation(df, "domain", "w",
+      expr("avail * 10"), budget = 100L))
+    // nobody caps; 100 div 3 = 33 rem 1 -> x (first in (cap, domain)
+    // order) gets the extra token
+    assert(out("x")._3 === 34L)
+    assert(out("y")._3 === 33L)
+    assert(out("z")._3 === 33L)
+  }
+
+  test("mixtureAllocation: all-capped leaves the shortfall visible") {
+    val df = mixRows("a" -> 10L, "b" -> 20L)
+    val out = allocOf(Sampling.mixtureAllocation(df, "domain", "w",
+      expr("avail * 2"), budget = 1000L))
+    assert(out("a")._3 === 20L && out("b")._3 === 40L)
+    assert(out.values.map(_._3).sum === 60L)    // < budget: capped corpus
+  }
+
+  test("mixtureAllocation: validation") {
+    intercept[IllegalArgumentException](
+      Sampling.mixtureAllocation(mixRows("a" -> 1L), "domain", "w",
+        expr("avail"), budget = -1L))
+  }
 }

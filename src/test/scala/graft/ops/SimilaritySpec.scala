@@ -504,4 +504,87 @@ class SimilaritySpec extends SparkSuite {
     assert(out === Array(
       1 -> ((1L, 0L)), 2 -> ((2L, 1L)), 3 -> ((3L, 2L))))
   }
+
+  // three x-axis vectors + one diagonal: Gram = [[3.25, 0.25],
+  // [0.25, 0.25]]e12 in the x1e6-quantized integer units
+  private def pcaCorpus = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+    (4L, Seq(0.5f, 0.5f)))
+    .toDF("vec_id", "embedding")
+
+  test("pcaPowerIteration: one hand-computed exact-integer step") {
+    val out = Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
+        iters = 1)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    // w = G.(1e6,1e6) = (3.5e18, 5e17); m = 3.5e18:
+    //   v0' = 1e6 (the max component pins at exactly 1.0)
+    //   v1' = (5e17*1e6) DIV 3.5e18 = 142857 (floor of 142857.14...)
+    //   growth = 3.5e18 DIV 1e6
+    assert(out.toSeq === Seq(
+      (0, 1.0, 3500000000000L), (1, 0.142857, 3500000000000L)))
+  }
+
+  test("pcaPowerIteration: converges to the dominant eigendirection") {
+    val out = Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
+        iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // dominant eigvec of [[3.25,0.25],[0.25,0.25]]: ratio
+    // x1/x0 = 0.25/(lambda-0.25) = 0.08276...
+    assert(out(0) === 1.0)
+    assert(out(1) > 0.080 && out(1) < 0.086)
+  }
+
+  test("gramDrift: hand means, truncating negative mean, absent side zero") {
+    // snapshot a: two 2-d vectors; snapshot b: one vector with a
+    // negative dim-0 coordinate whose squared mean doesn't divide evenly
+    val a = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b = Seq((0L, Array(-1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.gramDrift(a, b, "embedding", k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // a grams (x1e12): (0,0)=2, (0,1)=1, (1,1)=2 over n=3
+    //   -> means 2e12 DIV 3 = 666666666666, 333333333333, 666666666666
+    // b grams: (0,0)=1e12, (0,1)=-5e11, (1,1)=2.5e11 over n=1
+    assert(out((0, 0)) ===
+      ((3L, 1L, 666666666666L, 1000000000000L, 333333333334L)))
+    assert(out((0, 1)) ===
+      ((3L, 1L, 333333333333L, -500000000000L, 833333333333L)))
+    assert(out((1, 1)) ===
+      ((3L, 1L, 666666666666L, 250000000000L, 416666666666L)))
+    intercept[IllegalArgumentException](
+      Similarity.gramDrift(a, b, "embedding", k = 0))
+  }
+
+  test("gramDrift: negative sum truncates toward zero (DIV, not floor)") {
+    // cross-moment sum -1e12 over n=3 does not divide evenly and is
+    // negative — the case where truncation and floor differ by one
+    val a = Seq((0L, Array(1.0f, -1.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = a.limit(0)
+    val out = Similarity.gramDrift(a, b, "embedding", k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    // (0,1) gram = -1e12 over n=3: truncation gives -333333333333,
+    // floor would give -333333333334
+    assert(out((0, 1)) === -333333333333L)
+  }
+
+  test("pcaPowerIteration: null embeddings drop; determinism; validation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(pcaCorpus.collect().toSeq :+
+        Row(9L, null)), schema)
+    val a = Similarity.pcaPowerIteration(withNull, "embedding", "vec_id",
+      iters = 3).collect().toSeq
+    val b = Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
+      iters = 3).collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
+        iters = 0))
+  }
 }

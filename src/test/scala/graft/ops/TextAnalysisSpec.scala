@@ -371,4 +371,30 @@ class TextAnalysisSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.mojibakeScore(df, "text", "doc_id", suspectPpm = -1))
   }
+
+  test("bpePairCounts: hand pairs, 1-char words drop, ties by pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab ab x"),      // ab twice, x contributes nothing
+      (2L, "abc"),          // ab, bc
+      (3L, "AB cd"))        // lowercased: ab again; cd once
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ab: 4 occurrences across docs {1, 2, 3}; bc and cd tie at 1 and
+    // order by pair text
+    assert(out.toSeq === Seq(
+      ("ab", 4L, 3L), ("bc", 1L, 1L), ("cd", 1L, 1L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 0))
+  }
+
+  test("bpePairCounts: multibyte characters pair per code point") {
+    import spark.implicits._
+    val df = Seq((1L, "héllo héllo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("hé", 2L), ("ll", 2L), ("lo", 2L), ("él", 2L)))
+  }
 }
