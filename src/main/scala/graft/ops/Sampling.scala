@@ -547,6 +547,48 @@ object Sampling {
    * Output: (domain, avail, cap, alloc, epochs_ppm = 1e6·alloc div
    * avail), ordered by domain.
    */
+  /**
+   * Epoch-plan realization of [[mixtureAllocation]]: per document, how
+   * many copies enter the training mix so each domain spends exactly its
+   * allocated weight — `full = alloc div avail` whole epochs for every
+   * doc, plus ONE extra copy for the greedy md5-ordered prefix of docs
+   * whose cumulative weight fits the fractional remainder
+   * `alloc − full·avail` (docs are never split; the prefix stops at the
+   * first doc that would overflow, next-fit semantics like [[packSequences]]).
+   * Deterministic: the fractional tier is ordered by (md5(id), id) — the
+   * same reproducible-uniform device as [[stratifiedQuota]], so WHICH
+   * docs repeat is stable as the corpus grows.
+   *
+   * Scale design (100 TB): the allocation itself is domain-sized and
+   * broadcast back; the only corpus-sized stage is the per-domain
+   * cumulative-weight window ([[packSequences]]'s exact shape — keyed by
+   * domain, no global sort). A single colossal domain serializes its own
+   * window; shard it with the p08 bucket-offset composition if that ever
+   * binds. Output: (id, domain, w, n_copies), id-ordered.
+   */
+  def epochPlan(df: DataFrame, domainCol: String, idCol: String,
+                weightCol: String, capExpr: Column,
+                budget: Long): DataFrame = {
+    val alloc = mixtureAllocation(df, domainCol, weightCol, capExpr, budget)
+      .select(col("domain"), col("avail"), col("alloc"))
+      .withColumn("full_epochs",
+        expr("CASE WHEN avail > 0 THEN alloc DIV avail ELSE 0L END"))
+      .withColumn("frac_w",
+        col("alloc") - col("full_epochs") * col("avail"))
+    val w = Window.partitionBy(col("__dom"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(domainCol).as("__dom"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__before", coalesce(sum(col("__w")).over(w), lit(0L)))
+      .join(broadcast(alloc), col("__dom") === col("domain"))
+      .withColumn("n_copies", col("full_epochs") +
+        when(col("__before") + col("__w") <= col("frac_w"), 1L).otherwise(0L))
+      .select(col(idCol).as("id"), col("domain"), col("__w").as("w"),
+        col("n_copies"))
+      .orderBy(col("id"))
+  }
+
   def mixtureAllocation(df: DataFrame, domainCol: String,
                         weightCol: String, capExpr: Column,
                         budget: Long): DataFrame = {

@@ -573,6 +573,12 @@ object PipelineOps {
       Sampling.mixtureAllocation(docs(s, d), "lang", "n_chars",
         expr("avail * 2"), budget = 250000L)
     },
+    "p13_epoch_plan" -> { (s, d) =>
+      // the p12 allocation realized per document: whole epochs + the
+      // md5-prefix fractional copy — the op that actually emits the mix
+      Sampling.epochPlan(docs(s, d), "lang", "doc_id", "n_chars",
+        expr("avail * 2"), budget = 250000L)
+    },
     "p04_weighted_sample" -> { (s, d) =>
       // 100-doc weighted priority sample, n_chars as the weight
       Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", n = 100)
@@ -847,6 +853,36 @@ object PipelineOps {
   private val duckMd5Bucket =
     "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + " +
       "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+
+  /** Shared p12/p13 water-filling CTE chain, through `al` = per-domain
+    * (domain, avail, cap, …, alloc): 2-epoch caps on lang char mass vs a
+    * 250k budget. Every division is on non-negative integers, so
+    * DuckDB's flooring `//` equals Spark's truncating `DIV`. */
+  private val duckMixtureCtes =
+    """WITH av AS (SELECT lang AS domain,
+             CAST(sum(n_chars) AS BIGINT) AS avail,
+             CAST(sum(n_chars) * 2 AS BIGINT) AS cap
+           FROM documents GROUP BY lang),
+         rk AS (SELECT domain, avail, cap,
+             row_number() OVER (ORDER BY cap, domain) AS r,
+             sum(cap) OVER (ORDER BY cap, domain ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n
+           FROM av),
+         fl AS (SELECT *, p - cap + cap * (n - r + 1) <= 250000 AS capped
+                FROM rk),
+         cs AS (SELECT
+             coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
+             coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
+           FROM fl),
+         tt AS (SELECT fl.*, cs.big_r, cs.p_r, fl.n - cs.big_r AS u
+                FROM fl CROSS JOIN cs),
+         t2 AS (SELECT *, CASE WHEN u > 0 THEN (250000 - p_r) // u
+                          ELSE 0 END AS t FROM tt),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE t + CASE WHEN r - big_r <= 250000 - p_r - t * u
+                           THEN 1 ELSE 0 END END AS alloc
+           FROM t2)"""
 
   /** One unrolled e16 power step in DuckDB: w = G·v in HUGEINT, then the
     * max-abs renormalization with the explicit sign/abs truncating
@@ -1538,34 +1574,33 @@ object PipelineOps {
     // window functions — capped-prefix test, exact floor-division equal
     // share, largest-remainder +1s in (cap, domain) order
     "p12_mixture_alloc" ->
-      """WITH av AS (SELECT lang AS domain,
-             CAST(sum(n_chars) AS BIGINT) AS avail,
-             CAST(sum(n_chars) * 2 AS BIGINT) AS cap
-           FROM documents GROUP BY lang),
-         rk AS (SELECT domain, avail, cap,
-             row_number() OVER (ORDER BY cap, domain) AS r,
-             sum(cap) OVER (ORDER BY cap, domain ROWS UNBOUNDED PRECEDING) AS p,
-             count(*) OVER () AS n
-           FROM av),
-         fl AS (SELECT *, p - cap + cap * (n - r + 1) <= 250000 AS capped
-                FROM rk),
-         cs AS (SELECT
-             coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
-             coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
-           FROM fl),
-         tt AS (SELECT fl.*, cs.big_r, cs.p_r, fl.n - cs.big_r AS u
-                FROM fl CROSS JOIN cs),
-         t2 AS (SELECT *, CASE WHEN u > 0 THEN (250000 - p_r) // u
-                          ELSE 0 END AS t FROM tt),
-         al AS (SELECT *,
-             CASE WHEN capped THEN cap
-                  ELSE t + CASE WHEN r - big_r <= 250000 - p_r - t * u
-                           THEN 1 ELSE 0 END END AS alloc
-           FROM t2)
+      s"""$duckMixtureCtes
          SELECT domain, avail, cap, CAST(alloc AS BIGINT) AS alloc,
                 CAST(CASE WHEN avail > 0 THEN (1000000 * alloc) // avail
                      ELSE 0 END AS BIGINT) AS epochs_ppm
          FROM al ORDER BY domain""",
+    // epoch-plan realization of p12: full epochs per doc + one extra
+    // copy for the greedy (md5, id)-ordered prefix fitting the
+    // fractional remainder — all-positive integers, // = trunc
+    "p13_epoch_plan" ->
+      s"""$duckMixtureCtes,
+         fa AS (SELECT domain,
+             CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END AS fe,
+             alloc - (CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END)
+               * avail AS fw
+           FROM al),
+         doc AS (SELECT doc_id AS id, lang AS dom,
+                        CAST(n_chars AS BIGINT) AS w FROM documents),
+         cw AS (SELECT id, dom, w,
+             coalesce(sum(w) OVER (PARTITION BY dom
+               ORDER BY md5(CAST(id AS VARCHAR)), id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+           FROM doc)
+         SELECT cw.id, fa.domain, cw.w,
+                CAST(fe + CASE WHEN cw.before + cw.w <= fw
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         FROM cw JOIN fa ON cw.dom = fa.domain ORDER BY cw.id""",
     // RRF hybrid fusion: t20's BM25 CTE chain at k=20 + e01's dense
     // cosine ranking for the vec_id-0 probe at k=20, fused by
     // 1e9 // (60 + rank) — all-positive integers, floor = trunc

@@ -354,4 +354,36 @@ class SamplingSpec extends SparkSuite {
       Sampling.mixtureAllocation(mixRows("a" -> 1L), "domain", "w",
         expr("avail"), budget = -1L))
   }
+
+  test("epochPlan: whole epochs for capped domains, zero for oversized docs") {
+    import spark.implicits._
+    val df = Seq(("a", 10L, 4L), ("a", 11L, 6L), ("b", 12L, 20L),
+      ("c", 13L, 100L)).toDF("domain", "doc_id", "w")
+    val out = Sampling.epochPlan(df, "domain", "doc_id", "w",
+        expr("avail * 2"), budget = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // allocs (see the water-filling test): a=20, b=40, c=40
+    // a/b: alloc = 2 x avail exactly -> 2 whole epochs, no fraction
+    assert(out(10L) === (("a", 4L, 2L)))
+    assert(out(11L) === (("a", 6L, 2L)))
+    assert(out(12L) === (("b", 20L, 2L)))
+    // c: 0 whole epochs, fractional 40 cannot fit the single 100-weight
+    // doc (docs are never split) -> 0 copies
+    assert(out(13L) === (("c", 100L, 0L)))
+  }
+
+  test("epochPlan: fractional prefix follows (md5, id) order exactly") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val df = ids.map(i => ("z", i, 30L)).toDF("domain", "doc_id", "w")
+    // one domain, avail 120, cap 1200, budget 60 -> alloc 60: 0 whole
+    // epochs, fractional 60 = exactly the first two docs in md5 order
+    val out = Sampling.epochPlan(df, "domain", "doc_id", "w",
+        expr("avail * 10"), budget = 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val md5Order = ids.sortBy(i => (md5hex(i.toString), i))
+    md5Order.take(2).foreach(i => assert(out(i) === 1L, s"doc $i"))
+    md5Order.drop(2).foreach(i => assert(out(i) === 0L, s"doc $i"))
+  }
 }

@@ -370,4 +370,47 @@ class PlanSpec extends SparkSuite {
       s"join sides were re-shuffled despite bucketing:\n$plan")
     assert(plan.contains("Bucketed: true"), plan)
   }
+
+  private def pipelinePlan(name: String): String = {
+    val df = graft.queries.PipelineOps.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("t21: fusion never sort-merge joins; final cut is distributed top-k") {
+    val plan = pipelinePlan("t21_rrf_fusion")
+    // both input lists are k-row; the dense scoring side broadcasts its
+    // query and the fusion group-by runs on |lists|*k rows
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("t22: BPE pairs partial-aggregate; exchanges keyed by pair, never by doc") {
+    val plan = pipelinePlan("t22_bpe_merges")
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")), aggLines.mkString("\n"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the corpus row set must never shuffle by document id — only the
+    // (pair[, id-distinct]) aggregation exchanges are allowed
+    assert(!plan.contains("hashpartitioning(id"), plan)
+  }
+
+  test("e17: gram drift partial-aggregates; no corpus-keyed exchange") {
+    val plan = pipelinePlan("e17_gram_drift")
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")), aggLines.mkString("\n"))
+    // products are generated in-row: the only exchanges carry the fixed
+    // d^2 partial sums (dim keys) and the d^2-row full-outer join —
+    // nothing keyed by vec_id
+    assert(!plan.contains("hashpartitioning(vec_id"), plan)
+    assert(!plan.contains("hashpartitioning(id"), plan)
+  }
+
+  test("p13: allocation broadcasts back; corpus window keyed by domain") {
+    val plan = pipelinePlan("p13_epoch_plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the one corpus-sized exchange is the domain-keyed window
+    assert(plan.contains("hashpartitioning(__dom"), plan)
+  }
 }
