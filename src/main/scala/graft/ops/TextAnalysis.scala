@@ -417,6 +417,56 @@ object TextAnalysis {
       .orderBy(col("id"), col("probe_id"))
   }
 
+  /**
+   * Asymmetric n-gram containment — quote / near-quote detection: for
+   * every (probe, corpus doc) pair, what fraction of the PROBE's
+   * distinct word shingles the corpus doc contains, in exact ppm
+   * (`1e6·|shared| div |probe shingles|`). Where [[contamination]]
+   * counts shared winnowing fingerprints (symmetric evidence, edit-
+   * robust), containment is directional: "85 % of this eval question
+   * appears inside that training doc" — the decontamination judgment
+   * call, which direction-free Jaccard dilutes when the corpus doc is
+   * long. Docs shorter than n words fall back to one whole-text
+   * shingle, mirroring the d04 convention.
+   *
+   * Scale design (100 TB): the probe side (eval sets: thousands of
+   * docs) reduces to distinct (shingle, probe, n_probe) rows and is
+   * broadcast, so the corpus-side shingle stream is consumed MAP-SIDE —
+   * no corpus shuffle at all; the only exchange carries matched
+   * (probe_id, id) partial counts, bounded by |matches|, and both input
+   * shingle arrays are distinct so the join count IS the intersection
+   * size. Raw string shingles (not xxhash64) keep the op
+   * oracle-checkable; they live only inside the map stage.
+   */
+  def quoteContainment(corpus: DataFrame, textCol: String, idCol: String,
+                       probes: DataFrame, pTextCol: String, pIdCol: String,
+                       n: Int = 3, minPpm: Long = 200000): DataFrame = {
+    require(n >= 1, s"quoteContainment needs n >= 1, got $n")
+    require(minPpm >= 0 && minPpm <= 1000000,
+      s"quoteContainment needs 0 <= minPpm <= 1e6, got $minPpm")
+    def shingles(t: Column) = Shingles.let(Shingles.words(t)) { w =>
+      array_distinct(when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array(lower(trim(t)))))
+    }
+    val p = probes
+      .select(col(pIdCol).as("probe_id"), shingles(col(pTextCol)).as("psh"))
+      .select(col("probe_id"), size(col("psh")).cast("long").as("n_probe"),
+        explode(col("psh")).as("s"))
+    corpus.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+      .join(broadcast(p), "s")
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("id"), col("n_probe"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment_ppm",
+        expr("n_shared * 1000000L DIV n_probe"))
+      .filter(col("containment_ppm") >= minPpm)
+      .select(col("probe_id"), col("id"), col("n_shared"), col("n_probe"),
+        col("containment_ppm"))
+      .orderBy(col("probe_id"), col("id"))
+  }
+
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 8, window: Int = 4,
                    hashMode: String = "xx"): DataFrame = {

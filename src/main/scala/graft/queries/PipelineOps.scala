@@ -479,6 +479,15 @@ object PipelineOps {
       // within words, corpus-wide exact counts + doc frequencies
       TextAnalysis.bpePairCounts(docs(s, d), "text", "doc_id", k = 30)
     },
+    "t23_quote_containment" -> { (s, d) =>
+      // directional decontamination: corpus docs containing >= 20 % of a
+      // probe doc's (ids < 20) distinct 3-word shingles — the asymmetric
+      // complement of t08's fingerprint overlap
+      val all = docs(s, d)
+      TextAnalysis.quoteContainment(all, "text", "doc_id",
+        all.filter(col("doc_id") < 20), "text", "doc_id",
+        n = 3, minPpm = 200000)
+    },
     "t15_vocab_stats" -> { (s, d) =>
       // one-row corpus vocabulary report: tokens, types, hapax count,
       // top-10 head mass — all exact integers
@@ -1556,6 +1565,30 @@ object PipelineOps {
                 CAST(mean_b AS BIGINT) AS mean_b_scaled,
                 CAST(abs(mean_a - mean_b) AS BIGINT) AS drift_scaled
          FROM mm ORDER BY drift_scaled DESC, dim_i, dim_j LIMIT 20""",
+    // asymmetric containment: distinct 3-word shingles (the
+    // fuzzyDedupCtes convention incl. the short-doc whole-text
+    // fallback), probe side = ids < 20, count of shared shingles over
+    // the probe's shingle count in trunc ppm (all non-negative)
+    "t23_quote_containment" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+           lower(trim(text)) AS lt FROM documents),
+         sh AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                 FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM d),
+         pe AS (SELECT id AS probe_id, len(s) AS n_probe, unnest(s) AS s
+                FROM sh WHERE id < 20),
+         ce AS (SELECT id, unnest(s) AS s FROM sh),
+         agg AS (SELECT pe.probe_id, ce.id, pe.n_probe, count(*) AS n_shared
+                 FROM ce JOIN pe USING (s) WHERE ce.id <> pe.probe_id
+                 GROUP BY pe.probe_id, ce.id, pe.n_probe)
+         SELECT probe_id, id, CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(n_probe AS BIGINT) AS n_probe,
+                CAST(n_shared * 1000000 // n_probe AS BIGINT)
+                  AS containment_ppm
+         FROM agg WHERE n_shared * 1000000 // n_probe >= 200000
+         ORDER BY probe_id, id""",
     // BPE pair table: per-word 2-char slices (w[i:i+1] is character-
     // indexed inclusive in DuckDB, matching Spark's split-on-empty +
     // shifted zip), exact counts + doc frequencies, top-30

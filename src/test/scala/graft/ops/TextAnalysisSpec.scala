@@ -389,6 +389,38 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 0))
   }
 
+  test("quoteContainment: directional ppm, self-pair excluded, short-doc fallback") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),          // probe: shingles {a b c, b c d, c d e}
+      (2L, "x a b c d y z"),      // contains {a b c, b c d} -> 2/3
+      (3L, "c d e q r s t"),      // contains {c d e} -> 1/3
+      (4L, "nothing shared here"),
+      (5L, "hi"))                 // short probe: whole-text shingle
+      .toDF("doc_id", "text")
+    val probes = corpus.filter($"doc_id" === 1L || $"doc_id" === 5L)
+    val out = TextAnalysis.quoteContainment(corpus, "text", "doc_id",
+        probes, "text", "doc_id", n = 3, minPpm = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((1L, 2L)) === ((2L, 3L, 666666L)))
+    assert(out((1L, 3L)) === ((1L, 3L, 333333L)))
+    assert(!out.contains((1L, 1L)))           // self excluded
+    assert(!out.contains((1L, 4L)))           // no shared shingles
+    assert(!out.keys.exists(_._1 == 5L))      // "hi" appears nowhere else
+    // threshold keeps only the 2/3 match
+    val cut = TextAnalysis.quoteContainment(corpus, "text", "doc_id",
+        probes, "text", "doc_id", n = 3, minPpm = 500000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cut.toSeq === Seq((1L, 2L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.quoteContainment(corpus, "text", "doc_id", probes,
+        "text", "doc_id", n = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.quoteContainment(corpus, "text", "doc_id", probes,
+        "text", "doc_id", minPpm = 2000000))
+  }
+
   test("bpePairCounts: multibyte characters pair per code point") {
     import spark.implicits._
     val df = Seq((1L, "héllo héllo")).toDF("doc_id", "text")
