@@ -440,7 +440,43 @@ object PlanDump {
       ("All d(d+1)/2 products generate INSIDE each row (nested " +
         "transform over the quantized array — no self-join), so the " +
         "only exchange is the partial-aggregated d^2 running sums per " +
-        "partition: fixed-size, independent of corpus row count."))
+        "partition: fixed-size, independent of corpus row count."),
+    "e16_pca_power" ->
+      ("Only the LAST power step appears here — the mirrored Gram and " +
+        "every earlier iterate are localCheckpointed (d^2-row " +
+        "materializations that cut the corpus scan out of the 8-step " +
+        "lineage); each step is a d^2-row join + d-row aggregate + a " +
+        "broadcast single-row max. Nothing after the Gram accumulation " +
+        "scales with the corpus."),
+    "e17_gram_drift" ->
+      ("Two independent e15-shaped Gram accumulations (in-row product " +
+        "generation, partial aggregation); the full-outer diff join and " +
+        "top-k run on <= d^2 rows — the sort-merge join this plan shows " +
+        "joins two 2k-row aggregates, never corpus rows."),
+    "t21_rrf_fusion" ->
+      ("Both inputs are k-row lists before fusion: BM25's " +
+        "TakeOrderedAndProject and the bounded-heap cosine top-k. The " +
+        "fusion union/group-by/top-k moves |lists|*k rows; the one " +
+        "single-partition window ranks 20 post-limit rows."),
+    "t22_bpe_merges" ->
+      ("Character pairs generate in-row (shifted zip inside the word " +
+        "transform); the exchanges carry (pair) and (pair,id) partial " +
+        "aggregates only — the corpus text never shuffles; the final " +
+        "cut is TakeOrderedAndProject."),
+    "t23_quote_containment" ->
+      ("The probe side reduces to distinct (shingle, probe, size) rows " +
+        "and broadcasts, so corpus shingles are consumed MAP-SIDE (no " +
+        "corpus shuffle at all); the only exchange aggregates matched " +
+        "(probe,doc) partial counts."),
+    "p12_mixture_alloc" ->
+      ("The only corpus-sized stage is the per-domain weight sum with " +
+        "map-side combine; the water-filling closed form runs on a " +
+        "domain-count-sized single-partition window and a broadcast " +
+        "scalar join."),
+    "p13_epoch_plan" ->
+      ("The allocation (domain-sized) broadcasts back onto the corpus; " +
+        "the one corpus-sized exchange is the domain-keyed cumulative " +
+        "window — packSequences' exact shape, no global sort."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")
