@@ -89,6 +89,8 @@ final class HttpFacade(
           profileRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "balance")) =>
           balanceRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "mixture")) =>
+          mixtureRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -400,6 +402,94 @@ final class HttpFacade(
             "sum_len" -> (if (r.isNullAt(off + 6)) null
                           else java.lang.Long.valueOf(r.getLong(off + 6)))) ++
             groupBy.map(_ => "group" -> (r.getString(0): Any)).toSeq): _*)))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Training-mix allocation over a catalog table
+    * (`?domain=<col>&weight=<col>&budget=<long>[&epochs=<int>]`):
+    * per-domain UniMax water-filling under `epochs × avail` repetition
+    * caps (graft.ops.Sampling.mixtureAllocation — one keyed aggregation
+    * plus a domain-count-sized closed form). Domain cardinality bounds
+    * the response, same `maxLabels` contract as the balance route. */
+  private def mixtureRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val domain = qp.get("domain").filter(_.nonEmpty)
+      val weight = qp.get("weight").filter(_.nonEmpty)
+      val budget = qp.get("budget").flatMap(_.toLongOption)
+      val epochs = qp.get("epochs").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("epochs must be an integer")); return
+        case Some(Some(e)) => e
+        case None => 2
+      }
+      if (domain.isEmpty || weight.isEmpty) {
+        sendJson(ex, 400,
+          detail("domain and weight parameters are required")); return
+      }
+      if (budget.isEmpty || budget.exists(_ < 0)) {
+        sendJson(ex, 400,
+          detail("budget parameter is required and must be >= 0")); return
+      }
+      if (epochs < 1) {
+        sendJson(ex, 400, detail("epochs must be >= 1")); return
+      }
+      val unknown = Seq(domain.get, weight.get)
+        .filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      val numeric = df.schema(weight.get).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      if (!numeric) {
+        sendJson(ex, 400,
+          detail(s"Weight column ${weight.get} is not numeric")); return
+      }
+      // same convention as balanceRoute: a non-groupable domain column
+      // is a caller error, not a surfaced AnalysisException
+      val groupable = df.schema(domain.get).dataType match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+      if (!groupable) {
+        sendJson(ex, 400, detail(
+          s"Column ${domain.get} is not groupable (map type)")); return
+      }
+      val maxLabels = 1000
+      val rows = graft.ops.Sampling.mixtureAllocation(df, domain.get,
+          weight.get, org.apache.spark.sql.functions.expr(s"avail * $epochs"),
+          budget.get)
+        .limit(maxLabels + 1).collect()
+      if (rows.length > maxLabels) {
+        sendJson(ex, 400, detail(
+          s"Column ${domain.get} has more than $maxLabels distinct " +
+            "values — mixture reports are for domain-like columns")); return
+      }
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "domain" -> domain.get,
+        "weight" -> weight.get,
+        "budget" -> budget.get,
+        "epochs_cap" -> epochs.toLong,
+        "allocation" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "domain" -> (if (r.isNullAt(0)) null else String.valueOf(r.get(0))),
+          "avail" -> r.getLong(1),
+          "cap" -> r.getLong(2),
+          "alloc" -> r.getLong(3),
+          "epochs_ppm" -> r.getLong(4))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -241,6 +241,46 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("mixture route: water-filling allocation, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    // shape + exactness of the response: allocation semantics are pinned
+    // in SamplingSpec; here assert the route wiring (5 region rows, the
+    // budget echoed, every field present)
+    val m = get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=30&epochs=2")
+    assert(m.statusCode === 200, m.body)
+    assert(m.body.contains("\"epochs_cap\":2"), m.body)
+    assert(m.body.contains("\"budget\":30"), m.body)
+    assert("\"domain\":\"\\d\"".r.findAllIn(m.body).size === 5, m.body)
+    Seq("avail", "cap", "alloc", "epochs_ppm").foreach(f =>
+      assert(m.body.contains("\"" + f + "\":"), m.body))
+    // required params
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=-1")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=bogus&weight=n_nationkey&budget=10").statusCode === 400)
+    // non-numeric weight is a caller error
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_name&budget=10").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=10&epochs=0")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=10&epochs=x")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nosuch/mixture" +
+      "?domain=a&weight=b&budget=1").statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/mixture" +
+      "?domain=a&weight=b&budget=1").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
