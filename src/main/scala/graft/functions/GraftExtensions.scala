@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GopherStatsExpr(c(0)) }
     inject("graft_quantize_int8", "one-pass symmetric int8 quantization struct") { c =>
       QuantizeInt8Expr(c(0)) }
+    inject("graft_gram_products", "6-dp-quantized upper-triangle Gram products") { c =>
+      GramProducts(c(0)) }
     // Spark's runtime-filter expressions, surfaced for the explicit
     // bloom-prune operators (mirrors graft.ops.Prune.register)
     inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>

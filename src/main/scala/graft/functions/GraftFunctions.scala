@@ -72,6 +72,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => GopherStatsExpr(c(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize_int8",
       (c: Seq[Expression]) => QuantizeInt8Expr(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_products",
+      (c: Seq[Expression]) => GramProducts(c(0)), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -96,4 +98,6 @@ object GraftFunctions {
     call_function("graft_gopher_stats", tokens)
   def quantizeInt8(vec: Column): Column =
     call_function("graft_quantize_int8", vec)
+  def gramProducts(vec: Column): Column =
+    call_function("graft_gram_products", vec)
 }

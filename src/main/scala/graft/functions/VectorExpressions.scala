@@ -845,3 +845,88 @@ object QuantizeInt8Expr {
     StructField("q_sum", LongType, nullable = false),
     StructField("n_sat", IntegerType, nullable = false)))
 }
+
+/**
+ * `gram_products(vec)` — the Gram-accumulation core (e15/e16/e17) as one
+ * native pass: per row, the d(d+1)/2 upper-triangle products of the 6-dp
+ * quantized coordinates, `array<struct<dim_i int, dim_j int, prod long>>`.
+ *
+ * Bit-identical to the HOF reference form
+ * `transform(vec, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) *
+ * 1000000 AS BIGINT))` + nested sequence/transform product generation
+ * (equivalence-tested in VectorExpressionsSpec): the quantizer
+ * reproduces Spark's double→DECIMAL(18,6) cast exactly — Scala
+ * `BigDecimal(double)` goes through `Double.toString`, then HALF_UP at
+ * scale 6 — and a null coordinate yields null products against every
+ * dimension, as the null-propagating cast chain does. One JVM loop per
+ * row instead of ~d²/2 interpreted lambda evaluations; the d=64
+ * fixture's 2080 products per row were the dominant interpreted cost of
+ * the three Gram queries.
+ */
+case class GramProducts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(GramProducts.entry,
+    containsNull = false)
+  override def prettyName: String = "gram_products"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got $other")
+  }
+
+  /** Spark's CAST(double AS DECIMAL(18,6)) * 1e6 → BIGINT, exactly:
+    * via Double.toString (the scala BigDecimal(Double) path Cast takes)
+    * then HALF_UP at scale 6; the ×1e6 is a lossless point move. */
+  private def quantize(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  def compute(x: ArrayData): ArrayData = {
+    val dim = x.numElements()
+    val q = new Array[Long](dim)
+    val isNull = new Array[Boolean](dim)
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) isNull(i) = true
+      else q(i) = quantize(elemAt(x, child.dataType, i))
+      i += 1
+    }
+    val out = new Array[Any](dim * (dim + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j,
+            if (isNull(i) || isNull(j)) null else q(i) * q(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramExpr", this, classOf[GramProducts].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramProducts =
+    copy(child = newChild)
+}
+
+object GramProducts {
+  val entry: StructType = StructType(Seq(
+    StructField("dim_i", IntegerType, nullable = false),
+    StructField("dim_j", IntegerType, nullable = false),
+    StructField("prod", LongType, nullable = true)))
+}

@@ -823,10 +823,28 @@ object Similarity {
         (col("g").cast("double") / lit(1e12)).as("gram"))
       .orderBy(col("dim_i"), col("dim_j"))
 
-  /** Integer upper-triangle Gram core shared by [[gramMatrix]] and
-    * [[pcaPowerIteration]]: (dim_i ≤ dim_j, n_vecs, g = Σ xi·xj) with
-    * coordinates 6-dp-quantized to ×1e6 BIGINT. */
-  private def gramIntUpper(corpus: DataFrame, vecCol: String): DataFrame =
+  /** Integer upper-triangle Gram core shared by [[gramMatrix]],
+    * [[pcaPowerIteration]] and [[gramDrift]]: (dim_i ≤ dim_j, n_vecs,
+    * g = Σ xi·xj) with coordinates 6-dp-quantized to ×1e6 BIGINT. The
+    * d(d+1)/2 products generate in ONE native loop per row
+    * (graft_gram_products — the HOF reference form below is
+    * equivalence-tested in VectorExpressionsSpec); pure BIGINT products:
+    * |xi| ≤ a few 1e6 under the documented envelope, so xi·xj ≤ ~1e13
+    * and the sum < 2^53, no decimal widening needed. */
+  private def gramIntUpper(corpus: DataFrame, vecCol: String): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .select(explode(GraftFunctions.gramProducts(col(vecCol))).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("prod")).as("g"))
+  }
+
+  /** HOF reference form of the [[gramIntUpper]] product stage — the
+    * semantics `graft_gram_products` must reproduce bit-for-bit; kept
+    * for the VectorExpressionsSpec equivalence gate. */
+  private[graft] def gramProductsHof(corpus: DataFrame, vecCol: String): DataFrame =
     corpus
       .filter(col(vecCol).isNotNull)
       .select(expr(
@@ -834,16 +852,11 @@ object Similarity {
               CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
                    AS BIGINT))""").as("xi"))
       .select(explode(expr(
-        // pure BIGINT products: |xi| ≤ a few 1e6 under the documented
-        // envelope, so xi[i]*xi[j] ≤ ~1e13 and the sum < 2^53 — no
-        // decimal widening needed, the whole pipeline stays primitive
         """flatten(transform(sequence(0, size(xi) - 1), i ->
              transform(sequence(i, size(xi) - 1), j ->
                struct(i AS dim_i, j AS dim_j, xi[i] * xi[j] AS prod))))"""))
         .as("p"))
       .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
-      .groupBy(col("dim_i"), col("dim_j"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("prod")).as("g"))
 
   /**
    * Embedding-drift report between two corpus snapshots: per dimension

@@ -178,6 +178,10 @@ class VectorExpressionsSpec extends SparkSuite {
 
   test("GraftExtensions injector covers every imperatively-registered name") {
     GraftFunctions.register(spark)
+    // the bloom names' imperative path lives in Prune.register — invoke
+    // it here so the test doesn't depend on another suite having run it
+    // on the shared session first
+    graft.ops.Prune.register(spark)
     val registered = spark.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet
     val ext = new org.apache.spark.sql.SparkSessionExtensions
@@ -281,5 +285,36 @@ class VectorExpressionsSpec extends SparkSuite {
     val ref = Similarity.quantizeInt8Hof(embs, "embedding", "vec_id")
       .orderBy(col("id")).collect().map(_.toSeq)
     assert(fast.toSeq === ref.toSeq)
+  }
+
+  test("gram_products matches the decimal-cast HOF reference, incl. edge values") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def productsOf(df: org.apache.spark.sql.DataFrame) = {
+      val native = df
+        .select(explode(graft.functions.GraftFunctions
+          .gramProducts(col("embedding"))).as("p"))
+        .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
+        .collect().map(_.toSeq)
+      val ref = Similarity.gramProductsHof(df, "embedding")
+        .collect().map(_.toSeq)
+      (native.toSeq, ref.toSeq)
+    }
+    // fixture corpus: every embedding vector
+    val embs = graft.tables.Tables(spark, sf, "embeddings")
+    val (nf, rf) = productsOf(embs)
+    assert(nf === rf)
+    // adversarial coordinates: HALF_UP ties at the 7th decimal, values
+    // needing Double.toString (not raw binary expansion) to quantize
+    // the way Spark's double->DECIMAL(18,6) cast does, negatives, zeros,
+    // and a null element (null products against every dimension)
+    val edge = Seq(
+      (1L, Seq(Some(0.0000005f), Some(-0.0000005f), Some(0.1f),
+        Some(-0.3f), Some(0.0f))),
+      (2L, Seq(Some(1.0000004f), Some(-123.456789f), Some(0.9999995f),
+        None, Some(3.0000005f))))
+      .toDF("vec_id", "embedding")
+    val (ne, re) = productsOf(edge)
+    assert(ne === re)
   }
 }
