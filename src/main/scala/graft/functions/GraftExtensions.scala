@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QuantizeInt8Expr(c(0)) }
     inject("graft_gram_products", "6-dp-quantized upper-triangle Gram products") { c =>
       GramProducts(c(0)) }
+    inject("graft_char_pairs", "adjacent character pairs within each word") { c =>
+      CharPairsExpr(c(0)) }
     // Spark's runtime-filter expressions, surfaced for the explicit
     // bloom-prune operators (mirrors graft.ops.Prune.register)
     inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>

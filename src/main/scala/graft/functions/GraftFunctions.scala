@@ -74,6 +74,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => QuantizeInt8Expr(c(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_products",
       (c: Seq[Expression]) => GramProducts(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_pairs",
+      (c: Seq[Expression]) => CharPairsExpr(c(0)), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -100,4 +102,6 @@ object GraftFunctions {
     call_function("graft_quantize_int8", vec)
   def gramProducts(vec: Column): Column =
     call_function("graft_gram_products", vec)
+  def charPairs(words: Column): Column =
+    call_function("graft_char_pairs", words)
 }

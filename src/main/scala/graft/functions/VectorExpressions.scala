@@ -930,3 +930,59 @@ object GramProducts {
     StructField("dim_j", IntegerType, nullable = false),
     StructField("prod", LongType, nullable = true)))
 }
+
+/**
+ * `char_pairs(words)` — adjacent character pairs within each word of an
+ * `array<string>`, concatenated in word order: the t22 BPE pair
+ * generator as one native pass. Bit-identical to the HOF reference form
+ * (split on the empty pattern, filter the trailing "", shifted zip —
+ * kept as TextAnalysis.bpePairsHof, equivalence-tested): UTF8String
+ * character indexing is code-point-based, matching Java 9+ empty-regex
+ * splitting for well-formed text including astral-plane characters.
+ * Words shorter than 2 characters contribute nothing; null words are
+ * skipped (split never produces them).
+ */
+case class CharPairsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_pairs"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+  }
+
+  def compute(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < n) {
+      if (!words.isNullAt(w)) {
+        val s = words.getUTF8String(w)
+        val m = s.numChars()
+        var i = 0
+        while (i < m - 1) {
+          // clone: substring shares the row buffer, which codegen reuses
+          buf += s.substring(i, i + 2).clone()
+          i += 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cpExpr", this, classOf[CharPairsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharPairsExpr =
+    copy(child = newChild)
+}

@@ -344,18 +344,29 @@ object TextAnalysis {
   def bpePairCounts(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 30): DataFrame = {
     require(k > 0, s"bpePairCounts needs k > 0, got $k")
-    val pairs = flatten(transform(Shingles.words(col(textCol)), wd => {
-      val c = filter(split(wd, ""), ch => ch =!= "")
-      val n1 = greatest(size(c) - 1, lit(0))
-      zip_with(slice(c, lit(1), n1), slice(c, lit(2), n1),
-        (x, y) => concat(x, y))
-    }))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val pairs = graft.functions.GraftFunctions
+      .charPairs(Shingles.words(col(textCol)))
     docs.select(col(idCol).as("id"), explode(pairs).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
+  }
+
+  /** HOF reference form of the t22 pair generator — the semantics
+    * `graft_char_pairs` must reproduce (split on the empty pattern
+    * appends one trailing "" under Java regex, filtered before the
+    * shifted zip); kept for the VectorExpressionsSpec equivalence gate. */
+  private[graft] def bpePairsHof(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = flatten(transform(Shingles.words(col(textCol)), wd => {
+      val c = filter(split(wd, ""), ch => ch =!= "")
+      val n1 = greatest(size(c) - 1, lit(0))
+      zip_with(slice(c, lit(1), n1), slice(c, lit(2), n1),
+        (x, y) => concat(x, y))
+    }))
+    docs.select(explode(pairs).as("pair"))
   }
 
   // ------------------------------------------------------------------

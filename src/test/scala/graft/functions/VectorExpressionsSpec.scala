@@ -317,4 +317,27 @@ class VectorExpressionsSpec extends SparkSuite {
     val (ne, re) = productsOf(edge)
     assert(ne === re)
   }
+
+  test("char_pairs matches the split-on-empty HOF reference, incl. astral plane") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = {
+      val native = df.select(explode(graft.functions.GraftFunctions
+          .charPairs(graft.ops.Shingles.words(col("text")))).as("pair"))
+        .collect().map(_.getString(0)).sorted
+      val ref = graft.ops.TextAnalysis.bpePairsHof(df, "text")
+        .collect().map(_.getString(0)).sorted
+      (native.toSeq, ref.toSeq)
+    }
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val (nf, rf) = pairsOf(docs)
+    assert(nf === rf)
+    // adversarial: multibyte BMP, an astral-plane emoji (code-point
+    // pairing, not UTF-16 code units), 1-char and empty words, digits
+    val edge = Seq((1L, "héllo 一二三 a😀b x . 42  spaced\tout"))
+      .toDF("doc_id", "text")
+    val (ne, re) = pairsOf(edge)
+    assert(ne === re)
+    assert(ne.contains("a😀"))   // pair spans the emoji intact
+  }
 }
