@@ -931,8 +931,19 @@ object Similarity {
    */
   def pcaPowerIteration(corpus: DataFrame, vecCol: String, idCol: String,
                         iters: Int = 8): DataFrame = {
+    val (v, growth) = powerIterateInt(corpus, vecCol, iters)
+    v.select(col("dim"), (col("v").cast("double") / lit(1e6)).as("comp"),
+        growth.as("growth"))
+      .orderBy(col("dim"))
+  }
+
+  /** Integer power-iteration core shared by [[pcaPowerIteration]] and
+    * [[removeDominantDirection]]: returns the final iterate (dim,
+    * v ×1e6 BIGINT, growth) plus the growth column ref. */
+  private def powerIterateInt(corpus: DataFrame, vecCol: String,
+                              iters: Int): (DataFrame, Column) = {
     require(iters >= 1 && iters <= 64,
-      s"pcaPowerIteration needs 1 <= iters <= 64, got $iters")
+      s"power iteration needs 1 <= iters <= 64, got $iters")
     val upper = gramIntUpper(corpus, vecCol)
     // mirror the strict upper triangle to get the full symmetric matrix
     val full = upper.select(col("dim_i").as("i"), col("dim_j").as("j"), col("g"))
@@ -959,8 +970,54 @@ object Similarity {
           expr("CAST(m DIV 1000000 AS BIGINT)").as("growth"))
       growth = col("growth")
     }
-    v.select(col("dim"), (col("v").cast("double") / lit(1e6)).as("comp"),
-        growth.as("growth"))
-      .orderBy(col("dim"))
+    (v, growth)
+  }
+
+  /**
+   * ABTT-style dominant-direction removal ("all-but-the-top",
+   * Mu & Viswanath '18): project the [[pcaPowerIteration]] direction out
+   * of every embedding — the post-processing step that measurably
+   * improves similarity tasks on anisotropic embedding spaces, and the
+   * consumer of e16's iterate.
+   *
+   * Exact integers end to end: x is the e15 6-dp ×1e6 quantization, u
+   * the e16 ×1e6 integer iterate; per vector
+   * `coef = (⟨x,u⟩ · 1e6) DIV ⟨u,u⟩` (the ×1e6-scaled projection
+   * coefficient, one truncating division widened through DECIMAL(38,0) —
+   * ⟨x,u⟩·1e6 ≈ 6e19 overflows BIGINT), and per coordinate the residual
+   * `x_i·1e6 − coef·u_i` (×1e12 fixed point, < 2^53 — the final DOUBLE
+   * cast is lossless). A corpus lying exactly on the direction residues
+   * to exact zeros.
+   *
+   * Scale design (100 TB): the Gram + d²-row iteration are corpus-
+   * independent after accumulation (see [[pcaPowerIteration]]); the
+   * apply stage is two corpus-sized passes — the coordinate explode with
+   * a broadcast join onto u, and one id-keyed partial-aggregated
+   * exchange for the per-vector dot (re-joined to the coordinates keyed
+   * by id). Output: (id, dim, resid), (id, dim)-ordered.
+   */
+  def removeDominantDirection(corpus: DataFrame, vecCol: String,
+                              idCol: String, iters: Int = 8): DataFrame = {
+    val (v, _) = powerIterateInt(corpus, vecCol, iters)
+    val u = v.select(col("dim"), col("v")).localCheckpoint()
+    val uu = u.agg(sum(col("v") * col("v")).as("uu"))
+    val xs = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(expr(
+        s"""transform(`$vecCol`, x ->
+              CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
+                   AS BIGINT))""")).as(Seq("dim", "xi")))
+      .join(broadcast(u), "dim")
+    val dots = xs.groupBy(col("id"))
+      .agg(sum(col("xi") * col("v")).as("dot"))
+      .crossJoin(broadcast(uu))
+      .select(col("id"), expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * 1000000) DIV uu AS BIGINT)")
+        .as("coef"))
+    xs.join(dots, "id")
+      .select(col("id"), col("dim"),
+        ((col("xi") * lit(1000000L) - col("coef") * col("v"))
+          .cast("double") / lit(1e12)).as("resid"))
+      .orderBy(col("id"), col("dim"))
   }
 }

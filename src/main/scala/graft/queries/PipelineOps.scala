@@ -342,6 +342,17 @@ object PipelineOps {
       Similarity.gramDrift(all.filter(col("vec_id") % 2 === 0),
         all.filter(col("vec_id") % 2 === 1), "embedding", k = 20)
     },
+    "e18_abtt_residual" -> { (s, d) =>
+      // all-but-the-top: every embedding with the e16 dominant direction
+      // projected out, exact ×1e12 fixed-point residuals — restricted to
+      // the 10 probe vectors so the dump stays small while the direction
+      // still comes from the WHOLE corpus
+      val all = embs(s, d)
+      Similarity.removeDominantDirection(all, "embedding", "vec_id",
+          iters = 8)
+        .filter(col("id") < 10)
+        .orderBy(col("id"), col("dim"))
+    },
     "e07_ivfpq_topk" -> { (s, d) =>
       // the full ANN serving stack: coarse probe over the label lists
       // (e02's min-id centroids) + PQ asymmetric-distance scoring
@@ -1603,6 +1614,38 @@ object PipelineOps {
                 count(DISTINCT id) AS n_docs
          FROM pr GROUP BY pair
          ORDER BY n_occurrences DESC, pair LIMIT 30""",
+    // ABTT residuals: the e16 CTE chain through v8 = the ×1e6 integer
+    // direction, then the projection coefficient (one sign/abs
+    // truncating division per vector, HUGEINT-widened) and per-
+    // coordinate ×1e12 residuals for the 10 probe vectors
+    "e18_abtt_residual" ->
+      s"""WITH c AS (SELECT vec_id AS id, i.i - 1 AS dim,
+             CAST(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS xi
+           FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                      CAST(a.xi AS HUGEINT) * b.xi AS prod
+               FROM c a JOIN c b ON a.id = b.id AND a.dim <= b.dim),
+         ut AS (SELECT dim_i, dim_j, sum(prod) AS g
+                FROM p GROUP BY dim_i, dim_j),
+         gm AS (SELECT dim_i AS i, dim_j AS j, g FROM ut
+                UNION ALL
+                SELECT dim_j, dim_i, g FROM ut WHERE dim_i <> dim_j),
+         v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v
+                FROM gm),
+         ${(1 to 8).map(duckPowerStep).mkString(",\n         ")},
+         uu AS (SELECT sum(v * v) AS uu FROM v8),
+         dt AS (SELECT c.id, sum(CAST(c.xi AS HUGEINT) * v.v) AS dot
+                FROM c JOIN v8 v USING (dim) GROUP BY c.id),
+         cf AS (SELECT dt.id,
+             CASE WHEN dot < 0 THEN -((-dot * 1000000) // uu)
+                  ELSE (dot * 1000000) // uu END AS coef
+           FROM dt CROSS JOIN uu)
+         SELECT c.id, c.dim,
+                CAST(CAST(c.xi AS HUGEINT) * 1000000
+                     - cf.coef * v.v AS DOUBLE) / 1e12 AS resid
+         FROM c JOIN v8 v USING (dim) JOIN cf ON c.id = cf.id
+         WHERE c.id < 10 ORDER BY c.id, c.dim""",
     // water-filling mixture allocation: the closed form mirrored with
     // window functions — capped-prefix test, exact floor-division equal
     // share, largest-remainder +1s in (cap, domain) order

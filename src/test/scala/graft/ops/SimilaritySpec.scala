@@ -570,6 +570,32 @@ class SimilaritySpec extends SparkSuite {
     assert(out((0, 1)) === -333333333333L)
   }
 
+  test("removeDominantDirection: exact zeros on-axis, near-orthogonal residuals") {
+    // corpus entirely on the x axis: the direction IS (1, 0) and every
+    // residual is exactly zero (no truncation error on this fixture)
+    val axis = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.0f)),
+      (2L, Seq(0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val zeros = Similarity.removeDominantDirection(axis, "embedding",
+      "vec_id", iters = 3).collect()
+    assert(zeros.length === 6)
+    assert(zeros.forall(_.getDouble(2) === 0.0))
+
+    // mixed corpus: residuals are near-orthogonal to the direction
+    // (exact up to the one truncating division per vector)
+    val u = Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
+      iters = 8).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val res = Similarity.removeDominantDirection(pcaCorpus, "embedding",
+        "vec_id", iters = 8)
+      .collect().groupBy(_.getLong(0))
+    res.values.foreach { rows =>
+      val d = rows.map(r => r.getDouble(2) * u(r.getInt(1))).sum
+      assert(math.abs(d) < 1e-5, s"residual not orthogonal: $d")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.removeDominantDirection(pcaCorpus, "embedding", "vec_id",
+        iters = 0))
+  }
+
   test("pcaPowerIteration: null embeddings drop; determinism; validation") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
