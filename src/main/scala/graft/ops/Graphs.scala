@@ -72,6 +72,73 @@ object Graphs {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg '99) with EXACT integer
+   * arithmetic — the directional complement of [[pageRank]]: a page
+   * pointing at many good authorities is a hub (a crawl seed-list
+   * candidate); a page pointed at by many good hubs is an authority
+   * (a quality-weighting signal like g01's rank).
+   *
+   *   a_{t+1}(v) = Σ_{u→v} h_t(u),  then renormalize max→`scale`;
+   *   h_{t+1}(u) = Σ_{u→v} a_{t+1}(v), renormalize — one truncating
+   *   division per node per half-step (`(m·scale) DIV max(m)`, widened
+   *   through DECIMAL(38,0): m ≤ n·scale ≈ 1e15 at 1e9 hosts, ×1e6
+   *   overflows BIGINT), h_0 = a_0 = scale.
+   *
+   * Max-renormalization instead of L2 keeps the fixed-iteration scheme
+   * sqrt-free and exact (the e16 device), so ranks are bit-identical on
+   * any engine. Self-loops and duplicate edges drop; nodes without
+   * in-edges (out-edges) hold authority (hub) exactly 0.
+   *
+   * Scale shape per round: two edge-keyed joins + keyed sums with
+   * map-side partials (rank rows are (node, long)); the edge list is
+   * checkpointed once and each half-step's rank table checkpointed so
+   * the plan stays flat across iterations.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 4, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    def renorm(mass: DataFrame): DataFrame = {
+      val full = nodes.join(mass, Seq("node"), "left")
+        .select(col("node"), coalesce(col("m"), lit(0L)).as("m"))
+      val mx = full.agg(greatest(max(col("m")), lit(1L)).as("mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          s"CAST((CAST(m AS DECIMAL(38,0)) * ${scale}L) DIV mx AS BIGINT)")
+          .as("s"))
+        .localCheckpoint(true)
+    }
+
+    var h = nodes.withColumn("s", lit(scale))
+    var a = nodes.withColumn("s", lit(scale))
+    for (_ <- 1 to iters) {
+      a = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("s")).as("m"))
+        .withColumnRenamed("dst", "node"))
+      h = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("s")).as("m"))
+        .withColumnRenamed("src", "node"))
+    }
+    nodes
+      .join(h.withColumnRenamed("s", "hub_scaled"), "node")
+      .join(a.withColumnRenamed("s", "auth_scaled"), "node")
+      .select(col("node"), col("hub_scaled"), col("auth_scaled"),
+        (col("hub_scaled").cast("double") / lit(scale.toDouble)).as("hub"),
+        (col("auth_scaled").cast("double") / lit(scale.toDouble))
+          .as("authority"))
+      .orderBy(col("node"))
+  }
+
+  /**
    * Per-node triangle count + local clustering coefficient over the
    * UNDIRECTED simplification of an edge list — the link-graph
    * cohesion signal (genuine community hosts sit in many triangles;

@@ -103,6 +103,29 @@ object PipelineOps {
             150000000000 // n + 85 * coalesce(m.mass, 0) // 100 AS pr
           FROM nodes x CROSS JOIN nn LEFT JOIN m$i m ON x.node = m.node)"""
 
+  /** One unrolled HITS round for the g04 oracle: authority from
+    * h{i-1}, max-renormalize, then hub from a{i} — same truncating
+    * arithmetic as Graphs.hits (all masses non-negative, so DuckDB's
+    * flooring `//` equals Spark's DIV). MATERIALIZED for the same
+    * inliner reason as duckPowerStep. */
+  private def hitsRound(i: Int): String =
+    s"""am$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS m
+          FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+       af$i AS MATERIALIZED (SELECT n.node, coalesce(m, 0) AS m
+          FROM nodes n LEFT JOIN am$i USING (node)),
+       ax$i AS MATERIALIZED (SELECT greatest(max(m), 1) AS mx FROM af$i),
+       a$i AS MATERIALIZED (SELECT node,
+            (CAST(m AS HUGEINT) * 1000000) // mx AS s
+          FROM af$i CROSS JOIN ax$i),
+       hm$i AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS m
+          FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+       hf$i AS MATERIALIZED (SELECT n.node, coalesce(m, 0) AS m
+          FROM nodes n LEFT JOIN hm$i USING (node)),
+       hx$i AS MATERIALIZED (SELECT greatest(max(m), 1) AS mx FROM hf$i),
+       h$i AS MATERIALIZED (SELECT node,
+            (CAST(m AS HUGEINT) * 1000000) // mx AS s
+          FROM hf$i CROSS JOIN hx$i)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
     "d01_exact_dedup" -> { (s, d) =>
@@ -731,6 +754,15 @@ object PipelineOps {
         plantedHost(col("doc_id")).as("src"),
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.triangles(edges, "src", "dst")
+    },
+    "g04_hits" -> { (s, d) =>
+      // hubs & authorities over the same planted host graph: 4 exact
+      // integer max-renormalized iterations — the directional complement
+      // of g01's PageRank
+      val edges = docs(s, d).select(
+        plantedHost(col("doc_id")).as("src"),
+        plantedHost(col("doc_id") * 2 + 1).as("dst"))
+      graft.ops.Graphs.hits(edges, "src", "dst", iters = 4)
     },
     "r06_funnel" -> { (s, d) =>
       // view -> click -> purchase completion per user, first-touch,
@@ -2199,6 +2231,24 @@ object PipelineOps {
          SELECT node, CAST(pr AS BIGINT) AS pr_scaled,
            CAST(pr AS DOUBLE) / 1e12 AS pagerank
          FROM r3 ORDER BY pr_scaled DESC, node""",
+    // HITS over the g01 edge list: 4 unrolled rounds of the identical
+    // max-renormalized truncating arithmetic
+    "g04_hits" ->
+      s"""WITH hh AS (SELECT
+           ${duckHost("doc_id")} AS src,
+           ${duckHost("doc_id * 2 + 1")} AS dst
+           FROM documents),
+         edges AS (SELECT DISTINCT src, dst FROM hh WHERE src <> dst),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS s FROM nodes),
+         ${(1 to 4).map(hitsRound).mkString(",\n         ")}
+         SELECT n.node, CAST(h4.s AS BIGINT) AS hub_scaled,
+                CAST(a4.s AS BIGINT) AS auth_scaled,
+                CAST(h4.s AS DOUBLE) / 1e6 AS hub,
+                CAST(a4.s AS DOUBLE) / 1e6 AS authority
+         FROM nodes n JOIN h4 ON n.node = h4.node
+         JOIN a4 ON n.node = a4.node ORDER BY n.node""",
     // same normalized edge list as g01; reciprocity via the reversed
     // self-join; all counts exact integers
     "g02_degree_stats" ->

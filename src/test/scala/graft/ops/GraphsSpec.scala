@@ -77,4 +77,38 @@ class GraphsSpec extends SparkSuite {
     assert(out("D") === ((0L, 2L, 0L, true, false)))   // sink
     assert(out.size === 4)
   }
+
+  test("hits: star graph pins the hub and its authorities exactly") {
+    // X fans out to A, B, C and nothing points at X: X is the unit hub
+    // (authority 0), each target a unit authority (hub 0) — exact at
+    // every iteration, no truncation on this fixture
+    val star = Seq(("X", "A"), ("X", "B"), ("X", "C")).toDF("s", "t")
+    val out = Graphs.hits(star, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("X") === ((1000000L, 0L)))
+    assert(out("A") === ((0L, 1000000L)))
+    assert(out("B") === ((0L, 1000000L)))
+    assert(out("C") === ((0L, 1000000L)))
+  }
+
+  test("hits: shared target outranks a single-hub target; better hub wins") {
+    // X -> A, B; Y -> B: B collects two hubs' mass (unit authority),
+    // A one; X points at the stronger authority set, so hub(X) > hub(Y)
+    val edges = Seq(("X", "A"), ("X", "B"), ("Y", "B")).toDF("s", "t")
+    val out = Graphs.hits(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("B")._2 === 1000000L)                 // max authority
+    assert(out("A")._2 < out("B")._2)
+    assert(out("X")._1 === 1000000L)                 // max hub
+    assert(out("Y")._1 < out("X")._1)
+    // determinism: a second run is bit-identical
+    val again = Graphs.hits(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException](
+      Graphs.hits(edges, "s", "t", iters = 0))
+  }
 }
