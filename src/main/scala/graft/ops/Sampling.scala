@@ -490,6 +490,11 @@ object Sampling {
       .select(col("id_a"), col("id_b"),
         least(col("__sa"), col("__sb")).as("split_lo"),
         greatest(col("__sa"), col("__sb")).as("split_hi"))
+      // four downstream references (pair counts, doc counts, both axis
+      // unions) would otherwise re-run the caller's pair generation —
+      // typically a full near-dup join — up to four times; the labeled
+      // pair set is bounded by |pairs|, so materializing it is cheap
+      .localCheckpoint(true)
     val nPairs = lab.groupBy(col("split_lo"), col("split_hi"))
       .agg(count(lit(1)).as("n_pairs"))
     val nDocs = lab
