@@ -521,6 +521,52 @@ object Sampling {
   }
 
   /**
+   * Cross-split deduplication — the ACTION for [[splitLeakage]]'s audit:
+   * remove from every non-protected split the documents that are
+   * near-duplicates of a protected-split (eval/test) document, keeping
+   * the protected side (a near-dup of an eval doc left in train inflates
+   * the benchmark; this enforces the boundary). Output: one row per
+   * assigned document (id, split, is_removed, linked_id) where
+   * `linked_id` is the SMALLEST protected neighbor that caused the
+   * removal (null when kept) — the provenance a reviewer spot-checks.
+   *
+   * Protected docs are never removed; within-split duplicates are
+   * untouched (the d-family's job — this op only enforces the split
+   * boundary). Pairs whose ids carry no split assignment are ignored
+   * here; [[splitLeakage]]'s unassigned bucket is the audit for those.
+   *
+   * Scale: two id-keyed equi-joins of the pair set against the (id,
+   * split) projection, one pair-bounded min-aggregation, one id-keyed
+   * left join back — shuffles carry (id, int) rows, never text.
+   */
+  def crossSplitDedup(splits: DataFrame, idCol: String, splitCol: String,
+                      pairs: DataFrame, protectedSplit: Long): DataFrame = {
+    val s = splits.select(col(idCol).as("id"), col(splitCol).as("split"))
+    val lab = pairs.select(col("id_a"), col("id_b"))
+      .join(s.select(col("id").as("id_a"), col("split").as("__sa")),
+        Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("split").as("__sb")),
+        Seq("id_b"))
+      // both direction filters read this — materialize the pair-bounded
+      // set so the caller's pair generation runs once (splitLeakage's
+      // lesson)
+      .localCheckpoint(true)
+    val hits = lab
+      .filter(col("__sa") === protectedSplit &&
+        col("__sb") =!= protectedSplit)
+      .select(col("id_b").as("id"), col("id_a").as("linked"))
+      .unionAll(lab
+        .filter(col("__sb") === protectedSplit &&
+          col("__sa") =!= protectedSplit)
+        .select(col("id_a").as("id"), col("id_b").as("linked")))
+      .groupBy(col("id")).agg(min(col("linked")).as("linked_id"))
+    s.join(hits, Seq("id"), "left")
+      .select(col("id"), col("split"),
+        col("linked_id").isNotNull.as("is_removed"), col("linked_id"))
+      .orderBy(col("id"))
+  }
+
+  /**
    * Mixture-weight solver: allocate a token budget across domains under
    * per-domain repetition caps — the "how many tokens of each source
    * goes into the training mix" step (UniMax-style: equal shares,

@@ -716,6 +716,15 @@ object PipelineOps {
         Sampling.hashSplit(all, "doc_id", k = 3), "doc_id", "split",
         Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
     },
+    "d15_cross_split_dedup" -> { (s, d) =>
+      // the action for x03's audit: enforce the split-0 (eval) boundary
+      // by removing its train-side near-dups, with removal provenance
+      val all = docs(s, d)
+      Sampling.crossSplitDedup(
+        Sampling.hashSplit(all, "doc_id", k = 3), "doc_id", "split",
+        Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7),
+        protectedSplit = 0L)
+    },
 
     "x04_cluster_histogram" -> { (s, d) =>
       // dedup-audit view of the d10 closure: cluster-size distribution
@@ -2488,6 +2497,24 @@ object PipelineOps {
          FROM mat m LEFT JOIN cnt c USING (split_lo, split_hi)
            LEFT JOIN dc d2 USING (split_lo, split_hi)
          ORDER BY m.split_lo, m.split_hi""",
+    // cross-split dedup: same pair set and md5 split as x03; a train doc
+    // paired with a split-0 doc is removed, provenance = min eval id
+    "d15_cross_split_dedup" ->
+      s"""${fuzzyDedupCtes(0.7)},
+         sp AS (SELECT doc_id AS id, CAST($duckMd5Bucket % 3 AS INT) AS s
+                FROM documents),
+         lab AS (SELECT p.id_a, p.id_b, sa.s AS sa, sb.s AS sb
+           FROM p JOIN sp sa ON p.id_a = sa.id
+                  JOIN sp sb ON p.id_b = sb.id),
+         hits AS (SELECT id, min(linked) AS linked_id FROM (
+             SELECT id_b AS id, id_a AS linked FROM lab
+             WHERE sa = 0 AND sb <> 0
+             UNION ALL
+             SELECT id_a, id_b FROM lab WHERE sb = 0 AND sa <> 0)
+           GROUP BY id)
+         SELECT sp.id, sp.s AS split,
+                h.linked_id IS NOT NULL AS is_removed, h.linked_id
+         FROM sp LEFT JOIN hits h ON sp.id = h.id ORDER BY sp.id""",
     // grouped profile: x01's per-column UNION ALL aggregates with a
     // GROUP BY lang on every arm
     "x02_profile_by" ->

@@ -355,6 +355,25 @@ class SamplingSpec extends SparkSuite {
         expr("avail"), budget = -1L))
   }
 
+  test("crossSplitDedup: removes only boundary-crossing train docs, min provenance") {
+    import spark.implicits._
+    val splits = Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0))
+      .toDF("doc_id", "split")
+    // 1 and 5 are protected (eval); pairs: eval-train (1,2), (1,3),
+    // (5,3); train-train (3,4); eval-eval (1,5)
+    val pairs = Seq((1L, 2L), (1L, 3L), (5L, 3L), (3L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.crossSplitDedup(splits, "doc_id", "split",
+        pairs, protectedSplit = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), Option(r.get(3))))).toMap
+    assert(out(1L) === ((0, false, None)))        // protected, kept
+    assert(out(5L) === ((0, false, None)))        // eval-eval pair: kept
+    assert(out(2L) === ((1, true, Some(1L))))
+    assert(out(3L) === ((2, true, Some(1L))))     // min of evals {1, 5}
+    assert(out(4L) === ((1, false, None)))        // train-train pair: kept
+  }
+
   test("epochPlan: whole epochs for capped domains, zero for oversized docs") {
     import spark.implicits._
     val df = Seq(("a", 10L, 4L), ("a", 11L, 6L), ("b", 12L, 20L),
