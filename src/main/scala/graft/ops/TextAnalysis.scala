@@ -429,6 +429,52 @@ object TextAnalysis {
   }
 
   /**
+   * End-to-end curation verdict — the filter chain a pipeline ships,
+   * composed from the t-series primitives: t02 quality score ≥
+   * `minQuality`, t06 Gopher structural keep, t19 encoding health on
+   * the raw text, t03 language against an allow-list. Output per doc:
+   * the four component verdicts, the conjunction `keep`, and
+   * `reject_reason` — the FIRST failing gate in chain order
+   * (quality → repetition → encoding → language), the triage column a
+   * curation dashboard pivots on.
+   *
+   * Scale: every component is its own one-pass map stage over the text
+   * (native expressions); the composition is three id-keyed equi-joins
+   * of slim verdict projections. The chain could be fused into a single
+   * projection mechanically — the components are column expressions —
+   * but the composed form keeps each gate definitionally identical to
+   * its standalone, individually oracle-checked op.
+   */
+  def filterChain(docs: DataFrame, textCol: String, idCol: String,
+                  allowedLangs: Seq[String],
+                  minQuality: Double = 0.6): DataFrame = {
+    require(allowedLangs.nonEmpty, "filterChain needs a language allow-list")
+    val q = qualityScore(docs, textCol, idCol)
+      .select(col("id"), col("quality"))
+    val g = gopherStats(docs, textCol, idCol)
+      .select(col("id"), col("keep").as("gopher_keep"))
+    val m = mojibakeScore(docs, textCol, idCol)
+      .select(col("id"), col("is_suspect"))
+    val l = langIdOf(docs, textCol, idCol)
+    q.join(g, "id").join(m, "id").join(l, "id")
+      .select(col("id"), col("quality"), col("gopher_keep"),
+        col("is_suspect"), col("predicted_lang"),
+        (col("quality") >= minQuality).as("__q_ok"),
+        col("predicted_lang").isInCollection(allowedLangs).as("__l_ok"))
+      .select(col("id"), col("quality"), col("gopher_keep"),
+        col("is_suspect"), col("predicted_lang"),
+        (col("__q_ok") && col("gopher_keep") && !col("is_suspect") &&
+          col("__l_ok")).as("keep"),
+        when(col("__q_ok") && col("gopher_keep") && !col("is_suspect") &&
+            col("__l_ok"), lit(null).cast("string"))
+          .when(!col("__q_ok"), lit("quality"))
+          .when(!col("gopher_keep"), lit("repetition"))
+          .when(col("is_suspect"), lit("encoding"))
+          .otherwise(lit("language")).as("reject_reason"))
+      .orderBy(col("id"))
+  }
+
+  /**
    * Asymmetric n-gram containment — quote / near-quote detection: for
    * every (probe, corpus doc) pair, what fraction of the PROBE's
    * distinct word shingles the corpus doc contains, in exact ppm

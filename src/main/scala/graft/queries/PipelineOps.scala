@@ -513,6 +513,13 @@ object PipelineOps {
       // within words, corpus-wide exact counts + doc frequencies
       TextAnalysis.bpePairCounts(docs(s, d), "text", "doc_id", k = 30)
     },
+    "t24_filter_chain" -> { (s, d) =>
+      // the shipped curation verdict: quality >= 0.6, Gopher keep,
+      // clean encoding, lang in {en, de, fr} — per-doc verdicts +
+      // first-failing-gate triage
+      TextAnalysis.filterChain(docs(s, d), "text", "doc_id",
+        allowedLangs = Seq("en", "de", "fr"), minQuality = 0.6)
+    },
     "t23_quote_containment" -> { (s, d) =>
       // directional decontamination: corpus docs containing >= 20 % of a
       // probe doc's (ids < 20) distinct 3-word shingles — the asymmetric
@@ -1617,6 +1624,76 @@ object PipelineOps {
                 CAST(mean_b AS BIGINT) AS mean_b_scaled,
                 CAST(abs(mean_a - mean_b) AS BIGINT) AS drift_scaled
          FROM mm ORDER BY drift_scaled DESC, dim_i, dim_j LIMIT 20""",
+    // filter chain: the t02/t06/t19(raw)/t03 oracle chains composed by
+    // id-joins, conjunction keep + first-failing-gate reason (same gate
+    // order as the engine: quality, repetition, encoding, language)
+    "t24_filter_chain" ->
+      """WITH b AS (SELECT doc_id AS id, text,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+           FROM documents),
+         qr AS (SELECT id, n_chars, n_words,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio
+           FROM b),
+         q AS (SELECT id,
+           CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
+                 CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
+                 CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE) / 10.0 AS quality
+           FROM qr),
+         tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         gc AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+             list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)]) AS top_freq,
+             list_sum([length(t) FOR t IN w]) AS sum_len
+           FROM tok),
+         gr AS (SELECT id,
+             CASE WHEN n_words > 0 THEN CAST(CAST(sum_len AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN CAST(CAST(top_freq AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS top_ratio,
+             CASE WHEN n_words > 0 THEN CAST(CAST(n_distinct AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS distinct_ratio
+           FROM gc),
+         g AS (SELECT id, (mean_word_len BETWEEN 3.0 AND 10.0
+                AND top_ratio < 0.2 AND distinct_ratio > 0.3) AS gopher_keep
+           FROM gr),
+         mc AS (SELECT doc_id AS id, length(text) AS n_chars,
+           length(text) - length(replace(text, '�', '')) AS n_replacement,
+           2 * length(text) - length(replace(text, 'Ã', ''))
+             - length(replace(text, 'â', '')) AS n_latin1_marks
+           FROM documents),
+         m AS (SELECT id,
+           (CASE WHEN n_chars > 0 THEN
+             (n_replacement + n_latin1_marks) * 1000000 // n_chars
+             ELSE 0 END) >= 1000 AS is_suspect FROM mc),
+         h AS (SELECT id,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok),
+         best AS (SELECT id, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS bb FROM h),
+         l AS (SELECT id, CASE WHEN (bb).hits > 0 THEN (bb).lang
+               ELSE 'und' END AS predicted_lang FROM best),
+         v AS (SELECT q.id, q.quality, g.gopher_keep, m.is_suspect,
+             l.predicted_lang,
+             q.quality >= 0.6 AS q_ok,
+             l.predicted_lang IN ('en', 'de', 'fr') AS l_ok
+           FROM q JOIN g USING (id) JOIN m USING (id) JOIN l USING (id))
+         SELECT id, quality, gopher_keep, is_suspect, predicted_lang,
+           (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
+           CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
+                  THEN NULL
+                WHEN NOT q_ok THEN 'quality'
+                WHEN NOT gopher_keep THEN 'repetition'
+                WHEN is_suspect THEN 'encoding'
+                ELSE 'language' END AS reject_reason
+         FROM v ORDER BY id""",
     // asymmetric containment: distinct 3-word shingles (the
     // fuzzyDedupCtes convention incl. the short-doc whole-text
     // fallback), probe side = ids < 20, count of shared shingles over

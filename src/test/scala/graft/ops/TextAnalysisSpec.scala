@@ -389,6 +389,31 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 0))
   }
 
+  test("filterChain: one doc per gate, chain-ordered reject reasons") {
+    import spark.implicits._
+    val good = "the cat sat of the mat and it is that good for all to " +
+      "see in every way here now"
+    val df = Seq(
+      (1L, good),                                   // passes every gate
+      (2L, "!!! ??? ... ;;; :::"),                  // quality 0.0
+      (3L, Array.fill(25)("spam").mkString(" ")),   // top_ratio 1.0
+      (4L, good.replace("cat", "cÃ©t")),            // latin-1 mojibake
+      (5L, "el perro grande corre por la casa blanca y que los gatos " +
+        "en un jardin verde son una vista es muy bonita para todos aqui"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.filterChain(df, "text", "doc_id",
+        allowedLangs = Seq("en", "de", "fr"), minQuality = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), Option(r.getString(6))))).toMap
+    assert(out(1L) === ((true, None)))
+    assert(out(2L) === ((false, Some("quality"))))
+    assert(out(3L) === ((false, Some("repetition"))))
+    assert(out(4L) === ((false, Some("encoding"))))
+    assert(out(5L) === ((false, Some("language"))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.filterChain(df, "text", "doc_id", Seq.empty))
+  }
+
   test("quoteContainment: directional ppm, self-pair excluded, short-doc fallback") {
     import spark.implicits._
     val corpus = Seq(
