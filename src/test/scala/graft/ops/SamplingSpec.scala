@@ -355,6 +355,50 @@ class SamplingSpec extends SparkSuite {
         expr("avail"), budget = -1L))
   }
 
+  test("mixtureAllocation/epochPlan invariants hold on randomized instances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { k =>
+      val nDom = 2 + rnd.nextInt(6)
+      val docsFix = (0 until nDom).flatMap { d =>
+        (0 until 1 + rnd.nextInt(5)).map(i =>
+          (s"dom$d", (d * 100 + i).toLong, (1 + rnd.nextInt(999)).toLong))
+      }
+      val df = docsFix.toDF("domain", "doc_id", "w")
+      val totalAvail = docsFix.map(_._3).sum
+      val mult = 1 + rnd.nextInt(4)
+      val budget = (rnd.nextLong() & Long.MaxValue) % (3 * totalAvail + 1)
+      val alloc = Sampling.mixtureAllocation(df, "domain", "w",
+          expr(s"avail * $mult"), budget)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // exact budget conservation and per-domain cap respect
+      val sumCap = alloc.values.map(_._2).sum
+      assert(alloc.values.map(_._3).sum === math.min(budget, sumCap),
+        s"case $k: sum(alloc) != min(budget, sum(cap))")
+      alloc.values.foreach { case (_, cap, a) =>
+        assert(a >= 0 && a <= cap, s"case $k: alloc outside [0, cap]") }
+      // water level: uncapped domains share equally up to the +1s
+      val uncapped = alloc.values.collect { case (_, cap, a) if a < cap => a }
+      if (uncapped.nonEmpty)
+        assert(uncapped.max - uncapped.min <= 1, s"case $k: unequal shares")
+      // the epoch plan realizes the allocation: whole epochs for every
+      // doc, fractional prefix never overspending it
+      val plan = Sampling.epochPlan(df, "domain", "doc_id", "w",
+          expr(s"avail * $mult"), budget)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      plan.groupBy(_._1).foreach { case (dom, rows) =>
+        val (avail, _, a) = alloc(dom)
+        val fe = if (avail > 0) a / avail else 0L
+        val spent = rows.map(r => r._2 * r._3).sum
+        assert(spent <= a, s"case $k dom $dom overspends")
+        assert(spent >= fe * avail, s"case $k dom $dom misses full epochs")
+        rows.foreach(r => assert(r._3 === fe || r._3 === fe + 1,
+          s"case $k dom $dom copy count"))
+      }
+    }
+  }
+
   test("crossSplitDedup: removes only boundary-crossing train docs, min provenance") {
     import spark.implicits._
     val splits = Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0))
