@@ -880,11 +880,21 @@ case class GramProducts(child: Expression) extends UnaryExpression {
 
   /** Spark's CAST(double AS DECIMAL(18,6)) * 1e6 → BIGINT, exactly:
     * via Double.toString (the scala BigDecimal(Double) path Cast takes)
-    * then HALF_UP at scale 6; the ×1e6 is a lossless point move. */
-  private def quantize(v: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
+    * then HALF_UP at scale 6; the ×1e6 is a lossless point move.
+    * Mirrors the non-ANSI Cast's null semantics too: NaN/Infinity and
+    * values past DECIMAL(18,6)'s 12 integer digits (|v| ≳ 1e12) yield a
+    * null coordinate — which null-propagates into every product against
+    * that dimension — instead of crashing the query. Returns false when
+    * the coordinate is null. */
+  private def quantizeInto(v: Double, q: Array[Long], i: Int): Boolean = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      return false
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(v))
       .setScale(6, java.math.RoundingMode.HALF_UP)
-      .movePointRight(6).longValueExact()
+    if (bd.precision > 18) return false   // doesn't fit DECIMAL(18,6)
+    q(i) = bd.movePointRight(6).longValueExact()
+    true
+  }
 
   def compute(x: ArrayData): ArrayData = {
     val dim = x.numElements()
@@ -893,7 +903,7 @@ case class GramProducts(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < dim) {
       if (x.isNullAt(i)) isNull(i) = true
-      else q(i) = quantize(elemAt(x, child.dataType, i))
+      else isNull(i) = !quantizeInto(elemAt(x, child.dataType, i), q, i)
       i += 1
     }
     val out = new Array[Any](dim * (dim + 1) / 2)

@@ -128,6 +128,19 @@ object Retrieval {
     require(lists.map(_._1).distinct.size == lists.size,
       "rrfFusion list names must be distinct")
     require(c >= 0 && k > 0, "rrfFusion needs c >= 0 and k > 0")
+    // same contract as Similarity.rankTopK: a non-integral id would be
+    // silently nulled by the cast below and every row would collapse
+    // into one fused group
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      lists.foreach { case (name, df) =>
+        val dt = df.schema(idCol).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"rrfFusion id column must be an integral type, got $dt in " +
+            s"list '$name' — string ids would cast to null and fuse " +
+            "into a single group")
+      }
+    }
 
     val tagged = lists.map { case (name, df) =>
       df.select(col(idCol).cast("long").as("id"),

@@ -567,38 +567,6 @@ object Sampling {
   }
 
   /**
-   * Mixture-weight solver: allocate a token budget across domains under
-   * per-domain repetition caps — the "how many tokens of each source
-   * goes into the training mix" step (UniMax-style: equal shares,
-   * capped at `cap = epochs × available`, excess redistributed to
-   * uncapped domains — water-filling).
-   *
-   * Exact integer closed form (no iteration): with caps sorted
-   * ascending, a domain at rank r is capped iff even a threshold equal
-   * to its own cap cannot spend the budget —
-   * `P_{r−1} + cap_r · (n − r + 1) ≤ T` (P = running cap prefix sum).
-   * The uncapped u = n − R domains then share `rem = T − P_R` as
-   * `t = rem div u` each, and the `rem − t·u < u` leftover tokens go
-   * +1 apiece to the first uncapped domains in (cap, domain) order —
-   * largest-remainder rounding with a deterministic tie order, so
-   * `Σ alloc = min(T, Σ cap)` EXACTLY. If every domain caps
-   * (Σ cap ≤ T), alloc = cap and the shortfall is visible as
-   * Σ alloc < T. All divisions are single floor divisions on BIGINT —
-   * bit-identical in DuckDB.
-   *
-   * `capExpr` is evaluated per domain against columns (domain, avail) —
-   * e.g. `expr("avail * 4")` for a flat 4-epoch cap, or a per-domain
-   * epoch schedule keyed off the domain name.
-   *
-   * Scale design (100 TB): the only corpus-sized stage is the
-   * per-domain `sum(weight)` with map-side partial aggregation; domain
-   * cardinality is small by construction (sources/languages, 10s–1000s),
-   * so the sort window and prefix sums run on a domain-count-sized
-   * single partition and everything downstream is broadcast-sized.
-   * Output: (domain, avail, cap, alloc, epochs_ppm = 1e6·alloc div
-   * avail), ordered by domain.
-   */
-  /**
    * Epoch-plan realization of [[mixtureAllocation]]: per document, how
    * many copies enter the training mix so each domain spends exactly its
    * allocated weight — `full = alloc div avail` whole epochs for every
@@ -640,23 +608,64 @@ object Sampling {
       .orderBy(col("id"))
   }
 
+  /**
+   * Mixture-weight solver: allocate a token budget across domains under
+   * per-domain repetition caps — the "how many tokens of each source
+   * goes into the training mix" step (UniMax-style: equal shares,
+   * capped at `cap = epochs × available`, excess redistributed to
+   * uncapped domains — water-filling).
+   *
+   * Exact integer closed form (no iteration): with caps sorted
+   * ascending, a domain at rank r is capped iff even a threshold equal
+   * to its own cap cannot spend the budget —
+   * `P_{r−1} + cap_r · (n − r + 1) ≤ T` (P = running cap prefix sum).
+   * The uncapped u = n − R domains then share `rem = T − P_R` as
+   * `t = rem div u` each, and the `rem − t·u < u` leftover tokens go
+   * +1 apiece to the first uncapped domains in (cap, domain) order —
+   * largest-remainder rounding with a deterministic tie order, so
+   * `Σ alloc = min(T, Σ cap)` EXACTLY. If every domain caps
+   * (Σ cap ≤ T), alloc = cap and the shortfall is visible as
+   * Σ alloc < T. All divisions are single floor divisions on BIGINT —
+   * bit-identical in DuckDB.
+   *
+   * `capExpr` is evaluated per domain against columns (domain, avail) —
+   * e.g. `expr("avail * 4")` for a flat 4-epoch cap, or a per-domain
+   * epoch schedule keyed off the domain name.
+   *
+   * Scale design (100 TB): the only corpus-sized stage is the
+   * per-domain `sum(weight)` with map-side partial aggregation; domain
+   * cardinality is small by construction (sources/languages, 10s–1000s),
+   * so the sort window and prefix sums run on a domain-count-sized
+   * single partition and everything downstream is broadcast-sized.
+   * Output: (domain, avail, cap, alloc, epochs_ppm = 1e6·alloc div
+   * avail), ordered by domain.
+   */
   def mixtureAllocation(df: DataFrame, domainCol: String,
                         weightCol: String, capExpr: Column,
                         budget: Long): DataFrame = {
     require(budget >= 0, s"mixtureAllocation needs budget >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
 
+    // cast("long") up front: callers may pass double/decimal weight
+    // columns (the HTTP route admits any NumericType) — the DIVs below
+    // and the route's getLong both need BIGINT, and the oracle casts the
+    // same sum to BIGINT
     val avail = df.groupBy(col(domainCol).as("domain"))
-      .agg(sum(col(weightCol)).as("avail"))
+      .agg(sum(col(weightCol)).cast("long").as("avail"))
       .select(col("domain"), col("avail"), capExpr.cast("long").as("cap"))
     // domain-count-sized from here down: a tiny single-partition window
-    // over (cap, domain) — unique, hence a total order
-    val w = Window.orderBy(col("cap"), col("domain"))
+    // over (cap, domain) — unique, hence a total order. NULLS LAST
+    // pinned explicitly: Spark's asc default is NULLS FIRST but the
+    // DuckDB oracle's is NULLS LAST, and a null domain must rank the
+    // same on both sides
+    val w = Window.orderBy(col("cap").asc_nulls_last,
+      col("domain").asc_nulls_last)
     val ranked = avail
       .withColumn("r", row_number().over(w))
       .withColumn("p", sum(col("cap")).over(w))       // P_r inclusive
       .withColumn("n", count(lit(1)).over(
-        Window.orderBy(col("cap"), col("domain"))
+        Window.orderBy(col("cap").asc_nulls_last,
+            col("domain").asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // capped iff P_{r-1} + cap_r·(n−r+1) ≤ T  (P_{r-1} = p − cap)
     val flagged = ranked.withColumn("capped",
@@ -675,6 +684,6 @@ object Sampling {
       .select(col("domain"), col("avail"), col("cap"), col("alloc"),
         expr("CASE WHEN avail > 0 THEN (1000000L * alloc) DIV avail " +
           "ELSE 0L END").as("epochs_ppm"))
-      .orderBy(col("domain"))
+      .orderBy(col("domain").asc_nulls_last)
   }
 }

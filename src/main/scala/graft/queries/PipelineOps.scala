@@ -932,8 +932,9 @@ object PipelineOps {
              CAST(sum(n_chars) * 2 AS BIGINT) AS cap
            FROM documents GROUP BY lang),
          rk AS (SELECT domain, avail, cap,
-             row_number() OVER (ORDER BY cap, domain) AS r,
-             sum(cap) OVER (ORDER BY cap, domain ROWS UNBOUNDED PRECEDING) AS p,
+             row_number() OVER (ORDER BY cap NULLS LAST, domain NULLS LAST) AS r,
+             sum(cap) OVER (ORDER BY cap NULLS LAST, domain NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS p,
              count(*) OVER () AS n
            FROM av),
          fl AS (SELECT *, p - cap + cap * (n - r + 1) <= 250000 AS capped

@@ -316,6 +316,37 @@ class VectorExpressionsSpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val (ne, re) = productsOf(edge)
     assert(ne === re)
+    // non-finite and out-of-envelope coordinates: the decimal cast nulls
+    // them under try_cast semantics, and the native expression must
+    // null-propagate the same way instead of throwing
+    // (NumberFormatException on NaN, ArithmeticException past
+    // DECIMAL(18,6)'s 12 integer digits). The reference here is the
+    // TRY_CAST HOF form — null-on-failure in both ANSI modes.
+    val hostile = Seq(
+      (3L, Seq(Some(Float.NaN), Some(1.0f), Some(Float.PositiveInfinity))),
+      (4L, Seq(Some(Float.NegativeInfinity), Some(2.0f), Some(-0.5f))),
+      (5L, Seq(Some(9.3e12f), Some(1.0f), Some(-9.3e15f))))
+      .toDF("vec_id", "embedding")
+    val nh = hostile
+      .select(explode(graft.functions.GraftFunctions
+        .gramProducts(col("embedding"))).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
+      .collect().map(_.toSeq)
+    val rh = hostile
+      .select(expr(
+        """transform(embedding, x ->
+             CAST(TRY_CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT))""").as("xi"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(xi) - 1), i ->
+             transform(sequence(i, size(xi) - 1), j ->
+               struct(i AS dim_i, j AS dim_j, xi[i] * xi[j] AS prod))))"""))
+        .as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
+      .collect().map(_.toSeq)
+    assert(nh.toSeq === rh.toSeq)
+    assert(nh.exists(r => r(2) == null),
+      "hostile coordinates must yield null products, not crash")
   }
 
   test("char_pairs matches the split-on-empty HOF reference, incl. astral plane") {

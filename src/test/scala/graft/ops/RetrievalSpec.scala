@@ -113,5 +113,14 @@ class RetrievalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Retrieval.rrfFusion(Seq("x" -> a), "id", "rk", k = 0)
     }
+    // string ids would cast to null and collapse every row into one
+    // fused group — rejected up front, same contract as rankTopK
+    val strIds = {
+      import spark.implicits._
+      Seq(("doc-1", 1L)).toDF("id", "rk")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq("x" -> strIds), "id", "rk")
+    }
   }
 }

@@ -355,6 +355,22 @@ class SamplingSpec extends SparkSuite {
         expr("avail"), budget = -1L))
   }
 
+  test("mixtureAllocation: non-integral weight columns work (avail cast to long)") {
+    import spark.implicits._
+    // double and decimal weights both ride the HTTP route's NumericType
+    // check; avail is cast to long so the DIVs and the route's getLong
+    // hold for every admitted type
+    val dbl = Seq(("a", 10.6), ("b", 20.2)).toDF("domain", "w")
+    val outD = allocOf(Sampling.mixtureAllocation(dbl, "domain", "w",
+      expr("avail * 2"), budget = 1000L))
+    assert(outD("a")._1 === 10L && outD("b")._1 === 20L)
+    val dec = Seq(("a", BigDecimal("10.00")), ("b", BigDecimal("20.00")))
+      .toDF("domain", "w")
+    val outC = allocOf(Sampling.mixtureAllocation(dec, "domain", "w",
+      expr("avail * 2"), budget = 1000L))
+    assert(outC("a")._3 === 20L && outC("b")._3 === 40L)
+  }
+
   test("mixtureAllocation/epochPlan invariants hold on randomized instances") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
