@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
  * Scale shape per round: two joins hash-partitioned on node id + one
  * min-aggregation. Each round's label table is `localCheckpoint`ed —
  * iterative DataFrames otherwise grow the logical plan exponentially
- * (the lineage, not the data, is what blows up driver memory).
+ * (the lineage, not the data, is what blows up driver memory) — and the
+ * SUPERSEDED round's blocks are released as soon as the next round
+ * materializes ([[IterativeMemory]]), so storage holds one label
+ * generation, not O(rounds).
  */
 object ConnectedComponents {
 
@@ -56,10 +59,16 @@ object ConnectedComponents {
       // converged when no node's label shrank this round
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") < col("o.comp")).limit(1).count() > 0
+      // next is materialized and the convergence probe has read the old
+      // generation — its blocks are dead weight from here
+      IterativeMemory.release(labels)
       labels = next
       converged = !changed
       iter += 1
     }
+    // the returned labels are a self-contained checkpoint; the edge
+    // table's blocks are no longer reachable from any live plan
+    IterativeMemory.release(sym)
     labels
   }
 

@@ -528,6 +528,109 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /**
+   * Substring-level exact deduplication — the Lee et al. 2022
+   * ("Deduplicating Training Data Makes Language Models Better",
+   * ExactSubstr) family member [[chunkDedup]]'s FIXED windows provably
+   * miss: a span repeated across documents at non-chunk-aligned offsets
+   * never equals any fixed chunk, so d08 keeps it. Here every SLIDING
+   * `anchorWords`-word window is an anchor; a maximal repeated span of
+   * length L >= anchorWords yields L − anchorWords + 1 repeated anchors
+   * whose windows cover exactly the span's words — so excising every
+   * word covered by a cross-document-repeated anchor removes repeated
+   * spans at ANY offset, with detection granularity `anchorWords`
+   * (spans shorter than the anchor survive; Lee et al.'s suffix-array
+   * threshold of 50 tokens plays the same role). Approximation vs the
+   * suffix array: each anchor's document frequency is counted
+   * independently, so adjacent anchors repeated in DIFFERENT partner
+   * docs still merge into one excised span — conservative
+   * over-removal of boilerplate, never under-removal.
+   *
+   * Output per doc: (id, kept_text, n_words, n_dropped, n_spans) —
+   * kept_text is the surviving words in order, n_spans the count of
+   * maximal excised runs.
+   *
+   * Scale design (100 TB): anchors ride the shuffle as 60-bit md5
+   * prefixes (15 hex chars — the d03 device, DuckDB-recomputable), id +
+   * int position: corpus-token-scale rows but NARROW ones, never text.
+   * Three keyed exchanges: the anchor-df aggregation (two-level distinct
+   * with map-side partials), the hot-anchor semi join (keyed on the
+   * anchor hash — the hot set scales with corpus boilerplate, so no
+   * broadcast is forced; AQE may still pick one when it fits), and the
+   * per-doc hit collection (id-keyed, int positions only). Interval
+   * merging, excision, and reassembly are doc-local array algebra in one
+   * projection (the d09 let-bound device) — the document text never
+   * leaves its original row.
+   */
+  def substringDedup(docs: DataFrame, textCol: String, idCol: String,
+                     anchorWords: Int = 5, maxDocFreq: Int = 1): DataFrame = {
+    require(anchorWords >= 1, s"anchorWords must be >= 1, got $anchorWords")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val k = anchorWords
+
+    // (id, pos, ah): one row per sliding window; docs shorter than the
+    // anchor emit nothing (and can never be excised from)
+    val anchors = docs.select(col(idCol).as("id"),
+        Shingles.let(Shingles.words(coalesce(col(textCol), lit("")))) { wds =>
+          when(size(wds) >= k,
+            transform(sequence(lit(0), size(wds) - k), p =>
+              struct(p.as("pos"),
+                substring(md5(array_join(slice(wds, p + 1, lit(k)), " ")),
+                  1, 15).as("ah"))))
+            .otherwise(expr("CAST(array() AS array<struct<pos:int,ah:string>>)"))
+        }.as("aa"))
+      .select(col("id"), explode(col("aa")).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.ah").as("ah"))
+
+    val hot = anchors.groupBy(col("ah"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("ah"))
+
+    // hit start positions per doc, sorted — the input to interval merge
+    val hits = anchors.join(hot, Seq("ah"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("hits"))
+
+    // doc-local: merge hit windows [p, p+k-1] into maximal intervals,
+    // excise covered words, reassemble survivors in order
+    val emptyIvs = expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    val report = Shingles.let(
+        Shingles.words(coalesce(col(textCol), lit("")))) { wds =>
+      Shingles.let(aggregate(
+          coalesce(col("__hits"), expr("CAST(array() AS array<int>)")),
+          emptyIvs,
+          (acc, h) => when(
+            size(acc) === 0 ||
+              h > element_at(acc, -1).getField("e") + 1,
+            concat(acc, array(struct(h.as("s"), (h + k - 1).as("e")))))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("s").as("s"),
+                (h + k - 1).as("e")))))
+        )) { ivs =>
+        Shingles.let(filter(sequence(lit(0), size(wds) - 1), i =>
+            !exists(ivs, iv => i >= iv.getField("s") &&
+              i <= iv.getField("e")))) { keptIdx =>
+          struct(
+            array_join(transform(keptIdx, i => element_at(wds, i + 1)), " ")
+              .as("kept_text"),
+            size(wds).cast("long").as("n_words"),
+            aggregate(ivs, lit(0L), (a, iv) =>
+              a + (iv.getField("e") - iv.getField("s") + 1))
+              .as("n_dropped"),
+            size(ivs).cast("long").as("n_spans"))
+        }
+      }
+    }
+
+    docs.select(col(idCol).as("id"), col(textCol))
+      .join(hits.withColumnRenamed("hits", "__hits"), Seq("id"), "left")
+      .select(col("id"), report.as("__r"))
+      .select(col("id"), col("__r.kept_text"), col("__r.n_words"),
+        col("__r.n_dropped"), col("__r.n_spans"))
+      .orderBy(col("id"))
+  }
+
   /** Per-doc reassembly of surviving (id, pos, chunk) rows: survivor
     * count + position-ordered re-concatenation. Must stay in lockstep
     * with the d08/d09 oracles' `string_agg(chunk, ' ' ORDER BY pos)`. */

@@ -60,12 +60,21 @@ object Graphs {
         .join(outDeg, "src")
         .select(col("dst"), expr("pr DIV out").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
-      r = nodes
+      val next = nodes
         .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(mass, 0) DIV 100")).as("pr"))
         .localCheckpoint(true)
+      // superseded rank generation: released the moment the next one is
+      // materialized (no-op on the round-0 non-checkpoint state)
+      IterativeMemory.release(r)
+      r = next
     }
+    // the final ranks are a self-contained checkpoint — the loop inputs'
+    // blocks are unreachable from the returned plan
+    IterativeMemory.release(e)
+    IterativeMemory.release(nodes)
+    IterativeMemory.release(outDeg)
     r.select(col("node"), col("pr").as("pr_scaled"),
         (col("pr").cast("double") / lit(scale.toDouble)).as("pagerank"))
       .orderBy(col("pr_scaled").desc, col("node"))
@@ -121,13 +130,22 @@ object Graphs {
     var h = nodes.withColumn("s", lit(scale))
     var a = nodes.withColumn("s", lit(scale))
     for (_ <- 1 to iters) {
-      a = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
+      val aNext = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("s")).as("m"))
         .withColumnRenamed("dst", "node"))
-      h = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
+      // each half-step supersedes one side's previous generation —
+      // release it as soon as the replacement is materialized (no-op on
+      // the round-0 non-checkpoint states)
+      IterativeMemory.release(a)
+      a = aNext
+      val hNext = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("s")).as("m"))
         .withColumnRenamed("src", "node"))
+      IterativeMemory.release(h)
+      h = hNext
     }
+    // the output joins nodes/h/a only — the edge list is unreachable
+    IterativeMemory.release(e)
     nodes
       .join(h.withColumnRenamed("s", "hub_scaled"), "node")
       .join(a.withColumnRenamed("s", "auth_scaled"), "node")

@@ -953,6 +953,7 @@ object Similarity {
     var v = full.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(1000000L).as("v"))
     var growth = lit(0L)
+    var prevW: DataFrame = null
     for (_ <- 1 to iters) {
       // w is referenced twice (max and the division) — checkpoint to
       // keep the plan linear in iters, not exponential
@@ -960,6 +961,10 @@ object Similarity {
         .groupBy(col("i"))
         .agg(sum(col("g").cast("decimal(38,0)") * col("v")).as("w"))
         .localCheckpoint()
+      // the previous step's w fed this one and is now superseded — only
+      // the current step's blocks stay live (IterativeMemory discipline)
+      if (prevW != null) IterativeMemory.release(prevW)
+      prevW = w
       // greatest(·,1): an all-zero Gram (degenerate corpus) yields m = 0
       // and v = 0 either way — the clamp just keeps ANSI from aborting
       // on DIV 0
@@ -970,6 +975,9 @@ object Similarity {
           expr("CAST(m DIV 1000000 AS BIGINT)").as("growth"))
       growth = col("growth")
     }
+    // the returned iterate reads only the final step's w — the mirrored
+    // Gram's blocks are unreachable from here
+    IterativeMemory.release(full)
     (v, growth)
   }
 

@@ -173,6 +173,13 @@ object PipelineOps {
       // vocabulary makes longer intra-doc repeats vanishingly rare)
       Dedup.intraDocDedup(docs(s, d), "text", "doc_id", chunkWords = 2)
     },
+    "d16_substring_dedup" -> { (s, d) =>
+      // sliding-anchor exact-substring dedup (the Lee et al. 2022
+      // ExactSubstr shape): 5-word anchors, any span repeated across
+      // > 1 distinct docs is excised at ANY offset — the
+      // non-chunk-aligned case d08's fixed windows provably miss
+      Dedup.substringDedup(docs(s, d), "text", "doc_id", anchorWords = 5)
+    },
     "d10_transitive_clusters" -> { (s, d) =>
       // TRANSITIVE dedup clusters (a~b~c in one cluster even when a!~c):
       // pointer-jumping connected components over the exact Jaccard>=0.7
@@ -736,10 +743,16 @@ object PipelineOps {
     "x04_cluster_histogram" -> { (s, d) =>
       // dedup-audit view of the d10 closure: cluster-size distribution
       // (how much mass sits in big near-dup clusters is the number that
-      // picks the jaccard threshold)
+      // picks the jaccard threshold). The pair set is the SCALE tier —
+      // d02's banded MinHash with exact-Jaccard verification — not d04's
+      // PPJoin verify tier: the audit needs the closure, not the
+      // strongest candidate bound, and at 100× the sketch tier is the
+      // one that still runs. Identical output on the oracle: band
+      // recall is 1 on the gate fixture (d02/d12's argument) and every
+      // emitted pair is exactly verified, so the pair SET matches d04's.
       val all = docs(s, d)
       graft.ops.ConnectedComponents.clusterReps(all, "doc_id",
-          Dedup.ngramJaccardPairs(all, "text", "doc_id", threshold = 0.7))
+          Dedup.minHashPairs(all, "text", "doc_id", threshold = 0.7))
         .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
@@ -996,6 +1009,48 @@ object PipelineOps {
          SELECT t.id, coalesce(a.kept_text, '') AS kept_text, t.n_chunks,
                 t.n_chunks - coalesce(a.n_kept, 0) AS n_dropped
          FROM tot t LEFT JOIN agg a USING (id) ORDER BY t.id""",
+    // sliding-anchor substring dedup: 5-word windows keyed by 15-hex md5
+    // prefixes (the d03 md5-60 device), cross-doc-hot anchors cover
+    // their windows, covered words excised, survivors reassembled in
+    // order; span count = covered-position runs via lag
+    "d16_substring_dedup" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         n AS (SELECT id, w, len(w) AS nw FROM d),
+         a0 AS (SELECT id,
+             unnest([{'pos': p, 'ah': substr(md5(
+                 array_to_string(w[p+1:p+5], ' ')), 1, 15)}
+               FOR p IN range(0, greatest(nw - 4, 0))]) AS u
+           FROM n),
+         a AS (SELECT id, u.pos AS pos, u.ah AS ah FROM a0),
+         hot AS (SELECT ah FROM a GROUP BY ah
+                 HAVING count(DISTINCT id) > 1),
+         hits AS (SELECT id, pos FROM a WHERE ah IN (SELECT ah FROM hot)),
+         cov AS (SELECT DISTINCT id, pos + o AS wp
+                 FROM hits, range(0, 5) t2(o)),
+         w0 AS (SELECT id,
+             unnest([{'wp': p, 'word': w[p+1]}
+               FOR p IN range(0, nw)]) AS u
+           FROM n),
+         words AS (SELECT id, u.wp AS wp, u.word AS word FROM w0),
+         kept AS (SELECT wo.id, wo.wp, wo.word FROM words wo
+                  LEFT JOIN cov c ON wo.id = c.id AND wo.wp = c.wp
+                  WHERE c.wp IS NULL),
+         agg AS (SELECT id, string_agg(word, ' ' ORDER BY wp) AS kept_text
+                 FROM kept GROUP BY id),
+         dr AS (SELECT id, count(*) AS n_dropped FROM cov GROUP BY id),
+         sp AS (SELECT id, count(*) AS n_spans FROM (
+             SELECT id, wp,
+                    lag(wp) OVER (PARTITION BY id ORDER BY wp) AS prev
+             FROM cov) q
+           WHERE prev IS NULL OR wp > prev + 1 GROUP BY id)
+         SELECT n.id, coalesce(agg.kept_text, '') AS kept_text,
+                CAST(n.nw AS BIGINT) AS n_words,
+                CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+                CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans
+         FROM n LEFT JOIN agg ON n.id = agg.id
+           LEFT JOIN dr ON n.id = dr.id LEFT JOIN sp ON n.id = sp.id
+         ORDER BY n.id""",
     // transitive closure of the brute-force Jaccard pair set via a
     // recursive reachability CTE (UNION-dedup fixpoint), min id per
     // component — the ground truth for pointer-jumping label propagation

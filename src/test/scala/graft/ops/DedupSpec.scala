@@ -164,6 +164,88 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === (("totally original content right here", 2L, 0L)))
   }
 
+  test("substringDedup excises repeats at non-chunk-aligned offsets " +
+      "chunkDedup misses") {
+    // the d08 blind spot: a 5-word span repeated at offsets 2 and 3 —
+    // no FIXED 5-word chunk boundary ever lines up with it, so
+    // chunkDedup keeps both copies; sliding anchors cover it exactly
+    val span = "gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"alpha beta $span theta iota"),         // span at offset 2
+      (2L, s"one two three $span four five"),       // span at offset 3
+      (3L, "totally unrelated words right here ok")
+    ).toDF("doc_id", "text")
+    // chunkDedup at the same granularity: nothing dropped (the miss)
+    val fixed = Dedup.chunkDedup(docs, "text", "doc_id",
+        chunkWords = 5, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed.values.forall(_ === 0L),
+      "fixed chunks must miss the unaligned repeat for this test to bite")
+    // substringDedup with 3-word anchors: span (5 words >= 3) fully
+    // covered in both carriers, at different offsets
+    val out = Dedup.substringDedup(docs, "text", "doc_id",
+        anchorWords = 3, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("alpha beta theta iota", 9L, 5L, 1L)))
+    assert(out(2L) === (("one two three four five", 10L, 5L, 1L)))
+    assert(out(3L) === (("totally unrelated words right here ok", 6L, 0L, 0L)))
+  }
+
+  test("substringDedup: two separated repeats excise as two spans; " +
+      "within-doc-only repeats survive") {
+    val docs = Seq(
+      (1L, "aa bb cc xx yy zz dd ee ff one two three"),
+      (2L, "aa bb cc qq dd ee ff four five six"),
+      // doc 3 repeats its own trigram twice but shares nothing across
+      // docs — cross-doc df stays 1, nothing excised (d09's job)
+      (3L, "pp qq2 rr pp qq2 rr seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id",
+        anchorWords = 3, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // docs 1/2 share "aa bb cc" and "dd ee ff": two maximal spans each
+    assert(out(1L) === (("xx yy zz one two three", 12L, 6L, 2L)))
+    assert(out(2L) === (("qq four five six", 10L, 6L, 2L)))
+    assert(out(3L) === (("pp qq2 rr pp qq2 rr seven eight nine", 9L, 0L, 0L)))
+  }
+
+  test("substringDedup: docs shorter than the anchor are untouched; " +
+      "null text is empty") {
+    val docs = Seq(
+      (1L, Option("tiny doc")),
+      (2L, Option("tiny doc")),   // identical but < anchorWords words
+      (3L, None)
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id",
+        anchorWords = 5, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("tiny doc", 2L, 0L, 0L)))
+    assert(out(2L) === (("tiny doc", 2L, 0L, 0L)))
+    assert(out(3L) === (("", 1L, 0L, 0L)))
+  }
+
+  test("substringDedup: adjacent hot anchors from different partners " +
+      "merge into one excised span") {
+    // doc 1's words 0..5 are covered by "aa bb cc" (shared with doc 2)
+    // and "dd ee ff" (shared with doc 3) ADJACENTLY — one merged span,
+    // even though no single partner shares the whole 6-word run
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff tail words here"),
+      (2L, "aa bb cc other stuff entirely one"),
+      (3L, "prefix bit dd ee ff closing words two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id",
+        anchorWords = 3, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("tail words here", 6L, 1L)))
+    assert(out(2L) === (("other stuff entirely one", 3L, 1L)))
+    assert(out(3L) === (("prefix bit closing words two", 3L, 1L)))
+  }
+
   test("chunkDedup treats NULL text as empty — no phantom chunks") {
     val docs = Seq((1L, Option("real words here ok")), (2L, None))
       .toDF("doc_id", "text")
