@@ -42,17 +42,36 @@ final case class CatalogConfig(
     token: Option[String] = None,
     s3: S3Config = S3Config())
 
+/** OpenTelemetry settings (reference: config.py:117-131 OTelConfig —
+  * same fields, same defaults: disabled, localhost:4317, service name
+  * "iceberg-explorer", insecure transport). */
+final case class OtelConfig(
+    enabled: Boolean = false,
+    endpoint: String = "http://localhost:4317",
+    serviceName: String = "iceberg-explorer",
+    insecure: Boolean = true)
+
 final case class AppConfig(
     query: QueryConfig = QueryConfig(),
     engine: EngineConfig = EngineConfig(),
     export: ExportConfig = ExportConfig(),
-    catalog: CatalogConfig = CatalogConfig())
+    catalog: CatalogConfig = CatalogConfig(),
+    otel: OtelConfig = OtelConfig())
 
 object AppConfig {
   /** Defaults + environment overrides (subset actually used by the engine). */
   def fromEnv(env: Map[String, String] = sys.env): AppConfig = {
     def intEnv(k: String, dflt: Int) = env.get(k).flatMap(_.toIntOption).getOrElse(dflt)
     def longEnv(k: String, dflt: Long) = env.get(k).flatMap(_.toLongOption).getOrElse(dflt)
+    // pydantic bool parsing (the reference's settings layer accepts
+    // true/false/1/0/yes/no/on/off, case-insensitive; anything else is
+    // a config error there — here it falls back to the default)
+    def boolEnv(k: String, dflt: Boolean) = env.get(k).map(_.toLowerCase)
+      .flatMap {
+        case "1" | "true" | "yes" | "on" | "t" | "y" => Some(true)
+        case "0" | "false" | "no" | "off" | "f" | "n" => Some(false)
+        case _ => None
+      }.getOrElse(dflt)
     AppConfig(
       query = QueryConfig(
         maxRows = intEnv("ICEBERG_EXPLORER_QUERY__MAX_ROWS", 10000),
@@ -77,6 +96,13 @@ object AppConfig {
           accessKeyId = env.get("ICEBERG_EXPLORER_CATALOG__S3__ACCESS_KEY_ID"),
           secretAccessKey =
             env.get("ICEBERG_EXPLORER_CATALOG__S3__SECRET_ACCESS_KEY"),
-          region = env.get("ICEBERG_EXPLORER_CATALOG__S3__REGION"))))
+          region = env.get("ICEBERG_EXPLORER_CATALOG__S3__REGION"))),
+      otel = OtelConfig(
+        enabled = boolEnv("ICEBERG_EXPLORER_OTEL__ENABLED", false),
+        endpoint = env.getOrElse("ICEBERG_EXPLORER_OTEL__ENDPOINT",
+          "http://localhost:4317"),
+        serviceName = env.getOrElse("ICEBERG_EXPLORER_OTEL__SERVICE_NAME",
+          "iceberg-explorer"),
+        insecure = boolEnv("ICEBERG_EXPLORER_OTEL__INSECURE", true)))
   }
 }

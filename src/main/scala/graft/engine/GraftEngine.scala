@@ -19,6 +19,10 @@ object GraftEngine {
 
   def buildSession(config: AppConfig = AppConfig.fromEnv(), appName: String = "graft"): SparkSession = {
     val threads = config.engine.threads
+    // observability first, like the reference's setup_opentelemetry on
+    // app startup: a no-op unless otel.enabled AND the SDK is present
+    // (OtlpBinding scaladoc; reference observability.py:183-186)
+    OtlpBinding.bind(config.otel)
     SparkSession.builder()
       .master(s"local[$threads]")
       .appName(appName)

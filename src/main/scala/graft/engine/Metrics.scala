@@ -89,10 +89,26 @@ object Metrics {
   def durationHistogram(status: String): Option[Seq[Long]] =
     Option(durations.get(status)).map(_.bucketCounts.toSeq.map(_.get()))
 
+  // optional live exporter hook (the OTLP activation path — see
+  // graft.engine.OtlpBinding): None in-process, set iff an exporter is
+  // bound; every recorded span forwards to it after entering the ring
+  @volatile private var sink: Option[QuerySpan => Unit] = None
+
+  /** Install a live span exporter (OtlpBinding.bind); pass None to
+    * return to in-process-only recording. Exporter failures never
+    * propagate into the query path. */
+  def setSpanSink(f: Option[QuerySpan => Unit]): Unit = sink = f
+
+  /** Is a live exporter installed? */
+  def spanSinkInstalled: Boolean = sink.isDefined
+
   /** Record one per-query span (reference: executor.py:181-222). */
-  def recordSpan(span: QuerySpan): Unit = spans.synchronized {
-    if (spans.size >= SpanCapacity) spans.pollFirst()
-    spans.addLast(span)
+  def recordSpan(span: QuerySpan): Unit = {
+    spans.synchronized {
+      if (spans.size >= SpanCapacity) spans.pollFirst()
+      spans.addLast(span)
+    }
+    sink.foreach(f => try f(span) catch { case _: Exception => () })
   }
 
   /** Recent spans, oldest first. */
@@ -101,5 +117,6 @@ object Metrics {
   def reset(): Unit = {
     active.set(0); rowsReturned.set(0); durations.clear()
     spans.synchronized(spans.clear())
+    sink = None
   }
 }

@@ -346,6 +346,16 @@ object Similarity {
     val assigned = assignCentroids(corpus, vecCol, idCol,
       centroids, cVecCol, cIdCol)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    updateFromAssigned(assigned, vecs)
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  /** Shared M-step body behind [[kmeansUpdate]] and [[lloydTrace]]:
+    * per-(cid, dim) member count + truncating 9-dp fixed-point mean over
+    * an (id, cid) assignment joined back to (id, vec) coordinates.
+    * Unordered (callers order). */
+  private def updateFromAssigned(
+      assigned: DataFrame, vecs: DataFrame): DataFrame =
     assigned.join(vecs, "id")
       .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
       .select(col("cid"), col("dim"),
@@ -355,8 +365,6 @@ object Similarity {
       .select(col("cid"), col("dim"), col("n_assigned"),
         (expr("CAST(s9 * 1000000000 AS BIGINT) DIV n_assigned")
           .cast("double") / lit(1e9)).as("mean"))
-      .orderBy(col("cid"), col("dim"))
-  }
 
   /**
    * Product-quantization assignment step (Jégou et al. 2011, "Product
@@ -1027,5 +1035,97 @@ object Similarity {
         ((col("xi") * lit(1000000L) - col("coef") * col("v"))
           .cast("double") / lit(1e12)).as("resid"))
       .orderBy(col("id"), col("dim"))
+  }
+
+  /**
+   * Full Lloyd iteration — the convergent k-means loop that
+   * [[assignCentroids]] (E-step) and [[kmeansUpdate]] (M-step) are the
+   * halves of, with a per-round training trace. This is the algorithm a
+   * curation pipeline actually runs: SemDeDup and cluster-based data
+   * curation both start from a converged clustering, and the IVF coarse
+   * quantizer ([[ivfTopKPartitioned]]) is trained exactly this way.
+   *
+   * Output: one row per (round, cid) that received members —
+   * `(round, cid, n_assigned, inertia, c0)` where `inertia` is the
+   * cluster's cosine-distance cost `Σ (1 − sim)` with each term rounded
+   * through DECIMAL(10,4) BEFORE the order-free decimal sum (the
+   * e05-established cross-engine rounding of a cosine), and `c0` is
+   * dimension 0 of the POST-round centroid — so the hash pins both the
+   * per-round memberships and the centroid evolution itself.
+   *
+   * Engine parity: assignment argmax and tie-breaking are
+   * [[assignCentroids]]'s (full-precision cosine, ties by cid); the
+   * centroid update is [[kmeansUpdate]]'s truncating 9-dp fixed point,
+   * so every round's centroids are EXACT 9-dp rationals — bit-identical
+   * doubles on both engines, which is what lets round r+1's cosines
+   * agree cross-engine at all. A cluster that loses all members keeps
+   * its previous centroid, coordinate-for-coordinate (the standard
+   * empty-cluster rule, spelled as a per-dimension COALESCE on both
+   * sides).
+   *
+   * Scale design (100 TB): centroid state is O(k·dim) and lives on the
+   * DRIVER between rounds (collect + re-broadcast each round — the
+   * Spark MLlib KMeans pattern; the corpus itself is never collected).
+   * Each round is one persisted pass over the corpus feeding two
+   * actions (the k-row stats and the k·dim-row update, both bounded by
+   * k), then the round's assignment unpersists — one state generation
+   * live at a time, the bounded-memory discipline IterativeMemory
+   * established for CC/PageRank/HITS. Lineage never grows: every
+   * round's plan starts from the corpus scan plus a literal local
+   * centroid table.
+   */
+  def lloydTrace(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      init: DataFrame, cVecCol: String, cIdCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"lloydTrace needs 1 <= rounds <= 64, got $rounds")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // driver-held centroid state: k rows of dim doubles
+    var cent: Seq[(Long, IndexedSeq[Double])] = init
+      .select(col(cIdCol).cast("long").as("cid"),
+        col(cVecCol).cast("array<double>").as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Double, Double)]
+    for (round <- 1 to rounds) {
+      val centDf = cent.map { case (c, v) => (c, v.toArray) }
+        .toDF("cid", "cvec")
+      val assigned = assignCentroids(vecs, "vec", "id",
+        centDf, "cvec", "cid").persist()
+      try {
+        // E-step cost: per-cid member count + decimal-exact inertia
+        val stats = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(lit(1.0).cast("decimal(10,4)") -
+              col("sim").cast("decimal(10,4)"))
+              .cast("double").as("inertia"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+          .toMap
+        // M-step: truncating 9-dp means, collected as k·dim rows
+        val upd = updateFromAssigned(assigned, vecs)
+          .collect()
+          .flatMap(r => if (r.isNullAt(3)) None
+            else Some((r.getLong(0), r.getInt(1)) -> r.getDouble(3)))
+          .toMap
+        cent = cent.map { case (cid, old) =>
+          (cid, old.indices.map(i => upd.getOrElse((cid, i), old(i))))
+        }
+        val centMap = cent.toMap
+        stats.toSeq.sortBy(_._1).foreach { case (cid, (n, inertia)) =>
+          trace += ((round, cid, n, inertia, centMap(cid)(0)))
+        }
+      } finally assigned.unpersist()
+    }
+    trace.toSeq
+      .toDF("round", "cid", "n_assigned", "inertia", "c0")
+      .orderBy(col("round"), col("cid"))
   }
 }

@@ -383,6 +383,17 @@ object PipelineOps {
         .filter(col("id") < 10)
         .orderBy(col("id"), col("dim"))
     },
+    "e19_lloyd_trace" -> { (s, d) =>
+      // the full Lloyd loop over e05/e14's halves: 3 assign→update
+      // rounds from the 8 min-id seed centroids, tracing per-(round,
+      // cluster) membership, decimal-exact cosine inertia, and the
+      // post-round centroid's dim-0 coordinate — the convergent
+      // k-means a curation pipeline (SemDeDup, IVF training) runs
+      val corpus = embs(s, d)
+      Similarity.lloydTrace(corpus, "embedding", "vec_id",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+        rounds = 3)
+    },
     "e07_ivfpq_topk" -> { (s, d) =>
       // the full ANN serving stack: coarse probe over the label lists
       // (e02's min-id centroids) + PQ asymmetric-distance scoring
@@ -985,6 +996,45 @@ object PipelineOps {
              m // 1000000 AS growth
            FROM w$k CROSS JOIN m$k)"""
   }
+
+  /** One unrolled Lloyd round for the e19 oracle: e05's assignment CTE
+    * against cent{r-1}, the per-cluster count + DECIMAL(10,4)-rounded
+    * cosine inertia, e14's truncating 9-dp mean update, and the next
+    * centroid list with the per-dimension COALESCE empty-cluster
+    * fallback. MATERIALIZED throughout: cent{r-1} is referenced by both
+    * the scoring cross join and the fallback — left to the inliner the
+    * 3-round chain re-expands its whole prefix exponentially. */
+  private def lloydRound(r: Int): String =
+    s"""sc$r AS MATERIALIZED (SELECT e.vec_id AS id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    c.cvec) AS csim
+           FROM embeddings e CROSS JOIN cent${r - 1} c),
+         a$r AS MATERIALIZED (SELECT id, cid, csim FROM (
+             SELECT id, cid, csim, row_number() OVER (PARTITION BY id
+               ORDER BY csim DESC, cid) AS rk
+             FROM sc$r WHERE csim IS NOT NULL) WHERE rk = 1),
+         s$r AS MATERIALIZED (SELECT $r AS round, cid,
+             count(*) AS n_assigned,
+             CAST(sum(CAST(1.0 AS DECIMAL(10,4))
+                      - CAST(csim AS DECIMAL(10,4))) AS DOUBLE) AS inertia
+           FROM a$r GROUP BY cid),
+         x$r AS MATERIALIZED (SELECT a.cid, i.i - 1 AS dim,
+             CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(18,9)) AS x9
+           FROM a$r a JOIN embeddings e ON a.id = e.vec_id
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+         u$r AS MATERIALIZED (SELECT cid, dim, count(*) AS n,
+             CAST(sum(x9) * 1000000000 AS BIGINT) AS sfx
+           FROM x$r GROUP BY cid, dim),
+         m$r AS MATERIALIZED (SELECT cid, dim,
+             CAST(CASE WHEN sfx < 0 THEN -((-sfx) // n)
+                       ELSE sfx // n END AS DOUBLE) / 1e9 AS mean
+           FROM u$r),
+         cent$r AS MATERIALIZED (SELECT c.cid,
+             list(COALESCE(m.mean, c.cvec[i.i]) ORDER BY i.i) AS cvec
+           FROM cent${r - 1} c
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+           LEFT JOIN m$r m ON m.cid = c.cid AND m.dim = i.i - 1
+           GROUP BY c.cid)"""
 
   val oracle: Map[String, String] = Map(
     // chunk-level dedup: same 5-word non-overlapping chunking (1-based
@@ -1647,6 +1697,26 @@ object PipelineOps {
          SELECT dim, CAST(v AS DOUBLE) / 1e6 AS comp,
                 CAST(growth AS BIGINT) AS growth
          FROM v8 ORDER BY dim""",
+    // full Lloyd loop: cent0 = the 8 min-id seed vectors cast to
+    // DOUBLE[], then 3 unrolled assign→update rounds (lloydRound —
+    // e05's argmax, DECIMAL(10,4)-rounded inertia terms summed in exact
+    // decimal, e14's truncating 9-dp means, per-dimension COALESCE for
+    // an emptied cluster); every round's centroids are exact 9-dp
+    // rationals so round r+1's cosines agree cross-engine
+    "e19_lloyd_trace" ->
+      s"""WITH cent0 AS MATERIALIZED (SELECT vec_id AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings WHERE vec_id < 8),
+         ${(1 to 3).map(lloydRound).mkString(",\n         ")}
+         SELECT s.round, s.cid, s.n_assigned, s.inertia,
+                c.cvec[1] AS c0
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3) s
+         JOIN (SELECT 1 AS round, cid, cvec FROM cent1 UNION ALL
+               SELECT 2, cid, cvec FROM cent2 UNION ALL
+               SELECT 3, cid, cvec FROM cent3) c
+           ON s.round = c.round AND s.cid = c.cid
+         ORDER BY s.round, s.cid""",
     // gram drift: the e15 CTE computed per vec_id parity, full-joined,
     // truncating sign/abs per-vector means (Spark DIV truncates toward
     // zero, DuckDB // floors), top-20 by (drift desc, dims asc)

@@ -613,4 +613,69 @@ class SimilaritySpec extends SparkSuite {
       Similarity.pcaPowerIteration(pcaCorpus, "embedding", "vec_id",
         iters = 0))
   }
+
+  test("lloydTrace round 1 composes assignCentroids + kmeansUpdate") {
+    val corpus = embeddings
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val trace = Similarity.lloydTrace(corpus, "embedding", "vec_id",
+      seeds, "embedding", "vec_id", rounds = 1).collect()
+
+    val counts = Similarity.assignCentroids(corpus, "embedding", "vec_id",
+        seeds, "embedding", "vec_id")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val means = Similarity.kmeansUpdate(corpus, "embedding", "vec_id",
+        seeds, "embedding", "vec_id")
+      .filter(col("dim") === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+
+    assert(trace.map(_.getLong(2)).sum === corpus.count())
+    trace.foreach { r =>
+      val cid = r.getLong(1)
+      assert(r.getInt(0) === 1)
+      assert(r.getLong(2) === counts(cid))
+      assert(r.getDouble(4) === means(cid), s"c0 mismatch for $cid")
+      assert(r.getDouble(3) >= 0.0 - 1e-12)
+    }
+  }
+
+  test("lloydTrace iterates: 3 rounds, full membership, deterministic") {
+    val corpus = embeddings
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val n = corpus.count()
+    val run = () => Similarity.lloydTrace(corpus, "embedding", "vec_id",
+      seeds, "embedding", "vec_id", rounds = 3).collect().toSeq
+    val a = run()
+    assert(a.map(_.getInt(0)).distinct.sorted === Seq(1, 2, 3))
+    (1 to 3).foreach { r =>
+      assert(a.filter(_.getInt(0) == r).map(_.getLong(2)).sum === n,
+        s"round $r memberships don't cover the corpus")
+    }
+    // centroids move: round-2 c0s differ from the seed coordinates
+    // somewhere (the update actually fed the next assignment)
+    assert(a === run(), "lloydTrace is not deterministic")
+    intercept[IllegalArgumentException](
+      Similarity.lloydTrace(corpus, "embedding", "vec_id",
+        seeds, "embedding", "vec_id", rounds = 0))
+  }
+
+  test("lloydTrace keeps an emptied cluster's centroid (COALESCE rule)") {
+    // corpus all in the +x half-space; centroid 1 points the opposite
+    // way and never wins a member — its coordinates must persist
+    // unchanged through both rounds (it's absent from the trace, but
+    // round 2 still scores against it without crashing or drifting)
+    val corpus = Seq((10L, Array(1.0f, 0.1f)), (11L, Array(1.0f, -0.1f)),
+      (12L, Array(0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val init = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trace = Similarity.lloydTrace(corpus, "embedding", "vec_id",
+      init, "embedding", "vec_id", rounds = 2).collect()
+    assert(trace.map(_.getLong(1)).distinct.toSeq === Seq(0L))
+    assert(trace.map(_.getInt(0)).distinct.sorted === Seq(1, 2))
+    trace.foreach(r => assert(r.getLong(2) === 3L))
+    // cid 0's centroid converged to the member mean on round 1, so the
+    // round-2 update reproduces it: c0 identical across rounds
+    val c0 = trace.sortBy(_.getInt(0)).map(_.getDouble(4))
+    assert(c0(0) === c0(1))
+  }
 }
