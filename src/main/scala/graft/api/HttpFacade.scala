@@ -91,6 +91,8 @@ final class HttpFacade(
           balanceRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "mixture")) =>
           mixtureRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "epoch-plan")) =>
+          epochPlanRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -490,6 +492,128 @@ final class HttpFacade(
           "cap" -> r.getLong(2),
           "alloc" -> r.getLong(3),
           "epochs_ppm" -> r.getLong(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Per-document realization of the mixture allocation
+    * (`?domain=<col>&id=<col>&weight=<col>&budget=<long>[&epochs=<int>]
+    * [&limit=<int>]`): graft.ops.Sampling.epochPlan — how many copies of
+    * each document enter the training mix so each domain spends exactly
+    * its water-filled allocation (whole epochs for every doc + one extra
+    * copy for the greedy md5-ordered fractional prefix). The response
+    * carries the domain-sized rollup (n_docs, full_epochs, n_extra,
+    * total_copies — the proof the realization sums back to the
+    * allocation) plus the first `limit` per-doc rows by id (default 100,
+    * cap 1000): the realization is corpus-sized, so the full plan is a
+    * dataset to write, not a payload to serve. Same `maxLabels` bound on
+    * domain cardinality as the mixture route. */
+  private def epochPlanRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val domain = qp.get("domain").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      val weight = qp.get("weight").filter(_.nonEmpty)
+      val budget = qp.get("budget").flatMap(_.toLongOption)
+      val epochs = qp.get("epochs").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("epochs must be an integer")); return
+        case Some(Some(e)) => e
+        case None => 2
+      }
+      val limit = qp.get("limit").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("limit must be an integer")); return
+        case Some(Some(l)) => l
+        case None => 100
+      }
+      if (domain.isEmpty || idCol.isEmpty || weight.isEmpty) {
+        sendJson(ex, 400,
+          detail("domain, id and weight parameters are required")); return
+      }
+      if (budget.isEmpty || budget.exists(_ < 0)) {
+        sendJson(ex, 400,
+          detail("budget parameter is required and must be >= 0")); return
+      }
+      if (epochs < 1) {
+        sendJson(ex, 400, detail("epochs must be >= 1")); return
+      }
+      if (limit < 0 || limit > 1000) {
+        sendJson(ex, 400,
+          detail("limit must be between 0 and 1000")); return
+      }
+      val unknown = Seq(domain.get, idCol.get, weight.get)
+        .filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      val numeric = df.schema(weight.get).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      if (!numeric) {
+        sendJson(ex, 400,
+          detail(s"Weight column ${weight.get} is not numeric")); return
+      }
+      val groupable = df.schema(domain.get).dataType match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+      if (!groupable) {
+        sendJson(ex, 400, detail(
+          s"Column ${domain.get} is not groupable (map type)")); return
+      }
+      import org.apache.spark.sql.functions.{col, count, expr, lit, min, sum}
+      val maxLabels = 1000
+      val plan = graft.ops.Sampling.epochPlan(df, domain.get, idCol.get,
+        weight.get, expr(s"avail * $epochs"), budget.get).persist()
+      try {
+        // full_epochs = min(n_copies): the fractional prefix never covers
+        // a whole domain (frac < avail), so some doc always sits at the
+        // whole-epoch floor
+        val rollup = plan.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_copies")).as("full_epochs"),
+            sum(col("n_copies")).as("total_copies"),
+            sum(col("n_copies") * col("w")).as("spent_weight"))
+          .orderBy(col("domain").asc_nulls_last)
+          .limit(maxLabels + 1).collect()
+        if (rollup.length > maxLabels) {
+          sendJson(ex, 400, detail(
+            s"Column ${domain.get} has more than $maxLabels distinct " +
+              "values — epoch plans are for domain-like columns")); return
+        }
+        val sample = plan.limit(limit).collect()
+        sendJson(ex, 200, Json.obj(
+          "table" -> tablePath,
+          "domain" -> domain.get,
+          "id" -> idCol.get,
+          "weight" -> weight.get,
+          "budget" -> budget.get,
+          "epochs_cap" -> epochs.toLong,
+          "domains" -> rollup.toSeq.map(r => Json.Raw(Json.obj(
+            "domain" -> (if (r.isNullAt(0)) null else String.valueOf(r.get(0))),
+            "n_docs" -> r.getLong(1),
+            "full_epochs" -> r.getLong(2),
+            "n_extra" -> (r.getLong(3) - r.getLong(2) * r.getLong(1)),
+            "total_copies" -> r.getLong(3),
+            "spent_weight" -> r.getLong(4)))),
+          "sample" -> sample.toSeq.map(r => Json.Raw(Json.obj(
+            "id" -> String.valueOf(r.get(0)),
+            "domain" -> (if (r.isNullAt(1)) null else String.valueOf(r.get(1))),
+            "w" -> r.getLong(2),
+            "n_copies" -> r.getLong(3))))))
+      } finally plan.unpersist()
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -281,6 +281,57 @@ class HttpFacadeSpec extends SparkSuite {
       "?domain=a&weight=b&budget=1").statusCode === 400)
   }
 
+  test("epoch-plan route: realized mixture with rollup + sample, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nation
+      USING parquet LOCATION '$sf/nation.parquet'""")
+    // realization semantics are pinned in SamplingSpec; here assert the
+    // route wiring: 5 domain rollups that sum back to the allocation,
+    // and a per-doc sample bounded by limit
+    val m = get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&id=n_nationkey&weight=n_nationkey" +
+      "&budget=30&epochs=2&limit=3")
+    assert(m.statusCode === 200, m.body)
+    assert(m.body.contains("\"budget\":30"), m.body)
+    assert(m.body.contains("\"epochs_cap\":2"), m.body)
+    Seq("n_docs", "full_epochs", "n_extra", "total_copies", "spent_weight")
+      .foreach(f => assert(m.body.contains("\"" + f + "\":"), m.body))
+    assert("\"n_docs\":".r.findAllIn(m.body).size === 5, m.body)
+    assert("\"n_copies\":".r.findAllIn(m.body).size === 3, m.body)
+    // spent_weight never exceeds the domain's allocation: cross-check
+    // against the mixture route on identical params
+    val alloc = get("/api/v1/catalog/tables/httpapi.nation/mixture" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=30&epochs=2")
+    val allocs = "\"alloc\":(\\d+)".r.findAllMatchIn(alloc.body)
+      .map(_.group(1).toLong).toSeq
+    val spent = "\"spent_weight\":(\\d+)".r.findAllMatchIn(m.body)
+      .map(_.group(1).toLong).toSeq
+    assert(spent.length === allocs.length)
+    spent.zip(allocs).foreach { case (s, a) => assert(s <= a, m.body) }
+    // required params / validation edges
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&weight=n_nationkey&budget=30")
+      .statusCode === 400) // missing id
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&id=n_nationkey&weight=n_nationkey&budget=-1")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&id=n_nationkey&weight=n_name&budget=5")
+      .statusCode === 400) // non-numeric weight
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&id=n_nationkey&weight=n_nationkey&budget=5" +
+      "&limit=1001").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nation/epoch-plan" +
+      "?domain=n_regionkey&id=n_nationkey&weight=n_nationkey&budget=5" +
+      "&epochs=0").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nosuch/epoch-plan" +
+      "?domain=a&id=b&weight=c&budget=1").statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/epoch-plan" +
+      "?domain=a&id=b&weight=c&budget=1").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
