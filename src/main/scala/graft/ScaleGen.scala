@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
  * workload *shape* per copy while keeping copies disjoint in the similarity
  * spaces the operators search:
  *
- *  - documents: copy k ≠ 0 rewrites every whitespace token `w` → `w⁚k`
- *    (suffix on a char no fixture token contains), so within-copy shingle
- *    sets — and therefore the n-gram Jaccard / MinHash / SimHash pair
- *    structure, duplicate RATE, and cluster-size histogram — are identical
- *    to sf0.1's, while cross-copy Jaccard is exactly 0. A naive 10×
- *    row-copy would instead give every doc 10 exact clones and inflate
- *    candidate pairs ~100× per cluster — measuring an artifact, not
- *    scaling. n_chars is recomputed to stay consistent with the text.
+ *  - documents: copy k ≠ 0 rewrites every whitespace token `w` → `w⁚k…k`
+ *    (k repetitions of `k`, prefixed by a char no fixture token contains),
+ *    so within-copy shingle sets — and therefore the n-gram Jaccard /
+ *    MinHash / SimHash pair structure, duplicate RATE, and cluster-size
+ *    histogram — are identical to sf0.1's, while cross-copy Jaccard is
+ *    exactly 0. A naive 10× row-copy would instead give every doc 10
+ *    exact clones and inflate candidate pairs ~100× per cluster —
+ *    measuring an artifact, not scaling. The suffix LENGTH varies per
+ *    copy deliberately: a fixed-length suffix (`⁚k1`, `⁚k2`, …) leaves
+ *    every copy's BYTE-NIBBLE histogram identical (all digits share
+ *    nibble 0x3), which made copies 1–9 mutual cosine-1 near-dups in
+ *    m04's feature space — disjointness must hold in EVERY similarity
+ *    space the operators search, and the per-copy byte count (3+k per
+ *    word, nibbles 0x6/0x8/0x9/0xE) separates the histograms by ≫ the
+ *    ppm near-dup threshold. n_chars is recomputed to stay consistent
+ *    with the text.
  *  - embeddings: copy k applies a deterministic per-dimension sign flip
  *    (diagonal ±1 orthogonal transform keyed on murmur3(dim, k)): norms
  *    and all within-copy inner products are preserved bit-for-bit, so
@@ -67,7 +75,7 @@ object ScaleGen {
       val txt =
         if (k == 0) col("text")
         else array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("⁚k" + k))), " ")
+          w => concat(w, lit("⁚" + "k" * k))), " ")
       df.select(
         (col("doc_id") + lit(k * IdStride)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),

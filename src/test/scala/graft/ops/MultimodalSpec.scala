@@ -111,4 +111,63 @@ class MultimodalSpec extends SparkSuite {
     assert(collect(Multimodal.mediaNearDupScaled(spark, media)) ===
       collect(Multimodal.mediaNearDup(spark, media)))
   }
+
+  test("grid tier: pair set identical to brute force on the fixture corpus") {
+    // 50 real documents — near-collinear English byte histograms, the
+    // regime where the round-6 scale probe caught the LSH/brute pair of
+    // tiers going quadratic. The grid tier must reproduce the brute
+    // tier's verified pair set EXACTLY (recall-1 blocking + the shared
+    // ppmExact gate), including planted exact duplicates.
+    import spark.implicits._
+    val base = Tables(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    val planted = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog"),
+      (9005L, "the quick brown fox jumps over the lazy dog"), // same format as 9001
+      (9013L, ""), (9017L, "")                                // empty pair
+    ).toDF("doc_id", "text")
+    val hists = Multimodal.histsForTest(spark,
+      Multimodal.mediaFromDocuments(base.unionAll(planted)))
+    val thr2 = 999990L * 999990L
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Multimodal.brutePairsOf(hists, thr2, 4))
+    val grid = pairs(Multimodal.gridPairsOf(hists, 999990, thr2, 4))
+    assert(brute.contains((9001L, 9005L)) && brute.contains((9013L, 9017L)))
+    assert(grid === brute)
+  }
+
+  test("grid tier: neighbor replication catches a pair in ADJACENT cells") {
+    import spark.implicits._
+    // Hand-built histograms at ppm = 999000 (w = √(2·10⁻³) ≈ 0.0447):
+    // rows 1 and 5 have normalized bin-1 coordinates ≈ 0.0400 / 0.0797 —
+    // cells 0 and 1, DIFFERENT — while their cosine ≈ 0.999202 passes the
+    // gate, so only the 3×3 neighbor replication can find the pair. Row 9
+    // (bin-1 ≈ 0.447) drives the variance pick to bin 1 and is below the
+    // gate against both. Rows 13/17 are the all-zero sentinel pair.
+    def h(b0: Long, b1: Long): Array[Long] =
+      Array(b0, b1) ++ Array.fill(14)(0L)
+    val hists = Seq(
+      (1L, "png", h(10000, 400), 100160000L),
+      (5L, "png", h(10000, 800), 100640000L),
+      (9L, "png", h(10000, 5000), 125000000L),
+      (13L, "png", h(0, 0), 0L), (17L, "png", h(0, 0), 0L)
+    ).toDF("id", "format", "hist", "nn")
+    val pairs = Multimodal.gridPairsOf(hists, 999000, 999000L * 999000L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 5L), (13L, 17L)))
+  }
+
+  test("grid tier: threshold 10^6 (w -> 0 guard) still pairs exact dups") {
+    import spark.implicits._
+    val hists = Seq(
+      (1L, "png", Array(7777L) ++ Array.fill(15)(0L), 7777L * 7777L),
+      (5L, "png", Array(7777L) ++ Array.fill(15)(0L), 7777L * 7777L),
+      (9L, "png", Array(0L, 7777L) ++ Array.fill(14)(0L), 7777L * 7777L)
+    ).toDF("id", "format", "hist", "nn")
+    assert(Multimodal.gridCellWidth(1000000) > 0)
+    val pairs = Multimodal.gridPairsOf(hists, 1000000, 1000000L * 1000000L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 5L))) // orthogonal row 9 never pairs
+  }
 }
