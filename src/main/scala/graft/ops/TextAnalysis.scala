@@ -677,6 +677,87 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+   * Extracting high quality monolingual datasets from web crawl data"):
+   * rank every document by corpus-LM fluency — the [[bigramLmScore]]
+   * exact-integer score, mean per bigram — and split the corpus into
+   * head / middle / tail terciles, the curation knob CCNet ships
+   * ("keep head+middle; sample tail at a reduced rate"). Output per
+   * doc: (id, n_bigrams, mean_scaled, bucket).
+   *
+   * Buckets are VALUE-based, not rank-based: b1 is the LARGEST mean
+   * score whose ≥-count reaches ceil(n/3) (b2 likewise at ceil(2n/3)),
+   * so equal scores always land in the same (better) bucket, membership
+   * is a pure function of the score, and the DuckDB oracle reproduces
+   * the split exactly — an NTILE split would break ties by row order
+   * and make the bucket an artifact of partitioning.
+   *
+   * Scale design: the boundary search is the classic two-phase
+   * distributed quantile. Phase 1 aggregates a 257-cell histogram of
+   * the (bounded, integer) mean score — the collect is O(1) in corpus
+   * size — and locates each boundary's cell plus its residual rank.
+   * Phase 2 aggregates ONLY that cell's rows by distinct value and runs
+   * one descending cumulative window over those distinct values — a
+   * single-partition window, but over at most cellWidth (≈3.9M)
+   * distinct integers and usually far fewer, never over the corpus.
+   * Final bucket assignment is a map-side comparison against two
+   * boundary literals; the corpus is never globally sorted.
+   */
+  def perplexityBuckets(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // scores ride three consumers (histogram, boundary cells, final
+    // assignment) — one materialization of the LM-join pipeline
+    val scored = bigramLmScore(docs, textCol, idCol)
+      .select(col("id"), col("n_bigrams"),
+        expr("sum_scaled div greatest(n_bigrams, 1L)").as("mean_scaled"))
+      .localCheckpoint(true)
+    val cellW = 3906250L // 1e9 / 256; per-bigram scores are <= 1e9
+    val coarse = scored
+      .groupBy(expr(s"mean_scaled div $cellW").as("cb"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val n = coarse.map(_._2).sum
+    val empty = scored.select(col("id"), col("n_bigrams"),
+      col("mean_scaled"), lit("tail").as("bucket"))
+    if (n == 0) return empty
+    // locate the cell holding rank r (counting from the top value down)
+    // and the residual rank within it
+    def locate(r: Long): (Long, Long) = {
+      var above = 0L
+      var i = 0
+      while (i < coarse.length && above + coarse(i)._2 < r) {
+        above += coarse(i)._2
+        i += 1
+      }
+      if (i < coarse.length) (coarse(i)._1, r - above)
+      else (coarse.last._1, coarse.last._2) // unreachable for r <= n
+    }
+    // exact boundary: the largest value in the cell whose within-cell
+    // >=-cumulative reaches the residual rank
+    def boundary(cell: Long, rr: Long): Long =
+      scored.filter(expr(s"mean_scaled div $cellW") === cell)
+        .groupBy(col("mean_scaled")).agg(count(lit(1)).as("c"))
+        .withColumn("cge",
+          sum(col("c")).over(Window.orderBy(col("mean_scaled").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cge") >= rr)
+        .agg(max(col("mean_scaled")))
+        .head().getLong(0)
+    val (cell1, rr1) = locate((n + 2) / 3)
+    val (cell2, rr2) = locate((2 * n + 2) / 3)
+    val b1 = boundary(cell1, rr1)
+    val b2 = boundary(cell2, rr2)
+    scored.select(col("id"), col("n_bigrams"), col("mean_scaled"),
+      when(col("mean_scaled") >= b1, lit("head"))
+        .when(col("mean_scaled") >= b2, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------
   // Sliding-window chunking (RAG / context-window preparation)
   // ------------------------------------------------------------------

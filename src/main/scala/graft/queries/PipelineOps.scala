@@ -538,6 +538,12 @@ object PipelineOps {
       TextAnalysis.filterChain(docs(s, d), "text", "doc_id",
         allowedLangs = Seq("en", "de", "fr"), minQuality = 0.6)
     },
+    "t25_perplexity_buckets" -> { (s, d) =>
+      // CCNet head/middle/tail terciles over the t14 corpus-LM fluency
+      // score — value-based boundaries (ties share a bucket), exact
+      // integers end to end
+      TextAnalysis.perplexityBuckets(docs(s, d), "text", "doc_id")
+    },
     "t23_quote_containment" -> { (s, d) =>
       // directional decontamination: corpus docs containing >= 20 % of a
       // probe doc's (ids < 20) distinct 3-word shingles — the asymmetric
@@ -1635,6 +1641,45 @@ object PipelineOps {
          SELECT d.id, coalesce(a.n_bigrams, 0) AS n_bigrams,
                 coalesce(a.sum_scaled, 0) AS sum_scaled
          FROM d LEFT JOIN agg a ON d.id = a.id ORDER BY d.id""",
+    // CCNet terciles over the t14 score: same LM chain, then VALUE-based
+    // boundaries — b1 = largest mean whose >=-cumulative reaches
+    // ceil(n/3) (ties share the better bucket), b2 at ceil(2n/3); the
+    // engine's two-phase histogram search finds the same two integers
+    "t25_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         bg AS (SELECT id,
+             unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+           FROM d),
+         b2 AS (SELECT id, u.w1 AS w1, u.w2 AS w2 FROM bg),
+         tok AS (SELECT unnest(w) AS t FROM d),
+         uc AS (SELECT t, count(*) AS u FROM tok GROUP BY t),
+         vc AS (SELECT count(*) AS v FROM uc),
+         bc AS (SELECT w1, w2, count(*) AS b FROM b2 GROUP BY w1, w2),
+         sc AS (SELECT b2.id,
+             (1000000000 * (bc.b + 1)) // (uc.u + vc.v) AS s
+           FROM b2 JOIN bc USING (w1, w2) JOIN uc ON b2.w1 = uc.t
+           CROSS JOIN vc),
+         agg AS (SELECT id, count(*) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS sum_scaled FROM sc GROUP BY id),
+         ms AS (SELECT d.id,
+             CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(a.sum_scaled, 0)
+               // greatest(coalesce(a.n_bigrams, 0), 1) AS BIGINT)
+               AS mean_scaled
+           FROM d LEFT JOIN agg a ON d.id = a.id),
+         nn AS (SELECT count(*) AS n FROM ms),
+         g AS (SELECT mean_scaled AS m, count(*) AS c FROM ms GROUP BY 1),
+         cum AS (SELECT m, sum(c) OVER (ORDER BY m DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cge FROM g),
+         b AS (SELECT max(CASE WHEN cge >= (n + 2) // 3 THEN m END) AS b1,
+                  max(CASE WHEN cge >= (2 * n + 2) // 3 THEN m END) AS b2
+               FROM cum CROSS JOIN nn)
+         SELECT ms.id, ms.n_bigrams, ms.mean_scaled,
+           CASE WHEN ms.mean_scaled >= b.b1 THEN 'head'
+                WHEN ms.mean_scaled >= b.b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM ms CROSS JOIN b ORDER BY ms.id""",
     // integer BM25: same tokenization as t14, log-free rational idf
     // (x1e6), x1e4 length normalization, one floor division per factor —
     // exact integers end to end; top-10 total-ordered by (score, id)

@@ -189,6 +189,37 @@ class TextAnalysisSpec extends SparkSuite {
       (3L, 0L, 0L)))           // single-word doc: no bigrams
   }
 
+  test("perplexityBuckets: value-based terciles, hand-computed; ties share") {
+    // U(a)=U(b)=5, singles c,d,e,f,x; V=7
+    // s(a,b) = floor(6e9/12) = 500000000; s(b,a) = s(c,d) = s(e,f) =
+    // floor((B+1)e9/(U+7)) = 250000000
+    // means: doc3 500000000 | doc1=doc2 (identical) 416666666 |
+    //        doc4=doc5 250000000 | doc6 (no bigrams) 0
+    // n=6 -> r1=2, r2=4; b1 = largest mean with >=-count >= 2 =
+    // 416666666 (ties pull BOTH copies into head, head grows to 3);
+    // b2 = 250000000. Boundaries land in coarse cells 106 and 64 —
+    // both phases of the histogram search run.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "a b"),
+      (4L, "c d"), (5L, "e f"), (6L, "x")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 416666666L, "head"), (2L, 416666666L, "head"),
+      (3L, 500000000L, "head"),
+      (4L, 250000000L, "middle"), (5L, 250000000L, "middle"),
+      (6L, 0L, "tail")))
+  }
+
+  test("perplexityBuckets: an all-tied corpus is all head") {
+    val docs = Seq((1L, "p q"), (2L, "p q"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq === Seq((1L, "head"), (2L, "head"), (3L, "head")))
+  }
+
   test("slidingChunks covers every word with overlap; final chunk may be short") {
     val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y"))
       .toDF("doc_id", "text")

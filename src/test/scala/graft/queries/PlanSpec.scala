@@ -200,6 +200,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
+  test("t25: bucket assignment is a map-side compare against literal " +
+      "boundaries — no corpus window, join, or global sort") {
+    val df = graft.queries.PipelineOps.queries("t25_perplexity_buckets")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the two-phase quantile runs driver-side against bounded aggregates
+    // BEFORE this plan exists; the returned corpus-sized plan must be:
+    // checkpointed scores -> Project(CASE vs two literals) -> output sort.
+    // Any Window/Join/Aggregate here would mean the boundary search
+    // leaked into the corpus-sized plan.
+    assert(!plan.contains("Window") && !plan.contains("Join") &&
+      !plan.contains("HashAggregate") && !plan.contains("Generate"), plan)
+    // AQE prints the initial plan below the final one — count the final
+    // section only, else the one range-partitioning exchange doubles
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+  }
+
   test("d11: semdedup pairs join equi-keyed on the cluster column") {
     val df = graft.queries.PipelineOps.queries("d11_semdedup")(spark, sf)
     df.collect()
