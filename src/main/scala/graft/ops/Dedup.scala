@@ -328,6 +328,62 @@ object Dedup {
   }
 
   /**
+   * Dedup-threshold sensitivity sweep — the audit a pipeline runs BEFORE
+   * committing to a similarity threshold: one row per candidate
+   * threshold with the qualifying pair count, the documents any pair
+   * touches, the documents one-hop min-id dedup would drop, and the drop
+   * rate (ppm of the corpus). Threshold tuning is table stakes in
+   * curation papers (Gopher/RefinedWeb both report sweeps); without this
+   * view the threshold is picked blind.
+   *
+   * Dropped = distinct `id_b`: pairs are emitted id_a < id_b, so a doc
+   * is dropped by min-id dedup exactly when it appears on the b side of
+   * some qualifying pair — no rep computation needed per threshold.
+   *
+   * Scale design: the similarity join runs ONCE, at the LOWEST candidate
+   * threshold (the verified pair set at t_min contains every higher
+   * threshold's set — `sim` is a per-pair scalar, so each sweep row is a
+   * filter over the same pairs, not a re-join). The checkpointed pair
+   * set is bounded by the true near-dup mass at t_min; the sweep
+   * replicates only PAIR rows (24 bytes) × |thresholds| through a
+   * broadcast-thresholds theta join, never the corpus, and collapses
+   * immediately in keyed aggregates.
+   */
+  def thresholdSweep(
+      docs: DataFrame, textCol: String, idCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      shingleLen: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs >= 1 threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, shingleLen,
+      thresholds.min, maxShingleFreq).localCheckpoint(true)
+    val total = math.max(docs.select(col(idCol)).count(), 1L) // ANSI div-0
+    val tDf = thresholds.sorted.toDF("threshold")
+    val byPair = pairs
+      .join(broadcast(tDf), col("sim") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val byDoc = pairs
+      .select(col("sim"), explode(array(
+        struct(col("id_a").as("id"), lit(false).as("is_b")),
+        struct(col("id_b").as("id"), lit(true).as("is_b")))).as("e"))
+      .select(col("sim"), col("e.id").as("id"), col("e.is_b").as("is_b"))
+      .join(broadcast(tDf), col("sim") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("id")).as("n_docs_touched"),
+        countDistinct(when(col("is_b"), col("id"))).as("n_dropped"))
+    tDf.join(byPair, Seq("threshold"), "left")
+      .join(byDoc, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        expr(s"1000000L * coalesce(n_dropped, 0L) div ${total}L")
+          .as("drop_ppm"))
+      .orderBy(col("threshold"))
+  }
+
+  /**
    * One row per doc with its one-hop cluster representative: keep_id = min
    * id among {self} ∪ verified neighbors. Deterministic, single extra
    * aggregation over the (small) verified-pair set. For TRANSITIVE

@@ -827,6 +827,12 @@ object PipelineOps {
       graft.ops.TimeSeries.sessionize(Tables(s, d, "events"),
         "user_id", "ts", "event_id", gap = "30 minutes")
     },
+    "x08_threshold_sweep" -> { (s, d) =>
+      // pick-the-threshold audit: pair/doc/drop counts at each candidate
+      // Jaccard threshold, from ONE pair materialization at the lowest
+      Dedup.thresholdSweep(docs(s, d), "text", "doc_id",
+        thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    },
     "x07_dedup_impact" -> { (s, d) =>
       // data-card accounting: per source, how many docs and chars exact
       // dedup removes — exact integers, ppm fixed point
@@ -2623,6 +2629,37 @@ object PipelineOps {
              AS session_ix,
            is_session_start
          FROM s ORDER BY event_id""",
+    // threshold sweep: brute-force pair set with retained sim (the d04
+    // shingle CTEs), then per-threshold counts; dropped = distinct id_b
+    // (pairs are id_a < id_b, so a b-side doc always has a smaller
+    // neighbor); zero-pair thresholds keep their row via the left joins
+    "x08_threshold_sweep" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+           lower(trim(text)) AS lt FROM documents),
+         sh AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM d),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS sim
+           FROM sh a JOIN sh b ON a.id < b.id),
+         pq AS (SELECT * FROM p WHERE sim >= 0.5),
+         t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+         tot AS (SELECT count(*) AS n FROM d),
+         e AS (SELECT sim, id_a AS id, false AS is_b FROM pq
+               UNION ALL SELECT sim, id_b, true FROM pq),
+         a1 AS (SELECT t.threshold, count(pq.id_a) AS n_pairs
+                FROM t LEFT JOIN pq ON pq.sim >= t.threshold GROUP BY 1),
+         a2 AS (SELECT t.threshold,
+                  count(DISTINCT e.id) AS n_docs_touched,
+                  count(DISTINCT CASE WHEN e.is_b THEN e.id END) AS n_dropped
+                FROM t LEFT JOIN e ON e.sim >= t.threshold GROUP BY 1)
+         SELECT a1.threshold, a1.n_pairs, a2.n_docs_touched, a2.n_dropped,
+           CAST(1000000 * a2.n_dropped // greatest(tot.n, 1) AS BIGINT)
+             AS drop_ppm
+         FROM a1 JOIN a2 USING (threshold) CROSS JOIN tot
+         ORDER BY a1.threshold""",
     // dedup impact: d01's digest windows aggregated per source
     "x07_dedup_impact" ->
       """WITH dec AS (SELECT doc_id, source, n_chars,

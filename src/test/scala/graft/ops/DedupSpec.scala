@@ -372,4 +372,44 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === ((3L, 1L, 3L, true)))    // longest wins
     assert(out(4L) === ((4L, 4L, 4L, true)))    // singleton survives
   }
+
+  test("thresholdSweep: hand-computed counts per threshold, one pair set") {
+    import spark.implicits._
+    // shingle sets (3-grams): doc1/doc2 identical (4 shingles, J = 1.0);
+    // doc3 shares 3 of 5 union with them (J = 3/5 = 0.6 exactly — the
+    // boundary case: both engines compute 3.0/5.0 and compare to the
+    // same 0.6 double, so >= holds at t = 0.6 and fails at 0.7);
+    // doc4 is disjoint.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e x"),
+      (4L, "q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(docs, "text", "doc_id",
+        thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // t <= 0.6: pairs (1,2) J=1, (1,3) J=.6, (2,3) J=.6 -> 3 pairs,
+    // docs {1,2,3}, dropped = distinct id_b {2,3}, ppm = 2e6 div 4
+    assert(out(0.5) === ((3L, 3L, 2L, 500000L)))
+    assert(out(0.6) === ((3L, 3L, 2L, 500000L)))
+    // t >= 0.7: only the exact pair (1,2) survives
+    assert(out(0.7) === ((1L, 2L, 1L, 250000L)))
+    assert(out(0.8) === ((1L, 2L, 1L, 250000L)))
+    assert(out(0.9) === ((1L, 2L, 1L, 250000L)))
+    intercept[IllegalArgumentException](
+      Dedup.thresholdSweep(docs, "text", "doc_id", thresholds = Nil))
+  }
+
+  test("thresholdSweep: a threshold with zero pairs keeps its zero row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(docs, "text", "doc_id",
+        thresholds = Seq(0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq((0.5, 0L, 0L), (0.9, 0L, 0L)))
+  }
 }
