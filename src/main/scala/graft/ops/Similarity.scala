@@ -699,6 +699,82 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /**
+   * IVF nprobe tuning sweep — e10's recall number swept across the knob
+   * that actually trades recall for cost: one row per candidate `nprobe`
+   * with the candidate rows scored (the cost axis), the exact-top-k hits
+   * summed over the query set, and recall@k in ppm (the quality axis).
+   * This is the curve an ANN deployment reads before fixing nprobe; a
+   * single-point recall (e10) can't show where the curve saturates.
+   *
+   * Scale design, the x08 sweep device in ANN form: the corpus is scored
+   * ONCE against the union of probed lists at max(nprobes) — per-query
+   * centroid ranks come from one bounded-heap pass over a broadcast
+   * centroid table, and the scored candidate set (query_id, crank, id,
+   * sim) is checkpointed. Every sweep row is then a `crank <= nprobe`
+   * filter over those candidates (a probed-at-2 list is a subset of
+   * probed-at-4 by construction), re-ranked per (nprobe, query) in a
+   * KEYED window — the corpus never re-joins, and the brute-force
+   * baseline runs once. Determinism: engine-stable full-rank centroid
+   * ordering needs adjacent-rank margins above float noise — measured
+   * ≥ 3.4e-4 on the fixtures across ALL ranks (the e02 top-3 margin
+   * argument, extended), so the candidate sets are oracle-checkable.
+   */
+  def nprobeSweep(
+      corpus: DataFrame, vecCol: String, idCol: String, listCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      k: Int = 5, nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobeSweep needs positive nprobe candidates, got $nprobes")
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxP = nprobes.max
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", GraftFunctions.vecCosine(col("qvec"), col("cvec")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qvec")).as("qvec"),
+        TopKAggregator.topK(maxP)(col("csim"), col("cid")).as("__top"))
+      .select(col("query_id"), col("qvec"), posexplode(col("__top._2")))
+      .toDF("query_id", "qvec", "crank0", "cid")
+      .select(col("query_id"), col("qvec"),
+        (col("crank0") + 1).as("crank"), col("cid"))
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(listCol).as("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .select(col("query_id"), col("crank"), col("id"),
+        GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
+      .localCheckpoint(true)
+    val nQueries = queries.select(col(qIdCol)).distinct().count()
+    val pDf = nprobes.distinct.sorted.toDF("nprobe")
+    val cand = scored.join(broadcast(pDf), col("crank") <= col("nprobe"))
+    val counts = cand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val exact = cosineTopK(corpus, vecCol, idCol,
+        queries, qVecCol, qIdCol, k)
+      .select(col("query_id"), col("id"))
+    val hits = cand.filter(col("sim").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("sim").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .join(exact, Seq("query_id", "id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("sum_hits"))
+    pDf.join(counts, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
+        expr(s"1000000L * coalesce(sum_hits, 0L) div " +
+          s"${k.toLong * math.max(nQueries, 1L)}L").as("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`
     * when a clustering column already exists. */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =

@@ -171,6 +171,36 @@ class SimilaritySpec extends SparkSuite {
     assert(recall3 >= 0.3, s"IVF nprobe=3 recall: $recall3")
   }
 
+  test("nprobeSweep: hand-computed recall curve; one candidate set per nprobe") {
+    import spark.implicits._
+    // label 1's min-id centroid (0.99, 0.141) is NEARER the query (1, 0)
+    // than label 0's (0.95, 0.3122), so nprobe=1 probes list 1 only —
+    // which holds the true #1 (id 10) but not the true #2 (id 0, parked
+    // in list 0): recall@2 = 1/2. nprobe=2 probes both lists: recall 1.
+    val corpus = Seq(
+      (0L, Array(0.95f, 0.3122f), 0),
+      (1L, Array(0.6f, 0.8f), 0),
+      (10L, Array(0.99f, 0.141f), 1),
+      (11L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nprobeSweep(corpus, "embedding", "vec_id", "label",
+        queries, "embedding", "vec_id",
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+        "cvec", "cid", k = 2, nprobes = Seq(1, 2))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, 2L, 1L, 500000L),   // list 1 only: candidates {10, 11}, hit {10}
+      (2, 4L, 2L, 1000000L))) // both lists: the full top-2 recovered
+    intercept[IllegalArgumentException](
+      Similarity.nprobeSweep(corpus, "embedding", "vec_id", "label",
+        queries, "embedding", "vec_id",
+        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+        "cvec", "cid", k = 2, nprobes = Nil))
+  }
+
   test("ivfTopKPartitioned: label lists + min-id centroids, full probe = brute force") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)
