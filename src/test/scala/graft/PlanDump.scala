@@ -317,15 +317,50 @@ object PlanDump {
         "generated by an explode, and the final rollup restores " +
         "plain-join values exactly."),
     "m04_media_neardup_lsh" ->
-      ("LSH media tier, AUTO-TIERED: a two-aggregate candidate-mass " +
-        "probe (Σ C(bucket,2) over the banded index vs Σ C(n_format,2)) " +
-        "picks the cheaper pair stage before it runs — on this fixture's " +
-        "near-collinear histograms the probe routes to the broadcast " +
-        "exact tier (so the plan below shows the m03 shape); on " +
-        "angularly-diverse features the banded self-join runs behind an " +
-        "explicit-count exchange (AQE must not fold the tiny pre-join " +
-        "index to one partition). Either path verifies through the " +
-        "identical exact decimal gate, so the tier changes cost only."),
+      ("Media near-dup, AUTO-TIERED three ways by candidate-mass " +
+        "probes: grid blocking on the two highest-CONDITIONAL-variance " +
+        "normalized histogram coordinates (recall exactly 1 by the " +
+        "per-coordinate √(2(1−t)) bound — the tier that fixed the " +
+        "round-6 10×-data blowup), hyperplane LSH for angularly-diverse " +
+        "features, broadcast brute when neither index cuts half the " +
+        "pair work. The probes are bounded aggregates (cell counts, " +
+        "band counts, format counts); the LSH mass is only computed " +
+        "when the grid doesn't already win. Every tier verifies through " +
+        "the identical exact decimal gate, so the probe changes cost, " +
+        "never the answer. The plan below shows whichever tier the " +
+        "fixture's data routed to."),
+    "d16_substring_dedup" ->
+      ("Substring-level exact dedup: sliding 5-word anchors hash-join " +
+        "on md5-60 prefixes (an equi-join on anchor keys — candidates " +
+        "scale with true repeats, not corpus²), then doc-local interval " +
+        "merge and reassembly ride let-bound array algebra inside one " +
+        "projection per doc; the only corpus exchanges are the anchor " +
+        "keyed join and the final ORDER BY."),
+    "e19_lloyd_trace" ->
+      ("Full Lloyd loop: each round is one narrow assignment pass " +
+        "(broadcast centroids, bounded-heap argmax) + keyed partial-agg " +
+        "update; centroid state lives driver-side (O(k·dim)) between " +
+        "rounds, each round persists one generation and unpersists the " +
+        "last, so the loop's lineage and memory stay flat. The plan " +
+        "shows the final round's assignment shape."),
+    "t25_perplexity_buckets" ->
+      ("CCNet terciles: the corpus-sized plan is just checkpointed " +
+        "scores → literal-CASE projection → output sort (pinned in " +
+        "PlanSpec) — the two-phase histogram quantile that found the " +
+        "boundary literals ran on bounded aggregates BEFORE this plan " +
+        "exists, so no Window/Join/Aggregate can appear here."),
+    "x08_threshold_sweep" ->
+      ("Threshold sweep: ONE similarity join at the lowest candidate " +
+        "threshold (checkpointed verified pairs), then a 5-row " +
+        "broadcast theta join replicates PAIR rows — never the corpus — " +
+        "and collapses into keyed aggregates; zero-pair thresholds " +
+        "survive via the left joins."),
+    "e20_nprobe_sweep" ->
+      ("nprobe sweep: per-query centroid ranks from one bounded-heap " +
+        "pass over the broadcast centroid table, one corpus scoring " +
+        "pass at max(nprobes) (checkpointed), then each sweep row is a " +
+        "crank filter + KEYED (nprobe, query) window re-rank; the brute " +
+        "baseline runs once through the same TopKAggregator heap."),
     "q61_variant" ->
       ("parse_json evaluates ONCE per row: the extraction sits behind a " +
         "single-element explode, and predicates on a generator output " +
