@@ -64,6 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramProducts(c(0)) }
     inject("graft_char_pairs", "adjacent character pairs within each word") { c =>
       CharPairsExpr(c(0)) }
+    inject("graft_anchor_hashes", "60-bit md5 of every sliding k-word window") { c =>
+      AnchorHashes(c(0), GraftFunctions.literalInt(c(1), "k")) }
     // Spark's runtime-filter expressions, surfaced for the explicit
     // bloom-prune operators (mirrors graft.ops.Prune.register)
     inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>

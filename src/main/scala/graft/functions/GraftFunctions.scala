@@ -76,6 +76,9 @@ object GraftFunctions {
       (c: Seq[Expression]) => GramProducts(c(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_pairs",
       (c: Seq[Expression]) => CharPairsExpr(c(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_anchor_hashes",
+      (c: Seq[Expression]) => AnchorHashes(c(0),
+        literalInt(c(1), "k")), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -104,4 +107,6 @@ object GraftFunctions {
     call_function("graft_gram_products", vec)
   def charPairs(words: Column): Column =
     call_function("graft_char_pairs", words)
+  def anchorHashes(text: Column, k: Int): Column =
+    call_function("graft_anchor_hashes", text, lit(k))
 }

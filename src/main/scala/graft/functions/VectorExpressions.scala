@@ -952,6 +952,86 @@ object GramProducts {
  * Words shorter than 2 characters contribute nothing; null words are
  * skipped (split never produces them).
  */
+/**
+ * `anchor_hashes(text, k)` — the d16 substring-dedup anchor pass in one
+ * JVM loop: tokenize `lower(trim(text))` on `\s+` (bit-identical to
+ * `Shingles.words` — UTF8String.trim/toLowerCase are the same methods the
+ * `lower`/`trim` expressions call, and Java regex split with limit −1 is
+ * what Spark's `split` does) and emit, for every sliding k-word window,
+ * the 60-bit [[Md5Hash60]] of the space-joined window bytes — the exact
+ * value of `('0x' || substr(md5(...), 1, 15))::BIGINT`, so a DuckDB
+ * oracle can recompute every anchor. Docs shorter than k words emit an
+ * empty array.
+ *
+ * Why native: the HOF form re-evaluated `md5(array_join(slice(words...)))`
+ * through the interpreted lambda path once per window — per-window array
+ * slices, string builds, and expression-tree walks. Here the window bytes
+ * are assembled into one scratch buffer per window from pre-extracted
+ * word byte arrays and hashed directly (the gram_products/char_pairs
+ * device: one referenced-object call inside whole-stage codegen).
+ */
+case class AnchorHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"anchor_hashes needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "anchor_hashes"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // parity with split(lower(trim(text)), "\s+"): same UTF8String
+    // methods as the Lower/StringTrim expressions, then Java regex split
+    // with limit -1 (Spark's split default)
+    val words = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val wb = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wb(w) = words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w += 1
+    }
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var len = k - 1 // separators
+      var j = i
+      while (j < i + k) { len += wb(j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var o = 0
+      j = i
+      while (j < i + k) {
+        val b = wb(j)
+        System.arraycopy(b, 0, buf, o, b.length)
+        o += b.length
+        if (j < i + k - 1) { buf(o) = ' '; o += 1 }
+        j += 1
+      }
+      out(i) = Md5Hash60.hash(buf, 0, len)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahExpr", this, classOf[AnchorHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorHashes =
+    copy(child = newChild)
+}
+
 case class CharPairsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

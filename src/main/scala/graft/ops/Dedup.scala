@@ -625,18 +625,16 @@ object Dedup {
     val k = anchorWords
 
     // (id, pos, ah): one row per sliding window; docs shorter than the
-    // anchor emit nothing (and can never be excised from)
+    // anchor emit nothing (and can never be excised from). The native
+    // anchor_hashes expression computes all window hashes in one JVM
+    // loop per doc (60-bit md5 prefixes as longs — the '0x'||substr
+    // (md5,1,15) oracle device); the HOF form it replaced walked the
+    // interpreted lambda path once per window.
+    GraftFunctions.register(docs.sparkSession)
     val anchors = docs.select(col(idCol).as("id"),
-        Shingles.let(Shingles.words(coalesce(col(textCol), lit("")))) { wds =>
-          when(size(wds) >= k,
-            transform(sequence(lit(0), size(wds) - k), p =>
-              struct(p.as("pos"),
-                substring(md5(array_join(slice(wds, p + 1, lit(k)), " ")),
-                  1, 15).as("ah"))))
-            .otherwise(expr("CAST(array() AS array<struct<pos:int,ah:string>>)"))
-        }.as("aa"))
-      .select(col("id"), explode(col("aa")).as("a"))
-      .select(col("id"), col("a.pos").as("pos"), col("a.ah").as("ah"))
+        posexplode(GraftFunctions.anchorHashes(
+          coalesce(col(textCol), lit("")), k)))
+      .toDF("id", "pos", "ah")
 
     val hot = anchors.groupBy(col("ah"))
       .agg(countDistinct(col("id")).as("df"))

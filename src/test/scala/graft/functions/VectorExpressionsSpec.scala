@@ -371,4 +371,44 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(ne === re)
     assert(ne.contains("a😀"))   // pair spans the emoji intact
   }
+
+  test("anchor_hashes matches the md5-HOF reference, incl. edge strings") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the d16 HOF form this expression replaced: 15-hex-char md5 prefix
+    // per sliding 5-word window — parse to long to compare with the
+    // native Md5Hash60 output
+    def bothOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = graft.ops.Shingles.words(coalesce(col("text"), lit("")))
+      val refCol = graft.ops.Shingles.let(w) { wds =>
+        when(size(wds) >= k,
+          transform(sequence(lit(0), size(wds) - k), p =>
+            substring(md5(array_join(slice(wds, p + 1, lit(k)), " ")),
+              1, 15)))
+          .otherwise(expr("CAST(array() AS array<string>)"))
+      }
+      val ref = df.select(col("doc_id"), refCol.as("r")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[String](1).map(java.lang.Long.parseLong(_, 16)))
+        .toMap
+      val native = df.select(col("doc_id"),
+          graft.functions.GraftFunctions.anchorHashes(
+            coalesce(col("text"), lit("")), k).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      (native, ref)
+    }
+    val docs = graft.tables.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val (nf, rf) = bothOf(docs, 5)
+    assert(nf === rf)
+    val edge = Seq(
+      (1L, "héllo 一二三 a😀b x . 42  spaced\tout words here"),
+      (2L, "  UPPER  Case\tmixed   whitespace "),
+      (3L, "short doc"), (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val (ne, re) = bothOf(edge, 3)
+    assert(ne === re)
+    assert(ne(3L).isEmpty && ne(4L).isEmpty && ne(5L).isEmpty)
+    assert(ne(2L).nonEmpty) // trim/lower/\s+ parity exercised
+  }
 }
