@@ -93,6 +93,8 @@ final class HttpFacade(
           mixtureRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "epoch-plan")) =>
           epochPlanRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "dedup-sweep")) =>
+          dedupSweepRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -498,6 +500,90 @@ final class HttpFacade(
     }
   }
 
+  /** Dedup-threshold sensitivity sweep over any catalog table
+    * (`?text=<col>&id=<col>[&thresholds=0.5,0.7,0.9]`):
+    * graft.ops.Dedup.thresholdSweep — per candidate Jaccard threshold,
+    * the qualifying pair count, documents touched, documents a one-hop
+    * min-id dedup would drop, and the drop rate in ppm. The similarity
+    * join runs once at the lowest candidate; the response is one bounded
+    * row per threshold (the audit a curation UI reads before committing
+    * to a threshold). Validation follows the mixture-route conventions:
+    * 400 for missing/unknown/ill-typed params, 404 for unknown tables. */
+  private def dedupSweepRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (textCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400,
+          detail("text and id parameters are required")); return
+      }
+      val unknown = Seq(textCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val integral = df.schema(idCol.get).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!integral) {
+        sendJson(ex, 400,
+          detail(s"Id column ${idCol.get} is not an integral column"))
+        return
+      }
+      val thresholds = qp.get("thresholds") match {
+        case None => Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        case Some(raw) =>
+          val parsed = raw.split(",").toSeq.map(_.trim).map(_.toDoubleOption)
+          if (parsed.exists(_.isEmpty) || parsed.isEmpty) {
+            sendJson(ex, 400, detail(
+              "thresholds must be a comma-separated list of numbers"))
+            return
+          }
+          val ts = parsed.flatten
+          if (ts.exists(t => t <= 0.0 || t > 1.0) || ts.length > 16) {
+            sendJson(ex, 400, detail(
+              "thresholds must be in (0, 1], at most 16 values")); return
+          }
+          ts
+      }
+      val rows = graft.ops.Dedup.thresholdSweep(df, textCol.get, idCol.get,
+        thresholds).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "text" -> textCol.get,
+        "id" -> idCol.get,
+        "sweep" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "threshold" -> r.getDouble(0),
+          "n_pairs" -> r.getLong(1),
+          "n_docs_touched" -> r.getLong(2),
+          "n_dropped" -> r.getLong(3),
+          "drop_ppm" -> r.getLong(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** Per-document realization of the mixture allocation
     * (`?domain=<col>&id=<col>&weight=<col>&budget=<long>[&epochs=<int>]
     * [&limit=<int>]`): graft.ops.Sampling.epochPlan — how many copies of
@@ -795,6 +881,8 @@ private[api] object Json {
     case b: Boolean => b.toString
     case n: Long => n.toString
     case n: Int => n.toString
+    // NaN/Infinity have no JSON rendering — null, not an invalid token
+    case n: Double => if (java.lang.Double.isFinite(n)) n.toString else "null"
     case xs: Seq[_] => xs.map(render).mkString("[", ",", "]")
     case other => ValueFormat.jsonString(other.toString)
   }

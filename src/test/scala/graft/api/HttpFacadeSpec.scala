@@ -332,6 +332,42 @@ class HttpFacadeSpec extends SparkSuite {
       "?domain=a&id=b&weight=c&budget=1").statusCode === 400)
   }
 
+  test("dedup-sweep route: per-threshold pair/drop counts, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    // sweep semantics are pinned in DedupSpec; here assert route wiring:
+    // one row per threshold, counts monotonically non-increasing
+    val m = get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=text&id=doc_id")
+    assert(m.statusCode === 200, m.body)
+    Seq("threshold", "n_pairs", "n_docs_touched", "n_dropped", "drop_ppm")
+      .foreach(f => assert(m.body.contains("\"" + f + "\":"), m.body))
+    val pairs = "\"n_pairs\":(\\d+)".r.findAllMatchIn(m.body)
+      .map(_.group(1).toLong).toSeq
+    assert(pairs.length === 5, m.body) // default 0.5..0.9
+    pairs.sliding(2).foreach { case Seq(a, b) => assert(a >= b, m.body) }
+    val custom = get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=text&id=doc_id&thresholds=0.6,0.9")
+    assert(custom.statusCode === 200, custom.body)
+    assert("\"threshold\":".r.findAllIn(custom.body).size === 2, custom.body)
+    // validation edges
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=nope&id=doc_id").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=n_chars&id=doc_id").statusCode === 400) // non-string text
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=text&id=text").statusCode === 400) // non-integral id
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=text&id=doc_id&thresholds=abc").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/dedup-sweep" +
+      "?text=text&id=doc_id&thresholds=1.5").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/dedup-sweep" +
+      "?text=text&id=doc_id").statusCode === 404)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
