@@ -263,4 +263,69 @@ object Graphs {
         col("in_deg") === 0L && col("out_deg") >= 3L)
       .orderBy(col("node"))
   }
+
+  /**
+   * Synchronous label-propagation communities (Raghavan et al. 2007,
+   * "Near linear time algorithm to detect community structures in
+   * large-scale networks") over the UNDIRECTED view of the edge list —
+   * the community signal a curation pipeline groups hosts by (mirror
+   * farms, site families, link rings share a community long before
+   * they share text).
+   *
+   * Made DETERMINISTIC (the paper breaks ties randomly and updates
+   * asynchronously, which is unreproducible across engines): updates
+   * are synchronous over a FIXED round count, every node starts as its
+   * own label, each round takes the most frequent neighbor label with
+   * ties to the SMALLEST label — counts are exact integers and the
+   * tie-break is a total order, so an unrolled SQL of the same rule is
+   * bit-identical (the g01/g04 oracle device). Self-loops and duplicate
+   * directed edges drop; the neighbor multiset counts each distinct
+   * undirected neighbor once. Output: (node, community, n_members).
+   *
+   * Scale shape per round: one dst-keyed join of the label table
+   * against the symmetrized edge list, a (src, label) count with
+   * map-side partials, and a per-node min over (−count, label) structs
+   * — label rows are (string, string), each round's table is
+   * checkpointed and the superseded generation released
+   * ([[IterativeMemory]]), so memory and lineage stay flat. Every node
+   * in the symmetrized list has ≥ 1 neighbor, so no isolated-node
+   * branch exists to diverge from the oracle.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels.select(col("node").as("dst"),
+          col("community").as("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      // min over (−count, label): largest count, then smallest label —
+      // one aggregate, no per-node window
+      val next = counts
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m.l").as("community"))
+        .localCheckpoint(true)
+      IterativeMemory.release(labels)
+      labels = next
+    }
+    val sizes = labels.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "community")
+      .select(col("node"), col("community"), col("n_members"))
+      .orderBy(col("node"))
+    IterativeMemory.release(sym)
+    out
+  }
 }

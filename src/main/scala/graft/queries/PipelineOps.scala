@@ -126,6 +126,18 @@ object PipelineOps {
             (CAST(m AS HUGEINT) * 1000000) // mx AS s
           FROM hf$i CROSS JOIN hx$i)"""
 
+  /** One unrolled label-propagation round for the g05 oracle: neighbor
+    * label counts over the symmetrized edge list, then per node the
+    * most frequent label with ties to the smallest (same total order as
+    * Graphs.labelPropagation's min over (−count, label)). MATERIALIZED
+    * for the same inliner reason as [[hitsRound]]. */
+  private def lpRound(i: Int): String =
+    s"""lc$i AS MATERIALIZED (SELECT s.src AS node, l.lbl, count(*) AS c
+          FROM sym s JOIN l${i - 1} l ON s.dst = l.node GROUP BY 1, 2),
+       l$i AS MATERIALIZED (SELECT node, lbl FROM (SELECT node, lbl,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+          FROM lc$i) WHERE rk = 1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
     "d01_exact_dedup" -> { (s, d) =>
@@ -821,6 +833,15 @@ object PipelineOps {
         plantedHost(col("doc_id")).as("src"),
         plantedHost(col("doc_id") * 2 + 1).as("dst"))
       graft.ops.Graphs.hits(edges, "src", "dst", iters = 4)
+    },
+    "g05_communities" -> { (s, d) =>
+      // label-propagation communities over the same planted host graph:
+      // 4 synchronous rounds, most-frequent neighbor label, ties to the
+      // smallest — deterministic, so the unrolled oracle hash-matches
+      val edges = docs(s, d).select(
+        plantedHost(col("doc_id")).as("src"),
+        plantedHost(col("doc_id") * 2 + 1).as("dst"))
+      graft.ops.Graphs.labelPropagation(edges, "src", "dst", iters = 4)
     },
     "r06_funnel" -> { (s, d) =>
       // view -> click -> purchase completion per user, first-touch,
@@ -2564,6 +2585,23 @@ object PipelineOps {
                 CAST(a4.s AS DOUBLE) / 1e6 AS authority
          FROM nodes n JOIN h4 ON n.node = h4.node
          JOIN a4 ON n.node = a4.node ORDER BY n.node""",
+    // label propagation: 4 unrolled rounds over the symmetrized edge
+    // list, most-frequent neighbor label with ties to the smallest —
+    // the same total order as the engine's min over (−count, label)
+    "g05_communities" ->
+      s"""WITH hh AS (SELECT
+           ${duckHost("doc_id")} AS src,
+           ${duckHost("doc_id * 2 + 1")} AS dst
+           FROM documents),
+         e0 AS (SELECT DISTINCT src, dst FROM hh WHERE src <> dst),
+         sym AS (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         ${(1 to 4).map(lpRound).mkString(",\n         ")},
+         sz AS (SELECT lbl, count(*) AS n_members FROM l4 GROUP BY lbl)
+         SELECT l4.node, l4.lbl AS community,
+           CAST(sz.n_members AS BIGINT) AS n_members
+         FROM l4 JOIN sz USING (lbl) ORDER BY l4.node""",
     // same normalized edge list as g01; reciprocity via the reversed
     // self-join; all counts exact integers
     "g02_degree_stats" ->

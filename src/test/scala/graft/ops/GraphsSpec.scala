@@ -111,4 +111,35 @@ class GraphsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Graphs.hits(edges, "s", "t", iters = 0))
   }
+
+  test("labelPropagation: two triangles joined by a bridge separate; " +
+      "deterministic ties") {
+    import spark.implicits._
+    // two triangles a1-a2-a3 and b1-b2-b3 with one bridge a3->b1; the
+    // hand-traced 4-round synchronous run (min-label ties) converges to
+    // community "a1" for the a-side and "a3" for the b-side. Self-loop
+    // and duplicate directed edges must drop.
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a3", "b1"),
+      ("a1", "a1"),           // self-loop: dropped
+      ("a1", "a2"), ("a2", "a1") // duplicate + reverse of an edge
+    ).toDF("s", "t")
+    val out = Graphs.labelPropagation(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    val aSide = Seq("a1", "a2", "a3").map(out(_)._1).distinct
+    val bSide = Seq("b1", "b2", "b3").map(out(_)._1).distinct
+    assert(aSide.length === 1 && bSide.length === 1)
+    assert(aSide.head !== bSide.head)
+    assert(out.values.forall(_._2 === 3L)) // two communities of 3
+    assert(out("a1")._1 === "a1" && out("b1")._1 === "a3") // hand trace
+    // determinism: a second run is identical
+    assert(Graphs.labelPropagation(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap === out)
+    intercept[IllegalArgumentException](
+      Graphs.labelPropagation(edges, "s", "t", iters = 0))
+  }
 }
