@@ -17,6 +17,7 @@ G1="d01_exact_dedup,d02_minhash_dedup,d04_ngram_jaccard,d05_embedding_neardup,t0
 G2="d10_transitive_clusters,d12_minhash_quality,d14_dedup_pipeline,d16_substring_dedup,x04_cluster_histogram"
 G3="t08_contamination,g01_host_pagerank,g04_hits,x03_split_leakage,m04_media_neardup_lsh"
 G4="e01_cosine_topk,e16_pca_power,e19_lloyd_trace,p13_epoch_plan,d08_chunk_dedup,d09_intradoc_dedup"
+G5="t25_perplexity_buckets,x08_threshold_sweep,e20_nprobe_sweep,g05_communities"
 
 if [ ! -f "$SF1/documents.parquet/_SUCCESS" ]; then
   echo "== generating $SF1 (10x sf0.1) =="
@@ -27,7 +28,7 @@ for sf in /root/testdata/sf0.1 "$SF1"; do
   tag=$(basename "$sf" | tr -cd 'a-z0-9.')
   out=/tmp/probe_${tag}.txt
   : > "$out"
-  for g in "$G1" "$G2" "$G3" "$G4"; do
+  for g in "$G1" "$G2" "$G3" "$G4" "$G5"; do
     echo "== $tag  $g =="
     SPARK_GRAFT_SF_DIR=$sf sbt -batch "runMain graft.Bench --child $g" 2>/dev/null \
       | grep GRAFT_TIME | tee -a "$out"
