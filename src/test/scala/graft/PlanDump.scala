@@ -361,6 +361,13 @@ object PlanDump {
         "pass at max(nprobes) (checkpointed), then each sweep row is a " +
         "crank filter + KEYED (nprobe, query) window re-rank; the brute " +
         "baseline runs once through the same TopKAggregator heap."),
+    "g05_communities" ->
+      ("Label propagation: the plan shows the final round's shape — one " +
+        "dst-keyed join of the checkpointed label table against the " +
+        "symmetrized edge list, a (node, label) count with map-side " +
+        "partials, and a per-node min over (−count, label) structs (no " +
+        "per-node window); superseded label generations are released " +
+        "each round so the loop holds one generation live."),
     "q61_variant" ->
       ("parse_json evaluates ONCE per row: the extraction sits behind a " +
         "single-element explode, and predicates on a generator output " +
