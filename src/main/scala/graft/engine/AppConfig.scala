@@ -54,7 +54,7 @@ final case class OtelConfig(
 final case class AppConfig(
     query: QueryConfig = QueryConfig(),
     engine: EngineConfig = EngineConfig(),
-    export: ExportConfig = ExportConfig(),
+    `export`: ExportConfig = ExportConfig(),
     catalog: CatalogConfig = CatalogConfig(),
     otel: OtelConfig = OtelConfig())
 
@@ -81,7 +81,7 @@ object AppConfig {
       engine = EngineConfig(
         memoryLimit = env.getOrElse("ICEBERG_EXPLORER_DUCKDB__MEMORY_LIMIT", "4g"),
         threads = intEnv("ICEBERG_EXPLORER_DUCKDB__THREADS", 4)),
-      export = ExportConfig(
+      `export` = ExportConfig(
         maxSizeBytes = longEnv("ICEBERG_EXPLORER_EXPORT__MAX_SIZE_BYTES", 1073741824L)),
       catalog = CatalogConfig(
         name = env.getOrElse("ICEBERG_EXPLORER_CATALOG__NAME", "default"),

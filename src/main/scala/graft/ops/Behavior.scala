@@ -49,7 +49,7 @@ object Behavior {
       stage = stage
         .join(nxt, stage("key") === col("__k") &&
           col("__t") > stage(prev), "left")
-        .groupBy(stage.columns.map(col): _*)
+        .groupBy(stage.columns.toIndexedSeq.map(col): _*)
         .agg(min(col("__t")).as(cur))
     }
     val depth = steps.indices.map { i =>

@@ -56,7 +56,7 @@ object Prune {
       .select(xxhash64(col(dimKey)).as("__h"))
       .agg(call_function("graft_bloom_agg", col("__h"),
         lit(expectedItems)).as("__bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val pruned =
       if (bf == null) fact.filter(lit(false))  // empty dim: bloom agg is null
       else fact.filter(call_function("graft_might_contain", lit(bf),
