@@ -66,6 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharPairsExpr(c(0)) }
     inject("graft_anchor_hashes", "60-bit md5 of every sliding k-word window") { c =>
       AnchorHashes(c(0), GraftFunctions.literalInt(c(1), "k")) }
+    inject("graft_bpe_segment", "BPE merge-list apply: subword token array") { c =>
+      BpeSegmentExpr(c(0), GraftFunctions.literalMerges(c(1), "merges")) }
     // Spark's runtime-filter expressions, surfaced for the explicit
     // bloom-prune operators (mirrors graft.ops.Prune.register)
     inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>

@@ -37,6 +37,24 @@ object GraftFunctions {
         s"$what must be the string literal 'xx' or 'md5', got $other")
     }
 
+  /** Merge-list wire form for `graft_bpe_segment`: `"a b,c d,..."` —
+   * rank-ordered pairs, sides space-separated. A string literal (not an
+   * array column) because the merge table is part of the OPERATOR, baked
+   * into the expression at plan time like the other literal params. */
+  private[functions] def literalMerges(
+      e: Expression, what: String): Seq[(String, String)] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      s.toString.split(",").toSeq.filter(_.nonEmpty).map { p =>
+        p.split(" ") match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"$what entries must be 'left right' pairs, got '$p'")
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** Register all graft_* functions in the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -79,6 +97,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_anchor_hashes",
       (c: Seq[Expression]) => AnchorHashes(c(0),
         literalInt(c(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_segment",
+      (c: Seq[Expression]) => BpeSegmentExpr(c(0),
+        literalMerges(c(1), "merges")), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -109,4 +130,7 @@ object GraftFunctions {
     call_function("graft_char_pairs", words)
   def anchorHashes(text: Column, k: Int): Column =
     call_function("graft_anchor_hashes", text, lit(k))
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_segment", text,
+      lit(merges.map { case (a, b) => s"$a $b" }.mkString(",")))
 }

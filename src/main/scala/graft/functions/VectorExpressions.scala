@@ -1076,3 +1076,125 @@ case class CharPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharPairsExpr =
     copy(child = newChild)
 }
+
+/**
+ * `bpe_segment(text, merges)` — apply a learned byte-pair-encoding merge
+ * list to segment text into subword tokens: the APPLY half of the
+ * tokenizer whose TRAIN half is `TextAnalysis.bpePairCounts` (t22
+ * computes the round-one merge statistics; this expression consumes the
+ * resulting ranked merge list). Token counts under a real vocabulary are
+ * the number every mixture/packing decision (p03/p11/p12) otherwise
+ * proxies with whitespace-word counts.
+ *
+ * Semantics (deliberately oracle-expressible): words are the maximal
+ * `[a-z0-9]+` runs of `lower(text)` (the separator-free alphabet lets a
+ * SQL oracle replay the merge chain with string `replace`); each word
+ * starts as its character sequence, then the merges are applied IN RANK
+ * ORDER, each rank as ONE left-to-right non-overlapping greedy pass
+ * (fold: if the accumulator's last token equals `a` and the next equals
+ * `b`, fuse to `ab`, else append). For well-formed merge lists — every
+ * multi-character side produced by a strictly earlier merge, the
+ * invariant real BPE training guarantees — this is equivalent to the
+ * tokenizer's min-rank loop; unlike that loop it stays a pure function
+ * of rank order, so an unrolled fixed-round SQL oracle can reproduce it
+ * for ANY list. Output: the final token array, words concatenated in
+ * document order.
+ *
+ * Scale: O(|merges| · len) per document, zero exchange (the merge table
+ * is baked into the expression — for the bounded curation vocabularies
+ * this serves, cheaper than broadcasting; a 50k-merge production vocab
+ * would instead carry a pair→rank hash map and run the min-rank loop,
+ * same expression shape, different inner device). One referenced-object
+ * call inside whole-stage codegen, like the other graft expressions.
+ */
+case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "bpe_segment needs >= 1 merge")
+  require(merges.size <= 256,
+    s"bpe_segment rank-order sweep is priced for bounded merge lists; " +
+      s"got ${merges.size} > 256 (use a pair-rank map + min-rank loop at " +
+      "vocabulary scale)")
+  require(merges.forall { case (a, b) =>
+    a.nonEmpty && b.nonEmpty && (a + b).matches("[a-z0-9]+") },
+    "bpe_segment merge sides must be non-empty [a-z0-9]+ strings")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+  }
+
+  @transient private lazy val mergeA: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val mergeB: Array[String] = merges.map(_._2).toArray
+
+  /** One left-to-right non-overlapping greedy pass of merge (a, b).
+   * Continuing AFTER a fusion (the fused token is never re-checked as
+   * the `b` side, and can only re-match as `a` against the NEXT token)
+   * is exactly the "continue after the replacement" semantics of SQL
+   * `replace` on the `|t1||t2|`-wrapped form — the oracle's device. */
+  private def mergePass(toks: Array[String], nIn: Int,
+                        a: String, b: String): Int = {
+    var out = 0
+    var i = 0
+    while (i < nIn) {
+      val t = toks(i)
+      if (out > 0 && (t == b) && (toks(out - 1) == a)) {
+        toks(out - 1) = a + b
+      } else {
+        toks(out) = t
+        out += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = text.toLowerCase.toString
+    val m = BpeSegmentExpr.Word.matcher(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    while (m.find()) {
+      val word = m.group()
+      // alphabet is [a-z0-9], so char == code point — no surrogate care
+      val toks = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        toks(i) = String.valueOf(word.charAt(i))
+        i += 1
+      }
+      var n = word.length
+      var r = 0
+      while (r < mergeA.length && n > 1) {
+        n = mergePass(toks, n, mergeA(r), mergeB(r))
+        r += 1
+      }
+      i = 0
+      while (i < n) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpeSegmentExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+}
+
+object BpeSegmentExpr {
+  private val Word = java.util.regex.Pattern.compile("[a-z0-9]+")
+}

@@ -369,6 +369,81 @@ object TextAnalysis {
     docs.select(explode(pairs).as("pair"))
   }
 
+  /**
+   * Default BPE merge list for [[bpeSegment]] — a 16-rank, well-formed
+   * vocabulary (every multi-character side is produced by a strictly
+   * earlier merge, the invariant real BPE training guarantees) that
+   * builds the corpus's own head words through up-to-4-round merge
+   * chains: t+a → ta+b → l+e → tab+le assembles "table"; likewise
+   * "scan", "value", "row", "window"'s `ind`. Rank order is position.
+   */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
+    "r" -> "o", "ro" -> "w",
+    "i" -> "n", "in" -> "d",
+    "e" -> "r")
+
+  /**
+   * BPE apply/segmenter (t26) — the APPLY half of the tokenizer whose
+   * TRAIN half is [[bpePairCounts]] (t22's round-one merge statistics):
+   * segment each document under a learned rank-ordered merge list and
+   * report the token count a real vocabulary would produce — the number
+   * every mixture/packing decision (p03/p11/p12) otherwise proxies with
+   * whitespace-word counts. Semantics live in
+   * [[graft.functions.BpeSegmentExpr]] (words = `[a-z0-9]+` runs of
+   * `lower(text)`; merges applied in rank order, one left-to-right
+   * greedy pass each — oracle-reproducible via nested SQL `replace`
+   * over a separator-wrapped form).
+   *
+   * Output per doc: `(id, n_words, n_chars, n_tokens, tokens_per_char_ppm,
+   * seg_prefix)` — counts as exact integers, the ppm ratio by truncating
+   * integer division (the house exact-arithmetic convention), and the
+   * first 200 chars of the space-joined segmentation as direct evidence
+   * the SEGMENTS match, not just their count. Scale: embarrassingly
+   * parallel, one codegen'd expression call per doc, zero exchange; the
+   * only shuffle is the output ORDER BY, which a sink that doesn't need
+   * global order would drop.
+   */
+  def bpeSegment(docs: DataFrame, textCol: String, idCol: String,
+                 merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = graft.functions.GraftFunctions.bpeSegment(col(textCol), merges)
+    docs
+      .select(col(idCol).as("id"), lower(col(textCol)).as("t"),
+        toks.as("toks"))
+      .select(col("id"),
+        size(regexp_extract_all(col("t"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_words"),
+        length(regexp_replace(col("t"), "[^a-z0-9]", "")).cast("long")
+          .as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        substring(array_join(col("toks"), " "), 1, 200).as("seg_prefix"))
+      .withColumn("tokens_per_char_ppm",
+        when(col("n_chars") === 0, 0L)
+          .otherwise(expr("1000000L * n_tokens div n_chars")))
+      .orderBy(col("id"))
+  }
+
+  /** HOF/string reference form of [[bpeSegment]]'s token array — the
+    * oracle's own device (each word wrapped `|c1||c2|…|`, words joined
+    * by `#`, one literal `replace` per merge rank, then split on
+    * `[|#]+`), kept executable for the VectorExpressionsSpec
+    * equivalence gate against the native expression. */
+  private[graft] def bpeSegmentHof(
+      text: Column, merges: Seq[(String, String)]): Column = {
+    val ws = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val wrapped = transform(ws, w =>
+      concat(lit("|"),
+        array_join(filter(split(w, ""), c => c =!= ""), "||"), lit("|")))
+    val s0 = array_join(wrapped, "#")
+    val sN = merges.foldLeft(s0) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    filter(split(sN, "[|#]+"), t => t =!= "")
+  }
+
   // ------------------------------------------------------------------
   // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   // ------------------------------------------------------------------

@@ -555,6 +555,12 @@ object PipelineOps {
       // within words, corpus-wide exact counts + doc frequencies
       TextAnalysis.bpePairCounts(docs(s, d), "text", "doc_id", k = 30)
     },
+    "t26_bpe_apply" -> { (s, d) =>
+      // the apply half of t22's trainer: segment every doc under the
+      // 16-rank default merge list, real-vocabulary token counts + a
+      // segmentation prefix as direct evidence
+      TextAnalysis.bpeSegment(docs(s, d), "text", "doc_id")
+    },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
       // clean encoding, lang in {en, de, fr} — per-doc verdicts +
@@ -1942,6 +1948,39 @@ object PipelineOps {
                 count(DISTINCT id) AS n_docs
          FROM pr GROUP BY pair
          ORDER BY n_occurrences DESC, pair LIMIT 30""",
+    // BPE apply: replay the engine's exact merge semantics with the
+    // same device the engine's HOF reference uses — each word wrapped
+    // |c1||c2|…|, words joined by '#', ONE literal replace per merge
+    // rank (SQL replace's continue-after-replacement scan IS the
+    // left-to-right non-overlapping greedy pass), tokens recovered by
+    // splitting on [|#]+. The replace chain is generated from the SAME
+    // DefaultMerges constant the engine uses, so the two sides cannot
+    // drift.
+    "t26_bpe_apply" -> {
+      val chain = graft.ops.TextAnalysis.DefaultMerges.foldLeft(
+        "array_to_string(wr, '#')") { case (acc, (a, b)) =>
+        s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH d AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+         w AS (SELECT id, regexp_extract_all(t, '[a-z0-9]+') AS ws,
+                      CAST(length(regexp_replace(t, '[^a-z0-9]', '', 'g'))
+                           AS BIGINT) AS n_chars FROM d),
+         s AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_words, n_chars,
+                 list_transform(ws, w -> '|' ||
+                   array_to_string(string_split(w, ''), '||') || '|') AS wr
+               FROM w),
+         r AS (SELECT id, n_words, n_chars, $chain AS fs FROM s),
+         tk AS (SELECT id, n_words, n_chars,
+                  list_filter(string_split_regex(fs, '[|#]+'),
+                              x -> x <> '') AS toks FROM r)
+         SELECT id, n_words, n_chars,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                substr(array_to_string(toks, ' '), 1, 200) AS seg_prefix,
+                CASE WHEN n_chars = 0 THEN 0
+                     ELSE 1000000 * CAST(len(toks) AS BIGINT) // n_chars
+                END AS tokens_per_char_ppm
+         FROM tk ORDER BY id"""
+    },
     // ABTT residuals: the e16 CTE chain through v8 = the ×1e6 integer
     // direction, then the projection coefficient (one sign/abs
     // truncating division per vector, HUGEINT-widened) and per-

@@ -411,4 +411,31 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(ne(3L).isEmpty && ne(4L).isEmpty && ne(5L).isEmpty)
     assert(ne(2L).nonEmpty) // trim/lower/\s+ parity exercised
   }
+
+  test("bpe_segment matches the replace-device HOF reference on the corpus") {
+    GraftFunctions.register(spark)
+    val merges = graft.ops.TextAnalysis.DefaultMerges
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val out = docs.select(
+      GraftFunctions.bpeSegment(col("text"), merges).as("native"),
+      graft.ops.TextAnalysis.bpeSegmentHof(col("text"), merges).as("ref"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("bpe_segment rejects malformed merge tables loudly") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1("text")).toDF("t")
+    // empty side
+    intercept[Exception] {
+      df.select(GraftFunctions.bpeSegment(col("t"), Seq("" -> "a"))).collect()
+    }
+    // non-alphabet side (would be invisible to the [a-z0-9]+ tokenizer)
+    intercept[Exception] {
+      df.select(GraftFunctions.bpeSegment(col("t"), Seq("A" -> "b"))).collect()
+    }
+  }
 }

@@ -485,4 +485,39 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.toSeq === Seq(
       ("hé", 2L), ("ll", 2L), ("lo", 2L), ("él", 2L)))
   }
+
+  test("bpeSegment: hand-segmented fixtures incl. multi-round merge chains") {
+    val df = Seq(
+      (1L, "The TABLE scan"),        // 4-round chain builds "table" whole
+      (2L, "value row window"),      // value/row fuse; window -> w ind o w
+      (3L, "Ta-ble!! 42"),           // punctuation splits words; digits pass
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeSegment(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))).toMap
+    // "the" has no merges in the table -> stays t h e; table/scan fuse
+    // through 4- and 3-round chains (t+a, ta+b, l+e, tab+le / s+c, sc+a,
+    // sca+n)
+    assert(out(1L) === ((3L, 12L, 5L, "t h e table scan", 416666L)))
+    // window: i+n then in+d fire, the rest never match -> w ind o w
+    assert(out(2L) === ((3L, 14L, 6L, "value row w ind o w", 428571L)))
+    // "ta-ble" splits at '-' so tab+le can't see across; 42 stays chars
+    assert(out(3L) === ((3L, 7L, 5L, "ta b le 4 2", 714285L)))
+    assert(out(4L) === ((0L, 0L, 0L, "", 0L)))
+  }
+
+  test("bpeSegment: greedy pass is non-overlapping and never re-merges its own output") {
+    val df = Seq(
+      (1L, "tata"),   // (t,a) fires twice left-to-right -> ta ta
+      (2L, "ttata"),  // leading t can't pair with t -> t ta ta
+      (3L, "tabb")    // after ta+b -> tab, the next b must NOT merge
+                      // (pair is (ta,b), last token is now "tab")
+    ).toDF("doc_id", "text")
+    val segs = TextAnalysis.bpeSegment(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(segs(1L) === "ta ta")
+    assert(segs(2L) === "t ta ta")
+    assert(segs(3L) === "tab b")
+  }
 }
