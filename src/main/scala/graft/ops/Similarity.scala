@@ -775,6 +775,38 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
+  /**
+   * nprobe × nlist tuning surface (the e20 extension): the deployment
+   * decision is two-dimensional — how many inverted lists to build AND
+   * how many to probe — and a single-nlist curve can't show that a
+   * coarser index at higher nprobe often dominates a finer one at lower
+   * (same candidate mass, better recall). Each `(nlist, listCol)` config
+   * runs [[nprobeSweep]]'s one-scoring-pass sweep against its own
+   * min-id-member centroids ([[minIdCentroids]] — a member vector, so
+   * the centroid itself adds no float noise) and the rows union with an
+   * `nlist` tag: one extra scoring pass per extra nlist value, never a
+   * re-join per (nlist, nprobe) cell. For a config with fewer lists than
+   * max(nprobes) the high-nprobe rows saturate at the full corpus — the
+   * curve's visible ceiling, kept (not dropped) so the surface is
+   * rectangular.
+   */
+  def nprobeNlistSweep(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      listConfigs: Seq[(Int, String)],
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int = 5, nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(listConfigs.nonEmpty, "nprobeNlistSweep needs >= 1 list config")
+    listConfigs.map { case (nl, lc) =>
+      nprobeSweep(corpus, vecCol, idCol, lc, queries, qVecCol, qIdCol,
+        minIdCentroids(corpus, vecCol, idCol, lc), "cvec", "cid",
+        k, nprobes)
+        .withColumn("nlist", lit(nl.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("nlist"), col("nprobe"), col("n_candidates"),
+        col("sum_hits"), col("recall_ppm"))
+      .orderBy(col("nlist"), col("nprobe"))
+  }
+
   /** Per-label mean vectors — a deterministic centroid set for `ivfTopK`
     * when a clustering column already exists. */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =

@@ -461,16 +461,18 @@ object PipelineOps {
       Similarity.annRecall(exact, approx, k = 5)
     },
     "e20_nprobe_sweep" -> { (s, d) =>
-      // the e10 recall number swept across nprobe 1/2/4/8 — candidate
-      // cost vs recall@5, one corpus scoring pass at nprobe=8 (full-rank
-      // centroid margins measured >= 3.4e-4 on the fixtures, so the
-      // candidate sets are engine-stable)
+      // the e10 recall number swept across the 2-D deployment grid:
+      // nprobe 1/2/4/8 × nlist {10 = the native labels, 5 = label % 5
+      // coarse lists} — candidate cost vs recall@5, ONE corpus scoring
+      // pass per nlist at nprobe=8 (full-rank centroid margins measured
+      // on the fixtures for both list sets, so the candidate sets are
+      // engine-stable)
       val corpus = embs(s, d)
+        .withColumn("label5", pmod(col("label"), lit(5)))
       val queries = corpus.filter(col("vec_id") < 10)
-      Similarity.nprobeSweep(corpus, "embedding", "vec_id", "label",
-        queries, "embedding", "vec_id",
-        Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
-        "cvec", "cid", k = 5, nprobes = Seq(1, 2, 4, 8))
+      Similarity.nprobeNlistSweep(corpus, "embedding", "vec_id",
+        Seq(10 -> "label", 5 -> "label5"),
+        queries, "embedding", "vec_id", k = 5, nprobes = Seq(1, 2, 4, 8))
     },
     "e06_pq_assign" -> { (s, d) =>
       // product quantization: 64-dim vectors → 4 subspaces of 16 dims,
@@ -2134,29 +2136,43 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id,
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
-    // nprobe sweep: e02's probe/score CTEs at the max candidate (8),
-    // each sweep row a crank filter; brute baseline = e01's CTEs; the
-    // null-sim filter sits before ranking on both engines (rankTopK /
-    // the Spark window both drop null sims) while n_candidates counts
-    // ALL scored rows on both sides
-    "e20_nprobe_sweep" ->
-      """WITH cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
-           FROM embeddings GROUP BY label),
-         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+    // nprobe × nlist sweep: e02's probe/score CTEs at the max candidate
+    // (8), ONE chain per nlist config (10 = native labels, 5 = label % 5
+    // coarse lists — suffixes _a/_b, generated from the same config list
+    // shape the engine uses), each sweep row a crank filter; brute
+    // baseline = e01's CTEs, shared across configs (it doesn't depend on
+    // the index). The null-sim filter sits before ranking on both
+    // engines while n_candidates counts ALL scored rows on both sides.
+    "e20_nprobe_sweep" -> {
+      def cfg(sfx: String, grp: String, probe: String): String =
+        s"""cent_$sfx AS (SELECT $grp AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY $grp),
+         p0_$sfx AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS crank
-           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
-         probed AS (SELECT query_id, qvec, cid, crank FROM p0 WHERE crank <= 8),
-         scored AS (SELECT p.query_id, p.crank, a.vec_id AS id,
+           FROM embeddings e CROSS JOIN cent_$sfx c WHERE e.vec_id < 10),
+         probed_$sfx AS (SELECT query_id, qvec, cid, crank FROM p0_$sfx WHERE crank <= 8),
+         scored_$sfx AS (SELECT p.query_id, p.crank, a.vec_id AS id,
              list_cosine_similarity(a.embedding, p.qvec) AS sim
-           FROM embeddings a JOIN probed p ON a.label = p.cid),
-         np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
-         cand AS (SELECT np.nprobe, s.query_id, s.id, s.sim
-           FROM np JOIN scored s ON s.crank <= np.nprobe),
-         rk AS (SELECT nprobe, query_id, id,
+           FROM embeddings a JOIN probed_$sfx p ON $probe = p.cid),
+         cand_$sfx AS (SELECT np.nprobe, s.query_id, s.id, s.sim
+           FROM np JOIN scored_$sfx s ON s.crank <= np.nprobe),
+         rk_$sfx AS (SELECT nprobe, query_id, id,
              row_number() OVER (PARTITION BY nprobe, query_id
                ORDER BY sim DESC, id) AS rk
-           FROM cand WHERE sim IS NOT NULL),
+           FROM cand_$sfx WHERE sim IS NOT NULL),
+         h_$sfx AS (SELECT rk.nprobe, count(*) AS sum_hits
+           FROM rk_$sfx rk JOIN exk USING (query_id, id)
+           WHERE rk.rk <= 5 GROUP BY 1),
+         cc_$sfx AS (SELECT nprobe, count(*) AS n_candidates
+           FROM cand_$sfx GROUP BY 1)"""
+      def sel(sfx: String, nlist: Int): String =
+        s"""SELECT CAST($nlist AS BIGINT) AS nlist, np.nprobe,
+           coalesce(cc_$sfx.n_candidates, 0) AS n_candidates,
+           coalesce(h_$sfx.sum_hits, 0) AS sum_hits,
+           CAST(1000000 * coalesce(h_$sfx.sum_hits, 0) // 50 AS BIGINT) AS recall_ppm
+         FROM np LEFT JOIN cc_$sfx USING (nprobe) LEFT JOIN h_$sfx USING (nprobe)"""
+      s"""WITH np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
          exsc AS (SELECT q.vec_id AS query_id, a.vec_id AS id,
              list_cosine_similarity(a.embedding, q.embedding) AS sim
            FROM embeddings a CROSS JOIN
@@ -2165,15 +2181,13 @@ object PipelineOps {
              row_number() OVER (PARTITION BY query_id
                ORDER BY sim DESC, id) AS xrk
            FROM exsc WHERE sim IS NOT NULL) WHERE xrk <= 5),
-         h AS (SELECT rk.nprobe, count(*) AS sum_hits
-           FROM rk JOIN exk USING (query_id, id)
-           WHERE rk.rk <= 5 GROUP BY 1),
-         cc AS (SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY 1)
-         SELECT np.nprobe, coalesce(cc.n_candidates, 0) AS n_candidates,
-           coalesce(h.sum_hits, 0) AS sum_hits,
-           CAST(1000000 * coalesce(h.sum_hits, 0) // 50 AS BIGINT) AS recall_ppm
-         FROM np LEFT JOIN cc USING (nprobe) LEFT JOIN h USING (nprobe)
-         ORDER BY np.nprobe""",
+         ${cfg("a", "label", "a.label")},
+         ${cfg("b", "label % 5", "a.label % 5")}
+         ${sel("a", 10)}
+         UNION ALL
+         ${sel("b", 5)}
+         ORDER BY nlist, nprobe"""
+    },
     // Winnowing with Md5Hash60 gram hashes: k=8 char-grams of the
     // whitespace-collapsed lowercased text, window-of-4 minima, distinct.
     // The explicit whitespace class matches the Spark side byte for byte

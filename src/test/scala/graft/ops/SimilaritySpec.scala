@@ -201,6 +201,33 @@ class SimilaritySpec extends SparkSuite {
         "cvec", "cid", k = 2, nprobes = Nil))
   }
 
+  test("nprobeNlistSweep: surface rows; coarse config saturates at its list count") {
+    import spark.implicits._
+    // same planted geometry as the curve test, plus an all-in-one-list
+    // coarse config (label0 = 0): nlist=1 probes everything at ANY
+    // nprobe — every row is the brute-force result, the surface's
+    // visible ceiling.
+    val corpus = Seq(
+      (0L, Array(0.95f, 0.3122f), 0),
+      (1L, Array(0.6f, 0.8f), 0),
+      (10L, Array(0.99f, 0.141f), 1),
+      (11L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("label0", lit(0))
+    val queries = Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nprobeNlistSweep(corpus, "embedding", "vec_id",
+        Seq(2 -> "label", 1 -> "label0"),
+        queries, "embedding", "vec_id", k = 2, nprobes = Seq(1, 2))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1, 4L, 2L, 1000000L), // one list holds all 4: already exact
+      (1L, 2, 4L, 2L, 1000000L), // probing "more" lists changes nothing
+      (2L, 1, 2L, 1L, 500000L),  // fine index, 1 probe: half the top-2
+      (2L, 2, 4L, 2L, 1000000L)))
+  }
+
   test("ivfTopKPartitioned: label lists + min-id centroids, full probe = brute force") {
     val corpus = embeddings
     val queries = corpus.filter(col("vec_id") < 10)
