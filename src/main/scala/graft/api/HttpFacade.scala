@@ -95,6 +95,8 @@ final class HttpFacade(
           epochPlanRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "dedup-sweep")) =>
           dedupSweepRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "substring-dedup")) =>
+          substringDedupRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -578,6 +580,129 @@ final class HttpFacade(
           "n_docs_touched" -> r.getLong(2),
           "n_dropped" -> r.getLong(3),
           "drop_ppm" -> r.getLong(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Substring-level (ExactSubstr) dedup excision audit over any catalog
+    * table (`?text=<col>&id=<col>[&anchor=5][&max_doc_freq=1]
+    * [&limit=100]`): graft.ops.Dedup.substringDedup — the curation UI's
+    * "what did ExactSubstr remove" view. The response carries the corpus
+    * rollup (docs affected, words dropped, excised spans, drop ppm — the
+    * number a curator compares against the dedup-sweep route before
+    * committing) plus the `limit` most-affected documents by
+    * (n_dropped desc, id), default 100, cap 1000. `kept_text` is
+    * deliberately NOT served: the excised corpus is a dataset to write,
+    * not a payload (the epoch-plan route's argument). Validation follows
+    * the dedup-sweep conventions: 400 for missing/unknown/ill-typed
+    * params, 404 for unknown tables. */
+  private def substringDedupRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (textCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400,
+          detail("text and id parameters are required")); return
+      }
+      val unknown = Seq(textCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val integral = df.schema(idCol.get).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!integral) {
+        sendJson(ex, 400,
+          detail(s"Id column ${idCol.get} is not an integral column"))
+        return
+      }
+      val anchor = qp.get("anchor").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("anchor must be an integer")); return
+        case Some(Some(a)) => a
+        case None => 5
+      }
+      if (anchor < 1 || anchor > 64) {
+        sendJson(ex, 400, detail("anchor must be between 1 and 64")); return
+      }
+      val maxDocFreq = qp.get("max_doc_freq").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("max_doc_freq must be an integer")); return
+        case Some(Some(m)) => m
+        case None => 1
+      }
+      if (maxDocFreq < 1) {
+        sendJson(ex, 400, detail("max_doc_freq must be >= 1")); return
+      }
+      val limit = qp.get("limit").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("limit must be an integer")); return
+        case Some(Some(l)) => l
+        case None => 100
+      }
+      if (limit < 0 || limit > 1000) {
+        sendJson(ex, 400,
+          detail("limit must be between 0 and 1000")); return
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val rep = graft.ops.Dedup.substringDedup(df, textCol.get, idCol.get,
+        anchor, maxDocFreq).drop("kept_text").persist()
+      try {
+        val r = rep.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_dropped") > 0, 1L).otherwise(0L))
+            .as("n_docs_affected"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_dropped")).as("total_dropped"),
+          sum(col("n_spans")).as("total_spans")).collect()(0)
+        def lg(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+        val (nDocs, nAffected) = (lg(0), lg(1))
+        val (totWords, totDropped, totSpans) = (lg(2), lg(3), lg(4))
+        val dropPpm =
+          if (totWords == 0L) 0L else 1000000L * totDropped / totWords
+        val sample = rep
+          .orderBy(col("n_dropped").desc, col("id")).limit(limit).collect()
+        sendJson(ex, 200, Json.obj(
+          "table" -> tablePath,
+          "text" -> textCol.get,
+          "id" -> idCol.get,
+          "anchor_words" -> anchor.toLong,
+          "max_doc_freq" -> maxDocFreq.toLong,
+          "n_docs" -> nDocs,
+          "n_docs_affected" -> nAffected,
+          "total_words" -> totWords,
+          "total_dropped" -> totDropped,
+          "total_spans" -> totSpans,
+          "drop_ppm" -> dropPpm,
+          "most_affected" -> sample.toSeq.map(row => Json.Raw(Json.obj(
+            "id" -> String.valueOf(row.get(0)),
+            "n_words" -> row.getLong(1),
+            "n_dropped" -> row.getLong(2),
+            "n_spans" -> row.getLong(3))))))
+      } finally rep.unpersist()
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -368,6 +368,64 @@ class HttpFacadeSpec extends SparkSuite {
       "?text=text&id=doc_id").statusCode === 404)
   }
 
+  test("substring-dedup route: excision rollup + most-affected sample, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    // excision semantics are pinned in DedupSpec (d16); here assert route
+    // wiring: rollup fields present, invariants hold, sample bounded
+    val m = get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&limit=5")
+    assert(m.statusCode === 200, m.body)
+    Seq("n_docs", "n_docs_affected", "total_words", "total_dropped",
+      "total_spans", "drop_ppm", "most_affected")
+      .foreach(f => assert(m.body.contains("\"" + f + "\":"), m.body))
+    def lg(field: String): Long =
+      ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(m.body).get.group(1).toLong
+    assert(lg("n_docs") === spark.table("httpapi.documents").count())
+    assert(lg("n_docs_affected") <= lg("n_docs"), m.body)
+    assert(lg("total_dropped") <= lg("total_words"), m.body)
+    assert(lg("drop_ppm") ===
+      (if (lg("total_words") == 0) 0L
+       else 1000000L * lg("total_dropped") / lg("total_words")), m.body)
+    val sampleDrops = "\"n_dropped\":(\\d+)".r.findAllMatchIn(
+        m.body.substring(m.body.indexOf("most_affected")))
+      .map(_.group(1).toLong).toSeq
+    assert(sampleDrops.length <= 5, m.body)
+    // most-affected ordering: n_dropped non-increasing
+    sampleDrops.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, m.body)
+      case _ => ()
+    }
+    // limit=0: rollup only
+    val r0 = get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&limit=0")
+    assert(r0.statusCode === 200, r0.body)
+    assert(!r0.body.substring(r0.body.indexOf("most_affected"))
+      .contains("\"n_words\":"), r0.body)
+    // validation edges, dedup-sweep conventions
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=nope&id=doc_id").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=n_chars&id=doc_id").statusCode === 400) // non-string text
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=text").statusCode === 400) // non-integral id
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&anchor=0").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&anchor=abc").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&max_doc_freq=0").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/substring-dedup" +
+      "?text=text&id=doc_id&limit=1001").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/substring-dedup" +
+      "?text=text&id=doc_id").statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/substring-dedup" +
+      "?text=text&id=doc_id").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
