@@ -563,6 +563,19 @@ object PipelineOps {
       // segmentation prefix as direct evidence
       TextAnalysis.bpeSegment(docs(s, d), "text", "doc_id")
     },
+    "p14_corpus_build" -> { (s, d) =>
+      // the capstone: filter -> split -> decontaminate -> dedup ->
+      // mixture/epochs (t26 token weights) -> pack -> shuffle, one row
+      // per (doc, copy) with the curation verdict trail
+      graft.ops.CorpusBuild.corpusBuild(docs(s, d), "text", "doc_id",
+        "lang", "n_chars")
+    },
+    "x09_data_card" -> { (s, d) =>
+      // the release data card: the same composition rolled up to one row
+      graft.ops.CorpusBuild.dataCard(
+        graft.ops.CorpusBuild.corpusBuild(docs(s, d), "text", "doc_id",
+          "lang", "n_chars"))
+    },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
       // clean encoding, lang in {en, de, fr} — per-doc verdicts +
@@ -1088,6 +1101,244 @@ object PipelineOps {
            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
            LEFT JOIN m$r m ON m.cid = c.cid AND m.dim = i.i - 1
            GROUP BY c.cid)"""
+
+  /** t24 verdict CTE chain through `v` (id, quality, gopher_keep,
+    * is_suspect, predicted_lang, q_ok, l_ok) — shared verbatim by the
+    * t24 oracle and the p14/x09 corpus-build composition so the two
+    * sides cannot drift. */
+  private val duckFilterChainCtes =
+    """b AS (SELECT doc_id AS id, text,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+           FROM documents),
+         qr AS (SELECT id, n_chars, n_words,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio
+           FROM b),
+         q AS (SELECT id,
+           CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
+                 CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
+                 CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE) / 10.0 AS quality
+           FROM qr),
+         tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         gc AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+             list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)]) AS top_freq,
+             list_sum([length(t) FOR t IN w]) AS sum_len
+           FROM tok),
+         gr AS (SELECT id,
+             CASE WHEN n_words > 0 THEN CAST(CAST(sum_len AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN CAST(CAST(top_freq AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS top_ratio,
+             CASE WHEN n_words > 0 THEN CAST(CAST(n_distinct AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS distinct_ratio
+           FROM gc),
+         g AS (SELECT id, (mean_word_len BETWEEN 3.0 AND 10.0
+                AND top_ratio < 0.2 AND distinct_ratio > 0.3) AS gopher_keep
+           FROM gr),
+         mc AS (SELECT doc_id AS id, length(text) AS n_chars,
+           length(text) - length(replace(text, '�', '')) AS n_replacement,
+           2 * length(text) - length(replace(text, 'Ã', ''))
+             - length(replace(text, 'â', '')) AS n_latin1_marks
+           FROM documents),
+         m AS (SELECT id,
+           (CASE WHEN n_chars > 0 THEN
+             (n_replacement + n_latin1_marks) * 1000000 // n_chars
+             ELSE 0 END) >= 1000 AS is_suspect FROM mc),
+         h AS (SELECT id,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok),
+         best AS (SELECT id, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS bb FROM h),
+         l AS (SELECT id, CASE WHEN (bb).hits > 0 THEN (bb).lang
+               ELSE 'und' END AS predicted_lang FROM best),
+         v AS (SELECT q.id, q.quality, g.gopher_keep, m.is_suspect,
+             l.predicted_lang,
+             q.quality >= 0.6 AS q_ok,
+             l.predicted_lang IN ('en', 'de', 'fr') AS l_ok
+           FROM q JOIN g USING (id) JOIN m USING (id) JOIN l USING (id))"""
+
+  /** t26 BPE-apply replace chain over a wrapped-word expression —
+    * shared by the t26 oracle and the p14 token-weight CTEs. */
+  private def duckBpeReplaceChain(base: String): String =
+    graft.ops.TextAnalysis.DefaultMerges.foldLeft(base) {
+      case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+
+  /** The p14 corpus-build composition, one CTE block per engine stage
+    * (CorpusBuild.corpusBuild mirrors this chain 1:1; constants are the
+    * p14 gate configuration: split k=3 protect 0, cross-threshold 0.5,
+    * dedup 0.7, lang domains, 2-epoch caps, 70k token budget, 1024-token
+    * bins over 8 shards, shuffle seed "p14"). MATERIALIZED on every
+    * multiply-referenced CTE — left to the inliner, the shared prefixes
+    * re-expand exponentially (the e16/e19 oracle lesson). */
+  private lazy val duckCorpusBuildSql: String = {
+    val bucketOfUid =
+      "((strpos('0123456789abcdef', substr(md5(uid), 1, 1)) - 1) * 16 + " +
+        "strpos('0123456789abcdef', substr(md5(uid), 2, 1)) - 1)"
+    s"""WITH RECURSIVE $duckFilterChainCtes,
+         fcv AS MATERIALIZED (SELECT id, predicted_lang,
+             (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
+             CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
+                    THEN NULL
+                  WHEN NOT q_ok THEN 'quality'
+                  WHEN NOT gopher_keep THEN 'repetition'
+                  WHEN is_suspect THEN 'encoding'
+                  ELSE 'language' END AS reject_reason
+           FROM v),
+         tw AS (SELECT doc_id AS id, lower(text) AS tt FROM documents),
+         tww AS (SELECT id, regexp_extract_all(tt, '[a-z0-9]+') AS tws FROM tw),
+         tws2 AS (SELECT id, list_transform(tws, x -> '|' ||
+             array_to_string(string_split(x, ''), '||') || '|') AS twr FROM tww),
+         twr2 AS (SELECT id, ${duckBpeReplaceChain("array_to_string(twr, '#')")} AS tfs FROM tws2),
+         wts AS MATERIALIZED (SELECT id,
+             CAST(len(list_filter(string_split_regex(tfs, '[|#]+'),
+               x -> x <> '')) AS BIGINT) AS w FROM twr2),
+         fsurv AS MATERIALIZED (SELECT id FROM fcv WHERE keep),
+         sp AS MATERIALIZED (SELECT id,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 2, 1)) - 1) % 3 AS INT) AS split
+           FROM fsurv),
+         cw0 AS MATERIALIZED (SELECT d.doc_id AS id,
+             regexp_split_to_array(lower(trim(d.text)), '\\s+') AS w,
+             lower(trim(d.text)) AS lt
+           FROM documents d JOIN fsurv ON d.doc_id = fsurv.id),
+         csh AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM cw0),
+         cp AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b
+           FROM csh a JOIN csh b ON a.id < b.id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         clab AS (SELECT cp.id_a, cp.id_b, sa.split AS sa, sb.split AS sb
+           FROM cp JOIN sp sa ON cp.id_a = sa.id JOIN sp sb ON cp.id_b = sb.id),
+         chits AS (SELECT id, min(linked) AS linked_id FROM (
+             SELECT id_b AS id, id_a AS linked FROM clab WHERE sa = 0 AND sb <> 0
+             UNION ALL
+             SELECT id_a, id_b FROM clab WHERE sb = 0 AND sa <> 0)
+           GROUP BY id),
+         csv AS MATERIALIZED (SELECT sp.id, sp.split,
+             ch.linked_id IS NOT NULL AS is_removed
+           FROM sp LEFT JOIN chits ch ON sp.id = ch.id),
+         dd0 AS MATERIALIZED (SELECT d.doc_id AS id, d.text, d.n_chars
+           FROM documents d JOIN csv ON d.doc_id = csv.id
+           WHERE NOT csv.is_removed AND csv.split <> 0),
+         der AS MATERIALIZED (SELECT id,
+             min(id) OVER (PARTITION BY text) AS exact_rep FROM dd0),
+         ds0 AS (SELECT dd0.id, dd0.text, dd0.n_chars
+           FROM dd0 JOIN der ON dd0.id = der.id WHERE der.id = der.exact_rep),
+         dw0 AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+             lower(trim(text)) AS lt, n_chars FROM ds0),
+         dsh AS MATERIALIZED (SELECT id, n_chars, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM dw0),
+         dp AS (SELECT a.id AS id_a, b.id AS id_b FROM dsh a JOIN dsh b ON a.id < b.id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         de AS (SELECT id_a AS a, id_b AS b FROM dp UNION ALL SELECT id_b, id_a FROM dp),
+         dreach(id, r) AS (SELECT a, a FROM de
+           UNION SELECT dreach.id, de.b FROM dreach JOIN de ON dreach.r = de.a),
+         dcomp AS (SELECT id, min(r) AS keep FROM dreach GROUP BY id),
+         dcl AS (SELECT s.id, s.n_chars,
+             least(s.id, coalesce(c.keep, s.id)) AS cluster_rep
+           FROM dsh s LEFT JOIN dcomp c ON s.id = c.id),
+         dcan AS (SELECT id, cluster_rep,
+             first_value(id) OVER (PARTITION BY cluster_rep
+               ORDER BY n_chars DESC, id) AS canonical_id
+           FROM dcl),
+         ddv AS MATERIALIZED (SELECT der.id, der.id = dcan.canonical_id AS is_kept
+           FROM der JOIN dcan ON der.exact_rep = dcan.id),
+         tr AS MATERIALIZED (SELECT ddv.id, d.lang AS dom, wts.w
+           FROM ddv JOIN documents d ON ddv.id = d.doc_id
+                    JOIN wts ON ddv.id = wts.id
+           WHERE ddv.is_kept),
+         av AS (SELECT dom AS domain, CAST(sum(w) AS BIGINT) AS avail,
+             CAST(sum(w) * 2 AS BIGINT) AS cap FROM tr GROUP BY dom),
+         mrk AS (SELECT domain, avail, cap,
+             row_number() OVER (ORDER BY cap NULLS LAST, domain NULLS LAST) AS r,
+             sum(cap) OVER (ORDER BY cap NULLS LAST, domain NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n
+           FROM av),
+         mfl AS (SELECT *, p - cap + cap * (n - r + 1) <= 70000 AS capped FROM mrk),
+         mcs AS (SELECT coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
+                        coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
+           FROM mfl),
+         mtt AS (SELECT mfl.*, mcs.big_r, mcs.p_r, mfl.n - mcs.big_r AS u
+           FROM mfl CROSS JOIN mcs),
+         mt2 AS (SELECT *, CASE WHEN u > 0 THEN (70000 - p_r) // u ELSE 0 END AS t
+           FROM mtt),
+         mal AS (SELECT *, CASE WHEN capped THEN cap
+                  ELSE t + CASE WHEN r - big_r <= 70000 - p_r - t * u
+                           THEN 1 ELSE 0 END END AS alloc
+           FROM mt2),
+         mfa AS (SELECT domain,
+             CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END AS fe,
+             alloc - (CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END)
+               * avail AS fw
+           FROM mal),
+         mcw AS (SELECT id, dom, w,
+             coalesce(sum(w) OVER (PARTITION BY dom
+               ORDER BY md5(CAST(id AS VARCHAR)), id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM tr),
+         plan AS MATERIALIZED (SELECT mcw.id, mcw.w,
+             CAST(mfa.fe + CASE WHEN mcw.before + mcw.w <= mfa.fw
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           FROM mcw JOIN mfa ON mcw.dom = mfa.domain),
+         units AS (SELECT id, w, unnest(range(1, n_copies + 1)) AS copy
+           FROM plan WHERE n_copies > 0),
+         u2 AS MATERIALIZED (SELECT id, w, CAST(copy AS BIGINT) AS copy,
+             CAST(id AS VARCHAR) || '#' || CAST(copy AS VARCHAR) AS uid
+           FROM units),
+         pk AS (SELECT *, CAST($bucketOfUid % 8 AS INT) AS pack_shard,
+             md5(uid) AS pm FROM u2),
+         pk2 AS (SELECT *, CAST(coalesce(sum(w) OVER (PARTITION BY pack_shard
+               ORDER BY pm, uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+           FROM pk),
+         pk3 AS (SELECT id, w, copy, uid, pack_shard,
+             CAST(bef // 1024 AS BIGINT) AS pack_bin FROM pk2),
+         ps AS (SELECT uid, CAST(row_number() OVER
+               (ORDER BY md5('p14:' || uid), uid) - 1 AS BIGINT) AS pos
+           FROM u2),
+         mix AS MATERIALIZED (SELECT pk3.id, pk3.copy, pk3.pack_shard,
+             pk3.pack_bin, ps.pos
+           FROM pk3 JOIN ps ON pk3.uid = ps.uid),
+         rpt AS MATERIALIZED (
+           SELECT f.id, false AS kept, f.reject_reason AS reason,
+                  CAST(NULL AS INT) AS split, CAST(NULL AS BIGINT) AS copy,
+                  CAST(NULL AS INT) AS pack_shard,
+                  CAST(NULL AS BIGINT) AS pack_bin, CAST(NULL AS BIGINT) AS pos
+           FROM fcv f WHERE NOT f.keep
+           UNION ALL
+           SELECT d.id, false, 'duplicate', NULL, NULL, NULL, NULL, NULL
+           FROM ddv d WHERE NOT d.is_kept
+           UNION ALL
+           SELECT c.id, false, 'cross_split', c.split, NULL, NULL, NULL, NULL
+           FROM csv c WHERE c.is_removed
+           UNION ALL
+           SELECT c.id, true, 'eval_holdout', c.split, NULL, NULL, NULL, NULL
+           FROM csv c WHERE NOT c.is_removed AND c.split = 0
+           UNION ALL
+           SELECT p.id, true, 'budget', c.split, NULL, NULL, NULL, NULL
+           FROM plan p JOIN csv c ON p.id = c.id WHERE p.n_copies = 0
+           UNION ALL
+           SELECT m.id, true, NULL, c.split, m.copy, m.pack_shard,
+                  m.pack_bin, m.pos
+           FROM mix m JOIN csv c ON m.id = c.id)
+         SELECT rpt.id, rpt.kept, rpt.reason, rpt.split, wts.w,
+                rpt.copy, rpt.pack_shard, rpt.pack_bin, rpt.pos
+         FROM rpt JOIN wts ON rpt.id = wts.id
+         ORDER BY rpt.id, rpt.copy"""
+  }
 
   val oracle: Map[String, String] = Map(
     // chunk-level dedup: same 5-word non-overlapping chunking (1-based
@@ -1846,63 +2097,7 @@ object PipelineOps {
     // id-joins, conjunction keep + first-failing-gate reason (same gate
     // order as the engine: quality, repetition, encoding, language)
     "t24_filter_chain" ->
-      """WITH b AS (SELECT doc_id AS id, text,
-           CAST(length(text) AS INTEGER) AS n_chars,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-           len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
-           len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
-           FROM documents),
-         qr AS (SELECT id, n_chars, n_words,
-           CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
-           CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio
-           FROM b),
-         q AS (SELECT id,
-           CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
-                 CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
-                 CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE) / 10.0 AS quality
-           FROM qr),
-         tok AS (SELECT doc_id AS id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-         gc AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
-             list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)]) AS top_freq,
-             list_sum([length(t) FOR t IN w]) AS sum_len
-           FROM tok),
-         gr AS (SELECT id,
-             CASE WHEN n_words > 0 THEN CAST(CAST(sum_len AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
-             CASE WHEN n_words > 0 THEN CAST(CAST(top_freq AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS top_ratio,
-             CASE WHEN n_words > 0 THEN CAST(CAST(n_distinct AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS distinct_ratio
-           FROM gc),
-         g AS (SELECT id, (mean_word_len BETWEEN 3.0 AND 10.0
-                AND top_ratio < 0.2 AND distinct_ratio > 0.3) AS gopher_keep
-           FROM gr),
-         mc AS (SELECT doc_id AS id, length(text) AS n_chars,
-           length(text) - length(replace(text, '�', '')) AS n_replacement,
-           2 * length(text) - length(replace(text, 'Ã', ''))
-             - length(replace(text, 'â', '')) AS n_latin1_marks
-           FROM documents),
-         m AS (SELECT id,
-           (CASE WHEN n_chars > 0 THEN
-             (n_replacement + n_latin1_marks) * 1000000 // n_chars
-             ELSE 0 END) >= 1000 AS is_suspect FROM mc),
-         h AS (SELECT id,
-           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
-           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
-           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
-           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
-           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
-           FROM tok),
-         best AS (SELECT id, list_sort([
-             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
-             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
-             {'hits': h_zh, 'lang': 'zh'}])[-1] AS bb FROM h),
-         l AS (SELECT id, CASE WHEN (bb).hits > 0 THEN (bb).lang
-               ELSE 'und' END AS predicted_lang FROM best),
-         v AS (SELECT q.id, q.quality, g.gopher_keep, m.is_suspect,
-             l.predicted_lang,
-             q.quality >= 0.6 AS q_ok,
-             l.predicted_lang IN ('en', 'de', 'fr') AS l_ok
-           FROM q JOIN g USING (id) JOIN m USING (id) JOIN l USING (id))
+      s"""WITH $duckFilterChainCtes
          SELECT id, quality, gopher_keep, is_suspect, predicted_lang,
            (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
            CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
@@ -1959,10 +2154,7 @@ object PipelineOps {
     // DefaultMerges constant the engine uses, so the two sides cannot
     // drift.
     "t26_bpe_apply" -> {
-      val chain = graft.ops.TextAnalysis.DefaultMerges.foldLeft(
-        "array_to_string(wr, '#')") { case (acc, (a, b)) =>
-        s"replace($acc, '|$a||$b|', '|$a$b|')"
-      }
+      val chain = duckBpeReplaceChain("array_to_string(wr, '#')")
       s"""WITH d AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
          w AS (SELECT id, regexp_extract_all(t, '[a-z0-9]+') AS ws,
                       CAST(length(regexp_replace(t, '[^a-z0-9]', '', 'g'))
@@ -1983,6 +2175,28 @@ object PipelineOps {
                 END AS tokens_per_char_ppm
          FROM tk ORDER BY id"""
     },
+    "p14_corpus_build" -> duckCorpusBuildSql,
+    // x09: the one-row data card is the same composition aggregated —
+    // the subquery keeps the two entries definitionally inseparable
+    "x09_data_card" ->
+      s"""SELECT count(DISTINCT id) AS n_docs,
+           count(DISTINCT CASE WHEN kept THEN id END) AS n_kept_docs,
+           count(CASE WHEN reason = 'quality' THEN 1 END) AS n_quality,
+           count(CASE WHEN reason = 'repetition' THEN 1 END) AS n_repetition,
+           count(CASE WHEN reason = 'encoding' THEN 1 END) AS n_encoding,
+           count(CASE WHEN reason = 'language' THEN 1 END) AS n_language,
+           count(CASE WHEN reason = 'duplicate' THEN 1 END) AS n_duplicate,
+           count(CASE WHEN reason = 'cross_split' THEN 1 END) AS n_cross_split,
+           count(CASE WHEN reason = 'eval_holdout' THEN 1 END) AS n_eval_holdout,
+           count(CASE WHEN reason = 'budget' THEN 1 END) AS n_budget,
+           count(DISTINCT CASE WHEN copy IS NOT NULL THEN id END) AS n_mix_docs,
+           count(CASE WHEN copy IS NOT NULL THEN 1 END) AS total_copies,
+           CAST(coalesce(sum(CASE WHEN copy IS NOT NULL THEN w END), 0)
+                AS BIGINT) AS mix_tokens,
+           count(DISTINCT CASE WHEN copy IS NOT NULL
+                 THEN (pack_shard, pack_bin) END) AS n_bins,
+           CAST(coalesce(max(pos), -1) AS BIGINT) AS max_pos
+         FROM ($duckCorpusBuildSql)""",
     // ABTT residuals: the e16 CTE chain through v8 = the ×1e6 integer
     // direction, then the projection coefficient (one sign/abs
     // truncating division per vector, HUGEINT-widened) and per-

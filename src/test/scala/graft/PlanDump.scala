@@ -515,6 +515,25 @@ object PlanDump {
         "map-side combine; the water-filling closed form runs on a " +
         "domain-count-sized single-partition window and a broadcast " +
         "scalar join."),
+    "t26_bpe_apply" ->
+      ("BPE apply is one codegen'd bpe_segment projection per doc — " +
+        "map-only, zero exchange below the declared output ORDER BY; " +
+        "the merge table is baked into the expression, so nothing " +
+        "broadcasts."),
+    "p14_corpus_build" ->
+      ("The capstone composition. Every fan-out stage output (verdicts, " +
+        "token weights, split labels, dedup flags, the epoch plan, the " +
+        "copy units) is localCheckpointed ONCE at build time, so this " +
+        "final plan contains NO parquet re-scan of the corpus — the " +
+        "report assembly unions narrow checkpointed (id, long) rows and " +
+        "joins them id-keyed. The corpus text itself was touched by " +
+        "exactly three operator families (verdict expressions, pair " +
+        "generators, token counter), each during its own checkpoint " +
+        "evaluation."),
+    "x09_data_card" ->
+      ("The data card is one partial-aggregated pass over the build " +
+        "rows — count/sum/distinct with map-side combine, one exchange " +
+        "of a single aggregate row."),
     "p13_epoch_plan" ->
       ("The allocation (domain-sized) broadcasts back onto the corpus; " +
         "the one corpus-sized exchange is the domain-keyed cumulative " +

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The p14 capstone composition: cross-stage invariants on the real
+  * corpus, and the plan property the composition exists to prove — no
+  * stage re-materializes the corpus. */
+class CorpusBuildSpec extends SparkSuite {
+
+  private lazy val build = {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    CorpusBuild.corpusBuild(docs, "text", "doc_id", "lang", "n_chars")
+      .cache()
+  }
+
+  test("every doc appears exactly once as verdict XOR once per copy") {
+    val perDoc = build.groupBy("id").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("copy")).as("n_copies"),
+      count(col("reason")).as("n_reasons")).collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (rows, copies, reasons) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // mix docs: every row is a copy row, no reason; others: one
+      // reason row, no copies
+      assert(if (copies > 0) rows == copies && reasons == 0
+             else rows == 1L && reasons == 1L, r.toString)
+    }
+    // the union covers the whole corpus, no doc dropped silently
+    val n = graft.tables.Tables(spark, sf, "documents").count()
+    assert(perDoc.length.toLong == n)
+  }
+
+  test("verdict semantics: reasons partition the corpus; eval never packs") {
+    val byReason = build.groupBy("reason", "kept")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    // kept is determined by the reason class
+    byReason.foreach { case (reason, kept) =>
+      reason match {
+        case None | Some("eval_holdout") | Some("budget") => assert(kept)
+        case _ => assert(!kept, s"$reason should imply kept=false")
+      }
+    }
+    // eval rows and reject rows never carry pack/pos columns
+    assert(build.filter(col("reason").isNotNull &&
+      (col("pack_bin").isNotNull || col("pos").isNotNull)).count() == 0L)
+    // mix rows carry ALL realization columns
+    assert(build.filter(col("copy").isNotNull &&
+      (col("pack_shard").isNull || col("pack_bin").isNull ||
+        col("pos").isNull || col("split").isNull)).count() == 0L)
+    // eval docs sit in the protected split only
+    assert(build.filter(col("reason") === "eval_holdout" &&
+      col("split") =!= 0).count() == 0L)
+    assert(build.filter(col("copy").isNotNull && col("split") === 0)
+      .count() == 0L)
+  }
+
+  test("positions are an exact permutation; bins respect next-fit overflow") {
+    val mix = build.filter(col("copy").isNotNull).cache()
+    try {
+      val n = mix.count()
+      val posAgg = mix.agg(min("pos"), max("pos"),
+        countDistinct("pos")).collect()(0)
+      assert(posAgg.getLong(0) == 0L && posAgg.getLong(1) == n - 1 &&
+        posAgg.getLong(2) == n)
+      // next-fit: a bin's token mass is < budget + its last doc's weight;
+      // with budget 1024 and max doc w bounded by the corpus max, every
+      // bin must stay under 1024 + max(w)
+      val maxW = mix.agg(max("w")).collect()(0).getLong(0)
+      val overfull = mix.groupBy("pack_shard", "pack_bin")
+        .agg(sum("w").as("mass"))
+        .filter(col("mass") >= lit(1024L + maxW)).count()
+      assert(overfull == 0L)
+    } finally mix.unpersist()
+  }
+
+  test("data card reconciles with the build rows") {
+    val card = CorpusBuild.dataCard(build).collect()(0)
+    val idx = card.schema.fieldNames.zipWithIndex.toMap
+    def lg(f: String): Long = card.getLong(idx(f))
+    assert(lg("n_docs") ==
+      graft.tables.Tables(spark, sf, "documents").count())
+    assert(lg("n_kept_docs") ==
+      build.filter(col("kept")).select("id").distinct().count())
+    assert(lg("total_copies") ==
+      build.filter(col("copy").isNotNull).count())
+    assert(lg("max_pos") == lg("total_copies") - 1)
+    val reasonSum = Seq("n_quality", "n_repetition", "n_encoding",
+      "n_language", "n_duplicate", "n_cross_split", "n_eval_holdout",
+      "n_budget").map(lg).sum
+    assert(reasonSum + lg("n_mix_docs") == lg("n_docs"))
+  }
+
+  test("final plan never re-scans the corpus (stages checkpoint once)") {
+    val df = CorpusBuild.corpusBuild(
+      graft.tables.Tables(spark, sf, "documents"),
+      "text", "doc_id", "lang", "n_chars")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every stage output was localCheckpointed during construction: the
+    // report plan reads checkpointed RDDs and must contain NO parquet
+    // scan — a regression here means some stage re-materializes the
+    // corpus per consumer
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      plan)
+  }
+}
