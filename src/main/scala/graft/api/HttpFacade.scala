@@ -97,6 +97,8 @@ final class HttpFacade(
           dedupSweepRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "substring-dedup")) =>
           substringDedupRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "data-card")) =>
+          dataCardRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -703,6 +705,113 @@ final class HttpFacade(
             "n_dropped" -> row.getLong(2),
             "n_spans" -> row.getLong(3))))))
       } finally rep.unpersist()
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Release data card over any catalog table
+    * (`?text=<col>&id=<col>&domain=<col>&length=<col>[&budget=<long>]
+    * [&epochs=<int>]`): graft.ops.CorpusBuild — runs the full p14
+    * corpus-build composition (filter → split → decontaminate → dedup →
+    * mixture/epochs → pack → shuffle) and serves the x09 one-row
+    * rollup: corpus size, survivors, per-reason rejection counts, and
+    * the mix realization (docs, copies, tokens, bins, max position).
+    * The per-(doc, copy) plan itself is a dataset to write, not a
+    * payload (the epoch-plan route's argument) — the card is the
+    * UI-sized summary. Validation follows the substring-dedup
+    * conventions. */
+  private def dataCardRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      val domainCol = qp.get("domain").filter(_.nonEmpty)
+      val lengthCol = qp.get("length").filter(_.nonEmpty)
+      if (textCol.isEmpty || idCol.isEmpty || domainCol.isEmpty ||
+          lengthCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "text, id, domain and length parameters are required")); return
+      }
+      val unknown = Seq(textCol.get, idCol.get, domainCol.get,
+        lengthCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val integral = df.schema(idCol.get).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!integral) {
+        sendJson(ex, 400,
+          detail(s"Id column ${idCol.get} is not an integral column"))
+        return
+      }
+      if (!df.schema(lengthCol.get).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        sendJson(ex, 400,
+          detail(s"Length column ${lengthCol.get} is not numeric")); return
+      }
+      val groupable = df.schema(domainCol.get).dataType match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+      if (!groupable) {
+        sendJson(ex, 400, detail(
+          s"Column ${domainCol.get} is not groupable (map type)")); return
+      }
+      val budget = qp.get("budget").map(_.toLongOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("budget must be an integer")); return
+        case Some(Some(b)) => b
+        case None => 70000L
+      }
+      if (budget < 0) {
+        sendJson(ex, 400, detail("budget must be >= 0")); return
+      }
+      val epochs = qp.get("epochs").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("epochs must be an integer")); return
+        case Some(Some(e)) => e
+        case None => 2
+      }
+      if (epochs < 1) {
+        sendJson(ex, 400, detail("epochs must be >= 1")); return
+      }
+      val card = graft.ops.CorpusBuild.dataCard(
+        graft.ops.CorpusBuild.corpusBuild(df, textCol.get, idCol.get,
+          domainCol.get, lengthCol.get, epochCap = epochs,
+          budget = budget)).collect()(0)
+      val fields = card.schema.fieldNames.zipWithIndex
+      sendJson(ex, 200, Json.obj(Seq[(String, Any)](
+        "table" -> tablePath,
+        "text" -> textCol.get,
+        "id" -> idCol.get,
+        "domain" -> domainCol.get,
+        "length" -> lengthCol.get,
+        "budget" -> budget,
+        "epochs_cap" -> epochs.toLong) ++
+        fields.map { case (f, i) => f -> card.getLong(i) }: _*))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -426,6 +426,59 @@ class HttpFacadeSpec extends SparkSuite {
       "?text=text&id=doc_id").statusCode === 400)
   }
 
+  test("data-card route: one-row corpus-build rollup, 400/404 edges") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    // composition semantics are pinned in CorpusBuildSpec; here assert
+    // route wiring: the card fields arrive and reconcile
+    val m = get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars")
+    assert(m.statusCode === 200, m.body)
+    Seq("n_docs", "n_kept_docs", "n_mix_docs", "total_copies",
+      "mix_tokens", "n_bins", "max_pos", "n_duplicate", "n_cross_split",
+      "n_eval_holdout", "n_budget")
+      .foreach(f => assert(m.body.contains("\"" + f + "\":"), m.body))
+    def lg(field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(m.body).get
+        .group(1).toLong
+    assert(lg("n_docs") === spark.table("httpapi.documents").count())
+    assert(lg("n_kept_docs") <= lg("n_docs"), m.body)
+    assert(lg("max_pos") === lg("total_copies") - 1, m.body)
+    // a zero budget realizes nothing but still reports the curation
+    val z = get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars&budget=0")
+    assert(z.statusCode === 200, z.body)
+    assert(("\"total_copies\":(\\d+)").r.findFirstMatchIn(z.body).get
+      .group(1).toLong === 0L, z.body)
+    // validation edges, substring-dedup conventions
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang").statusCode === 400) // no length
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=nope&id=doc_id&domain=lang&length=n_chars")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=n_chars&id=doc_id&domain=lang&length=n_chars")
+      .statusCode === 400) // non-string text
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=text&domain=lang&length=n_chars")
+      .statusCode === 400) // non-integral id
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=text")
+      .statusCode === 400) // non-numeric length
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars&budget=-1")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars&epochs=0")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars")
+      .statusCode === 404)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
