@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       AnchorHashes(c(0), GraftFunctions.literalInt(c(1), "k")) }
     inject("graft_bpe_segment", "BPE merge-list apply: subword token array") { c =>
       BpeSegmentExpr(c(0), GraftFunctions.literalMerges(c(1), "merges")) }
+    inject("graft_wrapped_token_pairs", "adjacent token pairs of a BPE-wrapped string") { c =>
+      WrappedTokenPairs(c(0)) }
     // Spark's runtime-filter expressions, surfaced for the explicit
     // bloom-prune operators (mirrors graft.ops.Prune.register)
     inject("graft_bloom_agg", "Bloom filter sketch aggregate over long hashes") { c =>

@@ -100,6 +100,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bpe_segment",
       (c: Seq[Expression]) => BpeSegmentExpr(c(0),
         literalMerges(c(1), "merges")), "built-in")
+    reg.createOrReplaceTempFunction("graft_wrapped_token_pairs",
+      (c: Seq[Expression]) => WrappedTokenPairs(c(0)), "built-in")
   }
 
   // Column-API wrappers (caller must have registered on the session that
@@ -133,4 +135,6 @@ object GraftFunctions {
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
     call_function("graft_bpe_segment", text,
       lit(merges.map { case (a, b) => s"$a $b" }.mkString(",")))
+  def wrappedTokenPairs(s: Column): Column =
+    call_function("graft_wrapped_token_pairs", s)
 }

@@ -1198,3 +1198,67 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
 object BpeSegmentExpr {
   private val Word = java.util.regex.Pattern.compile("[a-z0-9]+")
 }
+
+/**
+ * `wrapped_token_pairs(s)` — adjacent within-word token pairs of a
+ * BPE-wrapped corpus string (`|t1||t2|…|#|u1|…` — [[BpeSegmentExpr]]'s
+ * oracle-shared representation), emitted as `"a b"` strings (tokens are
+ * `[a-z0-9]+`, so the space separator is unambiguous). This is the
+ * trainer's per-round hot path (`TextAnalysis.bpeTrain`): the HOF form
+ * (explode words → let-bound filter/split → shifted zip → explode)
+ * walks two Generate stages and an interpreted lambda per token; here
+ * one state machine walks the string once per doc — token boundaries
+ * at `|` runs, adjacency reset at the `#` word separator.
+ */
+case class WrappedTokenPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wrapped_token_pairs"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val sb = new java.lang.StringBuilder
+    var prev: String = null
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '|' || c == '#') {
+        if (sb.length > 0) {
+          val t = sb.toString
+          if (prev != null)
+            out += org.apache.spark.unsafe.types.UTF8String
+              .fromString(prev + " " + t)
+          prev = t
+          sb.setLength(0)
+        }
+        if (c == '#') prev = null
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0 && prev != null)
+      out += org.apache.spark.unsafe.types.UTF8String
+        .fromString(prev + " " + sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wtpExpr", this, classOf[WrappedTokenPairs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WrappedTokenPairs =
+    copy(child = newChild)
+}

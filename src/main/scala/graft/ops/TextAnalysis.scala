@@ -444,6 +444,92 @@ object TextAnalysis {
     filter(split(sN, "[|#]+"), t => t =!= "")
   }
 
+  /**
+   * BPE trainer (t27) — learn an `nMerges`-rank merge list from the
+   * corpus, closing the tokenizer loop: [[bpePairCounts]] (t22) is the
+   * round-one diagnostic, this is the full greedy trainer, and
+   * [[bpeSegment]] (t26) applies what it learns. Per round: segment the
+   * corpus under the merges learned so far, count within-word adjacent
+   * TOKEN pairs (not char pairs — later rounds merge merged tokens),
+   * and adopt the most frequent pair (ties by (lhs, rhs) ascending —
+   * exact and engine-stable). Greedy max-count selection is the actual
+   * BPE training rule (Sennrich et al. 2016); the learned list is
+   * well-formed by construction, so [[bpeSegment]]'s rank-order apply
+   * is exactly the tokenizer's min-rank loop on it.
+   *
+   * The corpus rides as the separator-wrapped string form (the
+   * [[bpeSegmentHof]] device): round r+1's state is ONE literal
+   * `replace` over round r's — not a re-derivation — checkpointed per
+   * round with the previous generation released
+   * ([[IterativeMemory.release]], the e19/g01 discipline: O(corpus)
+   * storage, not O(rounds x corpus)). Driver state is the O(nMerges)
+   * merge list (the e19 centroid pattern); each round is one
+   * map-side-combined pair count plus a 1-row TakeOrdered. Stops early
+   * if no pair remains (degenerate corpora).
+   *
+   * Output: `(rank, lhs, rhs, n_occurrences)` — n is the pair's corpus
+   * count AT SELECTION TIME (counts interact across rounds; rank 1
+   * equals t22's top row over raw characters by construction).
+   */
+  def bpeTrain(docs: DataFrame, textCol: String, idCol: String,
+               nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"bpeTrain needs 1 <= nMerges <= 64, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"),
+      lit(0))
+    val wrapped = transform(ws, w =>
+      concat(lit("|"),
+        array_join(filter(split(w, ""), c => c =!= ""), "||"), lit("|")))
+    var cur = docs.select(array_join(wrapped, "#").as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    graft.functions.GraftFunctions.register(spark)
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // one native state-machine pass per doc (wrapped_token_pairs, the
+      // "a b" pair stream) — the HOF form it replaced (explode words →
+      // let/filter/split → shifted zip → explode) is kept as
+      // bpeTrainPairsHof for the spec's differential gate and cost
+      // ~2x the whole trainer
+      val top = cur.select(explode(graft.functions.GraftFunctions
+          .wrappedTokenPairs(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        val n = top(0).getLong(1)
+        learned += (((r + 1).toLong, a, b, n))
+        val next = cur.select(call_function("replace", col("s"),
+            lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s"))
+          .localCheckpoint(true)
+        IterativeMemory.release(cur)
+        cur = next
+        r += 1
+      }
+    }
+    IterativeMemory.release(cur)
+    learned.toSeq.toDF("rank", "lhs", "rhs", "n_occurrences")
+      .orderBy(col("rank"))
+  }
+
+  /** HOF reference form of the trainer's per-round pair stream — the
+    * semantics `graft_wrapped_token_pairs` must reproduce ("a b" per
+    * adjacent within-word token pair of the wrapped corpus string),
+    * kept for the VectorExpressionsSpec equivalence gate. */
+  private[graft] def bpeTrainPairsHof(wrappedDoc: Column): Column =
+    flatten(transform(split(wrappedDoc, "#"), wstr =>
+      Shingles.let(filter(split(wstr, "\\|+"), t => t =!= "")) { toks =>
+        val n1 = greatest(size(toks) - 1, lit(0))
+        zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (x, y) => concat(x, lit(" "), y))
+      }))
+
   // ------------------------------------------------------------------
   // Document fingerprinting — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
   // ------------------------------------------------------------------

