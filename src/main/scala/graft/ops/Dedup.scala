@@ -384,6 +384,86 @@ object Dedup {
   }
 
   /**
+   * MinHash-LSH parameter planner — the informed-knob companion to
+   * [[thresholdSweep]]: x08 tells you what a Jaccard THRESHOLD removes;
+   * x10 tells you what recall each (bands, rows-per-band) factorization
+   * of the signature actually buys ON THIS CORPUS's own near-duplicate
+   * population, before you commit d02's index shape. For every
+   * factorization b·r = `numHashes` and every VERIFIED similar pair
+   * (exact Jaccard ≥ `floorThreshold`), the detect probability under
+   * banded MinHash is p = 1 − (1 − j^r)^b (the standard S-curve,
+   * Leskovec et al., Mining of Massive Datasets ch. 3) — evaluated in
+   * exact fixed-point: j in ppm, both powers as iterated
+   * `acc·x DIV 1e6` floors, so every engine reproduces the same
+   * integers bit-for-bit (a float pow would hinge on libm parity; the
+   * t11/t14 device).
+   *
+   * Output, one row per factorization: (bands, rows_per_band,
+   * index_rows = bands·n_docs — the index-size cost of the config,
+   * n_pairs, exp_found_ppm = Σp — expected detected pairs in ppm units,
+   * mean_p_ppm, min_p_ppm — the worst verified pair's detection odds).
+   * Read it as: fewer rows per band ⇒ higher recall, bands× the index.
+   *
+   * Scale design: ONE similarity join at the floor threshold builds the
+   * verified pair set (the x08 shape — bounded by the true near-dup
+   * mass); exact-integer jaccard re-derives from the shared shingle
+   * scan; the pair set crosses only the ≤ d(numHashes) factorizations
+   * (a broadcast of divisor-count rows, not corpus rows); the S-curve
+   * folds are per-row codegen'd HOFs over ≤ numHashes-step sequences;
+   * everything collapses in one keyed aggregate. The corpus is scanned
+   * twice (pair join + jaccard re-derivation), shuffled never.
+   */
+  def lshPlan(docs: DataFrame, textCol: String, idCol: String,
+              numHashes: Int = 128, floorThreshold: Double = 0.5,
+              shingleLen: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"lshPlan needs 1 <= numHashes <= 1024, got $numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val configs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .toDF("bands", "rows_per_band")
+    val sh = docs.select(col(idCol).as("id"),
+      Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+    // verified pairs once at the floor; j re-derived as exact integer
+    // ppm (the double `sim` is one correctly-rounded division away from
+    // the true rational — floor(sim·1e6) can land one ulp low)
+    val jp = ngramJaccardPairs(docs, textCol, idCol, shingleLen,
+        floorThreshold, maxShingleFreq)
+      .select(col("id_a"), col("id_b"))
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        expr("(1000000L * size(array_intersect(a.sh, b.sh))) DIV " +
+          "(size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)))")
+          .as("j_ppm"))
+      .localCheckpoint(true)
+    // pair set × divisor table: the only "cross" is a broadcast of
+    // d(numHashes) config rows against the bounded verified-pair set
+    val scored = jp.crossJoin(broadcast(configs))
+      .withColumn("s_r", expr("aggregate(sequence(1, rows_per_band), " +
+        "1000000L, (acc, i) -> (acc * j_ppm) DIV 1000000L)"))
+      .withColumn("p_ppm", lit(1000000L) -
+        expr("aggregate(sequence(1, bands), 1000000L, " +
+          "(acc, i) -> (acc * (1000000L - s_r)) DIV 1000000L)"))
+    val agg = scored.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("p_ppm")).as("exp_found_ppm"),
+        min(col("p_ppm")).as("min_p_ppm"))
+      .withColumn("mean_p_ppm", expr("exp_found_ppm DIV n_pairs"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    configs.crossJoin(broadcast(nd)) // one-row scalar
+      .join(agg, Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands").cast("long") * col("n_docs")).as("index_rows"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("exp_found_ppm"), lit(0L)).as("exp_found_ppm"),
+        coalesce(col("mean_p_ppm"), lit(0L)).as("mean_p_ppm"),
+        coalesce(col("min_p_ppm"), lit(0L)).as("min_p_ppm"))
+      .orderBy(col("bands"))
+  }
+
+  /**
    * One row per doc with its one-hop cluster representative: keep_id = min
    * id among {self} ∪ verified neighbors. Deterministic, single extra
    * aggregation over the (small) verified-pair set. For TRANSITIVE

@@ -686,4 +686,75 @@ object Sampling {
           "ELSE 0L END").as("epochs_ppm"))
       .orderBy(col("domain").asc_nulls_last)
   }
+
+  /**
+   * Release-shard manifest — the last step of a corpus build: cut the
+   * [[shufflePositions]] training order into contiguous shards of
+   * roughly `shardBudget` weight (tokens/chars) and publish one manifest
+   * row per shard, the WebDataset/tar-shard release convention (a
+   * training job opens shard k and reads docs in order; the manifest is
+   * the index it trusts). Shards are next-fit in GLOBAL shuffle order —
+   * `shard = cumulative-weight-before DIV budget`, the [[packSequences]]
+   * rule but over the md5(seed‖id) permutation instead of shard-local
+   * (md5, id) order, because release shards must preserve the exact
+   * training order p08 published. A shard overflows by at most one doc
+   * (streaming next-fit; same trade as p03).
+   *
+   * Manifest row: (shard, n_docs, w_total, first_pos, last_pos, etag,
+   * fill_ppm) with `etag` = BIT_XOR of the 60-bit md5 prefix of each
+   * member id — an order-independent, engine-portable content
+   * fingerprint any SQL engine can recompute to audit a shard without
+   * reading it. `first_pos`/`last_pos` are p08's exact global positions;
+   * contiguity (first_pos of shard k = last_pos of k−1 + 1) is the
+   * spec-pinned invariant. Null/negative weights count as 0 (the doc
+   * still occupies its position).
+   *
+   * Scale design: the same bucket-offset device as [[shufflePositions]]
+   * — the md5 key's first byte buckets rows 0..255; ONE 256-row
+   * aggregate carries both count and weight offsets (its window runs
+   * over 256 rows, never corpus rows); positions and cumulative weights
+   * are bucket-keyed windows; the manifest is a keyed aggregation with
+   * map-side partials (bit_xor is associative). At 100 TB: one 256-way
+   * exchange + one shard-keyed exchange of 5-long rows.
+   */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: String,
+                    seed: String, shardBudget: Long): DataFrame = {
+    require(shardBudget >= 1,
+      s"shardManifest needs shardBudget >= 1, got $shardBudget")
+    val keyed = df.select(col(idCol).as("id"),
+        greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L))
+          .as("w"))
+      .withColumn("key",
+        md5(concat(lit(seed + ":"), col("id").cast("string"))))
+      .withColumn("bucket",
+        conv(substring(col("key"), 1, 2), 16, 10).cast("int"))
+    // 256-row offset table: positions AND weights cumulated before each
+    // bucket — the one global window runs over bucket aggregates only
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("bw"))
+      .withColumn("pos_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .withColumn("w_off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("pos_off"), col("w_off"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("id"))
+    val assigned = keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos",
+        (col("pos_off") + row_number().over(wb) - 1).cast("long"))
+      .withColumn("__before", col("w_off") + coalesce(
+        sum(col("w")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("shard", expr(s"__before DIV ${shardBudget}L"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_total"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        expr("bit_xor(cast(conv(substring(md5(cast(id as string)), 1, " +
+          "15), 16, 10) as bigint))").as("etag"))
+      .withColumn("fill_ppm",
+        expr(s"(w_total * 1000000L) DIV ${shardBudget}L"))
+      .select(col("shard"), col("n_docs"), col("w_total"),
+        col("first_pos"), col("last_pos"), col("etag"), col("fill_ppm"))
+      .orderBy(col("shard"))
+  }
 }

@@ -581,6 +581,19 @@ object PipelineOps {
         graft.ops.CorpusBuild.corpusBuild(docs(s, d), "text", "doc_id",
           "lang", "n_chars"))
     },
+    "p15_shard_manifest" -> { (s, d) =>
+      // release-shard manifest: next-fit cut of the epoch1 shuffle order
+      // into ~8000-char shards; per shard docs/weight/position range and
+      // the bit_xor 60-bit-md5 content fingerprint
+      Sampling.shardManifest(docs(s, d), "doc_id", "n_chars", "epoch1",
+        shardBudget = 8000L)
+    },
+    "x10_lsh_plan" -> { (s, d) =>
+      // LSH parameter planner: exact-fixed-point detect-probability
+      // S-curve of every bands x rows factorization of the 128-hash
+      // signature, weighted by the corpus's own verified >= 0.5 pairs
+      Dedup.lshPlan(docs(s, d), "text", "doc_id")
+    },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
       // clean encoding, lang in {en, de, fr} — per-doc verdicts +
@@ -2236,6 +2249,80 @@ object PipelineOps {
                  THEN (pack_shard, pack_bin) END) AS n_bins,
            CAST(coalesce(max(pos), -1) AS BIGINT) AS max_pos
          FROM ($duckCorpusBuildSql)""",
+    // p15: the same md5(epoch1:id) permutation as p08; the engine's
+    // bucket-offset device collapses to a plain global window here —
+    // cumulative weight BEFORE each row in (key, id) order, next-fit
+    // shard = before // budget, bit_xor of the 60-bit md5 id prefix
+    "p15_shard_manifest" ->
+      """WITH k AS (SELECT doc_id AS id,
+           greatest(coalesce(CAST(n_chars AS BIGINT), 0), 0) AS w,
+           md5('epoch1:' || doc_id) AS key FROM documents),
+         o AS (SELECT id, w,
+           CAST(row_number() OVER (ORDER BY key, id) - 1 AS BIGINT) AS pos,
+           CAST(coalesce(sum(w) OVER (ORDER BY key, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS bef FROM k)
+         SELECT bef // 8000 AS shard, count(*) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS w_total,
+           min(pos) AS first_pos, max(pos) AS last_pos,
+           CAST(bit_xor(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+             ::BIGINT) AS BIGINT) AS etag,
+           CAST((sum(w) * 1000000) // 8000 AS BIGINT) AS fill_ppm
+         FROM o GROUP BY 1 ORDER BY 1""",
+    // x10: the x08 shingle/pair CTEs (double sim only gates the >= 0.5
+    // floor, matching the engine), j in exact integer ppm, then the two
+    // S-curve power chains as recursive CTEs with the engine's exact
+    // (acc * x) // 1e6 floor at every step
+    "x10_lsh_plan" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+           lower(trim(text)) AS lt FROM documents),
+         sh AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+               FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM d),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS sim,
+             CAST((1000000 * len(list_intersect(a.s, b.s)))
+               // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS BIGINT) AS j_ppm
+           FROM sh a JOIN sh b ON a.id < b.id),
+         pq AS (SELECT id_a, id_b, j_ppm FROM p WHERE sim >= 0.5),
+         cfg AS (SELECT CAST(b AS INT) AS bands,
+             CAST(128 // b AS INT) AS rows_per_band
+           FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS b)),
+         pc AS (SELECT id_a, id_b, j_ppm, bands, rows_per_band
+           FROM pq CROSS JOIN cfg),
+         sr AS (SELECT id_a, id_b, j_ppm, bands, rows_per_band,
+             0 AS i, CAST(1000000 AS BIGINT) AS acc FROM pc
+           UNION ALL SELECT id_a, id_b, j_ppm, bands, rows_per_band,
+             i + 1, (acc * j_ppm) // 1000000 FROM sr
+           WHERE i < rows_per_band),
+         srf AS (SELECT id_a, id_b, bands, rows_per_band, acc AS s_r
+           FROM sr WHERE i = rows_per_band),
+         qb AS (SELECT id_a, id_b, bands, rows_per_band, s_r,
+             0 AS i, CAST(1000000 AS BIGINT) AS acc FROM srf
+           UNION ALL SELECT id_a, id_b, bands, rows_per_band, s_r,
+             i + 1, (acc * (1000000 - s_r)) // 1000000 FROM qb
+           WHERE i < bands),
+         ps AS (SELECT bands, rows_per_band, 1000000 - acc AS p_ppm
+           FROM qb WHERE i = bands),
+         ag AS (SELECT bands, rows_per_band, count(*) AS n_pairs,
+             CAST(sum(p_ppm) AS BIGINT) AS exp_found_ppm,
+             CAST(min(p_ppm) AS BIGINT) AS min_p_ppm FROM ps
+           GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM d)
+         SELECT cfg.bands, cfg.rows_per_band,
+           CAST(cfg.bands * nd.n_docs AS BIGINT) AS index_rows,
+           coalesce(ag.n_pairs, 0) AS n_pairs,
+           coalesce(ag.exp_found_ppm, 0) AS exp_found_ppm,
+           coalesce(ag.exp_found_ppm // ag.n_pairs, 0) AS mean_p_ppm,
+           coalesce(ag.min_p_ppm, 0) AS min_p_ppm
+         FROM cfg CROSS JOIN nd
+         LEFT JOIN ag USING (bands, rows_per_band)
+         ORDER BY cfg.bands""",
     // ABTT residuals: the e16 CTE chain through v8 = the ×1e6 integer
     // direction, then the projection coefficient (one sign/abs
     // truncating division per vector, HUGEINT-widened) and per-
