@@ -99,6 +99,8 @@ final class HttpFacade(
           substringDedupRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "data-card")) =>
           dataCardRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "shard-manifest")) =>
+          shardManifestRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -798,10 +800,69 @@ final class HttpFacade(
       if (epochs < 1) {
         sendJson(ex, 400, detail("epochs must be >= 1")); return
       }
-      val card = graft.ops.CorpusBuild.dataCard(
-        graft.ops.CorpusBuild.corpusBuild(df, textCol.get, idCol.get,
-          domainCol.get, lengthCol.get, epochCap = epochs,
-          budget = budget)).collect()(0)
+      // curation knobs: the x08/x10 tuning loop drives the capstone
+      // through these — a threshold sweep over the card is how a
+      // release picks its dedup configuration
+      def thresholdParam(name: String, dflt: Double): Option[Double] =
+        qp.get(name).map(_.toDoubleOption) match {
+          case Some(None) =>
+            sendJson(ex, 400, detail(s"$name must be a number")); None
+          case Some(Some(t)) if t.isNaN || t <= 0.0 || t > 1.0 =>
+            sendJson(ex, 400, detail(s"$name must be in (0, 1]")); None
+          case Some(Some(t)) => Some(t)
+          case None => Some(dflt)
+        }
+      val crossTOpt = thresholdParam("cross_threshold", 0.5)
+      if (crossTOpt.isEmpty) return
+      val dedupTOpt = thresholdParam("dedup_threshold", 0.7)
+      if (dedupTOpt.isEmpty) return
+      val minQOpt = thresholdParam("min_quality", 0.6)
+      if (minQOpt.isEmpty) return
+      val (crossT, dedupT, minQ) = (crossTOpt.get, dedupTOpt.get, minQOpt.get)
+      val langs = qp.get("langs") match {
+        case None => Seq("en", "de", "fr")
+        case Some(raw) =>
+          val parsed = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          if (parsed.isEmpty) {
+            sendJson(ex, 400, detail(
+              "langs must be a non-empty comma-separated list")); return
+          }
+          parsed
+      }
+      // audit-scale guard: the card runs the FULL p14 composition (two
+      // similarity joins, token counting, transitive dedup)
+      // synchronously inside this GET — refuse corpora beyond the cap
+      // so one request can't pin the session for minutes. The full
+      // per-(doc, copy) plan at scale is a dataset JOB, not a payload.
+      val maxRows = qp.get("max_rows").map(_.toLongOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("max_rows must be an integer")); return
+        case Some(Some(m)) => m
+        case None => 100000L
+      }
+      if (maxRows < 1) {
+        sendJson(ex, 400, detail("max_rows must be >= 1")); return
+      }
+      val nRows = df.count()
+      if (nRows > maxRows) {
+        sendJson(ex, 413, detail(s"Table has $nRows rows, over the " +
+          s"data-card cap $maxRows (raise max_rows to override)")); return
+      }
+      // release the composition's localCheckpoints when the card is
+      // done: snapshot the persisted-RDD ids before, unpersist what the
+      // run added — otherwise each request leaks its checkpointed stage
+      // outputs until session end
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val card =
+        try graft.ops.CorpusBuild.dataCard(
+          graft.ops.CorpusBuild.corpusBuild(df, textCol.get, idCol.get,
+            domainCol.get, lengthCol.get, allowedLangs = langs,
+            minQuality = minQ, crossThreshold = crossT,
+            dedupThreshold = dedupT, epochCap = epochs,
+            budget = budget)).collect()(0)
+        finally spark.sparkContext.getPersistentRDDs
+          .filterNot { case (rddId, _) => persistedBefore.contains(rddId) }
+          .values.foreach(_.unpersist(false))
       val fields = card.schema.fieldNames.zipWithIndex
       sendJson(ex, 200, Json.obj(Seq[(String, Any)](
         "table" -> tablePath,
@@ -810,8 +871,106 @@ final class HttpFacade(
         "domain" -> domainCol.get,
         "length" -> lengthCol.get,
         "budget" -> budget,
-        "epochs_cap" -> epochs.toLong) ++
+        "epochs_cap" -> epochs.toLong,
+        "cross_threshold" -> crossT,
+        "dedup_threshold" -> dedupT,
+        "min_quality" -> minQ,
+        "langs" -> langs.mkString(",")) ++
         fields.map { case (f, i) => f -> card.getLong(i) }: _*))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Release-shard manifest over any catalog table
+    * (`?id=<col>&weight=<col>&budget=<long>[&seed=<str>][&limit=<int>]`):
+    * graft.ops.Sampling.shardManifest — the p15 next-fit cut of the p08
+    * training order into ~budget-weight shards, one row per shard with
+    * (n_docs, w_total, first_pos, last_pos, etag, fill_ppm). This is the
+    * release artifact a training job actually READS (the data card is
+    * the rollup it cites): shard k's doc range, its weight, and the
+    * order-independent bit_xor md5-prefix etag any engine can recompute
+    * to audit a shard without downloading it. The manifest is
+    * total-weight/budget-sized, so the response carries a rollup
+    * (n_shards, n_docs, w_total) plus the first `limit` shard rows in
+    * shard order (default 1000, cap 10000). Validation follows the
+    * data-card conventions. */
+  private def shardManifestRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      val weight = qp.get("weight").filter(_.nonEmpty)
+      if (idCol.isEmpty || weight.isEmpty) {
+        sendJson(ex, 400,
+          detail("id and weight parameters are required")); return
+      }
+      val budget = qp.get("budget").map(_.toLongOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("budget must be an integer")); return
+        case Some(Some(b)) => b
+        case None => sendJson(ex, 400,
+          detail("budget parameter is required")); return
+      }
+      if (budget < 1) {
+        sendJson(ex, 400, detail("budget must be >= 1")); return
+      }
+      val seed = qp.getOrElse("seed", "release")
+      val limit = qp.get("limit").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("limit must be an integer")); return
+        case Some(Some(l)) => l
+        case None => 1000
+      }
+      if (limit < 0 || limit > 10000) {
+        sendJson(ex, 400,
+          detail("limit must be between 0 and 10000")); return
+      }
+      val unknown = Seq(idCol.get, weight.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (!df.schema(weight.get).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        sendJson(ex, 400,
+          detail(s"Weight column ${weight.get} is not numeric")); return
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val manifest = graft.ops.Sampling.shardManifest(df, idCol.get,
+        weight.get, seed, budget).persist()
+      try {
+        val tot = manifest.agg(count(lit(1)).as("n_shards"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("w_total")).as("w_total")).collect()(0)
+        val rows = manifest.limit(limit).collect()
+        sendJson(ex, 200, Json.obj(
+          "table" -> tablePath,
+          "id" -> idCol.get,
+          "weight" -> weight.get,
+          "budget" -> budget,
+          "seed" -> seed,
+          "n_shards" -> (if (tot.isNullAt(0)) 0L else tot.getLong(0)),
+          "n_docs" -> (if (tot.isNullAt(1)) 0L else tot.getLong(1)),
+          "w_total" -> (if (tot.isNullAt(2)) 0L else tot.getLong(2)),
+          "shards" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+            "shard" -> r.getLong(0),
+            "n_docs" -> r.getLong(1),
+            "w_total" -> r.getLong(2),
+            "first_pos" -> r.getLong(3),
+            "last_pos" -> r.getLong(4),
+            "etag" -> r.getLong(5),
+            "fill_ppm" -> r.getLong(6))))))
+      } finally manifest.unpersist()
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -419,6 +419,7 @@ object Dedup {
     require(numHashes >= 1 && numHashes <= 1024,
       s"lshPlan needs 1 <= numHashes <= 1024, got $numHashes")
     val spark = docs.sparkSession
+    GraftFunctions.register(spark) // the shingle projection needs it
     import spark.implicits._
     val configs = (1 to numHashes).filter(numHashes % _ == 0)
       .map(b => (b, numHashes / b))
@@ -461,6 +462,58 @@ object Dedup {
         coalesce(col("mean_p_ppm"), lit(0L)).as("mean_p_ppm"),
         coalesce(col("min_p_ppm"), lit(0L)).as("min_p_ppm"))
       .orderBy(col("bands"))
+  }
+
+  /**
+   * The planner's CONSUMER half: pick the index shape [[minHashLSH]]
+   * should run with. From [[lshPlan]]'s surface, choose the CHEAPEST
+   * factorization — fewest bands, since index_rows = bands·n_docs is
+   * the monotone cost axis — whose WORST verified pair is still
+   * detected with `min_p_ppm >= targetMinPpm`. If no factorization
+   * meets the target (or the floor sample found no pairs to price),
+   * fall back to the highest-recall shape (max bands): paying index
+   * size beats silently under-detecting. Returns (bands, rowsPerBand).
+   *
+   * Scale: the decision collects only the d(numHashes)-row plan table;
+   * everything corpus-sized happened inside [[lshPlan]]'s bounded
+   * pair-set design.
+   */
+  def planLsh(docs: DataFrame, textCol: String, idCol: String,
+              targetMinPpm: Long = 950000L, numHashes: Int = 128,
+              floorThreshold: Double = 0.5, shingleLen: Int = 3,
+              maxShingleFreq: Int = 1000): (Int, Int) = {
+    require(targetMinPpm >= 0 && targetMinPpm <= 1000000L,
+      s"planLsh needs 0 <= targetMinPpm <= 1000000, got $targetMinPpm")
+    val plan = lshPlan(docs, textCol, idCol, numHashes, floorThreshold,
+        shingleLen, maxShingleFreq)
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        col("min_p_ppm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val priced = plan.filter(_._3 > 0)
+    val qualifying = priced.filter(_._4 >= targetMinPpm)
+    val pick =
+      if (priced.isEmpty || qualifying.isEmpty) plan.maxBy(_._1)
+      else qualifying.minBy(_._1)
+    (pick._1, pick._2)
+  }
+
+  /**
+   * [[minHashLSH]] with the factorization made EXPLICIT — the form
+   * [[planLsh]]'s answer plugs into: `bands` bands of `rowsPerBand`
+   * hashes each (signature length = bands·rowsPerBand). Same recall
+   * argument, same output shape; only the candidate-generation
+   * geometry moves. Extra candidates from a higher-recall shape are
+   * harmless for correctness (every candidate is exactly verified) —
+   * the factorization is purely a cost/recall knob.
+   */
+  def minHashLSHWith(docs: DataFrame, textCol: String, idCol: String,
+                     bands: Int, rowsPerBand: Int, shingleLen: Int = 3,
+                     threshold: Double = 0.8): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"minHashLSHWith needs bands, rowsPerBand >= 1, got ($bands, $rowsPerBand)")
+    minHashLSH(docs, textCol, idCol, shingleLen,
+      numHashes = bands * rowsPerBand, bands = bands, threshold = threshold)
   }
 
   /**

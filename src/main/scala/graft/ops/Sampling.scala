@@ -600,7 +600,11 @@ object Sampling {
     df.select(col(idCol), col(domainCol).as("__dom"),
         col(weightCol).cast("long").as("__w"))
       .withColumn("__before", coalesce(sum(col("__w")).over(w), lit(0L)))
-      .join(broadcast(alloc), col("__dom") === col("domain"))
+      // null-safe: a NULL domain is a real group in mixtureAllocation
+      // (groupBy keeps it, NULLS LAST rank order is pinned), so the
+      // realization join must not silently drop its docs — every doc
+      // the allocation counted gets a verdict row
+      .join(broadcast(alloc), col("__dom") <=> col("domain"))
       .withColumn("n_copies", col("full_epochs") +
         when(col("__before") + col("__w") <= col("frac_w"), 1L).otherwise(0L))
       .select(col(idCol).as("id"), col("domain"), col("__w").as("w"),

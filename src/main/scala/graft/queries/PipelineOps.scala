@@ -192,6 +192,19 @@ object PipelineOps {
       // non-chunk-aligned case d08's fixed windows provably miss
       Dedup.substringDedup(docs(s, d), "text", "doc_id", anchorWords = 5)
     },
+    "d17_planned_dedup" -> { (s, d) =>
+      // the x10 -> d02 wiring: plan the cheapest 128-hash factorization
+      // whose worst verified >= 0.5 pair is detected with p >= 0.999999
+      // on THIS corpus (picks (64, 2) — not d02's (32, 4)), then dedup
+      // under that shape. Same brute-force oracle as d02: the
+      // factorization is a cost/recall knob, every candidate is
+      // exactly verified, so the clusters must not move.
+      val ds = docs(s, d)
+      val (b, r) = Dedup.planLsh(ds, "text", "doc_id",
+        targetMinPpm = 999999L, numHashes = 128, floorThreshold = 0.5)
+      Dedup.minHashLSHWith(ds, "text", "doc_id", bands = b,
+        rowsPerBand = r, threshold = 0.7)
+    },
     "d10_transitive_clusters" -> { (s, d) =>
       // TRANSITIVE dedup clusters (a~b~c in one cluster even when a!~c):
       // pointer-jumping connected components over the exact Jaccard>=0.7
@@ -1310,7 +1323,7 @@ object PipelineOps {
          plan AS MATERIALIZED (SELECT mcw.id, mcw.w,
              CAST(mfa.fe + CASE WHEN mcw.before + mcw.w <= mfa.fw
                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-           FROM mcw JOIN mfa ON mcw.dom = mfa.domain),
+           FROM mcw JOIN mfa ON mcw.dom IS NOT DISTINCT FROM mfa.domain),
          units AS (SELECT id, w, unnest(range(1, n_copies + 1)) AS copy
            FROM plan WHERE n_copies > 0),
          u2 AS MATERIALIZED (SELECT id, w, CAST(copy AS BIGINT) AS copy,
@@ -1638,6 +1651,10 @@ object PipelineOps {
          SELECT id, source, unnest(generate_series(1, copies)) AS copy_ix
          FROM c ORDER BY id, copy_ix""",
     "d02_minhash_dedup" -> fuzzyDedupOracle(0.7),
+    // d17 runs the PLANNED factorization (64 bands x 2 rows from x10's
+    // surface) — the oracle is factorization-blind brute force, which
+    // is the point: the index shape must not move the clusters
+    "d17_planned_dedup" -> fuzzyDedupOracle(0.7),
     // cross-set brute force: delta (id >= 480) against corpus (id < 480),
     // same shingle/Jaccard CTEs as d02's oracle; valid because the band
     // index's candidate recall is 1 on the gate fixture (d02's argument)
@@ -2385,7 +2402,7 @@ object PipelineOps {
          SELECT cw.id, fa.domain, cw.w,
                 CAST(fe + CASE WHEN cw.before + cw.w <= fw
                      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-         FROM cw JOIN fa ON cw.dom = fa.domain ORDER BY cw.id""",
+         FROM cw JOIN fa ON cw.dom IS NOT DISTINCT FROM fa.domain ORDER BY cw.id""",
     // RRF hybrid fusion: t20's BM25 CTE chain at k=20 + e01's dense
     // cosine ranking for the vec_id-0 probe at k=20, fused by
     // 1e9 // (60 + rank) — all-positive integers, floor = trunc

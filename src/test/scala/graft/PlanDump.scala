@@ -537,7 +537,35 @@ object PlanDump {
     "p13_epoch_plan" ->
       ("The allocation (domain-sized) broadcasts back onto the corpus; " +
         "the one corpus-sized exchange is the domain-keyed cumulative " +
-        "window — packSequences' exact shape, no global sort."))
+        "window — packSequences' exact shape, no global sort."),
+    "p15_shard_manifest" ->
+      ("Release-shard manifest: p08's bucket-offset device — corpus " +
+        "rows exchange ONCE keyed by the 256-value md5 bucket; the " +
+        "only unkeyed window sorts the 256-row (count, weight) offset " +
+        "aggregate, which then broadcasts back; positions and " +
+        "cumulative weights are bucket-keyed windows, and the manifest " +
+        "itself is a shard-keyed aggregation with map-side partials " +
+        "(bit_xor is associative). No corpus-sized global sort exists " +
+        "anywhere below the shard-count-sized output ORDER BY."),
+    "x10_lsh_plan" ->
+      ("LSH parameter planner: ONE similarity join at the floor " +
+        "threshold builds the checkpointed verified-pair set (the x08 " +
+        "shape); the only 'cross' is the broadcast divisor-count config " +
+        "table replicated onto PAIR rows, never corpus rows; both " +
+        "S-curve powers fold per-row inside codegen (iterated integer " +
+        "floors over <= numHashes-step sequences) and collapse in one " +
+        "keyed aggregate. The corpus is scanned for shingles and " +
+        "pairs, shuffled never."),
+    "t27_bpe_train" ->
+      ("The BPE trainer is driver-coordinated: per round, ONE native " +
+        "wrapped_token_pairs projection over the checkpointed " +
+        "wrapped-string state feeds a pair-keyed partial aggregation " +
+        "whose argmax is a 1-row TakeOrdered collect; the adopted merge " +
+        "rewrites the state in a literal-replace projection " +
+        "(checkpointed, previous generation released). The plan below " +
+        "is the returned merge TABLE (driver-built, O(nMerges) rows) — " +
+        "the per-round corpus work never appears in one static plan by " +
+        "construction, which is exactly the bounded-lineage design."))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/PLANS.md")

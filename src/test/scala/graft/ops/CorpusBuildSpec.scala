@@ -94,6 +94,29 @@ class CorpusBuildSpec extends SparkSuite {
     assert(reasonSum + lg("n_mix_docs") == lg("n_docs"))
   }
 
+  test("null-lang docs keep their verdict rows end to end") {
+    // the mixture domain comes from the lang COLUMN (filter gates use
+    // the text-predicted language) — null out a stripe of real docs'
+    // langs and the one-row-per-doc contract must still hold: before
+    // epochPlan's null-safe domain join, null-domain train canonicals
+    // silently vanished from the report
+    val docs = graft.tables.Tables(spark, sf, "documents")
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+    val out = CorpusBuild.corpusBuild(docs, "text", "doc_id", "lang",
+      "n_chars").cache()
+    try {
+      val n = docs.count()
+      assert(out.select("id").distinct().count() === n,
+        "every doc (null lang included) gets at least one row")
+      // and null-lang docs reach the MIX (the null domain is allocated
+      // like any other), not only the rejection rows
+      assert(out.filter(col("id") % 5 === 0 && col("copy").isNotNull)
+        .count() > 0L, "null-lang docs never reached the mix")
+    } finally out.unpersist()
+  }
+
   test("final plan never re-scans the corpus (stages checkpoint once)") {
     val df = CorpusBuild.corpusBuild(
       graft.tables.Tables(spark, sf, "documents"),

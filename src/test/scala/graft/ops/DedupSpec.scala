@@ -412,4 +412,126 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(4)))
     assert(out.toSeq === Seq((0.5, 0L, 0L), (0.9, 0L, 0L)))
   }
+
+  /** The engine's exact-fixed-point S-curve, replayed locally: both
+    * powers as iterated `acc·x DIV 1e6` integer floors (Long is enough:
+    * intermediates cap at 1e12). */
+  private def sCurvePpm(jPpm: Long, bands: Int, rows: Int): Long = {
+    val sR = (1 to rows).foldLeft(1000000L)((acc, _) => acc * jPpm / 1000000L)
+    1000000L - (1 to bands).foldLeft(1000000L)(
+      (acc, _) => acc * (1000000L - sR) / 1000000L)
+  }
+
+  test("lshPlan: hand-traced S-curve on exact-jaccard pairs, every " +
+      "factorization row replayed in integer arithmetic") {
+    import spark.implicits._
+    // exact jaccards by construction (3-word shingles):
+    // (1,2) identical -> j_ppm = 1000000; (1,3)/(2,3) share 3 of 5
+    // shingles -> j_ppm = 1000000*3 DIV 5 = 600000; doc4 overlaps only
+    // {a b c} with doc1 (1/7 = 142857 < the 0.5 floor); doc5 disjoint.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e x"),
+      (4L, "a b c x y z"), (5L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.lshPlan(docs, "text", "doc_id", numHashes = 12,
+        floorThreshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // one row per divisor factorization of 12
+    assert(out.keySet === Set((1, 12), (2, 6), (3, 4), (4, 3), (6, 2),
+      (12, 1)))
+    val pairJs = Seq(1000000L, 600000L, 600000L)
+    out.foreach { case ((b, r), (indexRows, nPairs, expFound, meanP, minP)) =>
+      assert(indexRows === b.toLong * 5L)   // bands x n_docs
+      assert(nPairs === 3L)                 // the verified pair set
+      val ps = pairJs.map(j => sCurvePpm(j, b, r))
+      assert(expFound === ps.sum, s"($b,$r) exp_found")
+      assert(meanP === ps.sum / 3L, s"($b,$r) mean_p")
+      assert(minP === ps.min, s"($b,$r) min_p")
+    }
+    // two rows traced fully by hand (not via the replay helper):
+    // (6,2), j=600000: s_r = 360000; (1e6-360000)=640000 folded 6x ->
+    // 640000, 409600, 262144, 167772, 107374, 68719 -> p = 931281
+    assert(out((6, 2))._5 === 931281L)
+    // (1,12), j=600000: s_r after 12 x0.6 floors = 2176; one band ->
+    // p = s_r itself
+    assert(out((1, 12))._5 === 2176L)
+    // identical pair: s_r = 1e6 at any r, so every config detects it
+    // with certainty -> exp_found - 2 x (the 600000 curve) = exactly 1e6
+    assert(out((4, 3))._3 - 2L * sCurvePpm(600000L, 4, 3) === 1000000L)
+  }
+
+  test("lshPlan: recall surface is monotone in bands; n_pairs matches " +
+      "the d04 pair join at the floor") {
+    import spark.implicits._
+    val docs = corpus  // the planted near-dup fixture
+    val rows = Dedup.lshPlan(docs, "text", "doc_id", numHashes = 16,
+        floorThreshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(6)))
+    // ordered by bands: fewer rows per band => every verified pair's
+    // detect probability rises => the worst pair's odds never fall
+    val byBands = rows.sortBy(_._1)
+    byBands.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 >= a._3, s"min_p fell from bands=${a._1} to ${b._1}")
+      case _ => ()
+    }
+    // the planner prices the SAME pair population x08/d04 verify: every
+    // factorization row carries the exact pair count at the floor
+    val nPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleLen = 3, threshold = 0.5).count()
+    assert(nPairs > 0L)
+    rows.foreach { case (b, n, _) => assert(n === nPairs, s"bands=$b") }
+    // a pairless corpus keeps its zero rows (left join + coalesce)
+    val lonely = Seq((1L, "a b c d e f"), (2L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val zero = Dedup.lshPlan(lonely, "text", "doc_id", numHashes = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(zero.forall { case (ir, n, p) => ir > 0L && n === 0L && p === 0L })
+    intercept[IllegalArgumentException](
+      Dedup.lshPlan(docs, "text", "doc_id", numHashes = 0))
+  }
+
+  test("planLsh picks the cheapest factorization meeting the target; " +
+      "conservative fallback when nothing qualifies") {
+    import spark.implicits._
+    // the hand-traced fixture: verified pairs at j_ppm {1e6, 6e5, 6e5},
+    // so min_p per factorization is the j=600000 S-curve — by bands:
+    // (1,12)=2176 (2,6)=91136 (3,4)=340589 (4,3)=622199 (6,2)=931281
+    // (12,1)=999984
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e x"),
+      (4L, "a b c x y z"), (5L, "q r s t u v")).toDF("doc_id", "text")
+    def pick(target: Long) = Dedup.planLsh(docs, "text", "doc_id",
+      targetMinPpm = target, numHashes = 12, floorThreshold = 0.5)
+    assert(pick(900000L) === ((6, 2)))   // 931281 qualifies, 622199 not
+    assert(pick(999990L) === ((12, 1)))  // only the max-recall shape
+    assert(pick(2000L) === ((1, 12)))    // even one band clears it
+    // unreachable target -> highest-recall fallback, never a quiet
+    // under-detection
+    assert(pick(1000000L) === ((12, 1)))
+    // pairless corpus: nothing to price -> same conservative fallback
+    val lonely = Seq((1L, "a b c d e f"), (2L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    assert(Dedup.planLsh(lonely, "text", "doc_id", targetMinPpm = 900000L,
+      numHashes = 12) === ((12, 1)))
+    intercept[IllegalArgumentException](
+      Dedup.planLsh(docs, "text", "doc_id", targetMinPpm = -1L))
+  }
+
+  test("minHashLSHWith: the planned factorization reproduces the " +
+      "default shape's clusters exactly") {
+    // the factorization is a cost/recall knob — every candidate is
+    // exactly verified, so clusters must be identical across shapes
+    val default = Dedup.minHashLSH(corpus, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planned = Dedup.minHashLSHWith(corpus, "text", "doc_id",
+        bands = 64, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planned === default)
+    intercept[IllegalArgumentException](
+      Dedup.minHashLSHWith(corpus, "text", "doc_id", bands = 0,
+        rowsPerBand = 2))
+  }
 }

@@ -452,6 +452,111 @@ class SamplingSpec extends SparkSuite {
     assert(out(13L) === (("c", 100L, 0L)))
   }
 
+  test("epochPlan: NULL-domain docs get verdict rows (null-safe join)") {
+    import spark.implicits._
+    // the allocation treats NULL as a real domain (groupBy keeps it,
+    // NULLS LAST rank is pinned) — the realization join must too, or
+    // null-metadata docs silently vanish from the plan
+    val df = ((1L to 40L).map(i => (i, Option("en"), 10L)) ++
+      (41L to 50L).map(i => (i, None: Option[String], 10L)))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.epochPlan(df, "lang", "doc_id", "w",
+        expr("avail * 2"), budget = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(3)))).toMap
+    assert(out.size === 50, "every doc gets a plan row, null domain too")
+    // budget = sum of caps (en 800 + null 200): both domains cap at
+    // exactly 2 epochs
+    (41L to 50L).foreach(i => assert(out(i) === ((None, 2L)), s"doc $i"))
+    (1L to 40L).foreach(i => assert(out(i) === ((Some("en"), 2L))))
+  }
+
+  test("shardManifest: next-fit simulation, contiguity, p08 positions, " +
+      "null/negative weights") {
+    import spark.implicits._
+    // weights include NULL (every 37th) and negative (every 23rd): both
+    // count 0 toward shard weight but the doc keeps its position
+    val rows: Seq[(Long, Option[Long])] = (1L to 300L).map { i =>
+      val w: Option[Long] =
+        if (i % 37 == 0) None
+        else if (i % 23 == 0) Some(-5L)
+        else Some((i % 97) + 1)
+      (i, w)
+    }
+    val budget = 200L
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.shardManifest(df, "doc_id", "w", "relA", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+
+    // local replay of the declared rule: p08 order = (md5(seed:id), id),
+    // shard = cumulative-weight-before DIV budget, etag = xor of 60-bit
+    // md5(id) prefixes, fill = floor(1e6 * w_total / budget)
+    val eff = rows.map { case (i, w) => i -> math.max(w.getOrElse(0L), 0L) }
+      .toMap
+    val order = rows.map(_._1).sortBy(i => (md5hex("relA:" + i), i))
+    var before = 0L
+    val sim = order.zipWithIndex.map { case (id, pos) =>
+      val shard = before / budget
+      before += eff(id)
+      (id, pos.toLong, shard)
+    }
+    val expected = sim.groupBy(_._3).toSeq.map { case (shard, ms) =>
+      val ids = ms.map(_._1)
+      val w = ids.map(eff).sum
+      val etag = ids.map(id => java.lang.Long.parseLong(
+        md5hex(id.toString).substring(0, 15), 16)).reduce(_ ^ _)
+      (shard, ids.size.toLong, w, ms.map(_._2).min, ms.map(_._2).max,
+        etag, w * 1000000L / budget)
+    }.sortBy(_._1)
+    assert(out.toSeq === expected)
+
+    // the spec-pinned invariants, by name:
+    // (1) contiguity: first_pos(0) = 0, first_pos(k) = last_pos(k-1)+1,
+    //     the final shard ends at n-1 — shards tile the training order
+    assert(out.head._4 === 0L)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 === a._5 + 1, s"gap between shards ${a._1} and ${b._1}")
+      case _ => ()
+    }
+    assert(out.last._5 === 299L)
+    // (2) positions ARE p08's shufflePositions output (same seed)
+    val p08 = Sampling.shufflePositions(df.select(col("doc_id")),
+        "doc_id", "relA")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sim.foreach { case (id, pos, _) => assert(p08(id) === pos) }
+    // (3) overflow by at most one doc: a shard exceeds the budget by
+    //     strictly less than one member's weight
+    val memberW = sim.groupBy(_._3).view
+      .mapValues(_.map(m => eff(m._1)).max).toMap
+    out.foreach { case (shard, _, w, _, _, _, _) =>
+      assert(w < budget + math.max(memberW(shard), 1L),
+        s"shard $shard weight $w overflows by a full doc")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.shardManifest(df, "doc_id", "w", "relA", 0L))
+  }
+
+  test("shardManifest: manifest is input-order independent; etag is " +
+      "member-order independent") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, i % 50 + 1)).toDF("doc_id", "w")
+    val base = Sampling.shardManifest(df, "doc_id", "w", "s1", 300L)
+      .collect().toSeq
+    // reversed and repartitioned input: identical manifest (positions,
+    // shard cuts, and the bit_xor etag all derive from (seed, id, w),
+    // never from arrival order)
+    val shuffled = Sampling.shardManifest(
+      df.orderBy(col("doc_id").desc).repartition(7), "doc_id", "w",
+      "s1", 300L).collect().toSeq
+    assert(base === shuffled)
+    // a different seed re-cuts the shards (the permutation moved)
+    val other = Sampling.shardManifest(df, "doc_id", "w", "s2", 300L)
+      .collect().toSeq
+    assert(base !== other)
+  }
+
   test("epochPlan: fractional prefix follows (md5, id) order exactly") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L)

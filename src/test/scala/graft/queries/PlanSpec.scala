@@ -431,4 +431,45 @@ class PlanSpec extends SparkSuite {
     // the one corpus-sized exchange is the domain-keyed window
     assert(plan.contains("hashpartitioning(__dom"), plan)
   }
+
+  test("p15: the only global window runs over the 256-row bucket " +
+      "aggregate; manifest agg is partial; offsets broadcast back") {
+    val plan = pipelinePlan("p15_shard_manifest")
+    // corpus rows exchange keyed by the md5 bucket, never globally
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    // exactly ONE SinglePartition exchange exists — the offset table's
+    // ordering window — and it sits above the bucket HashAggregate
+    // (3 columns: bucket, count, weight), not above corpus rows
+    // (count in the FINAL plan only; AQE toString repeats the tree)
+    val single = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("Exchange SinglePartition")).toSeq
+    assert(single.size === 1, plan)
+    // the offsets join back as a broadcast; nothing sort-merges
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // manifest rollup combines map-side (bit_xor is associative)
+    assert(plan.contains("partial_bit_xor"), plan)
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+
+  test("x10: configs broadcast onto the checkpointed pair set — the " +
+      "corpus is never crossed or shuffled") {
+    val plan = pipelinePlan("x10_lsh_plan")
+    // the verified pair set is a localCheckpoint (built by ONE
+    // similarity join at the floor before this plan exists)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    // the only crosses are broadcast nested loops of the d(numHashes)
+    // config table / the 1-row n_docs scalar — no real cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus parquet appears ONLY under the n_docs count — the
+    // pair join + jaccard re-derivation ran at checkpoint time
+    // (count in the FINAL plan only; AQE toString repeats the tree)
+    val scans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size === 1, plan)
+    // S-curve folds collapse in one keyed aggregate with partials
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")), aggLines.mkString("\n"))
+  }
 }
