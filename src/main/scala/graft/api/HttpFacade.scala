@@ -66,6 +66,50 @@ final class HttpFacade(
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  // ---- op-route persisted-RDD accounting --------------------------------
+  private val opGate = new Object
+  private var opInFlight = 0
+  private val sweepPending = scala.collection.mutable.Set.empty[Int]
+
+  /** Run a heavy catalog-op request under DEFERRED persisted-RDD
+    * sweeping. The ops behind these routes pin session-level storage
+    * (eager localCheckpoints inside corpusBuild / thresholdSweep /
+    * lshPlan; the shard-manifest's explicit persist), which must be
+    * released or every request leaks block-manager memory until session
+    * end. A naive release — diff `getPersistentRDDs` around the run and
+    * unpersist the difference — is DESTRUCTIVE under concurrency: with 8
+    * server threads the diff can capture another in-flight request's
+    * RDDs, and a localCheckpoint's lineage is truncated, so unpersisting
+    * it destroys the only copy and fails that job with missing-block
+    * errors. The fix keeps the diff but defers the release: every op
+    * route registers in/out here, diff ids only become sweep CANDIDATES,
+    * and candidates are unpersisted when the LAST in-flight op exits —
+    * at which point every candidate belongs to a finished request and is
+    * dead weight by construction (a self-cleaning route's ids have
+    * already left `getPersistentRDDs`, so they no-op). A SparkContext
+    * never reuses RDD ids, so a deferred id cannot alias a later RDD.
+    * Deferral cost is bounded by the concurrency overlap window, never
+    * the session lifetime. */
+  private def withOpSweep[A](body: => A): A = {
+    opGate.synchronized { opInFlight += 1 }
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    try body
+    finally {
+      val diff = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      val sweep = opGate.synchronized {
+        opInFlight -= 1
+        sweepPending ++= diff
+        if (opInFlight == 0) {
+          val s = sweepPending.toSet; sweepPending.clear(); s
+        } else Set.empty[Int]
+      }
+      if (sweep.nonEmpty)
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => sweep.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   // ---------------------------------------------------------------- routing
 
   private def route(ex: HttpExchange): Unit =
@@ -101,6 +145,8 @@ final class HttpFacade(
           dataCardRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "shard-manifest")) =>
           shardManifestRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "lsh-plan")) =>
+          lshPlanRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -572,8 +618,12 @@ final class HttpFacade(
           }
           ts
       }
-      val rows = graft.ops.Dedup.thresholdSweep(df, textCol.get, idCol.get,
-        thresholds).collect()
+      // thresholdSweep localCheckpoints its shared pair set — release it
+      // under the deferred-sweep discipline (withOpSweep)
+      val rows = withOpSweep {
+        graft.ops.Dedup.thresholdSweep(df, textCol.get, idCol.get,
+          thresholds).collect()
+      }
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "text" -> textCol.get,
@@ -843,26 +893,26 @@ final class HttpFacade(
       if (maxRows < 1) {
         sendJson(ex, 400, detail("max_rows must be >= 1")); return
       }
-      val nRows = df.count()
-      if (nRows > maxRows) {
-        sendJson(ex, 413, detail(s"Table has $nRows rows, over the " +
-          s"data-card cap $maxRows (raise max_rows to override)")); return
+      // the guard itself must not scan the corpus to decide whether
+      // scanning is too expensive: a LIMIT-ed count short-circuits the
+      // scan at maxRows+1 rows (CollectLimit takes partitions
+      // incrementally), so the refusal costs O(maxRows) regardless of
+      // table size — a full df.count() here would read all 100 TB first
+      val probeCap = math.min(maxRows, (Int.MaxValue - 1).toLong)
+      if (df.limit((probeCap + 1).toInt).count() > probeCap) {
+        sendJson(ex, 413, detail(s"Table has more than $probeCap rows, " +
+          s"over the data-card cap (raise max_rows to override)")); return
       }
-      // release the composition's localCheckpoints when the card is
-      // done: snapshot the persisted-RDD ids before, unpersist what the
-      // run added — otherwise each request leaks its checkpointed stage
-      // outputs until session end
-      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val card =
-        try graft.ops.CorpusBuild.dataCard(
+      // release the composition's localCheckpoints when the card is done
+      // (deferred-sweep discipline: see withOpSweep)
+      val card = withOpSweep {
+        graft.ops.CorpusBuild.dataCard(
           graft.ops.CorpusBuild.corpusBuild(df, textCol.get, idCol.get,
             domainCol.get, lengthCol.get, allowedLangs = langs,
             minQuality = minQ, crossThreshold = crossT,
             dedupThreshold = dedupT, epochCap = epochs,
             budget = budget)).collect()(0)
-        finally spark.sparkContext.getPersistentRDDs
-          .filterNot { case (rddId, _) => persistedBefore.contains(rddId) }
-          .values.foreach(_.unpersist(false))
+      }
       val fields = card.schema.fieldNames.zipWithIndex
       sendJson(ex, 200, Json.obj(Seq[(String, Any)](
         "table" -> tablePath,
@@ -946,6 +996,7 @@ final class HttpFacade(
           detail(s"Weight column ${weight.get} is not numeric")); return
       }
       import org.apache.spark.sql.functions.{col, count, lit, sum}
+      withOpSweep {
       val manifest = graft.ops.Sampling.shardManifest(df, idCol.get,
         weight.get, seed, budget).persist()
       try {
@@ -968,9 +1019,118 @@ final class HttpFacade(
             "w_total" -> r.getLong(2),
             "first_pos" -> r.getLong(3),
             "last_pos" -> r.getLong(4),
-            "etag" -> r.getLong(5),
+            // decimal STRING, not a JSON number: the 60-bit bit_xor
+            // value exceeds 2^53, so a double-based JSON parser (any JS
+            // client) would silently round it and break the documented
+            // recompute-to-audit contract
+            "etag" -> r.getLong(5).toString,
             "fill_ppm" -> r.getLong(6))))))
       } finally manifest.unpersist()
+      }
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** LSH index-shape planner over any catalog table
+    * (`?text=<col>&id=<col>[&num_hashes=128][&floor=0.5]
+    * [&target_min_ppm=950000]`): graft.ops.Dedup.lshPlan priced on the
+    * corpus's OWN verified >= floor pairs, plus Dedup.pickLsh's
+    * decision — the cheapest bands x rows factorization of the
+    * num_hashes signature whose WORST verified pair is still detected
+    * with probability >= target_min_ppm. This closes the tuning loop the
+    * parameterized data-card opened: the card sweeps thresholds, this
+    * route picks the index shape that detects them — what d17 runs
+    * programmatically, drivable from the UI. The surface is
+    * d(num_hashes) rows (divisor-count-sized, <= 34 for any
+    * num_hashes <= 1024), so the whole table ships in the response; the
+    * corpus is priced ONCE (pickLsh reuses the collected surface rather
+    * than re-running the pair join). Validation follows the
+    * shard-manifest conventions. */
+  private def lshPlanRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (textCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400,
+          detail("text and id parameters are required")); return
+      }
+      val unknown = Seq(textCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val numHashes = qp.get("num_hashes").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("num_hashes must be an integer")); return
+        case Some(Some(n)) => n
+        case None => 128
+      }
+      if (numHashes < 1 || numHashes > 1024) {
+        sendJson(ex, 400,
+          detail("num_hashes must be between 1 and 1024")); return
+      }
+      val floor = qp.get("floor").map(_.toDoubleOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("floor must be a number")); return
+        case Some(Some(f)) if f.isNaN || f <= 0.0 || f > 1.0 =>
+          sendJson(ex, 400, detail("floor must be in (0, 1]")); return
+        case Some(Some(f)) => f
+        case None => 0.5
+      }
+      val targetMinPpm = qp.get("target_min_ppm").map(_.toLongOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("target_min_ppm must be an integer")); return
+        case Some(Some(t)) => t
+        case None => 950000L
+      }
+      if (targetMinPpm < 0 || targetMinPpm > 1000000L) {
+        sendJson(ex, 400,
+          detail("target_min_ppm must be between 0 and 1000000")); return
+      }
+      // lshPlan localCheckpoints its verified-pair set — release it
+      // under the deferred-sweep discipline (withOpSweep)
+      val rows = withOpSweep {
+        graft.ops.Dedup.lshPlan(df, textCol.get, idCol.get,
+          numHashes = numHashes, floorThreshold = floor).collect()
+      }
+      val (pb, pr) = graft.ops.Dedup.pickLsh(
+        rows.toSeq.map(r => (r.getInt(0), r.getInt(1), r.getLong(3),
+          r.getLong(6))), targetMinPpm)
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "text" -> textCol.get,
+        "id" -> idCol.get,
+        "num_hashes" -> numHashes.toLong,
+        "floor" -> floor,
+        "target_min_ppm" -> targetMinPpm,
+        "picked_bands" -> pb.toLong,
+        "picked_rows_per_band" -> pr.toLong,
+        "plan" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "bands" -> r.getInt(0).toLong,
+          "rows_per_band" -> r.getInt(1).toLong,
+          "index_rows" -> r.getLong(2),
+          "n_pairs" -> r.getLong(3),
+          "exp_found_ppm" -> r.getLong(4),
+          "mean_p_ppm" -> r.getLong(5),
+          "min_p_ppm" -> r.getLong(6))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -484,12 +484,26 @@ object Dedup {
               maxShingleFreq: Int = 1000): (Int, Int) = {
     require(targetMinPpm >= 0 && targetMinPpm <= 1000000L,
       s"planLsh needs 0 <= targetMinPpm <= 1000000, got $targetMinPpm")
-    val plan = lshPlan(docs, textCol, idCol, numHashes, floorThreshold,
+    pickLsh(lshPlan(docs, textCol, idCol, numHashes, floorThreshold,
         shingleLen, maxShingleFreq)
       .select(col("bands"), col("rows_per_band"), col("n_pairs"),
         col("min_p_ppm"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq, targetMinPpm)
+  }
+
+  /** The pick rule alone, over an ALREADY-COLLECTED plan surface
+    * `(bands, rows_per_band, n_pairs, min_p_ppm)` — split out of
+    * [[planLsh]] so a caller that also serves the surface (the HTTP
+    * lsh-plan route) prices the corpus ONCE instead of running
+    * [[lshPlan]]'s pair join twice. Same decision: cheapest (fewest
+    * bands) factorization whose worst verified pair still meets
+    * `targetMinPpm`; highest-recall shape when nothing qualifies or no
+    * pairs were found to price. */
+  def pickLsh(plan: Seq[(Int, Int, Long, Long)],
+              targetMinPpm: Long): (Int, Int) = {
+    require(plan.nonEmpty, "pickLsh needs a non-empty plan surface")
     val priced = plan.filter(_._3 > 0)
     val qualifying = priced.filter(_._4 >= targetMinPpm)
     val pick =

@@ -479,6 +479,143 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 404)
   }
 
+  test("data-card route: curation params (thresholds, langs, max_rows)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars"
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // threshold validation: (0, 1] numbers only
+    assert(get(base + "&cross_threshold=0").statusCode === 400)
+    assert(get(base + "&cross_threshold=abc").statusCode === 400)
+    assert(get(base + "&dedup_threshold=1.5").statusCode === 400)
+    assert(get(base + "&dedup_threshold=NaN").statusCode === 400)
+    assert(get(base + "&min_quality=-0.1").statusCode === 400)
+    // langs validation: non-empty comma list
+    assert(get(base + "&langs=").statusCode === 400)
+    assert(get(base + "&langs=,,").statusCode === 400)
+    // max_rows guard: 400 on malformed, 413 over the cap
+    assert(get(base + "&max_rows=abc").statusCode === 400)
+    assert(get(base + "&max_rows=0").statusCode === 400)
+    assert(get(base + "&max_rows=3").statusCode === 413)
+    // ask-#6 monotonicity: a LOWER dedup threshold admits every pair the
+    // higher one does plus more, so n_duplicate moves monotonically
+    val lo = get(base + "&dedup_threshold=0.5")
+    val hi = get(base + "&dedup_threshold=0.95")
+    assert(lo.statusCode === 200, lo.body)
+    assert(hi.statusCode === 200, hi.body)
+    assert(lg(lo.body, "n_duplicate") >= lg(hi.body, "n_duplicate"),
+      s"lo=${lo.body}\nhi=${hi.body}")
+    // restricting langs can only grow the language-gate rejections
+    val en = get(base + "&langs=en")
+    assert(en.statusCode === 200, en.body)
+    val dflt = get(base)
+    assert(lg(en.body, "n_language") >= lg(dflt.body, "n_language"),
+      s"en=${en.body}\ndflt=${dflt.body}")
+    // params echo back in the response envelope
+    assert(lo.body.contains("\"dedup_threshold\":0.5"), lo.body)
+    assert(en.body.contains("\"langs\":\"en\""), en.body)
+  }
+
+  test("shard-manifest route: next-fit shard rows reconcile with Sampling") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/shard-manifest"
+    val m = get(base + "?id=doc_id&weight=n_chars&budget=8000")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // reconcile the rollup and the first shard row against the engine op
+    val eng = graft.ops.Sampling.shardManifest(
+      spark.table("httpapi.documents"), "doc_id", "n_chars",
+      "release", 8000L).collect()
+    assert(lg(m.body, "n_shards") === eng.length.toLong, m.body)
+    assert(lg(m.body, "n_docs") === eng.map(_.getLong(1)).sum, m.body)
+    assert(lg(m.body, "w_total") === eng.map(_.getLong(2)).sum, m.body)
+    // the etag is a decimal STRING (60-bit values exceed 2^53 — a JSON
+    // number would silently round in any double-based parser and break
+    // the recompute-to-audit contract)
+    val etags = "\"etag\":\"(-?\\d+)\"".r.findAllMatchIn(m.body)
+      .map(_.group(1).toLong).toSeq
+    assert(etags === eng.toSeq.map(_.getLong(5)), m.body)
+    assert(!m.body.matches(".*\"etag\":-?\\d.*"), m.body)
+    // limit honored; limit=0 keeps the rollup, drops the rows
+    val l1 = get(base + "?id=doc_id&weight=n_chars&budget=8000&limit=1")
+    assert("\"shard\":".r.findAllIn(l1.body).length === 1, l1.body)
+    assert(lg(l1.body, "n_shards") === eng.length.toLong, l1.body)
+    val l0 = get(base + "?id=doc_id&weight=n_chars&budget=8000&limit=0")
+    assert("\"shard\":".r.findAllIn(l0.body).isEmpty, l0.body)
+    // a different seed re-permutes but conserves the totals
+    val s2 = get(base + "?id=doc_id&weight=n_chars&budget=8000&seed=v2")
+    assert(s2.statusCode === 200, s2.body)
+    assert(lg(s2.body, "w_total") === lg(m.body, "w_total"), s2.body)
+    // validation edges, data-card conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?id=doc_id&weight=n_chars").statusCode === 400)
+    assert(get(base + "?id=doc_id&weight=n_chars&budget=abc")
+      .statusCode === 400)
+    assert(get(base + "?id=doc_id&weight=n_chars&budget=0")
+      .statusCode === 400)
+    assert(get(base + "?id=doc_id&weight=text&budget=8000")
+      .statusCode === 400) // non-numeric weight
+    assert(get(base + "?id=doc_id&weight=nope&budget=8000")
+      .statusCode === 400)
+    assert(get(base + "?id=doc_id&weight=n_chars&budget=8000&limit=10001")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/shard-manifest" +
+      "?id=doc_id&weight=n_chars&budget=8000").statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/shard-manifest" +
+      "?id=doc_id&weight=n_chars&budget=8000").statusCode === 400)
+  }
+
+  test("lsh-plan route: priced factorization surface + the pick") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/lsh-plan"
+    val m = get(base + "?text=text&id=doc_id")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // one plan row per divisor of 128
+    assert("\"bands\":".r.findAllIn(m.body).length === 8, m.body)
+    // the pick factors the signature and matches planLsh's decision on
+    // the same corpus at the same default target
+    val (pb, pr) = (lg(m.body, "picked_bands"),
+      lg(m.body, "picked_rows_per_band"))
+    assert(pb * pr === 128L, m.body)
+    val (eb, er) = graft.ops.Dedup.planLsh(
+      spark.table("httpapi.documents"), "text", "doc_id")
+    assert((pb, pr) === ((eb.toLong, er.toLong)), m.body)
+    // validation edges, shard-manifest conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?text=text").statusCode === 400)
+    assert(get(base + "?text=nope&id=doc_id").statusCode === 400)
+    assert(get(base + "?text=n_chars&id=doc_id").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&num_hashes=0")
+      .statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&num_hashes=abc")
+      .statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&num_hashes=2000")
+      .statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&floor=0").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&floor=abc").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&target_min_ppm=2000000")
+      .statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&target_min_ppm=abc")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/lsh-plan" +
+      "?text=text&id=doc_id").statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/lsh-plan" +
+      "?text=text&id=doc_id").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
