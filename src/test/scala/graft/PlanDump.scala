@@ -556,6 +556,17 @@ object PlanDump {
         "floors over <= numHashes-step sequences) and collapse in one " +
         "keyed aggregate. The corpus is scanned for shingles and " +
         "pairs, shuffled never."),
+    "d17_planned_dedup" ->
+      ("Planner-driven dedup: the x10 lshPlan surface is collected " +
+        "(divisor-count rows — the only driver materialization) and " +
+        "pickLsh's cheapest qualifying factorization plugs into " +
+        "minHashLSHWith, so the plan below is d02's exact dataflow with " +
+        "the band geometry chosen by the corpus's own verified pairs: " +
+        "the repartition(id) signature exchange computed once and " +
+        "reused by self-join sides and verification joins, band rows " +
+        "and fixed-width signatures the only shuffled payloads. A " +
+        "higher-recall shape only adds candidates, every candidate is " +
+        "exactly verified — the planner moves cost, never answers."),
     "t27_bpe_train" ->
       ("The BPE trainer is driver-coordinated: per round, ONE native " +
         "wrapped_token_pairs projection over the checkpointed " +

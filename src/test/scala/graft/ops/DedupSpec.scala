@@ -519,6 +519,21 @@ class DedupSpec extends SparkSuite {
       Dedup.planLsh(docs, "text", "doc_id", targetMinPpm = -1L))
   }
 
+  test("pickLsh: the pick rule alone over a collected surface") {
+    // (bands, rows_per_band, n_pairs, min_p_ppm)
+    val surface = Seq((1, 8, 3L, 2000L), (2, 4, 3L, 500000L),
+      (4, 2, 3L, 960000L), (8, 1, 3L, 999999L))
+    assert(Dedup.pickLsh(surface, 950000L) === ((4, 2)))
+    assert(Dedup.pickLsh(surface, 990000L) === ((8, 1)))
+    assert(Dedup.pickLsh(surface, 1000L) === ((1, 8)))
+    // nothing qualifies -> max-recall fallback
+    assert(Dedup.pickLsh(surface, 1000000L) === ((8, 1)))
+    // unpriced surface (zero pairs everywhere) -> same fallback
+    assert(Dedup.pickLsh(surface.map(s => s.copy(_3 = 0L)), 1000L)
+      === ((8, 1)))
+    intercept[IllegalArgumentException](Dedup.pickLsh(Nil, 1000L))
+  }
+
   test("minHashLSHWith: the planned factorization reproduces the " +
       "default shape's clusters exactly") {
     // the factorization is a cost/recall knob — every candidate is

@@ -452,6 +452,31 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
 
+  test("d17: planner-driven dedup — the PLANNED factorization is the " +
+      "EXECUTED geometry, and the dedup half keeps d02's reused-exchange " +
+      "shape") {
+    val plan = pipelinePlan("d17_planned_dedup")
+    // the signature repartition(id) exchange is computed once and
+    // reused by the self-join sides and the verification joins — the
+    // d02 shape, unchanged by the planner (the factorization is purely
+    // candidate-generation geometry)
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // planned == executed: the pick is corpus-dependent ((64,2) on the
+    // sf0.01 gate fixture; this sf0.001 corpus may qualify a cheaper
+    // shape), so pin that the band projection's slice STRIDE in the
+    // physical plan is exactly planLsh's rows_per_band — proof the
+    // lshPlan -> pickLsh decision drives the executed geometry (its
+    // plan-table collect is the only driver materialization; everything
+    // in this plan is the dedup dataflow)
+    val (_, er) = graft.ops.Dedup.planLsh(
+      graft.tables.Tables(spark, sf, "documents"), "text", "doc_id",
+      targetMinPpm = 999999L, numHashes = 128, floorThreshold = 0.5)
+    val stride = (raw"slice\(sig#\d+, \(\(lambda [\w#]+ \* (\d+)\)").r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(stride === Some(er), s"stride=$stride planned rows=$er\n$plan")
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
