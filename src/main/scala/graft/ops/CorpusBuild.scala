@@ -57,6 +57,17 @@ import org.apache.spark.sql.functions._
  */
 object CorpusBuild {
 
+  /** Eager localCheckpoint with stats rebased to the materialized
+    * blocks (GraftCheckpoint.freshStats). Every stage boundary in this
+    * file checkpoints through here: inherited origin estimates compound
+    * MULTIPLICATIVELY across checkpointed generations (joins multiply
+    * sizeInBytes), and by the incremental build's ~16th generation the
+    * driver was measured burning 80+ s in BigInteger.multiply on
+    * million-bit size estimates for a 30-row result. Facts don't
+    * compound. */
+  private[ops] def cp(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftCheckpoint.freshStats(df)
+
   /** The composed per-row build plan. Parameters default to the p14
     * gate configuration; the DuckDB oracle replays the identical chain
     * (PipelineOps `p14_corpus_build`). */
@@ -76,12 +87,12 @@ object CorpusBuild {
     val fc = TextAnalysis.filterChain(docs, textCol, idCol,
         allowedLangs, minQuality)
       .select(col("id"), col("keep"), col("reject_reason"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
     // t26 token weights for EVERY doc — the report prices every
     // rejection in tokens, not only the mix
     val wts = TextAnalysis.bpeSegment(docs, textCol, idCol, merges)
       .select(col("id"), col("n_tokens").as("w"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
 
     // ---- stage 2: split assignment over filter survivors ----
     val fsurv = fc.filter(col("keep")).select(col("id"))
@@ -94,7 +105,7 @@ object CorpusBuild {
     val cs = Sampling.crossSplitDedup(sp, "id", "split",
         crossPairs, protectedSplit)
       .select(col("id"), col("split"), col("is_removed"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
 
     // ---- stage 4: within-train dedup pipeline ----
     val trainIds = cs.filter(!col("is_removed") &&
@@ -104,7 +115,7 @@ object CorpusBuild {
     val dd = Dedup.dedupPipeline(trainDocs, textCol, idCol, lengthCol,
         threshold = dedupThreshold)
       .select(col("id"), col("is_kept"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
 
     // ---- stage 5: mixture + epoch plan over train canonicals ----
     val tr = dd.filter(col("is_kept")).select(col("id"))
@@ -114,7 +125,7 @@ object CorpusBuild {
     val plan = Sampling.epochPlan(tr, "domain0", "id", "w",
         expr(s"avail * $epochCap"), budget)
       .select(col("id"), col("w"), col("n_copies"))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
 
     // ---- stage 6: copies -> pack -> positions ----
     val units = plan.filter(col("n_copies") > 0)
@@ -122,7 +133,7 @@ object CorpusBuild {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .withColumn("uid", concat(col("id").cast("string"), lit("#"),
         col("copy").cast("string")))
-      .localCheckpoint(true)
+      .transform(graft.ops.CorpusBuild.cp)
     val packed = Sampling.packSequences(units, "uid", "w",
         packBudget, packShards)
       .select(col("uid"), col("shard").as("pack_shard"),
@@ -201,5 +212,210 @@ object CorpusBuild {
       countDistinct(when(col("copy").isNotNull,
         struct(col("pack_shard"), col("pack_bin")))).as("n_bins"),
       coalesce(max(col("pos")), lit(-1L)).as("max_pos"))
+  }
+
+  /**
+   * Incremental corpus build (p16) — extend an EXISTING build with a
+   * delta batch without touching anything already shipped: the daily-
+   * increment shape a production pipeline actually runs (rebuilding the
+   * whole corpus per batch re-trains on re-shuffled data and rewrites
+   * released shards). Inputs: the prior [[corpusBuild]] OUTPUT rows (the
+   * state a pipeline persists between increments), the docs that build
+   * was computed from, and the new batch (ids assumed disjoint from the
+   * corpus — the batch model).
+   *
+   * Stages mirror [[corpusBuild]]'s order with the cross-SET twists:
+   *   1. t24 filter + t26 token weights over the DELTA only.
+   *   2. p01 hashSplit over delta survivors — the same md5 device as the
+   *      existing build, so assignment is consistent by identity: a doc
+   *      would land in the same split whichever batch delivered it.
+   *   3. Decontamination against the eval boundary: ONE exact pair set
+   *      at `crossThreshold` over (delta survivors ∪ EXISTING eval
+   *      docs), then d15 crossSplitDedup with the existing eval ids
+   *      pinned to the protected split — a delta train doc near-dup of
+   *      an existing OR newly-held-out eval doc is dropped
+   *      (`cross_split`); eval docs are never dropped. Existing TRAIN
+   *      docs deliberately sit out: duplicating one is stage 4's
+   *      verdict, not contamination.
+   *   4. d07 [[Dedup.incremental]] — delta train survivors probe the
+   *      EXISTING train canonicals (kept rows: mix + `budget`) at
+   *      `dedupThreshold`; exact-or-fuzzy hits drop as `duplicate`.
+   *      The corpus-side band index is exactly what a production
+   *      pipeline keeps materialized between increments.
+   *   5. d14 [[Dedup.dedupPipeline]] WITHIN the remaining delta — the
+   *      batch itself may carry duplicate clusters.
+   *   6. p12/p13 epochPlan over the delta canonicals with the
+   *      increment's OWN `deltaBudget` (the new spend, not a re-spend of
+   *      the existing allocation).
+   *   7. EXTENSION realization: p03 packSequences into `packShards`
+   *      FRESH shards offset by `packShards` (shipped shards are
+   *      immutable — the increment ships its own shard set), and p08
+   *      shufflePositions under `shuffleSeed` OFFSET by the existing
+   *      mix size, so every new position lands strictly AFTER the
+   *      existing max — training resumes, never replays.
+   *
+   * Output: [[corpusBuild]]'s exact row shape, DELTA docs only.
+   *
+   * Scale: delta-sized work throughout — the only corpus-sized touches
+   * are the id-joins selecting eval/canonical docs (id-keyed, text
+   * moves once into the pair generators) and the d07 band probe, whose
+   * candidate cost is |delta| x band-collision rate, never corpus².
+   * The existing build rows contribute one 1-row count aggregate (the
+   * position offset) broadcast onto delta units.
+   */
+  def incrementalBuild(
+      existing: DataFrame, corpusDocs: DataFrame, deltaDocs: DataFrame,
+      textCol: String, idCol: String, langCol: String, lengthCol: String,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr"),
+      minQuality: Double = 0.6,
+      kSplits: Int = 3, protectedSplit: Long = 0L,
+      crossThreshold: Double = 0.5, dedupThreshold: Double = 0.7,
+      merges: Seq[(String, String)] = TextAnalysis.DefaultMerges,
+      epochCap: Int = 2, deltaBudget: Long = 20000L,
+      packBudget: Long = 1024L, packShards: Int = 8,
+      shuffleSeed: String = "p16"): DataFrame = {
+
+    // ---- stage 1: delta filter verdicts + token weights ----
+    val fc = TextAnalysis.filterChain(deltaDocs, textCol, idCol,
+        allowedLangs, minQuality)
+      .select(col("id"), col("keep"), col("reject_reason"))
+      .transform(graft.ops.CorpusBuild.cp)
+    val wts = TextAnalysis.bpeSegment(deltaDocs, textCol, idCol, merges)
+      .select(col("id"), col("n_tokens").as("w"))
+      .transform(graft.ops.CorpusBuild.cp)
+
+    // ---- stage 2: split assignment over delta survivors ----
+    val fsurv = fc.filter(col("keep")).select(col("id"))
+    val sp = Sampling.hashSplit(fsurv, "id", kSplits)
+
+    // ---- stage 3: decontaminate vs the (existing ∪ new) eval split ----
+    // The three reads of the EXISTING state (eval ids, canonical ids,
+    // the 1-row mix count) are localCheckpointed at the interface: each
+    // is tiny, and when `existing` is a live corpusBuild plan (the p16
+    // composition) rather than a table read, every un-checkpointed
+    // consumer would re-embed that entire plan — catalyst planning cost
+    // explodes combinatorially through the downstream joins/unions
+    // (measured: 123 s -> delta-bound seconds at sf0.01)
+    val evalIds = existing.filter(col("reason") === "eval_holdout")
+      .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
+    val unionDocs = deltaDocs
+      .join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col(idCol), col(textCol))
+      .unionAll(corpusDocs
+        .join(evalIds.withColumnRenamed("id", idCol), Seq(idCol))
+        .select(col(idCol), col(textCol)))
+    val crossPairs = Dedup.ngramJaccardPairs(unionDocs, textCol, idCol,
+      shingleLen = 3, threshold = crossThreshold)
+    val splitsTable = sp.select(col("id"), col("split"))
+      .unionAll(evalIds.select(col("id"),
+        lit(protectedSplit).cast("int").as("split")))
+    val cs = Sampling.crossSplitDedup(splitsTable, "id", "split",
+        crossPairs, protectedSplit)
+      .join(sp.select(col("id")), Seq("id")) // delta rows only
+      .select(col("id"), col("split"), col("is_removed"))
+      .transform(graft.ops.CorpusBuild.cp)
+
+    // ---- stage 4: delta-vs-existing-canonical dedup (the d07 probe) ----
+    val canonIds = existing.filter(col("kept") &&
+        (col("reason").isNull || col("reason") === "budget"))
+      .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
+    val canonDocs = corpusDocs.join(
+      canonIds.withColumnRenamed("id", idCol), Seq(idCol))
+    val trainIds = cs.filter(!col("is_removed") &&
+      col("split") =!= protectedSplit).select(col("id"))
+    val trainDocs = deltaDocs.join(trainIds.withColumnRenamed("id", idCol),
+      Seq(idCol))
+    val inc = Dedup.incremental(canonDocs, trainDocs, textCol, idCol,
+        threshold = dedupThreshold)
+      .select(col("id"), col("is_new"))
+      .transform(graft.ops.CorpusBuild.cp)
+
+    // ---- stage 5: within-delta dedup over the remainder ----
+    val remainDocs = trainDocs.join(inc.filter(col("is_new"))
+      .select(col("id").as(idCol)), Seq(idCol))
+    val dd = Dedup.dedupPipeline(remainDocs, textCol, idCol, lengthCol,
+        threshold = dedupThreshold)
+      .select(col("id"), col("is_kept"))
+      .transform(graft.ops.CorpusBuild.cp)
+
+    // ---- stage 6: mixture + epoch plan over the delta canonicals ----
+    val tr = dd.filter(col("is_kept")).select(col("id"))
+      .join(deltaDocs.select(col(idCol).as("id"),
+        col(langCol).as("domain0")), Seq("id"))
+      .join(wts, Seq("id"))
+    val plan = Sampling.epochPlan(tr, "domain0", "id", "w",
+        expr(s"avail * $epochCap"), deltaBudget)
+      .select(col("id"), col("w"), col("n_copies"))
+      .transform(graft.ops.CorpusBuild.cp)
+
+    // ---- stage 7: copies -> fresh shards -> appended positions ----
+    val units = plan.filter(col("n_copies") > 0)
+      .select(col("id"), col("w"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .withColumn("uid", concat(col("id").cast("string"), lit("#"),
+        col("copy").cast("string")))
+      .transform(graft.ops.CorpusBuild.cp)
+    val packed = Sampling.packSequences(units, "uid", "w",
+        packBudget, packShards)
+      .select(col("uid"),
+        (col("shard") + lit(packShards)).cast("int").as("pack_shard"),
+        col("bin").as("pack_bin"))
+    // the 1-row existing-mix count broadcasts onto delta units: new
+    // positions land strictly after the existing max (pos is dense
+    // 0..n-1 on the existing side, so offset = existing unit count)
+    val posOff = existing
+      .agg(count(when(col("copy").isNotNull, 1)).as("__posoff"))
+      .transform(graft.ops.CorpusBuild.cp)
+    val pos = Sampling.shufflePositions(units.select(col("uid")), "uid",
+        shuffleSeed)
+      .select(col("id").as("uid"), col("pos").as("__pos0"))
+      .crossJoin(broadcast(posOff))
+      .select(col("uid"), (col("__pos0") + col("__posoff")).as("pos"))
+    val splitOf = cs.select(col("id"), col("split"))
+    val mix = units.select(col("id"), col("copy"), col("uid"))
+      .join(packed, Seq("uid")).join(pos, Seq("uid"))
+      .join(splitOf, Seq("id"))
+
+    // ---- report assembly: corpusBuild's exact row shape, delta only ----
+    val nullI = lit(null).cast("int")
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    def shape(id: org.apache.spark.sql.Column,
+              kept: org.apache.spark.sql.Column,
+              reason: org.apache.spark.sql.Column,
+              split: org.apache.spark.sql.Column,
+              copy: org.apache.spark.sql.Column,
+              shard: org.apache.spark.sql.Column,
+              bin: org.apache.spark.sql.Column,
+              p: org.apache.spark.sql.Column) =
+      Seq(id.as("id"), kept.as("kept"), reason.as("reason"),
+        split.as("split"), copy.as("copy"), shard.as("pack_shard"),
+        bin.as("pack_bin"), p.as("pos"))
+    val rej = fc.filter(!col("keep")).select(shape(col("id"), lit(false),
+      col("reject_reason"), nullI, nullL, nullI, nullL, nullL): _*)
+    val crossRm = cs.filter(col("is_removed")).select(shape(col("id"),
+      lit(false), lit("cross_split"), col("split"),
+      nullL, nullI, nullL, nullL): _*)
+    val evalRows = cs.filter(!col("is_removed") &&
+      col("split") === protectedSplit).select(shape(col("id"), lit(true),
+      lit("eval_holdout"), col("split"), nullL, nullI, nullL, nullL): _*)
+    val dupCross = inc.filter(!col("is_new")).select(shape(col("id"),
+      lit(false), lit("duplicate"), nullI, nullL, nullI, nullL, nullL): _*)
+    val dupWithin = dd.filter(!col("is_kept")).select(shape(col("id"),
+      lit(false), lit("duplicate"), nullI, nullL, nullI, nullL, nullL): _*)
+    val bud = plan.filter(col("n_copies") === 0).join(splitOf, Seq("id"))
+      .select(shape(col("id"), lit(true), lit("budget"), col("split"),
+        nullL, nullI, nullL, nullL): _*)
+    val mixRows = mix.select(shape(col("id"), lit(true), nullS,
+      col("split"), col("copy"), col("pack_shard"), col("pack_bin"),
+      col("pos")): _*)
+
+    rej.unionAll(dupCross).unionAll(dupWithin).unionAll(crossRm)
+      .unionAll(evalRows).unionAll(bud).unionAll(mixRows)
+      .join(wts, Seq("id"))
+      .select(col("id"), col("kept"), col("reason"), col("split"),
+        col("w"), col("copy"), col("pack_shard"), col("pack_bin"),
+        col("pos"))
+      .orderBy(col("id"), col("copy"))
   }
 }

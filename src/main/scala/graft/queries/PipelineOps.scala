@@ -607,6 +607,22 @@ object PipelineOps {
       // signature, weighted by the corpus's own verified >= 0.5 pairs
       Dedup.lshPlan(docs(s, d), "text", "doc_id")
     },
+    "p16_incremental_build" -> { (s, d) =>
+      // the daily-increment capstone: docs < 480 are the EXISTING
+      // corpus (built under the p14 gate config), docs >= 480 today's
+      // batch (the d07 cut); extend the build — filter the delta,
+      // decontaminate vs the existing eval split, dedup vs the existing
+      // train canonicals then within the batch, spend the increment's
+      // own budget, pack into FRESH shards, append positions after the
+      // existing max — without touching any shipped artifact
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 480)
+      val delta = all.filter(col("doc_id") >= 480)
+      graft.ops.CorpusBuild.incrementalBuild(
+        graft.ops.CorpusBuild.corpusBuild(corpus, "text", "doc_id",
+          "lang", "n_chars"),
+        corpus, delta, "text", "doc_id", "lang", "n_chars")
+    },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
       // clean encoding, lang in {en, de, fr} — per-doc verdicts +
@@ -1137,64 +1153,70 @@ object PipelineOps {
     * is_suspect, predicted_lang, q_ok, l_ok) — shared verbatim by the
     * t24 oracle and the p14/x09 corpus-build composition so the two
     * sides cannot drift. */
-  private val duckFilterChainCtes =
-    """b AS (SELECT doc_id AS id, text,
+  /** t24 filter-chain CTEs over a doc source `src`, CTE names prefixed
+    * with `p` — instantiated once by the t24/p14 oracles (defaults) and
+    * TWICE by the p16 incremental oracle (corpus subset unprefixed +
+    * delta under `z`). Column names never carry the prefix; only CTE
+    * names and their qualified references do. */
+  private def duckFilterChainCtes(src: String = "documents",
+                                  p: String = ""): String =
+    raw"""${p}b AS (SELECT doc_id AS id, text,
            CAST(length(text) AS INTEGER) AS n_chars,
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
            len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
            len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
-           FROM documents),
-         qr AS (SELECT id, n_chars, n_words,
+           FROM $src),
+         ${p}qr AS (SELECT id, n_chars, n_words,
            CASE WHEN n_chars > 0 THEN CAST(CAST(n_punct AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS punct_ratio,
            CASE WHEN n_chars > 0 THEN CAST(CAST(n_alpha AS BIGINT) * 1000000 // n_chars AS DOUBLE) / 1e6 ELSE 0.0 END AS alpha_ratio
-           FROM b),
-         q AS (SELECT id,
+           FROM ${p}b),
+         ${p}q AS (SELECT id,
            CAST((CASE WHEN n_words BETWEEN 20 AND 2000 THEN 4 ELSE 0 END +
                  CASE WHEN alpha_ratio > 0.5 THEN 4 ELSE 0 END +
                  CASE WHEN punct_ratio < 0.1 THEN 2 ELSE 0 END) AS DOUBLE) / 10.0 AS quality
-           FROM qr),
-         tok AS (SELECT doc_id AS id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-         gc AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+           FROM ${p}qr),
+         ${p}tok AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM $src),
+         ${p}gc AS (SELECT id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
              list_max([len(list_filter(w, x -> x = t)) FOR t IN list_distinct(w)]) AS top_freq,
              list_sum([length(t) FOR t IN w]) AS sum_len
-           FROM tok),
-         gr AS (SELECT id,
+           FROM ${p}tok),
+         ${p}gr AS (SELECT id,
              CASE WHEN n_words > 0 THEN CAST(CAST(sum_len AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS mean_word_len,
              CASE WHEN n_words > 0 THEN CAST(CAST(top_freq AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS top_ratio,
              CASE WHEN n_words > 0 THEN CAST(CAST(n_distinct AS BIGINT) * 1000000 // n_words AS DOUBLE) / 1e6 ELSE 0.0 END AS distinct_ratio
-           FROM gc),
-         g AS (SELECT id, (mean_word_len BETWEEN 3.0 AND 10.0
+           FROM ${p}gc),
+         ${p}g AS (SELECT id, (mean_word_len BETWEEN 3.0 AND 10.0
                 AND top_ratio < 0.2 AND distinct_ratio > 0.3) AS gopher_keep
-           FROM gr),
-         mc AS (SELECT doc_id AS id, length(text) AS n_chars,
+           FROM ${p}gr),
+         ${p}mc AS (SELECT doc_id AS id, length(text) AS n_chars,
            length(text) - length(replace(text, '�', '')) AS n_replacement,
            2 * length(text) - length(replace(text, 'Ã', ''))
              - length(replace(text, 'â', '')) AS n_latin1_marks
-           FROM documents),
-         m AS (SELECT id,
+           FROM $src),
+         ${p}m AS (SELECT id,
            (CASE WHEN n_chars > 0 THEN
              (n_replacement + n_latin1_marks) * 1000000 // n_chars
-             ELSE 0 END) >= 1000 AS is_suspect FROM mc),
-         h AS (SELECT id,
+             ELSE 0 END) >= 1000 AS is_suspect FROM ${p}mc),
+         ${p}h AS (SELECT id,
            len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
            len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
            len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
            len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
            len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
-           FROM tok),
-         best AS (SELECT id, list_sort([
+           FROM ${p}tok),
+         ${p}best AS (SELECT id, list_sort([
              {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
              {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
-             {'hits': h_zh, 'lang': 'zh'}])[-1] AS bb FROM h),
-         l AS (SELECT id, CASE WHEN (bb).hits > 0 THEN (bb).lang
-               ELSE 'und' END AS predicted_lang FROM best),
-         v AS (SELECT q.id, q.quality, g.gopher_keep, m.is_suspect,
-             l.predicted_lang,
-             q.quality >= 0.6 AS q_ok,
-             l.predicted_lang IN ('en', 'de', 'fr') AS l_ok
-           FROM q JOIN g USING (id) JOIN m USING (id) JOIN l USING (id))"""
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS bb FROM ${p}h),
+         ${p}l AS (SELECT id, CASE WHEN (bb).hits > 0 THEN (bb).lang
+               ELSE 'und' END AS predicted_lang FROM ${p}best),
+         ${p}v AS (SELECT ${p}q.id, ${p}q.quality, ${p}g.gopher_keep, ${p}m.is_suspect,
+             ${p}l.predicted_lang,
+             ${p}q.quality >= 0.6 AS q_ok,
+             ${p}l.predicted_lang IN ('en', 'de', 'fr') AS l_ok
+           FROM ${p}q JOIN ${p}g USING (id) JOIN ${p}m USING (id) JOIN ${p}l USING (id))"""
 
   /** t26 BPE-apply replace chain over a wrapped-word expression —
     * shared by the t26 oracle and the p14 token-weight CTEs. */
@@ -1203,18 +1225,89 @@ object PipelineOps {
       case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
     }
 
-  /** The p14 corpus-build composition, one CTE block per engine stage
-    * (CorpusBuild.corpusBuild mirrors this chain 1:1; constants are the
-    * p14 gate configuration: split k=3 protect 0, cross-threshold 0.5,
-    * dedup 0.7, lang domains, 2-epoch caps, 70k token budget, 1024-token
-    * bins over 8 shards, shuffle seed "p14"). MATERIALIZED on every
-    * multiply-referenced CTE — left to the inliner, the shared prefixes
-    * re-expand exponentially (the e16/e19 oracle lesson). */
-  private lazy val duckCorpusBuildSql: String = {
+  /** Shared pack+position CTE block (pk..ps + the mix join), name-
+    * prefixed: next-fit 1024-weight bins over `% 8` md5-bucket shards
+    * (`shardOff` shifts the shard ids — the p16 increment ships its own
+    * shard set) and the p08 training order under `seed` (`posOff`
+    * appends after an existing build's max position). Reads `{p}u2`. */
+  private def duckPackPosCtes(p: String, seed: String, shardOff: String,
+                              posOff: String): String = {
     val bucketOfUid =
       "((strpos('0123456789abcdef', substr(md5(uid), 1, 1)) - 1) * 16 + " +
         "strpos('0123456789abcdef', substr(md5(uid), 2, 1)) - 1)"
-    s"""WITH RECURSIVE $duckFilterChainCtes,
+    s"""${p}pk AS (SELECT *, CAST($bucketOfUid % 8$shardOff AS INT) AS pack_shard,
+             md5(uid) AS pm FROM ${p}u2),
+         ${p}pk2 AS (SELECT *, CAST(coalesce(sum(w) OVER (PARTITION BY pack_shard
+               ORDER BY pm, uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+           FROM ${p}pk),
+         ${p}pk3 AS (SELECT id, w, copy, uid, pack_shard,
+             CAST(bef // 1024 AS BIGINT) AS pack_bin FROM ${p}pk2),
+         ${p}ps AS (SELECT uid, CAST(row_number() OVER
+               (ORDER BY md5('$seed:' || uid), uid) - 1$posOff AS BIGINT) AS pos
+           FROM ${p}u2),
+         ${p}mix AS MATERIALIZED (SELECT ${p}pk3.id, ${p}pk3.copy, ${p}pk3.pack_shard,
+             ${p}pk3.pack_bin, ${p}ps.pos
+           FROM ${p}pk3 JOIN ${p}ps ON ${p}pk3.uid = ${p}ps.uid)"""
+  }
+
+  /** Shared mixture+units CTE block (av..u2), name-prefixed: the p12
+    * water-filling allocation under 2-epoch caps against `budget`, the
+    * p13 per-doc realization, and the exploded copy units. Reads
+    * `{p}tr` = (id, dom, w). */
+  private def duckMixUnitCtes(p: String, budget: Long): String =
+    s"""${p}av AS (SELECT dom AS domain, CAST(sum(w) AS BIGINT) AS avail,
+             CAST(sum(w) * 2 AS BIGINT) AS cap FROM ${p}tr GROUP BY dom),
+         ${p}mrk AS (SELECT domain, avail, cap,
+             row_number() OVER (ORDER BY cap NULLS LAST, domain NULLS LAST) AS r,
+             sum(cap) OVER (ORDER BY cap NULLS LAST, domain NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n
+           FROM ${p}av),
+         ${p}mfl AS (SELECT *, p - cap + cap * (n - r + 1) <= $budget AS capped FROM ${p}mrk),
+         ${p}mcs AS (SELECT coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
+                        coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
+           FROM ${p}mfl),
+         ${p}mtt AS (SELECT ${p}mfl.*, ${p}mcs.big_r, ${p}mcs.p_r, ${p}mfl.n - ${p}mcs.big_r AS u
+           FROM ${p}mfl CROSS JOIN ${p}mcs),
+         ${p}mt2 AS (SELECT *, CASE WHEN u > 0 THEN ($budget - p_r) // u ELSE 0 END AS t
+           FROM ${p}mtt),
+         ${p}mal AS (SELECT *, CASE WHEN capped THEN cap
+                  ELSE t + CASE WHEN r - big_r <= $budget - p_r - t * u
+                           THEN 1 ELSE 0 END END AS alloc
+           FROM ${p}mt2),
+         ${p}mfa AS (SELECT domain,
+             CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END AS fe,
+             alloc - (CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END)
+               * avail AS fw
+           FROM ${p}mal),
+         ${p}mcw AS (SELECT id, dom, w,
+             coalesce(sum(w) OVER (PARTITION BY dom
+               ORDER BY md5(CAST(id AS VARCHAR)), id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM ${p}tr),
+         ${p}plan AS MATERIALIZED (SELECT ${p}mcw.id, ${p}mcw.w,
+             CAST(${p}mfa.fe + CASE WHEN ${p}mcw.before + ${p}mcw.w <= ${p}mfa.fw
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           FROM ${p}mcw JOIN ${p}mfa ON ${p}mcw.dom IS NOT DISTINCT FROM ${p}mfa.domain),
+         ${p}units AS (SELECT id, w, unnest(range(1, n_copies + 1)) AS copy
+           FROM ${p}plan WHERE n_copies > 0),
+         ${p}u2 AS MATERIALIZED (SELECT id, w, CAST(copy AS BIGINT) AS copy,
+             CAST(id AS VARCHAR) || '#' || CAST(copy AS VARCHAR) AS uid
+           FROM ${p}units)"""
+
+  /** The p14 corpus-build CTE chain from a doc source (filter verdicts,
+    * token weights, split, decontamination, within-train dedup, mixture
+    * plan, copy units — fcv..u2), with the p14 gate configuration baked
+    * in (split k=3 protect 0, cross-threshold 0.5, dedup 0.7, lang
+    * domains, 2-epoch caps, 70k token budget). Instantiated over
+    * `documents` by the p14/x09 oracles and over the corpus subset by
+    * the p16 incremental oracle (which reads its csv/ddv/wts/u2 as the
+    * EXISTING state). MATERIALIZED on every multiply-referenced CTE —
+    * left to the inliner, the shared prefixes re-expand exponentially
+    * (the e16/e19 oracle lesson). */
+  private def duckCorpusChainCtes(src: String): String =
+    s"""${duckFilterChainCtes(src)},
          fcv AS MATERIALIZED (SELECT id, predicted_lang,
              (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
              CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
@@ -1224,7 +1317,7 @@ object PipelineOps {
                   WHEN is_suspect THEN 'encoding'
                   ELSE 'language' END AS reject_reason
            FROM v),
-         tw AS (SELECT doc_id AS id, lower(text) AS tt FROM documents),
+         tw AS (SELECT doc_id AS id, lower(text) AS tt FROM $src),
          tww AS (SELECT id, regexp_extract_all(tt, '[a-z0-9]+') AS tws FROM tw),
          tws2 AS (SELECT id, list_transform(tws, x -> '|' ||
              array_to_string(string_split(x, ''), '||') || '|') AS twr FROM tww),
@@ -1240,7 +1333,7 @@ object PipelineOps {
          cw0 AS MATERIALIZED (SELECT d.doc_id AS id,
              regexp_split_to_array(lower(trim(d.text)), '\\s+') AS w,
              lower(trim(d.text)) AS lt
-           FROM documents d JOIN fsurv ON d.doc_id = fsurv.id),
+           FROM $src d JOIN fsurv ON d.doc_id = fsurv.id),
          csh AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3
              THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
              ELSE [lt] END AS s FROM cw0),
@@ -1259,7 +1352,7 @@ object PipelineOps {
              ch.linked_id IS NOT NULL AS is_removed
            FROM sp LEFT JOIN chits ch ON sp.id = ch.id),
          dd0 AS MATERIALIZED (SELECT d.doc_id AS id, d.text, d.n_chars
-           FROM documents d JOIN csv ON d.doc_id = csv.id
+           FROM $src d JOIN csv ON d.doc_id = csv.id
            WHERE NOT csv.is_removed AND csv.split <> 0),
          der AS MATERIALIZED (SELECT id,
              min(id) OVER (PARTITION BY text) AS exact_rep FROM dd0),
@@ -1287,62 +1380,18 @@ object PipelineOps {
          ddv AS MATERIALIZED (SELECT der.id, der.id = dcan.canonical_id AS is_kept
            FROM der JOIN dcan ON der.exact_rep = dcan.id),
          tr AS MATERIALIZED (SELECT ddv.id, d.lang AS dom, wts.w
-           FROM ddv JOIN documents d ON ddv.id = d.doc_id
+           FROM ddv JOIN $src d ON ddv.id = d.doc_id
                     JOIN wts ON ddv.id = wts.id
            WHERE ddv.is_kept),
-         av AS (SELECT dom AS domain, CAST(sum(w) AS BIGINT) AS avail,
-             CAST(sum(w) * 2 AS BIGINT) AS cap FROM tr GROUP BY dom),
-         mrk AS (SELECT domain, avail, cap,
-             row_number() OVER (ORDER BY cap NULLS LAST, domain NULLS LAST) AS r,
-             sum(cap) OVER (ORDER BY cap NULLS LAST, domain NULLS LAST
-               ROWS UNBOUNDED PRECEDING) AS p,
-             count(*) OVER () AS n
-           FROM av),
-         mfl AS (SELECT *, p - cap + cap * (n - r + 1) <= 70000 AS capped FROM mrk),
-         mcs AS (SELECT coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS big_r,
-                        coalesce(sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS p_r
-           FROM mfl),
-         mtt AS (SELECT mfl.*, mcs.big_r, mcs.p_r, mfl.n - mcs.big_r AS u
-           FROM mfl CROSS JOIN mcs),
-         mt2 AS (SELECT *, CASE WHEN u > 0 THEN (70000 - p_r) // u ELSE 0 END AS t
-           FROM mtt),
-         mal AS (SELECT *, CASE WHEN capped THEN cap
-                  ELSE t + CASE WHEN r - big_r <= 70000 - p_r - t * u
-                           THEN 1 ELSE 0 END END AS alloc
-           FROM mt2),
-         mfa AS (SELECT domain,
-             CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END AS fe,
-             alloc - (CASE WHEN avail > 0 THEN alloc // avail ELSE 0 END)
-               * avail AS fw
-           FROM mal),
-         mcw AS (SELECT id, dom, w,
-             coalesce(sum(w) OVER (PARTITION BY dom
-               ORDER BY md5(CAST(id AS VARCHAR)), id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-           FROM tr),
-         plan AS MATERIALIZED (SELECT mcw.id, mcw.w,
-             CAST(mfa.fe + CASE WHEN mcw.before + mcw.w <= mfa.fw
-                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-           FROM mcw JOIN mfa ON mcw.dom IS NOT DISTINCT FROM mfa.domain),
-         units AS (SELECT id, w, unnest(range(1, n_copies + 1)) AS copy
-           FROM plan WHERE n_copies > 0),
-         u2 AS MATERIALIZED (SELECT id, w, CAST(copy AS BIGINT) AS copy,
-             CAST(id AS VARCHAR) || '#' || CAST(copy AS VARCHAR) AS uid
-           FROM units),
-         pk AS (SELECT *, CAST($bucketOfUid % 8 AS INT) AS pack_shard,
-             md5(uid) AS pm FROM u2),
-         pk2 AS (SELECT *, CAST(coalesce(sum(w) OVER (PARTITION BY pack_shard
-               ORDER BY pm, uid
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
-           FROM pk),
-         pk3 AS (SELECT id, w, copy, uid, pack_shard,
-             CAST(bef // 1024 AS BIGINT) AS pack_bin FROM pk2),
-         ps AS (SELECT uid, CAST(row_number() OVER
-               (ORDER BY md5('p14:' || uid), uid) - 1 AS BIGINT) AS pos
-           FROM u2),
-         mix AS MATERIALIZED (SELECT pk3.id, pk3.copy, pk3.pack_shard,
-             pk3.pack_bin, ps.pos
-           FROM pk3 JOIN ps ON pk3.uid = ps.uid),
+         ${duckMixUnitCtes("", 70000L)}"""
+
+  /** The p14 corpus-build composition, one CTE block per engine stage
+    * (CorpusBuild.corpusBuild mirrors this chain 1:1; constants are the
+    * p14 gate configuration — see [[duckCorpusChainCtes]] — plus
+    * 1024-token bins over 8 shards and shuffle seed "p14"). */
+  private lazy val duckCorpusBuildSql: String =
+    s"""WITH RECURSIVE ${duckCorpusChainCtes("documents")},
+         ${duckPackPosCtes("", "p14", "", "")},
          rpt AS MATERIALIZED (
            SELECT f.id, false AS kept, f.reject_reason AS reason,
                   CAST(NULL AS INT) AS split, CAST(NULL AS BIGINT) AS copy,
@@ -1369,7 +1418,152 @@ object PipelineOps {
                 rpt.copy, rpt.pack_shard, rpt.pack_bin, rpt.pos
          FROM rpt JOIN wts ON rpt.id = wts.id
          ORDER BY rpt.id, rpt.copy"""
-  }
+
+  /** The p16 incremental-build oracle: replay the EXISTING build over
+    * the corpus subset (docs < 480 — the d07 cut) via
+    * [[duckCorpusChainCtes]], then the delta chain over docs >= 480:
+    * filter + weights (z-prefixed t24/t26 instances), the same md5
+    * split, ONE exact pair set over (delta survivors ∪ existing eval)
+    * at 0.5 for decontamination, exact-or-Jaccard>=0.7 cross-probe
+    * against the existing train canonicals (ddv), a within-delta dedup
+    * replay (y-prefixed dd0..ddv block), the mixture/units block at the
+    * increment's own 20k budget, and the pack/pos block with shard
+    * offset +8 and positions appended after count(u2) — the engine's
+    * CorpusBuild.incrementalBuild mirrors this chain 1:1. */
+  private lazy val duckIncrementalBuildSql: String =
+    s"""WITH RECURSIVE cdocs AS (SELECT * FROM documents WHERE doc_id < 480),
+         zdocs AS (SELECT * FROM documents WHERE doc_id >= 480),
+         ${duckCorpusChainCtes("cdocs")},
+         ${duckFilterChainCtes("zdocs", "z")},
+         zfcv AS MATERIALIZED (SELECT id, predicted_lang,
+             (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
+             CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
+                    THEN NULL
+                  WHEN NOT q_ok THEN 'quality'
+                  WHEN NOT gopher_keep THEN 'repetition'
+                  WHEN is_suspect THEN 'encoding'
+                  ELSE 'language' END AS reject_reason
+           FROM zv),
+         ztw AS (SELECT doc_id AS id, lower(text) AS tt FROM zdocs),
+         ztww AS (SELECT id, regexp_extract_all(tt, '[a-z0-9]+') AS tws FROM ztw),
+         ztws2 AS (SELECT id, list_transform(tws, x -> '|' ||
+             array_to_string(string_split(x, ''), '||') || '|') AS twr FROM ztww),
+         ztwr2 AS (SELECT id, ${duckBpeReplaceChain("array_to_string(twr, '#')")} AS tfs FROM ztws2),
+         zwts AS MATERIALIZED (SELECT id,
+             CAST(len(list_filter(string_split_regex(tfs, '[|#]+'),
+               x -> x <> '')) AS BIGINT) AS w FROM ztwr2),
+         zsurv AS MATERIALIZED (SELECT id FROM zfcv WHERE keep),
+         zsp AS MATERIALIZED (SELECT id,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 2, 1)) - 1) % 3 AS INT) AS split
+           FROM zsurv),
+         zev AS MATERIALIZED (SELECT id FROM csv
+           WHERE NOT is_removed AND split = 0),
+         zud AS (SELECT d.doc_id AS id,
+             regexp_split_to_array(lower(trim(d.text)), '\\s+') AS w,
+             lower(trim(d.text)) AS lt
+           FROM zdocs d JOIN zsurv ON d.doc_id = zsurv.id
+           UNION ALL
+           SELECT d.doc_id,
+             regexp_split_to_array(lower(trim(d.text)), '\\s+'),
+             lower(trim(d.text))
+           FROM cdocs d JOIN zev ON d.doc_id = zev.id),
+         zsh AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM zud),
+         zcp AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b
+           FROM zsh a JOIN zsh b ON a.id < b.id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         zsplits AS (SELECT id, split FROM zsp
+           UNION ALL SELECT id, 0 AS split FROM zev),
+         zlab AS (SELECT zcp.id_a, zcp.id_b, sa.split AS sa, sb.split AS sb
+           FROM zcp JOIN zsplits sa ON zcp.id_a = sa.id
+                    JOIN zsplits sb ON zcp.id_b = sb.id),
+         zhits AS (SELECT id, min(linked) AS linked_id FROM (
+             SELECT id_b AS id, id_a AS linked FROM zlab WHERE sa = 0 AND sb <> 0
+             UNION ALL
+             SELECT id_a, id_b FROM zlab WHERE sb = 0 AND sa <> 0)
+           GROUP BY id),
+         zcsv AS MATERIALIZED (SELECT zsp.id, zsp.split,
+             zh.linked_id IS NOT NULL AS is_removed
+           FROM zsp LEFT JOIN zhits zh ON zsp.id = zh.id),
+         ztc AS MATERIALIZED (SELECT id FROM ddv WHERE is_kept),
+         ztr0 AS MATERIALIZED (SELECT id FROM zcsv
+           WHERE NOT is_removed AND split <> 0),
+         zxe AS (SELECT t.doc_id AS id FROM zdocs t, cdocs c, ztr0, ztc
+           WHERE t.doc_id = ztr0.id AND c.doc_id = ztc.id AND t.text = c.text
+           GROUP BY t.doc_id),
+         zxf AS (SELECT a.id FROM zsh a, csh b, ztr0, ztc
+           WHERE a.id = ztr0.id AND b.id = ztc.id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+           GROUP BY a.id),
+         zxd AS MATERIALIZED (SELECT id FROM zxe UNION SELECT id FROM zxf),
+         zrem AS MATERIALIZED (SELECT id FROM ztr0
+           WHERE id NOT IN (SELECT id FROM zxd)),
+         ydd0 AS MATERIALIZED (SELECT d.doc_id AS id, d.text, d.n_chars
+           FROM zdocs d JOIN zrem ON d.doc_id = zrem.id),
+         yder AS MATERIALIZED (SELECT id,
+             min(id) OVER (PARTITION BY text) AS exact_rep FROM ydd0),
+         yds0 AS (SELECT ydd0.id, ydd0.text, ydd0.n_chars
+           FROM ydd0 JOIN yder ON ydd0.id = yder.id WHERE yder.id = yder.exact_rep),
+         ydw0 AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+             lower(trim(text)) AS lt, n_chars FROM yds0),
+         ydsh AS MATERIALIZED (SELECT id, n_chars, CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+             ELSE [lt] END AS s FROM ydw0),
+         ydp AS (SELECT a.id AS id_a, b.id AS id_b FROM ydsh a JOIN ydsh b ON a.id < b.id
+           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         yde AS (SELECT id_a AS a, id_b AS b FROM ydp UNION ALL SELECT id_b, id_a FROM ydp),
+         ydreach(id, r) AS (SELECT a, a FROM yde
+           UNION SELECT ydreach.id, yde.b FROM ydreach JOIN yde ON ydreach.r = yde.a),
+         ydcomp AS (SELECT id, min(r) AS keep FROM ydreach GROUP BY id),
+         ydcl AS (SELECT s.id, s.n_chars,
+             least(s.id, coalesce(c.keep, s.id)) AS cluster_rep
+           FROM ydsh s LEFT JOIN ydcomp c ON s.id = c.id),
+         ydcan AS (SELECT id, cluster_rep,
+             first_value(id) OVER (PARTITION BY cluster_rep
+               ORDER BY n_chars DESC, id) AS canonical_id
+           FROM ydcl),
+         yddv AS MATERIALIZED (SELECT yder.id, yder.id = ydcan.canonical_id AS is_kept
+           FROM yder JOIN ydcan ON yder.exact_rep = ydcan.id),
+         ztr AS MATERIALIZED (SELECT yddv.id, d.lang AS dom, zwts.w
+           FROM yddv JOIN zdocs d ON yddv.id = d.doc_id
+                     JOIN zwts ON yddv.id = zwts.id
+           WHERE yddv.is_kept),
+         ${duckMixUnitCtes("z", 20000L)},
+         ${duckPackPosCtes("z", "p16", " + 8", " + (SELECT count(*) FROM u2)")},
+         zrpt AS MATERIALIZED (
+           SELECT f.id, false AS kept, f.reject_reason AS reason,
+                  CAST(NULL AS INT) AS split, CAST(NULL AS BIGINT) AS copy,
+                  CAST(NULL AS INT) AS pack_shard,
+                  CAST(NULL AS BIGINT) AS pack_bin, CAST(NULL AS BIGINT) AS pos
+           FROM zfcv f WHERE NOT f.keep
+           UNION ALL
+           SELECT x.id, false, 'duplicate', NULL, NULL, NULL, NULL, NULL
+           FROM zxd x
+           UNION ALL
+           SELECT y.id, false, 'duplicate', NULL, NULL, NULL, NULL, NULL
+           FROM yddv y WHERE NOT y.is_kept
+           UNION ALL
+           SELECT c.id, false, 'cross_split', c.split, NULL, NULL, NULL, NULL
+           FROM zcsv c WHERE c.is_removed
+           UNION ALL
+           SELECT c.id, true, 'eval_holdout', c.split, NULL, NULL, NULL, NULL
+           FROM zcsv c WHERE NOT c.is_removed AND c.split = 0
+           UNION ALL
+           SELECT p.id, true, 'budget', c.split, NULL, NULL, NULL, NULL
+           FROM zplan p JOIN zcsv c ON p.id = c.id WHERE p.n_copies = 0
+           UNION ALL
+           SELECT m.id, true, NULL, c.split, m.copy, m.pack_shard,
+                  m.pack_bin, m.pos
+           FROM zmix m JOIN zcsv c ON m.id = c.id)
+         SELECT zrpt.id, zrpt.kept, zrpt.reason, zrpt.split, zwts.w,
+                zrpt.copy, zrpt.pack_shard, zrpt.pack_bin, zrpt.pos
+         FROM zrpt JOIN zwts ON zrpt.id = zwts.id
+         ORDER BY zrpt.id, zrpt.copy"""
 
   val oracle: Map[String, String] = Map(
     // chunk-level dedup: same 5-word non-overlapping chunking (1-based
@@ -2132,7 +2326,7 @@ object PipelineOps {
     // id-joins, conjunction keep + first-failing-gate reason (same gate
     // order as the engine: quality, repetition, encoding, language)
     "t24_filter_chain" ->
-      s"""WITH $duckFilterChainCtes
+      s"""WITH ${duckFilterChainCtes()}
          SELECT id, quality, gopher_keep, is_suspect, predicted_lang,
            (q_ok AND gopher_keep AND NOT is_suspect AND l_ok) AS keep,
            CASE WHEN q_ok AND gopher_keep AND NOT is_suspect AND l_ok
@@ -2245,6 +2439,7 @@ object PipelineOps {
          ORDER BY rank"""
     },
     "p14_corpus_build" -> duckCorpusBuildSql,
+    "p16_incremental_build" -> duckIncrementalBuildSql,
     // x09: the one-row data card is the same composition aggregated —
     // the subquery keeps the two entries definitionally inseparable
     "x09_data_card" ->

@@ -130,4 +130,108 @@ class CorpusBuildSpec extends SparkSuite {
     assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
       plan)
   }
+
+  // ---- p16 incremental build -------------------------------------------
+
+  /** The engine's split assignment, recomputed locally so the fixture
+    * can CHOOSE ids by split: first-two-hex-digit md5 bucket mod 3. */
+  private def split3(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 2), 16) % 3
+  }
+
+  /** Filter-chain-passing English doc: a 10-stopword prefix (language
+    * id) + 30 unique filler words (distinct/top/mean-length Gopher
+    * gates). Docs with different salts share only the prefix shingles
+    * (Jaccard ~0.15, below every threshold). */
+  private def mkText(salt: String): String =
+    "the a of and to in is that it for " +
+      (0 until 30).map(i => s"${salt}word$i").mkString(" ")
+
+  /** One filler word replaced -> ~0.8 shingle Jaccard to the base:
+    * above the 0.7 dedup and 0.5 decon thresholds, below nothing. */
+  private def nearDupText(base: String): String = {
+    val w = base.split(" ")
+    w.updated(20, "changedword").mkString(" ")
+  }
+
+  test("p16 incremental build: delta near-dup of an existing train doc " +
+      "drops as duplicate, a fresh doc appends after the existing max " +
+      "position into fresh shards") {
+    import spark.implicits._
+    // corpus: 5 train docs + 1 eval doc, pairwise dissimilar
+    val corpusTrainIds = (1L to 200L).filter(split3(_) != 0).take(5)
+    val corpusEvalId = (1L to 200L).find(split3(_) == 0).get
+    val corpusRows = corpusTrainIds.map(i => (i, mkText(s"c$i"))) :+
+      ((corpusEvalId, mkText("ev")))
+    val corpusDocs = corpusRows.map { case (i, t) => (i, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val existing = CorpusBuild.corpusBuild(corpusDocs, "text", "doc_id",
+      "lang", "n_chars").cache()
+    val existingMaxPos = existing.agg(max(col("pos"))).collect()(0).getLong(0)
+    val existingUnits = existing.filter(col("copy").isNotNull).count()
+    assert(existingUnits > 0, "fixture needs a non-empty existing mix")
+    assert(existing.filter(col("reason") === "eval_holdout").count() === 1L)
+
+    // delta: a near-dup of a train canonical, a near-dup of the eval
+    // doc, a fresh doc (all train-split ids), and a new eval-split doc
+    val deltaTrainIds = (1000L to 1300L).filter(split3(_) != 0)
+    val (dupTrainId, dupEvalId, freshId) =
+      (deltaTrainIds(0), deltaTrainIds(1), deltaTrainIds(2))
+    val deltaEvalId = (1000L to 1300L).find(split3(_) == 0).get
+    val trainCanonText = mkText(s"c${corpusTrainIds.head}")
+    val deltaRows = Seq(
+      (dupTrainId, nearDupText(trainCanonText)),
+      (dupEvalId, nearDupText(mkText("ev"))),
+      (freshId, mkText("fresh")),
+      (deltaEvalId, mkText("nv")))
+    val deltaDocs = deltaRows.map { case (i, t) => (i, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+
+    val out = CorpusBuild.incrementalBuild(existing, corpusDocs, deltaDocs,
+      "text", "doc_id", "lang", "n_chars").cache()
+    try {
+      // output covers exactly the delta: shipped artifacts untouched
+      assert(out.select("id").distinct().collect().map(_.getLong(0)).sorted
+        === deltaRows.map(_._1).sorted.toArray)
+      // the VERDICT criteria: near-dup of an existing TRAIN doc drops
+      // as duplicate; near-dup of the existing EVAL doc is
+      // decontaminated as cross_split (decon runs BEFORE dedup)
+      val dupRow = out.filter(col("id") === dupTrainId).collect()
+      assert(dupRow.length === 1 && !dupRow(0).getBoolean(1) &&
+        dupRow(0).getString(2) === "duplicate", dupRow.mkString)
+      val evRow = out.filter(col("id") === dupEvalId).collect()
+      assert(evRow.length === 1 && !evRow(0).getBoolean(1) &&
+        evRow(0).getString(2) === "cross_split", evRow.mkString)
+      // the new eval-split doc extends the holdout
+      val newEv = out.filter(col("id") === deltaEvalId).collect()
+      assert(newEv.length === 1 && newEv(0).getBoolean(1) &&
+        newEv(0).getString(2) === "eval_holdout", newEv.mkString)
+      // the fresh doc lands in the mix STRICTLY AFTER the existing max
+      // position, in a fresh shard (ids offset by packShards = 8)
+      val freshRows = out.filter(col("id") === freshId).collect()
+      assert(freshRows.nonEmpty && freshRows.forall(_.getString(2) == null),
+        freshRows.mkString)
+      assert(freshRows.forall(_.getLong(8) > existingMaxPos),
+        s"positions must append after $existingMaxPos: " +
+          freshRows.mkString)
+      assert(freshRows.forall(r => r.getInt(6) >= 8 && r.getInt(6) < 16),
+        freshRows.mkString)
+      // delta positions are the EXACT contiguous extension
+      // [existingUnits, existingUnits + deltaUnits)
+      val deltaPos = out.filter(col("pos").isNotNull)
+        .select("pos").collect().map(_.getLong(0)).sorted
+      assert(deltaPos === (existingUnits until
+        existingUnits + deltaPos.length).toArray)
+      // every delta doc appears exactly once as verdict XOR per copy
+      val perDoc = out.groupBy("id").agg(count(lit(1)).as("n"),
+        count(col("copy")).as("c"), count(col("reason")).as("r")).collect()
+      perDoc.foreach { r =>
+        assert(if (r.getLong(2) > 0) r.getLong(1) == r.getLong(2) &&
+          r.getLong(3) == 0 else r.getLong(1) == 1 && r.getLong(3) == 1,
+          r.toString)
+      }
+    } finally { out.unpersist(); existing.unpersist() }
+  }
 }
