@@ -556,6 +556,16 @@ object PlanDump {
         "floors over <= numHashes-step sequences) and collapse in one " +
         "keyed aggregate. The corpus is scanned for shingles and " +
         "pairs, shuffled never."),
+    "p16_incremental_build" ->
+      ("Incremental corpus build: every stage boundary is an eager " +
+        "checkpoint with stats REBASED to the materialized blocks " +
+        "(GraftCheckpoint.freshStats — inherited estimates compound " +
+        "doubly-exponentially across checkpointed generations; facts " +
+        "don't), so the report plan below reads ~14 small LogicalRDDs " +
+        "and joins the delta-sized realization windows — no corpus " +
+        "scan, no existing-build re-read beyond the three checkpointed " +
+        "interface projections (eval ids, canonical ids, the 1-row " +
+        "position offset that broadcasts onto delta units)."),
     "d17_planned_dedup" ->
       ("Planner-driven dedup: the x10 lshPlan surface is collected " +
         "(divisor-count rows — the only driver materialization) and " +
