@@ -53,7 +53,7 @@ import org.apache.spark.sql.SparkSession
  * the JSON line.
  */
 object Bench {
-  private def buildSession(cpus: String): SparkSession = {
+  private[graft] def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,7 +76,7 @@ object Bench {
    * The closure-heavy queries (d10/d12/d14, m04, x03/x04) localCheckpoint
    * intermediate pair sets; left in place those blocks accumulate until
    * the heavy tail measures eviction churn instead of the query. */
-  private def runOnce(spark: SparkSession, sfDir: String,
+  private[graft] def runOnce(spark: SparkSession, sfDir: String,
                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
