@@ -143,6 +143,8 @@ final class HttpFacade(
           substringDedupRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "data-card")) =>
           dataCardRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "incremental-build")) =>
+          incrementalBuildRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "shard-manifest")) =>
           shardManifestRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "lsh-plan")) =>
@@ -774,6 +776,144 @@ final class HttpFacade(
     * payload (the epoch-plan route's argument) — the card is the
     * UI-sized summary. Validation follows the substring-dedup
     * conventions. */
+  /** The corpus-build parameter set shared by the data-card and
+    * incremental-build routes. */
+  private case class BuildParams(
+      text: String, id: String, domain: String, length: String,
+      budget: Long, epochs: Int, crossT: Double, dedupT: Double,
+      minQ: Double, langs: Seq[String])
+
+  /** Parse + validate the corpus-build request surface (columns, budget,
+    * epochs, curation thresholds, langs, and the max_rows scale guard)
+    * against `df`'s schema. Sends the 400/413 response itself and
+    * returns None when the request was rejected; validation order is the
+    * data-card route's original order (pinned by HttpFacadeSpec).
+    * `budgetDefault` differs per route: the full build spends 70 k by
+    * default, an increment spends its own 20 k. */
+  private def buildParams(ex: HttpExchange,
+      df: org.apache.spark.sql.DataFrame,
+      budgetDefault: Long): Option[BuildParams] = {
+    val qp = queryParams(ex)
+    val textCol = qp.get("text").filter(_.nonEmpty)
+    val idCol = qp.get("id").filter(_.nonEmpty)
+    val domainCol = qp.get("domain").filter(_.nonEmpty)
+    val lengthCol = qp.get("length").filter(_.nonEmpty)
+    if (textCol.isEmpty || idCol.isEmpty || domainCol.isEmpty ||
+        lengthCol.isEmpty) {
+      sendJson(ex, 400, detail(
+        "text, id, domain and length parameters are required")); return None
+    }
+    val unknown = Seq(textCol.get, idCol.get, domainCol.get,
+      lengthCol.get).filterNot(df.columns.contains)
+    if (unknown.nonEmpty) {
+      sendJson(ex, 400,
+        detail(s"Unknown columns: ${unknown.mkString(", ")}")); return None
+    }
+    if (df.schema(textCol.get).dataType !=
+        org.apache.spark.sql.types.StringType) {
+      sendJson(ex, 400,
+        detail(s"Text column ${textCol.get} is not a string column"))
+      return None
+    }
+    val integral = df.schema(idCol.get).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integral) {
+      sendJson(ex, 400,
+        detail(s"Id column ${idCol.get} is not an integral column"))
+      return None
+    }
+    if (!df.schema(lengthCol.get).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      sendJson(ex, 400,
+        detail(s"Length column ${lengthCol.get} is not numeric")); return None
+    }
+    val groupable = df.schema(domainCol.get).dataType match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    if (!groupable) {
+      sendJson(ex, 400, detail(
+        s"Column ${domainCol.get} is not groupable (map type)")); return None
+    }
+    val budget = qp.get("budget").map(_.toLongOption) match {
+      case Some(None) => sendJson(ex, 400,
+        detail("budget must be an integer")); return None
+      case Some(Some(b)) => b
+      case None => budgetDefault
+    }
+    if (budget < 0) {
+      sendJson(ex, 400, detail("budget must be >= 0")); return None
+    }
+    val epochs = qp.get("epochs").map(_.toIntOption) match {
+      case Some(None) => sendJson(ex, 400,
+        detail("epochs must be an integer")); return None
+      case Some(Some(e)) => e
+      case None => 2
+    }
+    if (epochs < 1) {
+      sendJson(ex, 400, detail("epochs must be >= 1")); return None
+    }
+    // curation knobs: the x08/x10 tuning loop drives the capstone
+    // through these — a threshold sweep over the card is how a
+    // release picks its dedup configuration
+    def thresholdParam(name: String, dflt: Double): Option[Double] =
+      qp.get(name).map(_.toDoubleOption) match {
+        case Some(None) =>
+          sendJson(ex, 400, detail(s"$name must be a number")); None
+        case Some(Some(t)) if t.isNaN || t <= 0.0 || t > 1.0 =>
+          sendJson(ex, 400, detail(s"$name must be in (0, 1]")); None
+        case Some(Some(t)) => Some(t)
+        case None => Some(dflt)
+      }
+    val crossTOpt = thresholdParam("cross_threshold", 0.5)
+    if (crossTOpt.isEmpty) return None
+    val dedupTOpt = thresholdParam("dedup_threshold", 0.7)
+    if (dedupTOpt.isEmpty) return None
+    val minQOpt = thresholdParam("min_quality", 0.6)
+    if (minQOpt.isEmpty) return None
+    val langs = qp.get("langs") match {
+      case None => Seq("en", "de", "fr")
+      case Some(raw) =>
+        val parsed = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (parsed.isEmpty) {
+          sendJson(ex, 400, detail(
+            "langs must be a non-empty comma-separated list")); return None
+        }
+        parsed
+    }
+    // audit-scale guard: both routes run a FULL p14-shaped composition
+    // (two similarity joins, token counting, transitive dedup)
+    // synchronously inside a GET — refuse corpora beyond the cap so one
+    // request can't pin the session for minutes. The full per-(doc,
+    // copy) plan at scale is a dataset JOB, not a payload.
+    val maxRows = qp.get("max_rows").map(_.toLongOption) match {
+      case Some(None) => sendJson(ex, 400,
+        detail("max_rows must be an integer")); return None
+      case Some(Some(m)) => m
+      case None => 100000L
+    }
+    if (maxRows < 1) {
+      sendJson(ex, 400, detail("max_rows must be >= 1")); return None
+    }
+    // the guard itself must not scan the corpus to decide whether
+    // scanning is too expensive: a LIMIT-ed count short-circuits the
+    // scan at maxRows+1 rows (CollectLimit takes partitions
+    // incrementally), so the refusal costs O(maxRows) regardless of
+    // table size — a full df.count() here would read all 100 TB first
+    val probeCap = math.min(maxRows, (Int.MaxValue - 1).toLong)
+    if (df.limit((probeCap + 1).toInt).count() > probeCap) {
+      sendJson(ex, 413, detail(s"Table has more than $probeCap rows, " +
+        s"over the data-card cap (raise max_rows to override)")); return None
+    }
+    Some(BuildParams(textCol.get, idCol.get, domainCol.get, lengthCol.get,
+      budget, epochs, crossTOpt.get, dedupTOpt.get, minQOpt.get, langs))
+  }
+
   private def dataCardRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
     if (parts.length < 2) {
@@ -785,147 +925,130 @@ final class HttpFacade(
         sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
       }
       val df = spark.table(tablePath)
-      val qp = queryParams(ex)
-      val textCol = qp.get("text").filter(_.nonEmpty)
-      val idCol = qp.get("id").filter(_.nonEmpty)
-      val domainCol = qp.get("domain").filter(_.nonEmpty)
-      val lengthCol = qp.get("length").filter(_.nonEmpty)
-      if (textCol.isEmpty || idCol.isEmpty || domainCol.isEmpty ||
-          lengthCol.isEmpty) {
-        sendJson(ex, 400, detail(
-          "text, id, domain and length parameters are required")); return
-      }
-      val unknown = Seq(textCol.get, idCol.get, domainCol.get,
-        lengthCol.get).filterNot(df.columns.contains)
-      if (unknown.nonEmpty) {
-        sendJson(ex, 400,
-          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
-      }
-      if (df.schema(textCol.get).dataType !=
-          org.apache.spark.sql.types.StringType) {
-        sendJson(ex, 400,
-          detail(s"Text column ${textCol.get} is not a string column"))
-        return
-      }
-      val integral = df.schema(idCol.get).dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
-      if (!integral) {
-        sendJson(ex, 400,
-          detail(s"Id column ${idCol.get} is not an integral column"))
-        return
-      }
-      if (!df.schema(lengthCol.get).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
-        sendJson(ex, 400,
-          detail(s"Length column ${lengthCol.get} is not numeric")); return
-      }
-      val groupable = df.schema(domainCol.get).dataType match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case _ => true
-      }
-      if (!groupable) {
-        sendJson(ex, 400, detail(
-          s"Column ${domainCol.get} is not groupable (map type)")); return
-      }
-      val budget = qp.get("budget").map(_.toLongOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("budget must be an integer")); return
-        case Some(Some(b)) => b
-        case None => 70000L
-      }
-      if (budget < 0) {
-        sendJson(ex, 400, detail("budget must be >= 0")); return
-      }
-      val epochs = qp.get("epochs").map(_.toIntOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("epochs must be an integer")); return
-        case Some(Some(e)) => e
-        case None => 2
-      }
-      if (epochs < 1) {
-        sendJson(ex, 400, detail("epochs must be >= 1")); return
-      }
-      // curation knobs: the x08/x10 tuning loop drives the capstone
-      // through these — a threshold sweep over the card is how a
-      // release picks its dedup configuration
-      def thresholdParam(name: String, dflt: Double): Option[Double] =
-        qp.get(name).map(_.toDoubleOption) match {
-          case Some(None) =>
-            sendJson(ex, 400, detail(s"$name must be a number")); None
-          case Some(Some(t)) if t.isNaN || t <= 0.0 || t > 1.0 =>
-            sendJson(ex, 400, detail(s"$name must be in (0, 1]")); None
-          case Some(Some(t)) => Some(t)
-          case None => Some(dflt)
-        }
-      val crossTOpt = thresholdParam("cross_threshold", 0.5)
-      if (crossTOpt.isEmpty) return
-      val dedupTOpt = thresholdParam("dedup_threshold", 0.7)
-      if (dedupTOpt.isEmpty) return
-      val minQOpt = thresholdParam("min_quality", 0.6)
-      if (minQOpt.isEmpty) return
-      val (crossT, dedupT, minQ) = (crossTOpt.get, dedupTOpt.get, minQOpt.get)
-      val langs = qp.get("langs") match {
-        case None => Seq("en", "de", "fr")
-        case Some(raw) =>
-          val parsed = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          if (parsed.isEmpty) {
-            sendJson(ex, 400, detail(
-              "langs must be a non-empty comma-separated list")); return
-          }
-          parsed
-      }
-      // audit-scale guard: the card runs the FULL p14 composition (two
-      // similarity joins, token counting, transitive dedup)
-      // synchronously inside this GET — refuse corpora beyond the cap
-      // so one request can't pin the session for minutes. The full
-      // per-(doc, copy) plan at scale is a dataset JOB, not a payload.
-      val maxRows = qp.get("max_rows").map(_.toLongOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("max_rows must be an integer")); return
-        case Some(Some(m)) => m
-        case None => 100000L
-      }
-      if (maxRows < 1) {
-        sendJson(ex, 400, detail("max_rows must be >= 1")); return
-      }
-      // the guard itself must not scan the corpus to decide whether
-      // scanning is too expensive: a LIMIT-ed count short-circuits the
-      // scan at maxRows+1 rows (CollectLimit takes partitions
-      // incrementally), so the refusal costs O(maxRows) regardless of
-      // table size — a full df.count() here would read all 100 TB first
-      val probeCap = math.min(maxRows, (Int.MaxValue - 1).toLong)
-      if (df.limit((probeCap + 1).toInt).count() > probeCap) {
-        sendJson(ex, 413, detail(s"Table has more than $probeCap rows, " +
-          s"over the data-card cap (raise max_rows to override)")); return
+      val p = buildParams(ex, df, budgetDefault = 70000L) match {
+        case None => return
+        case Some(v) => v
       }
       // release the composition's localCheckpoints when the card is done
       // (deferred-sweep discipline: see withOpSweep)
       val card = withOpSweep {
         graft.ops.CorpusBuild.dataCard(
-          graft.ops.CorpusBuild.corpusBuild(df, textCol.get, idCol.get,
-            domainCol.get, lengthCol.get, allowedLangs = langs,
-            minQuality = minQ, crossThreshold = crossT,
-            dedupThreshold = dedupT, epochCap = epochs,
-            budget = budget)).collect()(0)
+          graft.ops.CorpusBuild.corpusBuild(df, p.text, p.id,
+            p.domain, p.length, allowedLangs = p.langs,
+            minQuality = p.minQ, crossThreshold = p.crossT,
+            dedupThreshold = p.dedupT, epochCap = p.epochs,
+            budget = p.budget)).collect()(0)
       }
       val fields = card.schema.fieldNames.zipWithIndex
       sendJson(ex, 200, Json.obj(Seq[(String, Any)](
         "table" -> tablePath,
-        "text" -> textCol.get,
-        "id" -> idCol.get,
-        "domain" -> domainCol.get,
-        "length" -> lengthCol.get,
-        "budget" -> budget,
-        "epochs_cap" -> epochs.toLong,
-        "cross_threshold" -> crossT,
-        "dedup_threshold" -> dedupT,
-        "min_quality" -> minQ,
-        "langs" -> langs.mkString(",")) ++
+        "text" -> p.text,
+        "id" -> p.id,
+        "domain" -> p.domain,
+        "length" -> p.length,
+        "budget" -> p.budget,
+        "epochs_cap" -> p.epochs.toLong,
+        "cross_threshold" -> p.crossT,
+        "dedup_threshold" -> p.dedupT,
+        "min_quality" -> p.minQ,
+        "langs" -> p.langs.mkString(",")) ++
+        fields.map { case (f, i) => f -> card.getLong(i) }: _*))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Incremental corpus build over any catalog table
+    * (`?text=&id=&domain=&length=&delta_from=<long>[&budget=][&existing_budget=]
+    * [&epochs=][&cross_threshold=][&dedup_threshold=][&min_quality=]
+    * [&langs=][&max_rows=]`): the p16 daily-increment capstone served the
+    * way the data card serves p14. Rows with `id >= delta_from` are
+    * today's batch; rows below it are the EXISTING corpus, whose build
+    * (under `existing_budget`, default 70 k) is recomputed here as the
+    * prior state — a production deployment would read the persisted
+    * build table instead, but the route's contract is one table in, one
+    * increment verdict out. The response is the dataCard rollup of the
+    * DELTA rows only (shipped artifacts are immutable — the increment's
+    * own docs, copies, tokens, fresh-shard bins) plus `existing_copies`,
+    * the position offset the increment appended after: new positions
+    * start at `existing_copies` and `max_pos` ends the EXTENDED training
+    * order. Validation follows the data-card conventions (`budget` is
+    * the increment's own spend, default 20 k); the max_rows guard caps
+    * the whole table since both sides are built. */
+  private def incrementalBuildRoute(ex: HttpExchange,
+      tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val p = buildParams(ex, df, budgetDefault = 20000L) match {
+        case None => return
+        case Some(v) => v
+      }
+      val qp = queryParams(ex)
+      val deltaFrom = qp.get("delta_from").map(_.toLongOption) match {
+        case Some(Some(v)) => v
+        case Some(None) => sendJson(ex, 400,
+          detail("delta_from must be an integer")); return
+        case None => sendJson(ex, 400,
+          detail("delta_from parameter is required")); return
+      }
+      val existingBudget =
+        qp.get("existing_budget").map(_.toLongOption) match {
+          case Some(None) => sendJson(ex, 400,
+            detail("existing_budget must be an integer")); return
+          case Some(Some(b)) if b < 0 => sendJson(ex, 400,
+            detail("existing_budget must be >= 0")); return
+          case Some(Some(b)) => b
+          case None => 70000L
+        }
+      import org.apache.spark.sql.functions.{col, count, when}
+      val corpus = df.filter(col(p.id) < deltaFrom)
+      val delta = df.filter(col(p.id) >= deltaFrom)
+      val (card, existingCopies) = withOpSweep {
+        // checkpoint the existing build ONCE: incrementalBuild reads it
+        // three times (eval ids, canonicals, the position offset) and
+        // the extra existing_copies aggregate below makes four — an
+        // un-checkpointed plan would re-run the whole existing build
+        // per consumer
+        val existing = org.apache.spark.sql.GraftCheckpoint.freshStats(
+          graft.ops.CorpusBuild.corpusBuild(corpus, p.text, p.id,
+            p.domain, p.length, allowedLangs = p.langs,
+            minQuality = p.minQ, crossThreshold = p.crossT,
+            dedupThreshold = p.dedupT, epochCap = p.epochs,
+            budget = existingBudget))
+        val incr = graft.ops.CorpusBuild.incrementalBuild(
+          existing, corpus, delta, p.text, p.id, p.domain, p.length,
+          allowedLangs = p.langs, minQuality = p.minQ,
+          crossThreshold = p.crossT, dedupThreshold = p.dedupT,
+          epochCap = p.epochs, deltaBudget = p.budget)
+        (graft.ops.CorpusBuild.dataCard(incr).collect()(0),
+          existing.agg(count(when(col("copy").isNotNull, 1)))
+            .collect()(0).getLong(0))
+      }
+      val fields = card.schema.fieldNames.zipWithIndex
+      sendJson(ex, 200, Json.obj(Seq[(String, Any)](
+        "table" -> tablePath,
+        "text" -> p.text,
+        "id" -> p.id,
+        "domain" -> p.domain,
+        "length" -> p.length,
+        "delta_from" -> deltaFrom,
+        "budget" -> p.budget,
+        "existing_budget" -> existingBudget,
+        "epochs_cap" -> p.epochs.toLong,
+        "cross_threshold" -> p.crossT,
+        "dedup_threshold" -> p.dedupT,
+        "min_quality" -> p.minQ,
+        "langs" -> p.langs.mkString(","),
+        "existing_copies" -> existingCopies) ++
         fields.map { case (f, i) => f -> card.getLong(i) }: _*))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>

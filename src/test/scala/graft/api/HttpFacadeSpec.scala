@@ -616,6 +616,72 @@ class HttpFacadeSpec extends SparkSuite {
       "?text=text&id=doc_id").statusCode === 400)
   }
 
+  test("incremental-build route: delta card reconciles with CorpusBuild") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.{col, count, when}
+    val base = "/api/v1/catalog/tables/httpapi.documents/incremental-build"
+    val m = get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // the route IS the p16 composition: replay it directly at the same
+    // cut and the delta card must agree field for field
+    val all = spark.table("httpapi.documents")
+    val corpus = all.filter(col("doc_id") < 480)
+    val delta = all.filter(col("doc_id") >= 480)
+    val existing = graft.ops.CorpusBuild.corpusBuild(corpus, "text",
+      "doc_id", "lang", "n_chars")
+    val expected = graft.ops.CorpusBuild.dataCard(
+      graft.ops.CorpusBuild.incrementalBuild(existing, corpus, delta,
+        "text", "doc_id", "lang", "n_chars")).collect()(0)
+    expected.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+      assert(lg(m.body, f) === expected.getLong(i), s"$f in ${m.body}")
+    }
+    assert(lg(m.body, "n_docs") === 20L, m.body) // delta rows only
+    // the position-extension contract: existing_copies is the offset,
+    // and the delta's max_pos ends the EXTENDED training order
+    val existingCopies = existing
+      .agg(count(when(col("copy").isNotNull, 1))).collect()(0).getLong(0)
+    assert(lg(m.body, "existing_copies") === existingCopies, m.body)
+    if (lg(m.body, "total_copies") > 0)
+      assert(lg(m.body, "max_pos") ===
+        existingCopies + lg(m.body, "total_copies") - 1, m.body)
+    // a zero increment budget realizes nothing new but the existing
+    // offset still reports
+    val z = get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&budget=0")
+    assert(z.statusCode === 200, z.body)
+    assert(lg(z.body, "total_copies") === 0L, z.body)
+    assert(lg(z.body, "existing_copies") === existingCopies, z.body)
+    // validation edges: the shared data-card surface plus delta_from /
+    // existing_budget
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars")
+      .statusCode === 400) // delta_from required
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=abc").statusCode === 400)
+    assert(get(base + "?text=nope&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing_budget=abc").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing_budget=-1").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&dedup_threshold=1.5").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&max_rows=3").statusCode === 413)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/incremental-build" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars&delta_from=480")
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/incremental-build" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars&delta_from=480")
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
