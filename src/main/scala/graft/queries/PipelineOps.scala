@@ -610,7 +610,15 @@ object PipelineOps {
     "p16_incremental_build" -> { (s, d) =>
       // the daily-increment capstone: docs < 480 are the EXISTING
       // corpus (built under the p14 gate config), docs >= 480 today's
-      // batch (the d07 cut); extend the build — filter the delta,
+      // batch (the d07 cut). The fixed cut is scale-dependent by
+      // design: at the sf0.01 gate the batch is 20 docs (the daily
+      // shape), at the sf0.1 bench it is 90 % of the table — a bulk
+      // BACKFILL, the increment's worst case, where the delta-side
+      // dedup/decontamination carry corpus-sized work (which is why
+      // this entry outweighs p14 in the bench record; BASELINE.md's
+      // round-10 probe row scales exactly this shape — a 10x batch
+      // against the constant 480-doc corpus — and still reads
+      // exponent 0.13). Extend the build — filter the delta,
       // decontaminate vs the existing eval split, dedup vs the existing
       // train canonicals then within the batch, spend the increment's
       // own budget, pack into FRESH shards, append positions after the

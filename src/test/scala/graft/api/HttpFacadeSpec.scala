@@ -616,6 +616,44 @@ class HttpFacadeSpec extends SparkSuite {
       "?text=text&id=doc_id").statusCode === 400)
   }
 
+  test("concurrent build requests: deferred sweep destroys neither") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    // the failure mode this pins (ADVICE r9): a request that finishes
+    // while another is in flight must NOT unpersist the other's
+    // localCheckpointed RDDs — their lineage is truncated, so a sweep
+    // mid-flight destroys the only copy and fails that job with
+    // missing-block errors. The deferred sweep holds every release
+    // until the LAST in-flight build op completes.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val base = "/api/v1/catalog/tables/httpapi.documents/data-card" +
+      "?text=text&id=doc_id&domain=lang&length=n_chars"
+    import java.util.concurrent.{Callable, Executors => JExecutors}
+    val pool = JExecutors.newFixedThreadPool(2)
+    try {
+      val futures = Seq("&dedup_threshold=0.7", "&dedup_threshold=0.8")
+        .map(q => pool.submit(new Callable[HttpResponse[String]] {
+          def call(): HttpResponse[String] = get(base + q)
+        }))
+      val responses = futures.map(_.get())
+      responses.foreach { r =>
+        assert(r.statusCode === 200, r.body)
+        assert(("\"n_docs\":(\\d+)").r.findFirstMatchIn(r.body).get
+          .group(1).toLong === 500L, r.body)
+      }
+    } finally pool.shutdown()
+    // once both complete, every checkpoint either request persisted has
+    // been released (unpersist is non-blocking; poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var leftover = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leftover.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leftover = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leftover.isEmpty, s"unswept RDDs: $leftover")
+  }
+
   test("incremental-build route: delta card reconciles with CorpusBuild") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
