@@ -571,12 +571,20 @@ object Dedup {
    * Jaccard >= `threshold` (MinHash bands, delta side joined against
    * corpus side); `is_new` = neither matched.
    *
-   * Scale: the exact layer pre-aggregates the corpus to one
-   * (digest, min id) row per distinct text — a 32-byte-keyed join. The
+   * Scale: the corpus — the big side — is never exchanged. The exact
+   * layer filters corpus digests by the delta's digest set BEFORE
+   * aggregating (broadcast when the delta is small), so the
+   * (digest, min id) rollup runs over a delta-sized remainder. The
    * fuzzy layer reuses the d02 band index CROSS-SET: delta bands probe
    * corpus bands, so candidate generation costs |delta| x band-collision
    * rate, never corpus² — the corpus index is exactly what a production
-   * pipeline keeps materialized between increments. Candidate recall is
+   * pipeline keeps materialized between increments. Each side is
+   * scanned per consumer (signatures for the band index; shingles only
+   * for the verify join) rather than exchange-reused — the consumers
+   * need different columns, so the d02 barrier never actually reuses
+   * here, and on the big side of a cross-set probe a second
+   * column-pruned scan beats shuffling (id, shingles, sig) corpus-wide.
+   * Candidate recall is
    * 1 under the same band-threshold argument as [[minHashLSH]] (pairs
    * >= threshold share a band on the gate fixture), which is what makes
    * the brute-force cross-set oracle valid.
@@ -588,25 +596,56 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
 
+    // Exact pass: only digests PRESENT IN THE DELTA can affect the
+    // output, so filter the corpus digest stream by the delta's
+    // (distinct) digest set BEFORE aggregating — with a daily-sized
+    // delta the filter is a broadcast join and the min(cid) aggregate
+    // runs over a delta-sized remainder. The previous shape aggregated
+    // min over EVERY corpus digest first: a corpus-wide shuffle
+    // computing answers nobody asked for.
+    val deltaDigs = delta
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("__dig"))
     val corpusDigests = corpus
       .select(sha2(col(textCol), 256).as("__dig"), col(idCol).as("cid"))
+      .join(deltaDigs.select(col("__dig")).distinct(), Seq("__dig"))
       .groupBy(col("__dig")).agg(min(col("cid")).as("exact_dup_of"))
-    val exact = delta
-      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("__dig"))
+    val exact = deltaDigs
       .join(corpusDigests, Seq("__dig"), "left")
       .select(col("id"), col("exact_dup_of"))
 
-    val deltaSigs = minHashSigs(delta, textCol, idCol, shingleLen, numHashes)
-    val corpusSigs = minHashSigs(corpus, textCol, idCol, shingleLen, numHashes)
-    val cand = bandedIndex(deltaSigs, bands, rows).as("l")
-      .join(bandedIndex(corpusSigs, bands, rows).as("r"),
+    // Fuzzy pass. NEITHER side rides minHashSigs' exchange barrier
+    // (d02's reuse device): the band index consumes (id, sig) and the
+    // verify join consumes (id, sh), so column pruning pushes DIFFERENT
+    // projections below the barrier and the exchange is never actually
+    // reused — in the cross-set shape the repartition buys nothing and,
+    // on the corpus side, would shuffle (id, shingle set, 128-int sig)
+    // corpus-wide: several times the corpus's text bytes over the wire.
+    // (The self-join operators keep the barrier — there both join sides
+    // need the SAME columns and ReusedExchange fires.) Instead each
+    // side is scanned per consumer with no exchange at all: signatures
+    // for the band index (AQE broadcasts the delta's bands when the
+    // delta is small, so the corpus never shuffles), shingle sets ONLY
+    // (no minhash) for the verify join against the delta-driven
+    // candidate set. At 100 TB a second column-pruned scan is cheap; a
+    // corpus-wide exchange is the bottleneck.
+    GraftFunctions.register(corpus.sparkSession)
+    def sigsOf(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
+      .select(col("id"), col("sig"))
+    def shinglesOf(docs: DataFrame, idAs: String, shAs: String): DataFrame =
+      docs.select(col(idCol).as(idAs),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as(shAs))
+    val cand = bandedIndex(sigsOf(delta), bands, rows).as("l")
+      .join(bandedIndex(sigsOf(corpus), bands, rows).as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash"))
       .select(col("l.id").as("did"), col("r.id").as("cid"))
       .distinct()
     val fuzzy = cand
-      .join(deltaSigs.select(col("id").as("did"), col("sh").as("dsh")), Seq("did"))
-      .join(corpusSigs.select(col("id").as("cid"), col("sh").as("csh")), Seq("cid"))
+      .join(shinglesOf(delta, "did", "dsh"), Seq("did"))
+      .join(shinglesOf(corpus, "cid", "csh"), Seq("cid"))
       .filter(Shingles.jaccard(col("dsh"), col("csh")) >= threshold)
       .groupBy(col("did")).agg(min(col("cid")).as("fuzzy_dup_of"))
       .withColumnRenamed("did", "id")

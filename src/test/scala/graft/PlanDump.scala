@@ -167,10 +167,16 @@ object PlanDump {
     "d07_incremental" ->
       ("The increment shape: candidate generation joins DELTA bands " +
         "against CORPUS bands (cost ~ |delta| x collision rate, never " +
-        "corpus²) and the exact layer joins 32-byte digests against the " +
-        "corpus pre-aggregated to one row per distinct text; both delta " +
-        "sides broadcast at fixture scale. The corpus band index is what " +
-        "a production pipeline keeps materialized between increments."),
+        "corpus²) and the exact layer filters corpus digests by the " +
+        "delta's digest set BEFORE the min(cid) rollup, so the " +
+        "aggregate runs over a delta-sized remainder; delta-derived " +
+        "sides broadcast at fixture scale. ZERO repartition barriers " +
+        "(PlanSpec-pinned): the band index and verify join need " +
+        "different columns, so the d02 exchange-reuse device never " +
+        "fires cross-set — each side is scanned per consumer instead " +
+        "of shuffling (id, shingles, sig) corpus-wide. The corpus band " +
+        "index is what a production pipeline keeps materialized " +
+        "between increments."),
     "d08_chunk_dedup" ->
       ("The hot-chunk set (doc-freq > threshold) is tiny by a " +
         "heavy-hitter bound, so the filtering join is a BROADCAST " +

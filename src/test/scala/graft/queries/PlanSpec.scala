@@ -477,6 +477,28 @@ class PlanSpec extends SparkSuite {
     assert(stride === Some(er), s"stride=$stride planned rows=$er\n$plan")
   }
 
+  test("d07: the corpus side is never exchanged — delta bands broadcast, " +
+      "the only repartition barrier is the delta's") {
+    val plan = pipelinePlan("d07_incremental")
+    // ZERO explicit repartition barriers: the band index and the verify
+    // join consume different columns, so d02's exchange-reuse device
+    // never fires in the cross-set shape — each side reaches its join
+    // by scan+project alone; shuffling (id, shingles, sig) corpus-wide
+    // to reuse one computation is the wrong trade on the big side
+    // (count in the FINAL plan only; AQE toString repeats the tree)
+    val reparts = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("REPARTITION_BY_COL")).toSeq
+    assert(reparts.size === 0, plan)
+    // the delta-derived sides are small at any real increment — the
+    // corpus-facing joins (band probe, shingle verify) broadcast them.
+    // The one sort-merge join allowed is the final delta-sized
+    // exact-vs-fuzzy id join, whose sort IS the output ordering
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val smj = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.size <= 1, plan)
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
