@@ -177,6 +177,14 @@ object PlanDump {
         "of shuffling (id, shingles, sig) corpus-wide. The corpus band " +
         "index is what a production pipeline keeps materialized " +
         "between increments."),
+    "d18_indexed_incremental" ->
+      ("d07 through the STORED corpus index: the probe's three " +
+        "corpus-side consumers read (cid,dig) / (cid,sig) / (cid,csh) " +
+        "as separate column-pruned parquet scans (PlanSpec-pinned) — " +
+        "the text-sized shingle column is fetched only by the verify " +
+        "join, and the corpus text itself is never rescanned at probe " +
+        "time. On this fixture AQE empty-relation propagation removes " +
+        "the exact-digest branch outright (no digest crosses the cut)."),
     "d08_chunk_dedup" ->
       ("The hot-chunk set (doc-freq > threshold) is tiny by a " +
         "heavy-hitter bound, so the filtering join is a BROADCAST " +

@@ -146,6 +146,34 @@ class DedupSpec extends SparkSuite {
     assert(out(103L) === ((None, None, true)))
   }
 
+  test("incrementalIndex round-trips through parquet: the stored index " +
+      "probe equals the live composition") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "completely unrelated corpus document about query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog by the river"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog by the river"),
+      (102L, "the quick brown fox jumps over the lazy dog by the creek"),
+      (103L, "entirely new content that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d18-idx").toString
+    Dedup.incrementalIndex(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    // the stored state is one row per corpus doc with all four columns
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.sorted.toSeq === Seq("cid", "csh", "dig", "sig"))
+    assert(idx.count() === 3L)
+    val viaIndex = Dedup.incrementalProbe(idx, delta, "text", "doc_id",
+      threshold = 0.5).collect().map(_.toSeq).toSeq
+    val live = Dedup.incremental(corpus, delta, "text", "doc_id",
+      threshold = 0.5).collect().map(_.toSeq).toSeq
+    assert(viaIndex === live)
+  }
+
   test("chunkDedup drops cross-doc repeated chunks, keeps order") {
     // 4-word chunks; docs 1 and 2 share their first chunk (boilerplate),
     // doc 3 is disjoint. maxDocFreq=1 -> the shared chunk is dropped

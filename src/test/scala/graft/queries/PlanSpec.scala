@@ -499,6 +499,35 @@ class PlanSpec extends SparkSuite {
     assert(smj.size <= 1, plan)
   }
 
+  test("d18: the stored index serves COLUMN-PRUNED probes — each " +
+      "consumer reads only its artifact") {
+    val plan = pipelinePlan("d18_indexed_incremental")
+    // the probe's three corpus-side consumers select different index
+    // columns, so the parquet reader must fetch a different subset per
+    // scan: (cid, dig) for the exact rollup, (cid, sig) for the band
+    // join, (cid, csh) for the verification join. A scan reading all
+    // four columns would drag the shingle sets (the text-sized column)
+    // through stages that only need 8-byte signatures
+    val idxScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_d18_index_")).toSeq
+    // (the exact pass's (cid, dig) scan is absent from the FINAL plan
+    // on this fixture: no digest collision crosses the 480 cut, so AQE
+    // empty-relation propagation eliminates the whole branch — itself
+    // a scale win; the two similarity scans below always survive)
+    assert(idxScans.exists(s => s.contains("sig:") && !s.contains("csh")),
+      idxScans.mkString("\n"))
+    assert(idxScans.exists(s => s.contains("csh:") && !s.contains("sig:")),
+      idxScans.mkString("\n"))
+    // no scan reads the full four-column row
+    assert(!idxScans.exists(s => s.contains("dig") && s.contains("csh") &&
+      s.contains("sig")), idxScans.mkString("\n"))
+    // and the same zero-repartition property as d07
+    val reparts = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("REPARTITION_BY_COL")).toSeq
+    assert(reparts.size === 0, plan)
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
