@@ -11,17 +11,31 @@ import graft.ops.Dedup
  * production shape of the dedup family: documents arrive as a stream
  * (file drops on object storage, a queue), each micro-batch is deduped
  * WITHIN itself (MinHash LSH reps) and then AGAINST the accumulated
- * corpus ([[graft.ops.Dedup.incremental]] — exact digest join + MinHash
- * band probe, so per-batch cost scales with the increment, never
- * corpus²), survivors append to the corpus store, and every decision
- * lands in an audit log.
+ * corpus's STORED dedup index ([[graft.ops.Dedup.incrementalProbe]] —
+ * exact digest join + MinHash band probe over the persisted
+ * [[graft.ops.Dedup.incrementalIndex]] columns), survivors append to
+ * the corpus store AND their index rows to the index store, and every
+ * decision lands in an audit log.
  *
- * State lives in two parquet directories under `stateDir`: `corpus/`
- * (accepted docs, full input schema) and `decisions/` (one audit row per
- * arriving doc), written through `foreachBatch` — the Structured
- * Streaming hook for batch-only operations (multi-pass joins, appends to
- * non-streaming sinks) per micro-batch. Decision rows carry `batch_id`
- * so an at-least-once replay reconciles instead of double-counting.
+ * State lives in three parquet directories under `stateDir`: `corpus/`
+ * (accepted docs, full input schema — the product), `index/` (the
+ * derived dedup state: cid, digest, shingle set, signature — one row
+ * per accepted doc, appended batch-sized), and `decisions/` (one audit
+ * row per arriving doc), written through `foreachBatch` — the
+ * Structured Streaming hook for batch-only operations (multi-pass
+ * joins, appends to non-streaming sinks) per micro-batch. Decision rows
+ * carry `batch_id` so an at-least-once replay reconciles instead of
+ * double-counting.
+ *
+ * Why the index store exists: probing with the live
+ * [[graft.ops.Dedup.incremental]] would recompute digests, shingle sets
+ * and signatures over the ENTIRE accumulated corpus text EVERY
+ * micro-batch — per-batch cost grows with corpus TEXT size forever. The
+ * stored index makes each batch's work: artifact computation for the
+ * batch only, plus column-pruned reads of the index (the band join
+ * fetches (cid, sig); shingle sets move only for band-collision
+ * candidates) — at 100 TB the difference between re-tokenizing the
+ * corpus per batch and reading a signature column.
  *
  * Contract: ids must be integral (they ride the dedup family's long
  * min-aggregations); the text column must be non-null-or-coalesced
@@ -33,12 +47,13 @@ object DocumentStreams {
    * One micro-batch step, exposed for direct testing and backfills.
    * Within-batch first: MinHash-LSH reps flag intra-batch duplicates
    * (recorded with `fuzzy_dup_of` = the kept doc, like the batch family's
-   * one-hop reps). Survivors then probe the corpus. Returns
-   * (decisions, survivors): decisions has one row per arriving doc —
-   * (id, exact_dup_of, fuzzy_dup_of, is_new); survivors are the batch
-   * rows (full schema) that enter the corpus.
+   * one-hop reps). Survivors then probe the STORED corpus index
+   * ([[graft.ops.Dedup.incrementalIndex]] rows — None on the first
+   * batch). Returns (decisions, survivors): decisions has one row per
+   * arriving doc — (id, exact_dup_of, fuzzy_dup_of, is_new); survivors
+   * are the batch rows (full schema) that enter the corpus.
    */
-  def dedupeStep(corpus: Option[DataFrame], batch: DataFrame,
+  def dedupeStep(index: Option[DataFrame], batch: DataFrame,
                  textCol: String, idCol: String,
                  threshold: Double): (DataFrame, DataFrame) = {
     val idT = batch.schema(idCol).dataType
@@ -49,9 +64,9 @@ object DocumentStreams {
     val batchReps = batch.join(
       within.filter(!col("is_dup")).select(col("id").as(idCol)), idCol)
 
-    val repDecisions = corpus match {
-      case Some(c) =>
-        Dedup.incremental(c, batchReps, textCol, idCol,
+    val repDecisions = index match {
+      case Some(ix) =>
+        Dedup.incrementalProbe(ix, batchReps, textCol, idCol,
           threshold = threshold)
       case None =>
         batchReps.select(col(idCol).as("id"),
@@ -71,8 +86,10 @@ object DocumentStreams {
     (decisions, survivors)
   }
 
-  /** The foreachBatch body: load corpus state (absent on the first
-    * batch), run [[dedupeStep]], append decisions + survivors. */
+  /** The foreachBatch body: load the stored dedup index (absent on the
+    * first batch), run [[dedupeStep]], append decisions + survivors +
+    * the survivors' index rows (computed from the batch only — the
+    * accumulated corpus is never re-read as text). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double): Unit = {
@@ -81,18 +98,25 @@ object DocumentStreams {
       // explicit existence probe, NOT a catch on the read: a transient
       // read failure (listing error, schema inference on a gutted dir)
       // must FAIL the batch — swallowing it as "first batch" would
-      // silently reset the corpus and re-admit every past duplicate
-      val corpusPath = new org.apache.hadoop.fs.Path(s"$stateDir/corpus")
-      val fs = corpusPath.getFileSystem(
+      // silently reset the index and re-admit every past duplicate
+      val indexPath = new org.apache.hadoop.fs.Path(s"$stateDir/index")
+      val fs = indexPath.getFileSystem(
         spark.sessionState.newHadoopConf())
-      val corpus =
-        if (fs.exists(corpusPath)) Some(spark.read.parquet(s"$stateDir/corpus"))
+      val index =
+        if (fs.exists(indexPath)) Some(spark.read.parquet(s"$stateDir/index"))
         else None
       val (decisions, survivors) =
-        dedupeStep(corpus, persisted, textCol, idCol, threshold)
+        dedupeStep(index, persisted, textCol, idCol, threshold)
       decisions.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$stateDir/decisions")
-      survivors.write.mode("append").parquet(s"$stateDir/corpus")
+      // survivors enter the corpus AND the index; persist so the two
+      // sinks don't re-run the dedup joins
+      val surv = survivors.persist()
+      try {
+        surv.write.mode("append").parquet(s"$stateDir/corpus")
+        graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
+          .write.mode("append").parquet(s"$stateDir/index")
+      } finally { surv.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 

@@ -64,5 +64,13 @@ class DocumentStreamsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
       .as[Long].collect().sorted === Array(1L, 2L, 5L))
     assert(decisions.select("batch_id").distinct().count() === 2)
+    // the stored dedup index mirrors the corpus — one artifact row per
+    // accepted doc (this is what batch 2 probed: its cross-batch
+    // verdicts above came from the STORED columns, the corpus text was
+    // never re-read)
+    val index = spark.read.parquet(s"$dir/index")
+    assert(index.columns.sorted.toSeq === Seq("cid", "csh", "dig", "sig"))
+    assert(index.select("cid").as[Long].collect().sorted
+      === Array(1L, 2L, 5L))
   }
 }
