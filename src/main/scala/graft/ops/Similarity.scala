@@ -591,6 +591,27 @@ object Similarity {
       .agg(min_by(col(vecCol), col(idCol)).as("cvec"))
 
   /**
+   * Materializable IVF index state — the (assignments, centroids) pair a
+   * vector-serving stack writes ONCE per corpus release and queries many
+   * times: assignments `(id, vec, cid)` (one row per corpus vector with
+   * its inverted-list id), centroids `(cid, cvec)` (the
+   * [[minIdCentroids]] medoids — deterministic, so the stored index is
+   * bit-reproducible from the corpus). Both parquet-native (long, float
+   * array, label). [[ivfTopKPartitioned]] is the probe over either the
+   * live pair or the parquet round trip — e21 pins that the stored path
+   * returns byte-identical rankings to e02's live composition, under the
+   * same index-blind oracle. At scale, persist assignments PARTITIONED
+   * BY cid: each query touches `nprobe` lists, so a partition-pruned
+   * read fetches only the probed lists' vectors — the d18 pattern
+   * (column-pruned) upgraded to partition-pruned.
+   */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+               listCol: String): (DataFrame, DataFrame) =
+    (corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+       col(listCol).as("cid")),
+     minIdCentroids(corpus, vecCol, idCol, listCol))
+
+  /**
    * IVF index quality report — the introspection pass an ANN serving
    * stack runs over its inverted lists: per-list population, corpus
    * share, and mean squared-L2 residual to the list centroid (the

@@ -92,6 +92,28 @@ object PipelineOps {
        SELECT id, keep_id, id <> keep_id AS is_dup
        FROM clus ORDER BY id"""
 
+  /** IVF top-k oracle shared by e02 (live plan) and e21 (stored,
+    * list-partitioned index): min-id medoid centroids, nprobe=2 probe,
+    * exact re-rank within probed lists — blind to how the inverted
+    * lists are laid out or stored. */
+  private val ivfOracle: String =
+    """WITH cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS id,
+             list_cosine_similarity(a.embedding, p.qvec) AS sim
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+
   /** Brute-force cross-set oracle shared by d07 (live plan) and d18
     * (stored index): exact text equality + shingle-Jaccard >= 0.7 of
     * every delta doc against every corpus doc — blind to digests,
@@ -341,6 +363,33 @@ object PipelineOps {
       Similarity.ivfTopKPartitioned(corpus, "embedding", "vec_id", "label",
           queries, "embedding", "vec_id",
           centroids, "cvec", "cid", k = 5, nprobe = 2)
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+    },
+    "e21_indexed_ann" -> { (s, d) =>
+      // the ANN serving shape: the IVF index (label inverted lists +
+      // min-id medoid centroids) is built ONCE, persisted — assignments
+      // PARTITIONED BY list id — and queries probe the STORED index.
+      // Same geometry as e02; the oracle is e02's index-blind SQL, so a
+      // hash match proves the storage round trip (including the
+      // partition-column type round trip) moves no ranking. The
+      // partitioning is the scale device: each query touches nprobe
+      // inverted lists, so the probe's corpus read prunes to the probed
+      // lists' files instead of scanning every vector
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_e21_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (assign, cent) =
+        Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      cent.write.mode("overwrite").parquet(base + "/cent")
+      Similarity.ivfTopKPartitioned(
+          s.read.parquet(base + "/assign"), "vec", "id", "cid",
+          queries, "embedding", "vec_id",
+          s.read.parquet(base + "/cent"), "cvec", "cid",
+          k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
     "e13_hamming_recall" -> { (s, d) =>
@@ -2712,23 +2761,11 @@ object PipelineOps {
     // IVF with label inverted lists + min-id-member centroids: probe the
     // 2 nearest centroids per query (ties by cid — same ordering as the
     // engine's TopKAggregator), exact cosine re-rank inside probed lists.
-    "e02_ivf_topk" ->
-      """WITH cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
-           FROM embeddings GROUP BY label),
-         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS prk
-           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
-         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
-         scored AS (SELECT p.query_id, a.vec_id AS id,
-             list_cosine_similarity(a.embedding, p.qvec) AS sim
-           FROM embeddings a JOIN probed p ON a.label = p.cid),
-         r AS (SELECT query_id, id, sim,
-             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
-           FROM scored WHERE sim IS NOT NULL)
-         SELECT query_id, CAST(rk AS INT) AS rk, id,
-                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "e02_ivf_topk" -> ivfOracle,
+    // e21 = e02 through a STORED, list-partitioned index: identical
+    // index-blind SQL, so the hash gate certifies the parquet round trip
+    // (vectors, centroids, and the partition-column type) moves no ranking
+    "e21_indexed_ann" -> ivfOracle,
     // nprobe × nlist sweep: e02's probe/score CTEs at the max candidate
     // (8), ONE chain per nlist config (10 = native labels, 5 = label % 5
     // coarse lists — suffixes _a/_b, generated from the same config list

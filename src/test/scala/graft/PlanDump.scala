@@ -177,6 +177,13 @@ object PlanDump {
         "of shuffling (id, shingles, sig) corpus-wide. The corpus band " +
         "index is what a production pipeline keeps materialized " +
         "between increments."),
+    "e21_indexed_ann" ->
+      ("e02 through the STORED, cid-PARTITIONED IVF index: the probe " +
+        "joins assignments on cid against the broadcast probed-list " +
+        "set, so the scan carries a dynamicpruningexpression " +
+        "(PlanSpec-pinned) — at scale each query's index read touches " +
+        "nprobe lists' files, not the corpus. Centroids read whole " +
+        "(nlist rows)."),
     "d18_indexed_incremental" ->
       ("d07 through the STORED corpus index: the probe's three " +
         "corpus-side consumers read (cid,dig) / (cid,sig) / (cid,csh) " +

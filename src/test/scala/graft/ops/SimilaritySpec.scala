@@ -257,6 +257,36 @@ class SimilaritySpec extends SparkSuite {
     assert(part.size == exact.size)
   }
 
+  test("ivfIndex round-trips through list-partitioned parquet: the " +
+      "stored probe equals the live composition") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val (assign, cent) =
+      Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e21-idx").toString
+    assign.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/assign")
+    cent.write.mode("overwrite").parquet(s"$dir/cent")
+    val storedAssign = spark.read.parquet(s"$dir/assign")
+    // the partition-column type survives the directory round trip
+    assert(storedAssign.schema("cid").dataType ===
+      corpus.schema("label").dataType)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "id").as[(Long, Int, Long)]
+      .collect().toSeq.sorted
+    val stored = rows(Similarity.ivfTopKPartitioned(
+      storedAssign, "vec", "id", "cid",
+      queries, "embedding", "vec_id",
+      spark.read.parquet(s"$dir/cent"), "cvec", "cid", k = 5, nprobe = 2))
+    val live = rows(Similarity.ivfTopKPartitioned(
+      corpus, "embedding", "vec_id", "label",
+      queries, "embedding", "vec_id",
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label"),
+      "cvec", "cid", k = 5, nprobe = 2))
+    assert(stored === live)
+  }
+
   test("cosineNearDup clusters planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation

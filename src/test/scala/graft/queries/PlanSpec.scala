@@ -528,6 +528,22 @@ class PlanSpec extends SparkSuite {
     assert(reparts.size === 0, plan)
   }
 
+  test("e21: the stored IVF index is DYNAMICALLY PARTITION-PRUNED — " +
+      "queries read only the probed lists' files") {
+    val plan = pipelinePlan("e21_indexed_ann")
+    // the assignments were written partitionBy(cid); the probe joins on
+    // cid against the (broadcast) probed-list set, so Spark inserts a
+    // dynamic partition pruning subquery into the scan — at 100 TB the
+    // index read touches nprobe lists' files, not the corpus
+    val assignScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_e21_index_")).toSeq
+    val assign = assignScans.filter(_.contains("/assign"))
+    assert(assign.nonEmpty, plan)
+    assert(assign.forall(_.contains("dynamicpruningexpression")),
+      assignScans.mkString("\n"))
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
