@@ -67,46 +67,49 @@ final class HttpFacade(
   def stop(): Unit = if (server != null) server.stop(0)
 
   // ---- op-route persisted-RDD accounting --------------------------------
-  private val opGate = new Object
-  private var opInFlight = 0
-  private val sweepPending = scala.collection.mutable.Set.empty[Int]
 
-  /** Run a heavy catalog-op request under DEFERRED persisted-RDD
-    * sweeping. The ops behind these routes pin session-level storage
-    * (eager localCheckpoints inside corpusBuild / thresholdSweep /
-    * lshPlan; the shard-manifest's explicit persist), which must be
-    * released or every request leaks block-manager memory until session
-    * end. A naive release — diff `getPersistentRDDs` around the run and
-    * unpersist the difference — is DESTRUCTIVE under concurrency: with 8
-    * server threads the diff can capture another in-flight request's
-    * RDDs, and a localCheckpoint's lineage is truncated, so unpersisting
-    * it destroys the only copy and fails that job with missing-block
-    * errors. The fix keeps the diff but defers the release: every op
-    * route registers in/out here, diff ids only become sweep CANDIDATES,
-    * and candidates are unpersisted when the LAST in-flight op exits —
-    * at which point every candidate belongs to a finished request and is
-    * dead weight by construction (a self-cleaning route's ids have
-    * already left `getPersistentRDDs`, so they no-op). A SparkContext
-    * never reuses RDD ids, so a deferred id cannot alias a later RDD.
-    * Deferral cost is bounded by the concurrency overlap window, never
-    * the session lifetime. */
+  /** Serializes the storage-touching catalog-op section (FIFO). */
+  private val opLock = new java.util.concurrent.locks.ReentrantLock(true)
+
+  /** Run a heavy catalog-op request with EXACT persisted-RDD ownership.
+    * The ops behind these routes pin session-level storage (eager
+    * localCheckpoints inside corpusBuild / thresholdSweep / lshPlan;
+    * explicit persists in substring-dedup / shard-manifest /
+    * epoch-plan), which must be released or every request leaks
+    * block-manager memory until session end. A naive release — diff
+    * `getPersistentRDDs` around the run and unpersist the difference —
+    * is DESTRUCTIVE under concurrency: with 8 server threads the diff
+    * can capture another in-flight request's RDDs, and a
+    * localCheckpoint's lineage is truncated, so unpersisting it
+    * destroys the only copy and fails that job with missing-block
+    * errors. An earlier deferred design (sweep candidates released when
+    * the LAST in-flight op exits) fixed the destruction but not the
+    * attribution: a global diff cannot tell whose RDD an id is, so an
+    * unwrapped persisting route could still be swept mid-flight, and
+    * under sustained overlapping traffic the candidate set grew
+    * unboundedly because in-flight never reached zero. This design
+    * makes ownership EXACT by serializing the storage-touching section:
+    * every route that persists or checkpoints runs under `opLock`, so a
+    * request's diff is precisely the storage it created, swept at ITS
+    * exit — bounded memory, no quiesce point required, mid-flight
+    * destruction structurally impossible. Tradeoff: the heavy audit ops
+    * queue behind each other (FIFO), which on a shared SparkSession is
+    * close to free — they are multi-second whole-pipeline compositions
+    * that would contend for the same cores anyway — while the query /
+    * catalog / results surface stays fully concurrent (the A7
+    * inversion is about the query path, which holds no storage). */
   private def withOpSweep[A](body: => A): A = {
-    opGate.synchronized { opInFlight += 1 }
+    opLock.lock()
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     try body
     finally {
-      val diff = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-      val sweep = opGate.synchronized {
-        opInFlight -= 1
-        sweepPending ++= diff
-        if (opInFlight == 0) {
-          val s = sweepPending.toSet; sweepPending.clear(); s
-        } else Set.empty[Int]
-      }
-      if (sweep.nonEmpty)
-        spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => sweep.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
+      try {
+        val diff = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+        if (diff.nonEmpty)
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => diff.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
+      } finally opLock.unlock()
     }
   }
 
@@ -621,7 +624,7 @@ final class HttpFacade(
           ts
       }
       // thresholdSweep localCheckpoints its shared pair set — release it
-      // under the deferred-sweep discipline (withOpSweep)
+      // under the op-sweep discipline (withOpSweep)
       val rows = withOpSweep {
         graft.ops.Dedup.thresholdSweep(df, textCol.get, idCol.get,
           thresholds).collect()
@@ -724,6 +727,7 @@ final class HttpFacade(
           detail("limit must be between 0 and 1000")); return
       }
       import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      withOpSweep {
       val rep = graft.ops.Dedup.substringDedup(df, textCol.get, idCol.get,
         anchor, maxDocFreq).drop("kept_text").persist()
       try {
@@ -759,6 +763,7 @@ final class HttpFacade(
             "n_dropped" -> row.getLong(2),
             "n_spans" -> row.getLong(3))))))
       } finally rep.unpersist()
+      }
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))
@@ -904,10 +909,18 @@ final class HttpFacade(
     // scanning is too expensive: a LIMIT-ed count short-circuits the
     // scan at maxRows+1 rows (CollectLimit takes partitions
     // incrementally), so the refusal costs O(maxRows) regardless of
-    // table size — a full df.count() here would read all 100 TB first
-    val probeCap = math.min(maxRows, (Int.MaxValue - 1).toLong)
-    if (df.limit((probeCap + 1).toInt).count() > probeCap) {
-      sendJson(ex, 413, detail(s"Table has more than $probeCap rows, " +
+    // table size — a full df.count() here would read all 100 TB first.
+    // LIMIT takes an Int; a max_rows beyond Int range can't be probed
+    // that way, so the over-2.1B escape hatch falls back to a full
+    // count (the caller explicitly accepted a table of that size — the
+    // count costs a metadata-or-full scan once, not silently refusing
+    // at a clamped cap the caller never asked for)
+    val over =
+      if (maxRows < Int.MaxValue.toLong)
+        df.limit(maxRows.toInt + 1).count() > maxRows
+      else df.count() > maxRows
+    if (over) {
+      sendJson(ex, 413, detail(s"Table has more than $maxRows rows, " +
         s"over the data-card cap (raise max_rows to override)")); return None
     }
     Some(BuildParams(textCol.get, idCol.get, domainCol.get, lengthCol.get,
@@ -930,7 +943,7 @@ final class HttpFacade(
         case Some(v) => v
       }
       // release the composition's localCheckpoints when the card is done
-      // (deferred-sweep discipline: see withOpSweep)
+      // (op-sweep discipline: see withOpSweep)
       val card = withOpSweep {
         graft.ops.CorpusBuild.dataCard(
           graft.ops.CorpusBuild.corpusBuild(df, p.text, p.id,
@@ -1229,7 +1242,7 @@ final class HttpFacade(
           detail("target_min_ppm must be between 0 and 1000000")); return
       }
       // lshPlan localCheckpoints its verified-pair set — release it
-      // under the deferred-sweep discipline (withOpSweep)
+      // under the op-sweep discipline (withOpSweep)
       val rows = withOpSweep {
         graft.ops.Dedup.lshPlan(df, textCol.get, idCol.get,
           numHashes = numHashes, floorThreshold = floor).collect()
@@ -1337,6 +1350,7 @@ final class HttpFacade(
       }
       import org.apache.spark.sql.functions.{col, count, expr, lit, min, sum}
       val maxLabels = 1000
+      withOpSweep {
       val plan = graft.ops.Sampling.epochPlan(df, domain.get, idCol.get,
         weight.get, expr(s"avail * $epochs"), budget.get).persist()
       try {
@@ -1376,6 +1390,7 @@ final class HttpFacade(
             "w" -> r.getLong(2),
             "n_copies" -> r.getLong(3))))))
       } finally plan.unpersist()
+      }
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

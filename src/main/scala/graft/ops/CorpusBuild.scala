@@ -236,7 +236,11 @@ object CorpusBuild {
    *      an existing OR newly-held-out eval doc is dropped
    *      (`cross_split`); eval docs are never dropped. Existing TRAIN
    *      docs deliberately sit out: duplicating one is stage 4's
-   *      verdict, not contamination.
+   *      verdict, not contamination — EXCEPT for delta docs headed to
+   *      the eval split (stage 3b): a holdout extension near-dup of an
+   *      existing train canonical is contamination the increment can
+   *      only cure by dropping the EVAL side (the train doc is shipped
+   *      and immutable), so it drops as `cross_split`.
    *   4. d07 [[Dedup.incremental]] — delta train survivors probe the
    *      EXISTING train canonicals (kept rows: mix + `budget`) at
    *      `dedupThreshold`; exact-or-fuzzy hits drop as `duplicate`.
@@ -321,6 +325,34 @@ object CorpusBuild {
       .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
     val canonDocs = corpusDocs.join(
       canonIds.withColumnRenamed("id", idCol), Seq(idCol))
+
+    // ---- stage 3b: protect the EXTENDED holdout from the immutable
+    // train. The mirror rule the full build expresses differently:
+    // corpusBuild drops the TRAIN side of a cross-split pair, but the
+    // increment cannot drop a shipped train doc — so a delta doc headed
+    // for the EVAL split that is a near-dup (>= crossThreshold, the
+    // decon floor) of an existing train canonical is dropped as
+    // cross_split instead of shipping as eval_holdout. Without this, an
+    // exact copy of a training doc could enter the holdout and the
+    // extended corpus would evaluate on its own training data. Same
+    // exact pair device as stage 3 (d04's PPJoin — recall 1 at any
+    // threshold, no band-recall caveat at the 0.5 floor).
+    val evalIdsDelta = cs.filter(!col("is_removed") &&
+      col("split") === protectedSplit).select(col("id"))
+    val deltaEvalDocs = deltaDocs.join(
+      evalIdsDelta.withColumnRenamed("id", idCol), Seq(idCol))
+    val evalPairs = Dedup.ngramJaccardPairs(
+      deltaEvalDocs.select(col(idCol), col(textCol))
+        .unionAll(canonDocs.select(col(idCol), col(textCol))),
+      textCol, idCol, shingleLen = 3, threshold = crossThreshold)
+    val evalContam = evalPairs
+      .select(col("id_a").as("id"), col("id_b").as("other"))
+      .unionAll(evalPairs.select(col("id_b").as("id"),
+        col("id_a").as("other")))
+      .join(evalIdsDelta, Seq("id"))
+      .join(canonIds.select(col("id").as("other")), Seq("other"))
+      .select(col("id")).distinct()
+      .transform(graft.ops.CorpusBuild.cp)
     val trainIds = cs.filter(!col("is_removed") &&
       col("split") =!= protectedSplit).select(col("id"))
     val trainDocs = deltaDocs.join(trainIds.withColumnRenamed("id", idCol),
@@ -396,8 +428,15 @@ object CorpusBuild {
     val crossRm = cs.filter(col("is_removed")).select(shape(col("id"),
       lit(false), lit("cross_split"), col("split"),
       nullL, nullI, nullL, nullL): _*)
+    // stage-3b verdicts: contaminated holdout extensions drop as
+    // cross_split; only clean ones ship as eval_holdout
+    val evalCross = cs.join(evalContam, Seq("id"))
+      .select(shape(col("id"), lit(false), lit("cross_split"),
+        col("split"), nullL, nullI, nullL, nullL): _*)
     val evalRows = cs.filter(!col("is_removed") &&
-      col("split") === protectedSplit).select(shape(col("id"), lit(true),
+      col("split") === protectedSplit)
+      .join(evalContam, Seq("id"), "left_anti")
+      .select(shape(col("id"), lit(true),
       lit("eval_holdout"), col("split"), nullL, nullI, nullL, nullL): _*)
     val dupCross = inc.filter(!col("is_new")).select(shape(col("id"),
       lit(false), lit("duplicate"), nullI, nullL, nullI, nullL, nullL): _*)
@@ -411,7 +450,8 @@ object CorpusBuild {
       col("pos")): _*)
 
     rej.unionAll(dupCross).unionAll(dupWithin).unionAll(crossRm)
-      .unionAll(evalRows).unionAll(bud).unionAll(mixRows)
+      .unionAll(evalCross).unionAll(evalRows).unionAll(bud)
+      .unionAll(mixRows)
       .join(wts, Seq("id"))
       .select(col("id"), col("kept"), col("reason"), col("split"),
         col("w"), col("copy"), col("pack_shard"), col("pack_bin"),

@@ -1608,6 +1608,14 @@ object PipelineOps {
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
            GROUP BY a.id),
          zxd AS MATERIALIZED (SELECT id FROM zxe UNION SELECT id FROM zxf),
+         zevd AS MATERIALIZED (SELECT id FROM zcsv
+           WHERE NOT is_removed AND split = 0),
+         zxgf AS (SELECT a.id FROM zsh a, csh b, zevd, ztc
+           WHERE a.id = zevd.id AND b.id = ztc.id
+             AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+           GROUP BY a.id),
+         zxev AS MATERIALIZED (SELECT id FROM zxgf),
          zrem AS MATERIALIZED (SELECT id FROM ztr0
            WHERE id NOT IN (SELECT id FROM zxd)),
          ydd0 AS MATERIALIZED (SELECT d.doc_id AS id, d.text, d.n_chars
@@ -1659,8 +1667,12 @@ object PipelineOps {
            SELECT c.id, false, 'cross_split', c.split, NULL, NULL, NULL, NULL
            FROM zcsv c WHERE c.is_removed
            UNION ALL
+           SELECT c.id, false, 'cross_split', c.split, NULL, NULL, NULL, NULL
+           FROM zcsv c JOIN zxev x ON c.id = x.id
+           UNION ALL
            SELECT c.id, true, 'eval_holdout', c.split, NULL, NULL, NULL, NULL
            FROM zcsv c WHERE NOT c.is_removed AND c.split = 0
+             AND c.id NOT IN (SELECT id FROM zxev)
            UNION ALL
            SELECT p.id, true, 'budget', c.split, NULL, NULL, NULL, NULL
            FROM zplan p JOIN zcsv c ON p.id = c.id WHERE p.n_copies = 0

@@ -100,8 +100,19 @@ object DocumentStreams {
       // must FAIL the batch — swallowing it as "first batch" would
       // silently reset the index and re-admit every past duplicate
       val indexPath = new org.apache.hadoop.fs.Path(s"$stateDir/index")
+      val corpusPath = new org.apache.hadoop.fs.Path(s"$stateDir/corpus")
       val fs = indexPath.getFileSystem(
         spark.sessionState.newHadoopConf())
+      // migration guard: a stateDir written before the index store
+      // existed has corpus/ but no index/ — treating that as "first
+      // batch" would make the whole accumulated corpus invisible to
+      // dedup and re-admit every past duplicate. Fail loudly; the
+      // operator backfills once with Dedup.incrementalIndex(corpus)
+      if (!fs.exists(indexPath) && fs.exists(corpusPath))
+        throw new IllegalStateException(
+          s"$stateDir has a corpus store but no index store - backfill " +
+            s"it once (Dedup.incrementalIndex over $stateDir/corpus -> " +
+            s"$stateDir/index) before resuming ingestion")
       val index =
         if (fs.exists(indexPath)) Some(spark.read.parquet(s"$stateDir/index"))
         else None

@@ -31,10 +31,13 @@ import org.apache.spark.sql.execution.LogicalRDD
  * memory+disk size of the just-materialized RDD (summed over
  * executors; exact for the local-mode single block manager, and the
  * right order of magnitude under compression on a cluster). If the
- * storage info is not visible (already evicted), the fallback is a
- * deliberately SMALL per-partition constant — for a checkpointed stage
- * output, under-estimating degrades to an extra broadcast, while
- * over-estimating re-opens the compounding this helper removes.
+ * storage info is not visible (already evicted, or the probe raced
+ * block registration), the checkpoint is returned with its ORIGINAL
+ * stats: an absent measurement is not evidence of smallness, and a
+ * tiny synthetic fallback would make a genuinely large stage output
+ * broadcast-eligible — a multi-GB broadcast build is a driver OOM,
+ * a much worse failure than the stat compounding this helper removes
+ * (which only recurs in the rare unmeasurable case).
  */
 object GraftCheckpoint {
 
@@ -47,12 +50,15 @@ object GraftCheckpoint {
         val measured = session.sparkContext.getRDDStorageInfo
           .find(_.id == lr.rdd.id)
           .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
-        val stats = Statistics(sizeInBytes = measured.getOrElse(
-          BigInt(64) * math.max(lr.rdd.getNumPartitions, 1)))
-        val fresh = new LogicalRDD(lr.output, lr.rdd,
-          lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
-          lr.stream)(session, Some(stats), Some(lr.constraints))
-        ClassicDataset.ofRows(session, fresh)
+        measured match {
+          case None => cp // unmeasurable: keep the original stats
+          case Some(size) =>
+            val stats = Statistics(sizeInBytes = size)
+            val fresh = new LogicalRDD(lr.output, lr.rdd,
+              lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+              lr.stream)(session, Some(stats), Some(lr.constraints))
+            ClassicDataset.ofRows(session, fresh)
+        }
       case _ => cp
     }
   }

@@ -616,7 +616,7 @@ class HttpFacadeSpec extends SparkSuite {
       "?text=text&id=doc_id").statusCode === 400)
   }
 
-  test("concurrent build requests: deferred sweep destroys neither") {
+  test("concurrent build requests: the op sweep destroys neither") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
       USING parquet LOCATION '$sf/documents.parquet'""")
@@ -624,8 +624,9 @@ class HttpFacadeSpec extends SparkSuite {
     // while another is in flight must NOT unpersist the other's
     // localCheckpointed RDDs — their lineage is truncated, so a sweep
     // mid-flight destroys the only copy and fails that job with
-    // missing-block errors. The deferred sweep holds every release
-    // until the LAST in-flight build op completes.
+    // missing-block errors. The op lock serializes the storage-touching
+    // section, so each request's diff is exactly its own storage, swept
+    // at its own exit — overlap cannot misattribute ownership.
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val base = "/api/v1/catalog/tables/httpapi.documents/data-card" +
       "?text=text&id=doc_id&domain=lang&length=n_chars"

@@ -175,17 +175,22 @@ class CorpusBuildSpec extends SparkSuite {
     assert(existing.filter(col("reason") === "eval_holdout").count() === 1L)
 
     // delta: a near-dup of a train canonical, a near-dup of the eval
-    // doc, a fresh doc (all train-split ids), and a new eval-split doc
+    // doc, a fresh doc (all train-split ids), a new eval-split doc, and
+    // an eval-split doc near-dupping a DIFFERENT existing train
+    // canonical (stage 3b contamination — distinct base so it forms no
+    // unintended within-delta pair with dupTrainId)
     val deltaTrainIds = (1000L to 1300L).filter(split3(_) != 0)
     val (dupTrainId, dupEvalId, freshId) =
       (deltaTrainIds(0), deltaTrainIds(1), deltaTrainIds(2))
-    val deltaEvalId = (1000L to 1300L).find(split3(_) == 0).get
+    val deltaEvalIds = (1000L to 1300L).filter(split3(_) == 0)
+    val (deltaEvalId, contamEvalId) = (deltaEvalIds(0), deltaEvalIds(1))
     val trainCanonText = mkText(s"c${corpusTrainIds.head}")
     val deltaRows = Seq(
       (dupTrainId, nearDupText(trainCanonText)),
       (dupEvalId, nearDupText(mkText("ev"))),
       (freshId, mkText("fresh")),
-      (deltaEvalId, mkText("nv")))
+      (deltaEvalId, mkText("nv")),
+      (contamEvalId, nearDupText(mkText(s"c${corpusTrainIds(1)}"))))
     val deltaDocs = deltaRows.map { case (i, t) => (i, t, "en", t.length) }
       .toDF("doc_id", "text", "lang", "n_chars")
 
@@ -208,6 +213,12 @@ class CorpusBuildSpec extends SparkSuite {
       val newEv = out.filter(col("id") === deltaEvalId).collect()
       assert(newEv.length === 1 && newEv(0).getBoolean(1) &&
         newEv(0).getString(2) === "eval_holdout", newEv.mkString)
+      // stage 3b: an eval-split delta doc near-dupping an existing
+      // TRAIN canonical would evaluate the model on its own training
+      // data — it drops as cross_split, never ships as eval_holdout
+      val contamEv = out.filter(col("id") === contamEvalId).collect()
+      assert(contamEv.length === 1 && !contamEv(0).getBoolean(1) &&
+        contamEv(0).getString(2) === "cross_split", contamEv.mkString)
       // the fresh doc lands in the mix STRICTLY AFTER the existing max
       // position, in a fresh shard (ids offset by packShards = 8)
       val freshRows = out.filter(col("id") === freshId).collect()

@@ -73,4 +73,19 @@ class DocumentStreamsSpec extends SparkSuite {
     assert(index.select("cid").as[Long].collect().sorted
       === Array(1L, 2L, 5L))
   }
+
+  test("migration guard: corpus store without an index store fails the " +
+      "batch instead of silently resetting dedup") {
+    val dir = Files.createTempDirectory("docstream-migrate").toString
+    Seq((1L, tA)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus") // pre-index-store layout
+    val batch = Seq((2L, tA)).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      DocumentStreams.processBatch(spark, batch, 0L, dir,
+        "text", "doc_id", 0.7)
+    }
+    assert(e.getMessage.contains("backfill"), e.getMessage)
+    // nothing was appended — the duplicate was not re-admitted
+    assert(spark.read.parquet(s"$dir/corpus").count() === 1L)
+  }
 }
