@@ -152,6 +152,8 @@ final class HttpFacade(
           shardManifestRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "lsh-plan")) =>
           lshPlanRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "dedup-probe")) =>
+          dedupProbeRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -1184,6 +1186,137 @@ final class HttpFacade(
     * corpus is priced ONCE (pickLsh reuses the collected surface rather
     * than re-running the pair join). Validation follows the
     * shard-manifest conventions. */
+  /** Probe a batch table against a STORED dedup index
+    * (`?index=<ns.table>&text=&id=[&threshold=][&num_hashes=][&bands=]
+    * [&limit=]`): the d18 production loop over HTTP. `{tablePath}` is
+    * today's batch; `index` names a catalog table holding
+    * [[graft.ops.Dedup.incrementalIndex]] rows (cid, dig, csh, sig) —
+    * built once per corpus release by a dataset job, probed here per
+    * batch without ever re-reading the corpus text. `num_hashes` must
+    * match the index's build parameter (it shapes the band join's
+    * delta side; the index carries the corpus side pre-hashed).
+    * Response: a rollup (n_docs, n_new, n_exact_dup, n_fuzzy_dup) plus
+    * the first `limit` per-doc decisions (default 1000, cap 10000) in
+    * id order. No withOpSweep: the probe persists nothing — it is a
+    * single read-only plan, so it runs concurrently with the build ops.
+    */
+  private def dedupProbeRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (indexPath.isEmpty || textCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index, text and id parameters are required")); return
+      }
+      val iParts = indexPath.get.split("\\.").toSeq
+      if (iParts.length < 2) {
+        sendJson(ex, 400,
+          detail(s"Invalid index table path: ${indexPath.get}")); return
+      }
+      if (!provider.tableExists(iParts.init, iParts.last)) {
+        sendJson(ex, 404,
+          detail(s"Index table not found: ${indexPath.get}")); return
+      }
+      val index = spark.table(indexPath.get)
+      val missing = Seq("cid", "dig", "csh", "sig")
+        .filterNot(index.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400, detail(s"Index table ${indexPath.get} is not " +
+          s"an incrementalIndex (missing: ${missing.mkString(", ")})"))
+        return
+      }
+      val unknown = Seq(textCol.get, idCol.get)
+        .filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val threshold = qp.get("threshold").map(_.toDoubleOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("threshold must be a number")); return
+        case Some(Some(t)) if t.isNaN || t <= 0.0 || t > 1.0 =>
+          sendJson(ex, 400, detail("threshold must be in (0, 1]")); return
+        case Some(Some(t)) => t
+        case None => 0.8
+      }
+      val numHashes = qp.get("num_hashes").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("num_hashes must be an integer")); return
+        case Some(Some(n)) if n < 1 || n > 1024 => sendJson(ex, 400,
+          detail("num_hashes must be in [1, 1024]")); return
+        case Some(Some(n)) => n
+        case None => 128
+      }
+      val bands = qp.get("bands").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("bands must be an integer")); return
+        case Some(Some(b)) if b < 1 || numHashes % b != 0 =>
+          sendJson(ex, 400, detail(
+            s"bands must be a positive divisor of num_hashes ($numHashes)"))
+          return
+        case Some(Some(b)) => b
+        case None => 32
+      }
+      val limit = qp.get("limit").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("limit must be an integer")); return
+        case Some(Some(l)) if l < 0 || l > 10000 => sendJson(ex, 400,
+          detail("limit must be between 0 and 10000")); return
+        case Some(Some(l)) => l
+        case None => 1000
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val decisions = graft.ops.Dedup.incrementalProbe(index, df,
+        textCol.get, idCol.get, numHashes = numHashes, bands = bands,
+        threshold = threshold)
+      val tot = decisions.agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_new"), 1)).as("n_new"),
+        count(col("exact_dup_of")).as("n_exact_dup"),
+        count(col("fuzzy_dup_of")).as("n_fuzzy_dup")).collect()(0)
+      val rows = decisions.limit(limit).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "text" -> textCol.get,
+        "id" -> idCol.get,
+        "threshold" -> threshold,
+        "num_hashes" -> numHashes.toLong,
+        "bands" -> bands.toLong,
+        "n_docs" -> tot.getLong(0),
+        "n_new" -> tot.getLong(1),
+        "n_exact_dup" -> tot.getLong(2),
+        "n_fuzzy_dup" -> tot.getLong(3),
+        "decisions" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> String.valueOf(r.get(0)),
+          "exact_dup_of" ->
+            (if (r.isNullAt(1)) null else String.valueOf(r.get(1))),
+          "fuzzy_dup_of" ->
+            (if (r.isNullAt(2)) null else String.valueOf(r.get(2))),
+          "is_new" -> r.getBoolean(3))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   private def lshPlanRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
     if (parts.length < 2) {

@@ -721,6 +721,83 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("dedup-probe route: a batch probes the stored index table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    val all = spark.table("httpapi.documents")
+    // the production layout: a corpus-release job wrote the index table
+    // once; daily batches arrive as their own table
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("httpapi-dedup-idx").toString
+    graft.ops.Dedup.incrementalIndex(
+        all.filter(col("doc_id") < 480), "text", "doc_id")
+      .write.mode("overwrite").parquet(idxDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.dedup_index
+      USING parquet LOCATION '$idxDir'""")
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("httpapi-dedup-batch").toString
+    all.filter(col("doc_id") >= 480)
+      .write.mode("overwrite").parquet(batchDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.batch
+      USING parquet LOCATION '$batchDir'""")
+    val base = "/api/v1/catalog/tables/httpapi.batch/dedup-probe"
+    val m = get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&threshold=0.7")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // the route IS incrementalProbe over the same tables
+    val expected = graft.ops.Dedup.incrementalProbe(
+      spark.table("httpapi.dedup_index"), spark.table("httpapi.batch"),
+      "text", "doc_id", threshold = 0.7).collect()
+    assert(lg(m.body, "n_docs") === expected.length.toLong, m.body)
+    assert(lg(m.body, "n_new") ===
+      expected.count(_.getBoolean(3)).toLong, m.body)
+    assert(lg(m.body, "n_exact_dup") ===
+      expected.count(!_.isNullAt(1)).toLong, m.body)
+    assert(lg(m.body, "n_fuzzy_dup") ===
+      expected.count(!_.isNullAt(2)).toLong, m.body)
+    assert("\"is_new\":".r.findAllIn(m.body).length ===
+      expected.length, m.body)
+    // limit caps the decision rows, not the rollup
+    val l = get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&threshold=0.7&limit=3")
+    assert(lg(l.body, "n_docs") === expected.length.toLong, l.body)
+    assert("\"is_new\":".r.findAllIn(l.body).length === 3, l.body)
+    // validation edges
+    assert(get(base).statusCode === 400) // index/text/id required
+    assert(get(base + "?index=httpapi.dedup_index&text=text")
+      .statusCode === 400)
+    assert(get(base + "?index=nodots&text=text&id=doc_id")
+      .statusCode === 400)
+    assert(get(base + "?index=httpapi.nope&text=text&id=doc_id")
+      .statusCode === 404)
+    // a table that is not an incrementalIndex is rejected by shape
+    assert(get(base + "?index=httpapi.documents&text=text&id=doc_id")
+      .statusCode === 400)
+    assert(get(base + "?index=httpapi.dedup_index&text=nope&id=doc_id")
+      .statusCode === 400)
+    assert(get(base + "?index=httpapi.dedup_index&text=n_chars&id=doc_id")
+      .statusCode === 400) // non-string text
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&threshold=0").statusCode === 400)
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&bands=33").statusCode === 400) // not a divisor of 128
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&num_hashes=abc").statusCode === 400)
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&limit=10001").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/dedup-probe" +
+      "?index=httpapi.dedup_index&text=text&id=doc_id")
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/dedup-probe" +
+      "?index=httpapi.dedup_index&text=text&id=doc_id")
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
