@@ -1141,7 +1141,10 @@ final class HttpFacade(
         val tot = manifest.agg(count(lit(1)).as("n_shards"),
           sum(col("n_docs")).as("n_docs"),
           sum(col("w_total")).as("w_total")).collect()(0)
-        val rows = manifest.limit(limit).collect()
+        // the documented "first `limit` shard rows in shard order": an
+        // explicit sort — an unordered limit over the manifest join
+        // output returns different shards run-to-run
+        val rows = manifest.orderBy(col("shard")).limit(limit).collect()
         sendJson(ex, 200, Json.obj(
           "table" -> tablePath,
           "id" -> idCol.get,
@@ -1171,34 +1174,27 @@ final class HttpFacade(
     }
   }
 
-  /** LSH index-shape planner over any catalog table
-    * (`?text=<col>&id=<col>[&num_hashes=128][&floor=0.5]
-    * [&target_min_ppm=950000]`): graft.ops.Dedup.lshPlan priced on the
-    * corpus's OWN verified >= floor pairs, plus Dedup.pickLsh's
-    * decision — the cheapest bands x rows factorization of the
-    * num_hashes signature whose WORST verified pair is still detected
-    * with probability >= target_min_ppm. This closes the tuning loop the
-    * parameterized data-card opened: the card sweeps thresholds, this
-    * route picks the index shape that detects them — what d17 runs
-    * programmatically, drivable from the UI. The surface is
-    * d(num_hashes) rows (divisor-count-sized, <= 34 for any
-    * num_hashes <= 1024), so the whole table ships in the response; the
-    * corpus is priced ONCE (pickLsh reuses the collected surface rather
-    * than re-running the pair join). Validation follows the
-    * shard-manifest conventions. */
   /** Probe a batch table against a STORED dedup index
     * (`?index=<ns.table>&text=&id=[&threshold=][&num_hashes=][&bands=]
-    * [&limit=]`): the d18 production loop over HTTP. `{tablePath}` is
-    * today's batch; `index` names a catalog table holding
-    * [[graft.ops.Dedup.incrementalIndex]] rows (cid, dig, csh, sig) —
-    * built once per corpus release by a dataset job, probed here per
-    * batch without ever re-reading the corpus text. `num_hashes` must
-    * match the index's build parameter (it shapes the band join's
-    * delta side; the index carries the corpus side pre-hashed).
+    * [&shingle_len=][&limit=]`): the d18 production loop over HTTP.
+    * `{tablePath}` is today's batch; `index` names a catalog table
+    * holding [[graft.ops.Dedup.incrementalIndex]] rows (cid, dig, csh,
+    * sig) — built once per corpus release by a dataset job, probed here
+    * per batch without ever re-reading the corpus text. `num_hashes`
+    * must match the index's build parameter (it shapes the band join's
+    * delta side; the index carries the corpus side pre-hashed) — the
+    * route validates it against the stored signature length (one-row
+    * probe) and 400s on mismatch, because a mismatched slice would
+    * silently return empty/wrong fuzzy verdicts. `shingle_len` (default
+    * 3, the build family's default) must likewise match the index's
+    * build parameter; the stored shingle sets carry no length metadata,
+    * so this one is the caller's contract, not a validated check.
     * Response: a rollup (n_docs, n_new, n_exact_dup, n_fuzzy_dup) plus
     * the first `limit` per-doc decisions (default 1000, cap 10000) in
-    * id order. No withOpSweep: the probe persists nothing — it is a
-    * single read-only plan, so it runs concurrently with the build ops.
+    * id order. No withOpSweep: the probe checkpoints nothing — its one
+    * persist (the decisions plan, shared by the rollup and the capped
+    * page, released in `finally`) is owned by this request alone, so it
+    * runs concurrently with the build ops.
     */
   private def dedupProbeRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
@@ -1274,6 +1270,14 @@ final class HttpFacade(
         case Some(Some(b)) => b
         case None => 32
       }
+      val shingleLen = qp.get("shingle_len").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("shingle_len must be an integer")); return
+        case Some(Some(n)) if n < 1 || n > 32 => sendJson(ex, 400,
+          detail("shingle_len must be in [1, 32]")); return
+        case Some(Some(n)) => n
+        case None => 3
+      }
       val limit = qp.get("limit").map(_.toIntOption) match {
         case Some(None) => sendJson(ex, 400,
           detail("limit must be an integer")); return
@@ -1282,41 +1286,76 @@ final class HttpFacade(
         case Some(Some(l)) => l
         case None => 1000
       }
-      import org.apache.spark.sql.functions.{col, count, lit, when}
+      import org.apache.spark.sql.functions.{col, count, lit, size, when}
+      // the stored signatures fix num_hashes at build time; a probe run
+      // with a different value would slice mismatched-length arrays and
+      // return silently-wrong fuzzy verdicts — a caller error, surfaced
+      // as 400 off a one-row probe (never a full index scan)
+      val storedLen = index.select(size(col("sig")).as("n")).limit(1)
+        .collect().headOption.map(_.getInt(0))
+      if (storedLen.exists(_ != numHashes)) {
+        sendJson(ex, 400, detail(s"num_hashes ($numHashes) does not " +
+          s"match the index's signature length (${storedLen.get})"))
+        return
+      }
+      // one persist, two actions (rollup + capped page): without it the
+      // band join and Jaccard verify would run twice per request
       val decisions = graft.ops.Dedup.incrementalProbe(index, df,
-        textCol.get, idCol.get, numHashes = numHashes, bands = bands,
-        threshold = threshold)
-      val tot = decisions.agg(
-        count(lit(1)).as("n_docs"),
-        count(when(col("is_new"), 1)).as("n_new"),
-        count(col("exact_dup_of")).as("n_exact_dup"),
-        count(col("fuzzy_dup_of")).as("n_fuzzy_dup")).collect()(0)
-      val rows = decisions.limit(limit).collect()
-      sendJson(ex, 200, Json.obj(
-        "table" -> tablePath,
-        "index" -> indexPath.get,
-        "text" -> textCol.get,
-        "id" -> idCol.get,
-        "threshold" -> threshold,
-        "num_hashes" -> numHashes.toLong,
-        "bands" -> bands.toLong,
-        "n_docs" -> tot.getLong(0),
-        "n_new" -> tot.getLong(1),
-        "n_exact_dup" -> tot.getLong(2),
-        "n_fuzzy_dup" -> tot.getLong(3),
-        "decisions" -> rows.toSeq.map(r => Json.Raw(Json.obj(
-          "id" -> String.valueOf(r.get(0)),
-          "exact_dup_of" ->
-            (if (r.isNullAt(1)) null else String.valueOf(r.get(1))),
-          "fuzzy_dup_of" ->
-            (if (r.isNullAt(2)) null else String.valueOf(r.get(2))),
-          "is_new" -> r.getBoolean(3))))))
+        textCol.get, idCol.get, shingleLen = shingleLen,
+        numHashes = numHashes, bands = bands,
+        threshold = threshold).persist()
+      try {
+        val tot = decisions.agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("is_new"), 1)).as("n_new"),
+          count(col("exact_dup_of")).as("n_exact_dup"),
+          count(col("fuzzy_dup_of")).as("n_fuzzy_dup")).collect()(0)
+        // the documented contract: the first `limit` decisions IN ID
+        // ORDER — an unordered limit over a join output changes rows
+        // run-to-run (shard-manifest's sorted-cap convention)
+        val rows = decisions.orderBy(col("id")).limit(limit).collect()
+        sendJson(ex, 200, Json.obj(
+          "table" -> tablePath,
+          "index" -> indexPath.get,
+          "text" -> textCol.get,
+          "id" -> idCol.get,
+          "threshold" -> threshold,
+          "num_hashes" -> numHashes.toLong,
+          "bands" -> bands.toLong,
+          "shingle_len" -> shingleLen.toLong,
+          "n_docs" -> tot.getLong(0),
+          "n_new" -> tot.getLong(1),
+          "n_exact_dup" -> tot.getLong(2),
+          "n_fuzzy_dup" -> tot.getLong(3),
+          "decisions" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+            "id" -> String.valueOf(r.get(0)),
+            "exact_dup_of" ->
+              (if (r.isNullAt(1)) null else String.valueOf(r.get(1))),
+            "fuzzy_dup_of" ->
+              (if (r.isNullAt(2)) null else String.valueOf(r.get(2))),
+            "is_new" -> r.getBoolean(3))))))
+      } finally { decisions.unpersist(blocking = false); () }
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))
     }
   }
 
+  /** LSH index-shape planner over any catalog table
+    * (`?text=<col>&id=<col>[&num_hashes=128][&floor=0.5]
+    * [&target_min_ppm=950000]`): graft.ops.Dedup.lshPlan priced on the
+    * corpus's OWN verified >= floor pairs, plus Dedup.pickLsh's
+    * decision — the cheapest bands x rows factorization of the
+    * num_hashes signature whose WORST verified pair is still detected
+    * with probability >= target_min_ppm. This closes the tuning loop the
+    * parameterized data-card opened: the card sweeps thresholds, this
+    * route picks the index shape that detects them — what d17 runs
+    * programmatically, drivable from the UI. The surface is
+    * d(num_hashes) rows (divisor-count-sized, <= 34 for any
+    * num_hashes <= 1024), so the whole table ships in the response; the
+    * corpus is priced ONCE (pickLsh reuses the collected surface rather
+    * than re-running the pair join). Validation follows the
+    * shard-manifest conventions. */
   private def lshPlanRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
     if (parts.length < 2) {
@@ -1502,7 +1541,10 @@ final class HttpFacade(
             s"Column ${domain.get} has more than $maxLabels distinct " +
               "values — epoch plans are for domain-like columns")); return
         }
-        val sample = plan.limit(limit).collect()
+        // the documented "first `limit` per-doc rows by id": an explicit
+        // sort makes the capped sample deterministic across identical
+        // requests (same convention as shard-manifest / dedup-probe)
+        val sample = plan.orderBy(col("id")).limit(limit).collect()
         sendJson(ex, 200, Json.obj(
           "table" -> tablePath,
           "domain" -> domain.get,

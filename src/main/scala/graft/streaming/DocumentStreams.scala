@@ -18,14 +18,30 @@ import graft.ops.Dedup
  * decision lands in an audit log.
  *
  * State lives in three parquet directories under `stateDir`: `corpus/`
- * (accepted docs, full input schema — the product), `index/` (the
- * derived dedup state: cid, digest, shingle set, signature — one row
- * per accepted doc, appended batch-sized), and `decisions/` (one audit
- * row per arriving doc), written through `foreachBatch` — the
- * Structured Streaming hook for batch-only operations (multi-pass
- * joins, appends to non-streaming sinks) per micro-batch. Decision rows
- * carry `batch_id` so an at-least-once replay reconciles instead of
- * double-counting.
+ * (accepted docs, full input schema plus `batch_id` — the product),
+ * `index/` (the derived dedup state: cid, digest, shingle set,
+ * signature, `batch_id` — one row per accepted doc, appended
+ * batch-sized), and `decisions/` (one audit row per arriving doc, plus
+ * `batch_id`), written through `foreachBatch` — the Structured
+ * Streaming hook for batch-only operations (multi-pass joins, appends
+ * to non-streaming sinks) per micro-batch.
+ *
+ * Replay contract (foreachBatch is at-least-once: the checkpoint
+ * commits AFTER the batch body returns, so a crash mid-body replays the
+ * whole batch under the same `batchId`): every store is stamped with
+ * `batch_id` and every append is skip-if-present, which upgrades the
+ * three plain-parquet appends to exactly-once. The pieces: (a) each
+ * single append is atomic at job granularity (the parquet committer
+ * publishes task files at job commit — a crash mid-job leaves only
+ * uncommitted temporaries), so "this store has rows with this
+ * batch_id" is a reliable commit marker; (b) the probe EXCLUDES index
+ * rows stamped with the current batch id — leftovers of a crashed
+ * attempt — so a survivor can never exact-match its own half-written
+ * index row and the batch's verdicts are identical on every attempt;
+ * (c) given (b), the three appends commute, so any crash point between
+ * them replays to the same final state. The per-store commit probe
+ * reads one pruned column with LIMIT 1; its file-listing cost is the
+ * small-files pressure [[compactState]] exists to relieve.
  *
  * Why the index store exists: probing with the live
  * [[graft.ops.Dedup.incremental]] would recompute digests, shingle sets
@@ -113,20 +129,57 @@ object DocumentStreams {
           s"$stateDir has a corpus store but no index store - backfill " +
             s"it once (Dedup.incrementalIndex over $stateDir/corpus -> " +
             s"$stateDir/index) before resuming ingestion")
+      // replay hygiene: index rows stamped with THIS batch id are
+      // leftovers of a crashed prior attempt of the same micro-batch —
+      // excluded, so the probe's verdicts are identical on every
+      // attempt (a survivor must never exact-match its own
+      // half-committed index row). Null/absent batch_id = rows written
+      // before stamping existed or by an incrementalIndex backfill —
+      // always prior corpus, always probed.
+      // mergeSchema: a store written before stamping existed gains the
+      // batch_id column on its first post-upgrade append — the merged
+      // read surfaces it as null on old files instead of letting a
+      // single arbitrary footer decide the schema (compactState
+      // normalizes the layout back to uniform files)
       val index =
-        if (fs.exists(indexPath)) Some(spark.read.parquet(s"$stateDir/index"))
-        else None
+        if (!fs.exists(indexPath)) None
+        else {
+          val ix = spark.read.option("mergeSchema", "true")
+            .parquet(s"$stateDir/index")
+          Some(if (ix.columns.contains("batch_id"))
+            ix.filter(col("batch_id").isNull ||
+              col("batch_id") =!= batchId).drop("batch_id")
+          else ix)
+        }
       val (decisions, survivors) =
         dedupeStep(index, persisted, textCol, idCol, threshold)
-      decisions.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(s"$stateDir/decisions")
+      // exactly-once appends: each store's rows with this batch_id are
+      // its commit marker (a single parquet append publishes atomically
+      // at job commit) — present means a prior attempt committed this
+      // store, so skip. The probe reads ONE pruned column with LIMIT 1.
+      def committed(store: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/$store")
+        fs.exists(p) && {
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(s"$stateDir/$store")
+          df.columns.contains("batch_id") &&
+            df.filter(col("batch_id") === batchId).limit(1).count() > 0L
+        }
+      }
+      if (!committed("decisions"))
+        decisions.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$stateDir/decisions")
       // survivors enter the corpus AND the index; persist so the two
       // sinks don't re-run the dedup joins
       val surv = survivors.persist()
       try {
-        surv.write.mode("append").parquet(s"$stateDir/corpus")
-        graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
-          .write.mode("append").parquet(s"$stateDir/index")
+        if (!committed("index"))
+          graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$stateDir/index")
+        if (!committed("corpus"))
+          surv.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$stateDir/corpus")
       } finally { surv.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
@@ -143,4 +196,84 @@ object DocumentStreams {
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .start()
+
+  /** Rewrite one parquet state store into `ceil(bytes/targetFileBytes)`
+    * range-clustered files — the maintenance pass that keeps an
+    * append-per-micro-batch store readable. Every [[processBatch]]
+    * appends one small file set to each store, so at production batch
+    * cadence (a batch a minute = half a million files a year) the index
+    * probe's cost stops being the signature column and becomes the
+    * FILE LISTING + per-file footer reads — the classic streaming-
+    * ingestion failure mode. Compaction rewrites the accumulated rows
+    * into target-sized files, range-partitioned AND sorted by
+    * `sortCols` (stable layout; per-file and row-group min/max stats on
+    * the sort key), and normalizes a mixed pre/post-`batch_id` schema
+    * into uniform files (old rows read as null batch_id).
+    *
+    * Swap protocol: write to `<dir>.__compact`, verify the row count
+    * matches the source, then rename source aside, rename the rewrite
+    * in, delete the original — two renames, each atomic on HDFS-like
+    * filesystems (an object-store deployment would land this behind a
+    * table format's commit instead). MUST run while ingestion is
+    * stopped: an append landing between the read and the swap would be
+    * silently dropped by the directory replacement.
+    *
+    * Returns (files before, files after). */
+  def compactStore(spark: SparkSession, dir: String,
+                   sortCols: Seq[String],
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(sortCols.nonEmpty, "compactStore needs at least one sort column")
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path), s"no store at $dir")
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    val tmp = dir + ".__compact"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed prior run
+    src.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    // destructive-swap gate: the rewrite must account for every row
+    val (nSrc, nTmp) = (src.count(), spark.read.parquet(tmp).count())
+    require(nTmp == nSrc,
+      s"compaction rewrite of $dir has $nTmp rows, source has $nSrc")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(path, old), s"could not move $dir aside")
+    require(fs.rename(tmpPath, path), s"could not move $tmp into place")
+    fs.delete(old, true)
+    val after = fs.listStatus(path).toSeq
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    (dataFiles.size, after)
+  }
+
+  /** Compact every store under a [[processBatch]] `stateDir` that
+    * exists: `index/` clustered by cid (one contiguous artifact row
+    * range per corpus id span), `decisions/` by (batch_id, id) (the
+    * audit log's natural read order), `corpus/` by `idCol`. Probe
+    * decisions are layout-independent (the spec pins identical verdicts
+    * pre/post); the win is the listing/footer cost. Run with ingestion
+    * STOPPED — see [[compactStore]]. Returns per-store (files before,
+    * files after). */
+  def compactState(spark: SparkSession, stateDir: String, idCol: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, (Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("index" -> Seq("cid"), "decisions" -> Seq("batch_id", "id"),
+        "corpus" -> Seq(idCol))
+      .filter { case (s, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
+      .map { case (s, keys) =>
+        s -> compactStore(spark, s"$stateDir/$s", keys, targetFileBytes) }
+      .toMap
+  }
 }

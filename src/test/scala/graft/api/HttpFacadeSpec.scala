@@ -762,11 +762,30 @@ class HttpFacadeSpec extends SparkSuite {
       expected.count(!_.isNullAt(2)).toLong, m.body)
     assert("\"is_new\":".r.findAllIn(m.body).length ===
       expected.length, m.body)
-    // limit caps the decision rows, not the rollup
+    // limit caps the decision rows, not the rollup — and the capped page
+    // is the FIRST 3 decisions in id order (the documented contract; an
+    // unordered limit would return different rows run-to-run)
     val l = get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
       "&threshold=0.7&limit=3")
     assert(lg(l.body, "n_docs") === expected.length.toLong, l.body)
     assert("\"is_new\":".r.findAllIn(l.body).length === 3, l.body)
+    val pageIds = "\"id\":\"(\\d+)\"".r.findAllMatchIn(l.body)
+      .map(_.group(1).toLong).toSeq
+    val expectedIds = expected.map(_.getLong(0)).sorted.take(3).toSeq
+    assert(pageIds === expectedIds, l.body)
+    // num_hashes must match the stored signature length (128) — a
+    // mismatched slice would return silently-wrong fuzzy verdicts
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&num_hashes=64&bands=32").statusCode === 400)
+    // shingle_len is exposed (must match the index's build param: 3)
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&shingle_len=abc").statusCode === 400)
+    assert(get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&shingle_len=0").statusCode === 400)
+    val s3 = get(base + "?index=httpapi.dedup_index&text=text&id=doc_id" +
+      "&threshold=0.7&shingle_len=3")
+    assert(s3.statusCode === 200, s3.body)
+    assert(lg(s3.body, "n_new") === lg(m.body, "n_new"), s3.body)
     // validation edges
     assert(get(base).statusCode === 400) // index/text/id required
     assert(get(base + "?index=httpapi.dedup_index&text=text")

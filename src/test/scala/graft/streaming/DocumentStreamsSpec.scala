@@ -69,9 +69,93 @@ class DocumentStreamsSpec extends SparkSuite {
     // verdicts above came from the STORED columns, the corpus text was
     // never re-read)
     val index = spark.read.parquet(s"$dir/index")
-    assert(index.columns.sorted.toSeq === Seq("cid", "csh", "dig", "sig"))
+    assert(index.columns.sorted.toSeq ===
+      Seq("batch_id", "cid", "csh", "dig", "sig"))
     assert(index.select("cid").as[Long].collect().sorted
       === Array(1L, 2L, 5L))
+  }
+
+  test("replay idempotence: re-running a committed batch appends nothing") {
+    val dir = Files.createTempDirectory("docstream-replay").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id", 0.7)
+    val b1 = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id", 0.7)
+    def counts() = (spark.read.parquet(s"$dir/corpus").count(),
+      spark.read.parquet(s"$dir/index").count(),
+      spark.read.parquet(s"$dir/decisions").count())
+    val before = counts()
+    assert(before === ((3L, 3L, 4L))) // 4 dups 1; corpus/index: 1, 2, 5
+    // foreachBatch is at-least-once: a crash after the last append but
+    // before the checkpoint commit replays the WHOLE batch — every
+    // store's batch_id marker must make the replay a no-op
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id", 0.7)
+    assert(counts() === before)
+  }
+
+  test("crashed-attempt replay: a half-committed batch completes without " +
+      "self-matching or double-appending") {
+    val dir = Files.createTempDirectory("docstream-crash").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id", 0.7)
+    // simulate batch 1 crashing AFTER its index append, BEFORE corpus:
+    // hand-append exactly what processBatch would have written
+    val b1 = Seq((5L, tNew), (6L, tBNear)).toDF("doc_id", "text")
+    graft.ops.Dedup.incrementalIndex(
+        b1.filter(col("doc_id") === 5L), "text", "doc_id")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").parquet(s"$dir/index")
+    // the replay: 5 must NOT exact-match its own leftover index row
+    // (is_new again), 6 still fuzzy-dups 2, the index append is skipped
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id", 0.7)
+    val d = spark.read.parquet(s"$dir/decisions")
+      .filter(col("batch_id") === 1L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3)))).toMap
+    assert(d(5L) === ((None, None, true)))
+    assert(d(6L)._2 === Some(2L))
+    assert(d(6L)._3 === false)
+    // corpus completed (1, 2, 5), index not double-appended
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().sorted === Array(1L, 2L, 5L))
+    assert(spark.read.parquet(s"$dir/index")
+      .filter(col("batch_id") === 1L).count() === 1L)
+  }
+
+  test("compactState: per-batch file accumulation collapses; probe " +
+      "verdicts and store contents are identical pre/post") {
+    val dir = Files.createTempDirectory("docstream-compact").toString
+    DocumentStreams.processBatch(spark,
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      0L, dir, "text", "doc_id", 0.7)
+    DocumentStreams.processBatch(spark,
+      Seq((5L, tNew)).toDF("doc_id", "text"),
+      1L, dir, "text", "doc_id", 0.7)
+    def probe() = DocumentStreams.dedupeStep(
+        Some(spark.read.parquet(s"$dir/index").drop("batch_id")),
+        Seq((7L, tA), (8L, tBNear), (9L, tA)).toDF("doc_id", "text"),
+        "text", "doc_id", 0.7)._1
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    def corpusRows() = spark.read.parquet(s"$dir/corpus")
+      .collect().map(_.toString).sorted.toSeq
+    val (probeBefore, corpusBefore) = (probe(), corpusRows())
+    // two appended batches = at least two file sets per store
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.keySet === Set("index", "decisions", "corpus"))
+    report.foreach { case (store, (before, after)) =>
+      assert(before > 1, s"$store had $before files before compaction")
+      assert(after === 1, s"$store has $after files after compaction")
+    }
+    // the rewrite moved no answers: identical probe verdicts, identical
+    // corpus rows, and ingestion resumes cleanly on the compacted layout
+    assert(probe() === probeBefore)
+    assert(corpusRows() === corpusBefore)
+    DocumentStreams.processBatch(spark,
+      Seq((7L, tA), (8L, tNew)).toDF("doc_id", "text"),
+      2L, dir, "text", "doc_id", 0.7)
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().sorted === Array(1L, 2L, 5L))
   }
 
   test("migration guard: corpus store without an index store fails the " +
