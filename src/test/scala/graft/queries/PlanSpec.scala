@@ -528,6 +528,37 @@ class PlanSpec extends SparkSuite {
     assert(reparts.size === 0, plan)
   }
 
+  test("p16: the incremental build's report plan reads only checkpointed " +
+      "stage boundaries — no corpus re-scan, no re-embedded corpusBuild " +
+      "or pair-generator subtree") {
+    val plan = pipelinePlan("p16_incremental_build")
+    // every stage boundary (delta verdicts, splits, the d07 probe,
+    // within-delta dedup, the epoch plan, units — AND the three
+    // existing-build interface projections: eval ids, canonical ids,
+    // the 1-row position offset) is an eager freshStats checkpoint, so
+    // the report plan reads LogicalRDDs only. A FileScan here means a
+    // stage re-materializes the corpus per consumer (the p14 invariant,
+    // held across the incremental composition); a pair-generator
+    // expression here means the existing corpusBuild subtree was
+    // re-embedded into the report instead of read at the interface.
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    for (marker <- Seq("word_shingles", "minhash_sig", "sha2(",
+        "text_stats", "gopher_stats"))
+      assert(!plan.contains(marker),
+        s"$marker leaked into the report plan:\n$plan")
+    // the existing build's sole realization-side contribution is the
+    // broadcast 1-row position offset onto delta units — a broadcast
+    // nested loop over the checkpointed posOff, never a re-run of the
+    // existing pipeline and never a real cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the realization windows keep p03's shard-keyed exchange shape
+    assert(plan.split("== Initial Plan ==").head
+      .contains("hashpartitioning(shard"), plan)
+  }
+
   test("e21: the stored IVF index is DYNAMICALLY PARTITION-PRUNED — " +
       "queries read only the probed lists' files") {
     val plan = pipelinePlan("e21_indexed_ann")
