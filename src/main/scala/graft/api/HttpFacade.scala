@@ -975,22 +975,36 @@ final class HttpFacade(
   }
 
   /** Incremental corpus build over any catalog table
-    * (`?text=&id=&domain=&length=&delta_from=<long>[&budget=][&existing_budget=]
-    * [&epochs=][&cross_threshold=][&dedup_threshold=][&min_quality=]
-    * [&langs=][&max_rows=]`): the p16 daily-increment capstone served the
-    * way the data card serves p14. Rows with `id >= delta_from` are
-    * today's batch; rows below it are the EXISTING corpus, whose build
-    * (under `existing_budget`, default 70 k) is recomputed here as the
-    * prior state — a production deployment would read the persisted
-    * build table instead, but the route's contract is one table in, one
-    * increment verdict out. The response is the dataCard rollup of the
+    * (`?text=&id=&domain=&length=&delta_from=<long>[&existing=<ns.table>]
+    * [&budget=][&existing_budget=][&epochs=][&cross_threshold=]
+    * [&dedup_threshold=][&min_quality=][&langs=][&max_rows=]`): the p16
+    * daily-increment capstone served the way the data card serves p14.
+    * Rows with `id >= delta_from` are today's batch; rows below it are
+    * the EXISTING corpus. The prior build state comes from one of two
+    * places: `existing=<ns.table>` names a PERSISTED
+    * [[graft.ops.CorpusBuild.corpusBuild]] output table
+    * (shape-validated like dedup-probe's index table) — the production
+    * form, where the release pipeline wrote the build once and every
+    * increment reads shipped state instead of re-running the pipeline
+    * per request (the d18 pattern — compute once, store, probe —
+    * completed for the build family: the stored rows feed the
+    * increment's three interface projections as pruned scans, never a
+    * recompute). Without `existing`, the build is recomputed inline
+    * under `existing_budget` (default 70 k) — the demo form, one table
+    * in, one increment verdict out. The two are mutually exclusive
+    * (`existing_budget` parameterizes a recompute that `existing`
+    * replaces — supplying both is a 400, the export route's sql-XOR-
+    * query_id convention). The response is the dataCard rollup of the
     * DELTA rows only (shipped artifacts are immutable — the increment's
     * own docs, copies, tokens, fresh-shard bins) plus `existing_copies`,
     * the position offset the increment appended after: new positions
     * start at `existing_copies` and `max_pos` ends the EXTENDED training
     * order. Validation follows the data-card conventions (`budget` is
     * the increment's own spend, default 20 k); the max_rows guard caps
-    * the whole table since both sides are built. */
+    * the whole table since both sides are scanned (with `existing` the
+    * corpus side contributes only the id-joined eval/canonical text
+    * reads, but the guard stays conservative — the delta is unbounded
+    * by the split point). */
   private def incrementalBuildRoute(ex: HttpExchange,
       tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
@@ -1024,21 +1038,50 @@ final class HttpFacade(
           case Some(Some(b)) => b
           case None => 70000L
         }
+      val existingTable = qp.get("existing").filter(_.nonEmpty) match {
+        case None => None
+        case Some(path) =>
+          if (qp.contains("existing_budget")) {
+            sendJson(ex, 400, detail("Provide either existing (a stored " +
+              "build table) or existing_budget (an inline recompute), " +
+              "not both")); return
+          }
+          val eParts = path.split("\\.").toSeq
+          if (eParts.length < 2) {
+            sendJson(ex, 400,
+              detail(s"Invalid existing table path: $path")); return
+          }
+          if (!provider.tableExists(eParts.init, eParts.last)) {
+            sendJson(ex, 404,
+              detail(s"Existing build table not found: $path")); return
+          }
+          val ext = spark.table(path)
+          val missing = Seq("id", "kept", "reason", "split", "w", "copy",
+            "pack_shard", "pack_bin", "pos").filterNot(ext.columns.contains)
+          if (missing.nonEmpty) {
+            sendJson(ex, 400, detail(s"Existing table $path is not a " +
+              s"corpusBuild output (missing: ${missing.mkString(", ")})"))
+            return
+          }
+          Some(ext)
+      }
       import org.apache.spark.sql.functions.{col, count, when}
       val corpus = df.filter(col(p.id) < deltaFrom)
       val delta = df.filter(col(p.id) >= deltaFrom)
       val (card, existingCopies) = withOpSweep {
-        // checkpoint the existing build ONCE: incrementalBuild reads it
-        // three times (eval ids, canonicals, the position offset) and
-        // the extra existing_copies aggregate below makes four — an
-        // un-checkpointed plan would re-run the whole existing build
-        // per consumer
-        val existing = org.apache.spark.sql.GraftCheckpoint.freshStats(
-          graft.ops.CorpusBuild.corpusBuild(corpus, p.text, p.id,
-            p.domain, p.length, allowedLangs = p.langs,
-            minQuality = p.minQ, crossThreshold = p.crossT,
-            dedupThreshold = p.dedupT, epochCap = p.epochs,
-            budget = existingBudget))
+        // the stored form reads shipped state as-is: its consumers
+        // (eval ids, canonicals, position offset, existing_copies) are
+        // each a pruned scan of a narrow table, checkpointed at the
+        // interface inside incrementalBuild. The recompute form
+        // checkpoints the live build ONCE — an un-checkpointed plan
+        // would re-run the whole existing pipeline per consumer
+        val existing = existingTable.getOrElse(
+          org.apache.spark.sql.GraftCheckpoint.freshStats(
+            graft.ops.CorpusBuild.corpusBuild(corpus, p.text, p.id,
+              p.domain, p.length, allowedLangs = p.langs,
+              minQuality = p.minQ, crossThreshold = p.crossT,
+              dedupThreshold = p.dedupT, epochCap = p.epochs,
+              budget = existingBudget)))
         val incr = graft.ops.CorpusBuild.incrementalBuild(
           existing, corpus, delta, p.text, p.id, p.domain, p.length,
           allowedLangs = p.langs, minQuality = p.minQ,
@@ -1057,7 +1100,12 @@ final class HttpFacade(
         "length" -> p.length,
         "delta_from" -> deltaFrom,
         "budget" -> p.budget,
-        "existing_budget" -> existingBudget,
+        "existing" -> qp.get("existing").filter(_.nonEmpty).orNull,
+        // null when the state came from a stored table — no recompute
+        // happened, so no budget parameterized it
+        "existing_budget" ->
+          (if (existingTable.isDefined) null
+           else java.lang.Long.valueOf(existingBudget)),
         "epochs_cap" -> p.epochs.toLong,
         "cross_threshold" -> p.crossT,
         "dedup_threshold" -> p.dedupT,

@@ -721,6 +721,68 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("incremental-build route: existing= reads a PERSISTED build table " +
+      "instead of recomputing the release pipeline per request") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.{col, count, when}
+    // the production layout: the release job wrote the corpusBuild
+    // output once; increments read the shipped table
+    val all = spark.table("httpapi.documents")
+    val corpus = all.filter(col("doc_id") < 480)
+    val buildDir = java.nio.file.Files
+      .createTempDirectory("httpapi-prior-build").toString
+    graft.ops.CorpusBuild.corpusBuild(corpus, "text", "doc_id", "lang",
+        "n_chars")
+      .write.mode("overwrite").parquet(buildDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.prior_build
+      USING parquet LOCATION '$buildDir'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/incremental-build"
+    val m = get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing=httpapi.prior_build")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // reconcile field-for-field against the direct composition READING
+    // THE STORED TABLE — the exact dataflow the route must run
+    val stored = spark.table("httpapi.prior_build")
+    val delta = all.filter(col("doc_id") >= 480)
+    val expected = graft.ops.CorpusBuild.dataCard(
+      graft.ops.CorpusBuild.incrementalBuild(stored, corpus, delta,
+        "text", "doc_id", "lang", "n_chars")).collect()(0)
+    expected.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+      assert(lg(m.body, f) === expected.getLong(i), s"$f in ${m.body}")
+    }
+    val storedCopies = stored
+      .agg(count(when(col("copy").isNotNull, 1))).collect()(0).getLong(0)
+    assert(lg(m.body, "existing_copies") === storedCopies, m.body)
+    // no recompute happened: existing_budget reports null, the stored
+    // path reports the table
+    assert(m.body.contains("\"existing\":\"httpapi.prior_build\""), m.body)
+    assert(m.body.contains("\"existing_budget\":null"), m.body)
+    // and the stored form agrees with the recompute form on the same
+    // corpus (corpusBuild is deterministic — the parquet round trip
+    // moves no verdicts)
+    val r = get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480")
+    assert(r.statusCode === 200, r.body)
+    expected.schema.fieldNames.foreach { f =>
+      assert(lg(m.body, f) === lg(r.body, f), s"$f: stored vs recompute")
+    }
+    // validation edges: XOR with existing_budget; shape; 404; bad path
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing=httpapi.prior_build&existing_budget=70000")
+      .statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing=httpapi.documents").statusCode === 400)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing=httpapi.nope").statusCode === 404)
+    assert(get(base + "?text=text&id=doc_id&domain=lang&length=n_chars" +
+      "&delta_from=480&existing=nodots").statusCode === 400)
+  }
+
   test("dedup-probe route: a batch probes the stored index table") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
