@@ -154,6 +154,8 @@ final class HttpFacade(
           lshPlanRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "dedup-probe")) =>
           dedupProbeRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "ann-search")) =>
+          annSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -1389,6 +1391,128 @@ final class HttpFacade(
     }
   }
 
+  /** ANN search over a STORED IVF index
+    * (`?index=<ns.table>&centroids=<ns.table>&vec=<col>&id=<col>[&k=]
+    * [&nprobe=][&limit=]`): the e21 serving loop over HTTP — the
+    * dedup-probe symmetric for the embedding family. `{tablePath}` is
+    * the query-vector table; `index` names a catalog table holding
+    * [[graft.ops.Similarity.ivfIndex]] assignment rows (id, vec, cid),
+    * written once per corpus release PARTITIONED BY cid, and
+    * `centroids` its (cid, cvec) medoids. Each request probes its
+    * `nprobe` nearest centroids and exact-ranks within the probed
+    * inverted lists — against a cid-partitioned index table the list
+    * membership join carries a dynamic-partition-pruning subquery, so
+    * the request reads the probed lists' FILES, never the corpus (the
+    * spec pins DPP on this exact dataflow). Response: the top-`k`
+    * (query_id, rk, id, sim) rows in (query_id, rk) order, capped at
+    * `limit` (default 1000, cap 10000). Read-only and persist-free —
+    * one action, no op lock, fully concurrent with the build ops. */
+  private def annSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val centPath = qp.get("centroids").filter(_.nonEmpty)
+      val vecCol = qp.get("vec").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (indexPath.isEmpty || centPath.isEmpty || vecCol.isEmpty ||
+          idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index, centroids, vec and id parameters are required")); return
+      }
+      def loadStored(path: String, what: String,
+          required: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+        val p = path.split("\\.").toSeq
+        if (p.length < 2) {
+          sendJson(ex, 400, detail(s"Invalid $what table path: $path"))
+          return None
+        }
+        if (!provider.tableExists(p.init, p.last)) {
+          sendJson(ex, 404, detail(s"${what.capitalize} table not " +
+            s"found: $path"))
+          return None
+        }
+        val t = spark.table(path)
+        val missing = required.filterNot(t.columns.contains)
+        if (missing.nonEmpty) {
+          sendJson(ex, 400, detail(s"${what.capitalize} table $path is " +
+            s"missing columns: ${missing.mkString(", ")}"))
+          return None
+        }
+        Some(t)
+      }
+      val assign = loadStored(indexPath.get, "index",
+        Seq("id", "vec", "cid")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val cent = loadStored(centPath.get, "centroids",
+        Seq("cid", "cvec")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val unknown = Seq(vecCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (!df.schema(vecCol.get).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+        sendJson(ex, 400,
+          detail(s"Vector column ${vecCol.get} is not an array column"))
+        return
+      }
+      def intParam(name: String, dflt: Int, lo: Int, hi: Int): Option[Int] =
+        qp.get(name).map(_.toIntOption) match {
+          case Some(None) =>
+            sendJson(ex, 400, detail(s"$name must be an integer")); None
+          case Some(Some(v)) if v < lo || v > hi =>
+            sendJson(ex, 400,
+              detail(s"$name must be between $lo and $hi")); None
+          case Some(Some(v)) => Some(v)
+          case None => Some(dflt)
+        }
+      val k = intParam("k", 10, 1, 1000) match {
+        case None => return; case Some(v) => v
+      }
+      val nprobe = intParam("nprobe", 2, 1, 1024) match {
+        case None => return; case Some(v) => v
+      }
+      val limit = intParam("limit", 1000, 0, 10000) match {
+        case None => return; case Some(v) => v
+      }
+      // one action: the operator's output is already (query_id, rk)-
+      // ordered, so the capped page is deterministic without a persist
+      val rows = HttpFacade.annSearch(df, vecCol.get, idCol.get,
+        assign, cent, k, nprobe).limit(limit).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "centroids" -> centPath.get,
+        "vec" -> vecCol.get,
+        "id" -> idCol.get,
+        "k" -> k.toLong,
+        "nprobe" -> nprobe.toLong,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "query_id" -> String.valueOf(r.get(0)),
+          "rk" -> r.getInt(1).toLong,
+          "id" -> String.valueOf(r.get(2)),
+          "sim" -> r.getDouble(3))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** LSH index-shape planner over any catalog table
     * (`?text=<col>&id=<col>[&num_hashes=128][&floor=0.5]
     * [&target_min_ppm=950000]`): graft.ops.Dedup.lshPlan priced on the
@@ -1747,6 +1871,19 @@ final class HttpFacade(
 }
 
 object HttpFacade {
+
+  /** The ann-search route's dataflow, factored out so the spec can pin
+    * the PLAN of the exact computation the route runs (collect + DPP on
+    * the stored assignment scan), not a reconstruction of it: e21's
+    * [[graft.ops.Similarity.ivfTopKPartitioned]] over the stored
+    * (assignments, centroids) catalog tables. */
+  private[api] def annSearch(queries: org.apache.spark.sql.DataFrame,
+      vecCol: String, idCol: String,
+      assign: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.Similarity.ivfTopKPartitioned(assign, "vec", "id", "cid",
+      queries, vecCol, idCol, cent, "cvec", "cid", k = k, nprobe = nprobe)
 
   /** Serve the fixture tables over HTTP (blocking until killed):
     * `runMain graft.api.HttpFacade [port]`. */

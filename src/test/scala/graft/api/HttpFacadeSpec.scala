@@ -879,6 +879,103 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("ann-search route: queries probe the stored IVF index; the " +
+      "assignment scan stays dynamically partition-pruned") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    // the production layout: a release job wrote the IVF index once —
+    // assignments PARTITIONED BY list id — plus the medoid centroids;
+    // query vectors arrive as their own table
+    val corpus = graft.tables.Tables(spark, sf, "embeddings")
+    val (assign, cent) = graft.ops.Similarity.ivfIndex(
+      corpus, "embedding", "vec_id", "label")
+    val assignDir = java.nio.file.Files
+      .createTempDirectory("httpapi-ann-assign").toString
+    assign.write.mode("overwrite").partitionBy("cid").parquet(assignDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.ann_assign
+      USING parquet LOCATION '$assignDir'""")
+    spark.sql("ALTER TABLE httpapi.ann_assign RECOVER PARTITIONS")
+    val centDir = java.nio.file.Files
+      .createTempDirectory("httpapi-ann-cent").toString
+    cent.write.mode("overwrite").parquet(centDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.ann_cent
+      USING parquet LOCATION '$centDir'""")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("httpapi-ann-queries").toString
+    corpus.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(qDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.ann_queries
+      USING parquet LOCATION '$qDir'""")
+
+    // the exact dataflow the route runs (shared builder): reconcile the
+    // response against its rows AND pin its plan
+    val direct = HttpFacade.annSearch(spark.table("httpapi.ann_queries"),
+      "embedding", "vec_id", spark.table("httpapi.ann_assign"),
+      spark.table("httpapi.ann_cent"), 5, 2)
+    val expected = direct.collect()
+    val plan = direct.queryExecution.executedPlan.toString
+    // the point of the stored index: the cid-partitioned assignment
+    // scan carries a dynamic-partition-pruning subquery, so each
+    // request reads the probed lists' files — never the corpus
+    val assignScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("ann_assign")).toSeq
+    assert(assignScans.nonEmpty, plan)
+    assert(assignScans.forall(_.contains("dynamicpruningexpression")),
+      assignScans.mkString("\n"))
+
+    val base = "/api/v1/catalog/tables/httpapi.ann_queries/ann-search"
+    val q = "?index=httpapi.ann_assign&centroids=httpapi.ann_cent" +
+      "&vec=embedding&id=vec_id"
+    val m = get(base + q + "&k=5")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    assert(lg(m.body, "n_results") === expected.length.toLong, m.body)
+    // full-row reconcile in (query_id, rk) order — ids, ranks, and the
+    // double sim values (identical computation -> identical bits)
+    val got = ("""\{"query_id":"(\d+)","rk":(\d+),"id":"(\d+)",""" +
+      """"sim":([-0-9.eE]+)\}""").r.findAllMatchIn(m.body).map(g =>
+      (g.group(1).toLong, g.group(2).toInt, g.group(3).toLong,
+        g.group(4).toDouble)).toSeq
+    assert(got === expected.toSeq.map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))), m.body)
+    // limit caps the page in (query_id, rk) order
+    val l = get(base + q + "&k=5&limit=7")
+    assert(lg(l.body, "n_results") === 7L, l.body)
+    assert(("\"rk\":".r.findAllIn(l.body).length) === 7, l.body)
+    // validation edges, dedup-probe conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?index=httpapi.ann_assign&vec=embedding&id=vec_id")
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.ann_assign", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.ann_assign", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("httpapi.ann_cent", "httpapi.nope"))
+      .statusCode === 404)
+    // a table that is not an ivfIndex artifact is rejected by shape
+    assert(get(base + q.replace("httpapi.ann_assign", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.ann_cent", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=vec_id"))
+      .statusCode === 400) // non-array vector column
+    assert(get(base + q + "&k=0").statusCode === 400)
+    assert(get(base + q + "&k=abc").statusCode === 400)
+    assert(get(base + q + "&nprobe=0").statusCode === 400)
+    assert(get(base + q + "&limit=10001").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/ann-search" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/ann-search" + q)
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
