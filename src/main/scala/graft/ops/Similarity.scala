@@ -612,6 +612,45 @@ object Similarity {
      minIdCentroids(corpus, vecCol, idCol, listCol))
 
   /**
+   * Incremental maintenance for a stored [[ivfIndex]] — the append path
+   * that keeps the e21 serving index fresh between releases: assign NEW
+   * vectors to the EXISTING centroids ([[assignCentroids]], the e05
+   * step) and emit rows in the stored assignment schema (id, vec, cid),
+   * ready to `write.mode("append").partitionBy("cid")` into the
+   * released layout. Only the touched lists' partitions gain files;
+   * nothing shipped is rewritten, and the probe's dynamic partition
+   * pruning keeps working unchanged over the appended layout. The
+   * fixed-centroid model is the production one: the centroid set is a
+   * release artifact (queries probe BY it), so appends assign against
+   * it and re-training waits for the next release — [[ivfStats]]'s
+   * residuals and [[gramDrift]] are the staleness monitors that trigger
+   * it.
+   *
+   * Equivalence contract (spec-pinned): under fixed centroids,
+   * append(index, delta) ≡ the index built from scratch over
+   * corpus ∪ delta with delta lists from the same nearest-centroid
+   * rule — a probe over the appended stored index returns exactly what
+   * the rebuild would.
+   *
+   * Scale: delta-sized throughout — centroids broadcast, scoring
+   * map-side codegen, the argmax exchange moves one (id, cid) row per
+   * delta vector (never the embedding: the vector joins back id-keyed
+   * AFTER the aggregation, the [[assignCentroids]] device), and the
+   * write appends |delta| rows into nlist partitions.
+   */
+  def ivfIndexAppend(
+      delta: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame =
+    assignCentroids(delta, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col("id"), col("cid"))
+      .join(delta.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        Seq("id"))
+      // the argmax aggregator widens cid to long — restore the released
+      // list-id type so append rows are schema-identical to the layout
+      .select(col("id"), col("vec"),
+        col("cid").cast(centroids.schema(cIdCol).dataType).as("cid"))
+
+  /**
    * IVF index quality report — the introspection pass an ANN serving
    * stack runs over its inverted lists: per-list population, corpus
    * share, and mean squared-L2 residual to the list centroid (the

@@ -287,6 +287,74 @@ class SimilaritySpec extends SparkSuite {
     assert(stored === live)
   }
 
+  test("ivfIndexAppend: new vectors append into the stored layout — " +
+      "assignment matches the e05 argmax, untouched partitions keep " +
+      "their exact files, appended probe equals a fixed-centroid rebuild") {
+    val all = embeddings
+    val corpus = all.filter(col("vec_id") < 400)
+    val delta = all.filter(col("vec_id") >= 400)
+    val (assign, cent) =
+      Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+    val centDf = cent.cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    assign.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    def filesByPartition(): Map[String, Set[String]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = filesByPartition()
+    val appendRows = Similarity.ivfIndexAppend(delta, "embedding",
+      "vec_id", centDf, "cvec", "cid").cache()
+    try {
+      appendRows.write.mode("append").partitionBy("cid").parquet(dir)
+      val after = filesByPartition()
+      // nothing shipped is rewritten: every partition the delta does
+      // not touch keeps its exact file set; touched ones only GAIN
+      val touched = appendRows.select("cid").distinct()
+        .as[Int].collect().map(c => s"cid=$c").toSet
+      before.foreach { case (part, files) =>
+        if (touched.contains(part))
+          assert(files.subsetOf(after(part)), s"$part lost files")
+        else assert(after(part) === files, s"$part was rewritten")
+      }
+      // the append assignment IS the e05 argmax under the released
+      // centroids (brute-force re-derivation, cid-ascending tie-break)
+      val expected = Similarity.cosineTopK(centDf, "cvec", "cid",
+          delta, "embedding", "vec_id", k = 1)
+        .select(col("query_id"), col("id"))
+        .as[(Long, Long)].collect().toMap
+      val appended = spark.read.parquet(dir)
+        .filter(col("id") >= 400).select(col("id"), col("cid"))
+        .as[(Long, Int)].collect()
+      assert(appended.length === delta.count())
+      appended.foreach { case (id, cid) =>
+        assert(cid.toLong === expected(id), s"vec $id")
+      }
+      // the equivalence contract: a probe over the APPENDED stored
+      // index equals the index rebuilt from scratch over corpus ∪ delta
+      // under the same fixed centroids
+      val queries = all.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rk", "id").as[(Long, Int, Long)]
+        .collect().toSeq.sorted
+      val storedProbe = rows(Similarity.ivfTopKPartitioned(
+        spark.read.parquet(dir), "vec", "id", "cid",
+        queries, "embedding", "vec_id", centDf, "cvec", "cid",
+        k = 5, nprobe = 2))
+      val rebuilt = corpus.select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label").as("cid"))
+        .unionAll(appendRows)
+      val rebuiltProbe = rows(Similarity.ivfTopKPartitioned(
+        rebuilt, "vec", "id", "cid",
+        queries, "embedding", "vec_id", centDf, "cvec", "cid",
+        k = 5, nprobe = 2))
+      assert(storedProbe === rebuiltProbe)
+      assert(storedProbe.nonEmpty)
+    } finally { appendRows.unpersist(); centDf.unpersist(); () }
+  }
+
   test("cosineNearDup clusters planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation
