@@ -392,6 +392,44 @@ object PipelineOps {
           k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
     },
+    "e22_ivf_append" -> { (s, d) =>
+      // incremental maintenance of the stored ANN index: vectors < 400
+      // are the released corpus (the e21 layout — label inverted lists,
+      // medoid centroids, assignments partitioned by list id); vectors
+      // in [400, 480) arrive AFTER the release and append into the
+      // stored layout via nearest-centroid assignment under the FIXED
+      // released centroids (ivfIndexAppend — only the touched lists'
+      // partitions gain files). Queries then probe the APPENDED stored
+      // index. The oracle is index-blind SQL that re-derives the delta
+      // assignment by the same argmax rule and rebuilds the lists from
+      // scratch — a hash match proves the whole append path (argmax
+      // assignment, partition-wise append, DPP probe) returns exactly
+      // what a from-scratch rebuild at the same centroids would. The
+      // [400, 480) window is margin-audited: min argmax top-1-vs-top-2
+      // gap >= 1.0e-3 and min adjacent rank gap >= 2.1e-4 across all
+      // fixture SFs — three orders above cross-engine float noise
+      val corpus0 = embs(s, d)
+      val corpus = corpus0.filter(col("vec_id") < 400)
+      val delta = corpus0.filter(col("vec_id") >= 400 && col("vec_id") < 480)
+      val queries = corpus0.filter(col("vec_id") < 10)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_e22_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (assign, cent) =
+        Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      cent.write.mode("overwrite").parquet(base + "/cent")
+      Similarity.ivfIndexAppend(delta, "embedding", "vec_id",
+          s.read.parquet(base + "/cent"), "cvec", "cid")
+        .write.mode("append").partitionBy("cid").parquet(base + "/assign")
+      Similarity.ivfTopKPartitioned(
+          s.read.parquet(base + "/assign"), "vec", "id", "cid",
+          queries, "embedding", "vec_id",
+          s.read.parquet(base + "/cent"), "cvec", "cid",
+          k = 5, nprobe = 2)
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+    },
     "e13_hamming_recall" -> { (s, d) =>
       // the e10 harness pointed at the 1-bit tier: recall@5 of Hamming
       // coarse search vs the exact cosine ground truth — the number that
@@ -2778,6 +2816,37 @@ object PipelineOps {
     // index-blind SQL, so the hash gate certifies the parquet round trip
     // (vectors, centroids, and the partition-column type) moves no ranking
     "e21_indexed_ann" -> ivfOracle,
+    // e22 = the append path: centroids from the released corpus (< 400)
+    // only; delta lists re-derived from scratch by the same argmax rule
+    // (sim DESC, cid — the engine's TopKAggregator ordering); probe =
+    // e02's. Blind to the stored layout AND to ivfIndexAppend, so the
+    // hash certifies append ≡ rebuild under fixed centroids
+    "e22_ivf_append" ->
+      """WITH cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings WHERE vec_id < 400 GROUP BY label),
+         da AS (SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS ark
+             FROM embeddings e CROSS JOIN cent c
+             WHERE e.vec_id >= 400 AND e.vec_id < 480) WHERE ark = 1),
+         lists AS (SELECT vec_id, embedding, label AS cid
+             FROM embeddings WHERE vec_id < 400
+           UNION ALL SELECT vec_id, embedding, cid FROM da),
+         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS id,
+             list_cosine_similarity(a.embedding, p.qvec) AS sim
+           FROM lists a JOIN probed p ON a.cid = p.cid),
+         r AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // nprobe × nlist sweep: e02's probe/score CTEs at the max candidate
     // (8), ONE chain per nlist config (10 = native labels, 5 = label % 5
     // coarse lists — suffixes _a/_b, generated from the same config list

@@ -184,6 +184,15 @@ object PlanDump {
         "(PlanSpec-pinned) — at scale each query's index read touches " +
         "nprobe lists' files, not the corpus. Centroids read whole " +
         "(nlist rows)."),
+    "e22_ivf_append" ->
+      ("Incremental index maintenance: ivfIndexAppend assigns the delta " +
+        "to the RELEASED centroids (broadcast + bounded-heap argmax, " +
+        "one (id,cid) row per delta vector on the exchange, the " +
+        "embedding joins back id-keyed) and appends into the stored " +
+        "cid-partitioned layout — only touched lists gain files. The " +
+        "probe over the APPENDED directory still carries the " +
+        "dynamicpruningexpression (PlanSpec-pinned): maintenance never " +
+        "degrades the serving read to a full scan."),
     "d18_indexed_incremental" ->
       ("d07 through the STORED corpus index: the probe's three " +
         "corpus-side consumers read (cid,dig) / (cid,sig) / (cid,csh) " +

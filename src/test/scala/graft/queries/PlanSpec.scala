@@ -575,6 +575,23 @@ class PlanSpec extends SparkSuite {
       assignScans.mkString("\n"))
   }
 
+  test("e22: the APPENDED stored index keeps dynamic partition pruning — " +
+      "maintenance never degrades the serving read") {
+    val plan = pipelinePlan("e22_ivf_append")
+    // ivfIndexAppend writes delta rows into the released partitioned
+    // layout; the probe over the appended directory must carry the same
+    // DPP subquery as the freshly-built e21 index — if maintenance
+    // degraded the scan to a full read, the serving win would silently
+    // rot with every append
+    val assignScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_e22_index_")).toSeq
+    val assign = assignScans.filter(_.contains("/assign"))
+    assert(assign.nonEmpty, plan)
+    assert(assign.forall(_.contains("dynamicpruningexpression")),
+      assignScans.mkString("\n"))
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
