@@ -60,26 +60,74 @@ object Retrieval {
   def bm25TopK(
       docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    require(k > 0, "bm25TopK needs k > 0")
+    val (postings, stats) = bm25Index(docs, textCol, idCol)
+    bm25Probe(postings, stats, queryTerms, k)
+    // the live composition IS the probe over the live index — one
+    // construction (the d02/d07 device), so t28's stored-path hash gate
+    // certifies this operator's scoring by identity, and the query-term
+    // filter pushes below the postings aggregate (grouping-key
+    // predicate), keeping the live plan's aggregated work
+    // query-term-sized exactly as the pre-index form
+  }
 
+  /**
+   * Materializable BM25 index state — the postings table a lexical
+   * serving stack writes ONCE per corpus release and queries many
+   * times (the d18/e21 compute-once/store/probe pattern completed for
+   * the retrieval family): `postings` = (t, id, tf, dl), one row per
+   * distinct (term, doc) with the document LENGTH DENORMALIZED onto
+   * every posting — the Lucene norms device, +8 bytes per posting at
+   * rest so a probe needs NO doc-length join: after the term filter,
+   * every scoring input except the 1-row `stats` (n_docs,
+   * total_tokens) is already in the pruned rows. Write postings
+   * range-clustered by term (`repartitionByRange(col("t")) .
+   * sortWithinPartitions(col("t"))`, the t28 entry's layout) so every
+   * file and row group carries tight min/max stats on `t` — the
+   * probe's IN filter then reads the query terms' row groups, never
+   * the corpus.
+   *
+   * Scale: the token explode + (t, id) count is the one corpus-sized
+   * keyed exchange (map-side combine); the dl join is id-keyed build
+   * cost paid once per release. Tokenization matches the t-series
+   * convention (lower, trim, split on whitespace runs), so dl equals
+   * t01's token count.
+   */
+  def bm25Index(docs: DataFrame, textCol: String,
+                idCol: String): (DataFrame, DataFrame) = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-
     // Per-doc length (every token, not just query terms) + corpus stats.
     val dl = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens"))
+    // Term frequency per (term, doc): map-side partial agg before shuffle.
+    val tf = tok.groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf"))
+    (tf.join(dl, "id").select(col("t"), col("id"), col("tf"), col("dl")),
+      stats)
+  }
 
-    val qTok = tok.filter(col("t").isInCollection(queryTerms))
+  /**
+   * Probe a stored [[bm25Index]]: BM25 top-k over the postings table
+   * without touching corpus text. The term filter is an `In` predicate
+   * that reaches the parquet scan (PlanSpec-pinned on the t28 entry) —
+   * on the range-clustered layout a query fetches its terms' row
+   * groups; document frequency falls out of the pruned rows themselves
+   * (one postings row per (term, doc), so df = the per-term row count —
+   * no separate df table to keep consistent); `stats` is one broadcast
+   * row. Output: (id, n_terms_hit, score_scaled), score descending,
+   * ties by id ascending, via TakeOrderedAndProject — identical to
+   * [[bm25TopK]] by construction.
+   */
+  def bm25Probe(
+      postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Probe needs at least one query term")
+    require(k > 0, "bm25Probe needs k > 0")
+    val p = postings.filter(col("t").isInCollection(queryTerms))
     // Document frequency per query term: tiny result (≤ |queryTerms|).
-    val df = qTok.groupBy(col("t"))
-      .agg(count_distinct(col("id")).as("df"))
-    // Term frequency per (doc, term): map-side partial agg before shuffle.
-    val tf = qTok.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = p.groupBy(col("t")).agg(count(lit(1)).as("df"))
 
-    val scored = tf
-      .join(dl, "id")
+    val scored = p
       .join(broadcast(df), "t")
       .crossJoin(broadcast(stats))
       .select(col("id"),

@@ -114,6 +114,32 @@ object PipelineOps {
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** Integer-BM25 oracle shared by t20 (live plan) and t28 (stored
+    * postings index): tokenize, per-doc lengths + corpus stats, df/tf
+    * over the fixed query bag, the log-free rational-idf scoring, top-10
+    * by (score desc, id) — blind to whether postings were recomputed or
+    * read from storage. */
+  private val bm25Oracle: String =
+    """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT id, unnest(w) AS t FROM d),
+         dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         qt AS (SELECT id, t FROM tok
+                WHERE t IN ('spark', 'join', 'vector', 'window')),
+         df AS (SELECT t, count(DISTINCT id) AS df FROM qt GROUP BY t),
+         tf AS (SELECT id, t, count(*) AS tf FROM qt GROUP BY id, t),
+         sc AS (SELECT tf.id,
+             ((1000000 * (2 * (st.n_docs - df.df) + 1)) // (2 * df.df + 1))
+               * tf.tf * 22000
+               // (10000 * tf.tf + 3000
+                   + (9000 * dl.dl * st.n_docs) // st.total_tokens) AS term
+           FROM tf JOIN dl USING (id) JOIN df USING (t) CROSS JOIN st)
+         SELECT id, count(*) AS n_terms_hit,
+                CAST(sum(term) AS BIGINT) AS score_scaled
+         FROM sc GROUP BY id
+         ORDER BY score_scaled DESC, id LIMIT 10"""
+
   /** Brute-force cross-set oracle shared by d07 (live plan) and d18
     * (stored index): exact text equality + shingle-Jaccard >= 0.7 of
     * every delta doc against every corpus doc — blind to digests,
@@ -683,6 +709,29 @@ object PipelineOps {
       // bag (the keyword complement of e01's dense retrieval) — log-free
       // rational idf keeps every factor an exact integer
       graft.ops.Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
+        Seq("spark", "join", "vector", "window"), k = 10)
+    },
+    "t28_indexed_bm25" -> { (s, d) =>
+      // the lexical serving shape: the postings table (t, id, tf, dl —
+      // doc length DENORMALIZED onto every posting, the Lucene norms
+      // device) plus the 1-row stats table are built ONCE, persisted
+      // range-clustered by term, and queries probe the STORED index —
+      // the corpus text is never re-tokenized at probe time, and the
+      // term IN filter reaches the postings scan (PlanSpec-pinned), so
+      // on the sorted layout a query reads its terms' row groups. Same
+      // query bag and k as t20; the oracle is t20's index-blind SQL, so
+      // a hash match proves the storage round trip moves no score
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_t28_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (post, stats) =
+        graft.ops.Retrieval.bm25Index(docs(s, d), "text", "doc_id")
+      post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+        .write.mode("overwrite").parquet(base + "/postings")
+      stats.write.mode("overwrite").parquet(base + "/stats")
+      graft.ops.Retrieval.bm25Probe(
+        s.read.parquet(base + "/postings"),
+        s.read.parquet(base + "/stats"),
         Seq("spark", "join", "vector", "window"), k = 10)
     },
     "t21_rrf_fusion" -> { (s, d) =>
@@ -2350,26 +2399,12 @@ object PipelineOps {
     // integer BM25: same tokenization as t14, log-free rational idf
     // (x1e6), x1e4 length normalization, one floor division per factor —
     // exact integers end to end; top-10 total-ordered by (score, id)
-    "t20_bm25_topk" ->
-      """WITH d AS (SELECT doc_id AS id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-         tok AS (SELECT id, unnest(w) AS t FROM d),
-         dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
-         st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
-         qt AS (SELECT id, t FROM tok
-                WHERE t IN ('spark', 'join', 'vector', 'window')),
-         df AS (SELECT t, count(DISTINCT id) AS df FROM qt GROUP BY t),
-         tf AS (SELECT id, t, count(*) AS tf FROM qt GROUP BY id, t),
-         sc AS (SELECT tf.id,
-             ((1000000 * (2 * (st.n_docs - df.df) + 1)) // (2 * df.df + 1))
-               * tf.tf * 22000
-               // (10000 * tf.tf + 3000
-                   + (9000 * dl.dl * st.n_docs) // st.total_tokens) AS term
-           FROM tf JOIN dl USING (id) JOIN df USING (t) CROSS JOIN st)
-         SELECT id, count(*) AS n_terms_hit,
-                CAST(sum(term) AS BIGINT) AS score_scaled
-         FROM sc GROUP BY id
-         ORDER BY score_scaled DESC, id LIMIT 10""",
+    "t20_bm25_topk" -> bm25Oracle,
+    // t28 = t20 through a STORED, term-range-clustered postings table:
+    // identical index-blind SQL, so the hash gate certifies the
+    // postings round trip (tf, denormalized dl, df re-derived from the
+    // pruned rows) moves no score or rank
+    "t28_indexed_bm25" -> bm25Oracle,
     // Gram matrix: 6-dp float->DECIMAL quantization scaled to BIGINT
     // (coarser than e14's 9 dp so the exact sum stays under 2^53 and
     // the final DOUBLE cast is lossless — DuckDB's HUGEINT->DOUBLE is

@@ -193,6 +193,15 @@ object PlanDump {
         "probe over the APPENDED directory still carries the " +
         "dynamicpruningexpression (PlanSpec-pinned): maintenance never " +
         "degrades the serving read to a full scan."),
+    "t28_indexed_bm25" ->
+      ("t20 through the STORED postings table: (t, id, tf, dl) rows — " +
+        "doc length denormalized onto every posting, the Lucene norms " +
+        "device — written range-clustered by term, so the probe's " +
+        "In(t, ...) predicate is pushed into the scan (PlanSpec-pinned) " +
+        "and reads the query terms' row groups. df falls out of the " +
+        "pruned rows (one posting per (term, doc)); stats is one " +
+        "broadcast row; the cut is TakeOrderedAndProject. The corpus " +
+        "text is never re-tokenized at probe time."),
     "d18_indexed_incremental" ->
       ("d07 through the STORED corpus index: the probe's three " +
         "corpus-side consumers read (cid,dig) / (cid,sig) / (cid,csh) " +

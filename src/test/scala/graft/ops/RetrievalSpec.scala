@@ -123,4 +123,30 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.rrfFusion(Seq("x" -> strIds), "id", "rk")
     }
   }
+
+  test("bm25 stored postings probe equals the live top-k through the " +
+      "parquet round trip; dl rides denormalized on every posting") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val terms = Seq("spark", "join", "vector", "window")
+    val (post, stats) = Retrieval.bm25Index(docs, "text", "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t28-idx").toString
+    post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val storedPost = spark.read.parquet(s"$dir/postings")
+    // the denormalized dl: every posting of a doc carries the SAME
+    // length, equal to the t-series whitespace token count
+    assert(storedPost.select("id", "dl").distinct().count() ===
+      storedPost.select("id").distinct().count())
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stored = triples(Retrieval.bm25Probe(storedPost,
+      spark.read.parquet(s"$dir/stats"), terms, 10))
+    val live = triples(Retrieval.bm25TopK(docs, "text", "doc_id",
+      terms, 10))
+    assert(stored === live)
+    assert(stored.nonEmpty)
+  }
 }

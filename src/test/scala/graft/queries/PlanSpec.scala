@@ -575,6 +575,28 @@ class PlanSpec extends SparkSuite {
       assignScans.mkString("\n"))
   }
 
+  test("t28: the term filter reaches the stored postings scan — a query " +
+      "reads its terms' row groups, never re-tokenizing the corpus") {
+    val plan = pipelinePlan("t28_indexed_bm25")
+    // the probe plan must touch ONLY the stored index (postings + the
+    // 1-row stats): any documents-parquet scan here means the probe
+    // re-tokenized corpus text
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_t28_index_")),
+      scans.mkString("\n"))
+    // the query-term IN predicate is pushed into the postings scan — on
+    // the term-range-clustered layout that read prunes to the query
+    // terms' row groups via column min/max stats
+    val postings = scans.filter(_.contains("/postings"))
+    assert(postings.nonEmpty, plan)
+    assert(postings.forall(_.contains("In(t")), postings.mkString("\n"))
+    // the cut is distributed top-k; nothing sort-merges in the probe
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("e22: the APPENDED stored index keeps dynamic partition pruning — " +
       "maintenance never degrades the serving read") {
     val plan = pipelinePlan("e22_ivf_append")
