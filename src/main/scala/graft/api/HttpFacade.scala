@@ -156,6 +156,8 @@ final class HttpFacade(
           dedupProbeRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "ann-search")) =>
           annSearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "bm25-search")) =>
+          bm25SearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -1513,6 +1515,100 @@ final class HttpFacade(
     }
   }
 
+  /** BM25 search over a STORED postings index
+    * (`?stats=<ns.table>&terms=<a,b,c>[&k=]`): the t28 serving loop
+    * over HTTP — the lexical member of the probe-route family
+    * (dedup-probe, ann-search). `{tablePath}` is the postings table a
+    * release job wrote once via [[graft.ops.Retrieval.bm25Index]]
+    * (t, id, tf, dl — range-clustered by term, so this request's
+    * In(term) predicate reads the query terms' row groups); `stats` its
+    * 1-row (n_docs, total_tokens) companion. `terms` is the
+    * comma-separated query bag (lowercased to match the t-series
+    * tokenizer; at most 64 terms — a serving query, not a batch join).
+    * Response: the top-`k` (id, n_terms_hit, score_scaled) rows in
+    * (score desc, id) order — `k` IS the response cap (1..1000,
+    * default 10). Read-only and persist-free (one action), outside the
+    * op lock. */
+  private def bm25SearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val postings = spark.table(tablePath)
+      val missing = Seq("t", "id", "tf", "dl")
+        .filterNot(postings.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400, detail(s"Table $tablePath is not a bm25Index " +
+          s"postings table (missing: ${missing.mkString(", ")})"))
+        return
+      }
+      val qp = queryParams(ex)
+      val statsPath = qp.get("stats").filter(_.nonEmpty)
+      val termsRaw = qp.get("terms").filter(_.nonEmpty)
+      if (statsPath.isEmpty || termsRaw.isEmpty) {
+        sendJson(ex, 400,
+          detail("stats and terms parameters are required")); return
+      }
+      val sParts = statsPath.get.split("\\.").toSeq
+      if (sParts.length < 2) {
+        sendJson(ex, 400,
+          detail(s"Invalid stats table path: ${statsPath.get}")); return
+      }
+      if (!provider.tableExists(sParts.init, sParts.last)) {
+        sendJson(ex, 404,
+          detail(s"Stats table not found: ${statsPath.get}")); return
+      }
+      val stats = spark.table(statsPath.get)
+      val sMissing = Seq("n_docs", "total_tokens")
+        .filterNot(stats.columns.contains)
+      if (sMissing.nonEmpty) {
+        sendJson(ex, 400, detail(s"Stats table ${statsPath.get} is not " +
+          s"a bm25Index stats table (missing: ${sMissing.mkString(", ")})"))
+        return
+      }
+      // percent-decode: terms arrive URL-encoded; URI.getQuery already
+      // decoded them, so a plain split suffices (same as langs)
+      val terms = termsRaw.get.split(",").toSeq
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      if (terms.isEmpty) {
+        sendJson(ex, 400, detail(
+          "terms must be a non-empty comma-separated list")); return
+      }
+      if (terms.length > 64) {
+        sendJson(ex, 400, detail(
+          "terms is capped at 64 — a serving query, not a batch join"))
+        return
+      }
+      val k = qp.get("k").map(_.toIntOption) match {
+        case Some(None) => sendJson(ex, 400,
+          detail("k must be an integer")); return
+        case Some(Some(v)) if v < 1 || v > 1000 => sendJson(ex, 400,
+          detail("k must be between 1 and 1000")); return
+        case Some(Some(v)) => v
+        case None => 10
+      }
+      val rows = HttpFacade.bm25Search(postings, stats, terms, k).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "stats" -> statsPath.get,
+        "terms" -> terms.mkString(","),
+        "k" -> k.toLong,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> String.valueOf(r.get(0)),
+          "n_terms_hit" -> r.getLong(1),
+          "score_scaled" -> r.getLong(2))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** LSH index-shape planner over any catalog table
     * (`?text=<col>&id=<col>[&num_hashes=128][&floor=0.5]
     * [&target_min_ppm=950000]`): graft.ops.Dedup.lshPlan priced on the
@@ -1884,6 +1980,15 @@ object HttpFacade {
       k: Int, nprobe: Int): org.apache.spark.sql.DataFrame =
     graft.ops.Similarity.ivfTopKPartitioned(assign, "vec", "id", "cid",
       queries, vecCol, idCol, cent, "cvec", "cid", k = k, nprobe = nprobe)
+
+  /** The bm25-search route's dataflow, factored out so the spec can pin
+    * the PLAN of the exact computation the route runs (term-filter
+    * pushdown into the stored postings scan): t28's
+    * [[graft.ops.Retrieval.bm25Probe]] over the stored catalog tables. */
+  private[api] def bm25Search(postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.Retrieval.bm25Probe(postings, stats, terms, k)
 
   /** Serve the fixture tables over HTTP (blocking until killed):
     * `runMain graft.api.HttpFacade [port]`. */

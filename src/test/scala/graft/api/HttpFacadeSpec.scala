@@ -976,6 +976,85 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("bm25-search route: terms probe the stored postings index; the " +
+      "term filter stays pushed into the scan") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    // the production layout: a release job wrote the postings +
+    // stats tables once, range-clustered by term
+    val (post, stats) = graft.ops.Retrieval.bm25Index(
+      spark.table("httpapi.documents"), "text", "doc_id")
+    val postDir = java.nio.file.Files
+      .createTempDirectory("httpapi-bm25-post").toString
+    post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(postDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bm25_postings
+      USING parquet LOCATION '$postDir'""")
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("httpapi-bm25-stats").toString
+    stats.write.mode("overwrite").parquet(statsDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bm25_stats
+      USING parquet LOCATION '$statsDir'""")
+
+    // the exact dataflow the route runs: reconcile the response against
+    // its rows AND pin term-filter pushdown on its plan
+    val direct = HttpFacade.bm25Search(spark.table("httpapi.bm25_postings"),
+      spark.table("httpapi.bm25_stats"),
+      Seq("spark", "join", "vector", "window"), 10)
+    val expected = direct.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plan = direct.queryExecution.executedPlan.toString
+    val postScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("bm25_postings")).toSeq
+    assert(postScans.nonEmpty, plan)
+    assert(postScans.forall(_.contains("In(t")), postScans.mkString("\n"))
+
+    val base = "/api/v1/catalog/tables/httpapi.bm25_postings/bm25-search"
+    val q = "?stats=httpapi.bm25_stats&terms=spark,join,vector,window"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    assert(lg(m.body, "n_results") === expected.length.toLong, m.body)
+    val got = ("""\{"id":"(\d+)","n_terms_hit":(\d+),""" +
+      """"score_scaled":(-?\d+)\}""").r.findAllMatchIn(m.body).map(g =>
+      (g.group(1).toLong, g.group(2).toLong, g.group(3).toLong)).toSeq
+    assert(got === expected, m.body)
+    // terms are lowercased to match the tokenizer; k caps the cut
+    val up = get(base + "?stats=httpapi.bm25_stats&terms=SPARK,Join&k=3")
+    assert(up.statusCode === 200, up.body)
+    assert(lg(up.body, "n_results") <= 3L, up.body)
+    assert(up.body.contains("\"terms\":\"spark,join\""), up.body)
+    // validation edges, probe-route conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?stats=httpapi.bm25_stats&terms=,,")
+      .statusCode === 400)
+    assert(get(base + "?stats=httpapi.bm25_stats&terms=spark&k=0")
+      .statusCode === 400)
+    assert(get(base + "?stats=httpapi.bm25_stats&terms=spark&k=abc")
+      .statusCode === 400)
+    assert(get(base + "?stats=httpapi.bm25_stats&terms=spark&k=1001")
+      .statusCode === 400)
+    assert(get(base + "?stats=httpapi.bm25_stats&terms=" +
+      Seq.fill(65)("x").mkString(",")).statusCode === 400)
+    assert(get(base + "?stats=nodots&terms=spark").statusCode === 400)
+    assert(get(base + "?stats=httpapi.nope&terms=spark")
+      .statusCode === 404)
+    // wrong-shape tables rejected
+    assert(get(base + "?stats=httpapi.documents&terms=spark")
+      .statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.documents/bm25-search" +
+      q).statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/bm25-search" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/bm25-search" + q)
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
