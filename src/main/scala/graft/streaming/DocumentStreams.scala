@@ -157,15 +157,8 @@ object DocumentStreams {
       // its commit marker (a single parquet append publishes atomically
       // at job commit) — present means a prior attempt committed this
       // store, so skip. The probe reads ONE pruned column with LIMIT 1.
-      def committed(store: String): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(s"$stateDir/$store")
-        fs.exists(p) && {
-          val df = spark.read.option("mergeSchema", "true")
-            .parquet(s"$stateDir/$store")
-          df.columns.contains("batch_id") &&
-            df.filter(col("batch_id") === batchId).limit(1).count() > 0L
-        }
-      }
+      def committed(store: String): Boolean =
+        committedBatch(spark, stateDir, store, batchId)
       if (!committed("decisions"))
         decisions.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$stateDir/decisions")
@@ -182,6 +175,23 @@ object DocumentStreams {
             .write.mode("append").parquet(s"$stateDir/corpus")
       } finally { surv.unpersist(); () }
     } finally { persisted.unpersist(); () }
+  }
+
+  /** The per-store exactly-once commit marker shared by the ingestion
+    * sinks ([[processBatch]], [[VectorStreams.processBatch]]): a store
+    * already holds rows stamped with `batchId` iff a prior attempt of
+    * this micro-batch committed that store's append. One pruned-column
+    * read with LIMIT 1. */
+  private[streaming] def committedBatch(spark: SparkSession,
+      stateDir: String, store: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/$store")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(s"$stateDir/$store")
+      df.columns.contains("batch_id") &&
+        df.filter(col("batch_id") === batchId).limit(1).count() > 0L
+    }
   }
 
   /** Start the ingestion query over any streaming DataFrame with
@@ -221,15 +231,21 @@ object DocumentStreams {
     * Returns (files before, files after). */
   def compactStore(spark: SparkSession, dir: String,
                    sortCols: Seq[String],
-                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   partitionCols: Seq[String] = Nil): (Int, Int) = {
     require(sortCols.nonEmpty, "compactStore needs at least one sort column")
     require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(path), s"no store at $dir")
-    val dataFiles = fs.listStatus(path).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
+    // recursive data-file census (a partitioned store nests its files
+    // one directory level per partition column)
+    def census(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isFile) Seq(s) else census(s.getPath))
+    val dataFiles = census(path)
     val bytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue.toLong).toInt
@@ -237,9 +253,23 @@ object DocumentStreams {
     val tmp = dir + ".__compact"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed prior run
-    src.repartitionByRange(nFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp)
+    // flat store: nFiles range-clustered files on the sort key.
+    // Partitioned store (e.g. the IVF index's cid layout): hash-cluster
+    // by the partition columns so each partition VALUE lands in one
+    // task — one file set per inverted list — and the partitionBy write
+    // preserves the layout (and its dynamic-partition-pruning reads).
+    // A list bigger than targetFileBytes stays one file here; splitting
+    // oversized lists is the next tier of this maintenance op.
+    val clustered =
+      if (partitionCols.isEmpty)
+        src.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else
+        src.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val writer = clustered.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(tmp)
     // destructive-swap gate: the rewrite must account for every row
     val (nSrc, nTmp) = (src.count(), spark.read.parquet(tmp).count())
     require(nTmp == nSrc,
@@ -249,10 +279,7 @@ object DocumentStreams {
     require(fs.rename(path, old), s"could not move $dir aside")
     require(fs.rename(tmpPath, path), s"could not move $tmp into place")
     fs.delete(old, true)
-    val after = fs.listStatus(path).toSeq
-      .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-    (dataFiles.size, after)
+    (dataFiles.size, census(path).size)
   }
 
   /** Compact every store under a [[processBatch]] `stateDir` that

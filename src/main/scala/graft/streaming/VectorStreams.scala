@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Similarity
+
+/**
+ * Streaming vector ingestion with index-probed deduplication — the
+ * embedding symmetric of [[DocumentStreams]]: vectors arrive as a
+ * stream, each micro-batch is near-dup-gated WITHIN itself
+ * ([[graft.ops.Similarity.cosineNearDup]] reps) and then AGAINST the
+ * accumulated corpus's STORED IVF index (a k=1
+ * [[graft.ops.Similarity.ivfTopKPartitioned]] probe — the nearest
+ * already-indexed vector, read through the cid-partitioned layout's
+ * dynamic partition pruning), survivors append their assignment rows
+ * into the index via [[graft.ops.Similarity.ivfIndexAppend]], and every
+ * decision lands in an audit log.
+ *
+ * State lives under `stateDir`: `cent/` (the RELEASED centroid set —
+ * written by the release job, never by this stream: queries probe BY
+ * it, so ingestion assigns against it and re-training waits for the
+ * next release), `index/` (the accumulated (id, vec, cid, batch_id)
+ * assignment rows, PARTITIONED BY cid — for vectors the index IS the
+ * corpus), and `decisions/` (one audit row per arriving vector).
+ *
+ * The cross-batch gate is deliberately the SERVING read, not a full
+ * scan: the probe checks the `nprobe` nearest inverted lists, so a
+ * near-dup hiding in an unprobed list is missed — the standard
+ * approximate-dedup tradeoff of a vector-ingestion pipeline (recall is
+ * the e10/e13 harnesses' number; the exact alternative is d05's full
+ * pair join, which re-reads the whole index per batch and is exactly
+ * what the stored index exists to avoid). Raise `nprobe` to buy recall
+ * with read amplification.
+ *
+ * Replay contract: identical to [[DocumentStreams]] — every store is
+ * stamped with `batch_id`, appends are skip-if-present
+ * ([[DocumentStreams.committedBatch]]), and the probe EXCLUDES index
+ * rows stamped with the current batch id, so a crashed attempt replays
+ * to the same final state (exactly-once for index/decisions).
+ *
+ * Maintenance: [[compactState]] — the index keeps its cid layout
+ * through compaction ([[DocumentStreams.compactStore]]'s partitioned
+ * form), so DPP survives the rewrite.
+ */
+object VectorStreams {
+
+  /**
+   * One micro-batch step, exposed for direct testing and backfills.
+   * Within-batch first: hyperplane-LSH near-dup reps flag intra-batch
+   * duplicates (`batch_dup_of` = the kept vector). Survivor reps then
+   * probe the STORED index (None on the first batch): a top-1 neighbor
+   * at cosine >= `threshold` records `index_dup_of`. Returns
+   * (decisions, survivors): decisions has one row per arriving vector —
+   * (id, index_dup_of, batch_dup_of, is_new); survivors are the batch
+   * rows (full schema) whose vectors enter the index.
+   */
+  def dedupeStep(index: Option[DataFrame], centroids: DataFrame,
+                 batch: DataFrame, vecCol: String, idCol: String,
+                 dim: Int, threshold: Double,
+                 nprobe: Int): (DataFrame, DataFrame) = {
+    val idT = batch.schema(idCol).dataType
+    val within = Similarity.cosineNearDup(batch, vecCol, idCol, dim,
+      threshold)
+    val withinDups = within.filter(col("is_dup"))
+      .select(col("id"), col("keep_id"))
+    val reps = batch.join(
+      within.filter(!col("is_dup")).select(col("id").as(idCol)), idCol)
+
+    val repDecisions = index match {
+      case Some(ix) =>
+        val dup = Similarity.ivfTopKPartitioned(ix, "vec", "id", "cid",
+            reps, vecCol, idCol, centroids, "cvec", "cid",
+            k = 1, nprobe = nprobe)
+          .filter(col("sim") >= threshold)
+          .select(col("query_id").as("id"),
+            col("id").cast(idT).as("index_dup_of"))
+        reps.select(col(idCol).as("id")).join(dup, Seq("id"), "left")
+          .select(col("id"), col("index_dup_of"),
+            lit(null).cast(idT).as("batch_dup_of"),
+            col("index_dup_of").isNull.as("is_new"))
+      case None =>
+        reps.select(col(idCol).as("id"),
+          lit(null).cast(idT).as("index_dup_of"),
+          lit(null).cast(idT).as("batch_dup_of"),
+          lit(true).as("is_new"))
+    }
+    // no orderBy: decisions feed an unordered parquet append (the
+    // DocumentStreams convention)
+    val decisions = repDecisions.unionByName(
+      withinDups.select(col("id"),
+        lit(null).cast(idT).as("index_dup_of"),
+        col("keep_id").cast(idT).as("batch_dup_of"),
+        lit(false).as("is_new")))
+    val survivors = batch.join(
+      repDecisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
+    (decisions, survivors)
+  }
+
+  /** The foreachBatch body: load the released centroids and the stored
+    * index (absent on the first batch), run [[dedupeStep]], append
+    * decisions + the survivors' assignment rows (partition-wise — only
+    * touched lists gain files). */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   stateDir: String, vecCol: String, idCol: String,
+                   dim: Int, threshold: Double, nprobe: Int): Unit = {
+    val persisted = batch.persist()
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val centPath = new org.apache.hadoop.fs.Path(s"$stateDir/cent")
+      val fs = centPath.getFileSystem(conf)
+      // the centroid release is a precondition, not something ingestion
+      // invents: assigning against ad-hoc centroids would scatter the
+      // same list across releases and break every probe's geometry
+      if (!fs.exists(centPath))
+        throw new IllegalStateException(
+          s"$stateDir has no centroid release - write the released " +
+            s"centroid set (Similarity.ivfIndex or a k-means run) to " +
+            s"$stateDir/cent before starting ingestion")
+      val cent = spark.read.parquet(s"$stateDir/cent")
+      val indexPath = new org.apache.hadoop.fs.Path(s"$stateDir/index")
+      // replay hygiene + mergeSchema: the DocumentStreams contract
+      val index =
+        if (!fs.exists(indexPath)) None
+        else {
+          val ix = spark.read.option("mergeSchema", "true")
+            .parquet(s"$stateDir/index")
+          Some(if (ix.columns.contains("batch_id"))
+            ix.filter(col("batch_id").isNull ||
+              col("batch_id") =!= batchId).drop("batch_id")
+          else ix)
+        }
+      val (decisions, survivors) =
+        dedupeStep(index, cent, persisted, vecCol, idCol, dim,
+          threshold, nprobe)
+      if (!DocumentStreams.committedBatch(spark, stateDir, "decisions",
+          batchId))
+        decisions.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$stateDir/decisions")
+      val surv = survivors.persist()
+      try {
+        // an all-duplicates batch appends nothing — and must not CREATE
+        // an empty index directory (a dir holding only _SUCCESS fails
+        // schema inference on the next batch's read)
+        val hasSurvivors = surv.limit(1).count() > 0L
+        if (hasSurvivors &&
+            !DocumentStreams.committedBatch(spark, stateDir, "index",
+              batchId))
+          Similarity.ivfIndexAppend(surv, vecCol, idCol,
+              cent, "cvec", "cid")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("cid")
+            .parquet(s"$stateDir/index")
+      } finally { surv.unpersist(); () }
+    } finally { persisted.unpersist(); () }
+  }
+
+  /** Start the ingestion query over any streaming DataFrame with
+    * (idCol, vecCol) columns. Caller owns the query lifecycle. */
+  def incrementalIndexQuery(stream: DataFrame, stateDir: String,
+                            vecCol: String, idCol: String, dim: Int,
+                            threshold: Double = 0.95,
+                            nprobe: Int = 2): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, stateDir,
+          vecCol, idCol, dim, threshold, nprobe)
+      }
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .start()
+
+  /** Compact the vector stores: `index/` keeps its cid partitioning
+    * (one file set per inverted list — DPP survives the rewrite,
+    * spec-pinned), `decisions/` range-clusters flat. Run with ingestion
+    * STOPPED — see [[DocumentStreams.compactStore]]. */
+  def compactState(spark: SparkSession, stateDir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, (Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(s: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s"))
+    (if (exists("index"))
+       Map("index" -> DocumentStreams.compactStore(spark,
+         s"$stateDir/index", Seq("id"), targetFileBytes,
+         partitionCols = Seq("cid")))
+     else Map.empty[String, (Int, Int)]) ++
+    (if (exists("decisions"))
+       Map("decisions" -> DocumentStreams.compactStore(spark,
+         s"$stateDir/decisions", Seq("batch_id", "id"), targetFileBytes))
+     else Map.empty[String, (Int, Int)])
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Streaming vector ingestion (foreachBatch): within-batch and
+  * cross-batch (index-probed) near-dups flagged, survivors' assignment
+  * rows accumulate in the cid-partitioned index, replay is exactly-once,
+  * compaction preserves the partitioned layout. */
+class VectorStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val vA = Array(1.0f, 0.1f, 0.0f, 0.0f)   // near centroid 0
+  private val vA2 = Array(1.0f, 0.11f, 0.0f, 0.0f) // cosine(vA, vA2) ≈ 0.99998
+  private val vB = Array(0.0f, 1.0f, 0.1f, 0.0f)   // near centroid 1
+  private val vC = Array(0.0f, 0.0f, 1.0f, 0.0f)   // far from everything
+
+  private def writeCentroids(dir: String): Unit =
+    Seq((0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cid", "cvec").write.mode("overwrite").parquet(s"$dir/cent")
+
+  test("streaming query: within-batch rep, index-probed cross-batch dup, " +
+      "survivors land in the partitioned index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vecstream").toString
+    writeCentroids(dir)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = VectorStreams.incrementalIndexQuery(
+      input.toDF.toDF("vec_id", "embedding"), dir, "embedding", "vec_id",
+      dim = 4, threshold = 0.95, nprobe = 2)
+    try {
+      input.addData((1L, vA), (2L, vB), (3L, vA)) // 3 = exact copy of 1
+      q.processAllAvailable()
+      input.addData((4L, vA2), (5L, vC)) // 4 near-dups the INDEXED 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val d = spark.read.parquet(s"$dir/decisions").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3)))).toMap
+    assert(d(1L) === ((None, None, true)))
+    assert(d(2L) === ((None, None, true)))
+    assert(d(3L) === ((None, Some(1L), false))) // within-batch rep
+    assert(d(4L) === ((Some(1L), None, false))) // probed from the INDEX
+    assert(d(5L) === ((None, None, true)))
+    // the index holds one assignment row per accepted vector, in the
+    // released lists: 1 and 5 under cid 0 (vC ties 0/0 across both
+    // centroids — cid-ascending argmax), 2 under cid 1
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.select("id").as[Long].collect().sorted === Array(1L, 2L, 5L))
+    assert(ix.filter(col("cid") === 0).select("id").as[Long]
+      .collect().sorted === Array(1L, 5L))
+    assert(ix.filter(col("cid") === 1).select("id").as[Long]
+      .collect() === Array(2L))
+    // the layout is the serving one: one directory per inverted list
+    val base = new java.io.File(s"$dir/index")
+    assert(base.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      .toSeq === Seq("cid=0", "cid=1"))
+  }
+
+  test("missing centroid release fails the batch with a setup instruction") {
+    val dir = Files.createTempDirectory("vecstream-nocent").toString
+    val batch = Seq((1L, vA)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      VectorStreams.processBatch(spark, batch, 0L, dir,
+        "embedding", "vec_id", dim = 4, threshold = 0.95, nprobe = 2)
+    }
+    assert(e.getMessage.contains("centroid release"), e.getMessage)
+  }
+
+  test("replay idempotence: a committed batch re-appends nothing; an " +
+      "all-duplicates batch never creates an empty index") {
+    val dir = Files.createTempDirectory("vecstream-replay").toString
+    writeCentroids(dir)
+    VectorStreams.processBatch(spark,
+      Seq((1L, vA), (2L, vB)).toDF("vec_id", "embedding"),
+      0L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    VectorStreams.processBatch(spark,
+      Seq((4L, vA2), (5L, vC)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    def counts() = (spark.read.parquet(s"$dir/index").count(),
+      spark.read.parquet(s"$dir/decisions").count())
+    val before = counts()
+    assert(before === ((3L, 4L)))
+    VectorStreams.processBatch(spark,
+      Seq((4L, vA2), (5L, vC)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    assert(counts() === before)
+    // an all-duplicates batch: decisions recorded, index untouched
+    VectorStreams.processBatch(spark,
+      Seq((6L, vA)).toDF("vec_id", "embedding"),
+      2L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    assert(counts() === ((3L, 5L)))
+  }
+
+  test("compactState: the index keeps its cid partitioning through " +
+      "compaction; probe decisions identical pre/post") {
+    val dir = Files.createTempDirectory("vecstream-compact").toString
+    writeCentroids(dir)
+    VectorStreams.processBatch(spark,
+      Seq((1L, vA), (2L, vB)).toDF("vec_id", "embedding"),
+      0L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    VectorStreams.processBatch(spark,
+      Seq((5L, vC)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    def probe() = VectorStreams.dedupeStep(
+        Some(spark.read.parquet(s"$dir/index").drop("batch_id")),
+        spark.read.parquet(s"$dir/cent"),
+        Seq((7L, vA2), (8L, vC), (9L, vA2)).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", 4, 0.95, 2)._1
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    val probeBefore = probe()
+    val report = VectorStreams.compactState(spark, dir)
+    assert(report.keySet === Set("index", "decisions"))
+    report.foreach { case (store, (b, a)) =>
+      assert(b > 1, s"$store had $b files before compaction")
+      assert(a <= b, s"$store grew: $b -> $a")
+    }
+    // layout preserved: still one directory per inverted list, and the
+    // partition-pruned read path still resolves
+    val base = new java.io.File(s"$dir/index")
+    assert(base.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      .toSeq === Seq("cid=0", "cid=1"))
+    assert(probe() === probeBefore)
+    // ingestion resumes on the compacted layout
+    VectorStreams.processBatch(spark,
+      Seq((7L, vA2), (8L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      2L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    assert(spark.read.parquet(s"$dir/index").select("id").as[Long]
+      .collect().sorted === Array(1L, 2L, 5L, 8L))
+  }
+}
