@@ -134,4 +134,45 @@ object Profile {
           .as("gini_ppm"))
       .orderBy(col("label"))
   }
+
+  /**
+   * Stored-index freshness audit (x11) — the consistency check a
+   * pipeline runs before trusting any of its materialized index tables
+   * (the d18 dedup index, the e21/e22 IVF assignments, the t28
+   * postings): compare the corpus's id set against the index's and
+   * report, in one row, `n_corpus`, `n_indexed` (distinct ids the index
+   * covers), `n_unindexed` (corpus docs the index misses — the
+   * append-lag signal that triggers an ivfIndexAppend /
+   * incrementalIndex backfill), `n_orphaned` (index ids whose corpus
+   * row is gone — the delete-lag signal that triggers a compaction
+   * rewrite), and `fresh_ppm` = 1e6·covered/corpus (truncating — 1e6
+   * means every corpus doc is indexed).
+   *
+   * Scale: the audit deliberately reads ONE pruned id column per side
+   * (never vectors, signatures, or postings payloads), distinct-
+   * aggregates each (map-side partials), and full-outer-joins the two
+   * id sets — narrow 8-byte rows end to end, the cheapest possible
+   * statement about a 100 TB index's health. An index with multiple
+   * rows per doc (postings) audits identically through the distinct.
+   */
+  def indexAudit(corpus: DataFrame, idCol: String,
+                 index: DataFrame, indexIdCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("__in_c", lit(1))
+    val i = index.select(col(indexIdCol).cast("long").as("id")).distinct()
+      .withColumn("__in_i", lit(1))
+    c.join(i, Seq("id"), "full_outer")
+      .agg(count(col("__in_c")).as("n_corpus"),
+        count(col("__in_i")).as("n_indexed"),
+        count(when(col("__in_c").isNotNull && col("__in_i").isNotNull, 1))
+          .as("n_covered"),
+        count(when(col("__in_c").isNotNull && col("__in_i").isNull, 1))
+          .as("n_unindexed"),
+        count(when(col("__in_c").isNull && col("__in_i").isNotNull, 1))
+          .as("n_orphaned"))
+      .select(col("n_corpus"), col("n_indexed"), col("n_covered"),
+        col("n_unindexed"), col("n_orphaned"),
+        expr("CASE WHEN n_corpus = 0 THEN 1000000L " +
+          "ELSE n_covered * 1000000L DIV n_corpus END").as("fresh_ppm"))
+  }
 }

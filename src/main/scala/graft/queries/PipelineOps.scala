@@ -794,6 +794,27 @@ object PipelineOps {
       // signature, weighted by the corpus's own verified >= 0.5 pairs
       Dedup.lshPlan(docs(s, d), "text", "doc_id")
     },
+    "x11_index_audit" -> { (s, d) =>
+      // stored-index freshness audit: the corpus at release time is
+      // docs < 480; the stored dedup index was built from a DRIFTED cut
+      // ([30, 490)) — 30 corpus docs never indexed (append lag), 10
+      // index rows orphaned by deletes. The audit reads ONE pruned id
+      // column per side and reports the one-row coverage verdict a
+      // pipeline checks before trusting the index (backfill if
+      // n_unindexed > 0, compact if n_orphaned > 0). Round-trips the
+      // real d18 index artifact so the audited id column is the stored
+      // one, not a fixture shortcut
+      val all = docs(s, d)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_x11_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Dedup.incrementalIndex(
+          all.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(idxPath)
+      graft.ops.Profile.indexAudit(all.filter(col("doc_id") < 480),
+        "doc_id", s.read.parquet(idxPath), "cid")
+    },
     "p16_incremental_build" -> { (s, d) =>
       // the daily-increment capstone: docs < 480 are the EXISTING
       // corpus (built under the p14 gate config), docs >= 480 today's
@@ -2660,6 +2681,24 @@ object PipelineOps {
     // floor, matching the engine), j in exact integer ppm, then the two
     // S-curve power chains as recursive CTEs with the engine's exact
     // (acc * x) // 1e6 floor at every step
+    // index-freshness audit: the index side's id set is re-derived from
+    // the same drifted cut the entry built it from — blind to the d18
+    // artifact columns, so the hash certifies the audited id column is
+    // the STORED one and the set arithmetic is exact
+    "x11_index_audit" ->
+      """WITH c AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id < 480),
+         i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id >= 30 AND doc_id < 490)
+         SELECT (SELECT count(*) FROM c) AS n_corpus,
+                (SELECT count(*) FROM i) AS n_indexed,
+                (SELECT count(*) FROM c JOIN i USING (id)) AS n_covered,
+                (SELECT count(*) FROM c ANTI JOIN i USING (id))
+                  AS n_unindexed,
+                (SELECT count(*) FROM i ANTI JOIN c USING (id))
+                  AS n_orphaned,
+                CAST((SELECT count(*) FROM c JOIN i USING (id)) * 1000000
+                  // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm""",
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,

@@ -193,6 +193,13 @@ object PlanDump {
         "probe over the APPENDED directory still carries the " +
         "dynamicpruningexpression (PlanSpec-pinned): maintenance never " +
         "degrades the serving read to a full scan."),
+    "x11_index_audit" ->
+      ("Stored-index freshness audit: one pruned id column per side " +
+        "(the index scan's ReadSchema is struct<cid> — never the " +
+        "digest/shingle/signature payload; PlanSpec-pinned), distinct " +
+        "aggregates with map-side partials, one full-outer join of " +
+        "8-byte id rows, a 1-row verdict. The cheapest possible " +
+        "statement about a 100 TB index's health."),
     "t28_indexed_bm25" ->
       ("t20 through the STORED postings table: (t, id, tf, dl) rows — " +
         "doc length denormalized onto every posting, the Lucene norms " +

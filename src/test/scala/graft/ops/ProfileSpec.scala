@@ -79,4 +79,21 @@ class ProfileSpec extends SparkSuite {
     assert(out(Some("b")) === ((1L, 200000L, 560000L)))
     assert(out(None) === ((1L, 200000L, 560000L)))
   }
+
+  test("indexAudit: coverage/orphan set arithmetic, duplicate index rows " +
+      "count once, empty corpus reads fully fresh") {
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    // 4 appears twice (a postings-style index holds many rows per doc —
+    // the audit distincts), 2 and 3 covered, 1 unindexed, 4 orphaned
+    val index = Seq(2L, 3L, 4L, 4L).toDF("cid")
+    val r = Profile.indexAudit(corpus, "doc_id", index, "cid").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      ((3L, 3L, 2L, 1L, 1L, 666666L)))
+    val empty = Profile.indexAudit(
+      corpus.filter(org.apache.spark.sql.functions.col("doc_id") > 99),
+      "doc_id", index, "cid").collect()(0)
+    assert((empty.getLong(0), empty.getLong(4), empty.getLong(5)) ===
+      ((0L, 3L, 1000000L)))
+  }
 }

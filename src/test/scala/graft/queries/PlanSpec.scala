@@ -614,6 +614,24 @@ class PlanSpec extends SparkSuite {
       assignScans.mkString("\n"))
   }
 
+  test("x11: the audit reads ONE pruned id column per side — index " +
+      "payload (digest/shingles/signature) and corpus text never scan") {
+    val plan = pipelinePlan("x11_index_audit")
+    val scans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val idx = scans.filter(_.contains("graft_x11_index_"))
+    assert(idx.nonEmpty, plan)
+    // the stored d18 index carries (cid, dig, csh, sig); the audit's
+    // scan must fetch cid alone — dragging the text-sized shingle
+    // column through a coverage count is the failure this pin catches
+    assert(idx.forall(_.contains("ReadSchema: struct<cid:")),
+      idx.mkString("\n"))
+    assert(!idx.exists(s => s.contains("dig") || s.contains("csh") ||
+      s.contains("sig")), idx.mkString("\n"))
+    val docScans = scans.filterNot(_.contains("graft_x11_index_"))
+    assert(docScans.forall(!_.contains("text")), docScans.mkString("\n"))
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
