@@ -97,7 +97,17 @@ final class HttpFacade(
     * close to free — they are multi-second whole-pipeline compositions
     * that would contend for the same cores anyway — while the query /
     * catalog / results surface stays fully concurrent (the A7
-    * inversion is about the query path, which holds no storage). */
+    * inversion is about the query path, which holds no storage).
+    *
+    * The exact invariant: every route whose storage is
+    * LINEAGE-TRUNCATED (localCheckpoint — the kind a foreign sweep
+    * DESTROYS) runs under `opLock`. A plain `persist()` with lineage
+    * kept may run outside the lock (dedup-probe does): if a concurrent
+    * op's exit sweep happens to evict it, the next action recomputes
+    * from lineage — wasted work in a rare overlap, never a wrong or
+    * failed result. Such routes must still release their own persist
+    * in a `finally`, because the sweep only fires when an op-locked
+    * request is active. */
   private def withOpSweep[A](body: => A): A = {
     opLock.lock()
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -1050,24 +1060,12 @@ final class HttpFacade(
               "build table) or existing_budget (an inline recompute), " +
               "not both")); return
           }
-          val eParts = path.split("\\.").toSeq
-          if (eParts.length < 2) {
-            sendJson(ex, 400,
-              detail(s"Invalid existing table path: $path")); return
+          loadStored(ex, path, "existing build",
+            Seq("id", "kept", "reason", "split", "w", "copy",
+              "pack_shard", "pack_bin", "pos")) match {
+            case None => return
+            case some => some
           }
-          if (!provider.tableExists(eParts.init, eParts.last)) {
-            sendJson(ex, 404,
-              detail(s"Existing build table not found: $path")); return
-          }
-          val ext = spark.table(path)
-          val missing = Seq("id", "kept", "reason", "split", "w", "copy",
-            "pack_shard", "pack_bin", "pos").filterNot(ext.columns.contains)
-          if (missing.nonEmpty) {
-            sendJson(ex, 400, detail(s"Existing table $path is not a " +
-              s"corpusBuild output (missing: ${missing.mkString(", ")})"))
-            return
-          }
-          Some(ext)
       }
       import org.apache.spark.sql.functions.{col, count, when}
       val corpus = df.filter(col(p.id) < deltaFrom)
@@ -1245,8 +1243,10 @@ final class HttpFacade(
     * the first `limit` per-doc decisions (default 1000, cap 10000) in
     * id order. No withOpSweep: the probe checkpoints nothing — its one
     * persist (the decisions plan, shared by the rollup and the capped
-    * page, released in `finally`) is owned by this request alone, so it
-    * runs concurrently with the build ops.
+    * page, released in `finally`) keeps its lineage, so it is safe to
+    * hold outside the op lock and the probe runs fully concurrent with
+    * the build ops (see withOpSweep's invariant for the
+    * eviction-tolerance argument).
     */
   private def dedupProbeRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
@@ -1267,22 +1267,10 @@ final class HttpFacade(
         sendJson(ex, 400, detail(
           "index, text and id parameters are required")); return
       }
-      val iParts = indexPath.get.split("\\.").toSeq
-      if (iParts.length < 2) {
-        sendJson(ex, 400,
-          detail(s"Invalid index table path: ${indexPath.get}")); return
-      }
-      if (!provider.tableExists(iParts.init, iParts.last)) {
-        sendJson(ex, 404,
-          detail(s"Index table not found: ${indexPath.get}")); return
-      }
-      val index = spark.table(indexPath.get)
-      val missing = Seq("cid", "dig", "csh", "sig")
-        .filterNot(index.columns.contains)
-      if (missing.nonEmpty) {
-        sendJson(ex, 400, detail(s"Index table ${indexPath.get} is not " +
-          s"an incrementalIndex (missing: ${missing.mkString(", ")})"))
-        return
+      val index = loadStored(ex, indexPath.get, "index",
+        Seq("cid", "dig", "csh", "sig")) match {
+        case None => return
+        case Some(t) => t
       }
       val unknown = Seq(textCol.get, idCol.get)
         .filterNot(df.columns.contains)
@@ -1304,13 +1292,9 @@ final class HttpFacade(
         case Some(Some(t)) => t
         case None => 0.8
       }
-      val numHashes = qp.get("num_hashes").map(_.toIntOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("num_hashes must be an integer")); return
-        case Some(Some(n)) if n < 1 || n > 1024 => sendJson(ex, 400,
-          detail("num_hashes must be in [1, 1024]")); return
-        case Some(Some(n)) => n
-        case None => 128
+      val numHashes = intParam(ex, qp, "num_hashes", 128, 1, 1024) match {
+        case None => return
+        case Some(v) => v
       }
       val bands = qp.get("bands").map(_.toIntOption) match {
         case Some(None) => sendJson(ex, 400,
@@ -1322,21 +1306,13 @@ final class HttpFacade(
         case Some(Some(b)) => b
         case None => 32
       }
-      val shingleLen = qp.get("shingle_len").map(_.toIntOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("shingle_len must be an integer")); return
-        case Some(Some(n)) if n < 1 || n > 32 => sendJson(ex, 400,
-          detail("shingle_len must be in [1, 32]")); return
-        case Some(Some(n)) => n
-        case None => 3
+      val shingleLen = intParam(ex, qp, "shingle_len", 3, 1, 32) match {
+        case None => return
+        case Some(v) => v
       }
-      val limit = qp.get("limit").map(_.toIntOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("limit must be an integer")); return
-        case Some(Some(l)) if l < 0 || l > 10000 => sendJson(ex, 400,
-          detail("limit must be between 0 and 10000")); return
-        case Some(Some(l)) => l
-        case None => 1000
+      val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
+        case None => return
+        case Some(v) => v
       }
       import org.apache.spark.sql.functions.{col, count, lit, size, when}
       // the stored signatures fix num_hashes at build time; a probe run
@@ -1351,7 +1327,12 @@ final class HttpFacade(
         return
       }
       // one persist, two actions (rollup + capped page): without it the
-      // band join and Jaccard verify would run twice per request
+      // band join and Jaccard verify would run twice per request. The
+      // persist deliberately runs OUTSIDE the op lock (lineage kept —
+      // see withOpSweep's invariant): a concurrent build op's sweep may
+      // evict it between the two actions, costing a recompute in that
+      // rare overlap, never a wrong result — the price of keeping the
+      // probe fully concurrent with the build surface
       val decisions = graft.ops.Dedup.incrementalProbe(index, df,
         textCol.get, idCol.get, shingleLen = shingleLen,
         numHashes = numHashes, bands = bands,
@@ -1430,33 +1411,12 @@ final class HttpFacade(
         sendJson(ex, 400, detail(
           "index, centroids, vec and id parameters are required")); return
       }
-      def loadStored(path: String, what: String,
-          required: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
-        val p = path.split("\\.").toSeq
-        if (p.length < 2) {
-          sendJson(ex, 400, detail(s"Invalid $what table path: $path"))
-          return None
-        }
-        if (!provider.tableExists(p.init, p.last)) {
-          sendJson(ex, 404, detail(s"${what.capitalize} table not " +
-            s"found: $path"))
-          return None
-        }
-        val t = spark.table(path)
-        val missing = required.filterNot(t.columns.contains)
-        if (missing.nonEmpty) {
-          sendJson(ex, 400, detail(s"${what.capitalize} table $path is " +
-            s"missing columns: ${missing.mkString(", ")}"))
-          return None
-        }
-        Some(t)
-      }
-      val assign = loadStored(indexPath.get, "index",
+      val assign = loadStored(ex, indexPath.get, "index",
         Seq("id", "vec", "cid")) match {
         case None => return
         case Some(t) => t
       }
-      val cent = loadStored(centPath.get, "centroids",
+      val cent = loadStored(ex, centPath.get, "centroids",
         Seq("cid", "cvec")) match {
         case None => return
         case Some(t) => t
@@ -1472,23 +1432,35 @@ final class HttpFacade(
           detail(s"Vector column ${vecCol.get} is not an array column"))
         return
       }
-      def intParam(name: String, dflt: Int, lo: Int, hi: Int): Option[Int] =
-        qp.get(name).map(_.toIntOption) match {
-          case Some(None) =>
-            sendJson(ex, 400, detail(s"$name must be an integer")); None
-          case Some(Some(v)) if v < lo || v > hi =>
-            sendJson(ex, 400,
-              detail(s"$name must be between $lo and $hi")); None
-          case Some(Some(v)) => Some(v)
-          case None => Some(dflt)
-        }
-      val k = intParam("k", 10, 1, 1000) match {
+      // dimension agreement across all three vector sources, each a
+      // one-row probe: a mismatched query would otherwise score the
+      // common prefix of every corpus vector and return a 200 with
+      // silently-wrong rankings (the num_hashes-vs-signature class of
+      // caller error, same cheap-check remedy)
+      def dimOf(t: org.apache.spark.sql.DataFrame, c: String): Option[Int] = {
+        import org.apache.spark.sql.functions.{col, size}
+        t.select(size(col(c)).as("n")).filter(col("n").isNotNull)
+          .limit(1).collect().headOption.map(_.getInt(0))
+      }
+      val (qDim, cDim, iDim) =
+        (dimOf(df, vecCol.get), dimOf(cent, "cvec"), dimOf(assign, "vec"))
+      val mismatch = Seq(
+        (qDim, cDim, "query vectors and the centroids"),
+        (iDim, cDim, "the stored index and the centroids"))
+        .collectFirst { case (Some(x), Some(y), w) if x != y => (x, y, w) }
+      if (mismatch.isDefined) {
+        val (x, y, w) = mismatch.get
+        sendJson(ex, 400, detail(
+          s"Vector dimension mismatch between $w ($x vs $y)"))
+        return
+      }
+      val k = intParam(ex, qp, "k", 10, 1, 1000) match {
         case None => return; case Some(v) => v
       }
-      val nprobe = intParam("nprobe", 2, 1, 1024) match {
+      val nprobe = intParam(ex, qp, "nprobe", 2, 1, 1024) match {
         case None => return; case Some(v) => v
       }
-      val limit = intParam("limit", 1000, 0, 10000) match {
+      val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
         case None => return; case Some(v) => v
       }
       // one action: the operator's output is already (query_id, rk)-
@@ -1554,22 +1526,10 @@ final class HttpFacade(
         sendJson(ex, 400,
           detail("stats and terms parameters are required")); return
       }
-      val sParts = statsPath.get.split("\\.").toSeq
-      if (sParts.length < 2) {
-        sendJson(ex, 400,
-          detail(s"Invalid stats table path: ${statsPath.get}")); return
-      }
-      if (!provider.tableExists(sParts.init, sParts.last)) {
-        sendJson(ex, 404,
-          detail(s"Stats table not found: ${statsPath.get}")); return
-      }
-      val stats = spark.table(statsPath.get)
-      val sMissing = Seq("n_docs", "total_tokens")
-        .filterNot(stats.columns.contains)
-      if (sMissing.nonEmpty) {
-        sendJson(ex, 400, detail(s"Stats table ${statsPath.get} is not " +
-          s"a bm25Index stats table (missing: ${sMissing.mkString(", ")})"))
-        return
+      val stats = loadStored(ex, statsPath.get, "stats",
+        Seq("n_docs", "total_tokens")) match {
+        case None => return
+        case Some(t) => t
       }
       // percent-decode: terms arrive URL-encoded; URI.getQuery already
       // decoded them, so a plain split suffices (same as langs)
@@ -1584,13 +1544,9 @@ final class HttpFacade(
           "terms is capped at 64 — a serving query, not a batch join"))
         return
       }
-      val k = qp.get("k").map(_.toIntOption) match {
-        case Some(None) => sendJson(ex, 400,
-          detail("k must be an integer")); return
-        case Some(Some(v)) if v < 1 || v > 1000 => sendJson(ex, 400,
-          detail("k must be between 1 and 1000")); return
-        case Some(Some(v)) => v
-        case None => 10
+      val k = intParam(ex, qp, "k", 10, 1, 1000) match {
+        case None => return
+        case Some(v) => v
       }
       val rows = HttpFacade.bm25Search(postings, stats, terms, k).collect()
       sendJson(ex, 200, Json.obj(
@@ -1932,6 +1888,49 @@ final class HttpFacade(
     }
 
   // ---------------------------------------------------------------- helpers
+
+  /** Parse + shape-validate a stored-artifact table reference — the
+    * check shared by every probe route (dedup-probe's index,
+    * ann-search's index/centroids, bm25-search's stats,
+    * incremental-build's existing=): dotted path (400), existence
+    * (404), required columns (400). Sends the error itself; None =
+    * rejected. `what` names the parameter in the messages. */
+  private def loadStored(ex: HttpExchange, path: String, what: String,
+      required: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+    val p = path.split("\\.").toSeq
+    if (p.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid $what table path: $path"))
+      return None
+    }
+    if (!provider.tableExists(p.init, p.last)) {
+      sendJson(ex, 404, detail(s"${what.capitalize} table not " +
+        s"found: $path"))
+      return None
+    }
+    val t = spark.table(path)
+    val missing = required.filterNot(t.columns.contains)
+    if (missing.nonEmpty) {
+      sendJson(ex, 400, detail(s"${what.capitalize} table $path is " +
+        s"missing columns: ${missing.mkString(", ")}"))
+      return None
+    }
+    Some(t)
+  }
+
+  /** Bounded-integer query parameter with a default — the validation
+    * shared by the probe routes' k/nprobe/limit/shingle_len surface.
+    * Sends the 400 itself; None = rejected. */
+  private def intParam(ex: HttpExchange, qp: Map[String, String],
+      name: String, dflt: Int, lo: Int, hi: Int): Option[Int] =
+    qp.get(name).map(_.toIntOption) match {
+      case Some(None) =>
+        sendJson(ex, 400, detail(s"$name must be an integer")); None
+      case Some(Some(v)) if v < lo || v > hi =>
+        sendJson(ex, 400,
+          detail(s"$name must be between $lo and $hi")); None
+      case Some(Some(v)) => Some(v)
+      case None => Some(dflt)
+    }
 
   private def withQueryId(ex: HttpExchange, id: String)(f: UUID => Unit): Unit =
     parseUuid(id) match {

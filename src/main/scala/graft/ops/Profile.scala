@@ -157,6 +157,21 @@ object Profile {
    */
   def indexAudit(corpus: DataFrame, idCol: String,
                  index: DataFrame, indexIdCol: String): DataFrame = {
+    // same contract as rankTopK/rrfFusion: a non-integral id would cast
+    // to null, both sides would collapse to one never-matching null
+    // row, and the audit would report a fully-stale index for a
+    // perfectly fresh one — reject up front instead
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      for ((df, c, side) <- Seq((corpus, idCol, "corpus"),
+                                (index, indexIdCol, "index"))) {
+        val dt = df.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"indexAudit id columns must be integral, got $dt on the " +
+            s"$side side — non-numeric ids would cast to null and " +
+            "report a fresh index as fully stale")
+      }
+    }
     val c = corpus.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("__in_c", lit(1))
     val i = index.select(col(indexIdCol).cast("long").as("id")).distinct()

@@ -123,8 +123,17 @@ object Retrieval {
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Probe needs at least one query term")
     require(k > 0, "bm25Probe needs k > 0")
-    val p = postings.filter(col("t").isInCollection(queryTerms))
-    // Document frequency per query term: tiny result (≤ |queryTerms|).
+    // distinct AFTER the term filter: a double-run release job that
+    // re-appended the postings would otherwise double every df count
+    // and score every posting twice — silently wrong top-k. The
+    // distinct runs over query-term rows only (cheap), and on the live
+    // composition's already-distinct aggregate output it is a no-op
+    // semantically. A corrupted index carrying CONFLICTING tf/dl for
+    // one (t, id) is beyond repair here — that is x11/compaction
+    // territory, not scoring's.
+    val p = postings.filter(col("t").isInCollection(queryTerms)).distinct()
+    // Document frequency per query term: tiny result (≤ |queryTerms|);
+    // one row per (term, doc) after the distinct, so the row count IS df.
     val df = p.groupBy(col("t")).agg(count(lit(1)).as("df"))
 
     val scored = p

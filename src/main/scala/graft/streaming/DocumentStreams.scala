@@ -111,20 +111,25 @@ object DocumentStreams {
                    threshold: Double): Unit = {
     val persisted = batch.persist()
     try {
-      // explicit existence probe, NOT a catch on the read: a transient
-      // read failure (listing error, schema inference on a gutted dir)
-      // must FAIL the batch — swallowing it as "first batch" would
-      // silently reset the index and re-admit every past duplicate
-      val indexPath = new org.apache.hadoop.fs.Path(s"$stateDir/index")
-      val corpusPath = new org.apache.hadoop.fs.Path(s"$stateDir/corpus")
-      val fs = indexPath.getFileSystem(
-        spark.sessionState.newHadoopConf())
+      // each store is LOADED ONCE per batch (loadStore does the
+      // explicit existence probe, NOT a catch on the read — a transient
+      // read failure must FAIL the batch; swallowing it as "first
+      // batch" would silently reset the index and re-admit every past
+      // duplicate) and that one read serves every consumer: the probe,
+      // the migration guard, and the commit markers. The mergeSchema
+      // footer merge is O(store files) — paying it once per store per
+      // batch instead of once per CHECK is what keeps the per-batch
+      // fixed cost at three listings, with compactState bounding the
+      // file count each listing walks
+      val indexStore = loadStore(spark, s"$stateDir/index")
+      val corpusStore = loadStore(spark, s"$stateDir/corpus")
+      val decisionsStore = loadStore(spark, s"$stateDir/decisions")
       // migration guard: a stateDir written before the index store
       // existed has corpus/ but no index/ — treating that as "first
       // batch" would make the whole accumulated corpus invisible to
       // dedup and re-admit every past duplicate. Fail loudly; the
       // operator backfills once with Dedup.incrementalIndex(corpus)
-      if (!fs.exists(indexPath) && fs.exists(corpusPath))
+      if (indexStore.isEmpty && corpusStore.isDefined)
         throw new IllegalStateException(
           s"$stateDir has a corpus store but no index store - backfill " +
             s"it once (Dedup.incrementalIndex over $stateDir/corpus -> " +
@@ -136,63 +141,65 @@ object DocumentStreams {
       // half-committed index row). Null/absent batch_id = rows written
       // before stamping existed or by an incrementalIndex backfill —
       // always prior corpus, always probed.
-      // mergeSchema: a store written before stamping existed gains the
-      // batch_id column on its first post-upgrade append — the merged
-      // read surfaces it as null on old files instead of letting a
-      // single arbitrary footer decide the schema (compactState
-      // normalizes the layout back to uniform files)
-      val index =
-        if (!fs.exists(indexPath)) None
-        else {
-          val ix = spark.read.option("mergeSchema", "true")
-            .parquet(s"$stateDir/index")
-          Some(if (ix.columns.contains("batch_id"))
-            ix.filter(col("batch_id").isNull ||
-              col("batch_id") =!= batchId).drop("batch_id")
-          else ix)
-        }
+      val index = indexStore.map { ix =>
+        if (ix.columns.contains("batch_id"))
+          ix.filter(col("batch_id").isNull ||
+            col("batch_id") =!= batchId).drop("batch_id")
+        else ix
+      }
       val (decisions, survivors) =
         dedupeStep(index, persisted, textCol, idCol, threshold)
       // exactly-once appends: each store's rows with this batch_id are
       // its commit marker (a single parquet append publishes atomically
       // at job commit) — present means a prior attempt committed this
-      // store, so skip. The probe reads ONE pruned column with LIMIT 1.
-      def committed(store: String): Boolean =
-        committedBatch(spark, stateDir, store, batchId)
-      if (!committed("decisions"))
+      // store, so skip. Each check reads ONE pruned column with LIMIT 1
+      // off the already-loaded store.
+      if (!committedIn(decisionsStore, batchId))
         decisions.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$stateDir/decisions")
       // survivors enter the corpus AND the index; persist so the two
       // sinks don't re-run the dedup joins
       val surv = survivors.persist()
       try {
-        if (!committed("index"))
+        if (!committedIn(indexStore, batchId))
           graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$stateDir/index")
-        if (!committed("corpus"))
+        if (!committedIn(corpusStore, batchId))
           surv.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$stateDir/corpus")
       } finally { surv.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 
-  /** The per-store exactly-once commit marker shared by the ingestion
-    * sinks ([[processBatch]], [[VectorStreams.processBatch]]): a store
-    * already holds rows stamped with `batchId` iff a prior attempt of
-    * this micro-batch committed that store's append. One pruned-column
-    * read with LIMIT 1. */
-  private[streaming] def committedBatch(spark: SparkSession,
-      stateDir: String, store: String, batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/$store")
+  /** Load a state store if it exists (None otherwise) — mergeSchema so
+    * a store written before batch_id stamping existed surfaces the
+    * column as null on old files instead of letting a single arbitrary
+    * footer decide the schema (compactState normalizes the layout back
+    * to uniform files). Callers load each store ONCE per batch and
+    * reuse the read for every consumer — the footer merge is O(store
+    * files), so per-check reloads would multiply the one cost that
+    * grows between compactions. */
+  private[streaming] def loadStore(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && {
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(s"$stateDir/$store")
+    if (fs.exists(p))
+      Some(spark.read.option("mergeSchema", "true").parquet(dir))
+    else None
+  }
+
+  /** The per-store exactly-once commit marker shared by the ingestion
+    * sinks ([[processBatch]], [[VectorStreams.processBatch]]): an
+    * already-loaded store (None = absent) holds rows stamped with
+    * `batchId` iff a prior attempt of this micro-batch committed that
+    * store's append. One pruned-column scan with LIMIT 1. */
+  private[streaming] def committedIn(store: Option[DataFrame],
+      batchId: Long): Boolean =
+    store.exists { df =>
       df.columns.contains("batch_id") &&
         df.filter(col("batch_id") === batchId).limit(1).count() > 0L
     }
-  }
 
   /** Start the ingestion query over any streaming DataFrame with
     * (idCol, textCol) columns. Caller owns the query lifecycle. */

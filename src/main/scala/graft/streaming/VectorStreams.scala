@@ -36,13 +36,22 @@ import graft.ops.Similarity
  *
  * Replay contract: identical to [[DocumentStreams]] — every store is
  * stamped with `batch_id`, appends are skip-if-present
- * ([[DocumentStreams.committedBatch]]), and the probe EXCLUDES index
- * rows stamped with the current batch id, so a crashed attempt replays
- * to the same final state (exactly-once for index/decisions).
+ * ([[DocumentStreams.committedIn]] over the once-per-batch store
+ * reads), and the probe EXCLUDES index rows stamped with the current
+ * batch id, so a crashed attempt replays to the same final state
+ * (exactly-once for index/decisions).
  *
  * Maintenance: [[compactState]] — the index keeps its cid layout
  * through compaction ([[DocumentStreams.compactStore]]'s partitioned
  * form), so DPP survives the rewrite.
+ *
+ * Contract: ids must be integral (they ride the rank aggregations) and
+ * the vector column must be non-null-or-coalesced upstream, the same
+ * contract as [[DocumentStreams]]' text column — a null vector cannot
+ * be near-dup-gated or assigned, so it is recorded `is_new` in the
+ * audit log but never enters the index (the batch step is defensive
+ * about it; honoring the contract upstream is what keeps the decision
+ * log meaning what it says).
  */
 object VectorStreams {
 
@@ -119,40 +128,43 @@ object VectorStreams {
             s"centroid set (Similarity.ivfIndex or a k-means run) to " +
             s"$stateDir/cent before starting ingestion")
       val cent = spark.read.parquet(s"$stateDir/cent")
-      val indexPath = new org.apache.hadoop.fs.Path(s"$stateDir/index")
-      // replay hygiene + mergeSchema: the DocumentStreams contract
-      val index =
-        if (!fs.exists(indexPath)) None
-        else {
-          val ix = spark.read.option("mergeSchema", "true")
-            .parquet(s"$stateDir/index")
-          Some(if (ix.columns.contains("batch_id"))
-            ix.filter(col("batch_id").isNull ||
-              col("batch_id") =!= batchId).drop("batch_id")
-          else ix)
-        }
+      // each store loaded ONCE per batch and reused by the probe + the
+      // commit markers (the DocumentStreams discipline); replay hygiene
+      // identical — same-batch leftover index rows excluded
+      val indexStore = DocumentStreams.loadStore(spark, s"$stateDir/index")
+      val decisionsStore =
+        DocumentStreams.loadStore(spark, s"$stateDir/decisions")
+      val index = indexStore.map { ix =>
+        if (ix.columns.contains("batch_id"))
+          ix.filter(col("batch_id").isNull ||
+            col("batch_id") =!= batchId).drop("batch_id")
+        else ix
+      }
       val (decisions, survivors) =
         dedupeStep(index, cent, persisted, vecCol, idCol, dim,
           threshold, nprobe)
-      if (!DocumentStreams.committedBatch(spark, stateDir, "decisions",
-          batchId))
+      if (!DocumentStreams.committedIn(decisionsStore, batchId))
         decisions.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$stateDir/decisions")
-      val surv = survivors.persist()
+      val appendRows = Similarity.ivfIndexAppend(survivors, vecCol,
+          idCol, cent, "cvec", "cid")
+        .persist()
       try {
-        // an all-duplicates batch appends nothing — and must not CREATE
-        // an empty index directory (a dir holding only _SUCCESS fails
-        // schema inference on the next batch's read)
-        val hasSurvivors = surv.limit(1).count() > 0L
-        if (hasSurvivors &&
-            !DocumentStreams.committedBatch(spark, stateDir, "index",
-              batchId))
-          Similarity.ivfIndexAppend(surv, vecCol, idCol,
-              cent, "cvec", "cid")
-            .withColumn("batch_id", lit(batchId))
+        // a batch that contributes no index rows appends nothing — and
+        // must not CREATE an empty index directory (a dir holding only
+        // _SUCCESS fails schema inference on the next batch's read).
+        // Guard on the APPEND ROWS, not the survivors: a null-vector
+        // survivor (an upstream-contract violation — see the class doc)
+        // is dropped by the argmax's null filter, so an all-null first
+        // batch would otherwise write the schema-less dir and wedge
+        // every later batch
+        val hasRows = appendRows.limit(1).count() > 0L
+        if (hasRows &&
+            !DocumentStreams.committedIn(indexStore, batchId))
+          appendRows.withColumn("batch_id", lit(batchId))
             .write.mode("append").partitionBy("cid")
             .parquet(s"$stateDir/index")
-      } finally { surv.unpersist(); () }
+      } finally { appendRows.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 

@@ -966,6 +966,18 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
     assert(get(base + q.replace("vec=embedding", "vec=vec_id"))
       .statusCode === 400) // non-array vector column
+    // a dimension mismatch must be a 400, not a 200 with prefix-scored
+    // garbage rankings (the num_hashes-vs-signature class of error)
+    val q8Dir = java.nio.file.Files
+      .createTempDirectory("httpapi-ann-q8").toString
+    corpus.filter(col("vec_id") < 10)
+      .selectExpr("vec_id", "slice(embedding, 1, 8) AS embedding")
+      .write.mode("overwrite").parquet(q8Dir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.ann_q8
+      USING parquet LOCATION '$q8Dir'""")
+    val mm = get("/api/v1/catalog/tables/httpapi.ann_q8/ann-search" + q)
+    assert(mm.statusCode === 400, mm.body)
+    assert(mm.body.contains("dimension mismatch"), mm.body)
     assert(get(base + q + "&k=0").statusCode === 400)
     assert(get(base + q + "&k=abc").statusCode === 400)
     assert(get(base + q + "&nprobe=0").statusCode === 400)

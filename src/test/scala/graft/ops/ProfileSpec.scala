@@ -95,5 +95,15 @@ class ProfileSpec extends SparkSuite {
       "doc_id", index, "cid").collect()(0)
     assert((empty.getLong(0), empty.getLong(4), empty.getLong(5)) ===
       ((0L, 3L, 1000000L)))
+    // non-integral ids would cast to null and report a fresh index as
+    // fully stale — rejected up front (the rankTopK contract)
+    intercept[IllegalArgumentException] {
+      Profile.indexAudit(Seq("a", "b").toDF("doc_id"), "doc_id",
+        index, "cid")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.indexAudit(corpus, "doc_id",
+        Seq("x").toDF("cid"), "cid")
+    }
   }
 }

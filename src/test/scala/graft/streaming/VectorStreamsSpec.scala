@@ -98,6 +98,26 @@ class VectorStreamsSpec extends SparkSuite {
     assert(counts() === ((3L, 5L)))
   }
 
+  test("a first batch of null vectors never creates an unreadable " +
+      "index dir (the guard tests the append rows, not the survivors)") {
+    val dir = Files.createTempDirectory("vecstream-null").toString
+    writeCentroids(dir)
+    // contract violation upstream: a null vector is recorded is_new but
+    // cannot be assigned — the batch must not write a schema-less index
+    // dir that wedges every later read
+    VectorStreams.processBatch(spark,
+      Seq((1L, null: Array[Float])).toDF("vec_id", "embedding"),
+      0L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    assert(!new java.io.File(s"$dir/index").exists())
+    assert(spark.read.parquet(s"$dir/decisions").count() === 1L)
+    // ingestion proceeds normally afterwards
+    VectorStreams.processBatch(spark,
+      Seq((2L, vA)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    assert(spark.read.parquet(s"$dir/index").select("id").as[Long]
+      .collect() === Array(2L))
+  }
+
   test("compactState: the index keeps its cid partitioning through " +
       "compaction; probe decisions identical pre/post") {
     val dir = Files.createTempDirectory("vecstream-compact").toString
