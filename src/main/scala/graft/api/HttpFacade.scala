@@ -168,6 +168,8 @@ final class HttpFacade(
           annSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "bm25-search")) =>
           bm25SearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "index-audit")) =>
+          indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -1559,6 +1561,83 @@ final class HttpFacade(
           "id" -> String.valueOf(r.get(0)),
           "n_terms_hit" -> r.getLong(1),
           "score_scaled" -> r.getLong(2))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Stored-index freshness audit over any catalog table
+    * (`?index=<ns.table>&id=<col>&index_id=<col>`): the x11 health
+    * check served next to the probe routes it guards — `{tablePath}` is
+    * the corpus, `index` any stored index table (dedup index, IVF
+    * assignments, BM25 postings), and the response is
+    * graft.ops.Profile.indexAudit's one-row verdict (n_corpus /
+    * n_indexed / n_covered / n_unindexed / n_orphaned / fresh_ppm —
+    * unindexed docs mean append lag → backfill; orphaned index rows
+    * mean delete lag → compact). Both id columns must be integral (the
+    * audit's contract — non-numeric ids would cast to null and report
+    * a fresh index as fully stale; a 400 here, not a 500). Read-only,
+    * one pruned id column per side, outside the op lock. */
+  private def indexAuditRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      val indexIdCol = qp.get("index_id").filter(_.nonEmpty)
+      if (indexPath.isEmpty || idCol.isEmpty || indexIdCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index, id and index_id parameters are required")); return
+      }
+      val index = loadStored(ex, indexPath.get, "index",
+        Seq(indexIdCol.get)) match {
+        case None => return
+        case Some(t) => t
+      }
+      if (!df.columns.contains(idCol.get)) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${idCol.get}")); return
+      }
+      def integral(t: org.apache.spark.sql.DataFrame, c: String): Boolean =
+        t.schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+      if (!integral(df, idCol.get)) {
+        sendJson(ex, 400,
+          detail(s"Id column ${idCol.get} is not an integral column"))
+        return
+      }
+      if (!integral(index, indexIdCol.get)) {
+        sendJson(ex, 400, detail(
+          s"Index id column ${indexIdCol.get} is not an integral column"))
+        return
+      }
+      val r = graft.ops.Profile.indexAudit(df, idCol.get,
+        index, indexIdCol.get).collect()(0)
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "id" -> idCol.get,
+        "index_id" -> indexIdCol.get,
+        "n_corpus" -> r.getLong(0),
+        "n_indexed" -> r.getLong(1),
+        "n_covered" -> r.getLong(2),
+        "n_unindexed" -> r.getLong(3),
+        "n_orphaned" -> r.getLong(4),
+        "fresh_ppm" -> r.getLong(5)))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -1067,6 +1067,63 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("index-audit route: one-row freshness verdict over a stored index") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    // a drifted index: built from [30, 490) while the corpus is < 480
+    val all = spark.table("httpapi.documents")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("httpapi-audit-idx").toString
+    graft.ops.Dedup.incrementalIndex(
+        all.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(idxDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.audit_index
+      USING parquet LOCATION '$idxDir'""")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("httpapi-audit-corpus").toString
+    all.filter(col("doc_id") < 480)
+      .write.mode("overwrite").parquet(corpusDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.audit_corpus
+      USING parquet LOCATION '$corpusDir'""")
+    val base = "/api/v1/catalog/tables/httpapi.audit_corpus/index-audit"
+    val q = "?index=httpapi.audit_index&id=doc_id&index_id=cid"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // reconcile field-for-field against the direct operator
+    val expected = graft.ops.Profile.indexAudit(
+      spark.table("httpapi.audit_corpus"), "doc_id",
+      spark.table("httpapi.audit_index"), "cid").collect()(0)
+    for ((f, i) <- Seq("n_corpus", "n_indexed", "n_covered",
+        "n_unindexed", "n_orphaned", "fresh_ppm").zipWithIndex)
+      assert(lg(m.body, f) === expected.getLong(i), s"$f in ${m.body}")
+    assert(lg(m.body, "n_unindexed") === 30L, m.body)
+    assert(lg(m.body, "n_orphaned") === 10L, m.body)
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?index=httpapi.audit_index&id=doc_id")
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.audit_index", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.audit_index", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("index_id=cid", "index_id=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("id=doc_id&", "id=text&"))
+      .statusCode === 400) // non-integral corpus id
+    assert(get(base + q.replace("index_id=cid", "index_id=dig"))
+      .statusCode === 400) // non-integral index id
+    assert(get("/api/v1/catalog/tables/httpapi.nope/index-audit" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/index-audit" + q)
+      .statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)
