@@ -576,16 +576,66 @@ object TextAnalysis {
                     probes: DataFrame, probeTextCol: String,
                     probeIdCol: String,
                     k: Int = 8, window: Int = 4, minShared: Int = 2,
-                    hashMode: String = "xx"): DataFrame = {
-    def inverted(df: DataFrame, t: String, i: String, as: String) =
-      fingerprints(df, t, i, k, window, hashMode)
-        .select(col("id").as(as), explode(col("fps")).as("fp"))
-    inverted(docs, textCol, idCol, "id")
-      .join(inverted(probes, probeTextCol, probeIdCol, "probe_id"), "fp")
-      .filter(col("id") =!= col("probe_id"))
-      .groupBy(col("id"), col("probe_id"))
+                    hashMode: String = "xx"): DataFrame =
+    // the live composition IS the probe over the live index (the
+    // d02/d07/t28 one-construction device): t29's stored-path hash gate
+    // certifies this operator's overlap arithmetic by identity
+    contaminationProbe(
+      contaminationIndex(docs, textCol, idCol, k, window, hashMode),
+      probes, probeTextCol, probeIdCol, k, window, minShared, hashMode)
+
+  /**
+   * Materializable contamination-side state — the inverted fingerprint
+   * table a release job writes ONCE per corpus and every new benchmark
+   * candidate probes (the d18/e21/t28 compute-once/store/probe pattern
+   * for the contamination family): one (cid, fp, fpb) row per (doc,
+   * distinct winnowing fingerprint), `fpb` = pmod(fp, buckets) — the
+   * partition column. Persist PARTITIONED BY fpb: a probe joins on
+   * (fpb, fp) against the (broadcast) probe-side fingerprints, so the
+   * scan carries a dynamic-partition-pruning subquery and an eval-set
+   * check reads the probe's BUCKETS' files, not the corpus's inverted
+   * table (with a realistic small probe the bucket set is sparse; at
+   * fixture scale every bucket matches and DPP just proves the plumbing).
+   * `buckets` trades pruning granularity against directory count —
+   * production corpora want more.
+   */
+  def contaminationIndex(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, window: Int = 4,
+                         hashMode: String = "xx",
+                         buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"contaminationIndex needs buckets >= 1")
+    fingerprints(docs, textCol, idCol, k, window, hashMode)
+      .select(col("id").as("cid"), explode(col("fps")).as("fp"))
+      .withColumn("fpb", pmod(col("fp"), lit(buckets)).cast("int"))
+  }
+
+  /**
+   * Probe a stored [[contaminationIndex]] with a candidate document set:
+   * which corpus docs share >= `minShared` fingerprints with each
+   * probe doc — [[contamination]]'s output over the stored inverted
+   * rows, without re-fingerprinting the corpus. `k`/`window`/
+   * `hashMode`/`buckets` must match the index's build parameters (the
+   * probe side is fingerprinted here; the corpus side is read as-is).
+   * The probe side broadcasts (an eval set is small by definition) and
+   * the join carries the `fpb` partition key, so the stored scan is
+   * dynamically partition-pruned to the probe's buckets.
+   */
+  def contaminationProbe(index: DataFrame,
+                         probes: DataFrame, probeTextCol: String,
+                         probeIdCol: String,
+                         k: Int = 8, window: Int = 4, minShared: Int = 2,
+                         hashMode: String = "xx",
+                         buckets: Int = 64): DataFrame = {
+    val p = fingerprints(probes, probeTextCol, probeIdCol, k, window,
+        hashMode)
+      .select(col("id").as("probe_id"), explode(col("fps")).as("fp"))
+      .withColumn("fpb", pmod(col("fp"), lit(buckets)).cast("int"))
+    index.join(broadcast(p), Seq("fpb", "fp"))
+      .filter(col("cid") =!= col("probe_id"))
+      .groupBy(col("cid"), col("probe_id"))
       .agg(count(lit(1)).cast("int").as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("cid").as("id"), col("probe_id"), col("n_shared"))
       .orderBy(col("id"), col("probe_id"))
   }
 

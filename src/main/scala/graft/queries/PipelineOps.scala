@@ -114,6 +114,27 @@ object PipelineOps {
                 CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
          FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
 
+  /** Winnowing-contamination oracle shared by t08 (live plan) and t29
+    * (stored inverted fingerprint table): the same winnowing CTEs as
+    * t04, self-joined through the inverted (fingerprint, id) index
+    * against the probe subset — blind to how the inverted rows are
+    * bucketed or stored. */
+  private val contaminationOracle: String =
+    """WITH nrm AS (SELECT doc_id AS id,
+           lower(regexp_replace(text, '[ \t\r\n\x0B\f]+', ' ', 'g')) AS t
+           FROM documents),
+         g AS (SELECT id, t, CAST(greatest(length(t) - 7, 1) AS INT) AS n FROM nrm),
+         h AS (SELECT id, [('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+             FOR i IN range(1, n + 1)] AS hs FROM g),
+         f AS (SELECT id, list_distinct([list_min(hs[j:j+3])
+             FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps FROM h),
+         inv AS (SELECT id, unnest(fps) AS fp FROM f),
+         pairs AS (SELECT a.id, b.id AS probe_id, count(*) AS n_shared
+           FROM inv a JOIN inv b ON a.fp = b.fp AND b.id < 20 AND a.id <> b.id
+           GROUP BY a.id, b.id)
+         SELECT id, probe_id, CAST(n_shared AS INT) AS n_shared
+         FROM pairs WHERE n_shared >= 2 ORDER BY id, probe_id"""
+
   /** Integer-BM25 oracle shared by t20 (live plan) and t28 (stored
     * postings index): tokenize, per-doc lengths + corpus stats, df/tf
     * over the fixed query bag, the log-free rational-idf scoring, top-10
@@ -699,6 +720,27 @@ object PipelineOps {
         hashMode = "md5")
     },
 
+    "t29_indexed_contamination" -> { (s, d) =>
+      // the contamination serving shape: the corpus's inverted winnowing
+      // fingerprints are built ONCE, persisted PARTITIONED BY the
+      // fpb = pmod(fp, 64) bucket, and every new benchmark candidate
+      // probes the STORED table — the corpus text is never
+      // re-fingerprinted at probe time, and the (fpb, fp) join carries a
+      // dynamic-partition-pruning subquery (PlanSpec-pinned), so a small
+      // probe reads its buckets' files. Same geometry as t08; the oracle
+      // is t08's index-blind SQL, so a hash match proves the storage
+      // round trip moves no overlap verdict
+      val all = docs(s, d)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_t29_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      TextAnalysis.contaminationIndex(all, "text", "doc_id",
+          hashMode = "md5")
+        .write.mode("overwrite").partitionBy("fpb").parquet(idxPath)
+      TextAnalysis.contaminationProbe(s.read.parquet(idxPath),
+        all.filter(col("doc_id") < 20), "text", "doc_id",
+        hashMode = "md5")
+    },
     "t14_bigram_lm" -> { (s, d) =>
       // corpus-estimated bigram LM fluency score, exact integers (the
       // deterministic stand-in for a KenLM-style perplexity filter)
@@ -2993,21 +3035,12 @@ object PipelineOps {
          FROM f ORDER BY id""",
     // same winnowing CTEs as t04, self-joined through the inverted
     // (fingerprint, id) index against the probe subset
-    "t08_contamination" ->
-      """WITH nrm AS (SELECT doc_id AS id,
-           lower(regexp_replace(text, '[ \t\r\n\x0B\f]+', ' ', 'g')) AS t
-           FROM documents),
-         g AS (SELECT id, t, CAST(greatest(length(t) - 7, 1) AS INT) AS n FROM nrm),
-         h AS (SELECT id, [('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
-             FOR i IN range(1, n + 1)] AS hs FROM g),
-         f AS (SELECT id, list_distinct([list_min(hs[j:j+3])
-             FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps FROM h),
-         inv AS (SELECT id, unnest(fps) AS fp FROM f),
-         pairs AS (SELECT a.id, b.id AS probe_id, count(*) AS n_shared
-           FROM inv a JOIN inv b ON a.fp = b.fp AND b.id < 20 AND a.id <> b.id
-           GROUP BY a.id, b.id)
-         SELECT id, probe_id, CAST(n_shared AS INT) AS n_shared
-         FROM pairs WHERE n_shared >= 2 ORDER BY id, probe_id""",
+    "t08_contamination" -> contaminationOracle,
+    // t29 = t08 through a STORED, fpb-bucket-partitioned inverted
+    // fingerprint table: identical index-blind SQL, so the hash gate
+    // certifies the storage round trip (fingerprints, bucket column,
+    // DPP-pruned probe) moves no overlap verdict
+    "t29_indexed_contamination" -> contaminationOracle,
     // hard negatives: e01's brute force with the same-label pairs
     // excluded in the join
     "e08_hard_negatives" ->

@@ -200,6 +200,14 @@ object PlanDump {
         "aggregates with map-side partials, one full-outer join of " +
         "8-byte id rows, a 1-row verdict. The cheapest possible " +
         "statement about a 100 TB index's health."),
+    "t29_indexed_contamination" ->
+      ("t08 through the STORED inverted fingerprint table, PARTITIONED " +
+        "BY fpb = pmod(fp, 64): the probe side (an eval set — small by " +
+        "definition) broadcasts its fingerprints, the (fpb, fp) join " +
+        "carries a dynamicpruningexpression on the stored scan " +
+        "(PlanSpec-pinned), and the corpus text is never " +
+        "re-fingerprinted at probe time — the contamination family's " +
+        "compute-once/store/probe completion."),
     "t28_indexed_bm25" ->
       ("t20 through the STORED postings table: (t, id, tf, dl) rows — " +
         "doc length denormalized onto every posting, the Lucene norms " +

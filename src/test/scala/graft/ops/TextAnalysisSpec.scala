@@ -147,6 +147,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.exists(p => p._1 == p._2))    // no self-pairs
   }
 
+  test("contamination stored fingerprint index: the bucket-partitioned " +
+      "parquet round trip returns the live operator's exact verdicts") {
+    val corpus = graft.tables.Tables(spark, sf, "documents")
+    val probes = corpus.filter(col("doc_id") < 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t29-idx").toString
+    TextAnalysis.contaminationIndex(corpus, "text", "doc_id")
+      .write.mode("overwrite").partitionBy("fpb").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    // the bucket column survives the directory round trip as the
+    // partition column, and the inverted rows are bucket-consistent
+    assert(stored.filter(pmod(col("fp"), lit(64)).cast("int") =!=
+      col("fpb")).count() === 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val probed = rows(TextAnalysis.contaminationProbe(stored,
+      probes, "text", "doc_id"))
+    val live = rows(TextAnalysis.contamination(corpus, "text", "doc_id",
+      probes, "text", "doc_id"))
+    assert(probed === live)
+    assert(probed.nonEmpty)
+  }
+
   test("tokenRarity: exact corpus-frequency signals per doc") {
     val df = Seq(
       (1L, "the the cat"),        // corpus freqs: the=3, cat=2

@@ -597,6 +597,31 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("t29: the stored fingerprint index is bucket-partition-pruned — " +
+      "a probe reads its buckets' files and never re-fingerprints the " +
+      "corpus") {
+    val plan = pipelinePlan("t29_indexed_contamination")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val idxScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_t29_index_")).toSeq
+    assert(idxScans.nonEmpty, plan)
+    // the fpb join key is a partition column and the probe side
+    // broadcasts, so the stored scan carries a DPP subquery — with a
+    // realistic small probe the bucket set is sparse and the read
+    // touches those buckets' files only
+    assert(idxScans.forall(_.contains("dynamicpruningexpression")),
+      idxScans.mkString("\n"))
+    // the corpus text feeds only the index BUILD (before this plan
+    // exists): the probe plan's documents scan is the 20-doc probe
+    // side, filter pushed
+    val docScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("documents")).toSeq
+    assert(docScans.forall(_.contains("LessThan(doc_id,20)")),
+      docScans.mkString("\n"))
+  }
+
   test("e22: the APPENDED stored index keeps dynamic partition pruning — " +
       "maintenance never degrades the serving read") {
     val plan = pipelinePlan("e22_ivf_append")
