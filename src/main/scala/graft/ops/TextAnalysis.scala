@@ -614,11 +614,14 @@ object TextAnalysis {
    * which corpus docs share >= `minShared` fingerprints with each
    * probe doc — [[contamination]]'s output over the stored inverted
    * rows, without re-fingerprinting the corpus. `k`/`window`/
-   * `hashMode`/`buckets` must match the index's build parameters (the
-   * probe side is fingerprinted here; the corpus side is read as-is).
-   * The probe side broadcasts (an eval set is small by definition) and
-   * the join carries the `fpb` partition key, so the stored scan is
-   * dynamically partition-pruned to the probe's buckets.
+   * `hashMode` must match the index's build parameters (the probe side
+   * is fingerprinted here; the corpus side is read as-is); `buckets` is
+   * VALIDATED against a bounded sample of the stored rows, because a
+   * mismatched modulus silently drops join matches — false negatives in
+   * a safety check. A typically-small probe side is broadcast by AQE
+   * (which also arms the stored scan's dynamic partition pruning to the
+   * probe's buckets); a corpus-sized probe set degrades to a shuffle
+   * join instead of failing on the broadcast size limit.
    */
   def contaminationProbe(index: DataFrame,
                          probes: DataFrame, probeTextCol: String,
@@ -626,11 +629,32 @@ object TextAnalysis {
                          k: Int = 8, window: Int = 4, minShared: Int = 2,
                          hashMode: String = "xx",
                          buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "contaminationProbe needs buckets >= 1" +
+      " (pmod(fp, 0) is null and would silently match nothing)")
+    // a `buckets` that differs from the index's build value would make
+    // the (fpb, fp) join drop every row where the two moduli disagree —
+    // silent FALSE NEGATIVES in a decontamination safety check. The
+    // stored rows carry enough to verify: every (fp, fpb) must satisfy
+    // fpb = pmod(fp, buckets). A bounded 100-row SAMPLE (not a full
+    // scan — the clean case must stay cheap) makes a wrong modulus
+    // essentially impossible to miss: each sampled row disagrees with
+    // probability >= 1/2 for any wrong buckets value
+    val sample = index.select(col("fp"), col("fpb").cast("int"))
+      .limit(100).collect()
+    require(sample.forall { r =>
+      val m = r.getLong(0) % buckets
+      r.getInt(1) == (if (m < 0) m + buckets else m)
+    }, s"stored index buckets do not match buckets=$buckets — probe " +
+      "with the index's build value")
     val p = fingerprints(probes, probeTextCol, probeIdCol, k, window,
         hashMode)
       .select(col("id").as("probe_id"), explode(col("fps")).as("fp"))
       .withColumn("fpb", pmod(col("fp"), lit(buckets)).cast("int"))
-    index.join(broadcast(p), Seq("fpb", "fp"))
+    // no forced broadcast: an eval-set probe is small and AQE broadcasts
+    // it (which is also what arms the scan's DPP subquery); a
+    // corpus-sized probe set — the API permits one — falls back to a
+    // shuffle join instead of failing on the 8 GB broadcast limit
+    index.join(p, Seq("fpb", "fp"))
       .filter(col("cid") =!= col("probe_id"))
       .groupBy(col("cid"), col("probe_id"))
       .agg(count(lit(1)).cast("int").as("n_shared"))

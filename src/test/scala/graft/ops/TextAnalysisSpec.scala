@@ -168,6 +168,18 @@ class TextAnalysisSpec extends SparkSuite {
       probes, "text", "doc_id"))
     assert(probed === live)
     assert(probed.nonEmpty)
+    // a buckets value that differs from the index's build modulus would
+    // silently drop join matches (false negatives in a safety check) —
+    // rejected against a bounded sample of the stored rows
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationProbe(stored, probes, "text", "doc_id",
+        buckets = 128)
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationProbe(stored, probes, "text", "doc_id",
+        buckets = 0)
+    }
   }
 
   test("tokenRarity: exact corpus-frequency signals per doc") {
