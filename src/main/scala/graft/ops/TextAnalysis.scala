@@ -579,10 +579,14 @@ object TextAnalysis {
                     hashMode: String = "xx"): DataFrame =
     // the live composition IS the probe over the live index (the
     // d02/d07/t28 one-construction device): t29's stored-path hash gate
-    // certifies this operator's overlap arithmetic by identity
-    contaminationProbe(
+    // certifies this operator's overlap arithmetic by identity. The
+    // probe CORE, not the validated wrapper: the index is built right
+    // here with the same modulus, so the stored-path bucket check would
+    // only add a driver job re-evaluating the live fingerprint plan
+    probeCore(
       contaminationIndex(docs, textCol, idCol, k, window, hashMode),
-      probes, probeTextCol, probeIdCol, k, window, minShared, hashMode)
+      probes, probeTextCol, probeIdCol, k, window, minShared, hashMode,
+      buckets = 64, broadcastProbe = true)
 
   /**
    * Materializable contamination-side state — the inverted fingerprint
@@ -618,17 +622,22 @@ object TextAnalysis {
    * is fingerprinted here; the corpus side is read as-is); `buckets` is
    * VALIDATED against a bounded sample of the stored rows, because a
    * mismatched modulus silently drops join matches — false negatives in
-   * a safety check. A typically-small probe side is broadcast by AQE
-   * (which also arms the stored scan's dynamic partition pruning to the
-   * probe's buckets); a corpus-sized probe set degrades to a shuffle
-   * join instead of failing on the broadcast size limit.
+   * a safety check. `broadcastProbe` (default true — an eval set is
+   * small by definition) pins the probe side as the broadcast build,
+   * which is what keeps the corpus side off any shuffle ENTIRELY (an
+   * AQE runtime conversion would still materialize the corpus side's
+   * shuffle map stage first — measured 2× on the live path) and what
+   * arms the stored scan's dynamic partition pruning; pass false for a
+   * corpus-sized probe set (the API permits one), trading a shuffle
+   * join for the 8 GB broadcast limit.
    */
   def contaminationProbe(index: DataFrame,
                          probes: DataFrame, probeTextCol: String,
                          probeIdCol: String,
                          k: Int = 8, window: Int = 4, minShared: Int = 2,
                          hashMode: String = "xx",
-                         buckets: Int = 64): DataFrame = {
+                         buckets: Int = 64,
+                         broadcastProbe: Boolean = true): DataFrame = {
     require(buckets >= 1, "contaminationProbe needs buckets >= 1" +
       " (pmod(fp, 0) is null and would silently match nothing)")
     // a `buckets` that differs from the index's build value would make
@@ -646,14 +655,24 @@ object TextAnalysis {
       r.getInt(1) == (if (m < 0) m + buckets else m)
     }, s"stored index buckets do not match buckets=$buckets — probe " +
       "with the index's build value")
-    val p = fingerprints(probes, probeTextCol, probeIdCol, k, window,
+    probeCore(index, probes, probeTextCol, probeIdCol, k, window,
+      minShared, hashMode, buckets, broadcastProbe)
+  }
+
+  /** The probe dataflow shared by [[contamination]] (live index — the
+    * bucket check is vacuous by construction) and [[contaminationProbe]]
+    * (stored index — bucket-validated wrapper above). */
+  private def probeCore(index: DataFrame,
+                        probes: DataFrame, probeTextCol: String,
+                        probeIdCol: String,
+                        k: Int, window: Int, minShared: Int,
+                        hashMode: String, buckets: Int,
+                        broadcastProbe: Boolean): DataFrame = {
+    val p0 = fingerprints(probes, probeTextCol, probeIdCol, k, window,
         hashMode)
       .select(col("id").as("probe_id"), explode(col("fps")).as("fp"))
       .withColumn("fpb", pmod(col("fp"), lit(buckets)).cast("int"))
-    // no forced broadcast: an eval-set probe is small and AQE broadcasts
-    // it (which is also what arms the scan's DPP subquery); a
-    // corpus-sized probe set — the API permits one — falls back to a
-    // shuffle join instead of failing on the 8 GB broadcast limit
+    val p = if (broadcastProbe) broadcast(p0) else p0
     index.join(p, Seq("fpb", "fp"))
       .filter(col("cid") =!= col("probe_id"))
       .groupBy(col("cid"), col("probe_id"))
