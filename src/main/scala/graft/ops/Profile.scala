@@ -157,21 +157,7 @@ object Profile {
    */
   def indexAudit(corpus: DataFrame, idCol: String,
                  index: DataFrame, indexIdCol: String): DataFrame = {
-    // same contract as rankTopK/rrfFusion: a non-integral id would cast
-    // to null, both sides would collapse to one never-matching null
-    // row, and the audit would report a fully-stale index for a
-    // perfectly fresh one — reject up front instead
-    locally {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      for ((df, c, side) <- Seq((corpus, idCol, "corpus"),
-                                (index, indexIdCol, "index"))) {
-        val dt = df.schema(c).dataType
-        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-          s"indexAudit id columns must be integral, got $dt on the " +
-            s"$side side — non-numeric ids would cast to null and " +
-            "report a fresh index as fully stale")
-      }
-    }
+    requireIntegralIds(corpus, idCol, index, indexIdCol, "indexAudit")
     val c = corpus.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("__in_c", lit(1))
     val i = index.select(col(indexIdCol).cast("long").as("id")).distinct()
@@ -189,5 +175,71 @@ object Profile {
         col("n_unindexed"), col("n_orphaned"),
         expr("CASE WHEN n_corpus = 0 THEN 1000000L " +
           "ELSE n_covered * 1000000L DIV n_corpus END").as("fresh_ppm"))
+  }
+
+  /**
+   * Act on an [[indexAudit]]'s two signals — the repair op that closes
+   * the audit loop (x12): given the corpus, a stale stored index, and
+   * the index family's own row builder (`buildRows`: docs → index rows,
+   * e.g. [[graft.ops.Dedup.incrementalIndex]],
+   * [[graft.ops.Retrieval.bm25IndexAppend]]'s postings half,
+   * [[graft.ops.TextAnalysis.contaminationIndexAppend]], or a
+   * fixed-centroid [[graft.ops.Similarity.ivfIndexAppend]] closure),
+   * return the REPAIRED index rows: orphaned rows dropped (index rows
+   * whose corpus doc is gone — the delete-lag remedy) and unindexed
+   * corpus docs backfilled through `buildRows` (the append-lag remedy).
+   * The caller writes the result over the stored index with the
+   * family's layout (the [[graft.streaming.DocumentStreams
+   * .compactStore]] swap protocol is the safe overwrite).
+   *
+   * Contract (spec-pinned): because every supported family's index rows
+   * are per-document facts built by a deterministic rule, repair(stale
+   * index) row-set-equals the index REBUILT from scratch over the
+   * corpus — but computed by touching only |unindexed| docs' text plus
+   * one pruned id column per side, never re-deriving the covered rows.
+   * After repair, `indexAudit(corpus, repaired)` reads
+   * n_unindexed = n_orphaned = 0 and fresh_ppm = 1e6. A `batch_id`
+   * column on the stored rows (the streaming stores') survives on kept
+   * rows and reads null on backfill rows (`allowMissingColumns` — the
+   * pre-stamping convention).
+   *
+   * Scale: the orphan drop is a semi-join whose corpus side reads ONE
+   * pruned id column, and the backfill anti-join prunes the INDEX side
+   * to its id column the same way (both PlanSpec-pinned); the corpus's
+   * payload columns ride the anti-join once, but the expensive work —
+   * `buildRows`' artifact derivation (fingerprints, signatures,
+   * postings) — runs over the |unindexed| surviving rows only. Nothing
+   * here derives artifacts corpus-wide unless the audit says most of
+   * the corpus is unindexed — at which point the repair IS the rebuild,
+   * as it should be.
+   */
+  def indexRepair(corpus: DataFrame, idCol: String,
+                  index: DataFrame, indexIdCol: String,
+                  buildRows: DataFrame => DataFrame): DataFrame = {
+    requireIntegralIds(corpus, idCol, index, indexIdCol, "indexRepair")
+    val corpusIds = corpus.select(col(idCol))
+    val kept = index.join(corpusIds.withColumnRenamed(idCol, indexIdCol),
+      Seq(indexIdCol), "left_semi")
+    val unindexed = corpus.join(
+      index.select(col(indexIdCol).as(idCol)), Seq(idCol), "left_anti")
+    kept.unionByName(buildRows(unindexed), allowMissingColumns = true)
+  }
+
+  /** The integral-id gate shared by [[indexAudit]] and [[indexRepair]]
+    * (the rankTopK/rrfFusion contract): a non-integral id would cast to
+    * null, both sides would collapse to one never-matching null row,
+    * and the audit would report a fully-stale index for a perfectly
+    * fresh one — reject up front instead. */
+  private def requireIntegralIds(corpus: DataFrame, idCol: String,
+      index: DataFrame, indexIdCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for ((df, c, side) <- Seq((corpus, idCol, "corpus"),
+                              (index, indexIdCol, "index"))) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$op id columns must be integral, got $dt on the " +
+          s"$side side — non-numeric ids would cast to null and " +
+          "report a fresh index as fully stale")
+    }
   }
 }

@@ -107,6 +107,57 @@ object Retrieval {
   }
 
   /**
+   * Incremental maintenance for a stored [[bm25Index]] — the append path
+   * that keeps the t28 lexical serving index fresh between releases (the
+   * [[Similarity.ivfIndexAppend]] contract for the postings family): a
+   * new corpus batch emits its (t, id, tf, dl) posting rows — computed
+   * from the BATCH text only, the released corpus is never re-tokenized —
+   * ready to `write.mode("append")` into the released layout, plus the
+   * REWRITTEN 1-row stats table.
+   *
+   * The stats decision (the one real design choice an append path must
+   * make — both BM25 globals go stale the moment a doc arrives):
+   * (n_docs, total_tokens) are ADDITIVE, so the new row is derived as
+   * released ⊕ delta without any corpus re-scan, and the caller
+   * OVERWRITES the stats table with it — a 1-row rewrite whose job
+   * commit is the natural atomic commit point. The alternative (an
+   * append-only ledger of per-batch delta rows, folded at probe time)
+   * was rejected: it would change [[bm25Probe]]'s broadcast-one-row
+   * contract for every caller to save rewriting 16 bytes. Order the two
+   * writes postings-first: a crash between them leaves scores computed
+   * under slightly-stale globals (rankings shift marginally), never a
+   * df > n_docs inconsistency — df comes from the posting rows
+   * themselves, so it moves WITH the postings append.
+   *
+   * Equivalence contract (spec-pinned, t30 hash gate): posting rows are
+   * per-document facts (tf and dl depend only on that doc's text), so
+   * append(postings, delta) ∪-equals the postings rebuilt from scratch
+   * over corpus ∪ delta, and the derived stats row equals the rebuild's
+   * — a probe over the appended index returns exactly what the rebuild
+   * would. Caller contract: delta ids must be NEW (the d07/e22
+   * convention; [[graft.ops.Profile.indexAudit]] is the drift check) —
+   * a re-ingested id would double its df weight at probe time.
+   *
+   * Scale: delta-sized throughout — the token explode and (t, id) count
+   * run over the batch only; the stats update reads one stored row and
+   * one delta-sized aggregate. The append lands unsorted files next to
+   * the release's term-range-clustered ones, so In(t) row-group pruning
+   * on the delta files degrades toward file-level min/max until the next
+   * [[graft.streaming.DocumentStreams.compactStore]] restores the
+   * clustering — the probe stays CORRECT either way (the predicate
+   * simply prunes less), the standard LSM-style append/compact split.
+   */
+  def bm25IndexAppend(newDocs: DataFrame, textCol: String, idCol: String,
+                      stats: DataFrame): (DataFrame, DataFrame) = {
+    val (deltaPostings, deltaStats) = bm25Index(newDocs, textCol, idCol)
+    val newStats = stats.select(col("n_docs"), col("total_tokens"))
+      .unionAll(deltaStats)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
+    (deltaPostings, newStats)
+  }
+
+  /**
    * Probe a stored [[bm25Index]]: BM25 top-k over the postings table
    * without touching corpus text. The term filter is an `In` predicate
    * that reaches the parquet scan (PlanSpec-pinned on the t28 entry) —

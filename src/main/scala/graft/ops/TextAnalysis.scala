@@ -640,14 +640,23 @@ object TextAnalysis {
                          broadcastProbe: Boolean = true): DataFrame = {
     require(buckets >= 1, "contaminationProbe needs buckets >= 1" +
       " (pmod(fp, 0) is null and would silently match nothing)")
-    // a `buckets` that differs from the index's build value would make
-    // the (fpb, fp) join drop every row where the two moduli disagree —
-    // silent FALSE NEGATIVES in a decontamination safety check. The
-    // stored rows carry enough to verify: every (fp, fpb) must satisfy
-    // fpb = pmod(fp, buckets). A bounded 100-row SAMPLE (not a full
-    // scan — the clean case must stay cheap) makes a wrong modulus
-    // essentially impossible to miss: each sampled row disagrees with
-    // probability >= 1/2 for any wrong buckets value
+    validateBuckets(index, buckets)
+    probeCore(index, probes, probeTextCol, probeIdCol, k, window,
+      minShared, hashMode, buckets, broadcastProbe)
+  }
+
+  /** A `buckets` that differs from the index's build value would make
+    * the (fpb, fp) join drop every row where the two moduli disagree —
+    * silent FALSE NEGATIVES in a decontamination safety check (and, on
+    * the append path, PERMANENTLY misplaced rows). The stored rows carry
+    * enough to verify: every (fp, fpb) must satisfy fpb = pmod(fp,
+    * buckets). A bounded 100-row SAMPLE (not a full scan — the clean
+    * case must stay cheap) makes a wrong modulus essentially impossible
+    * to miss: each sampled row disagrees with probability >= 1/2 for any
+    * wrong buckets value. Shared by the STORED-index entry points
+    * ([[contaminationProbe]], [[contaminationIndexAppend]]); the live
+    * composition ([[contamination]]) skips it by construction. */
+  private def validateBuckets(index: DataFrame, buckets: Int): Unit = {
     val sample = index.select(col("fp"), col("fpb").cast("int"))
       .limit(100).collect()
     require(sample.forall { r =>
@@ -655,8 +664,50 @@ object TextAnalysis {
       r.getInt(1) == (if (m < 0) m + buckets else m)
     }, s"stored index buckets do not match buckets=$buckets — probe " +
       "with the index's build value")
-    probeCore(index, probes, probeTextCol, probeIdCol, k, window,
-      minShared, hashMode, buckets, broadcastProbe)
+  }
+
+  /**
+   * Incremental maintenance for a stored [[contaminationIndex]] — the
+   * append path that keeps the t29 contamination index fresh between
+   * releases (the [[graft.ops.Similarity.ivfIndexAppend]] contract for
+   * the fingerprint family): a new corpus batch emits its inverted
+   * (cid, fp, fpb) rows — fingerprinted from the BATCH text only, the
+   * released corpus is never re-fingerprinted — schema-identical to the
+   * released layout and ready to `write.mode("append")
+   * .partitionBy("fpb")` into it. Only the touched buckets' partitions
+   * gain files; nothing shipped is rewritten, and a probe's dynamic
+   * partition pruning keeps working unchanged over the appended layout.
+   *
+   * `k`/`window`/`hashMode`/`buckets` must match the index's build
+   * parameters; `buckets` is VALIDATED against a bounded sample of the
+   * stored rows (the [[contaminationProbe]] check) because a mismatched
+   * modulus here is worse than a probe-side one — it would scatter the
+   * delta's fingerprints into the WRONG partitions permanently, turning
+   * every later DPP-pruned probe into silent false negatives on exactly
+   * the newest data. The hash parameters (`k`/`window`/`hashMode`) are
+   * not recoverable from the stored rows — they are the release's
+   * metadata contract, same as the probe's.
+   *
+   * Equivalence contract (spec-pinned, t31 hash gate): fingerprint rows
+   * are per-document facts, so append(index, delta) ∪-equals the index
+   * rebuilt from scratch over corpus ∪ delta — a probe over the
+   * appended stored index returns exactly what the rebuild would.
+   * Caller contract: delta ids must be NEW (the d07/e22 convention;
+   * [[graft.ops.Profile.indexAudit]] is the drift check).
+   *
+   * Scale: delta-sized throughout — winnowing runs over the batch text
+   * only, the explode emits one 20-byte row per (doc, fingerprint), and
+   * the partitioned append writes |delta buckets| file sets.
+   */
+  def contaminationIndexAppend(index: DataFrame, newDocs: DataFrame,
+                               textCol: String, idCol: String,
+                               k: Int = 8, window: Int = 4,
+                               hashMode: String = "xx",
+                               buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "contaminationIndexAppend needs buckets >= 1")
+    validateBuckets(index, buckets)
+    contaminationIndex(newDocs, textCol, idCol, k, window, hashMode,
+      buckets)
   }
 
   /** The probe dataflow shared by [[contamination]] (live index — the

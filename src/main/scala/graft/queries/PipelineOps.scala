@@ -776,6 +776,65 @@ object PipelineOps {
         s.read.parquet(base + "/stats"),
         Seq("spark", "join", "vector", "window"), k = 10)
     },
+    "t30_bm25_append" -> { (s, d) =>
+      // the lexical index's maintenance shape: the postings + stats
+      // tables are RELEASED from docs < 480 (the t28 layout), docs
+      // >= 480 arrive AFTER the release and append via bm25IndexAppend —
+      // delta posting rows computed from the batch text only, the 1-row
+      // stats table derived-rewritten as released ⊕ delta (the
+      // documented stats decision; no corpus re-scan). Queries then
+      // probe the APPENDED stored index. The oracle is t20's index-blind
+      // SQL over the FULL corpus, so a hash match proves
+      // append ≡ rebuild end to end: per-doc posting facts, additive
+      // stats, and the storage round trip move no score or rank
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_t30_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (post, stats) = graft.ops.Retrieval.bm25Index(
+        all.filter(col("doc_id") < 480), "text", "doc_id")
+      post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+        .write.mode("overwrite").parquet(base + "/postings")
+      stats.write.mode("overwrite").parquet(base + "/stats")
+      val (deltaPost, newStats) = graft.ops.Retrieval.bm25IndexAppend(
+        all.filter(col("doc_id") >= 480), "text", "doc_id",
+        s.read.parquet(base + "/stats"))
+      deltaPost.write.mode("append").parquet(base + "/postings")
+      // postings-first write order (the op's crash-consistency note);
+      // the 1-row stats rewrite goes to a fresh generation dir — a
+      // same-path overwrite would race its own input scan
+      newStats.write.mode("overwrite").parquet(base + "/stats2")
+      graft.ops.Retrieval.bm25Probe(
+        s.read.parquet(base + "/postings"),
+        s.read.parquet(base + "/stats2"),
+        Seq("spark", "join", "vector", "window"), k = 10)
+    },
+    "t31_contamination_append" -> { (s, d) =>
+      // the contamination index's maintenance shape: the inverted
+      // fingerprint table is RELEASED from docs < 480 (the t29 fpb
+      // layout), docs >= 480 arrive AFTER the release and append via
+      // contaminationIndexAppend — bucket-validated against the stored
+      // rows, partition-wise (only touched fpb buckets gain files).
+      // Probes then read the APPENDED stored index through the same DPP
+      // dataflow. The oracle is t08's index-blind SQL over the FULL
+      // corpus, so a hash match proves append ≡ rebuild: per-doc
+      // fingerprint facts and the partitioned round trip move no
+      // overlap verdict
+      val all = docs(s, d)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_t31_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      TextAnalysis.contaminationIndex(all.filter(col("doc_id") < 480),
+          "text", "doc_id", hashMode = "md5")
+        .write.mode("overwrite").partitionBy("fpb").parquet(idxPath)
+      TextAnalysis.contaminationIndexAppend(s.read.parquet(idxPath),
+          all.filter(col("doc_id") >= 480), "text", "doc_id",
+          hashMode = "md5")
+        .write.mode("append").partitionBy("fpb").parquet(idxPath)
+      TextAnalysis.contaminationProbe(s.read.parquet(idxPath),
+        all.filter(col("doc_id") < 20), "text", "doc_id",
+        hashMode = "md5")
+    },
     "t21_rrf_fusion" -> { (s, d) =>
       // hybrid retrieval: t20's lexical BM25 top-20 fused with the dense
       // cosine top-20 for the vec_id-0 probe (doc_id and vec_id share
@@ -856,6 +915,38 @@ object PipelineOps {
         .write.mode("overwrite").parquet(idxPath)
       graft.ops.Profile.indexAudit(all.filter(col("doc_id") < 480),
         "doc_id", s.read.parquet(idxPath), "cid")
+    },
+    "x12_index_repair" -> { (s, d) =>
+      // acting on x11's signals: the same drifted stored dedup index
+      // (corpus = docs < 480, index built from [30, 490) — 30 docs
+      // unindexed, 10 rows orphaned), repaired by indexRepair with the
+      // family's own row builder (Dedup.incrementalIndex over the
+      // unindexed docs only; orphans dropped by a pruned-id semi-join),
+      // then audited before AND after through the stored round trip.
+      // The oracle re-derives both verdicts by index-blind set
+      // arithmetic over the same cuts INCLUDING the repair rule itself
+      // ((index ∩ corpus) ∪ (corpus \ index)) — the after row's
+      // fresh_ppm = 1e6 is the audit-clean contract
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_x12_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val corpus = all.filter(col("doc_id") < 480)
+      Dedup.incrementalIndex(
+          all.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(base + "/stale")
+      val stale = s.read.parquet(base + "/stale")
+      graft.ops.Profile.indexRepair(corpus, "doc_id", stale, "cid",
+          unindexed => Dedup.incrementalIndex(unindexed, "text", "doc_id"))
+        .write.mode("overwrite").parquet(base + "/repaired")
+      graft.ops.Profile.indexAudit(corpus, "doc_id", stale, "cid")
+        .select(lit("before").as("phase"), col("*"))
+        .unionByName(
+          graft.ops.Profile.indexAudit(corpus, "doc_id",
+              s.read.parquet(base + "/repaired"), "cid")
+            .select(lit("after").as("phase"), col("*")))
+        .orderBy(col("phase"))
     },
     "p16_incremental_build" -> { (s, d) =>
       // the daily-increment capstone: docs < 480 are the EXISTING
@@ -2468,6 +2559,12 @@ object PipelineOps {
     // postings round trip (tf, denormalized dl, df re-derived from the
     // pruned rows) moves no score or rank
     "t28_indexed_bm25" -> bm25Oracle,
+    // t30 = t20 over the APPENDED stored index (release from docs < 480,
+    // bm25IndexAppend of the >= 480 delta, derived-rewritten stats):
+    // identical index-blind SQL over the FULL corpus, so the hash gate
+    // certifies append ≡ rebuild — per-doc posting facts, additive
+    // stats, no score or rank moved
+    "t30_bm25_append" -> bm25Oracle,
     // Gram matrix: 6-dp float->DECIMAL quantization scaled to BIGINT
     // (coarser than e14's 9 dp so the exact sum stays under 2^53 and
     // the final DOUBLE cast is lossless — DuckDB's HUGEINT->DOUBLE is
@@ -2741,6 +2838,40 @@ object PipelineOps {
                   AS n_orphaned,
                 CAST((SELECT count(*) FROM c JOIN i USING (id)) * 1000000
                   // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm""",
+    // x12: x11's set arithmetic extended with the repair rule itself —
+    // the repaired id set is re-derived index-blindly as
+    // (index ∩ corpus) ∪ (corpus \ index), so the hash certifies the
+    // stored repaired index covers exactly the corpus (after row:
+    // n_unindexed = n_orphaned = 0, fresh_ppm = 1e6)
+    "x12_index_repair" ->
+      """WITH c AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id < 480),
+         i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id >= 30 AND doc_id < 490),
+         r AS (SELECT id FROM i WHERE id IN (SELECT id FROM c)
+               UNION SELECT id FROM c WHERE id NOT IN (SELECT id FROM i))
+         SELECT 'before' AS phase,
+                (SELECT count(*) FROM c) AS n_corpus,
+                (SELECT count(*) FROM i) AS n_indexed,
+                (SELECT count(*) FROM c JOIN i USING (id)) AS n_covered,
+                (SELECT count(*) FROM c ANTI JOIN i USING (id))
+                  AS n_unindexed,
+                (SELECT count(*) FROM i ANTI JOIN c USING (id))
+                  AS n_orphaned,
+                CAST((SELECT count(*) FROM c JOIN i USING (id)) * 1000000
+                  // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm
+         UNION ALL
+         SELECT 'after' AS phase,
+                (SELECT count(*) FROM c) AS n_corpus,
+                (SELECT count(*) FROM r) AS n_indexed,
+                (SELECT count(*) FROM c JOIN r USING (id)) AS n_covered,
+                (SELECT count(*) FROM c ANTI JOIN r USING (id))
+                  AS n_unindexed,
+                (SELECT count(*) FROM r ANTI JOIN c USING (id))
+                  AS n_orphaned,
+                CAST((SELECT count(*) FROM c JOIN r USING (id)) * 1000000
+                  // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm
+         ORDER BY phase""",
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,
@@ -3041,6 +3172,12 @@ object PipelineOps {
     // certifies the storage round trip (fingerprints, bucket column,
     // DPP-pruned probe) moves no overlap verdict
     "t29_indexed_contamination" -> contaminationOracle,
+    // t31 = t08 over the APPENDED stored index (release from docs < 480,
+    // contaminationIndexAppend of the >= 480 delta, partition-wise into
+    // the fpb layout): identical index-blind SQL over the FULL corpus,
+    // so the hash gate certifies append ≡ rebuild — per-doc fingerprint
+    // facts, no overlap verdict moved
+    "t31_contamination_append" -> contaminationOracle,
     // hard negatives: e01's brute force with the same-label pairs
     // excluded in the join
     "e08_hard_negatives" ->

@@ -217,6 +217,31 @@ object PlanDump {
         "pruned rows (one posting per (term, doc)); stats is one " +
         "broadcast row; the cut is TakeOrderedAndProject. The corpus " +
         "text is never re-tokenized at probe time."),
+    "t30_bm25_append" ->
+      ("Lexical index maintenance: bm25IndexAppend emits the delta " +
+        "batch's posting rows (tokenize/count over the BATCH text only " +
+        "— the released corpus is never re-tokenized) for a plain " +
+        "append next to the release's term-clustered files, and " +
+        "derived-rewrites the 1-row stats table as released ⊕ delta. " +
+        "The probe over the APPENDED layout keeps In(t, ...) at the " +
+        "scan (PlanSpec-pinned) — delta files prune by file-level " +
+        "min/max until compaction restores the clustering."),
+    "t31_contamination_append" ->
+      ("Contamination index maintenance: contaminationIndexAppend " +
+        "fingerprints the delta batch only (bucket modulus validated " +
+        "against a stored 100-row sample — a mismatch would scatter " +
+        "rows into wrong partitions permanently) and appends " +
+        "partition-wise into the fpb layout — only touched buckets " +
+        "gain files. The probe over the APPENDED directory still " +
+        "carries the dynamicpruningexpression (PlanSpec-pinned)."),
+    "x12_index_repair" ->
+      ("Acting on the x11 signals: indexRepair drops orphans by a " +
+        "semi-join whose corpus side reads ONE pruned id column, " +
+        "backfills unindexed docs through the family's own builder " +
+        "(artifact derivation over the |unindexed| survivors only), " +
+        "and the anti-join prunes the index side to struct<cid> " +
+        "(PlanSpec-pinned both ways). Output plan = the before/after " +
+        "audits, id-column-narrow like x11."),
     "d18_indexed_incremental" ->
       ("d07 through the STORED corpus index: the probe's three " +
         "corpus-side consumers read (cid,dig) / (cid,sig) / (cid,csh) " +

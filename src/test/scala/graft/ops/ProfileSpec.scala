@@ -106,4 +106,43 @@ class ProfileSpec extends SparkSuite {
         Seq("x").toDF("cid"), "cid")
     }
   }
+
+  test("indexRepair: orphans dropped, unindexed backfilled via the " +
+      "family builder — repaired ≡ rebuild, after-audit reads fresh") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // corpus ids 0..9; the stale index was built from a drifted cut
+    // 3..12 → 0..2 unindexed (append lag), 10..12 orphaned (delete lag)
+    val all = (0L to 12L).map(i => (i, s"doc number $i with words " +
+      s"alpha beta gamma delta ${('a' + (i % 5)).toChar}")).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 10)
+    val stale = Dedup.incrementalIndex(
+        all.filter(col("doc_id") >= 3), "text", "doc_id")
+      .withColumn("batch_id", lit(7L))
+    val repaired = Profile.indexRepair(corpus, "doc_id", stale, "cid",
+      unindexed => Dedup.incrementalIndex(unindexed, "text", "doc_id"))
+    // per-document index facts + a deterministic builder ⇒ the repaired
+    // rows equal a from-scratch rebuild over the corpus, exactly
+    val rebuild = Dedup.incrementalIndex(corpus, "text", "doc_id")
+    assert(repaired.drop("batch_id").exceptAll(rebuild).count() === 0L)
+    assert(rebuild.exceptAll(repaired.drop("batch_id")).count() === 0L)
+    // the streaming stores' batch_id survives on kept rows and reads
+    // null on backfill rows (the pre-stamping convention)
+    assert(repaired.filter(col("cid") >= 3 && col("batch_id").isNull)
+      .count() === 0L)
+    assert(repaired.filter(col("cid") < 3 && col("batch_id").isNotNull)
+      .count() === 0L)
+    // the audit loop closes: repair(audit-failing state) → audit-clean
+    val before = Profile.indexAudit(corpus, "doc_id", stale, "cid")
+      .collect()(0)
+    assert((before.getLong(3), before.getLong(4)) === ((3L, 3L)))
+    val after = Profile.indexAudit(corpus, "doc_id", repaired, "cid")
+      .collect()(0)
+    assert((after.getLong(2), after.getLong(3), after.getLong(4),
+      after.getLong(5)) === ((10L, 0L, 0L, 1000000L)))
+    // integral-id contract shared with the audit
+    intercept[IllegalArgumentException] {
+      Profile.indexRepair(Seq("a").toDF("doc_id"), "doc_id",
+        stale, "cid", identity)
+    }
+  }
 }

@@ -149,4 +149,51 @@ class RetrievalSpec extends SparkSuite {
     assert(stored === live)
     assert(stored.nonEmpty)
   }
+
+  test("bm25IndexAppend: delta postings are per-doc facts, stats " +
+      "derived-rewritten — append ≡ rebuild, nothing shipped rewritten") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.tables.Tables(spark, sf, "documents")
+    val released = all.filter(col("doc_id") < 400)
+    val delta = all.filter(col("doc_id") >= 400)
+    val terms = Seq("spark", "join", "vector", "window")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t30-idx").toString
+    val (post, stats) = Retrieval.bm25Index(released, "text", "doc_id")
+    post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    def files() = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    val (deltaPost, newStats) = Retrieval.bm25IndexAppend(delta, "text",
+      "doc_id", spark.read.parquet(s"$dir/stats"))
+    deltaPost.write.mode("append").parquet(s"$dir/postings")
+    newStats.write.mode("overwrite").parquet(s"$dir/stats2")
+    // append-only: the release's files survive byte-named; the delta
+    // only ADDS files
+    assert(before.subsetOf(files()))
+    assert(files().size > before.size)
+    // posting rows are per-document facts: release ∪ delta rows equal
+    // the postings rebuilt from scratch over the full corpus
+    val appended = spark.read.parquet(s"$dir/postings")
+    val (rebuiltPost, rebuiltStats) =
+      Retrieval.bm25Index(all, "text", "doc_id")
+    assert(appended.exceptAll(rebuiltPost).count() === 0L)
+    assert(rebuiltPost.exceptAll(appended).count() === 0L)
+    // the stats decision: the 1-row table is REWRITTEN, derived as
+    // released ⊕ delta — and equals the rebuild's row exactly
+    val ns = spark.read.parquet(s"$dir/stats2").collect()(0)
+    val rs = rebuiltStats.collect()(0)
+    assert((ns.getLong(0), ns.getLong(1)) === ((rs.getLong(0), rs.getLong(1))))
+    // the equivalence contract a probe actually observes:
+    // probe(append(index, delta)) ≡ the live top-k over corpus ∪ delta
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val probed = triples(Retrieval.bm25Probe(appended,
+      spark.read.parquet(s"$dir/stats2"), terms, 10))
+    assert(probed === triples(Retrieval.bm25TopK(all, "text", "doc_id",
+      terms, 10)))
+    assert(probed.nonEmpty)
+  }
 }

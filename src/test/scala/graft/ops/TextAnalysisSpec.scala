@@ -182,6 +182,65 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("contaminationIndexAppend: partition-wise delta into the fpb " +
+      "layout — untouched buckets keep their exact files, appended " +
+      "probe equals a full rebuild's, wrong modulus rejected") {
+    val all = graft.tables.Tables(spark, sf, "documents")
+    val released = all.filter(col("doc_id") < 400)
+    val delta = all.filter(col("doc_id") >= 400)
+    val probes = all.filter(col("doc_id") < 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t31-idx").toString
+    TextAnalysis.contaminationIndex(released, "text", "doc_id")
+      .write.mode("overwrite").partitionBy("fpb").parquet(dir)
+    def filesByPartition(): Map[String, Set[String]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.isDirectory)
+        .map(p => p.getName -> p.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = filesByPartition()
+    val appendRows = TextAnalysis.contaminationIndexAppend(
+      spark.read.parquet(dir), delta, "text", "doc_id").cache()
+    try {
+      appendRows.write.mode("append").partitionBy("fpb").parquet(dir)
+      val after = filesByPartition()
+      // nothing shipped is rewritten: untouched buckets keep their
+      // exact file sets; touched ones only GAIN (the e22 invariant)
+      val touched = appendRows.select("fpb").distinct()
+        .as[Int].collect().map(b => s"fpb=$b").toSet
+      before.foreach { case (part, fs) =>
+        if (touched.contains(part))
+          assert(fs.subsetOf(after(part)), s"$part lost files")
+        else assert(after(part) === fs, s"$part was rewritten")
+      }
+      // fingerprint rows are per-document facts: the appended store
+      // row-set-equals the index rebuilt over the full corpus
+      val appended = spark.read.parquet(dir)
+      val rebuild = TextAnalysis.contaminationIndex(all, "text", "doc_id")
+        .select("cid", "fp", "fpb")
+      assert(appended.select("cid", "fp", "fpb")
+        .exceptAll(rebuild).count() === 0L)
+      assert(rebuild.exceptAll(
+        appended.select("cid", "fp", "fpb")).count() === 0L)
+      // and the contract a probe observes: appended verdicts ≡ live
+      // verdicts over corpus ∪ delta
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val probed = rows(TextAnalysis.contaminationProbe(appended,
+        probes, "text", "doc_id"))
+      assert(probed === rows(TextAnalysis.contamination(all, "text",
+        "doc_id", probes, "text", "doc_id")))
+      assert(probed.nonEmpty)
+    } finally { appendRows.unpersist(); () }
+    // a wrong modulus on the APPEND path would scatter the delta into
+    // the wrong partitions permanently — rejected against the stored
+    // sample, same check as the probe's
+    intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationIndexAppend(spark.read.parquet(dir),
+        delta, "text", "doc_id", buckets = 128)
+    }
+  }
+
   test("tokenRarity: exact corpus-frequency signals per doc") {
     val df = Seq(
       (1L, "the the cat"),        // corpus freqs: the=3, cat=2

@@ -657,6 +657,86 @@ class PlanSpec extends SparkSuite {
     assert(docScans.forall(!_.contains("text")), docScans.mkString("\n"))
   }
 
+  test("t30: the APPENDED postings layout keeps the probe's term " +
+      "pushdown — lexical maintenance never degrades the serving read") {
+    val plan = pipelinePlan("t30_bm25_append")
+    // the probe over release-plus-delta files must touch ONLY the
+    // stored index (postings + the rewritten stats generation) and
+    // keep the In(t) predicate at the scan — delta files prune by
+    // file-level min/max until compaction restores the clustering,
+    // but the predicate must never lift off the scan
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_t30_index_")),
+      scans.mkString("\n"))
+    val postings = scans.filter(_.contains("/postings"))
+    assert(postings.nonEmpty, plan)
+    assert(postings.forall(_.contains("In(t")), postings.mkString("\n"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("t31: the APPENDED fingerprint layout keeps dynamic partition " +
+      "pruning — contamination maintenance never degrades the serving " +
+      "read") {
+    val plan = pipelinePlan("t31_contamination_append")
+    // contaminationIndexAppend lands delta rows partition-wise into the
+    // released fpb layout; the probe over the appended directory must
+    // carry the same DPP subquery as the freshly-built t29 index
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val idxScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_t31_index_")).toSeq
+    assert(idxScans.nonEmpty, plan)
+    assert(idxScans.forall(_.contains("dynamicpruningexpression")),
+      idxScans.mkString("\n"))
+    // the probe plan's only documents read is the 20-doc probe side
+    val docScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("documents")).toSeq
+    assert(docScans.forall(_.contains("LessThan(doc_id,20)")),
+      docScans.mkString("\n"))
+  }
+
+  test("x12: the repair reads pruned id columns for its set arithmetic " +
+      "— and the audits over stale/repaired stay id-column-narrow") {
+    // the entry's OUTPUT plan is the before/after audit pair: every
+    // stored-index scan must fetch cid alone (the x11 pin, held across
+    // the repair round trip), and no audit-side documents scan may
+    // drag text
+    val plan = pipelinePlan("x12_index_repair")
+    val scans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val idx = scans.filter(_.contains("graft_x12_index_"))
+    assert(idx.nonEmpty, plan)
+    assert(idx.forall(_.contains("ReadSchema: struct<cid:")),
+      idx.mkString("\n"))
+    assert(scans.filterNot(_.contains("graft_x12_index_"))
+      .forall(!_.contains("text")), scans.mkString("\n"))
+    // the repair dataflow itself: the orphan-drop semi-join reads ONE
+    // pruned corpus id column, and the backfill anti-join prunes the
+    // index side to its id column — neither set operation drags payload
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-x12-plan").toString
+    graft.ops.Dedup.incrementalIndex(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val repair = graft.ops.Profile.indexRepair(docs, "doc_id",
+      spark.read.parquet(dir), "cid",
+      u => graft.ops.Dedup.incrementalIndex(u, "text", "doc_id"))
+    repair.collect()
+    val rScans = repair.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(rScans.exists(s => s.contains("documents") &&
+      s.contains("ReadSchema: struct<doc_id:bigint>")),
+      rScans.mkString("\n"))
+    assert(rScans.exists(s => s.contains(dir.split("/").last) &&
+      s.contains("ReadSchema: struct<cid:bigint>")),
+      rScans.mkString("\n"))
+  }
+
   test("x10: configs broadcast onto the checkpointed pair set — the " +
       "corpus is never crossed or shuffled") {
     val plan = pipelinePlan("x10_lsh_plan")
