@@ -168,6 +168,9 @@ final class HttpFacade(
           annSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "bm25-search")) =>
           bm25SearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp,
+            "contamination-search")) =>
+          contaminationSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "index-audit")) =>
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
@@ -1567,6 +1570,116 @@ final class HttpFacade(
     }
   }
 
+  /** Contamination search over a STORED fingerprint index
+    * (`?index=<ns.table>&text=<col>&id=<col>[&min_shared=][&buckets=]
+    * [&k=][&window=][&hash_mode=][&limit=]`): the t29 serving loop over
+    * HTTP — the last member of the probe-route family (dedup-probe,
+    * ann-search, bm25-search), and the route a benchmark-release
+    * workflow actually calls: "is this new eval set in our corpus?".
+    * `{tablePath}` is the probe table (the eval candidates); `index`
+    * names a catalog table holding
+    * [[graft.ops.TextAnalysis.contaminationIndex]] rows (cid, fp, fpb),
+    * written once per corpus release PARTITIONED BY fpb. The probe
+    * fingerprints the candidates, broadcasts them onto the stored scan —
+    * which therefore carries a dynamic-partition-pruning subquery, so
+    * the request reads the probe's BUCKETS' files, never the corpus's
+    * inverted table (the spec pins DPP on this exact dataflow).
+    * `k`/`window`/`hash_mode` must be the index's build parameters (the
+    * release's metadata contract); `buckets` is validated against a
+    * bounded sample of the stored rows and a mismatch is a 400 — a
+    * wrong modulus would return silent false NEGATIVES from a safety
+    * check, the one failure mode this route must never have. Response:
+    * (id, probe_id, n_shared) rows with n_shared >= `min_shared`, in
+    * (id, probe_id) order, capped at `limit` — the operator's output is
+    * already totally ordered, so the capped page is deterministic
+    * without a persist. Read-only, one action, outside the op lock. */
+  private def contaminationSearchRoute(ex: HttpExchange,
+      tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val textCol = qp.get("text").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (indexPath.isEmpty || textCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index, text and id parameters are required")); return
+      }
+      val index = loadStored(ex, indexPath.get, "index",
+        Seq("cid", "fp", "fpb")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val unknown = Seq(textCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (df.schema(textCol.get).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400,
+          detail(s"Text column ${textCol.get} is not a string column"))
+        return
+      }
+      val minShared = intParam(ex, qp, "min_shared", 2, 1, 10000) match {
+        case None => return; case Some(v) => v
+      }
+      val buckets = intParam(ex, qp, "buckets", 64, 1, 65536) match {
+        case None => return; case Some(v) => v
+      }
+      val k = intParam(ex, qp, "k", 8, 1, 64) match {
+        case None => return; case Some(v) => v
+      }
+      val window = intParam(ex, qp, "window", 4, 1, 64) match {
+        case None => return; case Some(v) => v
+      }
+      val hashMode = qp.getOrElse("hash_mode", "xx")
+      if (!Seq("xx", "md5").contains(hashMode)) {
+        sendJson(ex, 400, detail("hash_mode must be xx or md5")); return
+      }
+      val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
+        case None => return; case Some(v) => v
+      }
+      // the operator's bucket validation is a caller error here, not a
+      // 500: the index was built with one modulus and the request named
+      // another
+      val result = try {
+        HttpFacade.contaminationSearch(df, textCol.get, idCol.get,
+          index, k, window, minShared, hashMode, buckets)
+      } catch {
+        case e: IllegalArgumentException =>
+          sendJson(ex, 400, detail(e.getMessage)); return
+      }
+      val rows = result.limit(limit).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "text" -> textCol.get,
+        "id" -> idCol.get,
+        "min_shared" -> minShared.toLong,
+        "buckets" -> buckets.toLong,
+        "k" -> k.toLong,
+        "window" -> window.toLong,
+        "hash_mode" -> hashMode,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> String.valueOf(r.get(0)),
+          "probe_id" -> String.valueOf(r.get(1)),
+          "n_shared" -> r.getInt(2).toLong)))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** Stored-index freshness audit over any catalog table
     * (`?index=<ns.table>&id=<col>&index_id=<col>`): the x11 health
     * check served next to the probe routes it guards — `{tablePath}` is
@@ -2067,6 +2180,21 @@ object HttpFacade {
       stats: org.apache.spark.sql.DataFrame,
       terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
     graft.ops.Retrieval.bm25Probe(postings, stats, terms, k)
+
+  /** The contamination-search route's dataflow, factored out so the
+    * spec can pin the PLAN of the exact computation the route runs
+    * (DPP on the stored fpb-partitioned scan, probe side broadcast):
+    * t29's [[graft.ops.TextAnalysis.contaminationProbe]] over the
+    * stored catalog table — including its bucket validation, which the
+    * route surfaces as a 400. */
+  private[api] def contaminationSearch(
+      probes: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      index: org.apache.spark.sql.DataFrame,
+      k: Int, window: Int, minShared: Int, hashMode: String,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.TextAnalysis.contaminationProbe(index, probes, textCol,
+      idCol, k, window, minShared, hashMode, buckets)
 
   /** Serve the fixture tables over HTTP (blocking until killed):
     * `runMain graft.api.HttpFacade [port]`. */

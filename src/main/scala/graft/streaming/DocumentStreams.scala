@@ -21,10 +21,17 @@ import graft.ops.Dedup
  * (accepted docs, full input schema plus `batch_id` — the product),
  * `index/` (the derived dedup state: cid, digest, shingle set,
  * signature, `batch_id` — one row per accepted doc, appended
- * batch-sized), and `decisions/` (one audit row per arriving doc, plus
- * `batch_id`), written through `foreachBatch` — the Structured
- * Streaming hook for batch-only operations (multi-pass joins, appends
- * to non-streaming sinks) per micro-batch.
+ * batch-sized), and `decisions/` (one audit row per arriving doc —
+ * id, exact_dup_of, fuzzy_dup_of, contaminated_vs, is_new — plus
+ * `batch_id`; stores written before the decontamination gate existed
+ * read contaminated_vs as null through mergeSchema), written through
+ * `foreachBatch` — the Structured Streaming hook for batch-only
+ * operations (multi-pass joins, appends to non-streaming sinks) per
+ * micro-batch. With `evalIndexDir` set, each batch is additionally
+ * DECONTAMINATED against a stored eval-set fingerprint index — the one
+ * curation gate a streaming corpus otherwise misses until a batch
+ * decontamination sweep, made per-batch-cheap by the t29 index (see
+ * [[dedupeStep]]).
  *
  * Replay contract (foreachBatch is at-least-once: the checkpoint
  * commits AFTER the batch body returns, so a crash mid-body replays the
@@ -65,13 +72,31 @@ object DocumentStreams {
    * (recorded with `fuzzy_dup_of` = the kept doc, like the batch family's
    * one-hop reps). Survivors then probe the STORED corpus index
    * ([[graft.ops.Dedup.incrementalIndex]] rows — None on the first
-   * batch). Returns (decisions, survivors): decisions has one row per
-   * arriving doc — (id, exact_dup_of, fuzzy_dup_of, is_new); survivors
-   * are the batch rows (full schema) that enter the corpus.
+   * batch). With `evalIndex` set (a stored
+   * [[graft.ops.TextAnalysis.contaminationIndex]] of the EVAL/benchmark
+   * holdout, built with that op's default k/window/hashMode/buckets —
+   * the probe's bucket validation catches a modulus drift), the batch is
+   * additionally DECONTAMINATED: reps are fingerprinted and DPP-probe
+   * the eval index ([[graft.ops.TextAnalysis.contaminationProbe]] — the
+   * batch side broadcasts, bounded by micro-batch size by definition),
+   * and a rep sharing >= `evalMinShared` fingerprints with any eval doc
+   * is REJECTED with `contaminated_vs` = the smallest matching eval id.
+   * Gate order: dedup verdicts win first — `contaminated_vs` is
+   * recorded only for docs that would otherwise have entered the corpus
+   * (a duplicate is already rejected; its eval overlap adds nothing).
+   *
+   * Returns (decisions, survivors): decisions has one row per arriving
+   * doc — (id, exact_dup_of, fuzzy_dup_of, contaminated_vs, is_new) —
+   * and survivors derive from DECISIONS (not the probe subplan), so one
+   * persist of `decisions` in [[processBatch]] serves every downstream
+   * action: the LSH + stored-index probe executes ONCE per micro-batch
+   * instead of once per sink.
    */
   def dedupeStep(index: Option[DataFrame], batch: DataFrame,
                  textCol: String, idCol: String,
-                 threshold: Double): (DataFrame, DataFrame) = {
+                 threshold: Double,
+                 evalIndex: Option[DataFrame] = None,
+                 evalMinShared: Int = 2): (DataFrame, DataFrame) = {
     val idT = batch.schema(idCol).dataType
     val within = Dedup.minHashLSH(batch, textCol, idCol,
       threshold = threshold)
@@ -80,7 +105,7 @@ object DocumentStreams {
     val batchReps = batch.join(
       within.filter(!col("is_dup")).select(col("id").as(idCol)), idCol)
 
-    val repDecisions = index match {
+    val repDecisions0 = index match {
       case Some(ix) =>
         Dedup.incrementalProbe(ix, batchReps, textCol, idCol,
           threshold = threshold)
@@ -90,25 +115,60 @@ object DocumentStreams {
           lit(null).cast(idT).as("fuzzy_dup_of"),
           lit(true).as("is_new"))
     }
+    val repDecisions = evalIndex match {
+      case Some(ei) =>
+        // probe ALL reps (not just post-dedup survivors): joining the
+        // survivor cut back in would embed the dedup-probe subtree
+        // TWICE in one plan (Catalyst does not CSE across join inputs);
+        // probing the few extra dup reps is cheaper than re-running the
+        // probe. The witness is the smallest matching eval id —
+        // deterministic, the audit row a triage dashboard pivots on
+        val hits = graft.ops.TextAnalysis.contaminationProbe(ei,
+            batchReps, textCol, idCol, minShared = evalMinShared)
+          .groupBy(col("probe_id"))
+          .agg(min(col("id")).cast("long").as("contaminated_vs"))
+          .select(col("probe_id").as("id"), col("contaminated_vs"))
+        repDecisions0.join(hits, Seq("id"), "left")
+          .select(col("id"), col("exact_dup_of"), col("fuzzy_dup_of"),
+            when(col("is_new"), col("contaminated_vs"))
+              .otherwise(lit(null).cast("long")).as("contaminated_vs"),
+            (col("is_new") && col("contaminated_vs").isNull).as("is_new"))
+      case None =>
+        repDecisions0.select(col("id"), col("exact_dup_of"),
+          col("fuzzy_dup_of"),
+          lit(null).cast("long").as("contaminated_vs"), col("is_new"))
+    }
     // no orderBy: decisions feed an unordered parquet append — a sort
     // here would add a range exchange to every micro-batch for nothing
     val decisions = repDecisions.unionByName(
       withinDups.select(col("id"),
         lit(null).cast(idT).as("exact_dup_of"),
         col("keep_id").cast(idT).as("fuzzy_dup_of"),
+        lit(null).cast("long").as("contaminated_vs"),
         lit(false).as("is_new")))
+    // within-batch dups carry is_new = false, so filtering DECISIONS on
+    // is_new selects exactly the probe's surviving reps — and routes
+    // the survivors plan through the one subtree processBatch persists
     val survivors = batch.join(
-      repDecisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
+      decisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
     (decisions, survivors)
   }
 
   /** The foreachBatch body: load the stored dedup index (absent on the
     * first batch), run [[dedupeStep]], append decisions + survivors +
     * the survivors' index rows (computed from the batch only — the
-    * accumulated corpus is never re-read as text). */
+    * accumulated corpus is never re-read as text). `evalIndexDir`
+    * (optional) points at a stored eval-set
+    * [[graft.ops.TextAnalysis.contaminationIndex]] — a RELEASE artifact
+    * like VectorStreams' centroids, written by the benchmark owner and
+    * read here as a precondition (a missing path fails the batch
+    * loudly: silently skipping the decontamination gate would admit
+    * eval overlap while the operator believes it is checked). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
-                   threshold: Double): Unit = {
+                   threshold: Double,
+                   evalIndexDir: Option[String] = None,
+                   evalMinShared: Int = 2): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -147,28 +207,42 @@ object DocumentStreams {
             col("batch_id") =!= batchId).drop("batch_id")
         else ix
       }
+      val evalIndex = evalIndexDir.map(p => spark.read.parquet(p))
       val (decisions, survivors) =
-        dedupeStep(index, persisted, textCol, idCol, threshold)
-      // exactly-once appends: each store's rows with this batch_id are
-      // its commit marker (a single parquet append publishes atomically
-      // at job commit) — present means a prior attempt committed this
-      // store, so skip. Each check reads ONE pruned column with LIMIT 1
-      // off the already-loaded store.
-      if (!committedIn(decisionsStore, batchId))
-        decisions.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$stateDir/decisions")
-      // survivors enter the corpus AND the index; persist so the two
-      // sinks don't re-run the dedup joins
-      val surv = survivors.persist()
+        dedupeStep(index, persisted, textCol, idCol, threshold,
+          evalIndex, evalMinShared)
+      // ONE execution of the LSH + stored-index probe per micro-batch:
+      // decisions embeds that whole subplan and every other action
+      // (survivors' materialization below) now derives from decisions,
+      // so persisting it here means the first action computes the probe
+      // and the rest read cache — previously the decisions write and
+      // the survivors join each re-ran minHashLSH + incrementalProbe
+      // (the r11 verdict's constant-factor-2 on exactly the work the
+      // stored index exists to minimize)
+      decisions.persist()
       try {
-        if (!committedIn(indexStore, batchId))
-          graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$stateDir/index")
-        if (!committedIn(corpusStore, batchId))
-          surv.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$stateDir/corpus")
-      } finally { surv.unpersist(); () }
+        // exactly-once appends: each store's rows with this batch_id are
+        // its commit marker (a single parquet append publishes atomically
+        // at job commit) — present means a prior attempt committed this
+        // store, so skip. Each check reads ONE pruned column with LIMIT 1
+        // off the already-loaded store.
+        if (!committedIn(decisionsStore, batchId))
+          decisions.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$stateDir/decisions")
+        // survivors enter the corpus AND the index; persist so the two
+        // sinks don't re-run the batch-side join (its decisions input
+        // reads the cache above)
+        val surv = survivors.persist()
+        try {
+          if (!committedIn(indexStore, batchId))
+            graft.ops.Dedup.incrementalIndex(surv, textCol, idCol)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$stateDir/index")
+          if (!committedIn(corpusStore, batchId))
+            surv.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$stateDir/corpus")
+        } finally { surv.unpersist(); () }
+      } finally { decisions.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 
@@ -202,14 +276,18 @@ object DocumentStreams {
     }
 
   /** Start the ingestion query over any streaming DataFrame with
-    * (idCol, textCol) columns. Caller owns the query lifecycle. */
+    * (idCol, textCol) columns. Caller owns the query lifecycle.
+    * `evalIndexDir` arms the per-batch decontamination gate — see
+    * [[processBatch]]. */
   def incrementalDedupQuery(stream: DataFrame, stateDir: String,
                             textCol: String, idCol: String,
-                            threshold: Double = 0.8): StreamingQuery =
+                            threshold: Double = 0.8,
+                            evalIndexDir: Option[String] = None,
+                            evalMinShared: Int = 2): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, stateDir,
-          textCol, idCol, threshold)
+          textCol, idCol, threshold, evalIndexDir, evalMinShared)
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .start()
@@ -261,18 +339,24 @@ object DocumentStreams {
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // crashed prior run
     // flat store: nFiles range-clustered files on the sort key.
-    // Partitioned store (e.g. the IVF index's cid layout): hash-cluster
-    // by the partition columns so each partition VALUE lands in one
-    // task — one file set per inverted list — and the partitionBy write
-    // preserves the layout (and its dynamic-partition-pruning reads).
-    // A list bigger than targetFileBytes stays one file here; splitting
-    // oversized lists is the next tier of this maintenance op.
+    // Partitioned store (e.g. the IVF index's cid layout): range-cluster
+    // by (partition cols, sort cols) into the same byte-derived nFiles —
+    // the partitionBy write still lands every row in its value's
+    // directory (preserving the layout and its dynamic-partition-pruning
+    // reads), but an OVERSIZED value (a hot inverted list, a skewed
+    // fingerprint bucket) now spans multiple range slices and therefore
+    // multiple tasks and files of ~targetFileBytes each, instead of one
+    // straggler task writing one multi-GB file that later reads as a
+    // single split (the r11 verdict's skew failure mode). Small values
+    // share a task; the per-task dynamic-partition writer opens one file
+    // per value it holds, so the directory count — not the task count —
+    // stays the layout's.
     val clustered =
       if (partitionCols.isEmpty)
         src.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else
-        src.repartition(partitionCols.map(col): _*)
+        src.repartitionByRange(nFiles, (partitionCols ++ sortCols).map(col): _*)
           .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     val writer = clustered.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer

@@ -102,8 +102,13 @@ object VectorStreams {
         lit(null).cast(idT).as("index_dup_of"),
         col("keep_id").cast(idT).as("batch_dup_of"),
         lit(false).as("is_new")))
+    // within-batch dups carry is_new = false, so filtering DECISIONS on
+    // is_new selects exactly the probe's surviving reps — and routes
+    // the survivors plan through the one subtree processBatch persists
+    // (the DocumentStreams device: the within-batch LSH and the k=1
+    // stored-index probe execute ONCE per micro-batch, not per sink)
     val survivors = batch.join(
-      repDecisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
+      decisions.filter(col("is_new")).select(col("id").as(idCol)), idCol)
     (decisions, survivors)
   }
 
@@ -143,28 +148,36 @@ object VectorStreams {
       val (decisions, survivors) =
         dedupeStep(index, cent, persisted, vecCol, idCol, dim,
           threshold, nprobe)
-      if (!DocumentStreams.committedIn(decisionsStore, batchId))
-        decisions.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$stateDir/decisions")
-      val appendRows = Similarity.ivfIndexAppend(survivors, vecCol,
-          idCol, cent, "cvec", "cid")
-        .persist()
+      // ONE execution of the LSH + stored-index probe per micro-batch:
+      // decisions embeds that whole subplan and the survivors plan
+      // derives from decisions, so the first action computes the probe
+      // and the append-rows materialization reads cache (the
+      // DocumentStreams fix for the r11 verdict's constant-factor-2)
+      decisions.persist()
       try {
-        // a batch that contributes no index rows appends nothing — and
-        // must not CREATE an empty index directory (a dir holding only
-        // _SUCCESS fails schema inference on the next batch's read).
-        // Guard on the APPEND ROWS, not the survivors: a null-vector
-        // survivor (an upstream-contract violation — see the class doc)
-        // is dropped by the argmax's null filter, so an all-null first
-        // batch would otherwise write the schema-less dir and wedge
-        // every later batch
-        val hasRows = appendRows.limit(1).count() > 0L
-        if (hasRows &&
-            !DocumentStreams.committedIn(indexStore, batchId))
-          appendRows.withColumn("batch_id", lit(batchId))
-            .write.mode("append").partitionBy("cid")
-            .parquet(s"$stateDir/index")
-      } finally { appendRows.unpersist(); () }
+        if (!DocumentStreams.committedIn(decisionsStore, batchId))
+          decisions.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$stateDir/decisions")
+        val appendRows = Similarity.ivfIndexAppend(survivors, vecCol,
+            idCol, cent, "cvec", "cid")
+          .persist()
+        try {
+          // a batch that contributes no index rows appends nothing — and
+          // must not CREATE an empty index directory (a dir holding only
+          // _SUCCESS fails schema inference on the next batch's read).
+          // Guard on the APPEND ROWS, not the survivors: a null-vector
+          // survivor (an upstream-contract violation — see the class doc)
+          // is dropped by the argmax's null filter, so an all-null first
+          // batch would otherwise write the schema-less dir and wedge
+          // every later batch
+          val hasRows = appendRows.limit(1).count() > 0L
+          if (hasRows &&
+              !DocumentStreams.committedIn(indexStore, batchId))
+            appendRows.withColumn("batch_id", lit(batchId))
+              .write.mode("append").partitionBy("cid")
+              .parquet(s"$stateDir/index")
+        } finally { appendRows.unpersist(); () }
+      } finally { decisions.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 

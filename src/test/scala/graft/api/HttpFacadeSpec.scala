@@ -1067,6 +1067,110 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("contamination-search route: candidates probe the stored " +
+      "fingerprint index; the fpb scan stays dynamically pruned; a " +
+      "bucket mismatch is a 400, never silent false negatives") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    // the production layout: a release job wrote the corpus's inverted
+    // fingerprints once, PARTITIONED BY fpb; eval candidates arrive as
+    // their own table
+    val all = spark.table("httpapi.documents")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("httpapi-cont-idx").toString
+    graft.ops.TextAnalysis.contaminationIndex(all, "text", "doc_id")
+      .write.mode("overwrite").partitionBy("fpb").parquet(idxDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.cont_index
+      USING parquet LOCATION '$idxDir'""")
+    spark.sql("ALTER TABLE httpapi.cont_index RECOVER PARTITIONS")
+    val probeDir = java.nio.file.Files
+      .createTempDirectory("httpapi-cont-probes").toString
+    all.filter(col("doc_id") < 20)
+      .write.mode("overwrite").parquet(probeDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.cont_probes
+      USING parquet LOCATION '$probeDir'""")
+
+    // the exact dataflow the route runs (shared builder): reconcile the
+    // response against its rows AND pin DPP on its plan
+    val direct = HttpFacade.contaminationSearch(
+      spark.table("httpapi.cont_probes"), "text", "doc_id",
+      spark.table("httpapi.cont_index"), 8, 4, 2, "xx", 64)
+    val expected = direct.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val plan = direct.queryExecution.executedPlan.toString
+    val idxScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("cont_index")).toSeq
+    assert(idxScans.nonEmpty, plan)
+    assert(idxScans.forall(_.contains("dynamicpruningexpression")),
+      idxScans.mkString("\n"))
+
+    val base =
+      "/api/v1/catalog/tables/httpapi.cont_probes/contamination-search"
+    val q = "?index=httpapi.cont_index&text=text&id=doc_id"
+    def pageOf(body: String) =
+      ("""\{"id":"(\d+)","probe_id":"(\d+)",""" +
+        """"n_shared":(\d+)\}""").r.findAllMatchIn(body).map(g =>
+        (g.group(1).toLong, g.group(2).toLong, g.group(3).toInt)).toSeq
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // full-row reconcile in the operator's (id, probe_id) total order
+    // (the fixture's 20-probe sweep exceeds the default page, so ask
+    // for the cap)
+    val m = get(base + q + "&limit=10000")
+    assert(m.statusCode === 200, m.body)
+    assert(lg(m.body, "n_results") === expected.length.toLong, m.body)
+    assert(pageOf(m.body) === expected, m.body)
+    assert(expected.nonEmpty)
+    // limit caps the page deterministically (the output is ordered):
+    // the default page and a 3-row page are exact PREFIXES
+    val dflt = get(base + q)
+    assert(lg(dflt.body, "n_results") === 1000L, dflt.body)
+    assert(pageOf(dflt.body) === expected.take(1000), dflt.body)
+    val l = get(base + q + "&limit=3")
+    assert(lg(l.body, "n_results") === 3L, l.body)
+    assert(pageOf(l.body) === expected.take(3), l.body)
+    // a min_shared above every overlap empties the page, still a 200
+    val hi = get(base + q + "&min_shared=10000")
+    assert(hi.statusCode === 200, hi.body)
+    assert(lg(hi.body, "n_results") === 0L, hi.body)
+    // the one failure mode this route must never have: a buckets value
+    // that differs from the index's build modulus would silently drop
+    // matches — the stored-sample validation makes it a caller error
+    val bad = get(base + q + "&buckets=128")
+    assert(bad.statusCode === 400, bad.body)
+    assert(bad.body.contains("buckets"), bad.body)
+    // validation edges, probe-route conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?index=httpapi.cont_index&text=text")
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.cont_index", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.cont_index", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("httpapi.cont_index",
+      "httpapi.documents")).statusCode === 400) // wrong-shape index
+    assert(get(base + q.replace("text=text", "text=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("text=text", "text=doc_id"))
+      .statusCode === 400) // non-string text column
+    assert(get(base + q + "&min_shared=0").statusCode === 400)
+    assert(get(base + q + "&k=0").statusCode === 400)
+    assert(get(base + q + "&k=65").statusCode === 400)
+    assert(get(base + q + "&window=0").statusCode === 400)
+    assert(get(base + q + "&hash_mode=sha9").statusCode === 400)
+    assert(get(base + q + "&limit=10001").statusCode === 400)
+    assert(get(base + q + "&buckets=abc").statusCode === 400)
+    assert(get(
+      "/api/v1/catalog/tables/httpapi.nope/contamination-search" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/contamination-search" + q)
+      .statusCode === 400)
+  }
+
   test("index-audit route: one-row freshness verdict over a stored index") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents

@@ -20,13 +20,19 @@ class DocumentStreamsSpec extends SparkSuite {
   private val tBNear = "one two three four five six seven eight nine zzz"
   private val tNew = "completely different content entirely fresh words"
 
+  /** (exact_dup_of, fuzzy_dup_of, is_new) by id — name-based reads so the
+    * audit schema can grow (contaminated_vs) without breaking verdicts. */
+  private def verdicts(rows: Array[org.apache.spark.sql.Row]) = rows
+    .map(r => r.getAs[Long]("id") ->
+      ((Option(r.getAs[Any]("exact_dup_of")),
+        Option(r.getAs[Any]("fuzzy_dup_of")),
+        r.getAs[Boolean]("is_new")))).toMap
+
   test("dedupeStep: first batch all-new except within-batch duplicates") {
     val batch = Seq((1L, tA), (2L, tB), (3L, tA)).toDF("doc_id", "text")
     val (decisions, survivors) =
       DocumentStreams.dedupeStep(None, batch, "text", "doc_id", 0.7)
-    val d = decisions.collect()
-      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
-        r.getBoolean(3)))).toMap
+    val d = verdicts(decisions.collect())
     assert(d(1L) === ((None, None, true)))
     assert(d(2L) === ((None, None, true)))
     assert(d(3L) === ((None, Some(1L), false)))   // within-batch dup of 1
@@ -49,9 +55,7 @@ class DocumentStreamsSpec extends SparkSuite {
     } finally q.stop()
 
     val decisions = spark.read.parquet(s"$dir/decisions")
-    val d = decisions.collect()
-      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
-        r.getBoolean(3)))).toMap
+    val d = verdicts(decisions.collect())
     // cross-batch exact copy: exact_dup_of = 1 (the band probe also
     // reports it fuzzily — jaccard 1 — which is correct, not asserted)
     assert(d(4L)._1 === Some(1L))
@@ -108,10 +112,8 @@ class DocumentStreamsSpec extends SparkSuite {
     // the replay: 5 must NOT exact-match its own leftover index row
     // (is_new again), 6 still fuzzy-dups 2, the index append is skipped
     DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id", 0.7)
-    val d = spark.read.parquet(s"$dir/decisions")
-      .filter(col("batch_id") === 1L).collect()
-      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
-        r.getBoolean(3)))).toMap
+    val d = verdicts(spark.read.parquet(s"$dir/decisions")
+      .filter(col("batch_id") === 1L).collect())
     assert(d(5L) === ((None, None, true)))
     assert(d(6L)._2 === Some(2L))
     assert(d(6L)._3 === false)
@@ -135,8 +137,10 @@ class DocumentStreamsSpec extends SparkSuite {
         Some(spark.read.parquet(s"$dir/index").drop("batch_id")),
         Seq((7L, tA), (8L, tBNear), (9L, tA)).toDF("doc_id", "text"),
         "text", "doc_id", 0.7)._1
-      .collect().map(r => (r.getLong(0), Option(r.get(1)),
-        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+      .collect().map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[Any]("exact_dup_of")),
+        Option(r.getAs[Any]("fuzzy_dup_of")),
+        r.getAs[Boolean]("is_new"))).sortBy(_._1).toSeq
     def corpusRows() = spark.read.parquet(s"$dir/corpus")
       .collect().map(_.toString).sorted.toSeq
     val (probeBefore, corpusBefore) = (probe(), corpusRows())
@@ -156,6 +160,99 @@ class DocumentStreamsSpec extends SparkSuite {
       2L, dir, "text", "doc_id", 0.7)
     assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
       .as[Long].collect().sorted === Array(1L, 2L, 5L))
+  }
+
+  test("survivors derive from the persisted decisions subplan: one " +
+      "LSH+probe execution serves every sink action") {
+    // structural pin of the r12 fix: dedupeStep routes survivors through
+    // decisions, so processBatch's single persist of decisions means the
+    // expensive within-batch LSH + stored-index probe runs once per
+    // micro-batch — here, with decisions cached, the survivors plan must
+    // read the cache instead of re-embedding the probe joins
+    val ix = graft.ops.Dedup.incrementalIndex(
+      Seq((1L, tA)).toDF("doc_id", "text"), "text", "doc_id")
+    val batch = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    val (decisions, survivors) =
+      DocumentStreams.dedupeStep(Some(ix), batch, "text", "doc_id", 0.7)
+    decisions.persist()
+    try {
+      decisions.count()
+      val cached = survivors.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.nonEmpty,
+        "survivors must read the persisted decisions subplan")
+      assert(survivors.select("doc_id").as[Long].collect().sorted
+        === Array(5L))
+    } finally { decisions.unpersist(); () }
+  }
+
+  test("ingestion-time decontamination: an eval-overlapping doc is " +
+      "rejected with its witness; dedup verdicts win first") {
+    val dir = Files.createTempDirectory("docstream-decon").toString
+    // the eval holdout's fingerprint index — a release artifact written
+    // once by the benchmark owner (the t29 layout)
+    graft.ops.TextAnalysis.contaminationIndex(
+        Seq((9001L, tB)).toDF("doc_id", "text"), "text", "doc_id")
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$dir/eval")
+    // 5 = clean; 6 = near-copy of the eval doc (contaminated); 7 = a
+    // within-batch dup of 6 — the dedup gate wins, so 7 records its
+    // fuzzy_dup_of with a NULL contaminated_vs
+    val batch = Seq((5L, tNew), (6L, tBNear), (7L, tBNear))
+      .toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, batch, 0L, dir, "text",
+      "doc_id", 0.7, evalIndexDir = Some(s"$dir/eval"))
+    val d = spark.read.parquet(s"$dir/decisions").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("contaminated_vs")),
+          Option(r.getAs[Any]("fuzzy_dup_of")),
+          r.getAs[Boolean]("is_new")))).toMap
+    assert(d(5L) === ((None, None, true)))
+    assert(d(6L) === ((Some(9001L), None, false)))
+    assert(d(7L) === ((None, Some(6L), false)))
+    // the contaminated doc never enters the corpus or the dedup index
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect() === Array(5L))
+    assert(spark.read.parquet(s"$dir/index").select("cid")
+      .as[Long].collect() === Array(5L))
+    // and ingestion without the gate keeps the audit schema (null column)
+    val dir2 = Files.createTempDirectory("docstream-decon2").toString
+    DocumentStreams.processBatch(spark,
+      Seq((5L, tNew)).toDF("doc_id", "text"), 0L, dir2, "text",
+      "doc_id", 0.7)
+    val ungated = spark.read.parquet(s"$dir2/decisions")
+    assert(ungated.columns.contains("contaminated_vs"))
+    assert(ungated.filter(col("contaminated_vs").isNotNull).count() === 0L)
+  }
+
+  test("compactStore splits an oversized partition value into multiple " +
+      "files instead of one straggler file (the skew tier)") {
+    val dir = Files.createTempDirectory("docstream-skew").toString + "/store"
+    // hot list: cid 0 carries 50k poorly-compressible rows; cid 1 ten
+    val hot = spark.range(50000L).select(lit(0).as("cid"), col("id"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    val cold = spark.range(10L).select(lit(1).as("cid"),
+      (col("id") + 100000L).as("id"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    hot.unionAll(cold).write.partitionBy("cid").parquet(dir)
+    def rows() = spark.read.parquet(dir).collect()
+      .map(_.toString).sorted.toSeq
+    val before = rows()
+    val (_, nAfter) = DocumentStreams.compactStore(spark, dir,
+      Seq("id"), targetFileBytes = 1L << 20, partitionCols = Seq("cid"))
+    // the hot value spans multiple ~1 MiB range slices → multiple tasks
+    // → multiple files in ITS directory; the layout (one directory per
+    // value, DPP-prunable) is unchanged
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/cid=0") >= 2,
+      "oversized partition must split into multiple files")
+    assert(parquetFiles(s"$dir/cid=1") >= 1)
+    assert(new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq === Seq("cid=0", "cid=1"))
+    assert(nAfter >= 3)
+    // the rewrite moved no rows
+    assert(rows() === before)
   }
 
   test("migration guard: corpus store without an index store fails the " +

@@ -118,6 +118,35 @@ class VectorStreamsSpec extends SparkSuite {
       .collect() === Array(2L))
   }
 
+  test("survivors derive from the persisted decisions subplan: one " +
+      "LSH+probe execution serves every sink action") {
+    // the DocumentStreams pin's vector symmetric: with decisions cached
+    // (processBatch's single persist), the survivors plan reads the
+    // cache instead of re-embedding the within-batch LSH and the k=1
+    // stored-index probe
+    val dir = Files.createTempDirectory("vecstream-persist").toString
+    writeCentroids(dir)
+    VectorStreams.processBatch(spark,
+      Seq((1L, vA)).toDF("vec_id", "embedding"),
+      0L, dir, "embedding", "vec_id", 4, 0.95, 2)
+    val (decisions, survivors) = VectorStreams.dedupeStep(
+      Some(spark.read.parquet(s"$dir/index").drop("batch_id")),
+      spark.read.parquet(s"$dir/cent"),
+      Seq((7L, vA2), (8L, vC)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 4, 0.95, 2)
+    decisions.persist()
+    try {
+      decisions.count()
+      val cached = survivors.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(cached.nonEmpty,
+        "survivors must read the persisted decisions subplan")
+      assert(survivors.select("vec_id").as[Long].collect().sorted
+        === Array(8L))  // 7 is an index dup of 1
+    } finally { decisions.unpersist(); () }
+  }
+
   test("compactState: the index keeps its cid partitioning through " +
       "compaction; probe decisions identical pre/post") {
     val dir = Files.createTempDirectory("vecstream-compact").toString
