@@ -171,6 +171,8 @@ final class HttpFacade(
         case ("GET", List("api", "v1", "catalog", "tables", tp,
             "contamination-search")) =>
           contaminationSearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "hybrid-search")) =>
+          hybridSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "index-audit")) =>
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
@@ -1680,6 +1682,163 @@ final class HttpFacade(
     }
   }
 
+  /** Hybrid search over TWO stored indexes
+    * (`?postings=<ns.table>&stats=<ns.table>&index=<ns.table>
+    * &centroids=<ns.table>&terms=<a,b,c>&vec=<col>&id=<col>
+    * &query_id=<n>[&k=][&k_bm25=][&k_dense=][&nprobe=][&c=]`): the t32
+    * serving loop over HTTP — ONE request answered from two index
+    * families with zero corpus reads, the capstone of the probe-route
+    * family. `{tablePath}` is the query-vector table and `query_id`
+    * names the dense query row; `postings`/`stats` are the stored
+    * [[graft.ops.Retrieval.bm25Index]] pair (the In(term) predicate
+    * reads the query terms' row groups), `index`/`centroids` the stored
+    * [[graft.ops.Similarity.ivfIndex]] pair (the list-membership join
+    * carries a DPP subquery over the cid partitions). The lexical
+    * top-`k_bm25` and dense top-`k_dense` lists fuse by reciprocal rank
+    * (constant `c`, default 60) into the top-`k` response — the fusion
+    * stage operates on two k-row lists, never a corpus-sized row set.
+    * Response rows: (id, rank_bm25, rank_dense, n_lists, rrf_scaled),
+    * rrf descending, ties by id; absent-from-list ranks are null.
+    * Read-only and persist-free (one 1-row existence probe + one
+    * action), outside the op lock. */
+  private def hybridSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val postingsPath = qp.get("postings").filter(_.nonEmpty)
+      val statsPath = qp.get("stats").filter(_.nonEmpty)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val centPath = qp.get("centroids").filter(_.nonEmpty)
+      val vecCol = qp.get("vec").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      val termsRaw = qp.get("terms").filter(_.nonEmpty)
+      val queryIdRaw = qp.get("query_id").filter(_.nonEmpty)
+      if (postingsPath.isEmpty || statsPath.isEmpty || indexPath.isEmpty ||
+          centPath.isEmpty || vecCol.isEmpty || idCol.isEmpty ||
+          termsRaw.isEmpty || queryIdRaw.isEmpty) {
+        sendJson(ex, 400, detail(
+          "postings, stats, index, centroids, terms, vec, id and " +
+            "query_id parameters are required")); return
+      }
+      val queryId = queryIdRaw.get.toLongOption match {
+        case None =>
+          sendJson(ex, 400, detail("query_id must be an integer")); return
+        case Some(v) => v
+      }
+      val postings = loadStored(ex, postingsPath.get, "postings",
+        Seq("t", "id", "tf", "dl")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val stats = loadStored(ex, statsPath.get, "stats",
+        Seq("n_docs", "total_tokens")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val assign = loadStored(ex, indexPath.get, "index",
+        Seq("id", "vec", "cid")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val cent = loadStored(ex, centPath.get, "centroids",
+        Seq("cid", "cvec")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val unknown = Seq(vecCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (!df.schema(vecCol.get).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+        sendJson(ex, 400,
+          detail(s"Vector column ${vecCol.get} is not an array column"))
+        return
+      }
+      val terms = termsRaw.get.split(",").toSeq
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      if (terms.isEmpty) {
+        sendJson(ex, 400, detail(
+          "terms must be a non-empty comma-separated list")); return
+      }
+      if (terms.length > 64) {
+        sendJson(ex, 400, detail(
+          "terms is capped at 64 — a serving query, not a batch join"))
+        return
+      }
+      val k = intParam(ex, qp, "k", 10, 1, 1000) match {
+        case None => return; case Some(v) => v
+      }
+      val kBm25 = intParam(ex, qp, "k_bm25", 20, 1, 1000) match {
+        case None => return; case Some(v) => v
+      }
+      val kDense = intParam(ex, qp, "k_dense", 20, 1, 1000) match {
+        case None => return; case Some(v) => v
+      }
+      val nprobe = intParam(ex, qp, "nprobe", 2, 1, 1024) match {
+        case None => return; case Some(v) => v
+      }
+      val c = intParam(ex, qp, "c", 60, 0, 100000) match {
+        case None => return; case Some(v) => v
+      }
+      import org.apache.spark.sql.functions.col
+      val queries = df.filter(col(idCol.get) === queryId)
+      // a missing query row would silently return the lexical list
+      // alone with a 200 — the 1-row pushed-filter probe makes it a 404
+      if (queries.select(col(idCol.get)).limit(1).collect().isEmpty) {
+        sendJson(ex, 404, detail(
+          s"query_id $queryId not found in $tablePath")); return
+      }
+      // the operators' integral-id requires are caller errors here (a
+      // string-id postings or index table), not 500s
+      val fused = try {
+        HttpFacade.hybridSearch(queries, vecCol.get, idCol.get,
+          assign, cent, postings, stats, terms,
+          kBm25, kDense, nprobe, c, k)
+      } catch {
+        case e: IllegalArgumentException =>
+          sendJson(ex, 400, detail(e.getMessage)); return
+      }
+      // one action: rrfFusion's output is (rrf desc, id)-ordered and
+      // k-capped, so the page is deterministic without a persist
+      val rows = fused.collect()
+      def optLong(r: org.apache.spark.sql.Row, i: Int): Any =
+        if (r.isNullAt(i)) null else r.getLong(i)
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "postings" -> postingsPath.get,
+        "stats" -> statsPath.get,
+        "index" -> indexPath.get,
+        "centroids" -> centPath.get,
+        "terms" -> terms.mkString(","),
+        "query_id" -> queryId,
+        "k" -> k.toLong,
+        "k_bm25" -> kBm25.toLong,
+        "k_dense" -> kDense.toLong,
+        "nprobe" -> nprobe.toLong,
+        "c" -> c.toLong,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> r.getLong(0),
+          "rank_bm25" -> optLong(r, 1),
+          "rank_dense" -> optLong(r, 2),
+          "n_lists" -> r.getLong(3),
+          "rrf_scaled" -> r.getLong(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** Stored-index freshness audit over any catalog table
     * (`?index=<ns.table>&id=<col>&index_id=<col>`): the x11 health
     * check served next to the probe routes it guards — `{tablePath}` is
@@ -2195,6 +2354,34 @@ object HttpFacade {
       buckets: Int): org.apache.spark.sql.DataFrame =
     graft.ops.TextAnalysis.contaminationProbe(index, probes, textCol,
       idCol, k, window, minShared, hashMode, buckets)
+
+  /** The hybrid-search route's dataflow, factored out so the spec can
+    * pin the PLAN of the exact computation the route runs (In(t)
+    * pushdown into the stored postings scan AND DPP on the stored
+    * assignment scan, in ONE serving plan): t32's composition —
+    * [[graft.ops.Retrieval.bm25Probe]] + ranks,
+    * [[graft.ops.Similarity.ivfTopKPartitioned]], fused by
+    * [[graft.ops.Retrieval.rrfFusion]]. */
+  private[api] def hybridSearch(queries: org.apache.spark.sql.DataFrame,
+      vecCol: String, idCol: String,
+      assign: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], kBm25: Int, kDense: Int, nprobe: Int,
+      c: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val bm = graft.ops.Retrieval.bm25Probe(postings, stats, terms, kBm25)
+      // k-row post-limit frame: the single-partition window is fine
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_scaled").desc, col("id"))))
+    val dense = graft.ops.Similarity.ivfTopKPartitioned(
+      assign, "vec", "id", "cid", queries, vecCol, idCol,
+      cent, "cvec", "cid", k = kDense, nprobe = nprobe)
+    graft.ops.Retrieval.rrfFusion(
+      Seq("bm25" -> bm, "dense" -> dense), "id", "rk", c = c, k = k)
+  }
 
   /** Serve the fixture tables over HTTP (blocking until killed):
     * `runMain graft.api.HttpFacade [port]`. */

@@ -427,6 +427,17 @@ object Similarity {
     val cb = seeds
       .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
       .toDF("code", "sub", "cvec")
+    pqCodesFromBook(corpus, vecCol, idCol, cb, m, sub)
+  }
+
+  /** The coding core behind [[pqCodes]] and [[ivfPqIndexAppend]]: argmin
+    * codeword per (vector, subspace) against an ALREADY-EXPLODED
+    * codebook (code, sub, cvec) — the form a stored [[ivfPqIndex]]
+    * codebook arrives in, so the append path codes against the release
+    * artifact without re-deriving it from seed vectors. */
+  private def pqCodesFromBook(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      cb: DataFrame, m: Int, sub: Int): DataFrame = {
     val parts = corpus.select(col(idCol).as("id"), subvecs(vecCol, m, sub))
       .toDF("id", "sub", "svec")
     // negated squared L2 so the max-heap aggregator yields the argmin
@@ -475,31 +486,99 @@ object Similarity {
       centroids: DataFrame, cVecCol: String, cIdCol: String,
       seeds: DataFrame, sVecCol: String, sIdCol: String,
       m: Int, dim: Int, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
+    val (codes, codebook) =
+      ivfPqIndex(corpus, vecCol, idCol, listCol, seeds, sVecCol, sIdCol,
+        m, dim)
+    ivfPqProbe(codes, centroids, cVecCol, cIdCol, codebook,
+      queries, qVecCol, qIdCol, m, dim, k, nprobe)
+    // the live composition IS the probe over the live index — one
+    // construction (the d02/d07/t20 device), so e23's stored-path hash
+    // gate certifies this operator's ADC arithmetic by identity
+  }
+
+  /**
+   * Materializable IVF-PQ index state — the compressed serving tier of
+   * the stored-index family (d18 dedup / e21 raw-vector IVF / t28 BM25 /
+   * t29 contamination), and the layout that actually holds at 100 TB:
+   * a billion float32×1024 vectors are ~4 TB hot, their PQ codes at
+   * m = 4 are ~32 GB — the memory-∝-codes property that lets the probe
+   * tier keep the WHOLE index in cluster memory while raw vectors stay
+   * cold. Artifacts: `codes` = (id, sub, code, cid) — m rows per corpus
+   * vector, each subspace's argmin codeword, with the coarse list id
+   * DENORMALIZED onto every row (the t28 norms device: persisted
+   * PARTITIONED BY cid, a probe prunes to its lists' files and needs no
+   * corpus join at all — the raw vectors are never read after coding);
+   * `codebook` = (code, sub, cvec) — the |seeds|·m codeword subvectors,
+   * tiny and broadcast at probe time. Coarse centroids are the shared
+   * IVF-family artifact ([[minIdCentroids]] / [[ivfIndex]]'s second
+   * element), not duplicated here.
+   *
+   * Build cost (once per release): the PQ coding pass (broadcast
+   * codebook argmin, one keyed exchange per (id, sub)) plus one
+   * id-keyed join attaching the list id. Deterministic end to end —
+   * seed codebooks and precomputed lists, no trained state — so the
+   * stored index is bit-reproducible from the corpus.
+   */
+  def ivfPqIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, listCol: String,
+      seeds: DataFrame, sVecCol: String, sIdCol: String,
+      m: Int, dim: Int): (DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split into m=$m equal subspaces")
     val sub = dim / m
     val codes = pqCodes(corpus, vecCol, idCol, seeds, sVecCol, sIdCol,
-      m, dim).select(col("id"), col("sub"), col("code"))
+        m, dim)
+      .select(col("id"), col("sub"), col("code"))
+      .join(corpus.select(col(idCol).as("id"), col(listCol).as("cid")),
+        Seq("id"))
+      .select(col("id"), col("sub"), col("code"), col("cid"))
+    val codebook = seeds
+      .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
+      .toDF("code", "sub", "cvec")
+    (codes, codebook)
+  }
+
+  /**
+   * Probe a stored [[ivfPqIndex]]: IVF-PQ top-k over the codes table
+   * without touching raw vectors — the serving read of the compressed
+   * tier. Per query: nearest-`nprobe` coarse centroids (broadcast
+   * cosine argmax), the |query|·m·|codebook| ADC distance table
+   * (broadcast, each entry rounded to DECIMAL(18,9) before summation —
+   * the e07 exactness device), then the probed lists' code rows join
+   * the broadcast table and partial-aggregate map-side into one decimal
+   * sum per (query, candidate). Against a cid-partitioned codes table
+   * the list-membership join carries a dynamic-partition-pruning
+   * subquery (PlanSpec-pinned on the e23 entry), so a query reads its
+   * `nprobe` lists' code FILES — at rest the read is m small ints per
+   * candidate, never a vector. Output: (query_id, rk, id, dist) —
+   * approximated squared L2 ascending, ties by id — identical to
+   * [[ivfPqTopK]] by construction.
+   */
+  def ivfPqProbe(
+      codes: DataFrame, centroids: DataFrame, cVecCol: String,
+      cIdCol: String, codebook: DataFrame,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      m: Int, dim: Int, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
     val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
     val probed = nearestCentroids(cent,
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"),
         col(qIdCol).as("__rid")), "qvec", nprobe)
       .select(col("query_id"), col("cid"))
-    val cb = seeds
-      .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
-      .toDF("code", "sub", "cvec")
     val qparts = queries
       .select(col(qIdCol).as("query_id"), subvecs(qVecCol, m, sub))
       .toDF("query_id", "sub", "qsvec")
-    val dt = qparts.join(cb, Seq("sub"))
+    val dt = qparts
+      .join(codebook.select(col("code"), col("sub"), col("cvec")),
+        Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         sumSqDiff(col("qsvec"), col("cvec"))
           .cast("decimal(18,9)").as("d"))
-    val cand = corpus.select(col(idCol).as("id"), col(listCol).as("cid"))
-      .join(broadcast(probed), Seq("cid"))
-      .select(col("query_id"), col("id"))
-    val dist = cand.join(codes, Seq("id"))
+    val dist = codes.join(broadcast(probed), Seq("cid"))
+      .select(col("query_id"), col("id"), col("sub"), col("code"))
       .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d")).as("dist"))
@@ -508,6 +587,57 @@ object Similarity {
           (col("dist").cast("double") * -1).as("score"))
         .filter(col("score").isNotNull),
       k, "dist", negateOut = true)
+  }
+
+  /**
+   * Incremental maintenance for a stored [[ivfPqIndex]] — the append
+   * path that keeps the compressed serving tier fresh between releases
+   * (the [[ivfIndexAppend]] contract for the codes family): new vectors
+   * code against the RELEASED codebook (the stored (code, sub, cvec)
+   * artifact — never re-derived, never re-trained: queries build their
+   * ADC tables BY it, so an append that re-coded old geometry would
+   * silently shift every stored candidate's distance) and take their
+   * coarse list from the RELEASED centroids by the same cosine argmax
+   * as [[ivfIndexAppend]] (the e05/e22 rule, ties by cid). Emits rows
+   * schema-identical to the stored (id, sub, code, cid) layout, ready
+   * to `write.mode("append").partitionBy("cid")` — only the touched
+   * lists' partitions gain files, and the probe's dynamic partition
+   * pruning keeps working unchanged.
+   *
+   * Equivalence contract (spec-pinned, e24 hash gate): PQ codes are
+   * per-vector facts (a pure function of the vector and the fixed
+   * codebook) and the list assignment is the fixed-centroid argmax, so
+   * append(codes, delta) ∪-equals the codes rebuilt from scratch over
+   * corpus ∪ delta with delta lists from the same rule — a probe over
+   * the appended stored index returns exactly what the rebuild would.
+   * Caller contract: delta ids must be NEW ([[graft.ops.Profile
+   * .indexAudit]] is the drift check) — a re-ingested id would score
+   * twice per probed list.
+   *
+   * Scale: delta-sized throughout — the codebook and centroids
+   * broadcast, coding is m bounded-heap argmins per delta vector, the
+   * assignment exchange moves one (id, cid) row per delta vector, and
+   * the write appends m·|delta| small-int rows into the touched
+   * partitions.
+   */
+  def ivfPqIndexAppend(
+      delta: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cVecCol: String, cIdCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val codes = pqCodesFromBook(delta, vecCol, idCol,
+      codebook.select(col("code"), col("sub"), col("cvec")), m, sub)
+      .select(col("id"), col("sub"), col("code"))
+    val assigned =
+      assignCentroids(delta, vecCol, idCol, centroids, cVecCol, cIdCol)
+        // the argmax aggregator widens cid to long — restore the
+        // released list-id type so append rows are schema-identical
+        .select(col("id"),
+          col("cid").cast(centroids.schema(cIdCol).dataType).as("cid"))
+    codes.join(assigned, Seq("id"))
+      .select(col("id"), col("sub"), col("code"), col("cid"))
   }
 
   /**

@@ -161,6 +161,55 @@ object PipelineOps {
          FROM sc GROUP BY id
          ORDER BY score_scaled DESC, id LIMIT 10"""
 
+  /** IVF-PQ oracle shared by e07 (live plan) and e23 (stored,
+    * cid-partitioned codes table): e06's subvector coding + e02's
+    * coarse probe + decimal ADC sums, ties by id — blind to whether the
+    * codes were recomputed or read from storage. */
+  private val ivfPqOracle: String =
+    """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         cb AS (SELECT e.vec_id AS code, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
+           FROM embeddings e, subs s WHERE e.vec_id < 8),
+         parts AS (SELECT e.vec_id AS id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
+           FROM embeddings e, subs s),
+         scored0 AS (SELECT p.id, p.sub, c.code,
+             list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
+                       FOR i IN range(1, 17)]) AS d2
+           FROM parts p JOIN cb c ON p.sub = c.sub),
+         codes AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2, code) AS rk
+             FROM scored0) WHERE rk = 1),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, cid FROM p0 WHERE prk <= 2),
+         qparts AS (SELECT e.vec_id AS query_id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS qsvec
+           FROM embeddings e, subs s WHERE e.vec_id < 10),
+         dt AS (SELECT qp.query_id, qp.sub, c.code,
+             CAST(list_sum([(qp.qsvec[i] - c.cvec[i]) * (qp.qsvec[i] - c.cvec[i])
+                            FOR i IN range(1, 17)]) AS DECIMAL(18,9)) AS d
+           FROM qparts qp JOIN cb c ON qp.sub = c.sub),
+         cand AS (SELECT p.query_id, a.vec_id AS id
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         dist AS (SELECT c.query_id, c.id, sum(dt.d) AS dist
+           FROM cand c JOIN codes k ON c.id = k.id
+           JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub
+             AND dt.code = k.code
+           GROUP BY c.query_id, c.id),
+         r AS (SELECT query_id, id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, id) AS rk FROM dist)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(dist AS DOUBLE) AS dist
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+
   /** Brute-force cross-set oracle shared by d07 (live plan) and d18
     * (stored index): exact text equality + shingle-Jaccard >= 0.7 of
     * every delta doc against every corpus doc — blind to digests,
@@ -476,6 +525,81 @@ object PipelineOps {
           s.read.parquet(base + "/cent"), "cvec", "cid",
           k = 5, nprobe = 2)
         .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+    },
+    "e23_indexed_ivfpq" -> { (s, d) =>
+      // the COMPRESSED serving tier of the stored ANN family: the PQ
+      // codes table (id, sub, code, cid — m small ints per vector, the
+      // coarse list id denormalized onto every row) is built ONCE,
+      // persisted PARTITIONED BY cid next to the shared codebook and
+      // centroid artifacts, and queries probe the STORED codes — raw
+      // vectors are never read after coding, and the list-membership
+      // join carries a DPP subquery (PlanSpec-pinned), so a query reads
+      // its nprobe lists' code files: at 100 TB the probe tier holds
+      // ~32 B per vector hot while float32 vectors stay cold. Same
+      // geometry as e07 (m=4 subspaces, seed codebooks, decimal ADC);
+      // the oracle is e07's index-blind SQL, so a hash match proves the
+      // storage round trip (codes, codebook, centroids, partition
+      // column) moves no ADC distance or rank
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_e23_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (codes, codebook) = Similarity.ivfPqIndex(
+        corpus, "embedding", "vec_id", "label",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+        m = 4, dim = 64)
+      codes.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/codes")
+      codebook.write.mode("overwrite").parquet(base + "/codebook")
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+        .write.mode("overwrite").parquet(base + "/cent")
+      Similarity.ivfPqProbe(
+        s.read.parquet(base + "/codes"),
+        s.read.parquet(base + "/cent"), "cvec", "cid",
+        s.read.parquet(base + "/codebook"),
+        queries, "embedding", "vec_id",
+        m = 4, dim = 64, k = 5, nprobe = 2)
+    },
+    "e24_ivfpq_append" -> { (s, d) =>
+      // the compressed tier's maintenance shape: the codes table is
+      // RELEASED from vectors < 400 (the e23 cid-partitioned layout,
+      // with the codebook and medoid centroids as release artifacts);
+      // vectors in [400, 480) arrive AFTER the release and append via
+      // ivfPqIndexAppend — coded against the STORED codebook, coarse
+      // lists from the released centroids by the e22 argmax rule, only
+      // touched lists' partitions gain files. Queries then probe the
+      // APPENDED stored index. The oracle is index-blind SQL that
+      // re-derives the delta coding and assignment from scratch over
+      // corpus ∪ delta, so a hash match proves append ≡ rebuild for the
+      // codes family end to end. The [400, 480) window is the e22
+      // margin-audited assignment set; the ADC sums are exact decimals
+      val corpus0 = embs(s, d)
+      val corpus = corpus0.filter(col("vec_id") < 400)
+      val delta = corpus0.filter(col("vec_id") >= 400 && col("vec_id") < 480)
+      val queries = corpus0.filter(col("vec_id") < 10)
+      val seeds = corpus0.filter(col("vec_id") < 8)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_e24_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (codes, codebook) = Similarity.ivfPqIndex(
+        corpus, "embedding", "vec_id", "label",
+        seeds, "embedding", "vec_id", m = 4, dim = 64)
+      codes.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/codes")
+      codebook.write.mode("overwrite").parquet(base + "/codebook")
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+        .write.mode("overwrite").parquet(base + "/cent")
+      Similarity.ivfPqIndexAppend(delta, "embedding", "vec_id",
+          s.read.parquet(base + "/cent"), "cvec", "cid",
+          s.read.parquet(base + "/codebook"), m = 4, dim = 64)
+        .write.mode("append").partitionBy("cid").parquet(base + "/codes")
+      Similarity.ivfPqProbe(
+        s.read.parquet(base + "/codes"),
+        s.read.parquet(base + "/cent"), "cvec", "cid",
+        s.read.parquet(base + "/codebook"),
+        queries, "embedding", "vec_id",
+        m = 4, dim = 64, k = 5, nprobe = 2)
     },
     "e13_hamming_recall" -> { (s, d) =>
       // the e10 harness pointed at the 1-bit tier: recall@5 of Hamming
@@ -834,6 +958,52 @@ object PipelineOps {
       TextAnalysis.contaminationProbe(s.read.parquet(idxPath),
         all.filter(col("doc_id") < 20), "text", "doc_id",
         hashMode = "md5")
+    },
+    "t32_indexed_hybrid" -> { (s, d) =>
+      // the serving capstone: ONE query answered from TWO stored index
+      // families with ZERO corpus reads — the lexical postings table
+      // (t28's term-range-clustered layout) and the dense IVF
+      // assignments (e21's cid-partitioned layout) are both built once
+      // per release; at query time bm25Probe reads its terms' row
+      // groups (In(t) pushdown), ivfTopKPartitioned reads its probed
+      // lists' files (DPP), and reciprocal-rank fusion joins the two
+      // k-row lists — the fusion stage never touches a corpus-sized row
+      // set. The oracle composes t20's and e02's index-blind SQLs with
+      // t21's RRF arithmetic, so a hash match proves the whole
+      // two-index serving path returns exactly what the from-scratch
+      // computation would. Dense margins carry from e02's audited
+      // geometry (query 0 ⊂ the audited vec_id < 10 probe set, same
+      // k = 5 / nprobe = 2); every other factor is exact integers
+      val all = docs(s, d)
+      val corpus = embs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_t32_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (post, stats) =
+        graft.ops.Retrieval.bm25Index(all, "text", "doc_id")
+      post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+        .write.mode("overwrite").parquet(base + "/postings")
+      stats.write.mode("overwrite").parquet(base + "/stats")
+      val (assign, cent) =
+        Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      cent.write.mode("overwrite").parquet(base + "/cent")
+      val bm = graft.ops.Retrieval.bm25Probe(
+          s.read.parquet(base + "/postings"),
+          s.read.parquet(base + "/stats"),
+          Seq("spark", "join", "vector", "window"), k = 10)
+        // 10-row post-limit frame: the single-partition window is fine
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_scaled").desc, col("id"))))
+      val dense = Similarity.ivfTopKPartitioned(
+        s.read.parquet(base + "/assign"), "vec", "id", "cid",
+        corpus.filter(col("vec_id") === 0), "embedding", "vec_id",
+        s.read.parquet(base + "/cent"), "cvec", "cid",
+        k = 5, nprobe = 2)
+      graft.ops.Retrieval.rrfFusion(
+        Seq("bm25" -> bm, "dense" -> dense), "id", "rk", c = 60, k = 10)
     },
     "t21_rrf_fusion" -> { (s, d) =>
       // hybrid retrieval: t20's lexical BM25 top-20 fused with the dense
@@ -3020,6 +3190,48 @@ object PipelineOps {
                 count(*) AS n_lists,
                 CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
          FROM u GROUP BY id ORDER BY rrf_scaled DESC, id LIMIT 10""",
+    // t32 = t20's BM25 SQL (top-10) + e02's IVF SQL for query 0 (top-5,
+    // nprobe 2) + t21's RRF arithmetic — blind to both stored layouts,
+    // so the hash gate certifies the whole two-index serving path
+    "t32_indexed_hybrid" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+         tok AS (SELECT id, unnest(w) AS t FROM d),
+         dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         qt AS (SELECT id, t FROM tok
+                WHERE t IN ('spark', 'join', 'vector', 'window')),
+         dfq AS (SELECT t, count(DISTINCT id) AS df FROM qt GROUP BY t),
+         tf AS (SELECT id, t, count(*) AS tf FROM qt GROUP BY id, t),
+         sc AS (SELECT tf.id,
+             ((1000000 * (2 * (st.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1))
+               * tf.tf * 22000
+               // (10000 * tf.tf + 3000
+                   + (9000 * dl.dl * st.n_docs) // st.total_tokens) AS term
+           FROM tf JOIN dl USING (id) JOIN dfq USING (t) CROSS JOIN st),
+         bm AS (SELECT id, sum(term) AS score FROM sc GROUP BY id),
+         bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+                 FROM bm ORDER BY score DESC, id LIMIT 10),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id = 0),
+         probed AS (SELECT query_id, qvec, cid FROM p0 WHERE prk <= 2),
+         ds AS (SELECT a.vec_id AS id,
+             list_cosine_similarity(a.embedding, p.qvec) AS sim
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         dr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+                FROM ds WHERE sim IS NOT NULL ORDER BY sim DESC, id LIMIT 5),
+         u AS (SELECT id, rank, 'bm25' AS src FROM bmr
+               UNION ALL SELECT id, rank, 'dense' FROM dr)
+         SELECT id, max(CASE WHEN src = 'bm25' THEN rank END) AS rank_bm25,
+                max(CASE WHEN src = 'dense' THEN rank END) AS rank_dense,
+                count(*) AS n_lists,
+                CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
+         FROM u GROUP BY id ORDER BY rrf_scaled DESC, id LIMIT 10""",
     // SemDeDup: d05's brute force with the pair set restricted to
     // same-label (within-cluster) pairs
     "d11_semdedup" ->
@@ -3256,14 +3468,25 @@ object PipelineOps {
          SELECT query_id, CAST(rk AS INT) AS rk, id, ham AS dist
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // IVF-PQ: e06's coding + e02's probe + decimal ADC sums; ties by id
-    "e07_ivfpq_topk" ->
+    "e07_ivfpq_topk" -> ivfPqOracle,
+    // e23 = e07 through a STORED, cid-partitioned codes table: identical
+    // index-blind SQL, so the hash gate certifies the parquet round trip
+    // (codes, codebook, centroids, the partition column) moves no ADC
+    // distance or rank
+    "e23_indexed_ivfpq" -> ivfPqOracle,
+    // e24 = e23's coding CTEs + e22's released-centroid argmax for the
+    // delta lists, rebuilt from scratch over corpus ∪ delta — a hash
+    // match proves the codes-family append path (stored-codebook coding,
+    // argmax assignment, partition-wise append, DPP probe) returns
+    // exactly what a rebuild would
+    "e24_ivfpq_append" ->
       """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
          cb AS (SELECT e.vec_id AS code, s.sub,
              [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
            FROM embeddings e, subs s WHERE e.vec_id < 8),
          parts AS (SELECT e.vec_id AS id, s.sub,
              [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
-           FROM embeddings e, subs s),
+           FROM embeddings e, subs s WHERE e.vec_id < 480),
          scored0 AS (SELECT p.id, p.sub, c.code,
              list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
                        FOR i IN range(1, 17)]) AS d2
@@ -3273,7 +3496,16 @@ object PipelineOps {
                ORDER BY d2, code) AS rk
              FROM scored0) WHERE rk = 1),
          cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
-           FROM embeddings GROUP BY label),
+           FROM embeddings WHERE vec_id < 400 GROUP BY label),
+         da AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) AS ark
+             FROM embeddings e CROSS JOIN cent c
+             WHERE e.vec_id >= 400 AND e.vec_id < 480) WHERE ark = 1),
+         lists AS (SELECT vec_id AS id, label AS cid
+             FROM embeddings WHERE vec_id < 400
+           UNION ALL SELECT vec_id AS id, cid FROM da),
          p0 AS (SELECT e.vec_id AS query_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
@@ -3287,8 +3519,8 @@ object PipelineOps {
              CAST(list_sum([(qp.qsvec[i] - c.cvec[i]) * (qp.qsvec[i] - c.cvec[i])
                             FOR i IN range(1, 17)]) AS DECIMAL(18,9)) AS d
            FROM qparts qp JOIN cb c ON qp.sub = c.sub),
-         cand AS (SELECT p.query_id, a.vec_id AS id
-           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         cand AS (SELECT p.query_id, a.id
+           FROM lists a JOIN probed p ON a.cid = p.cid),
          dist AS (SELECT c.query_id, c.id, sum(dt.d) AS dist
            FROM cand c JOIN codes k ON c.id = k.id
            JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub

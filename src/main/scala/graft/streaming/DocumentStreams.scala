@@ -31,7 +31,9 @@ import graft.ops.Dedup
  * DECONTAMINATED against a stored eval-set fingerprint index — the one
  * curation gate a streaming corpus otherwise misses until a batch
  * decontamination sweep, made per-batch-cheap by the t29 index (see
- * [[dedupeStep]]).
+ * [[dedupeStep]]). With `lexical` set, two more stores join them —
+ * `postings/` and the `lexstats/` ledger — and ingestion keeps the t28
+ * BM25 serving index fresh batch by batch (see [[processBatch]]).
  *
  * Replay contract (foreachBatch is at-least-once: the checkpoint
  * commits AFTER the batch body returns, so a crash mid-body replays the
@@ -163,12 +165,35 @@ object DocumentStreams {
     * like VectorStreams' centroids, written by the benchmark owner and
     * read here as a precondition (a missing path fails the batch
     * loudly: silently skipping the decontamination gate would admit
-    * eval overlap while the operator believes it is checked). */
+    * eval overlap while the operator believes it is checked).
+    *
+    * With `lexical` set, ingestion ALSO keeps the t28 BM25 serving
+    * index fresh: each batch's survivors emit their posting rows
+    * ([[graft.ops.Retrieval.bm25Index]] over the BATCH text only — the
+    * corpus is never re-tokenized) into `postings/`, and the batch's
+    * (n_docs, total_tokens) contribution appends to a `lexstats/`
+    * LEDGER. The ledger is the one deliberate departure from
+    * [[graft.ops.Retrieval.bm25IndexAppend]]'s derived 1-row REWRITE:
+    * under foreachBatch's at-least-once replay an overwrite cannot be
+    * made idempotent (a crash after the overwrite but before the
+    * checkpoint commit replays the batch and folds the delta in TWICE —
+    * silent double counting in every later score), while a ledger row
+    * stamped `batch_id` gets the same skip-if-present exactly-once
+    * guard as every other store. Probes fold the ledger with
+    * [[bm25Stats]] — one tiny aggregate over #batches rows (compacted
+    * by [[compactState]]) whose output is exactly the 1-row broadcast
+    * [[graft.ops.Retrieval.bm25Probe]] expects, so the probe contract
+    * is unchanged. Posting rows are per-document facts and both ledger
+    * quantities are additive, so the accumulated stores equal a
+    * from-scratch [[graft.ops.Retrieval.bm25Index]] over the corpus
+    * store (spec-pinned) — df falls out of the posting rows, moving
+    * WITH each append. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double,
                    evalIndexDir: Option[String] = None,
-                   evalMinShared: Int = 2): Unit = {
+                   evalMinShared: Int = 2,
+                   lexical: Boolean = false): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -241,6 +266,25 @@ object DocumentStreams {
           if (!committedIn(corpusStore, batchId))
             surv.withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(s"$stateDir/corpus")
+          if (lexical) {
+            val postingsStore = loadStore(spark, s"$stateDir/postings")
+            val lexstatsStore = loadStore(spark, s"$stateDir/lexstats")
+            val (deltaPost, deltaStats) =
+              graft.ops.Retrieval.bm25Index(surv, textCol, idCol)
+            // same empty-append guard as VectorStreams: a batch whose
+            // survivors carry no tokenizable text (null text rows emit
+            // zero dl/posting rows — matching what a from-scratch
+            // rebuild over the corpus store would count) must not
+            // CREATE a schema-less postings directory, and its (0,
+            // null) stats row would be ledger noise
+            val hasRows = deltaPost.limit(1).count() > 0L
+            if (hasRows && !committedIn(postingsStore, batchId))
+              deltaPost.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$stateDir/postings")
+            if (hasRows && !committedIn(lexstatsStore, batchId))
+              deltaStats.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$stateDir/lexstats")
+          }
         } finally { surv.unpersist(); () }
       } finally { decisions.unpersist(); () }
     } finally { persisted.unpersist(); () }
@@ -275,19 +319,35 @@ object DocumentStreams {
         df.filter(col("batch_id") === batchId).limit(1).count() > 0L
     }
 
+  /** Fold the `lexstats/` ledger a `lexical` ingestion maintains into
+    * the 1-row (n_docs, total_tokens) table
+    * [[graft.ops.Retrieval.bm25Probe]] broadcasts — one aggregate over
+    * #batches tiny rows ([[compactState]] bounds the file count). The
+    * folded row equals what a from-scratch
+    * [[graft.ops.Retrieval.bm25Index]] over the corpus store derives:
+    * both quantities are additive over batches. */
+  def bm25Stats(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$stateDir/lexstats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
+
   /** Start the ingestion query over any streaming DataFrame with
     * (idCol, textCol) columns. Caller owns the query lifecycle.
-    * `evalIndexDir` arms the per-batch decontamination gate — see
+    * `evalIndexDir` arms the per-batch decontamination gate and
+    * `lexical` the BM25 serving-index maintenance — see
     * [[processBatch]]. */
   def incrementalDedupQuery(stream: DataFrame, stateDir: String,
                             textCol: String, idCol: String,
                             threshold: Double = 0.8,
                             evalIndexDir: Option[String] = None,
-                            evalMinShared: Int = 2): StreamingQuery =
+                            evalMinShared: Int = 2,
+                            lexical: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, stateDir,
-          textCol, idCol, threshold, evalIndexDir, evalMinShared)
+          textCol, idCol, threshold, evalIndexDir, evalMinShared,
+          lexical)
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .start()
@@ -376,18 +436,25 @@ object DocumentStreams {
   /** Compact every store under a [[processBatch]] `stateDir` that
     * exists: `index/` clustered by cid (one contiguous artifact row
     * range per corpus id span), `decisions/` by (batch_id, id) (the
-    * audit log's natural read order), `corpus/` by `idCol`. Probe
-    * decisions are layout-independent (the spec pins identical verdicts
-    * pre/post); the win is the listing/footer cost. Run with ingestion
-    * STOPPED — see [[compactStore]]. Returns per-store (files before,
-    * files after). */
+    * audit log's natural read order), `corpus/` by `idCol`, and — for a
+    * `lexical` ingestion — `postings/` by TERM (restoring the t28
+    * release layout's In(t) row-group pruning that per-batch appends
+    * degrade toward file-level min/max, the LSM-style append/compact
+    * split [[graft.ops.Retrieval.bm25IndexAppend]] documents) plus the
+    * `lexstats/` ledger by batch_id. Probe decisions are
+    * layout-independent (the spec pins identical verdicts pre/post);
+    * the win is the listing/footer cost — and for postings, the
+    * restored term clustering. Run with ingestion STOPPED — see
+    * [[compactStore]]. Returns per-store (files before, files
+    * after). */
   def compactState(spark: SparkSession, stateDir: String, idCol: String,
                    targetFileBytes: Long = 128L * 1024 * 1024)
       : Map[String, (Int, Int)] = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq("index" -> Seq("cid"), "decisions" -> Seq("batch_id", "id"),
-        "corpus" -> Seq(idCol))
+        "corpus" -> Seq(idCol), "postings" -> Seq("t"),
+        "lexstats" -> Seq("batch_id"))
       .filter { case (s, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
       .map { case (s, keys) =>

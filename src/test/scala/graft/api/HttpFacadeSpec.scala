@@ -1067,6 +1067,139 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("hybrid-search route: one request fuses the stored BM25 postings " +
+      "and the stored IVF index — term pushdown AND DPP in one serving " +
+      "plan, zero corpus reads") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    // the production layout: a release job wrote BOTH index families —
+    // term-range-clustered postings + stats, cid-partitioned IVF
+    // assignments + medoid centroids; query vectors are their own table
+    val (post, stats) = graft.ops.Retrieval.bm25Index(
+      spark.table("httpapi.documents"), "text", "doc_id")
+    val postDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-post").toString
+    post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(postDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_postings
+      USING parquet LOCATION '$postDir'""")
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-stats").toString
+    stats.write.mode("overwrite").parquet(statsDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_stats
+      USING parquet LOCATION '$statsDir'""")
+    val corpus = graft.tables.Tables(spark, sf, "embeddings")
+    val (assign, cent) = graft.ops.Similarity.ivfIndex(
+      corpus, "embedding", "vec_id", "label")
+    val assignDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-assign").toString
+    assign.write.mode("overwrite").partitionBy("cid").parquet(assignDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_assign
+      USING parquet LOCATION '$assignDir'""")
+    spark.sql("ALTER TABLE httpapi.hy_assign RECOVER PARTITIONS")
+    val centDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-cent").toString
+    cent.write.mode("overwrite").parquet(centDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_cent
+      USING parquet LOCATION '$centDir'""")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-queries").toString
+    corpus.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(qDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_queries
+      USING parquet LOCATION '$qDir'""")
+
+    // the exact dataflow the route runs: reconcile the response against
+    // its rows AND pin BOTH storage-side properties on ONE plan
+    val direct = HttpFacade.hybridSearch(
+      spark.table("httpapi.hy_queries").filter(col("vec_id") === 0),
+      "embedding", "vec_id",
+      spark.table("httpapi.hy_assign"), spark.table("httpapi.hy_cent"),
+      spark.table("httpapi.hy_postings"), spark.table("httpapi.hy_stats"),
+      Seq("spark", "join", "vector", "window"),
+      kBm25 = 20, kDense = 20, nprobe = 2, c = 60, k = 10)
+    val expected = direct.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(expected.nonEmpty)
+    val plan = direct.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val postScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("hy_postings")).toSeq
+    assert(postScans.nonEmpty, plan)
+    assert(postScans.forall(_.contains("In(t")), postScans.mkString("\n"))
+    val assignScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("hy_assign")).toSeq
+    assert(assignScans.nonEmpty, plan)
+    assert(assignScans.forall(_.contains("dynamicpruningexpression")),
+      assignScans.mkString("\n"))
+    // zero corpus reads: both rank lists come from stored index files
+    assert(!finalPlan.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("documents")), plan)
+
+    val base = "/api/v1/catalog/tables/httpapi.hy_queries/hybrid-search"
+    val q = "?postings=httpapi.hy_postings&stats=httpapi.hy_stats" +
+      "&index=httpapi.hy_assign&centroids=httpapi.hy_cent" +
+      "&terms=spark,join,vector,window&vec=embedding&id=vec_id" +
+      "&query_id=0"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    assert(lg(m.body, "n_results") === expected.length.toLong, m.body)
+    val got = ("""\{"id":(\d+),"rank_bm25":(\d+|null),""" +
+      """"rank_dense":(\d+|null),"n_lists":(\d+),""" +
+      """"rrf_scaled":(-?\d+)\}""").r.findAllMatchIn(m.body).map { g =>
+      def o(s: String) = if (s == "null") -1L else s.toLong
+      (g.group(1).toLong, o(g.group(2)), o(g.group(3)),
+        g.group(4).toLong, g.group(5).toLong)
+    }.toSeq
+    assert(got === expected, m.body)
+    // validation edges, probe-route conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + q.replace("&query_id=0", "")).statusCode === 400)
+    assert(get(base + q.replace("query_id=0", "query_id=abc"))
+      .statusCode === 400)
+    // a missing query row is a 404, not a 200 with the lexical list
+    assert(get(base + q.replace("query_id=0", "query_id=99999999"))
+      .statusCode === 404)
+    // wrong-shape tables rejected per parameter
+    assert(get(base + q.replace("httpapi.hy_postings",
+      "httpapi.documents")).statusCode === 400)
+    assert(get(base + q.replace("httpapi.hy_stats", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.hy_assign", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.hy_cent", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.hy_assign", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("httpapi.hy_assign", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("terms=spark,join,vector,window",
+      "terms=,,")).statusCode === 400)
+    assert(get(base + q.replace("terms=spark,join,vector,window",
+      "terms=" + Seq.fill(65)("x").mkString(","))).statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=vec_id"))
+      .statusCode === 400) // non-array vector column
+    assert(get(base + q + "&k=0").statusCode === 400)
+    assert(get(base + q + "&k_bm25=abc").statusCode === 400)
+    assert(get(base + q + "&k_dense=1001").statusCode === 400)
+    assert(get(base + q + "&nprobe=0").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/hybrid-search" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/hybrid-search" + q)
+      .statusCode === 400)
+  }
+
   test("contamination-search route: candidates probe the stored " +
       "fingerprint index; the fpb scan stays dynamically pruned; a " +
       "bucket mismatch is a 400, never silent false negatives") {

@@ -355,6 +355,105 @@ class SimilaritySpec extends SparkSuite {
     } finally { appendRows.unpersist(); centDf.unpersist(); () }
   }
 
+  test("ivfPqIndex/ivfPqProbe: the stored cid-partitioned codes table " +
+      "returns identical ADC rankings to the live ivfPqTopK") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val (codes, codebook) = Similarity.ivfPqIndex(corpus, "embedding",
+      "vec_id", "label", seeds, "embedding", "vec_id", m = 4, dim = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString
+    codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val cent =
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+    cent.write.mode("overwrite").parquet(s"$dir/cent")
+    val storedCodes = spark.read.parquet(s"$dir/codes")
+    // m code rows per corpus vector; the partition-column type survives
+    assert(storedCodes.count() === corpus.count() * 4)
+    assert(storedCodes.schema("cid").dataType ===
+      corpus.schema("label").dataType)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val stored = rows(Similarity.ivfPqProbe(storedCodes,
+      spark.read.parquet(s"$dir/cent"), "cvec", "cid",
+      spark.read.parquet(s"$dir/codebook"),
+      queries, "embedding", "vec_id", m = 4, dim = 64, k = 5, nprobe = 2))
+    val live = rows(Similarity.ivfPqTopK(
+      corpus, "embedding", "vec_id", "label",
+      queries, "embedding", "vec_id", cent, "cvec", "cid",
+      seeds, "embedding", "vec_id", m = 4, dim = 64, k = 5, nprobe = 2))
+    assert(stored === live)
+    assert(stored.nonEmpty)
+    // ADC distances ascend within each query (rank order is real)
+    stored.groupBy(_._1).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_._2).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        rs.mkString(", "))
+    }
+  }
+
+  test("ivfPqIndexAppend: delta vectors code against the stored " +
+      "codebook and append into the cid layout — untouched partitions " +
+      "keep their exact files, appended probe equals a rebuild") {
+    val all = embeddings
+    val corpus = all.filter(col("vec_id") < 400)
+    val delta = all.filter(col("vec_id") >= 400 && col("vec_id") < 480)
+    val seeds = all.filter(col("vec_id") < 8)
+    val (codes, codebook) = Similarity.ivfPqIndex(corpus, "embedding",
+      "vec_id", "label", seeds, "embedding", "vec_id", m = 4, dim = 64)
+    val cent = Similarity
+      .minIdCentroids(corpus, "embedding", "vec_id", "label").cache()
+    val cbS = codebook.cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-append").toString
+    codes.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    def filesByPartition(): Map[String, Set[String]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = filesByPartition()
+    val appendRows = Similarity.ivfPqIndexAppend(delta, "embedding",
+      "vec_id", cent, "cvec", "cid", cbS, m = 4, dim = 64).cache()
+    try {
+      appendRows.write.mode("append").partitionBy("cid").parquet(dir)
+      // m code rows per delta vector; untouched partitions unchanged
+      assert(appendRows.count() === delta.count() * 4)
+      val after = filesByPartition()
+      val touched = appendRows.select("cid").distinct()
+        .as[Int].collect().map(c => s"cid=$c").toSet
+      before.foreach { case (part, files) =>
+        if (touched.contains(part))
+          assert(files.subsetOf(after(part)), s"$part lost files")
+        else assert(after(part) === files, s"$part was rewritten")
+      }
+      // equivalence: a probe over the APPENDED stored index equals the
+      // codes rebuilt from scratch over corpus ∪ delta with delta lists
+      // from the same fixed-centroid argmax
+      val queries = all.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rk", "id", "dist")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+      val storedProbe = rows(Similarity.ivfPqProbe(
+        spark.read.parquet(dir), cent, "cvec", "cid", cbS,
+        queries, "embedding", "vec_id", m = 4, dim = 64,
+        k = 5, nprobe = 2))
+      val rebuilt = codes.unionAll(appendRows
+        .select(col("id"), col("sub"), col("code"), col("cid")))
+      val rebuiltProbe = rows(Similarity.ivfPqProbe(
+        rebuilt, cent, "cvec", "cid", cbS,
+        queries, "embedding", "vec_id", m = 4, dim = 64,
+        k = 5, nprobe = 2))
+      assert(storedProbe === rebuiltProbe)
+      assert(storedProbe.nonEmpty)
+    } finally {
+      appendRows.unpersist(); cent.unpersist(); cbS.unpersist(); ()
+    }
+  }
+
   test("cosineNearDup clusters planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation

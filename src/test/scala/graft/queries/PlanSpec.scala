@@ -699,6 +699,75 @@ class PlanSpec extends SparkSuite {
       docScans.mkString("\n"))
   }
 
+  test("e23: the stored PQ codes table is DYNAMICALLY PARTITION-PRUNED " +
+      "and raw vectors never scan — the compressed tier's probe reads " +
+      "m small ints per candidate from the probed lists' files") {
+    val plan = pipelinePlan("e23_indexed_ivfpq")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val idxScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_e23_index_")).toSeq
+    val codeScans = idxScans.filter(_.contains("/codes"))
+    assert(codeScans.nonEmpty, plan)
+    // the list-membership join key is the partition column and the
+    // probed set broadcasts, so the codes scan carries a DPP subquery
+    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+      codeScans.mkString("\n"))
+    // the codes read is (id, sub, code) + the partition column — the
+    // whole point of the tier: no vector column at rest on the probe
+    assert(codeScans.forall(_.contains("ReadSchema: struct<id:")),
+      codeScans.mkString("\n"))
+    assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
+    // the only embeddings read is the 10-query probe side, filter pushed
+    val embScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("embeddings")).toSeq
+    assert(embScans.forall(_.contains("LessThan(vec_id,10)")),
+      embScans.mkString("\n"))
+  }
+
+  test("e24: the APPENDED codes layout keeps dynamic partition " +
+      "pruning — compressed-tier maintenance never degrades the " +
+      "serving read") {
+    val plan = pipelinePlan("e24_ivfpq_append")
+    // ivfPqIndexAppend lands delta code rows into the released
+    // partitioned layout; the probe over the appended directory must
+    // carry the same DPP subquery as the freshly-built e23 index
+    val codeScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_e24_index_")).toSeq
+      .filter(_.contains("/codes"))
+    assert(codeScans.nonEmpty, plan)
+    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+      codeScans.mkString("\n"))
+    assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
+  }
+
+  test("t32: the hybrid probe serves from TWO stored indexes — term " +
+      "pushdown on the postings, DPP on the IVF lists, and the corpus " +
+      "is never re-read") {
+    val plan = pipelinePlan("t32_indexed_hybrid")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    // the lexical side never re-tokenizes: zero documents scans in the
+    // serving plan — both rank lists come from stored index files
+    assert(!scans.exists(_.contains("documents")), scans.mkString("\n"))
+    val postings = scans.filter(s =>
+      s.contains("graft_t32_index_") && s.contains("/postings"))
+    assert(postings.nonEmpty, plan)
+    assert(postings.forall(_.contains("In(t")), postings.mkString("\n"))
+    val assign = scans.filter(s =>
+      s.contains("graft_t32_index_") && s.contains("/assign"))
+    assert(assign.nonEmpty, plan)
+    assert(assign.forall(_.contains("dynamicpruningexpression")),
+      assign.mkString("\n"))
+    // the dense side's only embeddings read is the single query vector
+    val embScans = scans.filter(_.contains("embeddings"))
+    assert(embScans.forall(_.contains("EqualTo(vec_id,0)")),
+      embScans.mkString("\n"))
+  }
+
   test("x12: the repair reads pruned id columns for its set arithmetic " +
       "— and the audits over stale/repaired stay id-column-narrow") {
     // the entry's OUTPUT plan is the before/after audit pair: every

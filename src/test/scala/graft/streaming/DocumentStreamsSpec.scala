@@ -97,6 +97,56 @@ class DocumentStreamsSpec extends SparkSuite {
     assert(counts() === before)
   }
 
+  test("lexical ingestion: the BM25 postings store + stats ledger track " +
+      "the corpus — probe over the stores equals a from-scratch " +
+      "rebuild, replay appends nothing, compaction moves no score") {
+    val dir = Files.createTempDirectory("docstream-lex").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id",
+      0.7, lexical = true)
+    // batch 1: 4 dups 1 (rejected — no postings contribution), 5 is new
+    val b1 = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, lexical = true)
+    def probe() = graft.ops.Retrieval.bm25Probe(
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$dir/postings").drop("batch_id"),
+        DocumentStreams.bm25Stats(spark, dir),
+        Seq("beta", "three", "fresh"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val stored = probe()
+    // the equivalence contract: accumulated posting facts + the folded
+    // additive ledger equal a from-scratch bm25Index over the corpus
+    // store — identical scores, identical ranks
+    val rebuilt = graft.ops.Retrieval.bm25TopK(
+        spark.read.parquet(s"$dir/corpus"), "text", "doc_id",
+        Seq("beta", "three", "fresh"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(stored === rebuilt)
+    assert(stored.nonEmpty)
+    // only SURVIVORS contribute postings (the duplicate never indexes)
+    assert(spark.read.parquet(s"$dir/postings").select("id").distinct()
+      .as[Long].collect().sorted === Array(1L, 2L, 5L))
+    // one ledger row per contributing batch
+    assert(spark.read.parquet(s"$dir/lexstats").count() === 2L)
+    // replay idempotence: both lexical stores carry the batch marker
+    def counts() = (spark.read.parquet(s"$dir/postings").count(),
+      spark.read.parquet(s"$dir/lexstats").count())
+    val before = counts()
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, lexical = true)
+    assert(counts() === before)
+    assert(probe() === stored)
+    // compaction covers the lexical stores (postings re-clustered by
+    // TERM — the t28 release layout); scores and ranks unchanged
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("postings") && report.contains("lexstats"),
+      report.toString)
+    assert(probe() === stored)
+  }
+
   test("crashed-attempt replay: a half-committed batch completes without " +
       "self-matching or double-appending") {
     val dir = Files.createTempDirectory("docstream-crash").toString
