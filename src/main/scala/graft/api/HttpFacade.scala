@@ -173,6 +173,8 @@ final class HttpFacade(
           contaminationSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "hybrid-search")) =>
           hybridSearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "pq-search")) =>
+          pqSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "index-audit")) =>
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
@@ -1682,6 +1684,145 @@ final class HttpFacade(
     }
   }
 
+  /** ANN search over a STORED compressed (IVF-PQ) index
+    * (`?index=<ns.table>&centroids=<ns.table>&codebook=<ns.table>
+    * &vec=<col>&id=<col>&m=<n>&dim=<n>[&k=][&nprobe=][&limit=]`): the
+    * e23 serving loop over HTTP — ann-search's symmetric for the
+    * compressed tier, where the corpus at rest is m small ints per
+    * vector instead of the float array. `{tablePath}` is the
+    * query-vector table; `index` names a stored
+    * [[graft.ops.Similarity.ivfPqIndex]] codes table (id, sub, code,
+    * cid — written once per release PARTITIONED BY cid), `centroids`
+    * the released (cid, cvec) medoids and `codebook` the released
+    * (code, sub, cvec) codeword table. Each request probes its `nprobe`
+    * nearest lists and ADC-ranks their code rows against the broadcast
+    * distance table — the DPP subquery prunes the codes read to the
+    * probed lists' files, and raw vectors are never read. `m`/`dim`
+    * must match the release's coding geometry (`dim` is validated
+    * against the query vectors; a codebook whose subvectors disagree
+    * with dim/m is a 400 — mis-sliced ADC tables would silently score
+    * garbage). Response: top-`k` (query_id, rk, id, dist) rows,
+    * approximated squared L2 ascending, capped at `limit`. Read-only
+    * and persist-free, outside the op lock. */
+  private def pqSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val centPath = qp.get("centroids").filter(_.nonEmpty)
+      val cbPath = qp.get("codebook").filter(_.nonEmpty)
+      val vecCol = qp.get("vec").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (indexPath.isEmpty || centPath.isEmpty || cbPath.isEmpty ||
+          vecCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index, centroids, codebook, vec and id parameters are " +
+            "required")); return
+      }
+      val codes = loadStored(ex, indexPath.get, "index",
+        Seq("id", "sub", "code", "cid")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val cent = loadStored(ex, centPath.get, "centroids",
+        Seq("cid", "cvec")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val codebook = loadStored(ex, cbPath.get, "codebook",
+        Seq("code", "sub", "cvec")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val unknown = Seq(vecCol.get, idCol.get).filterNot(df.columns.contains)
+      if (unknown.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${unknown.mkString(", ")}")); return
+      }
+      if (!df.schema(vecCol.get).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+        sendJson(ex, 400,
+          detail(s"Vector column ${vecCol.get} is not an array column"))
+        return
+      }
+      val m = intParam(ex, qp, "m", 4, 1, 4096) match {
+        case None => return; case Some(v) => v
+      }
+      val dim = intParam(ex, qp, "dim", 64, 1, 65536) match {
+        case None => return; case Some(v) => v
+      }
+      if (dim % m != 0) {
+        sendJson(ex, 400,
+          detail(s"dim=$dim must split into m=$m equal subspaces"))
+        return
+      }
+      // geometry agreement, each a one-row probe: query vectors must
+      // carry `dim` coordinates (a shorter query would null-pad and be
+      // dropped — an empty 200), centroid vectors must match the query
+      // dim (coarse probing scores the common prefix otherwise), and
+      // codebook subvectors must be dim/m wide (a mis-sliced ADC table
+      // scores garbage with a 200)
+      def dimOf(t: org.apache.spark.sql.DataFrame, c: String): Option[Int] = {
+        import org.apache.spark.sql.functions.{col, size}
+        t.select(size(col(c)).as("n")).filter(col("n").isNotNull)
+          .limit(1).collect().headOption.map(_.getInt(0))
+      }
+      val (qDim, cDim, bDim) =
+        (dimOf(df, vecCol.get), dimOf(cent, "cvec"), dimOf(codebook, "cvec"))
+      val bad = Seq(
+        (qDim, Some(dim), "the query vectors and dim"),
+        (cDim, Some(dim), "the centroids and dim"),
+        (bDim, Some(dim / m), "the codebook subvectors and dim/m"))
+        .collectFirst { case (Some(x), Some(y), w) if x != y => (x, y, w) }
+      if (bad.isDefined) {
+        val (x, y, w) = bad.get
+        sendJson(ex, 400, detail(
+          s"Vector dimension mismatch between $w ($x vs $y)"))
+        return
+      }
+      val k = intParam(ex, qp, "k", 10, 1, 1000) match {
+        case None => return; case Some(v) => v
+      }
+      val nprobe = intParam(ex, qp, "nprobe", 2, 1, 1024) match {
+        case None => return; case Some(v) => v
+      }
+      val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
+        case None => return; case Some(v) => v
+      }
+      // one action: the operator's output is (query_id, rk)-ordered
+      val rows = HttpFacade.pqSearch(df, vecCol.get, idCol.get,
+        codes, cent, codebook, m, dim, k, nprobe).limit(limit).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "centroids" -> centPath.get,
+        "codebook" -> cbPath.get,
+        "vec" -> vecCol.get,
+        "id" -> idCol.get,
+        "m" -> m.toLong,
+        "dim" -> dim.toLong,
+        "k" -> k.toLong,
+        "nprobe" -> nprobe.toLong,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "query_id" -> String.valueOf(r.get(0)),
+          "rk" -> r.getInt(1).toLong,
+          "id" -> r.getLong(2),
+          "dist" -> r.getDouble(3))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
   /** Hybrid search over TWO stored indexes
     * (`?postings=<ns.table>&stats=<ns.table>&index=<ns.table>
     * &centroids=<ns.table>&terms=<a,b,c>&vec=<col>&id=<col>
@@ -2354,6 +2495,20 @@ object HttpFacade {
       buckets: Int): org.apache.spark.sql.DataFrame =
     graft.ops.TextAnalysis.contaminationProbe(index, probes, textCol,
       idCol, k, window, minShared, hashMode, buckets)
+
+  /** The pq-search route's dataflow, factored out so the spec can pin
+    * the PLAN of the exact computation the route runs (DPP on the
+    * stored cid-partitioned codes scan, no vector column read): e23's
+    * [[graft.ops.Similarity.ivfPqProbe]] over the stored catalog
+    * tables. */
+  private[api] def pqSearch(queries: org.apache.spark.sql.DataFrame,
+      vecCol: String, idCol: String,
+      codes: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame,
+      m: Int, dim: Int, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.Similarity.ivfPqProbe(codes, cent, "cvec", "cid", codebook,
+      queries, vecCol, idCol, m, dim, k = k, nprobe = nprobe)
 
   /** The hybrid-search route's dataflow, factored out so the spec can
     * pin the PLAN of the exact computation the route runs (In(t)

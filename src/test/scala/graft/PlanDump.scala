@@ -193,6 +193,32 @@ object PlanDump {
         "probe over the APPENDED directory still carries the " +
         "dynamicpruningexpression (PlanSpec-pinned): maintenance never " +
         "degrades the serving read to a full scan."),
+    "e23_indexed_ivfpq" ->
+      ("e07 through the STORED, cid-PARTITIONED codes table — the " +
+        "compressed serving tier: the list-membership join carries a " +
+        "dynamicpruningexpression on the codes scan and the ReadSchema " +
+        "is (id, sub, code) + the partition column, never a vector " +
+        "(both PlanSpec-pinned). The per-query ADC distance table " +
+        "(|q|·m·|codebook| exact decimals) broadcasts; scoring is a " +
+        "map-side join + one keyed partial-aggregated decimal sum per " +
+        "(query, candidate); the cut is the bounded-heap top-k. At " +
+        "rest the probe reads m small ints per candidate — memory and " +
+        "I/O ∝ codes, not vectors."),
+    "e24_ivfpq_append" ->
+      ("Compressed-tier maintenance: ivfPqIndexAppend codes the delta " +
+        "against the STORED codebook (broadcast; m bounded-heap " +
+        "argmins per delta vector) and assigns lists by the released-" +
+        "centroid argmax (one (id,cid) row per delta vector on the " +
+        "exchange), appending schema-identical rows partition-wise. " +
+        "The probe over the APPENDED directory still carries the " +
+        "dynamicpruningexpression (PlanSpec-pinned)."),
+    "t32_indexed_hybrid" ->
+      ("ONE query, TWO stored index families, ZERO corpus scans " +
+        "(PlanSpec pins all three on one plan): the lexical list keeps " +
+        "In(t, ...) at the term-clustered postings scan, the dense " +
+        "list keeps the dynamicpruningexpression on the cid-" +
+        "partitioned assignments, and reciprocal-rank fusion folds the " +
+        "two k-row lists — nothing corpus-sized enters the fusion."),
     "x11_index_audit" ->
       ("Stored-index freshness audit: one pruned id column per side " +
         "(the index scan's ReadSchema is struct<cid> — never the " +

@@ -1067,6 +1067,110 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("pq-search route: queries ADC-rank the stored compressed codes; " +
+      "the codes scan stays partition-pruned and vector-free") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    import org.apache.spark.sql.functions.col
+    // the production layout: a release job wrote the PQ codes once —
+    // PARTITIONED BY list id — plus the codebook and medoid centroids
+    val corpus = graft.tables.Tables(spark, sf, "embeddings")
+    val (codes, codebook) = graft.ops.Similarity.ivfPqIndex(
+      corpus, "embedding", "vec_id", "label",
+      corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+      m = 4, dim = 64)
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("httpapi-pq-codes").toString
+    codes.write.mode("overwrite").partitionBy("cid").parquet(codesDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.pq_codes
+      USING parquet LOCATION '$codesDir'""")
+    spark.sql("ALTER TABLE httpapi.pq_codes RECOVER PARTITIONS")
+    val cbDir = java.nio.file.Files
+      .createTempDirectory("httpapi-pq-cb").toString
+    codebook.write.mode("overwrite").parquet(cbDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.pq_codebook
+      USING parquet LOCATION '$cbDir'""")
+    val centDir = java.nio.file.Files
+      .createTempDirectory("httpapi-pq-cent").toString
+    graft.ops.Similarity
+      .minIdCentroids(corpus, "embedding", "vec_id", "label")
+      .write.mode("overwrite").parquet(centDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.pq_cent
+      USING parquet LOCATION '$centDir'""")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("httpapi-pq-queries").toString
+    corpus.filter(col("vec_id") < 10)
+      .write.mode("overwrite").parquet(qDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.pq_queries
+      USING parquet LOCATION '$qDir'""")
+
+    // the exact dataflow the route runs: reconcile the response against
+    // its rows AND pin DPP + the vector-free read on its plan
+    val direct = HttpFacade.pqSearch(spark.table("httpapi.pq_queries"),
+      "embedding", "vec_id", spark.table("httpapi.pq_codes"),
+      spark.table("httpapi.pq_cent"), spark.table("httpapi.pq_codebook"),
+      m = 4, dim = 64, k = 5, nprobe = 2)
+    val expected = direct.collect()
+    assert(expected.nonEmpty)
+    val plan = direct.queryExecution.executedPlan.toString
+    val codeScans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("pq_codes")).toSeq
+    assert(codeScans.nonEmpty, plan)
+    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+      codeScans.mkString("\n"))
+    // the compressed tier's whole point: no vector column in the read
+    assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
+
+    val base = "/api/v1/catalog/tables/httpapi.pq_queries/pq-search"
+    val q = "?index=httpapi.pq_codes&centroids=httpapi.pq_cent" +
+      "&codebook=httpapi.pq_codebook&vec=embedding&id=vec_id&m=4&dim=64"
+    val m = get(base + q + "&k=5")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    assert(lg(m.body, "n_results") === expected.length.toLong, m.body)
+    val got = ("""\{"query_id":"(\d+)","rk":(\d+),"id":(\d+),""" +
+      """"dist":([-0-9.eE]+)\}""").r.findAllMatchIn(m.body).map(g =>
+      (g.group(1).toLong, g.group(2).toInt, g.group(3).toLong,
+        g.group(4).toDouble)).toSeq
+    assert(got === expected.toSeq.map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))), m.body)
+    // validation edges, probe-route conventions
+    assert(get(base).statusCode === 400)
+    assert(get(base + q.replace("&codebook=httpapi.pq_codebook", ""))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.pq_codes", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.pq_codes", "httpapi.nope"))
+      .statusCode === 404)
+    // wrong-shape tables rejected per parameter
+    assert(get(base + q.replace("httpapi.pq_codes", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.pq_cent", "httpapi.documents"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.pq_codebook",
+      "httpapi.documents")).statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("vec=embedding", "vec=vec_id"))
+      .statusCode === 400) // non-array vector column
+    // geometry misuse is a 400, never a 200 with garbage ADC scores
+    assert(get(base + q.replace("m=4&dim=64", "m=3&dim=64"))
+      .statusCode === 400) // dim not divisible by m
+    assert(get(base + q.replace("dim=64", "dim=32"))
+      .statusCode === 400) // query vectors are 64-wide
+    assert(get(base + q.replace("m=4", "m=8"))
+      .statusCode === 400) // codebook subvectors are 16-wide, not 8
+    assert(get(base + q + "&k=0").statusCode === 400)
+    assert(get(base + q + "&nprobe=0").statusCode === 400)
+    assert(get(base + q + "&limit=10001").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/pq-search" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/pq-search" + q)
+      .statusCode === 400)
+  }
+
   test("hybrid-search route: one request fuses the stored BM25 postings " +
       "and the stored IVF index — term pushdown AND DPP in one serving " +
       "plan, zero corpus reads") {
