@@ -526,16 +526,36 @@ object Similarity {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split into m=$m equal subspaces")
     val sub = dim / m
-    val codes = pqCodes(corpus, vecCol, idCol, seeds, sVecCol, sIdCol,
-        m, dim)
-      .select(col("id"), col("sub"), col("code"))
-      .join(corpus.select(col(idCol).as("id"), col(listCol).as("cid")),
-        Seq("id"))
-      .select(col("id"), col("sub"), col("code"), col("cid"))
     val codebook = seeds
       .select(col(sIdCol).cast("long").as("code"), subvecs(sVecCol, m, sub))
       .toDF("code", "sub", "cvec")
-    (codes, codebook)
+    (ivfPqCodesFromAssigned(corpus, vecCol, idCol, listCol, codebook,
+      m, dim), codebook)
+  }
+
+  /**
+   * Code an ALREADY-ASSIGNED vector set against a stored codebook into
+   * (id, sub, code, cid) index rows — the composition device for
+   * pipelines that computed the coarse assignment once and need the PQ
+   * rows for the SAME vectors without a second argmax (e.g.
+   * [[graft.streaming.VectorStreams]] appends a batch's raw IVF rows
+   * AND its PQ codes: the centroid argmax runs once in
+   * [[ivfIndexAppend]], and the codes here just join that output's
+   * (id, cid)). [[ivfPqIndex]] is this applied to a release corpus
+   * whose lists are a precomputed column.
+   */
+  def ivfPqCodesFromAssigned(
+      assigned: DataFrame, vecCol: String, idCol: String, listCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    pqCodesFromBook(assigned, vecCol, idCol,
+        codebook.select(col("code"), col("sub"), col("cvec")), m, sub)
+      .select(col("id"), col("sub"), col("code"))
+      .join(assigned.select(col(idCol).as("id"), col(listCol).as("cid")),
+        Seq("id"))
+      .select(col("id"), col("sub"), col("code"), col("cid"))
   }
 
   /**

@@ -23,7 +23,11 @@ import graft.ops.Similarity
  * it, so ingestion assigns against it and re-training waits for the
  * next release), `index/` (the accumulated (id, vec, cid, batch_id)
  * assignment rows, PARTITIONED BY cid — for vectors the index IS the
- * corpus), and `decisions/` (one audit row per arriving vector).
+ * corpus), and `decisions/` (one audit row per arriving vector). With
+ * `pq` set, two more join them: `codebook/` (the released (code, sub,
+ * cvec) quantization geometry — a release artifact like the centroids)
+ * and `codes/` (the accumulated compressed tier, PARTITIONED BY cid —
+ * see [[processBatch]]).
  *
  * The cross-batch gate is deliberately the SERVING read, not a full
  * scan: the probe checks the `nprobe` nearest inverted lists, so a
@@ -115,10 +119,24 @@ object VectorStreams {
   /** The foreachBatch body: load the released centroids and the stored
     * index (absent on the first batch), run [[dedupeStep]], append
     * decisions + the survivors' assignment rows (partition-wise — only
-    * touched lists gain files). */
+    * touched lists gain files).
+    *
+    * With `pq` set, ingestion ALSO keeps the compressed serving tier
+    * fresh (the e23/e24 codes family — [[DocumentStreams]]' `lexical`
+    * symmetric): survivors code against the RELEASED `codebook/`
+    * artifact ([[graft.ops.Similarity.ivfPqCodesFromAssigned]] over the
+    * batch's already-argmaxed (id, vec, cid) rows — one coding pass and
+    * one argmax per batch, never two) and their (id, sub, code, cid)
+    * rows append partition-wise into `codes/` under the same
+    * batch-stamped exactly-once guard. Codes are per-vector facts of
+    * the fixed codebook and the lists are the same argmax as the raw
+    * index rows, so the codes store stays row-set-equal to
+    * ivfPqIndex over the accumulated index store (spec-pinned: an ADC
+    * probe of the streamed codes equals one over the rebuild). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, vecCol: String, idCol: String,
-                   dim: Int, threshold: Double, nprobe: Int): Unit = {
+                   dim: Int, threshold: Double, nprobe: Int,
+                   pq: Boolean = false, m: Int = 4): Unit = {
     val persisted = batch.persist()
     try {
       val conf = spark.sessionState.newHadoopConf()
@@ -176,29 +194,58 @@ object VectorStreams {
             appendRows.withColumn("batch_id", lit(batchId))
               .write.mode("append").partitionBy("cid")
               .parquet(s"$stateDir/index")
+          if (pq) {
+            // the codebook is a release artifact exactly like the
+            // centroids: queries build ADC tables BY it, so ingestion
+            // codes against it and never invents quantization geometry
+            val cbPath = new org.apache.hadoop.fs.Path(s"$stateDir/codebook")
+            if (!fs.exists(cbPath))
+              throw new IllegalStateException(
+                s"$stateDir has no codebook release - write the " +
+                  s"released (code, sub, cvec) table (ivfPqIndex's " +
+                  s"second element) to $stateDir/codebook before " +
+                  s"starting pq ingestion")
+            val codebook = spark.read.parquet(s"$stateDir/codebook")
+            val codesStore =
+              DocumentStreams.loadStore(spark, s"$stateDir/codes")
+            // the argmax already ran for appendRows (persisted above);
+            // the PQ rows join that (id, cid) instead of re-assigning —
+            // one coding pass, one argmax per batch
+            val pqRows = Similarity.ivfPqCodesFromAssigned(appendRows,
+              "vec", "id", "cid", codebook, m, dim)
+            if (hasRows &&
+                !DocumentStreams.committedIn(codesStore, batchId))
+              pqRows.withColumn("batch_id", lit(batchId))
+                .write.mode("append").partitionBy("cid")
+                .parquet(s"$stateDir/codes")
+          }
         } finally { appendRows.unpersist(); () }
       } finally { decisions.unpersist(); () }
     } finally { persisted.unpersist(); () }
   }
 
   /** Start the ingestion query over any streaming DataFrame with
-    * (idCol, vecCol) columns. Caller owns the query lifecycle. */
+    * (idCol, vecCol) columns. Caller owns the query lifecycle. `pq`
+    * arms the compressed-tier maintenance — see [[processBatch]]. */
   def incrementalIndexQuery(stream: DataFrame, stateDir: String,
                             vecCol: String, idCol: String, dim: Int,
                             threshold: Double = 0.95,
-                            nprobe: Int = 2): StreamingQuery =
+                            nprobe: Int = 2,
+                            pq: Boolean = false,
+                            m: Int = 4): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, stateDir,
-          vecCol, idCol, dim, threshold, nprobe)
+          vecCol, idCol, dim, threshold, nprobe, pq, m)
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .start()
 
-  /** Compact the vector stores: `index/` keeps its cid partitioning
-    * (one file set per inverted list — DPP survives the rewrite,
-    * spec-pinned), `decisions/` range-clusters flat. Run with ingestion
-    * STOPPED — see [[DocumentStreams.compactStore]]. */
+  /** Compact the vector stores: `index/` and — for a `pq` ingestion —
+    * `codes/` keep their cid partitioning (one file set per inverted
+    * list — DPP survives the rewrite, spec-pinned), `decisions/`
+    * range-clusters flat. Run with ingestion STOPPED — see
+    * [[DocumentStreams.compactStore]]. */
   def compactState(spark: SparkSession, stateDir: String,
                    targetFileBytes: Long = 128L * 1024 * 1024)
       : Map[String, (Int, Int)] = {
@@ -209,6 +256,11 @@ object VectorStreams {
     (if (exists("index"))
        Map("index" -> DocumentStreams.compactStore(spark,
          s"$stateDir/index", Seq("id"), targetFileBytes,
+         partitionCols = Seq("cid")))
+     else Map.empty[String, (Int, Int)]) ++
+    (if (exists("codes"))
+       Map("codes" -> DocumentStreams.compactStore(spark,
+         s"$stateDir/codes", Seq("id", "sub"), targetFileBytes,
          partitionCols = Seq("cid")))
      else Map.empty[String, (Int, Int)]) ++
     (if (exists("decisions"))

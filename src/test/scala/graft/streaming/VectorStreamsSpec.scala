@@ -98,6 +98,81 @@ class VectorStreamsSpec extends SparkSuite {
     assert(counts() === ((3L, 5L)))
   }
 
+  test("pq ingestion: the codes store tracks the index store — ADC " +
+      "probe over streamed codes equals a from-scratch rebuild, replay " +
+      "appends nothing, the cid layout survives compaction") {
+    import graft.ops.Similarity
+    val dir = Files.createTempDirectory("vecstream-pq").toString
+    writeCentroids(dir)
+    // released codebook: the quantization geometry, a release artifact
+    // written next to cent/ (3 codewords, m=2 subspaces of 2 dims)
+    val seeds = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (_, cb) = Similarity.ivfPqIndex(
+      seeds.withColumn("lbl", lit(0)), "embedding", "vec_id", "lbl",
+      seeds, "embedding", "vec_id", m = 2, dim = 4)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    VectorStreams.processBatch(spark,
+      Seq((1L, vA), (2L, vB), (3L, vA)).toDF("vec_id", "embedding"),
+      0L, dir, "embedding", "vec_id", 4, 0.95, 2, pq = true, m = 2)
+    VectorStreams.processBatch(spark,
+      Seq((4L, vA2), (5L, vC)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2, pq = true, m = 2)
+    val codes = spark.read.parquet(s"$dir/codes")
+    // m code rows per ACCEPTED vector (duplicates never code), in the
+    // raw index's lists, one directory per inverted list
+    assert(codes.select("id").distinct().as[Long].collect().sorted
+      === Array(1L, 2L, 5L))
+    assert(codes.count() === 6L)
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("cid=0", "cid=1"))
+    // equivalence: an ADC probe of the streamed codes equals one over
+    // codes rebuilt from the accumulated index store (same codebook,
+    // same lists — codes are per-vector facts, lists the same argmax)
+    val cent = spark.read.parquet(s"$dir/cent")
+    val cbS = spark.read.parquet(s"$dir/codebook")
+    val queries = Seq((100L, vA), (101L, vC)).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    def probe(c: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.ivfPqProbe(c, cent, "cvec", "cid", cbS,
+        queries, "embedding", "vec_id", m = 2, dim = 4,
+        k = 3, nprobe = 2))
+    val streamed = probe(codes.drop("batch_id"))
+    val rebuilt = Similarity.ivfPqCodesFromAssigned(
+      spark.read.parquet(s"$dir/index").drop("batch_id"),
+      "vec", "id", "cid", cbS, m = 2, dim = 4)
+    assert(streamed === probe(rebuilt))
+    assert(streamed.nonEmpty)
+    // replay idempotence: the codes store carries the batch marker
+    val before = spark.read.parquet(s"$dir/codes").count()
+    VectorStreams.processBatch(spark,
+      Seq((4L, vA2), (5L, vC)).toDF("vec_id", "embedding"),
+      1L, dir, "embedding", "vec_id", 4, 0.95, 2, pq = true, m = 2)
+    assert(spark.read.parquet(s"$dir/codes").count() === before)
+    // compaction covers codes/, preserves the layout, moves no rank
+    val report = VectorStreams.compactState(spark, dir)
+    assert(report.contains("codes"), report.toString)
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("cid=0", "cid=1"))
+    assert(probe(spark.read.parquet(s"$dir/codes").drop("batch_id"))
+      === streamed)
+    // a missing codebook release fails loudly, like a missing cent/
+    val dir2 = Files.createTempDirectory("vecstream-pq-nocb").toString
+    writeCentroids(dir2)
+    val e = intercept[IllegalStateException] {
+      VectorStreams.processBatch(spark,
+        Seq((1L, vA)).toDF("vec_id", "embedding"),
+        0L, dir2, "embedding", "vec_id", 4, 0.95, 2, pq = true, m = 2)
+    }
+    assert(e.getMessage.contains("codebook release"), e.getMessage)
+  }
+
   test("a first batch of null vectors never creates an unreadable " +
       "index dir (the guard tests the append rows, not the survivors)") {
     val dir = Files.createTempDirectory("vecstream-null").toString
