@@ -178,6 +178,41 @@ object Profile {
   }
 
   /**
+   * Release-wide freshness audit — ONE statement about the health of
+   * every stored index family a corpus release ships (x13): each
+   * (family, corpus, corpusIdCol, index, indexIdCol) entry contributes
+   * its [[indexAudit]] row tagged with the family name, ordered by
+   * family — the dashboard row set a release job checks before
+   * declaring the release servable, and the trigger table for
+   * [[indexRepair]] (any row with n_unindexed > 0 backfills, with
+   * n_orphaned > 0 compacts). Entries carry their OWN corpus because a
+   * release audits across modalities — the document families (dedup,
+   * postings, fingerprints) against the document corpus, the vector
+   * families (IVF assignments, PQ codes) against the embedding corpus;
+   * a many-rows-per-doc index (postings' (t, id), codes' (id, sub))
+   * audits identically through [[indexAudit]]'s distinct.
+   *
+   * Scale: |families| independent two-pruned-id-column audits (each the
+   * x11 cost — two narrow column reads, one 8-byte-row full-outer
+   * join) unioned into |families| rows; nothing cross-family joins, so
+   * the release audit costs exactly the sum of its members and
+   * parallelizes across them.
+   */
+  def releaseAudit(
+      families: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(families.nonEmpty, "releaseAudit needs at least one family")
+    require(families.map(_._1).distinct.size == families.size,
+      "releaseAudit family names must be distinct")
+    families.map { case (family, corpus, idCol, index, indexIdCol) =>
+      indexAudit(corpus, idCol, index, indexIdCol)
+        .select(lit(family).as("family"), col("n_corpus"),
+          col("n_indexed"), col("n_covered"), col("n_unindexed"),
+          col("n_orphaned"), col("fresh_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("family"))
+  }
+
+  /**
    * Act on an [[indexAudit]]'s two signals — the repair op that closes
    * the audit loop (x12): given the corpus, a stale stored index, and
    * the index family's own row builder (`buildRows`: docs → index rows,

@@ -1086,6 +1086,58 @@ object PipelineOps {
       graft.ops.Profile.indexAudit(all.filter(col("doc_id") < 480),
         "doc_id", s.read.parquet(idxPath), "cid")
     },
+    "x13_release_audit" -> { (s, d) =>
+      // release-wide freshness audit: ONE statement about every stored
+      // index family the release ships — five families, five drift
+      // signatures. Document corpus = docs < 480: the dedup index was
+      // built from the x11 drifted cut [30, 490) (30 unindexed, 10
+      // orphaned), the postings from docs < 450 (pure append lag), the
+      // fingerprint index from exactly the corpus (the one FRESH row —
+      // a dashboard must prove it reads 1e6, not just flag the stale).
+      // Vector corpus = vectors < 480: the IVF assignments from
+      // [10, 480) (10 unindexed), the PQ codes from [5, 490) (both
+      // signals on the compressed tier). Every index is the REAL stored
+      // artifact round-tripped through its family's layout; the oracle
+      // re-derives all five rows by index-blind set arithmetic
+      val allDocs = docs(s, d)
+      val allVecs = embs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_x13_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Dedup.incrementalIndex(
+          allDocs.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(base + "/dedup")
+      graft.ops.Retrieval.bm25Index(
+          allDocs.filter(col("doc_id") < 450), "text", "doc_id")._1
+        .repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+        .write.mode("overwrite").parquet(base + "/postings")
+      TextAnalysis.contaminationIndex(
+          allDocs.filter(col("doc_id") < 480), "text", "doc_id",
+          hashMode = "md5")
+        .write.mode("overwrite").partitionBy("fpb").parquet(base + "/fps")
+      Similarity.ivfIndex(
+          allVecs.filter(col("vec_id") >= 10 && col("vec_id") < 480),
+          "embedding", "vec_id", "label")._1
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      Similarity.ivfPqIndex(
+          allVecs.filter(col("vec_id") >= 5 && col("vec_id") < 490),
+          "embedding", "vec_id", "label",
+          allVecs.filter(col("vec_id") < 8), "embedding", "vec_id",
+          m = 4, dim = 64)._1
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/codes")
+      val dc = allDocs.filter(col("doc_id") < 480)
+      val vc = allVecs.filter(col("vec_id") < 480)
+      graft.ops.Profile.releaseAudit(Seq(
+        ("bm25", dc, "doc_id", s.read.parquet(base + "/postings"), "id"),
+        ("contamination", dc, "doc_id",
+          s.read.parquet(base + "/fps"), "cid"),
+        ("dedup", dc, "doc_id", s.read.parquet(base + "/dedup"), "cid"),
+        ("ivf", vc, "vec_id", s.read.parquet(base + "/assign"), "id"),
+        ("pq", vc, "vec_id", s.read.parquet(base + "/codes"), "id")))
+    },
     "x12_index_repair" -> { (s, d) =>
       // acting on x11's signals: the same drifted stored dedup index
       // (corpus = docs < 480, index built from [30, 490) — 30 docs
@@ -3008,6 +3060,43 @@ object PipelineOps {
                   AS n_orphaned,
                 CAST((SELECT count(*) FROM c JOIN i USING (id)) * 1000000
                   // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm""",
+    // x13: five x11-style set-arithmetic rows — one per stored index
+    // family over its own corpus and drifted cut — re-derived
+    // index-blindly and unioned; a hash match certifies every family's
+    // stored id column reports its true coverage through one statement
+    "x13_release_audit" -> {
+      def fam(name: String, c: String, i: String): String =
+        s"""SELECT '$name' AS family,
+            (SELECT count(*) FROM $c) AS n_corpus,
+            (SELECT count(*) FROM $i) AS n_indexed,
+            (SELECT count(*) FROM $c JOIN $i USING (id)) AS n_covered,
+            (SELECT count(*) FROM $c ANTI JOIN $i USING (id))
+              AS n_unindexed,
+            (SELECT count(*) FROM $i ANTI JOIN $c USING (id))
+              AS n_orphaned,
+            CAST((SELECT count(*) FROM $c JOIN $i USING (id)) * 1000000
+              // (SELECT count(*) FROM $c) AS BIGINT) AS fresh_ppm"""
+      s"""WITH dc AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id < 480),
+         vc AS (SELECT DISTINCT vec_id AS id FROM embeddings
+             WHERE vec_id < 480),
+         d_i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id >= 30 AND doc_id < 490),
+         p_i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id < 450),
+         f_i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id < 480),
+         a_i AS (SELECT DISTINCT vec_id AS id FROM embeddings
+             WHERE vec_id >= 10 AND vec_id < 480),
+         c_i AS (SELECT DISTINCT vec_id AS id FROM embeddings
+             WHERE vec_id >= 5 AND vec_id < 490)
+         ${fam("bm25", "dc", "p_i")}
+         UNION ALL ${fam("contamination", "dc", "f_i")}
+         UNION ALL ${fam("dedup", "dc", "d_i")}
+         UNION ALL ${fam("ivf", "vc", "a_i")}
+         UNION ALL ${fam("pq", "vc", "c_i")}
+         ORDER BY family"""
+    },
     // x12: x11's set arithmetic extended with the repair rule itself —
     // the repaired id set is re-derived index-blindly as
     // (index ∩ corpus) ∪ (corpus \ index), so the hash certifies the

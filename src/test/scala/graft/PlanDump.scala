@@ -219,6 +219,12 @@ object PlanDump {
         "list keeps the dynamicpruningexpression on the cid-" +
         "partitioned assignments, and reciprocal-rank fusion folds the " +
         "two k-row lists — nothing corpus-sized enters the fusion."),
+    "x13_release_audit" ->
+      ("Release-wide freshness audit: five independent x11-shaped " +
+        "audits — one per stored index family, each two pruned id " +
+        "columns and one 8-byte-row full-outer join — unioned into " +
+        "five tagged verdict rows. Nothing cross-family joins; the " +
+        "release dashboard costs the sum of its members."),
     "x11_index_audit" ->
       ("Stored-index freshness audit: one pruned id column per side " +
         "(the index scan's ReadSchema is struct<cid> — never the " +

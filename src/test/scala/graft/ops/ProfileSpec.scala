@@ -107,6 +107,33 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("releaseAudit: one tagged indexAudit row per family, each " +
+      "against its OWN corpus, family-ordered; duplicate names rejected") {
+    val dc = Seq(1L, 2L, 3L).toDF("doc_id")
+    val vc = Seq(10L, 11L).toDF("vec_id")
+    val stale = Seq(2L, 3L, 4L).toDF("cid")       // 1 unindexed, 4 orphaned
+    val fresh = Seq(10L, 11L).toDF("id")          // exactly the vec corpus
+    val rows = Profile.releaseAudit(Seq(
+        ("zz_dedup", dc, "doc_id", stale, "cid"),
+        ("aa_ivf", vc, "vec_id", fresh, "id"))).collect()
+    assert(rows.length === 2)
+    // ordered by family name, not input order
+    assert(rows(0).getString(0) === "aa_ivf")
+    assert(rows(1).getString(0) === "zz_dedup")
+    assert((rows(0).getLong(1), rows(0).getLong(4), rows(0).getLong(5),
+      rows(0).getLong(6)) === ((2L, 0L, 0L, 1000000L)))
+    assert((rows(1).getLong(1), rows(1).getLong(4), rows(1).getLong(5),
+      rows(1).getLong(6)) === ((3L, 1L, 1L, 666666L)))
+    intercept[IllegalArgumentException] {
+      Profile.releaseAudit(Seq(
+        ("same", dc, "doc_id", stale, "cid"),
+        ("same", vc, "vec_id", fresh, "id")))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.releaseAudit(Seq.empty)
+    }
+  }
+
   test("indexRepair: orphans dropped, unindexed backfilled via the " +
       "family builder — repaired ≡ rebuild, after-audit reads fresh") {
     import org.apache.spark.sql.functions.{col, lit}
