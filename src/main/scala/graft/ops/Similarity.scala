@@ -610,6 +610,61 @@ object Similarity {
   }
 
   /**
+   * Two-stage compressed search — the production ANN serving shape
+   * (Jégou et al. 2011 §V's re-ranking stage; what vector stores ship
+   * as "PQ + refine"): the COMPRESSED tier ([[ivfPqProbe]]) nominates
+   * `kCoarse` candidates per query from the stored codes — reading m
+   * small ints per candidate, never a vector — and only those
+   * candidates' RAW vectors are fetched for an exact-cosine re-rank to
+   * the final `k`. This is how a 100 TB corpus serves exact-quality
+   * top-k while keeping float32 vectors cold: the raw tier is touched
+   * for |queries|·kCoarse rows per batch, not per-corpus.
+   *
+   * `raw` is the e21 assignment layout (id, vec, cid) — stored
+   * PARTITIONED BY cid, so the refinement read is ALSO pruned: the raw
+   * scan carries the probed-lists DPP subquery (candidates only come
+   * from probed lists, so the filter loses nothing) and the broadcast
+   * candidate join selects the kCoarse rows map-side — the raw
+   * vector column is materialized only for probed-list rows and
+   * cosine runs only on candidate matches. Output: (query_id, rk, id,
+   * sim), cosine descending, ties by id — [[cosineTopK]]'s shape over
+   * the candidate pool.
+   *
+   * Determinism: the candidate CUT is exact (ADC distances are exact
+   * decimals, ties by id — engine-identical sets); the re-rank is the
+   * e01/e02 cosine whose fixture margins are audited, and dropping
+   * elements from a ranked pool only widens the gaps between the
+   * survivors, so subset re-ranks inherit the global stability.
+   */
+  def ivfPqRerank(
+      codes: DataFrame, centroids: DataFrame, cVecCol: String,
+      cIdCol: String, codebook: DataFrame,
+      raw: DataFrame,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      m: Int, dim: Int, k: Int = 10, kCoarse: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    require(kCoarse >= k,
+      s"kCoarse=$kCoarse must be >= k=$k — the refine stage can only " +
+        "narrow the candidate pool")
+    val cand = ivfPqProbe(codes, centroids, cVecCol, cIdCol, codebook,
+        queries, qVecCol, qIdCol, m, dim, k = kCoarse, nprobe = nprobe)
+      .select(col("query_id"), col("id"))
+    val cent = centroids.select(col(cIdCol).as("cid"), col(cVecCol).as("cvec"))
+    val probed = nearestCentroids(cent,
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"),
+        col(qIdCol).as("__rid")), "qvec", nprobe)
+      .select(col("query_id"), col("qvec"), col("cid"))
+    val scored = raw
+      .select(col("id"), col("vec"), col("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .join(broadcast(cand), Seq("query_id", "id"))
+      .select(col("query_id"), col("id"),
+        GraftFunctions.vecCosine(col("vec"), col("qvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /**
    * Incremental maintenance for a stored [[ivfPqIndex]] — the append
    * path that keeps the compressed serving tier fresh between releases
    * (the [[ivfIndexAppend]] contract for the codes family): new vectors

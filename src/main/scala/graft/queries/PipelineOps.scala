@@ -601,6 +601,62 @@ object PipelineOps {
         queries, "embedding", "vec_id",
         m = 4, dim = 64, k = 5, nprobe = 2)
     },
+    "e25_pq_recall" -> { (s, d) =>
+      // the e10 harness pointed at the compressed tier: recall@5 of
+      // IVF-PQ ADC search vs the exact cosine ground truth — the number
+      // that decides whether the codes tier serves alone or feeds the
+      // e26 re-rank stage (quantization loses precision by design; this
+      // measures how much, per query)
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      Similarity.annRecall(
+        Similarity.cosineTopK(corpus, "embedding", "vec_id",
+          queries, "embedding", "vec_id", k = 5),
+        Similarity.ivfPqTopK(corpus, "embedding", "vec_id", "label",
+          queries, "embedding", "vec_id",
+          Similarity.minIdCentroids(corpus, "embedding", "vec_id",
+            "label"), "cvec", "cid",
+          corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+          m = 4, dim = 64, k = 5, nprobe = 2),
+        k = 5)
+    },
+    "e26_pq_rerank" -> { (s, d) =>
+      // the production two-stage serving path over STORED artifacts:
+      // the compressed codes nominate kCoarse=20 candidates per query
+      // (ADC over DPP-pruned code files — no vector read), and only
+      // those candidates' raw vectors are fetched from the
+      // cid-partitioned e21 store (its scan carries the same
+      // probed-lists DPP) for the exact-cosine re-rank to k=5. The
+      // candidate cut is exact-decimal-deterministic; the re-rank is
+      // e01/e02's audited cosine, and a subset re-rank only widens the
+      // survivors' margins. The oracle re-derives both stages from
+      // scratch, so a hash match proves the whole stored two-tier path
+      val corpus = embs(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_e26_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val (codes, codebook) = Similarity.ivfPqIndex(
+        corpus, "embedding", "vec_id", "label",
+        corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
+        m = 4, dim = 64)
+      codes.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/codes")
+      codebook.write.mode("overwrite").parquet(base + "/codebook")
+      val (assign, cent) =
+        Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/raw")
+      cent.write.mode("overwrite").parquet(base + "/cent")
+      Similarity.ivfPqRerank(
+          s.read.parquet(base + "/codes"),
+          s.read.parquet(base + "/cent"), "cvec", "cid",
+          s.read.parquet(base + "/codebook"),
+          s.read.parquet(base + "/raw"),
+          queries, "embedding", "vec_id",
+          m = 4, dim = 64, k = 5, kCoarse = 20, nprobe = 2)
+        .withColumn("sim", col("sim").cast("decimal(10,4)").cast("double"))
+    },
     "e13_hamming_recall" -> { (s, d) =>
       // the e10 harness pointed at the 1-bit tier: recall@5 of Hamming
       // coarse search vs the exact cosine ground truth — the number that
@@ -3558,6 +3614,128 @@ object PipelineOps {
          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     // IVF-PQ: e06's coding + e02's probe + decimal ADC sums; ties by id
     "e07_ivfpq_topk" -> ivfPqOracle,
+    // e25: e01's exact top-5 vs e07's ADC top-5, e10's recall closing
+    "e25_pq_recall" ->
+      """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         cb AS (SELECT e.vec_id AS code, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
+           FROM embeddings e, subs s WHERE e.vec_id < 8),
+         parts AS (SELECT e.vec_id AS id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
+           FROM embeddings e, subs s),
+         scored0 AS (SELECT p.id, p.sub, c.code,
+             list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
+                       FOR i IN range(1, 17)]) AS d2
+           FROM parts p JOIN cb c ON p.sub = c.sub),
+         codes AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2, code) AS rk
+             FROM scored0) WHERE rk = 1),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, cid FROM p0 WHERE prk <= 2),
+         qparts AS (SELECT e.vec_id AS query_id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS qsvec
+           FROM embeddings e, subs s WHERE e.vec_id < 10),
+         dt AS (SELECT qp.query_id, qp.sub, c.code,
+             CAST(list_sum([(qp.qsvec[i] - c.cvec[i]) * (qp.qsvec[i] - c.cvec[i])
+                            FOR i IN range(1, 17)]) AS DECIMAL(18,9)) AS d
+           FROM qparts qp JOIN cb c ON qp.sub = c.sub),
+         cand AS (SELECT p.query_id, a.vec_id AS id
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         dist AS (SELECT c.query_id, c.id, sum(dt.d) AS dist
+           FROM cand c JOIN codes k ON c.id = k.id
+           JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub
+             AND dt.code = k.code
+           GROUP BY c.query_id, c.id),
+         ra AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, id) AS rk FROM dist),
+         ap AS (SELECT query_id, id FROM ra WHERE rk <= 5),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+         sx AS (SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(c.embedding, q.qvec) AS sim
+           FROM embeddings c CROSS JOIN q),
+         rx AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, id) AS rk
+           FROM sx WHERE sim IS NOT NULL),
+         ex AS (SELECT query_id, id FROM rx WHERE rk <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hits
+           FROM ex e JOIN ap a ON e.query_id = a.query_id AND e.id = a.id
+           GROUP BY e.query_id),
+         qs AS (SELECT DISTINCT query_id FROM ex)
+         SELECT qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS DOUBLE) / 1e6
+             AS recall
+         FROM qs LEFT JOIN hits h USING (query_id)
+         ORDER BY qs.query_id""",
+    // e26: e07's ADC chain cut at kCoarse=20 (exact-decimal cut, ties
+    // by id — engine-identical candidate sets), exact cosine re-rank of
+    // only those candidates to the final 5 — both stages re-derived
+    // from scratch, blind to the stored two-tier layout
+    "e26_pq_rerank" ->
+      """WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+         cb AS (SELECT e.vec_id AS code, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS cvec
+           FROM embeddings e, subs s WHERE e.vec_id < 8),
+         parts AS (SELECT e.vec_id AS id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS svec
+           FROM embeddings e, subs s),
+         scored0 AS (SELECT p.id, p.sub, c.code,
+             list_sum([(p.svec[i] - c.cvec[i]) * (p.svec[i] - c.cvec[i])
+                       FOR i IN range(1, 17)]) AS d2
+           FROM parts p JOIN cb c ON p.sub = c.sub),
+         codes AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2, code) AS rk
+             FROM scored0) WHERE rk = 1),
+         cent AS (SELECT label AS cid, arg_min(embedding, vec_id) AS cvec
+           FROM embeddings GROUP BY label),
+         p0 AS (SELECT e.vec_id AS query_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cid) AS prk
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         probed AS (SELECT query_id, cid FROM p0 WHERE prk <= 2),
+         qparts AS (SELECT e.vec_id AS query_id, s.sub,
+             [CAST(x AS DOUBLE) FOR x IN e.embedding[s.sub*16+1 : s.sub*16+16]] AS qsvec
+           FROM embeddings e, subs s WHERE e.vec_id < 10),
+         dt AS (SELECT qp.query_id, qp.sub, c.code,
+             CAST(list_sum([(qp.qsvec[i] - c.cvec[i]) * (qp.qsvec[i] - c.cvec[i])
+                            FOR i IN range(1, 17)]) AS DECIMAL(18,9)) AS d
+           FROM qparts qp JOIN cb c ON qp.sub = c.sub),
+         cand AS (SELECT p.query_id, a.vec_id AS id
+           FROM embeddings a JOIN probed p ON a.label = p.cid),
+         dist AS (SELECT c.query_id, c.id, sum(dt.d) AS dist
+           FROM cand c JOIN codes k ON c.id = k.id
+           JOIN dt ON dt.query_id = c.query_id AND dt.sub = k.sub
+             AND dt.code = k.code
+           GROUP BY c.query_id, c.id),
+         ra AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, id) AS rk FROM dist),
+         c20 AS (SELECT query_id, id FROM ra WHERE rk <= 20),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+         resc AS (SELECT c.query_id, c.id,
+             list_cosine_similarity(a.embedding, q.qvec) AS sim
+           FROM c20 c JOIN embeddings a ON a.vec_id = c.id
+           JOIN q ON q.query_id = c.query_id),
+         rr AS (SELECT query_id, id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, id) AS rk
+           FROM resc WHERE sim IS NOT NULL)
+         SELECT query_id, CAST(rk AS INT) AS rk, id,
+                CAST(CAST(sim AS DECIMAL(10,4)) AS DOUBLE) AS sim
+         FROM rr WHERE rk <= 5 ORDER BY query_id, rk""",
     // e23 = e07 through a STORED, cid-partitioned codes table: identical
     // index-blind SQL, so the hash gate certifies the parquet round trip
     // (codes, codebook, centroids, the partition column) moves no ADC

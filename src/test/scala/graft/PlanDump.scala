@@ -219,6 +219,14 @@ object PlanDump {
         "list keeps the dynamicpruningexpression on the cid-" +
         "partitioned assignments, and reciprocal-rank fusion folds the " +
         "two k-row lists — nothing corpus-sized enters the fusion."),
+    "e26_pq_rerank" ->
+      ("The production two-stage ANN plan: the compressed tier's " +
+        "codes scan carries the DPP subquery and reads no vector " +
+        "column; the refinement tier's raw-store scan carries the " +
+        "SAME probed-lists DPP and materializes vectors only for " +
+        "probed partitions, with the broadcast kCoarse candidate set " +
+        "selecting rows map-side before any cosine runs. Exact-quality " +
+        "top-k with the float32 tier cold."),
     "x13_release_audit" ->
       ("Release-wide freshness audit: five independent x11-shaped " +
         "audits — one per stored index family, each two pruned id " +

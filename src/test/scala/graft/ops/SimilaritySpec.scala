@@ -454,6 +454,40 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfPqRerank: with kCoarse covering the probed pool the two-stage " +
+      "path equals exact IVF search; kCoarse < k rejected") {
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 10)
+    val seeds = corpus.filter(col("vec_id") < 8)
+    val (codes, codebook) = Similarity.ivfPqIndex(corpus, "embedding",
+      "vec_id", "label", seeds, "embedding", "vec_id", m = 4, dim = 64)
+    val cent =
+      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
+    val (raw, _) = Similarity.ivfIndex(corpus, "embedding", "vec_id",
+      "label")
+    // kCoarse >= the probed pool: the ADC stage nominates EVERYTHING in
+    // the probed lists, so the exact re-rank must return precisely what
+    // exact IVF search over the same lists returns — the refine stage
+    // recovers full precision when the candidate pool allows it
+    val kCoarse = corpus.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "id").as[(Long, Int, Long)]
+      .collect().toSeq.sorted
+    val twoStage = rows(Similarity.ivfPqRerank(codes, cent, "cvec",
+      "cid", codebook, raw, queries, "embedding", "vec_id",
+      m = 4, dim = 64, k = 5, kCoarse = kCoarse, nprobe = 2))
+    val exact = rows(Similarity.ivfTopKPartitioned(corpus, "embedding",
+      "vec_id", "label", queries, "embedding", "vec_id",
+      cent, "cvec", "cid", k = 5, nprobe = 2))
+    assert(twoStage === exact)
+    assert(twoStage.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerank(codes, cent, "cvec", "cid", codebook, raw,
+        queries, "embedding", "vec_id", m = 4, dim = 64,
+        k = 5, kCoarse = 4, nprobe = 2)
+    }
+  }
+
   test("cosineNearDup clusters planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => 1.0f / (i + 1))
     val v1b = v1.clone(); v1b(7) *= 1.01f               // tiny perturbation

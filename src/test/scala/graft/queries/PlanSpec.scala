@@ -743,6 +743,38 @@ class PlanSpec extends SparkSuite {
     assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
   }
 
+  test("e26: the two-stage serving plan prunes BOTH tiers — vector-free " +
+      "DPP read on the codes, DPP-pruned refinement read on the raw " +
+      "store") {
+    val plan = pipelinePlan("e26_pq_rerank")
+    // the candidate stage rides a broadcast subquery whose adaptive
+    // plan prints AFTER the outer plan's Initial marker — scan the
+    // whole dump (every occurrence of a scan, initial or final, must
+    // carry the property, so the global check is the stricter one)
+    val idxScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_e26_index_")).toSeq
+    val codeScans = idxScans.filter(_.contains("/codes"))
+    assert(codeScans.nonEmpty, plan)
+    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+      codeScans.mkString("\n"))
+    assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
+    // the refinement tier: the raw store is read ONLY through the
+    // probed-lists DPP filter — the vector column is materialized for
+    // probed partitions, never the whole corpus
+    val rawScans = idxScans.filter(_.contains("/raw"))
+    assert(rawScans.nonEmpty, plan)
+    assert(rawScans.forall(_.contains("dynamicpruningexpression")),
+      rawScans.mkString("\n"))
+    assert(rawScans.forall(_.contains("vec")), rawScans.mkString("\n"))
+    // the only embeddings read is the 10-query probe side
+    val embScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("embeddings")).toSeq
+    assert(embScans.forall(_.contains("LessThan(vec_id,10)")),
+      embScans.mkString("\n"))
+  }
+
   test("t32: the hybrid probe serves from TWO stored indexes — term " +
       "pushdown on the postings, DPP on the IVF lists, and the corpus " +
       "is never re-read") {
