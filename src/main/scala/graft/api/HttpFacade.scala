@@ -1702,8 +1702,17 @@ final class HttpFacade(
     * against the query vectors; a codebook whose subvectors disagree
     * with dim/m is a 400 — mis-sliced ADC tables would silently score
     * garbage). Response: top-`k` (query_id, rk, id, dist) rows,
-    * approximated squared L2 ascending, capped at `limit`. Read-only
-    * and persist-free, outside the op lock. */
+    * approximated squared L2 ascending, capped at `limit`.
+    *
+    * With `raw=<ns.table>` (the cid-partitioned
+    * [[graft.ops.Similarity.ivfIndex]] assignment store) the route
+    * serves the TWO-STAGE e26 path instead: the codes nominate
+    * `k_coarse` candidates (default 50) and only those candidates' raw
+    * vectors are fetched — through the same probed-lists DPP — for the
+    * exact-cosine re-rank; rows then carry `sim` (cosine, descending)
+    * in place of `dist`. `k_coarse` < `k` is a 400 (the refine stage
+    * can only narrow). Read-only and persist-free, outside the op
+    * lock. */
   private def pqSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
     val parts = tablePath.split("\\.").toSeq
     if (parts.length < 2) {
@@ -1797,9 +1806,30 @@ final class HttpFacade(
       val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
         case None => return; case Some(v) => v
       }
-      // one action: the operator's output is (query_id, rk)-ordered
-      val rows = HttpFacade.pqSearch(df, vecCol.get, idCol.get,
-        codes, cent, codebook, m, dim, k, nprobe).limit(limit).collect()
+      val rawPath = qp.get("raw").filter(_.nonEmpty)
+      val kCoarse = intParam(ex, qp, "k_coarse", 50, 1, 10000) match {
+        case None => return; case Some(v) => v
+      }
+      val raw = rawPath match {
+        case None => None
+        case Some(p) => loadStored(ex, p, "raw", Seq("id", "vec", "cid")) match {
+          case None => return
+          case Some(t) => Some(t)
+        }
+      }
+      if (raw.isDefined && kCoarse < k) {
+        sendJson(ex, 400, detail(
+          s"k_coarse=$kCoarse must be >= k=$k — the refine stage can " +
+            "only narrow the candidate pool")); return
+      }
+      // one action: both operators' output is (query_id, rk)-ordered
+      val valueField = if (raw.isDefined) "sim" else "dist"
+      val rows = (raw match {
+        case Some(r) => HttpFacade.pqRerank(df, vecCol.get, idCol.get,
+          codes, cent, codebook, r, m, dim, k, kCoarse, nprobe)
+        case None => HttpFacade.pqSearch(df, vecCol.get, idCol.get,
+          codes, cent, codebook, m, dim, k, nprobe)
+      }).limit(limit).collect()
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "index" -> indexPath.get,
@@ -1811,12 +1841,14 @@ final class HttpFacade(
         "dim" -> dim.toLong,
         "k" -> k.toLong,
         "nprobe" -> nprobe.toLong,
+        "raw" -> rawPath.orNull,
+        "k_coarse" -> (if (raw.isDefined) kCoarse.toLong else null),
         "n_results" -> rows.length.toLong,
         "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
           "query_id" -> String.valueOf(r.get(0)),
           "rk" -> r.getInt(1).toLong,
           "id" -> r.getLong(2),
-          "dist" -> r.getDouble(3))))))
+          valueField -> r.getDouble(3))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))
@@ -2509,6 +2541,24 @@ object HttpFacade {
       m: Int, dim: Int, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame =
     graft.ops.Similarity.ivfPqProbe(codes, cent, "cvec", "cid", codebook,
       queries, vecCol, idCol, m, dim, k = k, nprobe = nprobe)
+
+  /** The pq-search route's TWO-STAGE dataflow (`raw=` present),
+    * factored out so the spec can pin the PLAN of the exact
+    * computation the route runs (DPP on BOTH stored tiers — codes
+    * vector-free, raw vector-bearing): e26's
+    * [[graft.ops.Similarity.ivfPqRerank]] over the stored catalog
+    * tables. */
+  private[api] def pqRerank(queries: org.apache.spark.sql.DataFrame,
+      vecCol: String, idCol: String,
+      codes: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame,
+      raw: org.apache.spark.sql.DataFrame,
+      m: Int, dim: Int, k: Int, kCoarse: Int,
+      nprobe: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.Similarity.ivfPqRerank(codes, cent, "cvec", "cid",
+      codebook, raw, queries, vecCol, idCol, m, dim,
+      k = k, kCoarse = kCoarse, nprobe = nprobe)
 
   /** The hybrid-search route's dataflow, factored out so the spec can
     * pin the PLAN of the exact computation the route runs (In(t)

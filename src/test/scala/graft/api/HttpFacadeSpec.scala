@@ -1169,6 +1169,52 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 404)
     assert(get("/api/v1/catalog/tables/nodots/pq-search" + q)
       .statusCode === 400)
+
+    // the two-stage branch (raw=): candidates from the codes, exact
+    // cosine re-rank from the cid-partitioned raw store
+    val (assign, _) = graft.ops.Similarity.ivfIndex(
+      corpus, "embedding", "vec_id", "label")
+    val rawDir = java.nio.file.Files
+      .createTempDirectory("httpapi-pq-raw").toString
+    assign.write.mode("overwrite").partitionBy("cid").parquet(rawDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.pq_raw
+      USING parquet LOCATION '$rawDir'""")
+    spark.sql("ALTER TABLE httpapi.pq_raw RECOVER PARTITIONS")
+    val direct2 = HttpFacade.pqRerank(spark.table("httpapi.pq_queries"),
+      "embedding", "vec_id", spark.table("httpapi.pq_codes"),
+      spark.table("httpapi.pq_cent"), spark.table("httpapi.pq_codebook"),
+      spark.table("httpapi.pq_raw"),
+      m = 4, dim = 64, k = 5, kCoarse = 20, nprobe = 2)
+    val expected2 = direct2.collect()
+    assert(expected2.nonEmpty)
+    // BOTH tiers' scans pruned: codes vector-free, raw vector-bearing
+    // (whole-dump scan: the candidate stage rides a broadcast subquery)
+    val plan2 = direct2.queryExecution.executedPlan.toString
+    val rawScans = plan2.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("pq_raw"))
+      .toSeq
+    assert(rawScans.nonEmpty, plan2)
+    assert(rawScans.forall(_.contains("dynamicpruningexpression")),
+      rawScans.mkString("\n"))
+    val codeScans2 = plan2.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("pq_codes")).toSeq
+    assert(codeScans2.nonEmpty && !codeScans2.exists(_.contains("vec")),
+      codeScans2.mkString("\n"))
+    val m2 = get(base + q + "&raw=httpapi.pq_raw&k_coarse=20&k=5")
+    assert(m2.statusCode === 200, m2.body)
+    val got2 = ("""\{"query_id":"(\d+)","rk":(\d+),"id":(\d+),""" +
+      """"sim":([-0-9.eE]+)\}""").r.findAllMatchIn(m2.body).map(g =>
+      (g.group(1).toLong, g.group(2).toInt, g.group(3).toLong,
+        g.group(4).toDouble)).toSeq
+    assert(got2 === expected2.toSeq.map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))), m2.body)
+    // refine-stage edges: narrowing contract and raw-table shape
+    assert(get(base + q + "&raw=httpapi.pq_raw&k_coarse=3&k=5")
+      .statusCode === 400)
+    assert(get(base + q + "&raw=httpapi.documents").statusCode === 400)
+    assert(get(base + q + "&raw=httpapi.nope").statusCode === 404)
+    assert(get(base + q + "&raw=nodots").statusCode === 400)
   }
 
   test("hybrid-search route: one request fuses the stored BM25 postings " +
