@@ -269,21 +269,34 @@ object DocumentStreams {
           if (lexical) {
             val postingsStore = loadStore(spark, s"$stateDir/postings")
             val lexstatsStore = loadStore(spark, s"$stateDir/lexstats")
-            val (deltaPost, deltaStats) =
-              graft.ops.Retrieval.bm25Index(surv, textCol, idCol)
-            // same empty-append guard as VectorStreams: a batch whose
-            // survivors carry no tokenizable text (null text rows emit
-            // zero dl/posting rows — matching what a from-scratch
-            // rebuild over the corpus store would count) must not
-            // CREATE a schema-less postings directory, and its (0,
-            // null) stats row would be ledger noise
-            val hasRows = deltaPost.limit(1).count() > 0L
-            if (hasRows && !committedIn(postingsStore, batchId))
-              deltaPost.withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(s"$stateDir/postings")
-            if (hasRows && !committedIn(lexstatsStore, batchId))
-              deltaStats.withColumn("batch_id", lit(batchId))
-                .write.mode("append").parquet(s"$stateDir/lexstats")
+            // ONE tokenize/count pass per batch: the posting rows are
+            // persisted and BOTH the ledger row and the empty-append
+            // probe derive from them — dl is denormalized onto every
+            // posting and is functional in id, so distinct (id, dl)
+            // re-derives exactly bm25Index's stats aggregate (n_docs
+            // counts docs with >= 1 token on both paths). Without this
+            // the guard probe and the two writes would each re-run the
+            // batch tokenization (the r11 constant-factor class).
+            val deltaPost = graft.ops.Retrieval
+              .bm25Index(surv, textCol, idCol)._1.persist()
+            try {
+              // same empty-append guard as VectorStreams: a batch whose
+              // survivors carry no tokenizable text (null text rows
+              // emit zero dl/posting rows — matching what a
+              // from-scratch rebuild over the corpus store would count)
+              // must not CREATE a schema-less postings directory, and
+              // its (0, null) stats row would be ledger noise
+              val hasRows = deltaPost.limit(1).count() > 0L
+              if (hasRows && !committedIn(postingsStore, batchId))
+                deltaPost.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$stateDir/postings")
+              if (hasRows && !committedIn(lexstatsStore, batchId))
+                deltaPost.select(col("id"), col("dl")).distinct()
+                  .agg(count(lit(1)).as("n_docs"),
+                    sum(col("dl")).as("total_tokens"))
+                  .withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$stateDir/lexstats")
+            } finally { deltaPost.unpersist(); () }
           }
         } finally { surv.unpersist(); () }
       } finally { decisions.unpersist(); () }
