@@ -138,6 +138,8 @@ final class HttpFacade(
         case ("POST", List("api", "v1", "export", "csv")) => exportCsv(ex)
         case ("POST", List("api", "v1", "export", "arrow")) => exportArrow(ex)
         case ("GET", List("api", "v1", "catalog", "namespaces")) => namespaces(ex)
+        case ("GET", List("api", "v1", "catalog", "release-audit")) =>
+          releaseAuditRoute(ex)
         case ("GET", List("api", "v1", "catalog", "namespaces", ns, "tables")) =>
           tables(ex, ns)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "schema")) =>
@@ -2006,6 +2008,99 @@ final class HttpFacade(
           "rank_dense" -> optLong(r, 2),
           "n_lists" -> r.getLong(3),
           "rrf_scaled" -> r.getLong(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Release-wide freshness audit
+    * (`GET /api/v1/catalog/release-audit?families=<spec>[;<spec>...]`,
+    * each spec `name:corpus.table:id_col:index.table:index_id_col`):
+    * the x13 dashboard served as a CATALOG-level route — it audits a
+    * whole release, so unlike the per-table probe routes it hangs off
+    * no single `{tablePath}`. Every family is validated like
+    * index-audit's pair (dotted paths, existence, integral id columns
+    * — surfaced as 400s/404s naming the family), then one
+    * [[graft.ops.Profile.releaseAudit]] run returns the per-family
+    * verdict rows (n_corpus / n_indexed / n_covered / n_unindexed /
+    * n_orphaned / fresh_ppm), family-ordered. At most 16 families — a
+    * release dashboard, not a batch join. Read-only, |families| × two
+    * pruned id columns, outside the op lock. */
+  private def releaseAuditRoute(ex: HttpExchange): Unit = {
+    try {
+      val qp = queryParams(ex)
+      val famRaw = qp.get("families").filter(_.nonEmpty)
+      if (famRaw.isEmpty) {
+        sendJson(ex, 400, detail(
+          "families parameter is required " +
+            "(name:corpus.table:id_col:index.table:index_id_col;...)"))
+        return
+      }
+      val specs = famRaw.get.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (specs.isEmpty || specs.length > 16) {
+        sendJson(ex, 400, detail(
+          "families must list 1 to 16 specs — a release dashboard, " +
+            "not a batch join")); return
+      }
+      val parsed = specs.map(_.split(":", -1).toSeq)
+      parsed.find(_.length != 5) match {
+        case Some(bad) =>
+          sendJson(ex, 400, detail(s"Invalid family spec " +
+            s"'${bad.mkString(":")}' — expected " +
+            "name:corpus.table:id_col:index.table:index_id_col"))
+          return
+        case None =>
+      }
+      val names = parsed.map(_.head)
+      if (names.distinct.length != names.length) {
+        sendJson(ex, 400, detail("family names must be distinct")); return
+      }
+      def integral(t: org.apache.spark.sql.DataFrame, c: String): Boolean =
+        t.schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+      val families = scala.collection.mutable.ArrayBuffer
+        .empty[(String, org.apache.spark.sql.DataFrame, String,
+          org.apache.spark.sql.DataFrame, String)]
+      for (Seq(name, corpusPath, idCol, indexPath, indexIdCol) <- parsed) {
+        val corpus = loadStored(ex, corpusPath, s"family '$name' corpus",
+          Seq(idCol)) match {
+          case None => return
+          case Some(t) => t
+        }
+        val index = loadStored(ex, indexPath, s"family '$name' index",
+          Seq(indexIdCol)) match {
+          case None => return
+          case Some(t) => t
+        }
+        // the indexAudit contract surfaced per family: a non-integral
+        // id would cast to null and report a fresh index fully stale
+        if (!integral(corpus, idCol)) {
+          sendJson(ex, 400, detail(s"Family '$name' id column $idCol " +
+            "is not an integral column")); return
+        }
+        if (!integral(index, indexIdCol)) {
+          sendJson(ex, 400, detail(s"Family '$name' index id column " +
+            s"$indexIdCol is not an integral column")); return
+        }
+        families += ((name, corpus, idCol, index, indexIdCol))
+      }
+      val rows = graft.ops.Profile.releaseAudit(families.toSeq).collect()
+      sendJson(ex, 200, Json.obj(
+        "n_families" -> rows.length.toLong,
+        "families" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "family" -> r.getString(0),
+          "n_corpus" -> r.getLong(1),
+          "n_indexed" -> r.getLong(2),
+          "n_covered" -> r.getLong(3),
+          "n_unindexed" -> r.getLong(4),
+          "n_orphaned" -> r.getLong(5),
+          "fresh_ppm" -> r.getLong(6))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -1454,6 +1454,88 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("release-audit route: per-family verdict rows over the whole " +
+      "release, each family against its own corpus") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    val all = spark.table("httpapi.documents")
+    // two families with different drift: a stale dedup index (x11's
+    // [30, 490) cut vs the < 480 corpus) and a FRESH postings index
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("httpapi-rel-corpus").toString
+    all.filter(col("doc_id") < 480)
+      .write.mode("overwrite").parquet(corpusDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.rel_corpus
+      USING parquet LOCATION '$corpusDir'""")
+    val dedupDir = java.nio.file.Files
+      .createTempDirectory("httpapi-rel-dedup").toString
+    graft.ops.Dedup.incrementalIndex(
+        all.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(dedupDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.rel_dedup
+      USING parquet LOCATION '$dedupDir'""")
+    val postDir = java.nio.file.Files
+      .createTempDirectory("httpapi-rel-post").toString
+    graft.ops.Retrieval.bm25Index(
+        all.filter(col("doc_id") < 480), "text", "doc_id")._1
+      .write.mode("overwrite").parquet(postDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.rel_post
+      USING parquet LOCATION '$postDir'""")
+
+    val expected = graft.ops.Profile.releaseAudit(Seq(
+      ("bm25", spark.table("httpapi.rel_corpus"), "doc_id",
+        spark.table("httpapi.rel_post"), "id"),
+      ("dedup", spark.table("httpapi.rel_corpus"), "doc_id",
+        spark.table("httpapi.rel_dedup"), "cid"))).collect()
+    val base = "/api/v1/catalog/release-audit"
+    val q = "?families=" +
+      "dedup:httpapi.rel_corpus:doc_id:httpapi.rel_dedup:cid;" +
+      "bm25:httpapi.rel_corpus:doc_id:httpapi.rel_post:id"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    val got = ("""\{"family":"(\w+)","n_corpus":(\d+),"n_indexed":(\d+),""" +
+      """"n_covered":(\d+),"n_unindexed":(\d+),"n_orphaned":(\d+),""" +
+      """"fresh_ppm":(\d+)\}""").r.findAllMatchIn(m.body).map(g =>
+      (g.group(1), g.group(2).toLong, g.group(3).toLong,
+        g.group(4).toLong, g.group(5).toLong, g.group(6).toLong,
+        g.group(7).toLong)).toSeq
+    assert(got === expected.toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6))), m.body)
+    // family-ordered regardless of request order; the fresh family
+    // proves 1e6, the stale one carries both signals
+    assert(got.head._1 === "bm25" && got.head._7 === 1000000L, m.body)
+    assert(got(1)._1 === "dedup" && got(1)._5 === 30L &&
+      got(1)._6 === 10L, m.body)
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?families=").statusCode === 400)
+    assert(get(base + "?families=toofew:a.b:c").statusCode === 400)
+    assert(get(base + "?families=" +
+      "x:httpapi.rel_corpus:doc_id:httpapi.rel_dedup:cid;" +
+      "x:httpapi.rel_corpus:doc_id:httpapi.rel_post:id")
+      .statusCode === 400) // duplicate names
+    assert(get(base + "?families=" + Seq.fill(17)(
+      "f%d:httpapi.rel_corpus:doc_id:httpapi.rel_dedup:cid").zipWithIndex
+      .map { case (s, i) => s.format(i) }.mkString(";"))
+      .statusCode === 400) // cap
+    assert(get(base +
+      "?families=d:nodots:doc_id:httpapi.rel_dedup:cid")
+      .statusCode === 400)
+    assert(get(base +
+      "?families=d:httpapi.nope:doc_id:httpapi.rel_dedup:cid")
+      .statusCode === 404)
+    assert(get(base +
+      "?families=d:httpapi.rel_corpus:nope:httpapi.rel_dedup:cid")
+      .statusCode === 400) // missing column
+    assert(get(base +
+      "?families=d:httpapi.rel_corpus:text:httpapi.rel_dedup:cid")
+      .statusCode === 400) // non-integral id
+  }
+
   test("index-audit route: one-row freshness verdict over a stored index") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
