@@ -1950,6 +1950,27 @@ final class HttpFacade(
           "terms is capped at 64 — a serving query, not a batch join"))
         return
       }
+      // dimension agreement (the ann-search device): a mismatched query
+      // vector would null out of the cosine and silently degrade the
+      // response to the lexical list alone with a 200 — worse here than
+      // in ann-search, because a fused result LOOKS complete
+      def dimOf(t: org.apache.spark.sql.DataFrame, c: String): Option[Int] = {
+        import org.apache.spark.sql.functions.{col => c0, size}
+        t.select(size(c0(c)).as("n")).filter(c0("n").isNotNull)
+          .limit(1).collect().headOption.map(_.getInt(0))
+      }
+      val (qDim, cDim, iDim) =
+        (dimOf(df, vecCol.get), dimOf(cent, "cvec"), dimOf(assign, "vec"))
+      val mismatch = Seq(
+        (qDim, cDim, "query vectors and the centroids"),
+        (iDim, cDim, "the stored index and the centroids"))
+        .collectFirst { case (Some(x), Some(y), w) if x != y => (x, y, w) }
+      if (mismatch.isDefined) {
+        val (x, y, w) = mismatch.get
+        sendJson(ex, 400, detail(
+          s"Vector dimension mismatch between $w ($x vs $y)"))
+        return
+      }
       val k = intParam(ex, qp, "k", 10, 1, 1000) match {
         case None => return; case Some(v) => v
       }

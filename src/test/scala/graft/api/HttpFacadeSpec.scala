@@ -1348,6 +1348,19 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 404)
     assert(get("/api/v1/catalog/tables/nodots/hybrid-search" + q)
       .statusCode === 400)
+    // a dimension-mismatched query table must be a 400, never a 200
+    // silently degraded to the lexical list alone (worse than in
+    // ann-search: a fused result LOOKS complete)
+    val q8Dir = java.nio.file.Files
+      .createTempDirectory("httpapi-hy-q8").toString
+    corpus.filter(col("vec_id") < 10)
+      .selectExpr("vec_id", "slice(embedding, 1, 8) AS embedding")
+      .write.mode("overwrite").parquet(q8Dir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hy_q8
+      USING parquet LOCATION '$q8Dir'""")
+    val mm = get("/api/v1/catalog/tables/httpapi.hy_q8/hybrid-search" + q)
+    assert(mm.statusCode === 400, mm.body)
+    assert(mm.body.contains("dimension mismatch"), mm.body)
   }
 
   test("contamination-search route: candidates probe the stored " +
