@@ -33,7 +33,9 @@ import graft.ops.Dedup
  * decontamination sweep, made per-batch-cheap by the t29 index (see
  * [[dedupeStep]]). With `lexical` set, two more stores join them —
  * `postings/` and the `lexstats/` ledger — and ingestion keeps the t28
- * BM25 serving index fresh batch by batch (see [[processBatch]]).
+ * BM25 serving index fresh batch by batch; with `fingerprints` set, the
+ * fpb-partitioned `fps/` store joins too and ingestion keeps the t29
+ * contamination serving index fresh (see [[processBatch]]).
  *
  * Replay contract (foreachBatch is at-least-once: the checkpoint
  * commits AFTER the batch body returns, so a crash mid-body replays the
@@ -187,13 +189,31 @@ object DocumentStreams {
     * quantities are additive, so the accumulated stores equal a
     * from-scratch [[graft.ops.Retrieval.bm25Index]] over the corpus
     * store (spec-pinned) — df falls out of the posting rows, moving
-    * WITH each append. */
+    * WITH each append.
+    *
+    * With `fingerprints` set, ingestion ALSO keeps the t29 contamination
+    * serving index fresh — the store a benchmark owner's
+    * contamination-search probes ("is this new eval set in our
+    * corpus?"), which otherwise staleness-drifts with every accepted
+    * batch: survivors' inverted winnowing fingerprints (per-document
+    * facts, the t31 contract) append partition-wise into the
+    * fpb-partitioned `fps/` store — first batch creates the layout via
+    * [[graft.ops.TextAnalysis.contaminationIndex]], later batches go
+    * through [[graft.ops.TextAnalysis.contaminationIndexAppend]], whose
+    * stored-sample bucket validation catches a modulus drift BEFORE
+    * rows scatter into wrong partitions permanently. Same batch-stamped
+    * exactly-once guard, same empty-append guard, one fingerprinting
+    * pass per batch (the delta rows are persisted around the guard
+    * probe and the write). Note the direction: this is the CORPUS-side
+    * index eval sets probe; `evalIndexDir` above is the converse gate
+    * (the EVAL-side index this batch probes). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double,
                    evalIndexDir: Option[String] = None,
                    evalMinShared: Int = 2,
-                   lexical: Boolean = false): Unit = {
+                   lexical: Boolean = false,
+                   fingerprints: Boolean = false): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -298,6 +318,29 @@ object DocumentStreams {
                   .write.mode("append").parquet(s"$stateDir/lexstats")
             } finally { deltaPost.unpersist(); () }
           }
+          if (fingerprints) {
+            val fpsStore = loadStore(spark, s"$stateDir/fps")
+            // first batch creates the fpb layout; later batches append
+            // through the bucket-validated path — an append-side
+            // modulus mismatch would scatter the newest rows into wrong
+            // partitions PERMANENTLY, so it must fail before writing
+            val deltaFps = (fpsStore match {
+              case Some(ix) => graft.ops.TextAnalysis
+                .contaminationIndexAppend(ix.drop("batch_id"), surv,
+                  textCol, idCol)
+              case None => graft.ops.TextAnalysis
+                .contaminationIndex(surv, textCol, idCol)
+            }).persist()
+            try {
+              // one fingerprinting pass per batch: the guard probe and
+              // the write both read the persisted delta rows
+              val hasFps = deltaFps.limit(1).count() > 0L
+              if (hasFps && !committedIn(fpsStore, batchId))
+                deltaFps.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").partitionBy("fpb")
+                  .parquet(s"$stateDir/fps")
+            } finally { deltaFps.unpersist(); () }
+          }
         } finally { surv.unpersist(); () }
       } finally { decisions.unpersist(); () }
     } finally { persisted.unpersist(); () }
@@ -355,12 +398,13 @@ object DocumentStreams {
                             threshold: Double = 0.8,
                             evalIndexDir: Option[String] = None,
                             evalMinShared: Int = 2,
-                            lexical: Boolean = false): StreamingQuery =
+                            lexical: Boolean = false,
+                            fingerprints: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, stateDir,
           textCol, idCol, threshold, evalIndexDir, evalMinShared,
-          lexical)
+          lexical, fingerprints)
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .start()
@@ -465,13 +509,18 @@ object DocumentStreams {
       : Map[String, (Int, Int)] = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("index" -> Seq("cid"), "decisions" -> Seq("batch_id", "id"),
-        "corpus" -> Seq(idCol), "postings" -> Seq("t"),
-        "lexstats" -> Seq("batch_id"))
-      .filter { case (s, _) =>
+    // (store, sort keys, partition cols) — `fps/` keeps its fpb layout
+    // through compaction (a flat rewrite would silently destroy the
+    // probe's dynamic partition pruning), sorted by fp within buckets
+    // so the (fpb, fp) join reads tight row groups
+    Seq(("index", Seq("cid"), Nil), ("decisions", Seq("batch_id", "id"), Nil),
+        ("corpus", Seq(idCol), Nil), ("postings", Seq("t"), Nil),
+        ("lexstats", Seq("batch_id"), Nil), ("fps", Seq("fp"), Seq("fpb")))
+      .filter { case (s, _, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
-      .map { case (s, keys) =>
-        s -> compactStore(spark, s"$stateDir/$s", keys, targetFileBytes) }
+      .map { case (s, keys, parts) =>
+        s -> compactStore(spark, s"$stateDir/$s", keys, targetFileBytes,
+          partitionCols = parts) }
       .toMap
   }
 }

@@ -147,6 +147,53 @@ class DocumentStreamsSpec extends SparkSuite {
     assert(probe() === stored)
   }
 
+  test("fingerprint ingestion: the contamination store tracks the " +
+      "corpus — probe over the store equals a from-scratch rebuild, " +
+      "replay appends nothing, the fpb layout survives compaction") {
+    val dir = Files.createTempDirectory("docstream-fps").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id",
+      0.7, fingerprints = true)
+    // batch 1: 4 dups 1 (rejected — contributes no fingerprints), 5 new
+    val b1 = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, fingerprints = true)
+    val fps = spark.read.parquet(s"$dir/fps")
+    // only survivors fingerprint; the layout is the t29 serving one
+    assert(fps.select("cid").distinct().as[Long].collect().sorted
+      === Array(1L, 2L, 5L))
+    assert(new java.io.File(s"$dir/fps").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("fpb=")))
+    // equivalence: a contamination probe of the streamed store equals
+    // one over an index rebuilt from the corpus store (fingerprint rows
+    // are per-doc facts — the t31 contract). Probe doc 100 = tB's exact
+    // text under a new id: shares every fingerprint with doc 2
+    val probes = Seq((100L, tB)).toDF("doc_id", "text")
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.contaminationProbe(ix, probes,
+        "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+    val streamed = probe(spark.read.parquet(s"$dir/fps")
+      .drop("batch_id"))
+    val rebuilt = probe(graft.ops.TextAnalysis.contaminationIndex(
+      spark.read.parquet(s"$dir/corpus"), "text", "doc_id"))
+    assert(streamed === rebuilt)
+    assert(streamed.exists(_._1 == 2L), streamed.toString)
+    // replay idempotence: the store carries the batch marker
+    val before = spark.read.parquet(s"$dir/fps").count()
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, fingerprints = true)
+    assert(spark.read.parquet(s"$dir/fps").count() === before)
+    // compaction preserves the fpb directories; verdicts unchanged
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("fps"), report.toString)
+    assert(new java.io.File(s"$dir/fps").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("fpb=")))
+    assert(probe(spark.read.parquet(s"$dir/fps").drop("batch_id"))
+      === streamed)
+  }
+
   test("crashed-attempt replay: a half-committed batch completes without " +
       "self-matching or double-appending") {
     val dir = Files.createTempDirectory("docstream-crash").toString
