@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Profile, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profile, Sampling, Shingles, Similarity, Sketches, TextAnalysis}
 import graft.tables.Tables
 
 /**
@@ -1225,6 +1225,47 @@ object PipelineOps {
               s.read.parquet(base + "/repaired"), "cid")
             .select(lit("after").as("phase"), col("*")))
         .orderBy(col("phase"))
+    },
+    "x14_distinct_sketch" -> { (s, d) =>
+      // the mergeable-cardinality data-card stat: "how many distinct
+      // 3-word shingles does the release hold?" answered from a STORED
+      // per-shard KMV sketch (k = 256 smallest 60-bit md5 hashes per
+      // shard, shard = doc_id mod 8) instead of a corpus-wide
+      // count-distinct — shards sketch independently (the only
+      // corpus-sized stage is a map-side-combined distinct), the
+      // artifact is ≤ shards·k rows, new shards APPEND rows, and one
+      // tiny merge (k smallest of the stored union) answers for the
+      // whole corpus: the 100 TB cardinality shape. est is the
+      // exact-integer KMV formula ((k−1)·2^60 div kth_min in
+      // DECIMAL(38,0)); exact and err_ppm ride along as gate columns.
+      // The oracle re-derives sketch, merge, estimate AND truth
+      // index-blindly from the raw table in the same md5-60 hash
+      // space — a hash match proves the stored artifact answers
+      // exactly what the from-scratch computation would
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_x14_sketch_" + java.lang.Integer.toHexString(d.hashCode)
+      val k = 256
+      val tri = all.select(
+          pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+          Shingles.let(Shingles.words(col("text"))) { w =>
+            when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+              i => concat_ws(" ", slice(w, i, lit(3)))))
+              .otherwise(expr("array()").cast("array<string>"))
+          }.as("g"))
+        .select(col("shard"), explode(col("g")).as("v"))
+      Sketches.kmvSketch(tri, "v", "shard", k)
+        .write.mode("overwrite").parquet(base)
+      val stored = s.read.parquet(base)
+      val est = Sketches.kmvEstimate(Sketches.kmvMerge(stored, k), k)
+      val exact = tri.agg(count_distinct(col("v")).as("exact"))
+      val nShards = stored
+        .agg(count_distinct(col("shard")).cast("int").as("n_shards"))
+      est.crossJoin(exact).crossJoin(nShards)
+        .select(col("k"), col("n_shards"), col("n_hashes"),
+          col("kth_min"), col("est"), col("exact"),
+          expr("CAST((CAST(abs(est - exact) AS DECIMAL(38,0)) * 1000000)" +
+            " DIV exact AS BIGINT)").as("err_ppm"))
     },
     "p16_incremental_build" -> { (s, d) =>
       // the daily-increment capstone: docs < 480 are the EXISTING
@@ -3187,6 +3228,40 @@ object PipelineOps {
                 CAST((SELECT count(*) FROM c JOIN r USING (id)) * 1000000
                   // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm
          ORDER BY phase""",
+    // x14: the full KMV pipeline re-derived index-blindly from the raw
+    // table in the same md5-60 hash space — per-shard k smallest
+    // distinct hashes, merge as k smallest of the union, the exact-
+    // integer estimator in HUGEINT (Spark runs it in DECIMAL(38,0);
+    // both are exact, so the floor quotients agree bit-for-bit)
+    "x14_distinct_sketch" ->
+      """WITH d AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         g AS (SELECT id, CASE WHEN len(w) >= 3
+             THEN [array_to_string(w[i:i+2], ' ')
+                   FOR i IN range(1, len(w) - 1)]
+             ELSE []::VARCHAR[] END AS gs FROM d),
+         tri AS (SELECT id % 8 AS shard, unnest(gs) AS v FROM g),
+         hs AS (SELECT DISTINCT shard,
+             ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM tri),
+         r AS (SELECT shard, h, row_number() OVER (PARTITION BY shard
+               ORDER BY h) AS rn FROM hs),
+         sk AS (SELECT shard, h FROM r WHERE rn <= 256),
+         m AS (SELECT DISTINCT h FROM sk),
+         mg AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+               AS rn FROM m) WHERE rn <= 256),
+         agg AS (SELECT count(*) AS n_hashes, max(h) AS kth_min FROM mg),
+         ns AS (SELECT count(DISTINCT shard) AS n_shards FROM sk),
+         ex AS (SELECT count(DISTINCT v) AS exact FROM tri),
+         e AS (SELECT n_hashes, kth_min,
+             CASE WHEN n_hashes < 256 THEN n_hashes
+               ELSE CAST((255::HUGEINT * 1152921504606846976::HUGEINT)
+                 // kth_min AS BIGINT) END AS est FROM agg)
+         SELECT CAST(256 AS INT) AS k, CAST(ns.n_shards AS INT) AS n_shards,
+                e.n_hashes, e.kth_min, e.est, ex.exact,
+                CAST((abs(e.est - ex.exact)::HUGEINT * 1000000) // ex.exact
+                  AS BIGINT) AS err_ppm
+         FROM e, ns, ex""",
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,

@@ -657,6 +657,24 @@ class PlanSpec extends SparkSuite {
     assert(docScans.forall(!_.contains("text")), docScans.mkString("\n"))
   }
 
+  test("x14: the stored sketch is read one narrow column per consumer — " +
+      "merge scans h alone, the shard census scans shard alone") {
+    val plan = pipelinePlan("x14_distinct_sketch")
+    val scans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_x14_sketch_")).toSeq
+    assert(scans.nonEmpty, plan)
+    // the artifact is tiny, but the read discipline is the point: a
+    // sketch consumer that drags both columns through every scan is the
+    // shape that rots when the artifact grows columns (e.g. a per-shard
+    // row-count ledger); each consumer must prune to its own column
+    assert(scans.forall(s => s.contains("ReadSchema: struct<h:bigint>") ||
+      s.contains("ReadSchema: struct<shard:int>")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("ReadSchema: struct<h:bigint>")) &&
+      scans.exists(_.contains("ReadSchema: struct<shard:int>")),
+      scans.mkString("\n"))
+  }
+
   test("t30: the APPENDED postings layout keeps the probe's term " +
       "pushdown — lexical maintenance never degrades the serving read") {
     val plan = pipelinePlan("t30_bm25_append")
