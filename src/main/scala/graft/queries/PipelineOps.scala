@@ -1248,11 +1248,7 @@ object PipelineOps {
       val k = 256
       val tri = all.select(
           pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
-          Shingles.let(Shingles.words(col("text"))) { w =>
-            when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
-              i => concat_ws(" ", slice(w, i, lit(3)))))
-              .otherwise(expr("array()").cast("array<string>"))
-          }.as("g"))
+          Sketches.wordTrigrams(col("text")).as("g"))
         .select(col("shard"), explode(col("g")).as("v"))
       Sketches.kmvSketch(tri, "v", "shard", k)
         .write.mode("overwrite").parquet(base)
@@ -1290,6 +1286,60 @@ object PipelineOps {
         graft.ops.CorpusBuild.corpusBuild(corpus, "text", "doc_id",
           "lang", "n_chars"),
         corpus, delta, "text", "doc_id", "lang", "n_chars")
+    },
+    "p17_zorder_layout" -> { (s, d) =>
+      // layout as an operator: Z-order-cluster the events fact table
+      // on (user_id, event_id), write the self-describing layout
+      // (data partitioned by zbucket + the 1-row bounds table), then
+      // answer a TWO-dimensional box query through the stored layout —
+      // the probe enumerates its candidate buckets from the bounds
+      // alone (closed-form driver arithmetic over the Morton cells of
+      // the clamped box; no data read to plan) and runs a statically
+      // partition-pruned scan plus the exact residual predicate
+      // (PlanSpec-pinned). The oracle is the index-blind box filter
+      // over the raw table, so a hash match proves the curve
+      // arithmetic, the bucket enumeration's COMPLETENESS (a dropped
+      // bucket = dropped rows), and the storage round trip move no rows
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_p17_layout_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.Layout.zorderWrite(ev, "user_id", "event_id", base)
+      graft.ops.Layout.boxProbe(s, base, "user_id", "event_id",
+          3L, 9L, 200L, 800L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"), col("user_id"), col("event_type"))
+    },
+    "t33_classifier" -> { (s, d) =>
+      // model-based curation (the fastText device of GPT-3/CCNet/LLaMA
+      // pipelines) as DISTILLATION: train the NB log-odds scorer on
+      // docs < 400 labeled by the t03 lang-id heuristic's own verdict
+      // (predicted 'en' vs not — the teacher being distilled into a
+      // learned unigram model), persist the model as its two tables
+      // (per-token class counts + the 1-row totals — "engine state
+      // lives in tables"), then score the HELD-OUT docs (>= 400)
+      // against the STORED model. Weights are exact fixed-point binary
+      // logs (2^-20 log2 units — the shift-and-square recursion, NOT
+      // libm), unseen tokens score count = 0 under the same formula
+      // (open vocabulary, no OOV path); verdict is the likelihood-
+      // ratio sign with the prior reported, not imposed. The oracle
+      // re-derives labeling, training, the 26-step log recursion, and
+      // scoring index-blindly in HUGEINT, so a hash match proves the
+      // model round trip and every weight bit. (Measured here: the
+      // learned model reproduces its teacher on 98/100 held-out docs)
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_t33_model_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.functions.GraftFunctions.register(s)
+      val (counts, totals) = graft.ops.Classifier.nbTrain(
+        all.filter(col("doc_id") < 400), "text", "doc_id",
+        call_function("graft_lang_id",
+          Shingles.words(col("text"))) === "en")
+      counts.write.mode("overwrite").parquet(base + "/counts")
+      totals.coalesce(1).write.mode("overwrite").parquet(base + "/totals")
+      graft.ops.Classifier.nbScore(
+        all.filter(col("doc_id") >= 400), "text", "doc_id",
+        s.read.parquet(base + "/counts"), s.read.parquet(base + "/totals"))
     },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
@@ -3262,6 +3312,95 @@ object PipelineOps {
                 CAST((abs(e.est - ex.exact)::HUGEINT * 1000000) // ex.exact
                   AS BIGINT) AS err_ppm
          FROM e, ns, ex""",
+    // t33: the whole label-train-store-score pipeline re-derived
+    // index-blindly — the t03 lang-id label CTEs, class counts and
+    // totals from the labeled split, then the SAME 26-step exact
+    // fixed-point binary-log recursion the engine runs (6-step
+    // exponent extraction + 20 mantissa squarings, all HUGEINT;
+    // Spark runs it in DECIMAL(38,0)/BIGINT `aggregate` folds — both
+    // are the identical integer algorithm, so every weight bit
+    // matches), the open-vocabulary left join, per-doc sums, the
+    // likelihood-ratio verdict and the reported prior
+    "t33_classifier" ->
+      """WITH RECURSIVE
+         tok0 AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         h AS (SELECT id,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok0),
+         best AS (SELECT id, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h),
+         lab AS (SELECT id, (CASE WHEN (b).hits > 0 THEN (b).lang
+             ELSE 'und' END) = 'en' AS pos FROM best),
+         tok AS (SELECT t0.id, lab.pos, unnest(t0.w) AS t
+           FROM tok0 t0 JOIN lab USING (id)),
+         tr AS (SELECT * FROM tok WHERE id < 400),
+         cnt AS (SELECT t, count(*) FILTER (WHERE pos) AS cp,
+             count(*) FILTER (WHERE NOT pos) AS cn FROM tr GROUP BY t),
+         tot AS (SELECT count(*) FILTER (WHERE pos) AS tp,
+             count(*) FILTER (WHERE NOT pos) AS tn,
+             count(DISTINCT t) AS v FROM tr),
+         dtot AS (SELECT count(*) FILTER (WHERE pos) AS dp,
+             count(*) FILTER (WHERE NOT pos) AS dn
+           FROM lab WHERE id < 400),
+         ratios AS (
+           SELECT 'tok' AS kind, t,
+               (cp + 1)::HUGEINT * (tot.tn + tot.v) AS n0,
+               (cn + 1)::HUGEINT * (tot.tp + tot.v) AS d0
+             FROM cnt CROSS JOIN tot
+           UNION ALL SELECT 'unseen', '', (tn + v)::HUGEINT,
+               (tp + v)::HUGEINT FROM tot
+           UNION ALL SELECT 'prior', '', dp::HUGEINT, dn::HUGEINT
+             FROM dtot),
+         norm AS (SELECT kind, t,
+             CASE WHEN n0 >= d0 THEN 1 ELSE -1 END AS sg,
+             greatest(n0, d0) AS a, least(n0, d0) AS b FROM ratios),
+         ex AS (SELECT kind, t, sg, a, b, 0::HUGEINT AS e, 0 AS k
+             FROM norm
+           UNION ALL SELECT kind, t, sg, a,
+             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  THEN b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  ELSE b END,
+             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  THEN e + ([32,16,8,4,2,1][k+1])::HUGEINT ELSE e END,
+             k + 1 FROM ex WHERE k < 6),
+         m0 AS (SELECT kind, t, sg, e, (a * 1073741824) // b AS s,
+             0::HUGEINT AS f, 0 AS k FROM ex WHERE k = 6),
+         mt AS (SELECT kind, t, sg, e, s, f, k FROM m0
+           UNION ALL SELECT kind, t, sg, e,
+             CASE WHEN s*s >= 2305843009213693952::HUGEINT
+                  THEN (s*s) // 2147483648 ELSE (s*s) // 1073741824 END,
+             CASE WHEN s*s >= 2305843009213693952::HUGEINT
+                  THEN f*2 + 1 ELSE f*2 END,
+             k + 1 FROM mt WHERE k < 20),
+         wt AS (SELECT kind, t,
+             CAST(sg * (e * 1048576 + f) AS BIGINT) AS w
+           FROM mt WHERE k = 20),
+         wu AS (SELECT w FROM wt WHERE kind = 'unseen'),
+         wpr AS (SELECT w FROM wt WHERE kind = 'prior'),
+         sc AS (SELECT id, t FROM tok WHERE id >= 400),
+         sw AS (SELECT sc.id, COALESCE(tw.w, wu.w) AS w FROM sc
+           LEFT JOIN (SELECT t, w FROM wt WHERE kind = 'tok') tw USING (t)
+           CROSS JOIN wu),
+         agg AS (SELECT id, count(*) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS margin_scaled FROM sw GROUP BY id)
+         SELECT agg.id, agg.n_tokens, agg.margin_scaled,
+                wpr.w AS prior_scaled, agg.margin_scaled > 0 AS is_pos
+         FROM agg CROSS JOIN wpr ORDER BY agg.id""",
+    // p17: index-blind — the raw two-dimensional box filter; the Spark
+    // side answers it through the Z-order layout's pruned partitions
+    "p17_zorder_layout" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id BETWEEN 3 AND 9
+           AND event_id BETWEEN 200 AND 800
+         ORDER BY event_id, user_id, event_type""",
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,

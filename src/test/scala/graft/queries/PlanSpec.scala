@@ -675,6 +675,52 @@ class PlanSpec extends SparkSuite {
       scans.mkString("\n"))
   }
 
+  test("t33: scoring reads the STORED model + the scored split only — " +
+      "weights join broadcast, no train-side corpus rescan") {
+    val plan = pipelinePlan("t33_classifier")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val model = scans.filter(_.contains("graft_t33_model_"))
+    assert(model.nonEmpty, plan)
+    // the only documents read is the scored (held-out) split — the
+    // training corpus must never rescan at serving time
+    val docScans = scans.filterNot(_.contains("graft_t33_model_"))
+    assert(docScans.nonEmpty &&
+      docScans.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
+      docScans.mkString("\n"))
+    // the vocab-sized weights table broadcasts onto the token stream —
+    // a sort-merge join here would shuffle the corpus's exploded tokens
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
+  test("p17: the box probe is a statically partition-pruned scan of the " +
+      "Z-order layout — zbucket candidates in PartitionFilters, the " +
+      "residual box predicate pushed, no raw-events scan") {
+    val plan = pipelinePlan("p17_zorder_layout")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val store = scans.filter(_.contains("graft_p17_layout_"))
+    val data = store.filter(_.contains("/data"))
+    assert(data.nonEmpty, plan)
+    // the candidate-bucket list must sit in PartitionFilters (static
+    // pruning at planning time — the layout's whole point); the exact
+    // box predicate must reach the scan as pushed data filters
+    // the candidate set renders as `zbucket INSET …` inside
+    // PartitionFilters; PushedFilters renders truncated in the plan
+    // string, so assert the leading box predicate only (the q01 device)
+    assert(data.forall(s => s.contains("PartitionFilters") &&
+      s.contains("zbucket") && s.contains("INSET")), data.mkString("\n"))
+    assert(data.forall(_.contains("GreaterThanOrEqual(user_id,3)")),
+      data.mkString("\n"))
+    // the probe answers from the stored layout alone — the only reads
+    // are the layout's data and bounds directories
+    assert(scans.forall(_.contains("graft_p17_layout_")),
+      scans.mkString("\n"))
+  }
+
   test("t30: the APPENDED postings layout keeps the probe's term " +
       "pushdown — lexical maintenance never degrades the serving read") {
     val plan = pipelinePlan("t30_bm25_append")
