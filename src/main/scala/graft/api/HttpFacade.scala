@@ -179,6 +179,10 @@ final class HttpFacade(
           pqSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "index-audit")) =>
           indexAuditRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "classify")) =>
+          classifyRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "distinct-sketch")) =>
+          distinctSketchRoute(ex)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -2199,6 +2203,147 @@ final class HttpFacade(
         "n_unindexed" -> r.getLong(3),
         "n_orphaned" -> r.getLong(4),
         "fresh_ppm" -> r.getLong(5)))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Model-based scoring over any catalog table
+    * (`?counts=<ns.table>&totals=<ns.table>[&text=text][&id=doc_id]
+    * [&limit=100]`): graft.ops.Classifier.nbScore against a STORED t33
+    * model — the per-token class-count table and the 1-row totals,
+    * trained once and read back as plain catalog tables ("engine state
+    * lives in tables"). The response is the top-`limit` scored rows in
+    * id order (orderBy precedes the capped collect — the r10 rule) plus
+    * the kept-count summary a curation dashboard wants. The operator's
+    * model-integrity requires (empty model, one-class totals) surface
+    * as 400s — a broken stored artifact is a caller error, not a 500.
+    * Read-only, outside the op lock; the scoring plan broadcasts the
+    * vocab-sized weights table onto the corpus's tokens. */
+  private def classifyRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val countsPath = qp.get("counts").filter(_.nonEmpty)
+      val totalsPath = qp.get("totals").filter(_.nonEmpty)
+      if (countsPath.isEmpty || totalsPath.isEmpty) {
+        sendJson(ex, 400, detail(
+          "counts and totals parameters are required")); return
+      }
+      val textCol = qp.getOrElse("text", "text")
+      val idCol = qp.getOrElse("id", "doc_id")
+      val limit = intParam(ex, qp, "limit", 100, 1, 10000) match {
+        case None => return
+        case Some(v) => v
+      }
+      val counts = loadStored(ex, countsPath.get, "model counts",
+        Seq("t", "cp", "cn")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val totals = loadStored(ex, totalsPath.get, "model totals",
+        Seq("tp", "tn", "v", "dp", "dn")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val missing = Seq(textCol, idCol).filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${missing.mkString(", ")}")); return
+      }
+      val scored =
+        try graft.ops.Classifier.nbScore(df, textCol, idCol, counts, totals)
+        catch {
+          case e: IllegalArgumentException =>
+            sendJson(ex, 400, detail(e.getMessage)); return
+        }
+      // nbScore already orders by id; limit() on the ordered plan keeps
+      // the capped collect deterministic
+      val rows = scored.limit(limit).collect()
+      val kept = scored.filter(
+        org.apache.spark.sql.functions.col("is_pos")).count()
+      val total = scored.count()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "counts" -> countsPath.get,
+        "totals" -> totalsPath.get,
+        "n_docs" -> total,
+        "n_pos" -> kept,
+        "n_returned" -> rows.length.toLong,
+        "docs" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> r.getAs[Number](0).longValue(),
+          "n_tokens" -> r.getLong(1),
+          "margin_scaled" -> r.getLong(2),
+          "prior_scaled" -> r.getLong(3),
+          "is_pos" -> r.getBoolean(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Cardinality from a STORED sketch (`?sketch=<ns.table>[&k=256]`):
+    * graft.ops.Sketches.kmvMerge + kmvEstimate over the x14 artifact's
+    * rows — the serving read of the mergeable-sketch family: any union
+    * of per-shard sketch rows (including post-append states) answers
+    * "how many distinct values does the release hold" from ≤ shards·k
+    * stored rows, no corpus read anywhere. Catalog-level route (a
+    * sketch table stands alone — it audits a release, not one corpus
+    * table; the release-audit precedent). `k` must not exceed the k
+    * the sketches were BUILT with — merging k' > k per-shard sketches
+    * under-fills and the estimate degrades toward the per-shard caps —
+    * so the route reports n_hashes for the caller to sanity-check.
+    * Both columns must be integral (a string hash column would compare
+    * lexicographically and silently corrupt the k-minimum merge). */
+  private def distinctSketchRoute(ex: HttpExchange): Unit = {
+    val qp = queryParams(ex)
+    val sketchPath = qp.get("sketch").filter(_.nonEmpty)
+    if (sketchPath.isEmpty) {
+      sendJson(ex, 400, detail("sketch parameter is required")); return
+    }
+    val k = intParam(ex, qp, "k", 256, 2, 1 << 20) match {
+      case None => return
+      case Some(v) => v
+    }
+    try {
+      val sk = loadStored(ex, sketchPath.get, "sketch",
+        Seq("shard", "h")) match {
+        case None => return
+        case Some(t) => t
+      }
+      def integral(c: String): Boolean = sk.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      for (c <- Seq("shard", "h") if !integral(c)) {
+        sendJson(ex, 400,
+          detail(s"Sketch column $c is not an integral column")); return
+      }
+      val est = graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvMerge(sk, k), k).collect()(0)
+      val nShards = sk.agg(
+        org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("shard")))
+        .collect()(0).getLong(0)
+      sendJson(ex, 200, Json.obj(
+        "sketch" -> sketchPath.get,
+        "k" -> k.toLong,
+        "n_shards" -> nShards,
+        "n_hashes" -> est.getLong(1),
+        "kth_min" -> (if (est.isNullAt(2)) 0L else est.getLong(2)),
+        "est" -> est.getLong(3)))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -206,14 +206,24 @@ object DocumentStreams {
     * pass per batch (the delta rows are persisted around the guard
     * probe and the write). Note the direction: this is the CORPUS-side
     * index eval sets probe; `evalIndexDir` above is the converse gate
-    * (the EVAL-side index this batch probes). */
+    * (the EVAL-side index this batch probes).
+    *
+    * With `sketch` set, ingestion ALSO maintains the x14 mergeable
+    * cardinality sketch (`sketches/` — one ≤ `sketchK`-row KMV sketch
+    * per batch, shard = batch_id), so "how many distinct trigrams does
+    * the corpus hold" is answerable at any time from the stored rows
+    * alone (the distinct-sketch HTTP route's read) without ever
+    * re-tokenizing the corpus — see the body comment for the
+    * merge ≡ rebuild argument. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double,
                    evalIndexDir: Option[String] = None,
                    evalMinShared: Int = 2,
                    lexical: Boolean = false,
-                   fingerprints: Boolean = false): Unit = {
+                   fingerprints: Boolean = false,
+                   sketch: Boolean = false,
+                   sketchK: Int = 256): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -317,6 +327,36 @@ object DocumentStreams {
                   .withColumn("batch_id", lit(batchId))
                   .write.mode("append").parquet(s"$stateDir/lexstats")
             } finally { deltaPost.unpersist(); () }
+          }
+          if (sketch) {
+            val sketchStore = loadStore(spark, s"$stateDir/sketches")
+            // the x14 mergeable-cardinality artifact, maintained at
+            // ingestion: each batch IS a shard (shard = batch_id — a
+            // shard's sketch never changes retroactively, which is
+            // exactly what a batch gives us), so the store accumulates
+            // one ≤ k-row sketch per batch and the release's distinct-
+            // trigram count is a merge over the stored rows — the
+            // distinct-sketch route reads it directly. Merge-of-shards
+            // ≡ sketch-of-union (each of the k globally-smallest hashes
+            // is among its own shard's k smallest), so per-batch
+            // sharding loses nothing vs a from-scratch corpus sketch
+            // (spec-pinned). Same guards as the other stores: the
+            // trigram distinct here is BATCH-sized (the corpus is never
+            // re-tokenized — the whole point of maintaining the sketch
+            // incrementally), empty batches must not create a
+            // schema-less directory, and the batch_id stamp makes the
+            // append exactly-once under replay.
+            val deltaSk = graft.ops.Sketches.kmvSketch(
+              surv.select(lit(batchId).cast("int").as("shard"),
+                explode(graft.ops.Sketches.wordTrigrams(
+                  coalesce(col(textCol), lit("")))).as("v")),
+              "v", "shard", sketchK).persist()
+            try {
+              val hasSk = deltaSk.limit(1).count() > 0L
+              if (hasSk && !committedIn(sketchStore, batchId))
+                deltaSk.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$stateDir/sketches")
+            } finally { deltaSk.unpersist(); () }
           }
           if (fingerprints) {
             val fpsStore = loadStore(spark, s"$stateDir/fps")
@@ -515,7 +555,8 @@ object DocumentStreams {
     // so the (fpb, fp) join reads tight row groups
     Seq(("index", Seq("cid"), Nil), ("decisions", Seq("batch_id", "id"), Nil),
         ("corpus", Seq(idCol), Nil), ("postings", Seq("t"), Nil),
-        ("lexstats", Seq("batch_id"), Nil), ("fps", Seq("fp"), Seq("fpb")))
+        ("lexstats", Seq("batch_id"), Nil), ("fps", Seq("fp"), Seq("fpb")),
+        ("sketches", Seq("shard", "h"), Nil))
       .filter { case (s, _, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
       .map { case (s, keys, parts) =>

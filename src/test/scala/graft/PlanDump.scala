@@ -274,6 +274,30 @@ object PlanDump {
         "partition-wise into the fpb layout — only touched buckets " +
         "gain files. The probe over the APPENDED directory still " +
         "carries the dynamicpruningexpression (PlanSpec-pinned)."),
+    "x14_distinct_sketch" ->
+      ("Mergeable cardinality: the only corpus-sized stage is the " +
+        "(shard, hash) distinct with map-side partial aggregation; the " +
+        "per-shard top-k runs as a two-level salted rank so no window " +
+        "task ever ranks a shard's full hash set; downstream of the " +
+        "stored artifact everything is O(shards·k) — the merge rank " +
+        "and the 1-row estimate read one narrow column each " +
+        "(PlanSpec-pinned single-column ReadSchemas)."),
+    "p17_zorder_layout" ->
+      ("The Z-order box probe: candidate buckets enumerate driver-side " +
+        "from the 1-row bounds (closed-form Morton arithmetic — no " +
+        "data read to plan), so the scan carries the zbucket INSET in " +
+        "PartitionFilters (STATIC pruning at planning time, " +
+        "PlanSpec-pinned) plus the pushed residual box predicate; " +
+        "nothing but the layout's own directories is ever read."),
+    "t33_classifier" ->
+      ("Stored-model scoring: the 26-step fixed-point binary-log runs " +
+        "ONCE per vocabulary entry (aggregate-HOF folds — sequential " +
+        "per-row state, no expression blowup), the vocab-sized weights " +
+        "table broadcasts onto the corpus's exploded tokens " +
+        "(PlanSpec-pinned: no SortMergeJoin), per-doc sums partial-" +
+        "aggregate map-side, and the only documents read is the scored " +
+        "split (pushed doc_id filter). The training corpus never " +
+        "rescans at serving time."),
     "x12_index_repair" ->
       ("Acting on the x11 signals: indexRepair drops orphans by a " +
         "semi-join whose corpus side reads ONE pruned id column, " +

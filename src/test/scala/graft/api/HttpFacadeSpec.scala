@@ -1606,6 +1606,137 @@ class HttpFacadeSpec extends SparkSuite {
       .statusCode === 400)
   }
 
+  test("classify route: scores a catalog table against the stored model, " +
+    "reconciled row-for-row with the direct operator") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = spark.table("httpapi.documents")
+    val (counts, totals) = graft.ops.Classifier.nbTrain(
+      all.filter(col("doc_id") < 400), "text", "doc_id",
+      col("lang") === "en")
+    val cDir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-counts").toString
+    val tDir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-totals").toString
+    counts.write.mode("overwrite").parquet(cDir)
+    totals.coalesce(1).write.mode("overwrite").parquet(tDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_counts
+      USING parquet LOCATION '$cDir'""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_totals
+      USING parquet LOCATION '$tDir'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/classify"
+    val q = "?counts=httpapi.nb_counts&totals=httpapi.nb_totals&limit=7"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    val expected = graft.ops.Classifier.nbScore(
+      spark.table("httpapi.documents"), "text", "doc_id",
+      spark.table("httpapi.nb_counts"), spark.table("httpapi.nb_totals"))
+    assert(lg(m.body, "n_docs") === expected.count())
+    assert(lg(m.body, "n_pos") ===
+      expected.filter(col("is_pos")).count())
+    assert(lg(m.body, "n_returned") === 7L)
+    // the returned docs are the FIRST 7 in id order with exact fields
+    val first = expected.limit(7).collect()
+    val docPat = ("""\{"id":(-?\d+),"n_tokens":(-?\d+),""" +
+      """"margin_scaled":(-?\d+),"prior_scaled":(-?\d+),""" +
+      """"is_pos":(true|false)\}""").r
+    val got = docPat.findAllMatchIn(m.body).toSeq
+    assert(got.length === 7, m.body)
+    for ((g, e) <- got.zip(first)) {
+      assert(g.group(1).toLong === e.getLong(0))
+      assert(g.group(2).toLong === e.getLong(1))
+      assert(g.group(3).toLong === e.getLong(2))
+      assert(g.group(4).toLong === e.getLong(3))
+      assert(g.group(5).toBoolean === e.getBoolean(4))
+    }
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?counts=httpapi.nb_counts").statusCode === 400)
+    assert(get(base + q.replace("httpapi.nb_counts", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.nb_counts", "httpapi.nope"))
+      .statusCode === 404)
+    // a table that is NOT a counts table fails the required-columns gate
+    assert(get(base + q.replace("counts=httpapi.nb_counts",
+      "counts=httpapi.documents")).statusCode === 400)
+    assert(get(base + q + "&text=nope").statusCode === 400)
+    assert(get(base + q + "&limit=0").statusCode === 400)
+    assert(get(base + q + "&limit=abc").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/classify" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/classify" + q)
+      .statusCode === 400)
+    // a one-class stored model is a 400 (the operator's contract
+    // surfaced as a caller error), not a 500
+    val (oc, ot) = graft.ops.Classifier.nbTrain(
+      all.filter(col("doc_id") < 400), "text", "doc_id", lit(true))
+    val ocDir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-oneclass").toString
+    oc.write.mode("overwrite").parquet(s"$ocDir/c")
+    ot.coalesce(1).write.mode("overwrite").parquet(s"$ocDir/t")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_counts1
+      USING parquet LOCATION '$ocDir/c'""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_totals1
+      USING parquet LOCATION '$ocDir/t'""")
+    val r1 = get(base +
+      "?counts=httpapi.nb_counts1&totals=httpapi.nb_totals1")
+    assert(r1.statusCode === 400, r1.body)
+    assert(r1.body.contains("classes"), r1.body)
+  }
+
+  test("distinct-sketch route: estimate from the stored sketch rows, " +
+    "reconciled with the direct operator") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val vals = spark.range(3000).select(
+      (col("id") % 5).cast("int").as("shard"),
+      concat(lit("v"), col("id") % 1700).as("v"))
+    val sk = graft.ops.Sketches.kmvSketch(vals, "v", "shard", 64)
+    val sDir = java.nio.file.Files
+      .createTempDirectory("httpapi-sketch").toString
+    sk.write.mode("overwrite").parquet(sDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.kmv_sketch
+      USING parquet LOCATION '$sDir'""")
+    val base = "/api/v1/catalog/distinct-sketch"
+    val m = get(base + "?sketch=httpapi.kmv_sketch&k=64")
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    val expected = graft.ops.Sketches.kmvEstimate(
+      graft.ops.Sketches.kmvMerge(
+        spark.table("httpapi.kmv_sketch"), 64), 64).collect()(0)
+    assert(lg(m.body, "n_shards") === 5L)
+    assert(lg(m.body, "n_hashes") === expected.getLong(1))
+    assert(lg(m.body, "kth_min") === expected.getLong(2))
+    assert(lg(m.body, "est") === expected.getLong(3))
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?sketch=nodots").statusCode === 400)
+    assert(get(base + "?sketch=httpapi.nope").statusCode === 404)
+    assert(get(base + "?sketch=httpapi.kmv_sketch&k=1").statusCode === 400)
+    assert(get(base + "?sketch=httpapi.kmv_sketch&k=abc")
+      .statusCode === 400)
+    // a table without (shard, h) fails the required-columns gate
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    assert(get(base + "?sketch=httpapi.documents").statusCode === 400)
+    // non-integral hash column: lexicographic order would silently
+    // corrupt the k-minimum merge - rejected, not coerced
+    val badDir = java.nio.file.Files
+      .createTempDirectory("httpapi-sketch-bad").toString
+    sk.select(col("shard"), col("h").cast("string").as("h"))
+      .write.mode("overwrite").parquet(badDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.kmv_bad
+      USING parquet LOCATION '$badDir'""")
+    assert(get(base + "?sketch=httpapi.kmv_bad").statusCode === 400)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)

@@ -194,6 +194,61 @@ class DocumentStreamsSpec extends SparkSuite {
       === streamed)
   }
 
+  test("sketch ingestion: the cardinality store tracks the corpus — " +
+      "merged estimate equals a from-scratch corpus sketch, replay " +
+      "appends nothing, compaction moves no estimate") {
+    val dir = Files.createTempDirectory("docstream-sketch").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id",
+      0.7, sketch = true, sketchK = 16)
+    // batch 1: 4 dups 1 (rejected — contributes no sketch rows), 5 new
+    val b1 = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, sketch = true, sketchK = 16)
+    def estimate() = {
+      val sk = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/sketches")
+      graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvMerge(sk, 16), 16).collect()(0)
+    }
+    val streamed = estimate()
+    // merge ≡ rebuild: per-batch shards merge to exactly what one
+    // sketch over the corpus store's text would hold (each globally
+    // smallest hash is among its own batch's k smallest)
+    val rebuilt = graft.ops.Sketches.kmvEstimate(
+      graft.ops.Sketches.kmvMerge(
+        graft.ops.Sketches.kmvSketch(
+          spark.read.parquet(s"$dir/corpus").select(
+            lit(0).as("shard"),
+            explode(graft.ops.Sketches.wordTrigrams(col("text")))
+              .as("v")),
+          "v", "shard", 16), 16), 16).collect()(0)
+    assert(streamed.getLong(1) === rebuilt.getLong(1)) // n_hashes
+    assert(streamed.getLong(2) === rebuilt.getLong(2)) // kth_min
+    assert(streamed.getLong(3) === rebuilt.getLong(3)) // est
+    // one shard per contributing batch (the duplicate-only doc of batch
+    // 1 is rejected, but doc 5 survives, so both batches contribute)
+    assert(spark.read.parquet(s"$dir/sketches").select("shard")
+      .distinct().count() === 2L)
+    // replay idempotence: the store carries the batch marker
+    val before = spark.read.parquet(s"$dir/sketches").count()
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, sketch = true, sketchK = 16)
+    assert(spark.read.parquet(s"$dir/sketches").count() === before)
+    // an all-duplicates batch appends nothing (empty-append guard)
+    DocumentStreams.processBatch(spark, Seq((9L, tA)).toDF("doc_id",
+      "text"), 2L, dir, "text", "doc_id", 0.7, sketch = true,
+      sketchK = 16)
+    assert(spark.read.parquet(s"$dir/sketches").count() === before)
+    // compaction covers the sketch store; the estimate is unchanged
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("sketches"), report.toString)
+    val after = estimate()
+    assert(after.getLong(1) === streamed.getLong(1) &&
+      after.getLong(2) === streamed.getLong(2) &&
+      after.getLong(3) === streamed.getLong(3))
+  }
+
   test("crashed-attempt replay: a half-committed batch completes without " +
       "self-matching or double-appending") {
     val dir = Files.createTempDirectory("docstream-crash").toString
