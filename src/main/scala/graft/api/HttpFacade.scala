@@ -181,6 +181,8 @@ final class HttpFacade(
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "classify")) =>
           classifyRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "box-search")) =>
+          boxSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "distinct-sketch")) =>
           distinctSketchRoute(ex)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
@@ -2285,6 +2287,101 @@ final class HttpFacade(
           "margin_scaled" -> r.getLong(2),
           "prior_scaled" -> r.getLong(3),
           "is_pos" -> r.getBoolean(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Two-dimensional box query over a STORED Z-order layout
+    * (`?bounds=<ns.table>&col_a=&col_b=&lo_a=&hi_a=&lo_b=&hi_b=
+    * &id=<col>[&limit=1000]`): `{tablePath}` is the layout's data
+    * table (zorderWrite's zbucket-partitioned output registered as a
+    * catalog table), `bounds` its 1-row parameter table, and the
+    * response is the match count plus up to `limit` matching ids in
+    * order — graft.ops.Layout.boxProbeTables does the candidate-bucket
+    * enumeration from the bounds (closed-form driver arithmetic, no
+    * data read to plan) so the scan is statically partition-pruned
+    * to the curve segment the box intersects. Full-row retrieval is
+    * the SQL surface's job; this route's value is the enumeration a
+    * plain WHERE cannot plan. Read-only, outside the op lock. */
+  private def boxSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val store = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val boundsPath = qp.get("bounds").filter(_.nonEmpty)
+      val colA = qp.get("col_a").filter(_.nonEmpty)
+      val colB = qp.get("col_b").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (boundsPath.isEmpty || colA.isEmpty || colB.isEmpty ||
+          idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "bounds, col_a, col_b and id parameters are required")); return
+      }
+      def longParam(name: String): Option[Long] =
+        qp.get(name).flatMap(_.toLongOption) match {
+          case None =>
+            sendJson(ex, 400,
+              detail(s"$name must be a long integer")); None
+          case some => some
+        }
+      val (loA, hiA, loB, hiB) = (longParam("lo_a"), longParam("hi_a"),
+        longParam("lo_b"), longParam("hi_b")) match {
+        case (Some(a), Some(b), Some(c), Some(d)) => (a, b, c, d)
+        case _ => return
+      }
+      val limit = intParam(ex, qp, "limit", 1000, 1, 100000) match {
+        case None => return
+        case Some(v) => v
+      }
+      val bounds = loadStored(ex, boundsPath.get, "bounds",
+        Seq("min_a", "max_a", "min_b", "max_b", "bits",
+          "n_buckets")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val missing = Seq(colA.get, colB.get, idCol.get)
+        .filterNot(store.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${missing.mkString(", ")}")); return
+      }
+      val idIntegral = store.schema(idCol.get).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!idIntegral) {
+        sendJson(ex, 400, detail(
+          s"Id column ${idCol.get} is not an integral column")); return
+      }
+      val matched =
+        try graft.ops.Layout.boxProbeTables(store, bounds,
+          colA.get, colB.get, loA, hiA, loB, hiB)
+        catch {
+          case e: IllegalArgumentException =>
+            sendJson(ex, 400, detail(e.getMessage)); return
+        }
+      val c = org.apache.spark.sql.functions.col(idCol.get)
+      val n = matched.count()
+      val ids = matched.select(c).orderBy(c).limit(limit)
+        .collect().map(_.getAs[Number](0).longValue())
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "bounds" -> boundsPath.get,
+        "n_matched" -> n,
+        "n_returned" -> ids.length.toLong,
+        "ids" -> ids.toSeq.map(v => Json.Raw(v.toString))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

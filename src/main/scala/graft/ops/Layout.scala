@@ -142,10 +142,20 @@ object Layout {
    * probe results are row-identical to filtering the raw table.
    */
   def boxProbe(spark: SparkSession, dir: String, colA: String, colB: String,
-               loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
-    val store = spark.read.parquet(s"$dir/data")
+               loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame =
+    boxProbeTables(spark.read.parquet(s"$dir/data"),
+      spark.read.parquet(s"$dir/bounds"), colA, colB, loA, hiA, loB, hiB)
+
+  /** [[boxProbe]] over already-loaded store/bounds tables — the HTTP
+    * box-search route's form (layout artifacts registered as catalog
+    * tables), same arithmetic, same static pruning. */
+  def boxProbeTables(store: DataFrame, boundsDf: DataFrame,
+                     colA: String, colB: String,
+                     loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
     integral(store, colA); integral(store, colB)
-    val p = spark.read.parquet(s"$dir/bounds").head()
+    require(store.columns.contains("zbucket"),
+      "store is not a zorderWrite layout (no zbucket column)")
+    val p = boundsDf.head()
     val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")

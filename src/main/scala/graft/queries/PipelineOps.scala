@@ -1226,6 +1226,45 @@ object PipelineOps {
             .select(lit("after").as("phase"), col("*")))
         .orderBy(col("phase"))
     },
+    "d19_bloom_prefilter" -> { (s, d) =>
+      // the membership pre-filter in front of the exact-dedup join: a
+      // STORED engine-portable Bloom filter (64 words × 63 usable
+      // bits, k = 4 md5-60 hashes — a plain (w, bits) table, unlike
+      // q52's opaque in-plan bloom_filter_agg blob) built from the
+      // corpus text; the delta batch probes it and ONLY bloom hits pay
+      // the exact join — a miss is a guaranteed non-member, so the
+      // composition returns exactly what the plain corpus-wide join
+      // would (the no-false-negative contract). The oracle re-derives
+      // the filter's words, every probe bit, AND the exact verdicts
+      // index-blindly, so a hash match certifies the bit arithmetic
+      // and that the pre-filter dropped no duplicate
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_d19_bloom_" + java.lang.Integer.toHexString(d.hashCode)
+      val corpus = all.filter(col("doc_id") < 480)
+      graft.ops.Bloom.bloomBuild(corpus.select(col("text")), "text",
+          nWords = 64, k = 4)
+        .write.mode("overwrite").parquet(base)
+      val bloom = s.read.parquet(base)
+      // probe set = the delta batch PLUS a slice of the corpus itself:
+      // corpus members are GUARANTEED hits (the no-false-negative side
+      // of the contract needs exercising, not just the miss side)
+      val delta = all.filter(col("doc_id") >= 480 || col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val probed = graft.ops.Bloom.bloomProbe(bloom, delta, "text",
+        "doc_id", nWords = 64, k = 4)
+      val cx = corpus.select(col("text").as("__ct"),
+        col("doc_id").as("cid"))
+      val exact = probed.filter(col("bloom_hit"))
+        .join(cx, col("text") === col("__ct"))
+        .groupBy(col("doc_id").as("id"))
+        .agg(min(col("cid")).as("exact_dup_of"))
+      probed.select(col("doc_id").as("id"), col("bloom_hit"))
+        .join(exact, Seq("id"), "left")
+        .select(col("id"), col("bloom_hit"), col("exact_dup_of"),
+          col("exact_dup_of").isNull.as("is_new"))
+        .orderBy(col("id"))
+    },
     "x14_distinct_sketch" -> { (s, d) =>
       // the mergeable-cardinality data-card stat: "how many distinct
       // 3-word shingles does the release hold?" answered from a STORED
@@ -3278,6 +3317,35 @@ object PipelineOps {
                 CAST((SELECT count(*) FROM c JOIN r USING (id)) * 1000000
                   // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm
          ORDER BY phase""",
+    // d19: the filter's words, every probe bit, and the exact verdicts
+    // re-derived index-blindly — same md5-60 positions, 63-bit words
+    // (the sign bit stays clear so 1 << bit never overflows), bit_or
+    // words, all-positions-set verdict, then the plain exact join the
+    // composition must equal
+    "d19_bloom_prefilter" ->
+      """WITH c AS (SELECT doc_id AS cid, text FROM documents
+             WHERE doc_id < 480),
+         dl AS (SELECT doc_id AS id, text FROM documents
+             WHERE doc_id >= 480 OR doc_id < 20),
+         ks AS (SELECT unnest(range(0, 4)) AS i),
+         cpos AS (SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+               || text), 1, 15))::BIGINT % 4032 AS p FROM c, ks),
+         wb AS (SELECT p // 63 AS w,
+             bit_or((1::BIGINT) << CAST(p % 63 AS INT)) AS bits
+           FROM cpos GROUP BY 1),
+         dpos AS (SELECT id, ('0x' || substr(md5(CAST(i AS VARCHAR)
+               || ':' || text), 1, 15))::BIGINT % 4032 AS p FROM dl, ks),
+         hit AS (SELECT dpos.id, min(CASE WHEN wb.bits IS NOT NULL AND
+               (wb.bits & ((1::BIGINT) << CAST(dpos.p % 63 AS INT))) <> 0
+               THEN 1 ELSE 0 END) AS ah
+           FROM dpos LEFT JOIN wb ON dpos.p // 63 = wb.w GROUP BY dpos.id),
+         ex AS (SELECT dl.id, min(c.cid) AS exact_dup_of
+           FROM dl JOIN c ON dl.text = c.text GROUP BY dl.id)
+         SELECT dl.id, hit.ah = 1 AS bloom_hit, ex.exact_dup_of,
+                ex.exact_dup_of IS NULL AS is_new
+         FROM dl JOIN hit ON dl.id = hit.id
+           LEFT JOIN ex ON dl.id = ex.id
+         ORDER BY dl.id""",
     // x14: the full KMV pipeline re-derived index-blindly from the raw
     // table in the same md5-60 hash space — per-shard k smallest
     // distinct hashes, merge as k smallest of the union, the exact-

@@ -274,6 +274,15 @@ object PlanDump {
         "partition-wise into the fpb layout — only touched buckets " +
         "gain files. The probe over the APPENDED directory still " +
         "carries the dynamicpruningexpression (PlanSpec-pinned)."),
+    "d19_bloom_prefilter" ->
+      ("Membership pre-filter: the stored (w, bits) filter — 63 usable " +
+        "bits per word so every shift is sign-safe on every engine — " +
+        "broadcasts onto the batch's k-position rows (PlanSpec-pinned; " +
+        "the filter fits in one packet, the candidates never shuffle " +
+        "to meet it), the all-bits-set verdict aggregates per value, " +
+        "and ONLY bloom hits enter the exact join. A miss is a " +
+        "guaranteed non-member, so the composition equals the plain " +
+        "corpus-wide join the oracle computes."),
     "x14_distinct_sketch" ->
       ("Mergeable cardinality: the only corpus-sized stage is the " +
         "(shard, hash) distinct with map-side partial aggregation; the " +

@@ -1737,6 +1737,63 @@ class HttpFacadeSpec extends SparkSuite {
     assert(get(base + "?sketch=httpapi.kmv_bad").statusCode === 400)
   }
 
+  test("box-search route: pruned two-dimensional box query over the " +
+    "stored Z-order layout, reconciled with the direct operator") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    import org.apache.spark.sql.functions.col
+    val ev = graft.tables.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val lDir = java.nio.file.Files
+      .createTempDirectory("httpapi-layout").toString
+    graft.ops.Layout.zorderWrite(ev, "user_id", "event_id", lDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.zl_data
+      USING parquet LOCATION '$lDir/data'""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.zl_bounds
+      USING parquet LOCATION '$lDir/bounds'""")
+    // refresh: the tables were registered after the write
+    spark.sql("REFRESH TABLE httpapi.zl_data")
+    val base = "/api/v1/catalog/tables/httpapi.zl_data/box-search"
+    val q = "?bounds=httpapi.zl_bounds&col_a=user_id&col_b=event_id" +
+      "&lo_a=3&hi_a=9&lo_b=200&hi_b=800&id=event_id&limit=5"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    val expected = graft.ops.Layout.boxProbeTables(
+      spark.table("httpapi.zl_data"), spark.table("httpapi.zl_bounds"),
+      "user_id", "event_id", 3L, 9L, 200L, 800L)
+    assert(lg(m.body, "n_matched") === expected.count())
+    assert(lg(m.body, "n_returned") === math.min(5L, expected.count()))
+    val wantIds = expected.select(col("event_id")).orderBy(col("event_id"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val gotIds = """"ids":\[([0-9,]*)\]""".r
+      .findFirstMatchIn(m.body).get.group(1)
+      .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    assert(gotIds === wantIds, m.body)
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + q.replace("&lo_a=3", "&lo_a=abc"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.zl_bounds", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.zl_bounds", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("col_a=user_id", "col_a=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("id=event_id", "id=event_type"))
+      .statusCode === 400) // non-integral id
+    // a bounds table missing the layout parameters fails the gate
+    assert(get(base + q.replace("bounds=httpapi.zl_bounds",
+      "bounds=httpapi.zl_data")).statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/box-search" + q)
+      .statusCode === 404)
+    // disjoint box: a clean empty answer, not an error
+    val e2 = get(base + q.replace("lo_a=3&hi_a=9", "lo_a=5000&hi_a=6000"))
+    assert(e2.statusCode === 200 && lg(e2.body, "n_matched") === 0L,
+      e2.body)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)

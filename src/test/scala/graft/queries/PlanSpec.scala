@@ -675,6 +675,24 @@ class PlanSpec extends SparkSuite {
       scans.mkString("\n"))
   }
 
+  test("d19: the stored bloom filter broadcasts onto the probe's " +
+      "position rows — the pre-filter never shuffles candidates") {
+    val plan = pipelinePlan("d19_bloom_prefilter")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("graft_d19_bloom_")), plan)
+    // the nWords-row filter is always the broadcast side; a shuffle
+    // here would move the batch's exploded position rows for a join
+    // against a table that fits in one packet
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    // the filter scan reads both its columns and nothing else
+    val bloomScans = scans.filter(_.contains("graft_d19_bloom_"))
+    assert(bloomScans.forall(_.contains(
+      "ReadSchema: struct<w:bigint,bits:bigint>")),
+      bloomScans.mkString("\n"))
+  }
+
   test("t33: scoring reads the STORED model + the scored split only — " +
       "weights join broadcast, no train-side corpus rescan") {
     val plan = pipelinePlan("t33_classifier")
