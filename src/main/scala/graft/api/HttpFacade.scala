@@ -183,8 +183,12 @@ final class HttpFacade(
           classifyRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "box-search")) =>
           boxSearchRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "bloom-check")) =>
+          bloomCheckRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "distinct-sketch")) =>
           distinctSketchRoute(ex)
+        case ("GET", List("api", "v1", "catalog", "quantile-sketch")) =>
+          quantileSketchRoute(ex)
         case ("GET", List("api", "v1", "catalog", "tables", tp)) =>
           tableDetails(ex, tp)
         case ("GET", List("health")) => health(ex)
@@ -2269,11 +2273,16 @@ final class HttpFacade(
             sendJson(ex, 400, detail(e.getMessage)); return
         }
       // nbScore already orders by id; limit() on the ordered plan keeps
-      // the capped collect deterministic
-      val rows = scored.limit(limit).collect()
-      val kept = scored.filter(
-        org.apache.spark.sql.functions.col("is_pos")).count()
-      val total = scored.count()
+      // the capped collect deterministic. Three actions read the plan
+      // (rows, kept, total) - persist so the scoring join executes
+      // once, not per action (the r11 constant-factor class)
+      scored.persist()
+      val (rows, kept, total) = try {
+        (scored.limit(limit).collect(),
+          scored.filter(
+            org.apache.spark.sql.functions.col("is_pos")).count(),
+          scored.count())
+      } finally { scored.unpersist(); () }
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "counts" -> countsPath.get,
@@ -2373,9 +2382,14 @@ final class HttpFacade(
             sendJson(ex, 400, detail(e.getMessage)); return
         }
       val c = org.apache.spark.sql.functions.col(idCol.get)
-      val n = matched.count()
-      val ids = matched.select(c).orderBy(c).limit(limit)
-        .collect().map(_.getAs[Number](0).longValue())
+      // two actions (count, capped ids) - persist so the pruned scan
+      // and residual filter run once
+      matched.persist()
+      val (n, ids) = try {
+        (matched.count(),
+          matched.select(c).orderBy(c).limit(limit)
+            .collect().map(_.getAs[Number](0).longValue()))
+      } finally { matched.unpersist(); () }
       sendJson(ex, 200, Json.obj(
         "table" -> tablePath,
         "bounds" -> boundsPath.get,
@@ -2441,6 +2455,173 @@ final class HttpFacade(
         "n_hashes" -> est.getLong(1),
         "kth_min" -> (if (est.isNullAt(2)) 0L else est.getLong(2)),
         "est" -> est.getLong(3)))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Membership check against a STORED Bloom filter
+    * (`?filter=<ns.table>&value=<col>&id=<col>&n_words=[&k=4]
+    * [&limit=1000]`): `{tablePath}` is the table of candidate values
+    * (an arriving batch, a crawl frontier), `filter` the d19 artifact —
+    * either a merged (w, bits) filter or a RAW streamed `bloomf/` store
+    * (the route bit_or-merges first; idempotent on an already-merged
+    * filter). Response: hit/miss counts plus up to `limit` MISS ids in
+    * order — the misses are the actionable set (guaranteed-new values
+    * that skip the expensive probe; hits still need the exact check,
+    * which is the SQL surface's or dedup-probe's job). `n_words` is
+    * REQUIRED and `k` must match the build (the d19 geometry contract:
+    * a mismatch silently yields false negatives — the one thing a
+    * Bloom filter must never do — so the route refuses to default it). */
+  private def bloomCheckRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val filterPath = qp.get("filter").filter(_.nonEmpty)
+      val valueCol = qp.get("value").filter(_.nonEmpty)
+      val idCol = qp.get("id").filter(_.nonEmpty)
+      if (filterPath.isEmpty || valueCol.isEmpty || idCol.isEmpty) {
+        sendJson(ex, 400, detail(
+          "filter, value and id parameters are required")); return
+      }
+      if (!qp.contains("n_words")) {
+        sendJson(ex, 400, detail("n_words is required (the filter's " +
+          "build geometry - a defaulted mismatch would silently yield " +
+          "false negatives)")); return
+      }
+      val nWords = intParam(ex, qp, "n_words", 0, 1, 1 << 28) match {
+        case None => return
+        case Some(v) => v
+      }
+      val k = intParam(ex, qp, "k", 4, 1, 64) match {
+        case None => return
+        case Some(v) => v
+      }
+      val limit = intParam(ex, qp, "limit", 1000, 1, 100000) match {
+        case None => return
+        case Some(v) => v
+      }
+      val filt = loadStored(ex, filterPath.get, "filter",
+        Seq("w", "bits")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val missing = Seq(valueCol.get, idCol.get)
+        .filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${missing.mkString(", ")}")); return
+      }
+      val idIntegral = df.schema(idCol.get).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!idIntegral) {
+        sendJson(ex, 400, detail(
+          s"Id column ${idCol.get} is not an integral column")); return
+      }
+      val merged = graft.ops.Bloom.bloomMerge(
+        filt.select(org.apache.spark.sql.functions.col("w"),
+          org.apache.spark.sql.functions.col("bits")))
+      val probed = graft.ops.Bloom.bloomProbe(merged, df,
+        valueCol.get, idCol.get, nWords, k)
+      val hitCol = org.apache.spark.sql.functions.col("bloom_hit")
+      val idC = org.apache.spark.sql.functions.col(idCol.get)
+      // three actions (total, hits, capped misses) - persist so the
+      // k-position explode + broadcast join run once
+      probed.persist()
+      val (nTotal, nHits, missIds) = try {
+        (probed.count(), probed.filter(hitCol).count(),
+          probed.filter(!hitCol).select(idC).orderBy(idC)
+            .limit(limit).collect().map(_.getAs[Number](0).longValue()))
+      } finally { probed.unpersist(); () }
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "filter" -> filterPath.get,
+        "n_values" -> nTotal,
+        "n_hits" -> nHits,
+        "n_misses" -> (nTotal - nHits),
+        "n_returned" -> missIds.length.toLong,
+        "miss_ids" -> missIds.toSeq.map(v => Json.Raw(v.toString))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Quantile estimates from a STORED histogram sketch
+    * (`?sketch=<ns.table>&lo=&hi=&n_bins=[&q=250000,500000,...]`):
+    * graft.ops.Sketches.histMerge + histQuantiles over the x15
+    * artifact's rows — rank statistics from ≤ nBins merged counts, no
+    * corpus read anywhere (the synopsis trio's third serving read,
+    * next to distinct-sketch). `lo`/`hi`/`n_bins` MUST match the
+    * build's envelope (they are the bin-to-value decoder; a drifted
+    * envelope decodes wrong values silently, so they belong in the
+    * caller's release config beside the table name). Catalog-level
+    * route, read-only, outside the op lock. */
+  private def quantileSketchRoute(ex: HttpExchange): Unit = {
+    val qp = queryParams(ex)
+    val sketchPath = qp.get("sketch").filter(_.nonEmpty)
+    if (sketchPath.isEmpty) {
+      sendJson(ex, 400, detail("sketch parameter is required")); return
+    }
+    def longParam(name: String): Option[Long] =
+      qp.get(name).flatMap(_.toLongOption) match {
+        case None =>
+          sendJson(ex, 400,
+            detail(s"$name is required and must be a long integer")); None
+        case some => some
+      }
+    val (lo, hi) = (longParam("lo"), longParam("hi")) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return
+    }
+    val nBins = intParam(ex, qp, "n_bins", 64, 2, 1 << 20) match {
+      case None => return
+      case Some(v) => v
+    }
+    if (lo > hi) {
+      sendJson(ex, 400, detail(s"lo must be <= hi, got [$lo, $hi]"))
+      return
+    }
+    val qs = qp.getOrElse("q", "500000").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val qsPpm = qs.map(_.toLongOption)
+    if (qsPpm.isEmpty || qsPpm.exists(_.isEmpty) ||
+        qsPpm.flatten.exists(q => q < 1 || q > 1000000)) {
+      sendJson(ex, 400, detail(
+        "q must be comma-separated ppm ranks in [1, 1000000]")); return
+    }
+    try {
+      val sk = loadStored(ex, sketchPath.get, "sketch",
+        Seq("shard", "bin", "n")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val rows = graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histMerge(sk), qsPpm.flatten, lo, hi, nBins)
+        .collect()
+      sendJson(ex, 200, Json.obj(
+        "sketch" -> sketchPath.get,
+        "lo" -> lo, "hi" -> hi, "n_bins" -> nBins.toLong,
+        "n_total" -> (if (rows.isEmpty) 0L else rows.head.getLong(4)),
+        "quantiles" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "q_ppm" -> r.getInt(0).toLong,
+          "rank" -> r.getLong(1),
+          "bin" -> r.getInt(2).toLong,
+          "est_lo" -> r.getLong(3))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

@@ -77,6 +77,77 @@ object Sketches {
     }
 
   /**
+   * Per-shard fixed-bin histogram sketch rows: (shard: int, bin: int,
+   * n: long) — the mergeable QUANTILE synopsis, third member of the
+   * synopsis trio (KMV = distinct count, Bloom = membership, this =
+   * rank statistics): per shard, one bounded pass bins an integral
+   * metric into `nBins` value-based cells over the release-time
+   * [lo, hi] envelope (the Layout.zorderWrite quantization formula —
+   * (v − lo)·nBins div (hi − lo + 1) in DECIMAL(38,0), full-BIGINT-
+   * range safe), and quantiles fall out of the merged cumulative
+   * counts. Bins are VALUE-based, not rank-based, so the artifact is
+   * mergeable/appendable exactly like the KMV rows: new shards add
+   * rows, [[histMerge]] sums per bin, nothing rebuilds (the
+   * t25/perplexity-buckets two-phase device, turned into a STORED
+   * artifact). Out-of-envelope values clamp to the edge bins — a
+   * late-arriving outlier is counted, visibly at the boundary, rather
+   * than dropped or scattered.
+   */
+  def histSketch(df: DataFrame, valueCol: String, shardCol: String,
+                 lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"histSketch needs nBins >= 2, got $nBins")
+    require(lo <= hi, s"histSketch needs lo <= hi, got [$lo, $hi]")
+    val bin = expr(
+      s"CAST(((CAST($valueCol AS DECIMAL(38,0)) - ($lo)) * $nBins)" +
+        s" DIV ((CAST($hi AS DECIMAL(38,0))) - ($lo) + 1) AS BIGINT)")
+    df.select(col(shardCol).cast("int").as("shard"),
+        greatest(lit(0L), least(lit(nBins - 1L), bin)).cast("int")
+          .as("bin"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge stored histogram rows (any union of shards/appends) into
+    * the global per-bin counts: (bin: int, n: long), ≤ nBins rows. */
+  def histMerge(sketch: DataFrame): DataFrame =
+    sketch.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
+  /**
+   * Quantile estimates from a merged histogram: one row per requested
+   * ppm rank — (q_ppm, rank, bin, est_lo, n_total) ordered by q_ppm.
+   * rank = ceil(q·N / 10^6) in exact integers; bin = the first bin
+   * whose cumulative count reaches the rank; est_lo = the bin's lower
+   * bound value, lo + (bin·(hi−lo+1)) div nBins — a deterministic
+   * lower envelope of the true quantile, off by at most one bin width.
+   * The cumulative window runs over ≤ nBins rows (never data), so the
+   * answer side is O(nBins) regardless of corpus size.
+   */
+  def histQuantiles(merged: DataFrame, qsPpm: Seq[Long],
+                    lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
+      s"quantile ppms must be in [1, 1000000]: $qsPpm")
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bin"))))
+      .crossJoin(broadcast(merged.agg(sum(col("n")).as("n_total"))))
+    val qs = qsPpm.distinct.sorted
+      .map(q => s"($q)").mkString("VALUES ", ", ", " AS q(q_ppm)")
+    val ranks = merged.sparkSession.sql(s"SELECT q_ppm FROM ($qs)")
+    cum.crossJoin(broadcast(ranks))
+      .withColumn("rank", expr(
+        "CAST((CAST(q_ppm AS DECIMAL(38,0)) * n_total + 999999)" +
+          " DIV 1000000 AS BIGINT)"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q_ppm"), col("rank"), col("n_total"))
+      .agg(min(col("bin")).as("bin"))
+      .withColumn("est_lo", expr(
+        s"CAST(($lo) + (CAST(bin AS DECIMAL(38,0)) * ((CAST($hi AS " +
+          s"DECIMAL(38,0))) - ($lo) + 1)) DIV $nBins AS BIGINT)"))
+      .select(col("q_ppm"), col("rank"), col("bin"), col("est_lo"),
+        col("n_total"))
+      .orderBy(col("q_ppm"))
+  }
+
+  /**
    * Per-shard KMV sketch rows: for each shard, the `k` smallest
    * distinct [[md5Hash60]] hashes of `valueCol`. Output
    * (shard: int, h: long), ≤ k rows per shard, ordered nowhere — the

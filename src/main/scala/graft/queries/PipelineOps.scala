@@ -1265,6 +1265,44 @@ object PipelineOps {
           col("exact_dup_of").isNull.as("is_new"))
         .orderBy(col("id"))
     },
+    "x15_quantile_sketch" -> { (s, d) =>
+      // the quantile member of the mergeable-synopsis trio (x14 KMV =
+      // distinct count, d19 Bloom = membership, this = rank
+      // statistics): per-shard fixed-bin histograms of the per-doc
+      // length metric (shard = doc_id mod 8, 64 value-based bins over
+      // the release-time [min, max] envelope) persist as the STORED
+      // artifact; quantiles are answered from the merged per-bin
+      // counts — a cumulative window over ≤ 64 rows, O(1) in corpus
+      // size. est_lo is the deterministic bin lower bound (off by at
+      // most one bin width); exact — the rank-th smallest value, a
+      // full-order gate column the production path never computes —
+      // rides along for the oracle. A hash match proves the binning
+      // arithmetic, the merge, the exact-integer rank rule, and the
+      // storage round trip move no answer
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_x15_hist_" + java.lang.Integer.toHexString(d.hashCode)
+      val b = all.agg(min(col("n_chars")).cast("long"),
+        max(col("n_chars")).cast("long")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val nBins = 64
+      Sketches.histSketch(
+          all.select(pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+            col("n_chars")),
+          "n_chars", "shard", lo, hi, nBins)
+        .write.mode("overwrite").parquet(base)
+      val est = Sketches.histQuantiles(
+        Sketches.histMerge(s.read.parquet(base)),
+        Seq(250000L, 500000L, 900000L, 990000L), lo, hi, nBins)
+      val ranked = all.select(col("n_chars"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars"))))
+      est.join(ranked, est("rank") === ranked("rn"))
+        .select(col("q_ppm"), col("rank"), col("bin"), col("est_lo"),
+          col("n_chars").as("exact"), col("n_total"))
+        .orderBy(col("q_ppm"))
+    },
     "x14_distinct_sketch" -> { (s, d) =>
       // the mergeable-cardinality data-card stat: "how many distinct
       // 3-word shingles does the release hold?" answered from a STORED
@@ -3346,6 +3384,41 @@ object PipelineOps {
          FROM dl JOIN hit ON dl.id = hit.id
            LEFT JOIN ex ON dl.id = ex.id
          ORDER BY dl.id""",
+    // x15: the whole bin-merge-rank pipeline re-derived index-blindly —
+    // the envelope pass, the clamped value-based binning (the Layout
+    // quantization formula), per-bin sums, the exact-integer ceil-rank
+    // rule in HUGEINT, bin lower bounds, and the full-order exact gate
+    // column
+    "x15_quantile_sketch" ->
+      """WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+           FROM documents),
+         v AS (SELECT doc_id % 8 AS shard, n_chars FROM documents),
+         s AS (SELECT shard, CAST(greatest(0, least(63,
+               ((n_chars - b.lo) * 64) // (b.hi - b.lo + 1))) AS INT)
+               AS bin, count(*) AS n
+           FROM v, b GROUP BY 1, 2),
+         m AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM s
+           GROUP BY bin),
+         c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+             sum(n) OVER () AS n_total FROM m),
+         q AS (SELECT CAST(unnest([250000, 500000, 900000, 990000])
+             AS INT) AS q_ppm),
+         r AS (SELECT q.q_ppm, CAST((q.q_ppm::HUGEINT * c0.n_total
+               + 999999) // 1000000 AS BIGINT) AS rank
+           FROM q, (SELECT DISTINCT n_total FROM c) c0),
+         pick AS (SELECT r.q_ppm, r.rank, CAST(min(c.bin) AS INT) AS bin
+           FROM r JOIN c ON c.cum >= r.rank GROUP BY r.q_ppm, r.rank),
+         est AS (SELECT p.q_ppm, p.rank, p.bin,
+             CAST(b.lo + (p.bin::HUGEINT * (b.hi - b.lo + 1)) // 64
+               AS BIGINT) AS est_lo
+           FROM pick p, b),
+         ranked AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars)
+             AS rn FROM documents),
+         tot AS (SELECT count(*) AS n_total FROM documents)
+         SELECT est.q_ppm, est.rank, est.bin, est.est_lo,
+                ranked.n_chars AS exact, tot.n_total
+         FROM est JOIN ranked ON est.rank = ranked.rn CROSS JOIN tot
+         ORDER BY est.q_ppm""",
     // x14: the full KMV pipeline re-derived index-blindly from the raw
     // table in the same md5-60 hash space — per-shard k smallest
     // distinct hashes, merge as k smallest of the union, the exact-

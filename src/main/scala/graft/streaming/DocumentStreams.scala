@@ -214,7 +214,16 @@ object DocumentStreams {
     * the corpus hold" is answerable at any time from the stored rows
     * alone (the distinct-sketch HTTP route's read) without ever
     * re-tokenizing the corpus — see the body comment for the
-    * merge ≡ rebuild argument. */
+    * merge ≡ rebuild argument.
+    *
+    * With `bloom` set, ingestion ALSO maintains the d19 membership
+    * filter (`bloomf/` — per-batch word rows that union by bit_or, so
+    * the accumulated store merges to EXACTLY the filter a one-shot
+    * build over the corpus would produce), the "seen this text
+    * before?" pre-filter an ingest front-end probes without touching
+    * the corpus. `bloomWords`/`bloomK` must stay fixed for the store's
+    * lifetime (they define the hash geometry — changing them mid-store
+    * corrupts membership silently, the d19 contract). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double,
@@ -223,7 +232,10 @@ object DocumentStreams {
                    lexical: Boolean = false,
                    fingerprints: Boolean = false,
                    sketch: Boolean = false,
-                   sketchK: Int = 256): Unit = {
+                   sketchK: Int = 256,
+                   bloom: Boolean = false,
+                   bloomWords: Int = 1 << 12,
+                   bloomK: Int = 4): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -357,6 +369,28 @@ object DocumentStreams {
                 deltaSk.withColumn("batch_id", lit(batchId))
                   .write.mode("append").parquet(s"$stateDir/sketches")
             } finally { deltaSk.unpersist(); () }
+          }
+          if (bloom) {
+            val bloomStore = loadStore(spark, s"$stateDir/bloomf")
+            // the d19 membership artifact, maintained at ingestion:
+            // each batch appends its survivors' filter WORDS (bit_or
+            // is idempotent and associative, so per-batch word rows
+            // union losslessly — the serving read is bloomMerge over
+            // the accumulated rows, bit-identical to a filter built
+            // from the corpus store in one shot, spec-pinned). The
+            // external consumer is a crawler/ingest front-end asking
+            // "seen this text (URL, digest) before?" without touching
+            // the corpus. Same exactly-once and empty-append guards;
+            // the k-md5 pass runs over the BATCH only.
+            val deltaBloom = graft.ops.Bloom.bloomBuild(
+              surv.select(col(textCol)), textCol,
+              nWords = bloomWords, k = bloomK).persist()
+            try {
+              val hasWords = deltaBloom.limit(1).count() > 0L
+              if (hasWords && !committedIn(bloomStore, batchId))
+                deltaBloom.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$stateDir/bloomf")
+            } finally { deltaBloom.unpersist(); () }
           }
           if (fingerprints) {
             val fpsStore = loadStore(spark, s"$stateDir/fps")
@@ -556,7 +590,7 @@ object DocumentStreams {
     Seq(("index", Seq("cid"), Nil), ("decisions", Seq("batch_id", "id"), Nil),
         ("corpus", Seq(idCol), Nil), ("postings", Seq("t"), Nil),
         ("lexstats", Seq("batch_id"), Nil), ("fps", Seq("fp"), Seq("fpb")),
-        ("sketches", Seq("shard", "h"), Nil))
+        ("sketches", Seq("shard", "h"), Nil), ("bloomf", Seq("w"), Nil))
       .filter { case (s, _, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
       .map { case (s, keys, parts) =>

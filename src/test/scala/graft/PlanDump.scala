@@ -274,6 +274,14 @@ object PlanDump {
         "partition-wise into the fpb layout — only touched buckets " +
         "gain files. The probe over the APPENDED directory still " +
         "carries the dynamicpruningexpression (PlanSpec-pinned)."),
+    "x15_quantile_sketch" ->
+      ("Mergeable rank statistics: one binning pass with map-side " +
+        "combine builds the per-shard histogram rows; the stored " +
+        "artifact reads back (bin, n)-pruned (PlanSpec-pinned), merges " +
+        "by per-bin sums, and the quantile rule — exact-integer " +
+        "ceil-rank over a cumulative window of ≤ nBins rows — never " +
+        "touches data. The full-order exact column in the plan is the " +
+        "oracle's gate device, not the production read."),
     "d19_bloom_prefilter" ->
       ("Membership pre-filter: the stored (w, bits) filter — 63 usable " +
         "bits per word so every shift is sign-safe on every engine — " +

@@ -1794,6 +1794,112 @@ class HttpFacadeSpec extends SparkSuite {
       e2.body)
   }
 
+  test("quantile-sketch route: rank estimates from the stored histogram " +
+    "rows, reconciled with the direct operator") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    import org.apache.spark.sql.functions.col
+    val vals = spark.range(5000).select(
+      (col("id") % 5).cast("int").as("shard"), (col("id") % 997).as("v"))
+    val sk = graft.ops.Sketches.histSketch(vals, "v", "shard",
+      0L, 996L, 32)
+    val hDir = java.nio.file.Files
+      .createTempDirectory("httpapi-hist").toString
+    sk.write.mode("overwrite").parquet(hDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.hist_sketch
+      USING parquet LOCATION '$hDir'""")
+    val base = "/api/v1/catalog/quantile-sketch"
+    val q = "?sketch=httpapi.hist_sketch&lo=0&hi=996&n_bins=32" +
+      "&q=500000,990000"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    val expected = graft.ops.Sketches.histQuantiles(
+      graft.ops.Sketches.histMerge(spark.table("httpapi.hist_sketch")),
+      Seq(500000L, 990000L), 0L, 996L, 32).collect()
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    assert(lg(m.body, "n_total") === expected.head.getLong(4))
+    val qPat = ("""\{"q_ppm":(\d+),"rank":(\d+),"bin":(\d+),""" +
+      """"est_lo":(-?\d+)\}""").r
+    val got = qPat.findAllMatchIn(m.body).toSeq
+    assert(got.length === 2, m.body)
+    for ((g, e) <- got.zip(expected)) {
+      assert(g.group(1).toInt === e.getInt(0))
+      assert(g.group(2).toLong === e.getLong(1))
+      assert(g.group(3).toInt === e.getInt(2))
+      assert(g.group(4).toLong === e.getLong(3))
+    }
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?sketch=httpapi.hist_sketch").statusCode === 400)
+    assert(get(base + q.replace("lo=0", "lo=abc")).statusCode === 400)
+    assert(get(base + q.replace("lo=0&hi=996", "lo=996&hi=0"))
+      .statusCode === 400)
+    assert(get(base + q.replace("q=500000,990000", "q=0"))
+      .statusCode === 400)
+    assert(get(base + q.replace("q=500000,990000", "q=abc"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.hist_sketch", "httpapi.nope"))
+      .statusCode === 404)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    assert(get(base + q.replace("httpapi.hist_sketch",
+      "httpapi.documents")).statusCode === 400)
+  }
+
+  test("bloom-check route: membership verdicts from the stored filter, " +
+    "reconciled with the direct operator; misses are the answer") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    val all = spark.table("httpapi.documents")
+    val bDir = java.nio.file.Files
+      .createTempDirectory("httpapi-bloom").toString
+    graft.ops.Bloom.bloomBuild(
+        all.filter(col("doc_id") < 480).select(col("text")),
+        "text", nWords = 64, k = 4)
+      .write.mode("overwrite").parquet(bDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bloom_f
+      USING parquet LOCATION '$bDir'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/bloom-check"
+    val q = "?filter=httpapi.bloom_f&value=text&id=doc_id&n_words=64&k=4"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    val expected = graft.ops.Bloom.bloomProbe(
+      spark.table("httpapi.bloom_f"), all, "text", "doc_id", 64, 4)
+    assert(lg(m.body, "n_values") === expected.count())
+    assert(lg(m.body, "n_hits") ===
+      expected.filter(col("bloom_hit")).count())
+    val wantMiss = expected.filter(!col("bloom_hit"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(1000).collect().map(_.getLong(0)).toSeq
+    val gotMiss = """"miss_ids":\[([0-9,]*)\]""".r
+      .findFirstMatchIn(m.body).get.group(1)
+      .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    assert(gotMiss === wantMiss, m.body)
+    // the corpus members are never misses (no false negatives)
+    assert(wantMiss.forall(_ >= 480L), wantMiss.toString)
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + q.replace("&n_words=64", "")).statusCode === 400)
+    assert(get(base + q.replace("httpapi.bloom_f", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.bloom_f", "httpapi.nope"))
+      .statusCode === 404)
+    assert(get(base + q.replace("value=text", "value=nope"))
+      .statusCode === 400)
+    assert(get(base + q.replace("id=doc_id", "id=text"))
+      .statusCode === 400) // non-integral id
+    assert(get(base + q.replace("filter=httpapi.bloom_f",
+      "filter=httpapi.documents")).statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/bloom-check" + q)
+      .statusCode === 404)
+  }
+
   test("health reports healthy on a live session") {
     val h = get("/health")
     assert(h.statusCode === 200)

@@ -101,6 +101,52 @@ class SketchesSpec extends SparkSuite {
     assert(viaAppend.getLong(3) === rebuilt.getLong(3))
   }
 
+  test("histSketch: hand-checked value-based bins, out-of-envelope " +
+    "values clamp to the edges") {
+    val df = spark.range(100).select(lit(0).as("shard"), col("id").as("v"))
+    val sk = Sketches.histSketch(df, "v", "shard", 0L, 99L, 10)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(sk === (0 until 10).map(b => b -> 10L).toMap)
+    val clamped = Sketches.histSketch(
+      Seq((0, -50L), (0, 5L), (0, 500L)).toDF("shard", "v"),
+      "v", "shard", 0L, 99L, 10)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(clamped === Map(0 -> 2L, 9 -> 1L)) // -50 clamps low, 500 high
+  }
+
+  test("histMerge: shard rows sum per bin — merge ≡ build over the union") {
+    val df = spark.range(1000).select(
+      (col("id") % 7).cast("int").as("shard"), (col("id") % 223).as("v"))
+    val merged = Sketches.histMerge(
+      Sketches.histSketch(df, "v", "shard", 0L, 222L, 16))
+    val direct = Sketches.histMerge(Sketches.histSketch(
+      df.withColumn("shard", lit(0)), "v", "shard", 0L, 222L, 16))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
+
+  test("histQuantiles: exact-integer ranks and bin lower bounds on a " +
+    "uniform hand fixture") {
+    val df = spark.range(100).select(lit(0).as("shard"), col("id").as("v"))
+    val m = Sketches.histMerge(Sketches.histSketch(df, "v", "shard",
+      0L, 99L, 10))
+    val out = Sketches.histQuantiles(m, Seq(500000L, 990000L, 1000000L),
+        0L, 99L, 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // p50: rank ceil(.5*100)=50, cum reaches 50 at bin 4, est_lo 40
+    assert(out(500000) === ((50L, 4, 40L, 100L)))
+    // p99: rank 99 -> bin 9 (cum 90 < 99 at bin 8), est_lo 90
+    assert(out(990000) === ((99L, 9, 90L, 100L)))
+    // p100: rank 100 -> last bin
+    assert(out(1000000) === ((100L, 9, 90L, 100L)))
+    intercept[IllegalArgumentException](
+      Sketches.histQuantiles(m, Seq(0L), 0L, 99L, 10))
+    intercept[IllegalArgumentException](
+      Sketches.histSketch(df, "v", "shard", 5L, 4L, 10))
+    intercept[IllegalArgumentException](
+      Sketches.histSketch(df, "v", "shard", 0L, 99L, 1))
+  }
+
   test("guards: k and salts lower bounds") {
     val df = Seq((0, "a")).toDF("shard", "v")
     intercept[IllegalArgumentException](Sketches.kmvSketch(df, "v", "shard", 1))

@@ -739,6 +739,17 @@ class PlanSpec extends SparkSuite {
       scans.mkString("\n"))
   }
 
+  test("x15: the stored histogram is read column-pruned — the merge " +
+      "fetches (bin, n), never the shard column") {
+    val plan = pipelinePlan("x15_quantile_sketch")
+    val scans = plan.split("== Initial Plan ==")(0).linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_x15_hist_")).toSeq
+    assert(scans.nonEmpty, plan)
+    assert(scans.forall(_.contains("ReadSchema: struct<bin:int,n:bigint>")),
+      scans.mkString("\n"))
+  }
+
   test("t30: the APPENDED postings layout keeps the probe's term " +
       "pushdown — lexical maintenance never degrades the serving read") {
     val plan = pipelinePlan("t30_bm25_append")

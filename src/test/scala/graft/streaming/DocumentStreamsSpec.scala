@@ -249,6 +249,51 @@ class DocumentStreamsSpec extends SparkSuite {
       after.getLong(3) === streamed.getLong(3))
   }
 
+  test("bloom ingestion: the membership store merges to exactly the " +
+      "one-shot corpus filter; replay appends nothing") {
+    val dir = Files.createTempDirectory("docstream-bloom").toString
+    val b0 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b0, 0L, dir, "text", "doc_id",
+      0.7, bloom = true, bloomWords = 64)
+    val b1 = Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text")
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, bloom = true, bloomWords = 64)
+    // the streamed store's merge is BIT-IDENTICAL to a filter built
+    // over the corpus store in one shot (bit_or union is lossless)
+    val streamed = graft.ops.Bloom.bloomMerge(
+      spark.read.parquet(s"$dir/bloomf").drop("batch_id"))
+    val oneShot = graft.ops.Bloom.bloomBuild(
+      spark.read.parquet(s"$dir/corpus").select(col("text")),
+      "text", nWords = 64)
+    assert(streamed.except(oneShot).isEmpty &&
+      oneShot.except(streamed).isEmpty)
+    // membership works through the streamed filter: corpus texts hit,
+    // unseen text misses (on this tiny fixture no false positive lands)
+    val probe = graft.ops.Bloom.bloomProbe(streamed,
+      Seq((1L, tA), (2L, tNew), (3L, "never seen words at all"))
+        .toDF("id", "text"), "text", "id", nWords = 64)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("bloom_hit")).toMap
+    assert(probe(1L) && probe(2L))
+    // replay idempotence: the store carries the batch marker
+    val before = spark.read.parquet(s"$dir/bloomf").count()
+    DocumentStreams.processBatch(spark, b1, 1L, dir, "text", "doc_id",
+      0.7, bloom = true, bloomWords = 64)
+    assert(spark.read.parquet(s"$dir/bloomf").count() === before)
+    // compaction covers the store; the merged filter is unchanged
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("bloomf"), report.toString)
+    val after = graft.ops.Bloom.bloomMerge(
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/bloomf").drop("batch_id"))
+    // re-read the corpus store: compaction replaced its files, so the
+    // pre-compaction DataFrame's listing is stale by design
+    val oneShot2 = graft.ops.Bloom.bloomBuild(
+      spark.read.parquet(s"$dir/corpus").select(col("text")),
+      "text", nWords = 64)
+    assert(after.except(oneShot2).isEmpty && oneShot2.except(after).isEmpty)
+  }
+
   test("crashed-attempt replay: a half-committed batch completes without " +
       "self-matching or double-appending") {
     val dir = Files.createTempDirectory("docstream-crash").toString
