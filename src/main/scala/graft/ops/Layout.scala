@@ -155,7 +155,10 @@ object Layout {
     integral(store, colA); integral(store, colB)
     require(store.columns.contains("zbucket"),
       "store is not a zorderWrite layout (no zbucket column)")
-    val p = boundsDf.head()
+    val boundsRows = boundsDf.head(1)
+    require(boundsRows.nonEmpty,
+      "bounds table is empty - not a zorderWrite layout")
+    val p = boundsRows(0)
     val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")

@@ -100,7 +100,11 @@ object Sketches {
     val bin = expr(
       s"CAST(((CAST($valueCol AS DECIMAL(38,0)) - ($lo)) * $nBins)" +
         s" DIV ((CAST($hi AS DECIMAL(38,0))) - ($lo) + 1) AS BIGINT)")
-    df.select(col(shardCol).cast("int").as("shard"),
+    // a NULL metric has no rank: excluded (count-distinct semantics),
+    // not binned - a null would otherwise form its own NULL-bin group
+    // and silently corrupt every cumulative count downstream
+    df.filter(col(valueCol).isNotNull)
+      .select(col(shardCol).cast("int").as("shard"),
         greatest(lit(0L), least(lit(nBins - 1L), bin)).cast("int")
           .as("bin"))
       .groupBy(col("shard"), col("bin"))
@@ -161,7 +165,11 @@ object Sketches {
                 k: Int, salts: Int = 64): DataFrame = {
     require(k >= 2, s"kmvSketch needs k >= 2, got $k")
     require(salts >= 1, s"kmvSketch needs salts >= 1, got $salts")
+    // NULL values are excluded (count-distinct semantics) - their NULL
+    // hash would otherwise sort as the smallest and pollute the
+    // k-minimum set of every shard it appears in
     val hashed = df
+      .filter(col(valueCol).isNotNull)
       .select(col(shardCol).cast("int").as("shard"),
         md5Hash60(col(valueCol)).as("h"))
       .distinct()

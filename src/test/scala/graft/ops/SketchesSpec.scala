@@ -147,6 +147,20 @@ class SketchesSpec extends SparkSuite {
       Sketches.histSketch(df, "v", "shard", 0L, 99L, 1))
   }
 
+  test("NULL values are excluded, not mis-ranked: a null hash must " +
+    "never enter the k-minimum set, a null metric never a bin") {
+    val kmv = Sketches.kmvSketch(
+      Seq((0, Some("a")), (0, Option.empty[String]), (0, Some("b")))
+        .toDF("shard", "v"), "v", "shard", k = 8)
+    assert(kmv.count() === 2L)
+    assert(kmv.filter(col("h").isNull).count() === 0L)
+    val hist = Sketches.histSketch(
+      Seq((0, Some(5L)), (0, Option.empty[java.lang.Long].map(Long2long)),
+        (0, Some(7L))).toDF("shard", "v"), "v", "shard", 0L, 9L, 10)
+    assert(hist.agg(sum(col("n"))).head.getLong(0) === 2L)
+    assert(hist.filter(col("bin").isNull).count() === 0L)
+  }
+
   test("guards: k and salts lower bounds") {
     val df = Seq((0, "a")).toDF("shard", "v")
     intercept[IllegalArgumentException](Sketches.kmvSketch(df, "v", "shard", 1))
