@@ -197,13 +197,22 @@ object Bench {
    * (`"value"`, `"sf"`) can't leak in. Missing/unreadable file (a fresh
    * checkout, or a renamed inventory) degrades to "no self-check", never
    * to a failure. */
-  private def committedRecord(): Map[String, Double] = {
-    val path = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
-        "/root/repo/BENCH_RECORD.json"))
+  private[graft] def committedRecord(): Map[String, Double] =
+    committedRecordAt(sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
+      "/root/repo/BENCH_RECORD.json"))
+
+  private[graft] def committedRecordAt(p: String): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(p)
     try {
       val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      val pair = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+      // `\s*` around the colon: the record file's serialization is curated
+      // by hand and has legitimately existed in both flat (`"k":1.2`) and
+      // pretty-printed (`"k": 1.2`) forms — r12 ran its entire driver bench
+      // with the churn gate silently disabled because the no-space variant
+      // parsed the pretty-printed record to 0 pairs. BenchRecordSpec pins
+      // this parser against the ON-DISK record and fails the suite if
+      // coverage ever drops below the full inventory again.
+      val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
       pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => SparkEntry.queries.contains(k) }

@@ -2266,6 +2266,20 @@ final class HttpFacade(
         sendJson(ex, 400,
           detail(s"Unknown columns: ${missing.mkString(", ")}")); return
       }
+      // same caller-error convention as box-search/bloom-check: a
+      // non-integral id column is a 400, not a ClassCastException-500
+      // out of the response builder's getAs[Number]
+      val idIntegral = df.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!idIntegral) {
+        sendJson(ex, 400, detail(
+          s"Id column $idCol is not an integral column")); return
+      }
       val scored =
         try graft.ops.Classifier.nbScore(df, textCol, idCol, counts, totals)
         catch {
@@ -2536,7 +2550,7 @@ final class HttpFacade(
         filt.select(org.apache.spark.sql.functions.col("w"),
           org.apache.spark.sql.functions.col("bits")))
       val probed = graft.ops.Bloom.bloomProbe(merged, df,
-        valueCol.get, idCol.get, nWords, k)
+        valueCol.get, nWords, k)
       val hitCol = org.apache.spark.sql.functions.col("bloom_hit")
       val idC = org.apache.spark.sql.functions.col(idCol.get)
       // three actions (total, hits, capped misses) - persist so the

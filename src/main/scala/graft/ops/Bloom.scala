@@ -60,6 +60,24 @@ object Bloom {
       .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
   }
 
+  /** Per-shard build in ONE pass: (shard, w, bits) — row-identical to
+    * running [[bloomBuild]] once per shard and stamping the shard id
+    * (spec-pinned differentially), but the corpus is scanned once with
+    * the word aggregation keyed by (shard, w) instead of once per
+    * shard. The shape a batch-sharded `bloomf/` store accumulates
+    * (DocumentStreams stamps batch_id per append; a bulk backfill
+    * builds all shards here in one job) and the x13 batch-ledger audit
+    * reads. */
+  def bloomBuildSharded(df: DataFrame, valueCol: String, shardCol: String,
+                        nWords: Int = 1 << 16, k: Int = 4): DataFrame = {
+    require(nWords >= 1 && k >= 1, s"bad bloom shape ($nWords, $k)")
+    df.select(col(shardCol).cast("long").as("shard"),
+        explode(positions(col(valueCol), nWords, k)).as("p"))
+      .select(col("shard"), expr("p DIV 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("b"))
+      .groupBy(col("shard"), col("w")).agg(expr("bit_or(b)").as("bits"))
+  }
+
   /** Merge filter tables built with the SAME (nWords, k) — shard
     * sketches, release + delta appends: `bit_or` per word, the
     * lossless union of the underlying sets' filters. */
@@ -74,24 +92,36 @@ object Bloom {
    * needs the exact check. `nWords`/`k` MUST match the build (a
    * mismatch silently yields false negatives — pass them from the same
    * config that built the filter, or store them beside it).
+   *
+   * Membership is a property of the VALUE alone, so verdicts are
+   * computed once per distinct value digest and joined back by digest
+   * (md5 of the stringified value — the d01 exact-identity convention).
+   * The r12-advised alternative — aggregating hit bits per caller id —
+   * conflated distinct values sharing an id (or NULL ids, which never
+   * survived the join-back) into a spurious false NEGATIVE, the one
+   * verdict this filter must never emit; keying by digest makes the
+   * contract hold for ANY probe table, duplicate or null ids included.
    */
   def bloomProbe(bloom: DataFrame, df: DataFrame, valueCol: String,
-                 idCol: String, nWords: Int = 1 << 16,
-                 k: Int = 4): DataFrame = {
+                 nWords: Int = 1 << 16, k: Int = 4): DataFrame = {
     require(nWords >= 1 && k >= 1, s"bad bloom shape ($nWords, $k)")
-    val pos = df.select(col(idCol).as("__bid"),
-        explode(positions(col(valueCol), nWords, k)).as("p"))
-      .select(col("__bid"), expr("p DIV 63").as("w"),
+    def dig(c: Column): Column = md5(coalesce(c.cast("string"), lit("")))
+    val vals = df.select(dig(col(valueCol)).as("__bd"),
+      coalesce(col(valueCol).cast("string"), lit("")).as("__bv")).distinct()
+    val pos = vals
+      .select(col("__bd"), explode(positions(col("__bv"), nWords, k)).as("p"))
+      .select(col("__bd"), expr("p DIV 63").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("b"))
     val verdict = pos
       .join(broadcast(bloom), Seq("w"), "left")
-      .select(col("__bid"),
+      .select(col("__bd"),
         (col("bits").isNotNull &&
           col("bits").bitwiseAND(col("b")) =!= 0L).as("hit"))
-      .groupBy(col("__bid"))
+      .groupBy(col("__bd"))
       .agg(min(when(col("hit"), 1).otherwise(0)).as("__allhit"))
-    df.join(verdict, df(idCol) === verdict("__bid"), "left")
-      .drop("__bid")
+    df.withColumn("__bd", dig(col(valueCol)))
+      .join(verdict, Seq("__bd"), "left")
+      .drop("__bd")
       .withColumn("bloom_hit", coalesce(col("__allhit") === 1, lit(false)))
       .drop("__allhit")
   }

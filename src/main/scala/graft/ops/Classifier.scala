@@ -72,6 +72,12 @@ object Classifier {
    */
   private[ops] def log2Fixed(n: BigInt, d: BigInt): Long = {
     require(n > 0 && d > 0, s"log2Fixed needs positive operands ($n, $d)")
+    // enforce the documented envelope, don't just document it: past
+    // |log2(n/d)| >= 64 the exponent search saturates at e = 63, the
+    // mantissa exceeds 2^31 and s*s overflows Long SILENTLY — garbage
+    // weights under extreme class imbalance instead of a loud failure
+    require(n < (d << 64) && d < (n << 64),
+      s"log2Fixed: |log2(n/d)| >= 64 - odds ratio outside the envelope")
     val sign = if (n >= d) 1L else -1L
     var a = if (n >= d) n else d
     var b = if (n >= d) d else n
@@ -123,7 +129,15 @@ object Classifier {
           })
         Shingles.let(ex) { exs =>
           val b = exs.getField("b")
-          val x = (a * lit(1073741824L)).cast(Dec) // a·2^30
+          // the [[log2Fixed]] envelope guard's in-plan form: after the
+          // greedy fold b ≤ a < 2b holds iff |log2(n/d)| < 64 (the
+          // fold's largest reachable exponent is 63) — out of envelope
+          // the mantissa step would overflow BIGINT silently, so fail
+          // loudly like every other guard here
+          val x = when(a >= b + b,
+            raise_error(lit("log2FixedCol: |log2(n/d)| >= 64 - odds " +
+              "ratio outside the envelope")).cast(Dec))
+            .otherwise((a * lit(1073741824L)).cast(Dec)) // a·2^30
           // exact integral quotient without DIV-in-Column: strip the
           // remainder, then the decimal divide is exact by construction
           val m30 = ((x - pmod(x, b)) / b).cast("long")
@@ -174,6 +188,49 @@ object Classifier {
       sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
     (counts, tokTotals.crossJoin(docTotals))
+  }
+
+  /**
+   * Fold an APPENDED model store back into the (counts, totals) shape
+   * [[nbScore]] expects — the maintenance read that makes the model a
+   * first-class appendable artifact (t34), closing the family checklist
+   * the object scaladoc promises ("class counts are ADDITIVE, so the
+   * stored model appends like every other index family here").
+   *
+   * Append protocol: each new labeled batch contributes its own
+   * [[nbTrain]] output — counts rows appended as-is, the 1-row totals
+   * appended as a LEDGER row (the t28 `lexstats` device: under
+   * at-least-once replay an overwrite cannot be made idempotent, while
+   * a batch-stamped ledger row gets the standard skip-if-present
+   * guard). At score time counts fold by per-token sums; the token
+   * totals (tp, tn) and the joint vocabulary size v are re-derived from
+   * the folded counts exactly as [[nbTrain]] derives them — v is the
+   * one NON-additive total (overlapping batch vocabularies would
+   * double-count under a naive ledger sum), which is why the fold
+   * recomputes rather than sums it; the document priors (dp, dn) fold
+   * by ledger sum, the only place the ledger is load-bearing.
+   *
+   * Contract (spec-pinned, the t30/t31 append-≡-rebuild form): scoring
+   * against the folded store of nbTrain(A) ⊕ nbTrain(B) equals scoring
+   * against nbTrain(A ∪ B) — both sides reduce to identical per-token
+   * class counts and document totals, so every fixed-point weight
+   * matches bit-for-bit.
+   *
+   * Scale: the fold is one token-keyed sum over the counts store
+   * (map-side combined — the same shape as reading an un-appended
+   * model) plus two 1-row aggregates; appending a batch costs
+   * [[nbTrain]] over the BATCH only — the corpus is never re-tokenized.
+   */
+  def nbModelFold(counts: DataFrame,
+                  totalsLedger: DataFrame): (DataFrame, DataFrame) = {
+    val folded = counts.groupBy(col("t"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+    val tokTotals = folded.agg(
+      sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val docTotals = totalsLedger.agg(
+      sum(col("dp")).as("dp"), sum(col("dn")).as("dn"))
+    (folded, tokTotals.crossJoin(docTotals))
   }
 
   /**

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
  * and z's contiguous ranges fold into `nBuckets` partition directories
  * (zbucket = z div (4^bits / nBuckets)). A box query's candidate
  * buckets are enumerable from the quantization alone — the cell
- * rectangle [ca1..ca2]×[cb1..cb2] Morton-maps to ≤ 4^bits cells (a
- * bounded, driver-side integer enumeration; no data touched) — so the
+ * rectangle [ca1..ca2]×[cb1..cb2] decomposes by Morton QUADTREE into
+ * ≤ 4·nBuckets prefix-aligned z-ranges ([[candidateBuckets]] — driver
+ * arithmetic bounded by the bucket count, never by 4^bits; no data
+ * touched) — so the
  * probe plans a STATIC partition-pruned scan (`zbucket IN (…)` in
  * PartitionFilters) plus the exact residual predicate. Correctness
  * never depends on the enumeration being tight, only COMPLETE: every
@@ -82,6 +84,56 @@ object Layout {
       (((ca >> i) & 1L) << (2 * i + 1)) | (((cb >> i) & 1L) << (2 * i))
     }.reduce(_ | _)
 
+  /**
+   * Candidate zbuckets of the cell rectangle [ca1..ca2]×[cb1..cb2] by
+   * QUADTREE decomposition — driver work is O(nBuckets), never
+   * O(cells). The r12 form enumerated every cell in the rectangle
+   * ((ca2−ca1+1)·(cb2−cb1+1) iterations — fine at the default bits=5,
+   * ~10¹² at bits=20 for a wide box: a driver-side scale-killer hiding
+   * behind a parameter). A Morton quad (a power-of-4-sized, prefix-
+   * aligned square) IS a contiguous z-range, so recursing from the full
+   * square: a quad disjoint from the box contributes nothing; a quad
+   * whose z-range fits inside ONE bucket contributes that bucket and
+   * stops (4^bits and nBuckets are both powers of two, so quad size ≤
+   * cellsPerBucket implies the aligned range never straddles a bucket
+   * boundary); a quad fully inside the box contributes its whole
+   * contiguous bucket span closed-form. Recursion therefore never
+   * descends below bucket granularity — ≤ 4·nBuckets nodes visited
+   * regardless of `bits` (spec-pinned at bits=16) — and the result
+   * EQUALS the per-cell enumeration's (each emitted bucket holds at
+   * least one in-box cell; property-tested differentially at small
+   * bits): same completeness, same tightness, bounded driver cost.
+   *
+   * Returns (sorted candidate buckets, nodes visited — the pinned
+   * cost witness).
+   */
+  private[ops] def candidateBuckets(ca1: Long, ca2: Long, cb1: Long,
+      cb2: Long, bits: Int, nBuckets: Int): (Seq[Long], Long) = {
+    val cpb = (1L << (2 * bits)) / nBuckets
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var visited = 0L
+    def rec(level: Int, caP: Long, cbP: Long): Unit = {
+      visited += 1
+      val side = 1L << (bits - level)
+      val (aLo, aHi) = (caP * side, caP * side + side - 1)
+      val (bLo, bHi) = (cbP * side, cbP * side + side - 1)
+      if (aHi < ca1 || aLo > ca2 || bHi < cb1 || bLo > cb2) return
+      val sizeCells = side * side
+      val z0 = mortonOf(aLo, bLo, bits)
+      if (sizeCells <= cpb) { out += z0 / cpb; return }
+      if (aLo >= ca1 && aHi <= ca2 && bLo >= cb1 && bHi <= cb2) {
+        out ++= (z0 / cpb) to ((z0 + sizeCells - 1) / cpb)
+        return
+      }
+      rec(level + 1, caP * 2, cbP * 2)
+      rec(level + 1, caP * 2, cbP * 2 + 1)
+      rec(level + 1, caP * 2 + 1, cbP * 2)
+      rec(level + 1, caP * 2 + 1, cbP * 2 + 1)
+    }
+    rec(0, 0L, 0L)
+    (out.toSeq, visited)
+  }
+
   private def integral(df: DataFrame, c: String): Unit = {
     require(df.columns.contains(c), s"no column $c")
     val t = df.schema(c).dataType.typeName
@@ -110,17 +162,9 @@ object Layout {
       s"zorderWrite needs non-null $colA/$colB data (empty input?)")
     val (mnA, mxA, mnB, mxB) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def cell(c: String, mn: Long, mx: Long) =
-      expr(s"CAST(((CAST($c AS DECIMAL(38,0)) - ($mn)) * ${1L << bits})" +
-        s" DIV ((CAST($mx AS DECIMAL(38,0))) - ($mn) + 1) AS BIGINT)")
     val spark = df.sparkSession
-    val clustered = df
-      .withColumn("z",
-        morton(cell(colA, mnA, mxA), cell(colB, mnB, mxB), bits))
-      .withColumn("zbucket", expr(s"z DIV ${cells / nBuckets}"))
-      .repartitionByRange(nBuckets, col("z"))
-      .sortWithinPartitions(col("z"))
-    clustered.write.mode("overwrite").partitionBy("zbucket")
+    clusteredBy(df, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
+      .write.mode("overwrite").partitionBy("zbucket")
       .parquet(s"$dir/data")
     // bounds last: a crashed data write must not leave a readable-
     // looking layout whose probes prune with stale parameters
@@ -130,6 +174,83 @@ object Layout {
       lit(bits).as("bits"), lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
     (mnA, mxA, mnB, mxB)
+  }
+
+  /** The write-side clustering both [[zorderWrite]] and
+    * [[zorderAppend]] share — the in-plan DECIMAL(38,0) quantization
+    * mirrored by [[cellOf]], Morton interleave, bucket fold, range
+    * exchange on z (contiguous buckets → contiguous task ranges; one
+    * open file per task in the dynamic-partition writer) and a
+    * within-task sort for tight row-group stats. */
+  private def clusteredBy(df: DataFrame, colA: String, colB: String,
+      mnA: Long, mxA: Long, mnB: Long, mxB: Long,
+      bits: Int, nBuckets: Int): DataFrame = {
+    val cells = 1L << (2 * bits)
+    def cell(c: String, mn: Long, mx: Long) =
+      expr(s"CAST(((CAST($c AS DECIMAL(38,0)) - ($mn)) * ${1L << bits})" +
+        s" DIV ((CAST($mx AS DECIMAL(38,0))) - ($mn) + 1) AS BIGINT)")
+    df.withColumn("z",
+        morton(cell(colA, mnA, mxA), cell(colB, mnB, mxB), bits))
+      .withColumn("zbucket", expr(s"z DIV ${cells / nBuckets}"))
+      .repartitionByRange(nBuckets, col("z"))
+      .sortWithinPartitions(col("z"))
+  }
+
+  /**
+   * Append `delta` into an existing [[zorderWrite]] layout at `dir`:
+   * rows cluster with the STORED bounds (read from `dir/bounds`, never
+   * recomputed), so appended rows land in exactly the buckets a
+   * from-scratch rewrite over (corpus ∪ delta) would assign — the
+   * append ≡ rewrite contract (spec-pinned): as long as the delta stays
+   * inside the stored envelope, a rewrite's recomputed min/max equal
+   * the stored ones, so every cell, z and zbucket matches bit-for-bit
+   * and probes prune identically over the appended store.
+   *
+   * Out-of-envelope input FAILS LOUDLY (the decided semantics — a
+   * value past [min, max] has no cell under the stored quantization;
+   * clamping it would silently break the probe's completeness argument
+   * for every later box touching the edge cells, the one failure a
+   * layout must never admit). The remedy is a widen-and-rewrite:
+   * re-run [[zorderWrite]] over corpus ∪ delta (the error says so),
+   * with [[graft.streaming.DocumentStreams.compactStore]]'s swap
+   * protocol as the safe in-place form. Like every stored-index append
+   * here, the per-append cost is delta-sized: one min/max aggregate
+   * over the delta plus its own range exchange — the corpus is never
+   * re-read. Appends accumulate small files per bucket directory;
+   * compact with `compactStore(dir + "/data", sortCols = Seq("z"),
+   * partitionCols = Seq("zbucket"))` — layout-preserving, skew-
+   * splitting — as they build up.
+   */
+  def zorderAppend(delta: DataFrame, colA: String, colB: String,
+                   dir: String): Unit = {
+    integral(delta, colA); integral(delta, colB)
+    val spark = delta.sparkSession
+    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
+    require(boundsRows.nonEmpty,
+      "bounds table is empty - not a zorderWrite layout")
+    val p = boundsRows(0)
+    val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
+      p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
+    val bits = p.getAs[Int]("bits")
+    val nBuckets = p.getAs[Int]("n_buckets")
+    require(bits >= 1 && bits <= 20,
+      s"bounds table bits must be in [1,20], got $bits")
+    require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
+      s"bounds table n_buckets=$nBuckets must divide 4^bits=${1L << (2 * bits)}")
+    val b = delta.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"zorderAppend needs non-null $colA/$colB data (empty delta?)")
+    require(b.getLong(0) >= mnA && b.getLong(1) <= mxA &&
+        b.getLong(2) >= mnB && b.getLong(3) <= mxB,
+      s"zorderAppend: delta [$colA ${b.getLong(0)}..${b.getLong(1)}, " +
+        s"$colB ${b.getLong(2)}..${b.getLong(3)}] falls outside the " +
+        s"stored envelope [$mnA..$mxA, $mnB..$mxB] - widen by rewriting " +
+        "(zorderWrite over corpus + delta); an out-of-envelope value " +
+        "has no cell under the stored quantization")
+    clusteredBy(delta, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
+      .write.mode("append").partitionBy("zbucket").parquet(s"$dir/data")
   }
 
   /**
@@ -163,18 +284,23 @@ object Layout {
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")
     val nBuckets = p.getAs[Int]("n_buckets")
+    // re-validate the STORED parameters with the same gate as
+    // zorderWrite: a bounds table reaching here over HTTP (the
+    // box-search route) is caller-supplied data — bits ≥ 32 would wrap
+    // the Morton shifts and prune WRONG buckets silently, a non-divisor
+    // n_buckets would misalign the bucket arithmetic
+    require(bits >= 1 && bits <= 20,
+      s"bounds table bits must be in [1,20], got $bits")
+    require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
+      s"bounds table n_buckets=$nBuckets must divide 4^bits=${1L << (2 * bits)}")
     val out = store.drop("z", "zbucket")
     if (loA > hiA || loB > hiB || loA > mxA || hiA < mnA ||
         loB > mxB || hiB < mnB) return out.filter(lit(false))
-    val cellsPerBucket = (1L << (2 * bits)) / nBuckets
     val (ca1, ca2) = (cellOf(math.max(loA, mnA), mnA, mxA, bits),
       cellOf(math.min(hiA, mxA), mnA, mxA, bits))
     val (cb1, cb2) = (cellOf(math.max(loB, mnB), mnB, mxB, bits),
       cellOf(math.min(hiB, mxB), mnB, mxB, bits))
-    val buckets = (for {
-      ca <- ca1 to ca2
-      cb <- cb1 to cb2
-    } yield mortonOf(ca, cb, bits) / cellsPerBucket).distinct.sorted
+    val buckets = candidateBuckets(ca1, ca2, cb1, cb2, bits, nBuckets)._1
     store
       .filter(col("zbucket").isin(buckets: _*) &&
         col(colA).between(loA, hiA) && col(colB).between(loB, hiB))

@@ -192,6 +192,25 @@ object Profile {
    * a many-rows-per-doc index (postings' (t, id), codes' (id, sub))
    * audits identically through [[indexAudit]]'s distinct.
    *
+   * The audited ID is the family's OWN freshness dimension — three
+   * classes (the x13 ten-row form):
+   *  - per-document index families (dedup/postings/fingerprints/IVF/
+   *    PQ): document or vector ids — coverage means "every corpus doc
+   *    has its index rows";
+   *  - SYNOPSIS and MODEL families (KMV sketch, Bloom words, quantile
+   *    histogram, the NB totals ledger): their rows are per-shard/
+   *    per-batch AGGREGATES, not per-doc facts, so the sharpest
+   *    id-level statement is batch-LEDGER coverage — corpus batch ids
+   *    vs the shard/batch_id column the store stamps (n_unindexed =
+   *    batches of append lag, n_orphaned = ledger shards whose source
+   *    batch was deleted — a signal to rebuild, since synopsis rows
+   *    cannot be subtracted);
+   *  - the LAYOUT family (p17/p18): the store holds the corpus rows
+   *    THEMSELVES, so freshness IS row reconciliation on the row id —
+   *    and [[graft.ops.Layout.zorderAppend]]'s envelope gate means a
+   *    stale-bounds store can only ever manifest as missing rows here,
+   *    never as silently-misfiled ones.
+   *
    * Scale: |families| independent two-pruned-id-column audits (each the
    * x11 cost — two narrow column reads, one 8-byte-row full-outer
    * join) unioned into |families| rows; nothing cross-family joins, so

@@ -1144,19 +1144,36 @@ object PipelineOps {
     },
     "x13_release_audit" -> { (s, d) =>
       // release-wide freshness audit: ONE statement about every stored
-      // index family the release ships — five families, five drift
-      // signatures. Document corpus = docs < 480: the dedup index was
-      // built from the x11 drifted cut [30, 490) (30 unindexed, 10
-      // orphaned), the postings from docs < 450 (pure append lag), the
-      // fingerprint index from exactly the corpus (the one FRESH row —
-      // a dashboard must prove it reads 1e6, not just flag the stale).
-      // Vector corpus = vectors < 480: the IVF assignments from
-      // [10, 480) (10 unindexed), the PQ codes from [5, 490) (both
-      // signals on the compressed tier). Every index is the REAL stored
-      // artifact round-tripped through its family's layout; the oracle
-      // re-derives all five rows by index-blind set arithmetic
+      // artifact family the release ships — TEN families, each with its
+      // own freshness semantics and its own planted drift signature.
+      // Per-document index families (document corpus = docs < 480):
+      // the dedup index was built from the x11 drifted cut [30, 490)
+      // (30 unindexed, 10 orphaned), the postings from docs < 450
+      // (pure append lag), the fingerprint index from exactly the
+      // corpus (a FRESH row — a dashboard must prove it reads 1e6, not
+      // just flag the stale). Vector families (vectors < 480): IVF
+      // assignments from [10, 480) (10 unindexed), PQ codes from
+      // [5, 490) (both signals on the compressed tier). Synopsis and
+      // model families audit by BATCH-LEDGER coverage (their rows are
+      // per-shard/per-batch aggregates, not per-doc facts — the id a
+      // freshness statement can make is "which ingestion batches does
+      // the artifact cover", batch = doc_id div 60 here): the KMV
+      // sketch covers batches 0..6 of the corpus's 0..7 (one batch of
+      // append lag), the Bloom store covers 1..8 (one batch unindexed
+      // AND one orphaned ledger shard from deleted docs), the
+      // histogram store covers all 8 (the synopsis trio's fresh row),
+      // and the NB model's totals ledger covers labeled batches 0..5
+      // (two batches of unlabeled lag). The LAYOUT family audits by
+      // row reconciliation (its store holds the rows themselves;
+      // zorderAppend's envelope gate means staleness IS missing/extra
+      // rows): the events layout was built from the drifted cut
+      // [50, 900) of the event corpus < 800. Every artifact is the
+      // REAL stored layout round-tripped; the oracle re-derives all
+      // ten rows by index-blind set arithmetic
       val allDocs = docs(s, d)
       val allVecs = embs(s, d)
+      val allEvents = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
       val base = System.getProperty("java.io.tmpdir") +
         "/graft_x13_index_" +
         java.lang.Integer.toHexString(d.hashCode)
@@ -1184,15 +1201,66 @@ object PipelineOps {
           m = 4, dim = 64)._1
         .write.mode("overwrite").partitionBy("cid")
         .parquet(base + "/codes")
+      // synopsis stores (real artifacts, batch-sharded like the
+      // streamed stores maintain them): KMV over batches 0..6, the
+      // histogram over all 8, the Bloom word rows per batch 1..8
+      val batchOf = expr("doc_id DIV 60")
+      Sketches.kmvSketch(
+          allDocs.filter(col("doc_id") < 420)
+            .select(batchOf.cast("int").as("shard"),
+              explode(Sketches.wordTrigrams(col("text"))).as("v")),
+          "v", "shard", 256)
+        .write.mode("overwrite").parquet(base + "/kmv")
+      Sketches.histSketch(
+          allDocs.filter(col("doc_id") < 480)
+            .select(batchOf.cast("int").as("shard"), col("n_chars")),
+          "n_chars", "shard", 0L, 100000L, 64)
+        .write.mode("overwrite").parquet(base + "/hist")
+      graft.ops.Bloom.bloomBuildSharded(
+          allDocs.filter(col("doc_id") >= 60 && col("doc_id") < 540)
+            .select(batchOf.as("batch_id"), col("text")),
+          "text", "batch_id", nWords = 64, k = 4)
+        .withColumnRenamed("shard", "batch_id")
+        .write.mode("overwrite").parquet(base + "/bloomf")
+      // the NB model store: counts from the labeled batches 0..5 plus
+      // the per-batch totals LEDGER (the t34 layout — the audited
+      // column is the ledger's batch_id)
+      graft.functions.GraftFunctions.register(s)
+      val teacher = call_function("graft_lang_id",
+        Shingles.words(col("text"))) === "en"
+      val labeled = allDocs.filter(col("doc_id") < 360)
+      graft.ops.Classifier.nbTrain(labeled, "text", "doc_id", teacher)
+        ._1.write.mode("overwrite").parquet(base + "/nbcounts")
+      labeled.select(batchOf.as("batch_id"), teacher.as("pos"))
+        .groupBy(col("batch_id"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+        .write.mode("overwrite").parquet(base + "/nbtotals")
+      // the events layout, built from the drifted cut
+      graft.ops.Layout.zorderWrite(
+        allEvents.filter(col("event_id") >= 50 && col("event_id") < 900),
+        "user_id", "event_id", base + "/layout")
       val dc = allDocs.filter(col("doc_id") < 480)
       val vc = allVecs.filter(col("vec_id") < 480)
+      val ec = allEvents.filter(col("event_id") < 800)
+      val dcBatches = dc.select(batchOf.as("batch"))
       graft.ops.Profile.releaseAudit(Seq(
         ("bm25", dc, "doc_id", s.read.parquet(base + "/postings"), "id"),
         ("contamination", dc, "doc_id",
           s.read.parquet(base + "/fps"), "cid"),
         ("dedup", dc, "doc_id", s.read.parquet(base + "/dedup"), "cid"),
         ("ivf", vc, "vec_id", s.read.parquet(base + "/assign"), "id"),
-        ("pq", vc, "vec_id", s.read.parquet(base + "/codes"), "id")))
+        ("pq", vc, "vec_id", s.read.parquet(base + "/codes"), "id"),
+        ("kmv", dcBatches, "batch",
+          s.read.parquet(base + "/kmv"), "shard"),
+        ("hist", dcBatches, "batch",
+          s.read.parquet(base + "/hist"), "shard"),
+        ("bloom", dcBatches, "batch",
+          s.read.parquet(base + "/bloomf"), "batch_id"),
+        ("model", dcBatches, "batch",
+          s.read.parquet(base + "/nbtotals"), "batch_id"),
+        ("layout", ec, "event_id",
+          s.read.parquet(base + "/layout/data"), "event_id")))
     },
     "x12_index_repair" -> { (s, d) =>
       // acting on x11's signals: the same drifted stored dedup index
@@ -1252,7 +1320,7 @@ object PipelineOps {
       val delta = all.filter(col("doc_id") >= 480 || col("doc_id") < 20)
         .select(col("doc_id"), col("text"))
       val probed = graft.ops.Bloom.bloomProbe(bloom, delta, "text",
-        "doc_id", nWords = 64, k = 4)
+        nWords = 64, k = 4)
       val cx = corpus.select(col("text").as("__ct"),
         col("doc_id").as("cid"))
       val exact = probed.filter(col("bloom_hit"))
@@ -1417,6 +1485,65 @@ object PipelineOps {
       graft.ops.Classifier.nbScore(
         all.filter(col("doc_id") >= 400), "text", "doc_id",
         s.read.parquet(base + "/counts"), s.read.parquet(base + "/totals"))
+    },
+    "t34_model_append" -> { (s, d) =>
+      // model maintenance — the t30/t31 append ≡ rebuild contract for
+      // the t33 scorer: train the base model on docs < 300, APPEND the
+      // new labeled batch [300, 400) as its own nbTrain output (counts
+      // rows appended as-is; totals appended as a LEDGER row — the t28
+      // lexstats device: additive dp/dn fold by sum, the non-additive
+      // vocabulary size is recomputed from the folded counts), fold
+      // the stored rows back into (counts, totals) via nbModelFold,
+      // and score the held-out docs (>= 400) against the FOLDED model.
+      // The oracle trains from scratch over docs < 400 — t33's oracle
+      // VERBATIM — so a hash match proves append + fold ≡ retrain down
+      // to every fixed-point weight bit, with batch-sized append work
+      val all = docs(s, d)
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_t34_model_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.functions.GraftFunctions.register(s)
+      def teacher = call_function("graft_lang_id",
+        Shingles.words(col("text"))) === "en"
+      val (c1, t1) = graft.ops.Classifier.nbTrain(
+        all.filter(col("doc_id") < 300), "text", "doc_id", teacher)
+      c1.write.mode("overwrite").parquet(base + "/counts")
+      t1.coalesce(1).write.mode("overwrite").parquet(base + "/totals")
+      val (c2, t2) = graft.ops.Classifier.nbTrain(
+        all.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "text", "doc_id", teacher)
+      c2.write.mode("append").parquet(base + "/counts")
+      t2.coalesce(1).write.mode("append").parquet(base + "/totals")
+      val (fc, ft) = graft.ops.Classifier.nbModelFold(
+        s.read.parquet(base + "/counts"), s.read.parquet(base + "/totals"))
+      graft.ops.Classifier.nbScore(
+        all.filter(col("doc_id") >= 400), "text", "doc_id", fc, ft)
+    },
+    "p18_zorder_append" -> { (s, d) =>
+      // the p17 family's append member: lay out the events whose
+      // event_id falls OUTSIDE [400, 440] (the existing release),
+      // append the interior slice through the STORED bounds
+      // (zorderAppend — delta-sized work, the corpus is never
+      // re-read; in-envelope by construction since the slice is
+      // interior on both dimensions), then answer p17's box query —
+      // which straddles the appended slice — through the appended
+      // store. The oracle is the index-blind box filter over the raw
+      // table (p17's verbatim), so a hash match proves appended rows
+      // landed in exactly the buckets the probe's enumeration expects
+      // (a misfiled row = a dropped row = mismatch)
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_p18_layout_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.Layout.zorderWrite(
+        ev.filter(!col("event_id").between(400, 440)),
+        "user_id", "event_id", base)
+      graft.ops.Layout.zorderAppend(
+        ev.filter(col("event_id").between(400, 440)),
+        "user_id", "event_id", base)
+      graft.ops.Layout.boxProbe(s, base, "user_id", "event_id",
+          3L, 9L, 200L, 800L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"), col("user_id"), col("event_type"))
     },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
@@ -2372,6 +2499,92 @@ object PipelineOps {
          FROM zrpt JOIN zwts ON zrpt.id = zwts.id
          ORDER BY zrpt.id, zrpt.copy"""
 
+  // t33/t34 share the from-scratch NB training oracle (teacher
+  // labeling, training over docs < 400, the 26-step fixed-point log
+  // recursion in HUGEINT, scoring docs >= 400): t34's append + fold
+  // must hash-match exactly what retraining produces
+  private val nbClassifierOracle: String =
+    """WITH RECURSIVE
+         tok0 AS (SELECT doc_id AS id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         h AS (SELECT id,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
+           FROM tok0),
+         best AS (SELECT id, list_sort([
+             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+             {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h),
+         lab AS (SELECT id, (CASE WHEN (b).hits > 0 THEN (b).lang
+             ELSE 'und' END) = 'en' AS pos FROM best),
+         tok AS (SELECT t0.id, lab.pos, unnest(t0.w) AS t
+           FROM tok0 t0 JOIN lab USING (id)),
+         tr AS (SELECT * FROM tok WHERE id < 400),
+         cnt AS (SELECT t, count(*) FILTER (WHERE pos) AS cp,
+             count(*) FILTER (WHERE NOT pos) AS cn FROM tr GROUP BY t),
+         tot AS (SELECT count(*) FILTER (WHERE pos) AS tp,
+             count(*) FILTER (WHERE NOT pos) AS tn,
+             count(DISTINCT t) AS v FROM tr),
+         dtot AS (SELECT count(*) FILTER (WHERE pos) AS dp,
+             count(*) FILTER (WHERE NOT pos) AS dn
+           FROM lab WHERE id < 400),
+         ratios AS (
+           SELECT 'tok' AS kind, t,
+               (cp + 1)::HUGEINT * (tot.tn + tot.v) AS n0,
+               (cn + 1)::HUGEINT * (tot.tp + tot.v) AS d0
+             FROM cnt CROSS JOIN tot
+           UNION ALL SELECT 'unseen', '', (tn + v)::HUGEINT,
+               (tp + v)::HUGEINT FROM tot
+           UNION ALL SELECT 'prior', '', dp::HUGEINT, dn::HUGEINT
+             FROM dtot),
+         norm AS (SELECT kind, t,
+             CASE WHEN n0 >= d0 THEN 1 ELSE -1 END AS sg,
+             greatest(n0, d0) AS a, least(n0, d0) AS b FROM ratios),
+         ex AS (SELECT kind, t, sg, a, b, 0::HUGEINT AS e, 0 AS k
+             FROM norm
+           UNION ALL SELECT kind, t, sg, a,
+             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  THEN b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  ELSE b END,
+             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
+                  THEN e + ([32,16,8,4,2,1][k+1])::HUGEINT ELSE e END,
+             k + 1 FROM ex WHERE k < 6),
+         m0 AS (SELECT kind, t, sg, e, (a * 1073741824) // b AS s,
+             0::HUGEINT AS f, 0 AS k FROM ex WHERE k = 6),
+         mt AS (SELECT kind, t, sg, e, s, f, k FROM m0
+           UNION ALL SELECT kind, t, sg, e,
+             CASE WHEN s*s >= 2305843009213693952::HUGEINT
+                  THEN (s*s) // 2147483648 ELSE (s*s) // 1073741824 END,
+             CASE WHEN s*s >= 2305843009213693952::HUGEINT
+                  THEN f*2 + 1 ELSE f*2 END,
+             k + 1 FROM mt WHERE k < 20),
+         wt AS (SELECT kind, t,
+             CAST(sg * (e * 1048576 + f) AS BIGINT) AS w
+           FROM mt WHERE k = 20),
+         wu AS (SELECT w FROM wt WHERE kind = 'unseen'),
+         wpr AS (SELECT w FROM wt WHERE kind = 'prior'),
+         sc AS (SELECT id, t FROM tok WHERE id >= 400),
+         sw AS (SELECT sc.id, COALESCE(tw.w, wu.w) AS w FROM sc
+           LEFT JOIN (SELECT t, w FROM wt WHERE kind = 'tok') tw USING (t)
+           CROSS JOIN wu),
+         agg AS (SELECT id, count(*) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS margin_scaled FROM sw GROUP BY id)
+         SELECT agg.id, agg.n_tokens, agg.margin_scaled,
+                wpr.w AS prior_scaled, agg.margin_scaled > 0 AS is_pos
+         FROM agg CROSS JOIN wpr ORDER BY agg.id"""
+
+  // p17/p18 share the index-blind two-dimensional box filter: the
+  // layout (one-shot or appended) must move no rows
+  private val zorderBoxOracle: String =
+    """SELECT event_id, user_id, event_type FROM events
+       WHERE user_id BETWEEN 3 AND 9
+         AND event_id BETWEEN 200 AND 800
+       ORDER BY event_id, user_id, event_type"""
+
   val oracle: Map[String, String] = Map(
     // chunk-level dedup: same 5-word non-overlapping chunking (1-based
     // inclusive list slices), doc-frequency > 1 = hot, reassembly ordered
@@ -3304,6 +3517,10 @@ object PipelineOps {
              WHERE doc_id < 480),
          vc AS (SELECT DISTINCT vec_id AS id FROM embeddings
              WHERE vec_id < 480),
+         bc AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
+             WHERE doc_id < 480),
+         ec AS (SELECT DISTINCT event_id AS id FROM events
+             WHERE event_id < 800),
          d_i AS (SELECT DISTINCT doc_id AS id FROM documents
              WHERE doc_id >= 30 AND doc_id < 490),
          p_i AS (SELECT DISTINCT doc_id AS id FROM documents
@@ -3313,12 +3530,27 @@ object PipelineOps {
          a_i AS (SELECT DISTINCT vec_id AS id FROM embeddings
              WHERE vec_id >= 10 AND vec_id < 480),
          c_i AS (SELECT DISTINCT vec_id AS id FROM embeddings
-             WHERE vec_id >= 5 AND vec_id < 490)
+             WHERE vec_id >= 5 AND vec_id < 490),
+         k_i AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
+             WHERE doc_id < 420),
+         h_i AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
+             WHERE doc_id < 480),
+         b_i AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
+             WHERE doc_id >= 60 AND doc_id < 540),
+         m_i AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
+             WHERE doc_id < 360),
+         l_i AS (SELECT DISTINCT event_id AS id FROM events
+             WHERE event_id >= 50 AND event_id < 900)
          ${fam("bm25", "dc", "p_i")}
          UNION ALL ${fam("contamination", "dc", "f_i")}
          UNION ALL ${fam("dedup", "dc", "d_i")}
          UNION ALL ${fam("ivf", "vc", "a_i")}
          UNION ALL ${fam("pq", "vc", "c_i")}
+         UNION ALL ${fam("kmv", "bc", "k_i")}
+         UNION ALL ${fam("hist", "bc", "h_i")}
+         UNION ALL ${fam("bloom", "bc", "b_i")}
+         UNION ALL ${fam("model", "bc", "m_i")}
+         UNION ALL ${fam("layout", "ec", "l_i")}
          ORDER BY family"""
     },
     // x12: x11's set arithmetic extended with the repair rule itself —
@@ -3462,86 +3694,18 @@ object PipelineOps {
     // are the identical integer algorithm, so every weight bit
     // matches), the open-vocabulary left join, per-doc sums, the
     // likelihood-ratio verdict and the reported prior
-    "t33_classifier" ->
-      """WITH RECURSIVE
-         tok0 AS (SELECT doc_id AS id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS w
-           FROM documents),
-         h AS (SELECT id,
-           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS h_de,
-           len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
-           len(list_filter(w, t -> list_contains(['el','la','de','y','que','en','un','una','los','es'], t))) AS h_es,
-           len(list_filter(w, t -> list_contains(['le','la','de','et','que','un','une','les','est','dans'], t))) AS h_fr,
-           len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','为'], t))) AS h_zh
-           FROM tok0),
-         best AS (SELECT id, list_sort([
-             {'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
-             {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
-             {'hits': h_zh, 'lang': 'zh'}])[-1] AS b FROM h),
-         lab AS (SELECT id, (CASE WHEN (b).hits > 0 THEN (b).lang
-             ELSE 'und' END) = 'en' AS pos FROM best),
-         tok AS (SELECT t0.id, lab.pos, unnest(t0.w) AS t
-           FROM tok0 t0 JOIN lab USING (id)),
-         tr AS (SELECT * FROM tok WHERE id < 400),
-         cnt AS (SELECT t, count(*) FILTER (WHERE pos) AS cp,
-             count(*) FILTER (WHERE NOT pos) AS cn FROM tr GROUP BY t),
-         tot AS (SELECT count(*) FILTER (WHERE pos) AS tp,
-             count(*) FILTER (WHERE NOT pos) AS tn,
-             count(DISTINCT t) AS v FROM tr),
-         dtot AS (SELECT count(*) FILTER (WHERE pos) AS dp,
-             count(*) FILTER (WHERE NOT pos) AS dn
-           FROM lab WHERE id < 400),
-         ratios AS (
-           SELECT 'tok' AS kind, t,
-               (cp + 1)::HUGEINT * (tot.tn + tot.v) AS n0,
-               (cn + 1)::HUGEINT * (tot.tp + tot.v) AS d0
-             FROM cnt CROSS JOIN tot
-           UNION ALL SELECT 'unseen', '', (tn + v)::HUGEINT,
-               (tp + v)::HUGEINT FROM tot
-           UNION ALL SELECT 'prior', '', dp::HUGEINT, dn::HUGEINT
-             FROM dtot),
-         norm AS (SELECT kind, t,
-             CASE WHEN n0 >= d0 THEN 1 ELSE -1 END AS sg,
-             greatest(n0, d0) AS a, least(n0, d0) AS b FROM ratios),
-         ex AS (SELECT kind, t, sg, a, b, 0::HUGEINT AS e, 0 AS k
-             FROM norm
-           UNION ALL SELECT kind, t, sg, a,
-             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
-                  THEN b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
-                  ELSE b END,
-             CASE WHEN a >= b * ([4294967296,65536,256,16,4,2][k+1])::HUGEINT
-                  THEN e + ([32,16,8,4,2,1][k+1])::HUGEINT ELSE e END,
-             k + 1 FROM ex WHERE k < 6),
-         m0 AS (SELECT kind, t, sg, e, (a * 1073741824) // b AS s,
-             0::HUGEINT AS f, 0 AS k FROM ex WHERE k = 6),
-         mt AS (SELECT kind, t, sg, e, s, f, k FROM m0
-           UNION ALL SELECT kind, t, sg, e,
-             CASE WHEN s*s >= 2305843009213693952::HUGEINT
-                  THEN (s*s) // 2147483648 ELSE (s*s) // 1073741824 END,
-             CASE WHEN s*s >= 2305843009213693952::HUGEINT
-                  THEN f*2 + 1 ELSE f*2 END,
-             k + 1 FROM mt WHERE k < 20),
-         wt AS (SELECT kind, t,
-             CAST(sg * (e * 1048576 + f) AS BIGINT) AS w
-           FROM mt WHERE k = 20),
-         wu AS (SELECT w FROM wt WHERE kind = 'unseen'),
-         wpr AS (SELECT w FROM wt WHERE kind = 'prior'),
-         sc AS (SELECT id, t FROM tok WHERE id >= 400),
-         sw AS (SELECT sc.id, COALESCE(tw.w, wu.w) AS w FROM sc
-           LEFT JOIN (SELECT t, w FROM wt WHERE kind = 'tok') tw USING (t)
-           CROSS JOIN wu),
-         agg AS (SELECT id, count(*) AS n_tokens,
-             CAST(sum(w) AS BIGINT) AS margin_scaled FROM sw GROUP BY id)
-         SELECT agg.id, agg.n_tokens, agg.margin_scaled,
-                wpr.w AS prior_scaled, agg.margin_scaled > 0 AS is_pos
-         FROM agg CROSS JOIN wpr ORDER BY agg.id""",
+    "t33_classifier" -> nbClassifierOracle,
+    // t34: t33's from-scratch-training oracle VERBATIM over the same
+    // train cut (docs < 400) — the Spark side trains < 300, appends
+    // [300, 400) and folds, so the hash match IS the append ≡ retrain
+    // proof
+    "t34_model_append" -> nbClassifierOracle,
     // p17: index-blind — the raw two-dimensional box filter; the Spark
     // side answers it through the Z-order layout's pruned partitions
-    "p17_zorder_layout" ->
-      """SELECT event_id, user_id, event_type FROM events
-         WHERE user_id BETWEEN 3 AND 9
-           AND event_id BETWEEN 200 AND 800
-         ORDER BY event_id, user_id, event_type""",
+    "p17_zorder_layout" -> zorderBoxOracle,
+    // p18: the same index-blind box filter — the appended store must
+    // answer it identically to the one-shot layout
+    "p18_zorder_append" -> zorderBoxOracle,
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,

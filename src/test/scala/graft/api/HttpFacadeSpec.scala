@@ -1870,7 +1870,7 @@ class HttpFacadeSpec extends SparkSuite {
       ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
         .group(1).toLong
     val expected = graft.ops.Bloom.bloomProbe(
-      spark.table("httpapi.bloom_f"), all, "text", "doc_id", 64, 4)
+      spark.table("httpapi.bloom_f"), all, "text", 64, 4)
     assert(lg(m.body, "n_values") === expected.count())
     assert(lg(m.body, "n_hits") ===
       expected.filter(col("bloom_hit")).count())

@@ -57,6 +57,38 @@ class ClassifierSpec extends SparkSuite {
 
   private def model = Classifier.nbTrain(trainDf, "text", "id", col("label"))
 
+  test("the |log2(n/d)| < 64 envelope is ENFORCED on both sides: " +
+    "boundary ratios stay exact, past-envelope ratios fail loudly " +
+    "(silent Long overflow otherwise — the r12 advisory)") {
+    // 2^63 is the largest in-envelope power: exponent search tops out
+    // at e = 63 with a == b, mantissa exactly 2^30, zero fraction bits
+    assert(Classifier.log2Fixed(BigInt(1) << 63, BigInt(1)) ===
+      63L * 1048576L)
+    assert(Classifier.log2Fixed((BigInt(1) << 64) - 1, BigInt(1)) >
+      63L * 1048576L) // just inside: mantissa saturates, no overflow
+    intercept[IllegalArgumentException](
+      Classifier.log2Fixed(BigInt(1) << 64, BigInt(1)))
+    intercept[IllegalArgumentException](
+      Classifier.log2Fixed(BigInt(1), BigInt(1) << 64))
+    // the in-plan fold raises the same envelope error from the data path
+    val df = Seq((BigDecimal(BigInt(1) << 64), BigDecimal(1)))
+      .toDF("n", "d")
+    val e = intercept[Exception](
+      df.select(Classifier.log2FixedCol(col("n"), col("d")).as("w"))
+        .collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("envelope")),
+      s"expected the envelope raise_error, got: $e")
+    // and the boundary ratio flows through the column form unharmed
+    val ok = Seq((BigDecimal(BigInt(1) << 63), BigDecimal(1)))
+      .toDF("n", "d")
+      .select(Classifier.log2FixedCol(col("n"), col("d")).as("w"))
+      .collect()(0).getLong(0)
+    assert(ok === 63L * 1048576L)
+  }
+
   test("nbTrain: hand-checked class counts, token totals, doc totals") {
     val (counts, totals) = model
     val c = counts.collect()
@@ -129,6 +161,35 @@ class ClassifierSpec extends SparkSuite {
       .join(test.select(col("id"), col("label")), Seq("id"))
     val agree = scored.filter(col("is_pos") === col("label")).count()
     assert(agree === 30L, s"held-out agreement $agree/30")
+  }
+
+  test("nbModelFold: append + fold ≡ retrain (the t30/t31 contract) — " +
+    "scored outputs match bit-for-bit, and folding an un-appended " +
+    "model is the identity in the score sense") {
+    val a = Seq((1L, "the quick fox jumps", true),
+      (2L, "der schnelle fuchs springt", false),
+      (3L, "the lazy dog sleeps", true)).toDF("id", "text", "pos")
+    val b = Seq((10L, "the fox jumps again", true),
+      (11L, "noch ein schneller fuchs", false)).toDF("id", "text", "pos")
+    val held = Seq((100L, "the fox"), (101L, "der fuchs"),
+      (102L, "wholly unseen tokens only")).toDF("id", "text")
+    val (ca, ta) = Classifier.nbTrain(a, "text", "id", col("pos"))
+    val (cb, tb) = Classifier.nbTrain(b, "text", "id", col("pos"))
+    // the appended store: counts rows unioned, totals as a ledger
+    val (fc, ft) = Classifier.nbModelFold(
+      ca.unionByName(cb), ta.unionByName(tb))
+    val (cu, tu) = Classifier.nbTrain(a.unionByName(b), "text", "id",
+      col("pos"))
+    assert(Classifier.nbScore(held, "text", "id", fc, ft).collect().toSeq
+      === Classifier.nbScore(held, "text", "id", cu, tu).collect().toSeq)
+    // v is the non-additive total: the fold must RECOMPUTE it (shared
+    // vocabulary across batches would double-count under a ledger sum)
+    assert(ft.select(col("v")).collect()(0).getLong(0) ===
+      tu.select(col("v")).collect()(0).getLong(0))
+    val (f1c, f1t) = Classifier.nbModelFold(ca, ta)
+    assert(Classifier.nbScore(held, "text", "id", f1c, f1t)
+      .collect().toSeq ===
+      Classifier.nbScore(held, "text", "id", ca, ta).collect().toSeq)
   }
 
   test("null label aborts training; one-class and empty models rejected " +

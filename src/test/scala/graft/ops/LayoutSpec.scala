@@ -96,6 +96,109 @@ class LayoutSpec extends SparkSuite {
       Layout.boxProbe(spark, dir, "a", "b", 0L, 10L, 0L, 10L).collect())
   }
 
+  test("candidateBuckets ≡ per-cell enumeration (differential over " +
+    "random boxes, every bits/nBuckets shape)") {
+    val rnd = new scala.util.Random(13)
+    def perCell(ca1: Long, ca2: Long, cb1: Long, cb2: Long,
+                bits: Int, nBuckets: Int): Seq[Long] = {
+      val cpb = (1L << (2 * bits)) / nBuckets
+      (for { ca <- ca1 to ca2; cb <- cb1 to cb2 }
+        yield Layout.mortonOf(ca, cb, bits) / cpb).distinct.sorted
+    }
+    for (bits <- 1 to 6; _ <- 1 to 8) {
+      val side = 1L << bits
+      // every power-of-two divisor of 4^bits is a legal bucket count
+      val nBuckets = 1 << rnd.nextInt(2 * bits + 1)
+      def span(): (Long, Long) = {
+        val x = rnd.nextLong(side); val y = rnd.nextLong(side)
+        (math.min(x, y), math.max(x, y))
+      }
+      val ((ca1, ca2), (cb1, cb2)) = (span(), span())
+      val (got, _) = Layout.candidateBuckets(ca1, ca2, cb1, cb2, bits, nBuckets)
+      val want = perCell(ca1, ca2, cb1, cb2, bits, nBuckets)
+      assert(got === want,
+        s"bits=$bits nBuckets=$nBuckets box=($ca1,$ca2,$cb1,$cb2)")
+    }
+  }
+
+  test("candidateBuckets driver cost is bucket-bounded, never cell-" +
+    "bounded: a wide box at bits=16 visits <= 4*nBuckets nodes") {
+    // the r12 per-cell form would iterate ~4.3e9 cells here; the
+    // quadtree stops at bucket granularity — 85 nodes for 64 buckets
+    val side = (1L << 16) - 1
+    val (buckets, visited) =
+      Layout.candidateBuckets(1L, side - 1, 1L, side - 1, 16, 64)
+    assert(buckets === (0L until 64L), "a near-full box touches every bucket")
+    assert(visited <= 4L * 64,
+      s"visited $visited nodes — enumeration is not bucket-bounded")
+    // and a genuinely narrow box stays cheap AND tight
+    val (few, v2) = Layout.candidateBuckets(7L, 7L, 0L, side, 16, 64)
+    assert(few.size < 64 && v2 <= 4L * 64, s"${few.size} buckets, $v2 nodes")
+  }
+
+  test("boxProbeTables re-validates stored parameters: oversized bits " +
+    "and non-divisor n_buckets from a caller-supplied bounds table are " +
+    "rejected, not silently wrong") {
+    val df = spark.range(100).select(col("id").as("a"), col("id").as("b"))
+    val dir = tmp("revalidate")
+    Layout.zorderWrite(df, "a", "b", dir, bits = 3, nBuckets = 4)
+    val store = spark.read.parquet(s"$dir/data")
+    def bounds(bits: Int, nBuckets: Int) = spark.range(1).select(
+      lit(0L).as("min_a"), lit(99L).as("max_a"),
+      lit(0L).as("min_b"), lit(99L).as("max_b"),
+      lit(bits).as("bits"), lit(nBuckets).as("n_buckets"))
+    // bits = 40 would wrap the 2*i+1 Morton shifts past 63 and prune
+    // WRONG buckets silently (the r12 ADVICE hazard)
+    val e1 = intercept[IllegalArgumentException](
+      Layout.boxProbeTables(store, bounds(40, 4), "a", "b", 0L, 9L, 0L, 9L))
+    assert(e1.getMessage.contains("bits"))
+    val e2 = intercept[IllegalArgumentException](
+      Layout.boxProbeTables(store, bounds(3, 7), "a", "b", 0L, 9L, 0L, 9L))
+    assert(e2.getMessage.contains("n_buckets"))
+  }
+
+  test("zorderAppend ≡ rewrite over the union (in-envelope delta), and " +
+    "probes answer through the appended store") {
+    val all = spark.range(4000).select(col("id"),
+      (col("id") % 211 - 100).as("a"),
+      (col("id") * 37 % 1009).as("b"),
+      concat(lit("p"), col("id")).as("payload"))
+    val corpus = all.filter(col("id") < 3000)
+    val delta = all.filter(col("id") >= 3000)
+    val dir = tmp("append"); val dir2 = tmp("rewrite")
+    Layout.zorderWrite(corpus, "a", "b", dir, bits = 4, nBuckets = 16)
+    Layout.zorderAppend(delta, "a", "b", dir)
+    // bit-for-bit: same rows, same z, same zbucket as a from-scratch
+    // rewrite (the delta stays inside the envelope, so the rewrite's
+    // recomputed bounds equal the stored ones)
+    Layout.zorderWrite(all, "a", "b", dir2, bits = 4, nBuckets = 16)
+    val appended = spark.read.parquet(s"$dir/data")
+    val rewritten = spark.read.parquet(s"$dir2/data")
+    assert(appended.except(rewritten).isEmpty &&
+      rewritten.except(appended).isEmpty)
+    val got = Layout.boxProbe(spark, dir, "a", "b", -50L, 20L, 100L, 400L)
+    val want = all.filter(col("a").between(-50L, 20L) &&
+      col("b").between(100L, 400L))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("zorderAppend out-of-envelope delta fails loudly (the decided " +
+    "widen-and-rewrite semantics), and empty deltas are rejected") {
+    val corpus = spark.range(100).select(col("id").as("a"),
+      col("id").as("b"))
+    val dir = tmp("envelope")
+    Layout.zorderWrite(corpus, "a", "b", dir, bits = 3, nBuckets = 4)
+    val outside = Seq((500L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Layout.zorderAppend(outside, "a", "b", dir))
+    assert(e.getMessage.contains("envelope") &&
+      e.getMessage.contains("zorderWrite"), e.getMessage)
+    // nothing was written by the failed append
+    assert(spark.read.parquet(s"$dir/data").count() === 100L)
+    intercept[IllegalArgumentException](
+      Layout.zorderAppend(corpus.filter(lit(false)), "a", "b", dir))
+  }
+
   test("guards: non-integral columns, bad bucket counts, empty input") {
     val df = Seq((1L, "x")).toDF("a", "s")
     val dir = tmp("guard")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.{col, lit}
 
 class ProfileSpec extends SparkSuite {
   import spark.implicits._
@@ -132,6 +133,41 @@ class ProfileSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Profile.releaseAudit(Seq.empty)
     }
+  }
+
+  test("releaseAudit per-family freshness semantics (the x13 ten-row " +
+      "form): batch-ledger coverage for synopsis/model stores, row " +
+      "reconciliation for the layout — pinned against deliberately-" +
+      "staled stores") {
+    // corpus = 8 ingestion batches (0..7); each family's audited id is
+    // the ledger dimension its rows actually carry
+    val corpusBatches = spark.range(480)
+      .select((col("id") / 60).cast("long").as("batch"))
+    // KMV covers batches 0..6 (one batch of append lag)
+    val kmv = spark.range(7).select(col("id").cast("int").as("shard"),
+      lit(1L).as("h"))
+    // histogram covers all 8 (the fresh row)
+    val hist = spark.range(8).select(col("id").cast("int").as("shard"),
+      lit(0).as("bin"), lit(1L).as("n"))
+    // model ledger covers labeled batches 0..5 (two batches unlabeled)
+    val ledger = spark.range(6).select(col("id").as("batch_id"),
+      lit(1L).as("dp"), lit(1L).as("dn"))
+    // layout: rows ARE the store — audit reconciles row ids (50
+    // missing, 100 orphaned by deletes)
+    val evCorpus = spark.range(800).select(col("id").as("event_id"))
+    val layout = spark.range(50, 900).select(col("id").as("event_id"))
+    val rows = Profile.releaseAudit(Seq(
+        ("kmv", corpusBatches, "batch", kmv, "shard"),
+        ("hist", corpusBatches, "batch", hist, "shard"),
+        ("model", corpusBatches, "batch", ledger, "batch_id"),
+        ("layout", evCorpus, "event_id", layout, "event_id")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows("kmv") === ((1L, 0L, 875000L)))
+    assert(rows("hist") === ((0L, 0L, 1000000L)))
+    assert(rows("model") === ((2L, 0L, 750000L)))
+    assert(rows("layout") === ((50L, 100L, 937500L)))
   }
 
   test("indexRepair: orphans dropped, unindexed backfilled via the " +

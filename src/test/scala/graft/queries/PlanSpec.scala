@@ -739,6 +739,24 @@ class PlanSpec extends SparkSuite {
       scans.mkString("\n"))
   }
 
+  test("p18: the APPENDED layout's box probe prunes exactly like the " +
+      "one-shot layout's — append files land inside the zbucket " +
+      "partition scheme the planner statically filters") {
+    val plan = pipelinePlan("p18_zorder_append")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val data = scans.filter(s => s.contains("graft_p18_layout_") &&
+      s.contains("/data"))
+    assert(data.nonEmpty, plan)
+    assert(data.forall(s => s.contains("PartitionFilters") &&
+      s.contains("zbucket") && s.contains("INSET")), data.mkString("\n"))
+    assert(data.forall(_.contains("GreaterThanOrEqual(user_id,3)")),
+      data.mkString("\n"))
+    assert(scans.forall(_.contains("graft_p18_layout_")),
+      scans.mkString("\n"))
+  }
+
   test("x15: the stored histogram is read column-pruned — the merge " +
       "fetches (bin, n), never the shard column") {
     val plan = pipelinePlan("x15_quantile_sketch")

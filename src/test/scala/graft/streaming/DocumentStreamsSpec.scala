@@ -271,7 +271,7 @@ class DocumentStreamsSpec extends SparkSuite {
     // unseen text misses (on this tiny fixture no false positive lands)
     val probe = graft.ops.Bloom.bloomProbe(streamed,
       Seq((1L, tA), (2L, tNew), (3L, "never seen words at all"))
-        .toDF("id", "text"), "text", "id", nWords = 64)
+        .toDF("id", "text"), "text", nWords = 64)
       .collect().map(r => r.getAs[Long]("id") ->
         r.getAs[Boolean]("bloom_hit")).toMap
     assert(probe(1L) && probe(2L))
