@@ -223,7 +223,37 @@ object DocumentStreams {
     * before?" pre-filter an ingest front-end probes without touching
     * the corpus. `bloomWords`/`bloomK` must stay fixed for the store's
     * lifetime (they define the hash geometry — changing them mid-store
-    * corrupts membership silently, the d19 contract). */
+    * corrupts membership silently, the d19 contract).
+    *
+    * With `hist` set, ingestion ALSO maintains the x15 mergeable
+    * quantile synopsis (`hists/` — one per-batch fixed-bin histogram of
+    * the survivors' text length, shard = batch_id), completing the
+    * synopsis trio's streaming maintenance (KMV = distinct count,
+    * Bloom = membership, this = rank statistics): "what does the
+    * corpus's length distribution look like" is answerable at any time
+    * from the merged per-bin counts (the quantile-sketch HTTP route's
+    * read) without scanning the corpus. Bins are value-based over the
+    * FIXED [`histLo`, `histHi`] envelope — envelope constants are the
+    * store's geometry, like the Bloom nWords/k: fixed for the store's
+    * lifetime (out-of-envelope lengths clamp to the edge bins,
+    * visibly). Merge ≡ rebuild: counts are additive per value-based
+    * bin, so the accumulated store merges to exactly what one
+    * [[graft.ops.Sketches.histSketch]] over the corpus store's lengths
+    * would produce (spec-pinned).
+    *
+    * With `nbLabel` set (a boolean Column over the batch's columns —
+    * the teacher being distilled, e.g. the t33 lang-id verdict),
+    * ingestion ALSO maintains the t34 appendable classifier model:
+    * each batch's survivors train their own
+    * [[graft.ops.Classifier.nbTrain]] delta — counts rows append into
+    * `nbcounts/`, the 1-row totals appends into the `nbtotals/` LEDGER
+    * (additive dp/dn; the non-additive joint vocabulary size is
+    * recomputed at read time) — and [[nbModel]] folds the stores back
+    * into the (counts, totals) pair [[graft.ops.Classifier.nbScore]]
+    * expects, equal to retraining from scratch over the corpus store
+    * (the t34 fold ≡ retrain contract, spec-pinned). A batch whose
+    * survivors are all rejected appends nothing; a NULL teacher
+    * verdict fails the batch loudly (nbTrain's label gate). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, textCol: String, idCol: String,
                    threshold: Double,
@@ -235,7 +265,12 @@ object DocumentStreams {
                    sketchK: Int = 256,
                    bloom: Boolean = false,
                    bloomWords: Int = 1 << 12,
-                   bloomK: Int = 4): Unit = {
+                   bloomK: Int = 4,
+                   hist: Boolean = false,
+                   histLo: Long = 0L,
+                   histHi: Long = (1L << 20) - 1,
+                   histBins: Int = 64,
+                   nbLabel: Option[org.apache.spark.sql.Column] = None): Unit = {
     val persisted = batch.persist()
     try {
       // each store is LOADED ONCE per batch (loadStore does the
@@ -392,6 +427,51 @@ object DocumentStreams {
                   .write.mode("append").parquet(s"$stateDir/bloomf")
             } finally { deltaBloom.unpersist(); () }
           }
+          if (hist) {
+            val histStore = loadStore(spark, s"$stateDir/hists")
+            // the x15 quantile synopsis at ingestion: each batch IS a
+            // shard; binning runs over the BATCH survivors' lengths
+            // only (the corpus is never re-read — the maintenance
+            // point), into the store-lifetime [histLo, histHi]
+            // envelope. Same exactly-once and empty-append guards.
+            val deltaHist = graft.ops.Sketches.histSketch(
+              surv.select(lit(batchId).cast("int").as("shard"),
+                length(coalesce(col(textCol), lit(""))).cast("long")
+                  .as("len")),
+              "len", "shard", histLo, histHi, histBins).persist()
+            try {
+              val hasH = deltaHist.limit(1).count() > 0L
+              if (hasH && !committedIn(histStore, batchId))
+                deltaHist.withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(s"$stateDir/hists")
+            } finally { deltaHist.unpersist(); () }
+          }
+          nbLabel.foreach { label =>
+            val cntStore = loadStore(spark, s"$stateDir/nbcounts")
+            val totStore = loadStore(spark, s"$stateDir/nbtotals")
+            // the t34 appendable model at ingestion: the batch's own
+            // nbTrain delta appends — counts rows as-is, totals as a
+            // ledger row. The ledger row must append whenever ANY
+            // survivor exists (a token-less survivor still moves the
+            // dp/dn priors in a from-scratch retrain — skipping it
+            // would break fold ≡ retrain), counts only when non-empty.
+            val (dCnt, dTot) = graft.ops.Classifier.nbTrain(
+              surv, textCol, idCol, label)
+            val dCntP = dCnt.persist()
+            try {
+              val tRow = dTot.head()
+              val nSurvivors = tRow.getAs[Long]("dp") + tRow.getAs[Long]("dn")
+              if (nSurvivors > 0L) {
+                if (dCntP.limit(1).count() > 0L &&
+                    !committedIn(cntStore, batchId))
+                  dCntP.withColumn("batch_id", lit(batchId))
+                    .write.mode("append").parquet(s"$stateDir/nbcounts")
+                if (!committedIn(totStore, batchId))
+                  dTot.coalesce(1).withColumn("batch_id", lit(batchId))
+                    .write.mode("append").parquet(s"$stateDir/nbtotals")
+              }
+            } finally { dCntP.unpersist(); () }
+          }
           if (fingerprints) {
             val fpsStore = loadStore(spark, s"$stateDir/fps")
             // first batch creates the fpb layout; later batches append
@@ -461,6 +541,21 @@ object DocumentStreams {
       .parquet(s"$stateDir/lexstats")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"))
+
+  /** Fold the `nbcounts/` + `nbtotals/` stores an `nbLabel` ingestion
+    * maintains into the (counts, totals) pair
+    * [[graft.ops.Classifier.nbScore]] expects —
+    * [[graft.ops.Classifier.nbModelFold]] over the accumulated rows,
+    * equal to retraining from scratch over the corpus store (the t34
+    * contract; [[compactState]] bounds the file count both reads
+    * walk). */
+  def nbModel(spark: SparkSession, stateDir: String)
+      : (DataFrame, DataFrame) =
+    graft.ops.Classifier.nbModelFold(
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$stateDir/nbcounts"),
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$stateDir/nbtotals"))
 
   /** Start the ingestion query over any streaming DataFrame with
     * (idCol, textCol) columns. Caller owns the query lifecycle.
@@ -590,7 +685,9 @@ object DocumentStreams {
     Seq(("index", Seq("cid"), Nil), ("decisions", Seq("batch_id", "id"), Nil),
         ("corpus", Seq(idCol), Nil), ("postings", Seq("t"), Nil),
         ("lexstats", Seq("batch_id"), Nil), ("fps", Seq("fp"), Seq("fpb")),
-        ("sketches", Seq("shard", "h"), Nil), ("bloomf", Seq("w"), Nil))
+        ("sketches", Seq("shard", "h"), Nil), ("bloomf", Seq("w"), Nil),
+        ("hists", Seq("shard", "bin"), Nil), ("nbcounts", Seq("t"), Nil),
+        ("nbtotals", Seq("batch_id"), Nil))
       .filter { case (s, _, _) =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$s")) }
       .map { case (s, keys, parts) =>

@@ -306,6 +306,22 @@ object PlanDump {
         "PartitionFilters (STATIC pruning at planning time, " +
         "PlanSpec-pinned) plus the pushed residual box predicate; " +
         "nothing but the layout's own directories is ever read."),
+    "p18_zorder_append" ->
+      ("The APPENDED layout's probe: delta rows clustered through the " +
+        "STORED bounds land inside the same zbucket partition scheme, " +
+        "so the box probe's plan is indistinguishable from p17's — " +
+        "zbucket INSET in PartitionFilters (quadtree-enumerated, " +
+        "O(nBuckets) driver work), pushed residual box predicate, and " +
+        "only the layout's own directories read. Append ≡ rewrite is " +
+        "the hash gate; this dump shows the PLAN is append-invariant " +
+        "too."),
+    "t34_model_append" ->
+      ("Scoring from the FOLDED appended model: one token-keyed sum " +
+        "over the counts store (map-side combined — same shape as an " +
+        "un-appended model read), the totals ledger folds in two 1-row " +
+        "aggregates, then t33's serving plan verbatim: broadcast " +
+        "weights join, partial-aggregated per-doc sums, only the " +
+        "held-out split read."),
     "t33_classifier" ->
       ("Stored-model scoring: the 26-step fixed-point binary-log runs " +
         "ONCE per vocabulary entry (aggregate-HOF folds — sequential " +

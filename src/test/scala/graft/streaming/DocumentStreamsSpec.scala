@@ -294,6 +294,83 @@ class DocumentStreamsSpec extends SparkSuite {
     assert(after.except(oneShot2).isEmpty && oneShot2.except(after).isEmpty)
   }
 
+  test("hist ingestion: the streamed quantile store merges to exactly " +
+      "a from-scratch histogram over the corpus store; replay appends " +
+      "nothing, compaction moves no quantile") {
+    val dir = Files.createTempDirectory("docstream-hist").toString
+    val (lo, hi, bins) = (0L, 1023L, 16)
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DocumentStreams.processBatch(spark, df, id, dir, "text", "doc_id",
+        0.7, hist = true, histLo = lo, histHi = hi, histBins = bins)
+    run(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
+    // batch 1: 4 dups 1 (rejected — no histogram contribution), 5 new
+    run(Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text"), 1L)
+    def quantiles(sketch: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histMerge(sketch),
+        Seq(250000L, 500000L, 900000L), lo, hi, bins).collect().toSeq
+    val streamed = quantiles(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/hists"))
+    // merge ≡ rebuild: value-based bins, additive counts
+    val rebuilt = quantiles(graft.ops.Sketches.histSketch(
+      spark.read.parquet(s"$dir/corpus").select(lit(0).as("shard"),
+        length(col("text")).cast("long").as("len")),
+      "len", "shard", lo, hi, bins))
+    assert(streamed === rebuilt)
+    // replay idempotence + all-duplicates empty-append guard
+    val before = spark.read.parquet(s"$dir/hists").count()
+    run(Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$dir/hists").count() === before)
+    run(Seq((9L, tA)).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(s"$dir/hists").count() === before)
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("hists"), report.toString)
+    assert(quantiles(spark.read.parquet(s"$dir/hists")) === streamed)
+  }
+
+  test("nbLabel ingestion: the streamed model store folds to exactly a " +
+      "from-scratch retrain over the corpus store (fold ≡ retrain); " +
+      "replay appends nothing") {
+    val dir = Files.createTempDirectory("docstream-nb").toString
+    // a deterministic teacher over the batch's own columns (both
+    // classes present in the accumulated corpus {1, 2, 5})
+    val teacher = pmod(col("doc_id"), lit(2)) === 0
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DocumentStreams.processBatch(spark, df, id, dir, "text", "doc_id",
+        0.7, nbLabel = Some(teacher))
+    run(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
+    run(Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text"), 1L)
+    val (fc, ft) = DocumentStreams.nbModel(spark, dir)
+    val (rc, rt) = graft.ops.Classifier.nbTrain(
+      spark.read.parquet(s"$dir/corpus"), "text", "doc_id", teacher)
+    val held = Seq((100L, tA), (101L, tBNear),
+      (102L, "wholly unseen tokens only")).toDF("doc_id", "text")
+    def score(c: org.apache.spark.sql.DataFrame,
+              t: org.apache.spark.sql.DataFrame) =
+      graft.ops.Classifier.nbScore(held, "text", "doc_id", c, t)
+        .collect().toSeq
+    // materialize the retrain scores NOW: compaction below replaces the
+    // corpus store's files, so rc/rt's listing goes stale by design
+    val want = score(rc, rt)
+    assert(score(fc, ft) === want)
+    // replay idempotence: both stores carry the batch marker
+    val (cBefore, tBefore) =
+      (spark.read.parquet(s"$dir/nbcounts").count(),
+        spark.read.parquet(s"$dir/nbtotals").count())
+    run(Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$dir/nbcounts").count() === cBefore)
+    assert(spark.read.parquet(s"$dir/nbtotals").count() === tBefore)
+    // an all-duplicates batch appends neither counts nor a ledger row
+    run(Seq((9L, tA)).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(s"$dir/nbtotals").count() === tBefore)
+    // compaction covers both stores; the folded scores are unchanged
+    val report = DocumentStreams.compactState(spark, dir, "doc_id")
+    assert(report.contains("nbcounts") && report.contains("nbtotals"),
+      report.toString)
+    val (fc2, ft2) = DocumentStreams.nbModel(spark, dir)
+    assert(score(fc2, ft2) === want)
+  }
+
   test("crashed-attempt replay: a half-committed batch completes without " +
       "self-matching or double-appending") {
     val dir = Files.createTempDirectory("docstream-crash").toString

@@ -18,6 +18,12 @@ G2="d10_transitive_clusters,d12_minhash_quality,d14_dedup_pipeline,d16_substring
 G3="t08_contamination,g01_host_pagerank,g04_hits,x03_split_leakage,m04_media_neardup_lsh"
 G4="e01_cosine_topk,e16_pca_power,e19_lloyd_trace,p13_epoch_plan,d08_chunk_dedup,d09_intradoc_dedup"
 G5="t25_perplexity_buckets,x08_threshold_sweep,e20_nprobe_sweep,g05_communities"
+# G6 (r13): the compressed ANN serving tier at 10x — e23 one-stage ADC,
+# e26 two-stage refine (the pq-search?raw= route's plan: kCoarse ADC
+# candidates, then raw vectors for |queries|*kCoarse rows only), e25 the
+# recall side of the same kCoarse trade — plus the r13 stored-artifact
+# closers (appended layout probe, model append+fold, 10-family audit)
+G6="e23_indexed_ivfpq,e26_pq_rerank,e25_pq_recall,p18_zorder_append,t34_model_append,x13_release_audit"
 
 if [ ! -f "$SF1/documents.parquet/_SUCCESS" ]; then
   echo "== generating $SF1 (10x sf0.1) =="
@@ -28,7 +34,7 @@ for sf in /root/testdata/sf0.1 "$SF1"; do
   tag=$(basename "$sf" | tr -cd 'a-z0-9.')
   out=/tmp/probe_${tag}.txt
   : > "$out"
-  for g in "$G1" "$G2" "$G3" "$G4" "$G5"; do
+  for g in "$G1" "$G2" "$G3" "$G4" "$G5" "$G6"; do
     echo "== $tag  $g =="
     SPARK_GRAFT_SF_DIR=$sf sbt -batch "runMain graft.Bench --child $g" 2>/dev/null \
       | grep GRAFT_TIME | tee -a "$out"
