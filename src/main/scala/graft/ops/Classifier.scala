@@ -220,6 +220,17 @@ object Classifier {
    * (map-side combined — the same shape as reading an un-appended
    * model) plus two 1-row aggregates; appending a batch costs
    * [[nbTrain]] over the BATCH only — the corpus is never re-tokenized.
+   *
+   * Repair semantics (why the model is NOT in x12's
+   * [[graft.ops.Profile.indexRepair]] dispatch): repair's row-level
+   * contract — drop orphans by id, backfill unindexed docs' rows —
+   * presumes per-DOCUMENT index rows, and a model's counts rows are
+   * per-token aggregates that cannot be attributed back to documents
+   * (nor subtracted when documents are deleted). The model's freshness
+   * signal is therefore batch-ledger coverage (its x13 release-audit
+   * row), and the remedy for a stale model is appending the missing
+   * labeled batches (this fold makes that ≡ retraining) or, after
+   * deletions, retraining outright — never row surgery.
    */
   def nbModelFold(counts: DataFrame,
                   totalsLedger: DataFrame): (DataFrame, DataFrame) = {
