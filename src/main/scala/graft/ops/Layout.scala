@@ -147,9 +147,23 @@ object Layout {
    * plus z and zbucket), `dir/bounds` the 1-row parameter table
    * (min_a, max_a, min_b, max_b, bits, n_buckets) written LAST.
    * Returns the bounds row's values (minA, maxA, minB, maxB).
+   *
+   * `envelope` (minA, maxA, minB, maxB), when given, PROVISIONS the
+   * quantization domain instead of deriving it from the data — the
+   * release-owner form every maintained layout wants: a layout whose
+   * bounds are its first write's min/max rejects any later
+   * [[zorderAppend]]/[[zorderRepair]]/streaming batch that lands
+   * outside what that first cut happened to contain, while a
+   * release-provisioned envelope (the expected key domain) admits the
+   * whole maintenance lifetime. Data outside a given envelope fails
+   * loudly (same gate as the append side — an out-of-envelope value
+   * has no cell). Cells get coarser as an envelope widens (cell width
+   * = domain/2^bits), which trades probe tightness, never correctness.
    */
   def zorderWrite(df: DataFrame, colA: String, colB: String, dir: String,
-                  bits: Int = 5, nBuckets: Int = 64): (Long, Long, Long, Long) = {
+                  bits: Int = 5, nBuckets: Int = 64,
+                  envelope: Option[(Long, Long, Long, Long)] = None)
+      : (Long, Long, Long, Long) = {
     integral(df, colA); integral(df, colB)
     require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
     val cells = 1L << (2 * bits)
@@ -160,8 +174,18 @@ object Layout {
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
       s"zorderWrite needs non-null $colA/$colB data (empty input?)")
-    val (mnA, mxA, mnB, mxB) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (mnA, mxA, mnB, mxB) = envelope match {
+      case None => (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      case Some((eMnA, eMxA, eMnB, eMxB)) =>
+        require(eMnA <= eMxA && eMnB <= eMxB,
+          s"inverted envelope [$eMnA..$eMxA, $eMnB..$eMxB]")
+        require(b.getLong(0) >= eMnA && b.getLong(1) <= eMxA &&
+            b.getLong(2) >= eMnB && b.getLong(3) <= eMxB,
+          s"zorderWrite: data [$colA ${b.getLong(0)}..${b.getLong(1)}, " +
+            s"$colB ${b.getLong(2)}..${b.getLong(3)}] falls outside the " +
+            s"provisioned envelope [$eMnA..$eMxA, $eMnB..$eMxB]")
+        (eMnA, eMxA, eMnB, eMxB)
+    }
     val spark = df.sparkSession
     clusteredBy(df, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
       .write.mode("overwrite").partitionBy("zbucket")
@@ -251,6 +275,104 @@ object Layout {
         "has no cell under the stored quantization")
     clusteredBy(delta, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
       .write.mode("append").partitionBy("zbucket").parquet(s"$dir/data")
+  }
+
+  /**
+   * Reconcile a [[zorderWrite]] layout with its corpus — the layout
+   * family's repair member (p19), acting on the two signals its x13
+   * release-audit row reports: ORPHANED store rows (their corpus row
+   * was deleted) are dropped by an `idCol` semi-join, and UNINDEXED
+   * corpus rows (append lag — e.g. a [[zorderAppend]] that failed the
+   * envelope gate and was never retried) are clustered through the
+   * STORED bounds and added. The result replaces `dir/data` via the
+   * write-verify-swap protocol ([[graft.streaming.DocumentStreams
+   * .compactStore]]'s two-rename device; run with writers stopped).
+   *
+   * Contract (spec-pinned): after repair the store holds EXACTLY the
+   * corpus rows, each in the bucket the stored quantization assigns —
+   * `indexAudit(corpus, repaired)` reads n_unindexed = n_orphaned = 0
+   * and fresh_ppm = 1e6, and box probes over the repaired layout equal
+   * the raw corpus filter. Unindexed rows outside the stored envelope
+   * fail loudly BEFORE any write ([[zorderAppend]]'s gate — the remedy
+   * is the widen-and-rewrite, not row surgery with a wrong cell).
+   *
+   * Scale: the orphan drop prunes the corpus side to one id column
+   * (semi-join); the backfill anti-join finds |unindexed| rows and
+   * only THOSE take the quantization projection and range exchange;
+   * the kept rows are rewritten as stored (no re-clustering — their z
+   * is already right by the append ≡ rewrite invariant). The rewrite
+   * itself is one pass over store-sized data — the same cost class as
+   * the compaction every appended store periodically pays anyway;
+   * when the audit reads clean, call nothing.
+   *
+   * Returns (orphans dropped, rows backfilled).
+   */
+  def zorderRepair(corpus: DataFrame, colA: String, colB: String,
+                   idCol: String, dir: String): (Long, Long) = {
+    integral(corpus, colA); integral(corpus, colB)
+    require(corpus.columns.contains(idCol), s"no column $idCol")
+    val spark = corpus.sparkSession
+    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
+    require(boundsRows.nonEmpty,
+      "bounds table is empty - not a zorderWrite layout")
+    val p = boundsRows(0)
+    val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
+      p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
+    val bits = p.getAs[Int]("bits")
+    val nBuckets = p.getAs[Int]("n_buckets")
+    val store = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data")
+    require(store.columns.contains("zbucket") && store.columns.contains(idCol),
+      s"store at $dir is not an id-carrying zorderWrite layout")
+    val corpusIds = corpus.select(col(idCol))
+    val kept = store.join(corpusIds, Seq(idCol), "left_semi")
+    // persisted: the envelope gate, the backfill count and the rewrite
+    // all read the anti-join — unpersisted it would recompute the
+    // reconcile (corpus payload riding the join) once per consumer
+    val missing = corpus.join(store.select(col(idCol)), Seq(idCol),
+      "left_anti").persist()
+    try {
+      // envelope gate BEFORE any write — an out-of-envelope unindexed
+      // row has no cell under the stored quantization
+      val mb = missing.agg(
+        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+      val nMissing = if (mb.isNullAt(0)) 0L else {
+        require(mb.getLong(0) >= mnA && mb.getLong(1) <= mxA &&
+            mb.getLong(2) >= mnB && mb.getLong(3) <= mxB,
+          s"zorderRepair: unindexed rows fall outside the stored envelope " +
+            s"[$mnA..$mxA, $mnB..$mxB] - widen by rewriting (zorderWrite " +
+            "over the corpus)")
+        missing.count()
+      }
+      val repaired = kept.unionByName(
+        clusteredBy(missing, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets),
+        allowMissingColumns = true)
+      // write-verify-swap (the compactStore protocol): never overwrite
+      // the live store in place
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/data.__repair")
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      repaired.write.mode("overwrite").partitionBy("zbucket")
+        .parquet(tmpPath.toString)
+      // swap gate: the rewrite must account for every corpus row —
+      // checked against the corpus directly, independent of the
+      // kept/missing split; the split counts then derive by arithmetic
+      // (no second execution of the reconcile joins)
+      val (nOut, nCorpus) =
+        (spark.read.parquet(tmpPath.toString).count(), corpus.count())
+      require(nOut == nCorpus,
+        s"repair rewrite of $dir has $nOut rows, corpus has $nCorpus")
+      val nOrphans = store.count() - (nOut - nMissing)
+      val old = new org.apache.hadoop.fs.Path(s"$dir/data.__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(dataPath, old), s"could not move $dir/data aside")
+      require(fs.rename(tmpPath, dataPath), s"could not move the rewrite in")
+      fs.delete(old, true)
+      (nOrphans, nMissing)
+    } finally { missing.unpersist(); () }
   }
 
   /**

@@ -1545,6 +1545,47 @@ object PipelineOps {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"), col("user_id"), col("event_type"))
     },
+    "p19_zorder_repair" -> { (s, d) =>
+      // the layout family's repair member: the stored layout drifted
+      // both ways — built WITHOUT the interior slice [300, 349] of the
+      // event corpus < 800 (50 rows of append lag, inside the stored
+      // envelope by construction) and WITH the deleted range
+      // [800, 900) (orphans). zorderRepair drops orphans by an
+      // event_id semi-join, clusters ONLY the unindexed rows through
+      // the STORED bounds, and swaps the rewrite in. The box query
+      // straddles both drift ranges (the repaired slice sits inside
+      // [200, 800]; orphan id 800 sits exactly on the box edge), so
+      // the index-blind corpus filter hash-certifies that repair
+      // backfilled every missing row into the RIGHT bucket and no
+      // orphan survived
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_p19_layout_" + java.lang.Integer.toHexString(d.hashCode)
+      val corpus = ev.filter(col("event_id") < 800)
+      // release-provisioned envelope: the expected key domain comes
+      // from the full fact table, NOT from whatever the drifted build
+      // cut happens to contain — a data-derived envelope would reject
+      // the very backfill rows the repair exists to restore whenever
+      // the missing slice holds a dimension extreme (bit us at sf0.1:
+      // the 850-event cut did not attain the 1500-user corpus range)
+      val eb = ev.agg(
+        min(col("user_id")).cast("long"), max(col("user_id")).cast("long"),
+        min(col("event_id")).cast("long"),
+        max(col("event_id")).cast("long")).head()
+      graft.ops.Layout.zorderWrite(
+        ev.filter((col("event_id") < 900) &&
+          !col("event_id").between(300, 349)),
+        "user_id", "event_id", base,
+        envelope = Some((eb.getLong(0), eb.getLong(1),
+          eb.getLong(2), eb.getLong(3))))
+      graft.ops.Layout.zorderRepair(corpus, "user_id", "event_id",
+        "event_id", base)
+      graft.ops.Layout.boxProbe(s, base, "user_id", "event_id",
+          3L, 9L, 200L, 800L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"), col("user_id"), col("event_type"))
+    },
     "t24_filter_chain" -> { (s, d) =>
       // the shipped curation verdict: quality >= 0.6, Gopher keep,
       // clean encoding, lang in {en, de, fr} — per-doc verdicts +
@@ -3706,6 +3747,14 @@ object PipelineOps {
     // p18: the same index-blind box filter — the appended store must
     // answer it identically to the one-shot layout
     "p18_zorder_append" -> zorderBoxOracle,
+    // p19: the corpus-cut box filter — a surviving orphan (id 800 sits
+    // on the box edge) or a still-missing interior row = hash mismatch
+    "p19_zorder_repair" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id BETWEEN 3 AND 9
+           AND event_id BETWEEN 200 AND 800
+           AND event_id < 800
+         ORDER BY event_id, user_id, event_type""",
     "x10_lsh_plan" ->
       """WITH RECURSIVE d AS (SELECT doc_id AS id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS w,

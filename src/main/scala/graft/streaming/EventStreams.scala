@@ -249,6 +249,56 @@ object EventStreams {
     }
   }
 
+  /**
+   * One micro-batch of streaming LAYOUT maintenance — the p17/p18
+   * family's streaming member, completing its checklist (build /
+   * probe / append / repair / audit / compaction / streaming / HTTP
+   * like every other stored family): each batch of arriving facts
+   * appends into an EXISTING [[graft.ops.Layout.zorderWrite]] layout
+   * through the STORED bounds, so the clustered store — and every
+   * box-search probe over it — stays fresh batch by batch with
+   * delta-sized work.
+   *
+   * The layout must be provisioned at RELEASE time with an envelope
+   * covering the expected key domain (the VectorStreams-centroids /
+   * eval-index precedent: bounds are a release artifact, not stream
+   * state) — a missing layout fails loudly (silently creating one from
+   * the first batch's min/max would make nearly every later batch
+   * out-of-envelope), and an out-of-envelope batch fails the batch
+   * loudly through [[graft.ops.Layout.zorderAppend]]'s gate (the
+   * operator widens via rewrite, then resumes). Exactly-once under
+   * foreachBatch replay: rows are stamped `batch_id` and the append is
+   * skip-if-present, the standard store-commit-marker device; empty
+   * micro-batches append nothing. Compact with
+   * `compactStore(dir + "/data", sortCols = Seq("z"), partitionCols =
+   * Seq("zbucket"))` as appends accumulate.
+   */
+  def layoutBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                  dir: String, colA: String, colB: String): Unit = {
+    val store = DocumentStreams.loadStore(spark, s"$dir/data")
+    require(store.isDefined,
+      s"no layout at $dir - streaming layout maintenance APPENDS into " +
+        "a release-provisioned zorderWrite layout (its bounds are the " +
+        "release's envelope); create it with zorderWrite first")
+    if (batch.isEmpty) return
+    if (!DocumentStreams.committedIn(store, batchId))
+      graft.ops.Layout.zorderAppend(
+        batch.withColumn("batch_id", lit(batchId)), colA, colB, dir)
+  }
+
+  /** Start streaming layout maintenance over any stream carrying the
+    * two layout dimensions — see [[layoutBatch]]. Caller owns the
+    * query lifecycle. */
+  def layoutMaintenanceQuery(stream: DataFrame, dir: String,
+                             colA: String, colB: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        layoutBatch(batch.sparkSession, batch, batchId, dir, colA, colB)
+      }
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .start()
+
   /** Run any events transform to completion over a bounded stream and
     * return the materialized sink table (used by specs and backfills). */
   def runOnce(spark: SparkSession, streamed: DataFrame,

@@ -315,6 +315,13 @@ object PlanDump {
         "only the layout's own directories read. Append ≡ rewrite is " +
         "the hash gate; this dump shows the PLAN is append-invariant " +
         "too."),
+    "p19_zorder_repair" ->
+      ("Probe over the REPAIRED layout: zorderRepair reconciled the " +
+        "store with the corpus (orphans semi-joined out on one pruned " +
+        "id column, unindexed rows clustered through the stored " +
+        "bounds, write-verify-swap) — the probe plan is again the " +
+        "p17 shape: zbucket INSET PartitionFilters, pushed residual " +
+        "box predicate, only the layout's directories read."),
     "t34_model_append" ->
       ("Scoring from the FOLDED appended model: one token-keyed sum " +
         "over the counts store (map-side combined — same shape as an " +

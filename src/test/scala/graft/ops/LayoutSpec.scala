@@ -199,6 +199,78 @@ class LayoutSpec extends SparkSuite {
       Layout.zorderAppend(corpus.filter(lit(false)), "a", "b", dir))
   }
 
+  test("zorderWrite with a provisioned envelope: maintenance can land " +
+    "anywhere inside it (not just inside the first cut's data range); " +
+    "data outside a GIVEN envelope is rejected at write") {
+    val dir = tmp("envelope-prov")
+    val seed = spark.range(10, 50).select(col("id").as("a"),
+      col("id").as("b"))
+    Layout.zorderWrite(seed, "a", "b", dir, bits = 3, nBuckets = 4,
+      envelope = Some((0L, 99L, 0L, 99L)))
+    // outside the seed's data range, inside the provisioned envelope —
+    // a data-derived envelope would have rejected this append
+    Layout.zorderAppend(Seq((0L, 99L)).toDF("a", "b"), "a", "b", dir)
+    assert(Layout.boxProbe(spark, dir, "a", "b", 0L, 5L, 90L, 99L)
+      .count() === 1L)
+    intercept[IllegalArgumentException](
+      Layout.zorderWrite(seed, "a", "b", tmp("envelope-bad"), bits = 3,
+        nBuckets = 4, envelope = Some((20L, 99L, 0L, 99L))))
+  }
+
+  test("zorderRepair: orphans dropped, unindexed rows clustered through " +
+    "the STORED bounds, audit-clean after, kept rows untouched") {
+    val all = spark.range(1000).select(col("id"),
+      (col("id") % 97).as("a"), (col("id") * 13 % 503).as("b"))
+    val corpus = all.filter(col("id") < 800)
+    val dir = tmp("repair")
+    // drifted store: missing the interior slice [100, 149] (50 rows of
+    // append lag, inside the envelope) and carrying deleted [800, 900)
+    Layout.zorderWrite(
+      all.filter(col("id") < 900 && !col("id").between(100, 149)),
+      "a", "b", dir, bits = 4, nBuckets = 16)
+    // zbucket reads back as a directory-inferred partition column
+    // (INT at these magnitudes) — cast for a stable read
+    val before = spark.read.parquet(s"$dir/data")
+      .select(col("id"), col("z"), col("zbucket").cast("long")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (orphans, backfilled) =
+      Layout.zorderRepair(corpus, "a", "b", "id", dir)
+    assert((orphans, backfilled) === ((100L, 50L)))
+    val repaired = spark.read.parquet(s"$dir/data")
+    val audit = Profile.indexAudit(corpus, "id", repaired, "id")
+      .collect()(0)
+    assert(audit.getAs[Long]("n_unindexed") === 0L &&
+      audit.getAs[Long]("n_orphaned") === 0L &&
+      audit.getAs[Long]("fresh_ppm") === 1000000L)
+    // kept rows keep their exact (z, zbucket); backfilled rows get the
+    // cell the stored quantization assigns (the probe-completeness
+    // invariant) — checked through a probe straddling the slice
+    val after = repaired
+      .select(col("id"), col("z"), col("zbucket").cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(before.view.filterKeys(_ < 800).forall { case (k, v) =>
+      after(k) == v })
+    val got = Layout.boxProbe(spark, dir, "a", "b", 10L, 60L, 100L, 400L)
+    val want = corpus.filter(col("a").between(10L, 60L) &&
+      col("b").between(100L, 400L))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("zorderRepair: out-of-envelope unindexed rows fail loudly " +
+    "BEFORE any write (the widen-and-rewrite remedy)") {
+    val base = spark.range(100).select(col("id"),
+      col("id").as("a"), col("id").as("b"))
+    val dir = tmp("repair-envelope")
+    Layout.zorderWrite(base, "a", "b", dir, bits = 3, nBuckets = 4)
+    val corpus = base.unionByName(
+      Seq((1000L, 5000L, 5L)).toDF("id", "a", "b"))
+    val e = intercept[IllegalArgumentException](
+      Layout.zorderRepair(corpus, "a", "b", "id", dir))
+    assert(e.getMessage.contains("envelope"), e.getMessage)
+    assert(spark.read.parquet(s"$dir/data").count() === 100L)
+  }
+
   test("guards: non-integral columns, bad bucket counts, empty input") {
     val df = Seq((1L, "x")).toDF("a", "s")
     val dir = tmp("guard")

@@ -275,4 +275,59 @@ class EventStreamsSpec extends SparkSuite {
     assert(out === Array("2024-01-01 00:15:00.0", "2024-01-01 00:30:00.0",
       "2024-01-01 00:45:00.0", "2024-01-01 01:00:00.0"))
   }
+
+  test("streaming layout maintenance: batches append into the release " +
+      "layout through the STORED bounds, probes stay fresh, replay " +
+      "appends nothing, a missing layout fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("evstream-layout").toString + "/layout"
+    def facts(ids: Seq[Long]) = ids
+      .map(i => (i, i % 11, s"t${i % 3}"))
+      .toDF("event_id", "user_id", "event_type")
+    // release provisioning: the seed's envelope covers the expected
+    // key domain (event ids to 999, users to 10)
+    val seed = facts(Seq(0L, 999L) ++ (1L to 40L))
+    graft.ops.Layout.zorderWrite(seed, "user_id", "event_id", dir,
+      bits = 4, nBuckets = 16)
+    // a missing layout fails loudly (no silent first-batch bounds)
+    val e = intercept[IllegalArgumentException](
+      EventStreams.layoutBatch(spark, facts(Seq(1L)), 0L,
+        dir + "-nowhere", "user_id", "event_id"))
+    assert(e.getMessage.contains("zorderWrite first"), e.getMessage)
+    // two micro-batches, delivered through the real streaming path
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.layoutMaintenanceQuery(
+      input.toDF().toDF("event_id", "user_id", "event_type"),
+      dir, "user_id", "event_id")
+    input.addData((100L, 1L, "a"), (200L, 2L, "b"))
+    q.processAllAvailable()
+    input.addData((300L, 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // the probe answers through the maintained store: seed + batches
+    val got = graft.ops.Layout.boxProbe(spark, dir, "user_id",
+        "event_id", 0L, 10L, 50L, 500L)
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(got === Seq(100L, 200L, 300L))
+    // replay idempotence: re-running a committed batch appends nothing
+    val before = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").count()
+    EventStreams.layoutBatch(spark,
+      facts(Seq(300L)).select(col("event_id"), col("user_id"),
+        col("event_type")), 1L, dir, "user_id", "event_id")
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").count() === before)
+    // empty micro-batches are a clean no-op, not an append failure
+    EventStreams.layoutBatch(spark, facts(Nil), 7L, dir,
+      "user_id", "event_id")
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").count() === before)
+    // an out-of-envelope batch fails ITS batch loudly (widen + resume)
+    val e2 = intercept[IllegalArgumentException](
+      EventStreams.layoutBatch(spark, facts(Seq(5000L)), 8L, dir,
+        "user_id", "event_id"))
+    assert(e2.getMessage.contains("envelope"), e2.getMessage)
+  }
 }

@@ -23,7 +23,7 @@ G5="t25_perplexity_buckets,x08_threshold_sweep,e20_nprobe_sweep,g05_communities"
 # candidates, then raw vectors for |queries|*kCoarse rows only), e25 the
 # recall side of the same kCoarse trade — plus the r13 stored-artifact
 # closers (appended layout probe, model append+fold, 10-family audit)
-G6="e23_indexed_ivfpq,e26_pq_rerank,e25_pq_recall,p18_zorder_append,t34_model_append,x13_release_audit"
+G6="e23_indexed_ivfpq,e26_pq_rerank,e25_pq_recall,p18_zorder_append,p19_zorder_repair,t34_model_append,x13_release_audit"
 
 if [ ! -f "$SF1/documents.parquet/_SUCCESS" ]; then
   echo "== generating $SF1 (10x sf0.1) =="
