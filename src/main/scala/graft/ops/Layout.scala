@@ -270,11 +270,62 @@ object Layout {
         b.getLong(2) >= mnB && b.getLong(3) <= mxB,
       s"zorderAppend: delta [$colA ${b.getLong(0)}..${b.getLong(1)}, " +
         s"$colB ${b.getLong(2)}..${b.getLong(3)}] falls outside the " +
-        s"stored envelope [$mnA..$mxA, $mnB..$mxB] - widen by rewriting " +
-        "(zorderWrite over corpus + delta); an out-of-envelope value " +
-        "has no cell under the stored quantization")
+        s"stored envelope [$mnA..$mxA, $mnB..$mxB] - widen first " +
+        "(zorderWiden with an envelope covering the delta); an " +
+        "out-of-envelope value has no cell under the stored quantization")
     clusteredBy(delta, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
       .write.mode("append").partitionBy("zbucket").parquet(s"$dir/data")
+  }
+
+  /**
+   * Widen-and-rewrite — the remedy every envelope-gate failure here
+   * names ([[zorderAppend]]/[[zorderRepair]]/the streaming batch):
+   * re-cluster `corpus` under a NEW provisioned envelope and swap the
+   * whole layout (data AND bounds — they must move together: a probe
+   * racing a data-only swap would enumerate buckets with the wrong
+   * quantization) in place of the old one. The rewrite builds
+   * completely in a side directory with [[zorderWrite]]'s own
+   * bounds-last crash ordering, is row-count-verified against the
+   * corpus, then two atomic renames replace `dir` — a crash at any
+   * point leaves either the old layout or the new one, never a
+   * mixed-quantization store. Run with writers stopped (the
+   * [[graft.streaming.DocumentStreams.compactStore]] rule). The new
+   * envelope must contain the old one — a widen that can DROP domain
+   * is a rewrite mistake, rejected loudly.
+   */
+  def zorderWiden(corpus: DataFrame, colA: String, colB: String,
+                  dir: String, envelope: (Long, Long, Long, Long),
+                  bits: Int = 5, nBuckets: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
+    require(boundsRows.nonEmpty,
+      "bounds table is empty - not a zorderWrite layout")
+    val p = boundsRows(0)
+    require(envelope._1 <= p.getAs[Long]("min_a") &&
+        envelope._2 >= p.getAs[Long]("max_a") &&
+        envelope._3 <= p.getAs[Long]("min_b") &&
+        envelope._4 >= p.getAs[Long]("max_b"),
+      s"zorderWiden: new envelope $envelope does not contain the " +
+        s"stored one [${p.getAs[Long]("min_a")}..${p.getAs[Long]("max_a")}, " +
+        s"${p.getAs[Long]("min_b")}..${p.getAs[Long]("max_b")}] - " +
+        "widening must never drop domain")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = dir + ".__widen"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    zorderWrite(corpus.drop("z", "zbucket"), colA, colB, tmp, bits,
+      nBuckets, envelope = Some(envelope))
+    val (nNew, nCorpus) =
+      (spark.read.parquet(s"$tmp/data").count(), corpus.count())
+    require(nNew == nCorpus,
+      s"widen rewrite of $dir has $nNew rows, corpus has $nCorpus")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(dirPath, old), s"could not move $dir aside")
+    require(fs.rename(tmpPath, dirPath), s"could not move $tmp into place")
+    fs.delete(old, true)
   }
 
   /**
@@ -341,8 +392,8 @@ object Layout {
         require(mb.getLong(0) >= mnA && mb.getLong(1) <= mxA &&
             mb.getLong(2) >= mnB && mb.getLong(3) <= mxB,
           s"zorderRepair: unindexed rows fall outside the stored envelope " +
-            s"[$mnA..$mxA, $mnB..$mxB] - widen by rewriting (zorderWrite " +
-            "over the corpus)")
+            s"[$mnA..$mxA, $mnB..$mxB] - widen first (zorderWiden with an " +
+            "envelope covering the corpus)")
         missing.count()
       }
       val repaired = kept.unionByName(

@@ -192,7 +192,7 @@ class LayoutSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Layout.zorderAppend(outside, "a", "b", dir))
     assert(e.getMessage.contains("envelope") &&
-      e.getMessage.contains("zorderWrite"), e.getMessage)
+      e.getMessage.contains("zorderWiden"), e.getMessage)
     // nothing was written by the failed append
     assert(spark.read.parquet(s"$dir/data").count() === 100L)
     intercept[IllegalArgumentException](
@@ -255,6 +255,32 @@ class LayoutSpec extends SparkSuite {
     val want = corpus.filter(col("a").between(10L, 60L) &&
       col("b").between(100L, 400L))
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("zorderWiden: the envelope-failure remedy — corpus re-clustered " +
+    "under the wider envelope, whole-layout swap, previously-rejected " +
+    "appends then land; a domain-dropping 'widen' is rejected") {
+    val dir = tmp("widen") + "/layout"
+    val corpus = spark.range(100).select(col("id").as("a"),
+      (col("id") * 7 % 100).as("b"))
+    Layout.zorderWrite(corpus, "a", "b", dir, bits = 3, nBuckets = 4)
+    val outside = Seq((500L, 5L)).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Layout.zorderAppend(outside, "a", "b", dir))
+    Layout.zorderWiden(corpus, "a", "b", dir, (0L, 999L, 0L, 999L),
+      bits = 3, nBuckets = 4)
+    Layout.zorderAppend(outside, "a", "b", dir) // now in-envelope
+    val got = Layout.boxProbe(spark, dir, "a", "b", 0L, 600L, 0L, 10L)
+    val want = corpus.unionByName(outside)
+      .filter(col("a").between(0L, 600L) && col("b").between(0L, 10L))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // bounds carry the provisioned envelope (data + bounds swapped
+    // TOGETHER — a probe must never see mixed quantization)
+    val nb = spark.read.parquet(s"$dir/bounds").head()
+    assert(nb.getAs[Long]("max_a") === 999L && nb.getAs[Long]("max_b") === 999L)
+    intercept[IllegalArgumentException](
+      Layout.zorderWiden(corpus, "a", "b", dir, (10L, 999L, 0L, 999L),
+        bits = 3, nBuckets = 4))
   }
 
   test("zorderRepair: out-of-envelope unindexed rows fail loudly " +
