@@ -2217,12 +2217,27 @@ final class HttpFacade(
 
   /** Model-based scoring over any catalog table
     * (`?counts=<ns.table>&totals=<ns.table>[&text=text][&id=doc_id]
-    * [&limit=100]`): graft.ops.Classifier.nbScore against a STORED t33
-    * model — the per-token class-count table and the 1-row totals,
-    * trained once and read back as plain catalog tables ("engine state
-    * lives in tables"). The response is the top-`limit` scored rows in
-    * id order (orderBy precedes the capped collect — the r10 rule) plus
-    * the kept-count summary a curation dashboard wants. The operator's
+    * [&limit=100]`): graft.ops.Classifier.nbScore against a STORED
+    * model — the per-token class-count table and the totals, read back
+    * as plain catalog tables ("engine state lives in tables"). BOTH
+    * stored model layouts are served (the r13 gap — every other
+    * family's route reads its maintained store directly):
+    *  - one-shot (t33): a 1-row (tp, tn, v, dp, dn) totals — used
+    *    as-is;
+    *  - appended/streamed LEDGER (t34 / DocumentStreams `nbLabel`): a
+    *    `batch_id`-stamped totals with one row per committed batch —
+    *    folded IN THE ROUTE via graft.ops.Classifier.nbModelFold
+    *    (counts summed per token; the non-additive vocabulary size
+    *    recomputed from the folded counts; dp/dn by ledger sum), so
+    *    serving an appended model needs no caller-side fold-and-
+    *    re-register step.
+    * The `batch_id` column is the form discriminator (it is the
+    * streaming stores' reserved stamp). A batch-stamp-LESS totals with
+    * more than one row is AMBIGUOUS — nbScore's head() would pick an
+    * arbitrary row — and is rejected as a 400 naming both valid forms.
+    * The response is the top-`limit` scored rows in id order (orderBy
+    * precedes the capped collect — the r10 rule) plus the kept-count
+    * summary a curation dashboard wants. The operator's
     * model-integrity requires (empty model, one-class totals) surface
     * as 400s — a broken stored artifact is a caller error, not a 500.
     * Read-only, outside the op lock; the scoring plan broadcasts the
@@ -2251,16 +2266,38 @@ final class HttpFacade(
         case None => return
         case Some(v) => v
       }
-      val counts = loadStored(ex, countsPath.get, "model counts",
+      val countsStored = loadStored(ex, countsPath.get, "model counts",
         Seq("t", "cp", "cn")) match {
         case None => return
         case Some(t) => t
       }
-      val totals = loadStored(ex, totalsPath.get, "model totals",
-        Seq("tp", "tn", "v", "dp", "dn")) match {
+      val totalsStored = loadStored(ex, totalsPath.get, "model totals",
+        Seq("dp", "dn")) match {
         case None => return
         case Some(t) => t
       }
+      val ledgerForm = totalsStored.columns.contains("batch_id")
+      val (counts, totals) =
+        if (ledgerForm)
+          graft.ops.Classifier.nbModelFold(countsStored, totalsStored)
+        else {
+          val missing = Seq("tp", "tn", "v")
+            .filterNot(totalsStored.columns.contains)
+          if (missing.nonEmpty) {
+            sendJson(ex, 400, detail(s"Model totals table " +
+              s"${totalsPath.get} is neither a one-shot model (missing " +
+              s"columns: ${missing.mkString(", ")}) nor a batch-stamped " +
+              "ledger (no batch_id column)")); return
+          }
+          if (totalsStored.limit(2).count() > 1L) {
+            sendJson(ex, 400, detail(s"Model totals table " +
+              s"${totalsPath.get} has multiple rows but no batch_id " +
+              "column - ambiguous: a one-shot model totals is exactly " +
+              "one row; an appendable ledger must be batch-stamped"))
+            return
+          }
+          (countsStored, totalsStored)
+        }
       val missing = Seq(textCol, idCol).filterNot(df.columns.contains)
       if (missing.nonEmpty) {
         sendJson(ex, 400,
@@ -2301,6 +2338,7 @@ final class HttpFacade(
         "table" -> tablePath,
         "counts" -> countsPath.get,
         "totals" -> totalsPath.get,
+        "model_form" -> (if (ledgerForm) "ledger" else "one_shot"),
         "n_docs" -> total,
         "n_pos" -> kept,
         "n_returned" -> rows.length.toLong,

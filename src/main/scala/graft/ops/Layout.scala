@@ -134,6 +134,31 @@ object Layout {
     (out.toSeq, visited)
   }
 
+  /** Read the 1-row bounds of the layout at `dir` — the shared entry
+    * gate of every stored-layout operation ([[zorderAppend]],
+    * [[zorderWiden]], [[zorderRepair]], [[boxProbe]]). Two loud
+    * failure modes instead of a confusing read error: a layout whose
+    * WHOLE directory is missing while `dir.__old` exists is a
+    * mid-[[zorderWiden]]-swap crash (the window between the two
+    * renames) — the message names the recovery, moving `dir.__old`
+    * back; a layout with data but no bounds is a crashed
+    * [[zorderWrite]] (bounds are written last by design). */
+  private def storedBounds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Row = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir + ".__old")))
+      throw new IllegalStateException(
+        s"$dir is missing but $dir.__old exists - a widen/repair swap " +
+          s"crashed between its two renames; recover by renaming " +
+          s"$dir.__old back to $dir")
+    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
+    require(boundsRows.nonEmpty,
+      "bounds table is empty - not a zorderWrite layout")
+    boundsRows(0)
+  }
+
   private def integral(df: DataFrame, c: String): Unit = {
     require(df.columns.contains(c), s"no column $c")
     val t = df.schema(c).dataType.typeName
@@ -249,10 +274,7 @@ object Layout {
                    dir: String): Unit = {
     integral(delta, colA); integral(delta, colB)
     val spark = delta.sparkSession
-    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
-    require(boundsRows.nonEmpty,
-      "bounds table is empty - not a zorderWrite layout")
-    val p = boundsRows(0)
+    val p = storedBounds(spark, dir)
     val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")
@@ -286,21 +308,37 @@ object Layout {
    * quantization) in place of the old one. The rewrite builds
    * completely in a side directory with [[zorderWrite]]'s own
    * bounds-last crash ordering, is row-count-verified against the
-   * corpus, then two atomic renames replace `dir` — a crash at any
-   * point leaves either the old layout or the new one, never a
-   * mixed-quantization store. Run with writers stopped (the
-   * [[graft.streaming.DocumentStreams.compactStore]] rule). The new
-   * envelope must contain the old one — a widen that can DROP domain
-   * is a rewrite mistake, rejected loudly.
+   * corpus, then two renames replace `dir`. Each rename is atomic,
+   * but there is a WINDOW between them where no live store exists at
+   * `dir`: a crash there strands the complete old layout at
+   * `dir.__old` (never a mixed-quantization store — recovery is
+   * renaming it back, and [[storedBounds]] detects the state and
+   * names that remedy on the next read). Run with writers AND readers
+   * of `dir` stopped (the [[graft.streaming.DocumentStreams
+   * .compactStore]] rule — a reader racing the swap window fails on a
+   * missing path). The new envelope must contain the old one — a
+   * widen that can DROP domain is a rewrite mistake, rejected loudly.
+   *
+   * `bits`/`nBuckets` default to the STORED layout's geometry (a
+   * widen is a domain change, not a resolution change): an operator
+   * following [[zorderAppend]]'s error-message remedy on a
+   * fine-grained layout must not silently re-cluster it to a coarse
+   * default — probes would stay correct (bounds swap with data) but
+   * pruning tightness would silently degrade. Pass them explicitly
+   * only to deliberately re-provision resolution along with domain.
+   *
+   * If the corpus passed in is the store itself (the streaming-
+   * maintenance case — [[graft.streaming.EventStreams.layoutBatch]]),
+   * its `batch_id` commit markers ride the rewrite unchanged, so a
+   * resumed maintenance stream's skip-if-present guard keeps meaning
+   * what it says (spec-pinned: widen-then-resume).
    */
   def zorderWiden(corpus: DataFrame, colA: String, colB: String,
                   dir: String, envelope: (Long, Long, Long, Long),
-                  bits: Int = 5, nBuckets: Int = 64): Unit = {
+                  bits: Option[Int] = None,
+                  nBuckets: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
-    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
-    require(boundsRows.nonEmpty,
-      "bounds table is empty - not a zorderWrite layout")
-    val p = boundsRows(0)
+    val p = storedBounds(spark, dir)
     require(envelope._1 <= p.getAs[Long]("min_a") &&
         envelope._2 >= p.getAs[Long]("max_a") &&
         envelope._3 <= p.getAs[Long]("min_b") &&
@@ -314,8 +352,10 @@ object Layout {
     val tmp = dir + ".__widen"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-    zorderWrite(corpus.drop("z", "zbucket"), colA, colB, tmp, bits,
-      nBuckets, envelope = Some(envelope))
+    zorderWrite(corpus.drop("z", "zbucket"), colA, colB, tmp,
+      bits.getOrElse(p.getAs[Int]("bits")),
+      nBuckets.getOrElse(p.getAs[Int]("n_buckets")),
+      envelope = Some(envelope))
     val (nNew, nCorpus) =
       (spark.read.parquet(s"$tmp/data").count(), corpus.count())
     require(nNew == nCorpus,
@@ -363,10 +403,7 @@ object Layout {
     integral(corpus, colA); integral(corpus, colB)
     require(corpus.columns.contains(idCol), s"no column $idCol")
     val spark = corpus.sparkSession
-    val boundsRows = spark.read.parquet(s"$dir/bounds").head(1)
-    require(boundsRows.nonEmpty,
-      "bounds table is empty - not a zorderWrite layout")
-    val p = boundsRows(0)
+    val p = storedBounds(spark, dir)
     val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")
@@ -432,13 +469,27 @@ object Layout {
    * statically partition-pruned scan of the candidate zbuckets (the
    * Morton cells of the clamped box rectangle, enumerated driver-side
    * from the stored bounds — never from data) plus the exact residual
-   * predicate. Output drops the layout's z/zbucket helper columns:
-   * probe results are row-identical to filtering the raw table.
+   * predicate. Output drops the layout's helper columns — z, zbucket,
+   * and the `batch_id` stamp streaming maintenance adds
+   * ([[graft.streaming.EventStreams.layoutBatch]]; the name is
+   * reserved across every store here): probe results are row-identical
+   * to filtering the raw table.
+   *
+   * The store read merges schemas: a maintained layout holds MIXED
+   * file schemas (release files without `batch_id`, appended files
+   * with it), so without the merge the probe's output schema would
+   * depend on which parquet footer Spark happened to sample —
+   * nondeterministic, and a contract break for streamed layouts
+   * (spec-pinned: probe schema over a layoutBatch-maintained store
+   * equals the raw table's columns).
    */
   def boxProbe(spark: SparkSession, dir: String, colA: String, colB: String,
-               loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame =
-    boxProbeTables(spark.read.parquet(s"$dir/data"),
+               loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
+    storedBounds(spark, dir) // loud mid-swap / crashed-write detection
+    boxProbeTables(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/data"),
       spark.read.parquet(s"$dir/bounds"), colA, colB, loA, hiA, loB, hiB)
+  }
 
   /** [[boxProbe]] over already-loaded store/bounds tables — the HTTP
     * box-search route's form (layout artifacts registered as catalog
@@ -466,7 +517,7 @@ object Layout {
       s"bounds table bits must be in [1,20], got $bits")
     require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
       s"bounds table n_buckets=$nBuckets must divide 4^bits=${1L << (2 * bits)}")
-    val out = store.drop("z", "zbucket")
+    val out = store.drop("z", "zbucket", "batch_id")
     if (loA > hiA || loB > hiB || loA > mxA || hiA < mnA ||
         loB > mxB || hiB < mnB) return out.filter(lit(false))
     val (ca1, ca2) = (cellOf(math.max(loA, mnA), mnA, mxA, bits),
@@ -477,6 +528,6 @@ object Layout {
     store
       .filter(col("zbucket").isin(buckets: _*) &&
         col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
-      .drop("z", "zbucket")
+      .drop("z", "zbucket", "batch_id")
   }
 }

@@ -239,7 +239,8 @@ object DocumentStreams {
     * visibly). Merge ≡ rebuild: counts are additive per value-based
     * bin, so the accumulated store merges to exactly what one
     * [[graft.ops.Sketches.histSketch]] over the corpus store's lengths
-    * would produce (spec-pinned).
+    * would produce (spec-pinned — including null-text survivors, which
+    * contribute no bin on EITHER path: a NULL length has no rank).
     *
     * With `nbLabel` set (a boolean Column over the batch's columns —
     * the teacher being distilled, e.g. the t33 lang-id verdict),
@@ -434,10 +435,15 @@ object DocumentStreams {
             // only (the corpus is never re-read — the maintenance
             // point), into the store-lifetime [histLo, histHi]
             // envelope. Same exactly-once and empty-append guards.
+            // Null-text survivors contribute NO bin (histSketch's own
+            // null filter — length(NULL) is NULL), matching the pinned
+            // rebuild form (histSketch over the corpus store's
+            // lengths): a coalesce-to-0 here would silently shift the
+            // streamed quantiles off the rebuild's for any corpus
+            // holding null-text survivors.
             val deltaHist = graft.ops.Sketches.histSketch(
               surv.select(lit(batchId).cast("int").as("shard"),
-                length(coalesce(col(textCol), lit(""))).cast("long")
-                  .as("len")),
+                length(col(textCol)).cast("long").as("len")),
               "len", "shard", histLo, histHi, histBins).persist()
             try {
               val hasH = deltaHist.limit(1).count() > 0L

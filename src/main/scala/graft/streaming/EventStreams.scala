@@ -265,8 +265,12 @@ object EventStreams {
    * state) — a missing layout fails loudly (silently creating one from
    * the first batch's min/max would make nearly every later batch
    * out-of-envelope), and an out-of-envelope batch fails the batch
-   * loudly through [[graft.ops.Layout.zorderAppend]]'s gate (the
-   * operator widens via rewrite, then resumes). Exactly-once under
+   * loudly through [[graft.ops.Layout.zorderAppend]]'s gate — the
+   * operator widens via [[graft.ops.Layout.zorderWiden]] passing the
+   * STORE (`dir/data`) as the widen corpus, so the rows' `batch_id`
+   * commit markers survive the rewrite, then resumes (widening from
+   * the raw facts instead would strip the markers and double-append
+   * the last in-flight batch on resume). Exactly-once under
    * foreachBatch replay: rows are stamped `batch_id` and the append is
    * skip-if-present, the standard store-commit-marker device; empty
    * micro-batches append nothing. Compact with
@@ -288,7 +292,21 @@ object EventStreams {
 
   /** Start streaming layout maintenance over any stream carrying the
     * two layout dimensions — see [[layoutBatch]]. Caller owns the
-    * query lifecycle. */
+    * query lifecycle.
+    *
+    * The checkpoint lives at the SIBLING path `dir.__checkpoint`,
+    * deliberately OUTSIDE the layout directory:
+    * [[graft.ops.Layout.zorderWiden]] — the documented remedy when a
+    * batch hits the envelope gate — swaps and deletes the whole layout
+    * dir, and a checkpoint inside it would be destroyed with it. The
+    * resumed query would then restart batch ids at 0, COLLIDING with
+    * the `batch_id` markers already in the rewritten data, and the
+    * skip-if-present guard would silently drop every fresh micro-batch
+    * — silent data loss in the maintained layout. With the checkpoint
+    * outside, widen-then-resume is safe (spec-pinned): batch ids
+    * continue, and the markers (which ride the widen when the store is
+    * passed as the widen corpus) keep matching only batches that
+    * actually committed. */
   def layoutMaintenanceQuery(stream: DataFrame, dir: String,
                              colA: String, colB: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -296,7 +314,7 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         layoutBatch(batch.sparkSession, batch, batchId, dir, colA, colB)
       }
-      .option("checkpointLocation", s"$dir/_checkpoint")
+      .option("checkpointLocation", dir + ".__checkpoint")
       .start()
 
   /** Run any events transform to completion over a bounded stream and

@@ -1689,6 +1689,86 @@ class HttpFacadeSpec extends SparkSuite {
     assert(r1.body.contains("classes"), r1.body)
   }
 
+  test("classify route serves the APPENDED (ledger-form) model store " +
+    "directly: batch-stamped totals fold in the route, response equals " +
+    "the one-shot model's over the union cut; an unstamped multi-row " +
+    "totals is rejected as ambiguous") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = spark.table("httpapi.documents")
+    val teacher = col("lang") === "en"
+    // the t34/DocumentStreams store shape: two appended batches, every
+    // row batch-stamped (counts as-is, totals as a LEDGER row)
+    val dir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-ledger").toString
+    for ((lo, hi, b) <- Seq((0L, 300L, 0L), (300L, 400L, 1L))) {
+      val (c, t) = graft.ops.Classifier.nbTrain(
+        all.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "text", "doc_id", teacher)
+      c.withColumn("batch_id", lit(b))
+        .write.mode("append").parquet(s"$dir/nbcounts")
+      t.coalesce(1).withColumn("batch_id", lit(b))
+        .write.mode("append").parquet(s"$dir/nbtotals")
+    }
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_counts_led
+      USING parquet LOCATION '$dir/nbcounts'""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_totals_led
+      USING parquet LOCATION '$dir/nbtotals'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/classify"
+    val m = get(base +
+      "?counts=httpapi.nb_counts_led&totals=httpapi.nb_totals_led&limit=7")
+    assert(m.statusCode === 200, m.body)
+    assert(m.body.contains("\"model_form\":\"ledger\""), m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // the served scores equal the ONE-SHOT model's over the union cut
+    // (fold ≡ retrain, now end-to-end through the HTTP surface)
+    val (uc, ut) = graft.ops.Classifier.nbTrain(
+      all.filter(col("doc_id") < 400), "text", "doc_id", teacher)
+    val expected = graft.ops.Classifier.nbScore(
+      all, "text", "doc_id", uc, ut)
+    assert(lg(m.body, "n_docs") === expected.count())
+    assert(lg(m.body, "n_pos") === expected.filter(col("is_pos")).count())
+    val first = expected.limit(7).collect()
+    val docPat = ("""\{"id":(-?\d+),"n_tokens":(-?\d+),""" +
+      """"margin_scaled":(-?\d+),"prior_scaled":(-?\d+),""" +
+      """"is_pos":(true|false)\}""").r
+    val got = docPat.findAllMatchIn(m.body).toSeq
+    assert(got.length === 7, m.body)
+    for ((g, e) <- got.zip(first)) {
+      assert(g.group(1).toLong === e.getLong(0))
+      assert(g.group(3).toLong === e.getLong(2), s"margin of ${g.group(1)}")
+    }
+    // ambiguous: multiple totals rows with NO batch stamp — neither a
+    // 1-row one-shot model nor a foldable ledger (nbScore would pick
+    // an arbitrary row) — 400, not a silently-wrong score
+    val amDir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-ambig").toString
+    spark.read.parquet(s"$dir/nbtotals").drop("batch_id")
+      .write.mode("overwrite").parquet(amDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_totals_amb
+      USING parquet LOCATION '$amDir'""")
+    val ra = get(base +
+      "?counts=httpapi.nb_counts_led&totals=httpapi.nb_totals_amb")
+    assert(ra.statusCode === 400, ra.body)
+    assert(ra.body.contains("ambiguous"), ra.body)
+    // a totals table with neither form's columns names both forms
+    val nfDir = java.nio.file.Files
+      .createTempDirectory("httpapi-nb-noform").toString
+    spark.read.parquet(s"$dir/nbtotals").select(col("dp"), col("dn"))
+      .limit(1).write.mode("overwrite").parquet(nfDir)
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.nb_totals_nf
+      USING parquet LOCATION '$nfDir'""")
+    val rn = get(base +
+      "?counts=httpapi.nb_counts_led&totals=httpapi.nb_totals_nf")
+    assert(rn.statusCode === 400, rn.body)
+    assert(rn.body.contains("one-shot") && rn.body.contains("ledger"),
+      rn.body)
+  }
+
   test("distinct-sketch route: estimate from the stored sketch rows, " +
     "reconciled with the direct operator") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")

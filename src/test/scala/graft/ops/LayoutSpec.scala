@@ -267,20 +267,65 @@ class LayoutSpec extends SparkSuite {
     val outside = Seq((500L, 5L)).toDF("a", "b")
     intercept[IllegalArgumentException](
       Layout.zorderAppend(outside, "a", "b", dir))
-    Layout.zorderWiden(corpus, "a", "b", dir, (0L, 999L, 0L, 999L),
-      bits = 3, nBuckets = 4)
+    Layout.zorderWiden(corpus, "a", "b", dir, (0L, 999L, 0L, 999L))
     Layout.zorderAppend(outside, "a", "b", dir) // now in-envelope
     val got = Layout.boxProbe(spark, dir, "a", "b", 0L, 600L, 0L, 10L)
     val want = corpus.unionByName(outside)
       .filter(col("a").between(0L, 600L) && col("b").between(0L, 10L))
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
     // bounds carry the provisioned envelope (data + bounds swapped
-    // TOGETHER — a probe must never see mixed quantization)
+    // TOGETHER — a probe must never see mixed quantization) AND the
+    // stored geometry: widen defaults bits/nBuckets from the layout,
+    // never from a coarse constant (the r13 ADVICE hazard — a default
+    // here would silently degrade a fine layout's pruning tightness)
     val nb = spark.read.parquet(s"$dir/bounds").head()
     assert(nb.getAs[Long]("max_a") === 999L && nb.getAs[Long]("max_b") === 999L)
+    assert(nb.getAs[Int]("bits") === 3 && nb.getAs[Int]("n_buckets") === 4)
     intercept[IllegalArgumentException](
-      Layout.zorderWiden(corpus, "a", "b", dir, (10L, 999L, 0L, 999L),
-        bits = 3, nBuckets = 4))
+      Layout.zorderWiden(corpus, "a", "b", dir, (10L, 999L, 0L, 999L)))
+  }
+
+  test("a crash in the widen swap window strands the old layout at " +
+    ".__old - every stored-layout read detects the state and names " +
+    "the recovery instead of failing on a missing path") {
+    val dir = tmp("swapcrash") + "/layout"
+    val corpus = spark.range(50).select(col("id").as("a"), col("id").as("b"))
+    Layout.zorderWrite(corpus, "a", "b", dir, bits = 3, nBuckets = 4)
+    // simulate the between-renames crash: dir moved aside, nothing in
+    val moved = new java.io.File(dir)
+      .renameTo(new java.io.File(dir + ".__old"))
+    assert(moved)
+    val e = intercept[IllegalStateException](
+      Layout.boxProbe(spark, dir, "a", "b", 0L, 9L, 0L, 9L))
+    assert(e.getMessage.contains(".__old") &&
+      e.getMessage.contains("renaming"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      Layout.zorderAppend(corpus, "a", "b", dir))
+    assert(e2.getMessage.contains(".__old"), e2.getMessage)
+    // the named recovery restores the layout intact
+    assert(new java.io.File(dir + ".__old").renameTo(new java.io.File(dir)))
+    assert(Layout.boxProbe(spark, dir, "a", "b", 0L, 9L, 0L, 9L)
+      .count() === 10L)
+  }
+
+  test("probe schema invariance over a streamed (layoutBatch-" +
+    "maintained) layout: mixed release/appended file schemas read " +
+    "merged, batch_id dropped - output columns equal the raw table's") {
+    val dir = tmp("streamed-schema") + "/layout"
+    val release = spark.range(100).select(col("id").as("a"),
+      (col("id") * 7 % 100).as("b"), concat(lit("p"), col("id")).as("payload"))
+    Layout.zorderWrite(release, "a", "b", dir, bits = 3, nBuckets = 4,
+      envelope = Some((0L, 999L, 0L, 999L)))
+    // streaming maintenance stamps batch_id onto appended files only —
+    // the store now holds MIXED schemas
+    val late = Seq((500L, 5L, "late")).toDF("a", "b", "payload")
+    graft.streaming.EventStreams.layoutBatch(spark, late, 3L, dir, "a", "b")
+    val probe = Layout.boxProbe(spark, dir, "a", "b", 0L, 600L, 0L, 10L)
+    assert(probe.columns.toSeq === release.columns.toSeq,
+      s"probe schema ${probe.columns.toSeq} leaked helper columns")
+    val want = release.unionByName(late)
+      .filter(col("a").between(0L, 600L) && col("b").between(0L, 10L))
+    assert(probe.except(want).isEmpty && want.except(probe).isEmpty)
   }
 
   test("zorderRepair: out-of-envelope unindexed rows fail loudly " +

@@ -303,8 +303,13 @@ class DocumentStreamsSpec extends SparkSuite {
       DocumentStreams.processBatch(spark, df, id, dir, "text", "doc_id",
         0.7, hist = true, histLo = lo, histHi = hi, histBins = bins)
     run(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
-    // batch 1: 4 dups 1 (rejected — no histogram contribution), 5 new
-    run(Seq((4L, tA), (5L, tNew)).toDF("doc_id", "text"), 1L)
+    // batch 1: 4 dups 1 (rejected — no histogram contribution), 5 new,
+    // and a NULL-text survivor — it must contribute NO bin on the
+    // streamed path, exactly as the rebuild form excludes it
+    // (length(NULL) has no rank); binning it as length 0 would shift
+    // every streamed quantile off the rebuild's (the r13 ADVICE gap)
+    run(Seq((4L, Some(tA)), (5L, Some(tNew)), (6L, Option.empty[String]))
+      .toDF("doc_id", "text"), 1L)
     def quantiles(sketch: org.apache.spark.sql.DataFrame) =
       graft.ops.Sketches.histQuantiles(
         graft.ops.Sketches.histMerge(sketch),

@@ -306,6 +306,14 @@ class EventStreamsSpec extends SparkSuite {
     input.addData((300L, 3L, "c"))
     q.processAllAvailable()
     q.stop()
+    // the checkpoint lives OUTSIDE the layout dir (sibling path):
+    // zorderWiden swaps and deletes the whole dir — a checkpoint
+    // inside it would die with the swap and the resumed query would
+    // restart batch ids at 0, colliding with the store's markers
+    assert(new java.io.File(dir + ".__checkpoint").exists(),
+      "checkpoint must live at the sibling path")
+    assert(!new java.io.File(s"$dir/_checkpoint").exists(),
+      "checkpoint must not live inside the layout dir")
     // the probe answers through the maintained store: seed + batches
     val got = graft.ops.Layout.boxProbe(spark, dir, "user_id",
         "event_id", 0L, 10L, 50L, 500L)
@@ -329,5 +337,49 @@ class EventStreamsSpec extends SparkSuite {
       EventStreams.layoutBatch(spark, facts(Seq(5000L)), 8L, dir,
         "user_id", "event_id"))
     assert(e2.getMessage.contains("envelope"), e2.getMessage)
+  }
+
+  test("widen-then-resume: the zorderWiden remedy preserves the " +
+      "store's batch markers (store passed as widen corpus), so a " +
+      "resumed maintenance stream neither double-appends a committed " +
+      "batch nor silently skips a fresh one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("evstream-widen").toString + "/layout"
+    def facts(rows: (Long, Long)*) = rows
+      .map { case (id, u) => (id, u, "t") }
+      .toDF("event_id", "user_id", "event_type")
+    graft.ops.Layout.zorderWrite(facts((0L, 0L), (999L, 10L)),
+      "user_id", "event_id", dir, bits = 4, nBuckets = 16)
+    EventStreams.layoutBatch(spark, facts((100L, 1L)), 0L, dir,
+      "user_id", "event_id")
+    EventStreams.layoutBatch(spark, facts((200L, 2L)), 1L, dir,
+      "user_id", "event_id")
+    // batch 2 lands outside the envelope -> fails loudly; the remedy:
+    // widen with the STORE as corpus (markers ride the rewrite)
+    intercept[IllegalArgumentException](
+      EventStreams.layoutBatch(spark, facts((5000L, 3L)), 2L, dir,
+        "user_id", "event_id"))
+    graft.ops.Layout.zorderWiden(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/data"),
+      "user_id", "event_id", dir, (0L, 10L, 0L, 9999L))
+    // resume: the failed batch replays under its id and now lands
+    EventStreams.layoutBatch(spark, facts((5000L, 3L)), 2L, dir,
+      "user_id", "event_id")
+    // a replay of an ALREADY-COMMITTED batch appends nothing (the
+    // markers survived the widen - this is the silent-data-loss /
+    // double-append axis the sibling checkpoint + store-corpus
+    // convention exists for)
+    val n = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").count()
+    EventStreams.layoutBatch(spark, facts((200L, 2L)), 1L, dir,
+      "user_id", "event_id")
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").count() === n)
+    // and the maintained store serves every batch exactly once
+    val got = graft.ops.Layout.boxProbe(spark, dir, "user_id",
+        "event_id", 0L, 10L, 50L, 9000L)
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(got === Seq(100L, 200L, 999L, 5000L))
   }
 }
