@@ -241,6 +241,52 @@ object Bench {
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // ---- ambient calibration (full-inventory mode only) ----------------
+    // The r6–r13 artifacts all leaned on a PROSE ambient argument ("this
+    // session's busy-host band is 1.15–1.35×") assembled by a human from
+    // back-to-back pairs. Mechanized: BEFORE the sweep, one solo child
+    // times three fixed sub-second CPU-shaped probes (scan+filter, multi-
+    // aggregate, vector top-k — stable, never code-touched hot paths) and
+    // `ambient_index` = Σ calibration medians / Σ their curated record
+    // rows lands in the artifact. ~1.0 = quiet record-vintage host;
+    // the session band the prose used to assert is now a measured number
+    // the churn gate scales by, and a reader can divide the headline
+    // total by it instead of trusting a narrative.
+    val calibrationProbes =
+      Seq("q01_scan_filter", "q44_stat_aggs", "e01_cosine_topk")
+    val committedAll = committedRecord()
+    val ambientIndex: Option[Double] =
+      if (inproc) None
+      else {
+        val cal = calibrationProbes.filter(n =>
+          SparkEntry.queries.contains(n) && committedAll.contains(n))
+        if (cal.size < calibrationProbes.size) {
+          System.err.println("NOTICE bench ambient calibration skipped - " +
+            s"probes missing from inventory/record: " +
+            calibrationProbes.filterNot(cal.contains).mkString(","))
+          None
+        } else {
+          val got = forkChunk(cal)
+          val pairs = cal.flatMap(n => got.get(n).map(m => (m, committedAll(n))))
+          if (pairs.size < cal.size) {
+            System.err.println(
+              "NOTICE bench ambient calibration child crashed - no index")
+            None
+          } else {
+            val idx = pairs.map(_._1).sum / pairs.map(_._2).sum
+            System.err.println(
+              f"INFO bench ambient_index=$idx%.3f (calibration " +
+                pairs.map(p => f"${p._1}%.3f/${p._2}%.3f").mkString(", ") +
+                "; 1.0 = record-vintage quiet host)")
+            Some(idx)
+          }
+        }
+      }
+    // the churn gate's expectation scales by the MEASURED ambient (floored
+    // at 1.0 — a quiet host must not tighten the gate below the record):
+    // culprit = reading > 2 x record x amb AND > 0.5 s absolute over it
+    val amb = math.max(1.0, ambientIndex.getOrElse(1.0))
+
     val results: Seq[(String, Double)] =
       if (inproc) timeQueries(ordered, sfDir, cpus).map(r => (r._1, r._2))
       else {
@@ -269,11 +315,12 @@ object Bench {
         // its committed median when re-run isolated). After all chunks
         // complete — i.e. with the machine otherwise quiet — re-fork ONCE
         // any chunk holding a query that read > 2x its committed
-        // BENCH_FULL.json value (plus a 0.5 s absolute floor so sub-second
+        // BENCH_FULL.json value SCALED BY THE MEASURED AMBIENT INDEX
+        // (plus a 0.5 s absolute floor so sub-second
         // noise can't trigger a retry), keep the better per-query reading,
         // and log both so the artifact carries the retry record. Bounded
         // cost: at most one extra fork per suspicious chunk.
-        val committed = committedRecord()
+        val committed = committedAll
         // format-drift sentinel: the record parser degrades to no-op by
         // design, but silently — surface it so a renamed key scheme or
         // empty file is visible in the bench stderr, not discovered a
@@ -290,13 +337,13 @@ object Bench {
                else "partial (new or renamed queries unchecked)"))
         val suspicious = chunks.filter(_.exists { n =>
           (committed.get(n), measured.get(n)) match {
-            case (Some(c), Some(m)) => m > 2 * c && m - c > 0.5
+            case (Some(c), Some(m)) => m > 2 * c * amb && m - c * amb > 0.5
             case _ => false
           }
         })
         suspicious.foreach { chunk =>
           val culprits = chunk.filter(n => committed.get(n).exists(c =>
-            measured.get(n).exists(m => m > 2 * c && m - c > 0.5)))
+            measured.get(n).exists(m => m > 2 * c * amb && m - c * amb > 0.5)))
           System.err.println(
             s"WARN bench churn self-check: re-forking chunk ${chunk.head}..${chunk.last} " +
               s"(over 2x committed: ${culprits.mkString(",")})")
@@ -347,8 +394,12 @@ object Bench {
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
+    // the measured session-ambient number rides the artifact so the
+    // "N× of record" headline is interpretable without a narrative
+    val ambField = ambientIndex
+      .map(i => s""","ambient_index":${f2(i)}""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonMap(results)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$ambField,"queries":${jsonMap(results)},"sf":$sfNum}"""
     // only a FULL-inventory run may overwrite the committed record — a
     // SPARK_GRAFT_BENCH_ONLY diagnosis run would clobber it with a
     // partial map and a bogus one-query total
@@ -361,7 +412,7 @@ object Bench {
         System.err.println(s"WARN could not write $benchOut: $e") }
     }
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonMap(results.filter(r => headline(r._1)))},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec"$ambField,"queries":${jsonMap(results.filter(r => headline(r._1)))},"sf":$sfNum}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench JSON line ${line.length} chars — " +
         "approaching the driver's 2000-char stdout tail window")

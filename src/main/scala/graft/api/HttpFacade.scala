@@ -181,6 +181,8 @@ final class HttpFacade(
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "classify")) =>
           classifyRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "media-search")) =>
+          mediaSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "box-search")) =>
           boxSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "bloom-check")) =>
@@ -1690,6 +1692,126 @@ final class HttpFacade(
           "id" -> String.valueOf(r.get(0)),
           "probe_id" -> String.valueOf(r.get(1)),
           "n_shared" -> r.getInt(2).toLong)))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Perceptual media search over a STORED signature index
+    * (`?index=<ns.sigs>&meta=<ns.meta>[&id=id][&payload=payload]
+    * [&format=format][&limit=1000]`): the m05 serving loop — the
+    * media family's symmetric of contamination-search/bm25-search,
+    * closing the family's HTTP-serving checklist entry. `{tablePath}`
+    * is the probe table of arriving media (an integral id column, a
+    * BINARY payload column, a string format column — `format` accepts
+    * a dotted struct field like `meta.format`); `index` names a stored
+    * [[graft.ops.Multimodal.mediaSignatureIndex]] signature table
+    * (written once per release PARTITIONED BY sb) and `meta` its 1-row
+    * geometry. Each request histograms its OWN payloads map-side,
+    * derives grid cells under the released geometry, and DPP-probes
+    * the store — corpus payloads are never read. The operator's
+    * geometry validation (a meta that disagrees with the stored rows)
+    * surfaces as a 400, not a 500. Response: (id, probe_id) near-dup
+    * matches at the release threshold, id-ordered, capped at `limit`.
+    * Read-only, outside the op lock. */
+  private def mediaSearchRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val indexPath = qp.get("index").filter(_.nonEmpty)
+      val metaPath = qp.get("meta").filter(_.nonEmpty)
+      if (indexPath.isEmpty || metaPath.isEmpty) {
+        sendJson(ex, 400, detail(
+          "index and meta parameters are required")); return
+      }
+      val idCol = qp.getOrElse("id", "id")
+      val payloadCol = qp.getOrElse("payload", "payload")
+      val formatCol = qp.getOrElse("format", "format")
+      val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
+        case None => return
+        case Some(v) => v
+      }
+      val index = loadStored(ex, indexPath.get, "index",
+        Seq("id", "format", "hist", "nn", "c1", "c2", "sb")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val metaDf = loadStored(ex, metaPath.get, "meta",
+        Seq("bin1", "bin2", "threshold_ppm", "n_buckets")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val missing = Seq(idCol, payloadCol).filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${missing.mkString(", ")}")); return
+      }
+      val idIntegral = df.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!idIntegral) {
+        sendJson(ex, 400, detail(
+          s"Id column $idCol is not an integral column")); return
+      }
+      if (df.schema(payloadCol).dataType !=
+          org.apache.spark.sql.types.BinaryType) {
+        sendJson(ex, 400, detail(
+          s"Payload column $payloadCol is not a binary column")); return
+      }
+      // format may be a dotted struct field — resolve through select
+      val probeMedia = try {
+        df.select(
+          org.apache.spark.sql.functions.col(idCol).cast("long").as("id"),
+          org.apache.spark.sql.functions.col(payloadCol).as("payload"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col(formatCol).cast("string")
+              .as("format"),
+            org.apache.spark.sql.functions.lit(0).as("width"),
+            org.apache.spark.sql.functions.lit(0).as("height"),
+            org.apache.spark.sql.functions.lit(0L).as("n_bytes"))
+            .as("meta"))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          sendJson(ex, 400,
+            detail(s"Unknown format column $formatCol: ${e.getMessage}"))
+          return
+      }
+      // geometry drift is a caller error (wrong meta for this index),
+      // not a 500
+      val result = try {
+        graft.ops.Multimodal.mediaSignatureProbe(index, metaDf, probeMedia)
+      } catch {
+        case e: IllegalArgumentException =>
+          sendJson(ex, 400, detail(e.getMessage)); return
+      }
+      val rows = result
+        .orderBy(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("probe_id"))
+        .limit(limit).collect()
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "index" -> indexPath.get,
+        "meta" -> metaPath.get,
+        "id" -> idCol,
+        "payload" -> payloadCol,
+        "format" -> formatCol,
+        "n_results" -> rows.length.toLong,
+        "results" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> r.getAs[Number](0).longValue(),
+          "probe_id" -> r.getAs[Number](1).longValue())))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

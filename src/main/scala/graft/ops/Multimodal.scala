@@ -515,6 +515,284 @@ object Multimodal {
     Dedup.minNeighborReps(hists.select(col("id")), pairs)
   }
 
+  // --- the STORED media signature index (m05) ---------------------------
+  //
+  // The one family member media lacked through r13: m03/m04 rebuild the
+  // perceptual candidate structure in-query every time, while every
+  // text/vector family persists its probe-side state (d18/e21/t28/t29).
+  // At 100 TB of media the histogram pass over raw payloads is the
+  // dominant cost — a release job should pay it ONCE and every probe
+  // (new-batch dedup gate, "have we seen this asset" search) should read
+  // signatures, never payloads.
+  //
+  // The stored signature is the GRID key (absolute-coordinate banding of
+  // the two release-chosen highest-variance normalized histogram bins, at
+  // resolution √(2(1−t)) — [[gridPairsOf]]'s geometry), NOT hyperplane
+  // LSH bands, deliberately: the m04 round-6 sf1 probe MEASURED that
+  // sign-of-projection bands degenerate to format blocks on direction-
+  // clustered media populations (both tiers quadratic, exponent 1.62),
+  // while the grid separates metric spread with candidate recall EXACTLY
+  // 1 (per-coordinate bound: a qualifying pair's cells differ by ≤ 1 in
+  // each dimension, so the probe's 3×3 replication always covers the
+  // stored cell). Recall 1 also makes the stored tier's hash gate
+  // DETERMINISTIC — the probe-over-store output equals m03's exact gate
+  // by argument, not by a 2e-12 miss budget.
+
+  /** Partition bucket of a grid cell key — the sb column both sides of
+    * the probe join derive from (c1, c2) alone, so the fpb/cid-style
+    * dynamic partition pruning arms on the stored scan. 2003 is an
+    * arbitrary odd spreading constant; collisions only coarsen pruning.
+    * Overflow-safe under ANSI: |c1| ≤ max(1/w, sentinel) ≈ 1e9 at the
+    * extreme threshold, ×2003 ≪ 2^63. */
+  private def sigBucket(c1: org.apache.spark.sql.Column,
+                        c2: org.apache.spark.sql.Column,
+                        buckets: Int): org.apache.spark.sql.Column =
+    pmod(c1 * lit(2003L) + c2, lit(buckets.toLong)).cast("int")
+
+  /** Driver mirrors of the in-plan signature arithmetic — used by the
+    * stored-geometry validation ([[validateSigGeometry]]); every step
+    * (divide, sqrt, floor, multiply) is a correctly-rounded IEEE-754
+    * operation on both sides, so the mirror matches bit-for-bit. */
+  private def sigBucketOf(c1: Long, c2: Long, buckets: Int): Int = {
+    val m = (c1 * 2003L + c2) % buckets
+    (if (m < 0) m + buckets else m).toInt
+  }
+
+  private def cellValOf(histBin: Long, nn: Long, w: Double): Long =
+    if (nn == 0) ZeroNormCell
+    else math.floor(histBin.toDouble / (math.sqrt(nn.toDouble) * w)).toLong
+
+  /** One signature row per media item: (id, format, hist, nn, c1, c2,
+    * sb) — the stored hist/nn make the exact [[ppmExact]] verify run
+    * against the STORE (payloads are never re-read at probe time);
+    * (c1, c2) are the grid cells under the given release geometry and
+    * `sb` the partition bucket. Shared by build, append and the probe's
+    * own (probe-side) derivation so the three can never drift. */
+  private def sigRowsOf(hists: DataFrame, thresholdPpm: Int,
+                        bins: (Int, Int), buckets: Int): DataFrame = {
+    val w = gridCellWidth(thresholdPpm)
+    def cell(bin: Int): org.apache.spark.sql.Column =
+      when(col("nn") === 0, lit(ZeroNormCell))
+        .otherwise(floor(element_at(col("hist"), bin + 1).cast("double") /
+          (sqrt(col("nn").cast("double")) * w)))
+    hists.select(col("id"), col("format"), col("hist"), col("nn"),
+        cell(bins._1).as("c1"), cell(bins._2).as("c2"))
+      .withColumn("sb", sigBucket(col("c1"), col("c2"), buckets))
+  }
+
+  /**
+   * Build the stored media signature index — the release artifact of
+   * the media near-dup family (m05; the d18/e21/t28/t29 compute-once/
+   * store/probe pattern for media): one signature row per item
+   * ([[sigRowsOf]] — content histogram, exact norms, grid cells,
+   * partition bucket) plus a 1-row `meta` geometry table
+   * (bin1, bin2, threshold_ppm, n_buckets).
+   *
+   * Persist sigs PARTITIONED BY `sb` and meta LAST (the zorderWrite
+   * bounds-last crash ordering: a half-written store with no meta fails
+   * every probe loudly). The blocking bins are chosen from THIS
+   * corpus's conditional variance ([[topVarianceBins]]) and then FROZEN
+   * as release geometry — the zorder-envelope stance: appends and
+   * probes reuse the stored bins, and because candidate recall is
+   * exactly 1 under ANY bin choice (the per-coordinate grid bound),
+   * stale bins can only coarsen pruning, never change an answer.
+   * `thresholdPpm` is part of the geometry: the cell width derives from
+   * it, so one store serves ONE threshold (build another for another
+   * gate — they are different release artifacts, like Bloom nWords/k).
+   *
+   * Scale: one map-side histogram pass over payloads (the only time
+   * they are read), two bounded-collect variance probes (16 and
+   * ~16/w rows), one narrow signature write. Probes and appends are
+   * payload-free on the corpus side forever after. Compact with
+   * [[graft.streaming.DocumentStreams.compactStore]]`(dir, sortCols =
+   * Seq("id"), partitionCols = Seq("sb"))` as appends accumulate.
+   */
+  def mediaSignatureIndex(spark: SparkSession, media: DataFrame,
+                          thresholdPpm: Int = 999990,
+                          buckets: Int = 64): (DataFrame, DataFrame) = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    require(buckets >= 1, s"mediaSignatureIndex needs buckets >= 1")
+    val hists = histsOf(media).localCheckpoint(true)
+    val bins = topVarianceBins(hists, thresholdPpm)
+    val sigs = sigRowsOf(hists, thresholdPpm, bins, buckets)
+    val meta = spark.range(1).select(
+      lit(bins._1).as("bin1"), lit(bins._2).as("bin2"),
+      lit(thresholdPpm).as("threshold_ppm"),
+      lit(buckets).as("n_buckets"))
+    (sigs, meta)
+  }
+
+  /** Parse + validate the 1-row meta geometry every stored-index entry
+    * point reads — a missing/garbled meta fails loudly (the probe
+    * cannot guess the release geometry). */
+  private def readSigMeta(meta: DataFrame): ((Int, Int), Int, Int) = {
+    val rows = meta.select(col("bin1").cast("int"), col("bin2").cast("int"),
+      col("threshold_ppm").cast("int"), col("n_buckets").cast("int"))
+      .head(2)
+    require(rows.length == 1,
+      s"media signature meta must be exactly 1 row, got ${rows.length}")
+    val r = rows(0)
+    require((0 to 3).forall(!r.isNullAt(_)),
+      "media signature meta has null geometry")
+    val (b1, b2, t, nb) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    require(b1 >= 0 && b1 < 16 && b2 >= 0 && b2 < 16 && b1 != b2,
+      s"meta bins ($b1, $b2) must be distinct in [0, 16)")
+    require(t >= 0 && t <= 1000000,
+      s"meta threshold_ppm must be in [0, 1000000], got $t")
+    require(nb >= 1, s"meta n_buckets must be >= 1, got $nb")
+    ((b1, b2), t, nb)
+  }
+
+  /** A meta row that disagrees with the stored rows' actual geometry
+    * would make the probe's (sb, c1, c2) join silently drop matches —
+    * false negatives in a dedup gate (and, on the append path,
+    * PERMANENTLY misplaced rows). The stored rows carry enough to
+    * verify: every (hist, nn, c1, c2, sb) must satisfy the cell and
+    * bucket formulas under the meta geometry. A bounded 100-row sample
+    * (the t29 validateBuckets device — the clean case stays cheap)
+    * makes a drifted meta essentially impossible to miss. */
+  private def validateSigGeometry(index: DataFrame, bins: (Int, Int),
+                                  thresholdPpm: Int, buckets: Int): Unit = {
+    val w = gridCellWidth(thresholdPpm)
+    val sample = index.select(col("hist"), col("nn"), col("c1"),
+      col("c2"), col("sb").cast("int")).limit(100).collect()
+    require(sample.forall { r =>
+      val hist = r.getSeq[Long](0)
+      val (nn, c1, c2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      c1 == cellValOf(hist(bins._1), nn, w) &&
+        c2 == cellValOf(hist(bins._2), nn, w) &&
+        r.getInt(4) == sigBucketOf(c1, c2, buckets)
+    }, "stored media signature rows do not match the meta geometry - " +
+      "probe/append with the index's own meta table")
+  }
+
+  /**
+   * Probe a stored media signature index with a batch of media items:
+   * (id, probe_id) — every stored item within the release threshold of
+   * each probe item, decided by the IDENTICAL exact integer
+   * [[ppmExact]] gate over the STORED histograms. The corpus payloads
+   * are never touched: the probe histograms its own (batch-sized)
+   * payloads map-side, derives grid cells under the stored geometry,
+   * replicates into the 3×3 cell neighborhood (recall exactly 1 — the
+   * per-coordinate bound; each qualifying pair matches exactly once,
+   * so no distinct), and equi-joins the signature store on
+   * (sb, format, c1, c2).
+   *
+   * `broadcastProbe` (default true — an arriving batch is small by
+   * definition) pins the probe side as the broadcast build, which arms
+   * the stored scan's `sb` dynamic partition pruning (PlanSpec-pinned)
+   * and keeps the store off any shuffle; pass false for a corpus-sized
+   * probe set (the m05 self-probe), trading a shuffle join for the
+   * broadcast limit. Self-pairs (same id both sides) are excluded so a
+   * corpus can probe its own store.
+   */
+  def mediaSignatureProbe(index: DataFrame, meta: DataFrame,
+                          probes: DataFrame,
+                          broadcastProbe: Boolean = true): DataFrame = {
+    val (bins, thresholdPpm, buckets) = readSigMeta(meta)
+    validateSigGeometry(index, bins, thresholdPpm, buckets)
+    val thr2 = thresholdPpm.toLong * thresholdPpm
+    val probeSigs = sigRowsOf(histsOf(probes), thresholdPpm, bins, buckets)
+    // broadcast path: materialize the (batch-sized by definition)
+    // probe keys ONCE — the histogram pass is an OBJECT plan
+    // (mapPartitions), and AQE's dynamic-partition-pruning reuse
+    // requires the join's broadcast and the DPP subquery to
+    // canonicalize to the SAME exchange; through the un-materialized
+    // object plan the stage-cache lookup misses and the planner
+    // silently degrades the filter to dynamicpruningexpression(true) —
+    // a full store scan (measured; the spec pins the pruned read).
+    // The checkpoint also stops the probe payloads being histogrammed
+    // twice (join build + pruning subquery).
+    val keyed = if (broadcastProbe) probeSigs.localCheckpoint(true)
+                else probeSigs
+    val shifted = keyed
+      .withColumn("d1", explode(lit(Array(-1L, 0L, 1L))))
+      .withColumn("d2", explode(lit(Array(-1L, 0L, 1L))))
+      .select(col("id").as("probe_id"), col("format"),
+        col("hist").as("__hb"), col("nn").as("nb"),
+        (col("c1") + col("d1")).as("c1"), (col("c2") + col("d2")).as("c2"))
+      .withColumn("sb", sigBucket(col("c1"), col("c2"), buckets))
+    val p = if (broadcastProbe) broadcast(shifted) else shifted
+    // corpus-sized-probe path: the signature tables are narrow BEFORE
+    // the join and pair-explosive AFTER, so AQE's input-size-based
+    // coalescing would fold the exchange to ~1 partition and serialize
+    // the verify work (the brutePairsOf hazard); a user-specified
+    // count is exempt
+    val ix = if (broadcastProbe) index
+             else index.repartition(
+               index.sparkSession.sparkContext.defaultParallelism,
+               col("sb"), col("format"), col("c1"), col("c2"))
+    ix.join(p, Seq("sb", "format", "c1", "c2"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("id"), col("probe_id"),
+        aggregate(zip_with(col("hist"), col("__hb"), _ * _),
+          lit(0L), _ + _).as("dot"),
+        col("nn").as("na"), col("nb"))
+      .filter(ppmExact(thr2))
+      .select(col("id"), col("probe_id"))
+  }
+
+  /** Signature rows for new media under a RELEASED meta geometry — the
+    * unvalidated core shared by [[mediaSignatureAppend]] (which
+    * validates against the stored rows first), the first-batch path of
+    * streaming ingestion (no store to validate yet), and
+    * [[graft.ops.Profile.indexRepair]]'s buildRows closure (signature
+    * rows are per-item facts, so the media family repairs row-level
+    * like dedup/postings/fps). */
+  def mediaSignatureRows(meta: DataFrame, newMedia: DataFrame): DataFrame = {
+    val (bins, thresholdPpm, buckets) = readSigMeta(meta)
+    sigRowsOf(histsOf(newMedia), thresholdPpm, bins, buckets)
+  }
+
+  /**
+   * Incremental maintenance for a stored [[mediaSignatureIndex]] — the
+   * media family's append member (the t30/t31/d18 contract): a new
+   * media batch emits its signature rows under the STORED geometry
+   * (histogrammed from the BATCH payloads only — the corpus is never
+   * re-read), schema-identical to the released layout and ready to
+   * `write.mode("append").partitionBy("sb")` into it. Only touched
+   * buckets gain files; probes' dynamic partition pruning keeps working
+   * unchanged over the appended layout.
+   *
+   * Equivalence contract (spec-pinned, the m05 hash gate): signature
+   * rows are per-item facts OF THE RELEASE GEOMETRY, so append(index,
+   * delta) ∪-equals the index rebuilt from scratch over corpus ∪ delta
+   * with the same meta — and because candidate recall is 1 under any
+   * bin choice, a probe over the appended store equals the exact gate
+   * over the union even where a from-scratch rebuild would have chosen
+   * different bins. The meta geometry is validated against a bounded
+   * sample of the stored rows BEFORE any row is derived (a drifted
+   * meta here would scatter the newest signatures into wrong partitions
+   * permanently). Caller contract: delta ids must be NEW (the d07/e22
+   * convention; [[graft.ops.Profile.indexAudit]] is the drift check).
+   */
+  def mediaSignatureAppend(index: DataFrame, meta: DataFrame,
+                           newMedia: DataFrame): DataFrame = {
+    val (bins, thresholdPpm, buckets) = readSigMeta(meta)
+    validateSigGeometry(index, bins, thresholdPpm, buckets)
+    sigRowsOf(histsOf(newMedia), thresholdPpm, bins, buckets)
+  }
+
+  /**
+   * [[mediaNearDup]]'s output THROUGH the stored signature index — the
+   * m05 gate composition: self-probe the store with the corpus
+   * (`broadcastProbe = false`: the probe side is corpus-sized by
+   * construction), order each surviving pair once, and fold to the
+   * dedup family's (id, keep_id, is_dup) one-hop min-id reps. Equals
+   * [[mediaNearDup]] exactly (recall 1 + the identical exact gate)
+   * whenever the store covers `media` — the coverage precondition the
+   * family's x13 audit row checks.
+   */
+  def mediaNearDupIndexed(index: DataFrame, meta: DataFrame,
+                          media: DataFrame): DataFrame = {
+    val pairs = mediaSignatureProbe(index, meta, media,
+        broadcastProbe = false)
+      .filter(col("id") < col("probe_id"))
+      .select(col("id").as("id_a"), col("probe_id").as("id_b"))
+    Dedup.minNeighborReps(media.select(col("id")), pairs)
+  }
+
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame", capped at `maxFrames` — the partition/batch plumbing of video
     * frame sampling with the codec stubbed out. */

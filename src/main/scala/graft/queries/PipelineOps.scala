@@ -1144,8 +1144,8 @@ object PipelineOps {
     },
     "x13_release_audit" -> { (s, d) =>
       // release-wide freshness audit: ONE statement about every stored
-      // artifact family the release ships — TEN families, each with its
-      // own freshness semantics and its own planted drift signature.
+      // artifact family the release ships — ELEVEN families, each with
+      // its own freshness semantics and its own planted drift signature.
       // Per-document index families (document corpus = docs < 480):
       // the dedup index was built from the x11 drifted cut [30, 490)
       // (30 unindexed, 10 orphaned), the postings from docs < 450
@@ -1240,6 +1240,19 @@ object PipelineOps {
       graft.ops.Layout.zorderWrite(
         allEvents.filter(col("event_id") >= 50 && col("event_id") < 900),
         "user_id", "event_id", base + "/layout")
+      // the media signature store (m05) from the drifted cut [20, 500):
+      // 20 media items unindexed, 20 orphaned signatures — a per-item
+      // index family, audited by id coverage like dedup/postings/fps
+      // buckets = 8: the audit reads ids, never probes — no need to
+      // pay the 64-directory dynamic-partition write latency here
+      val (medSigs, medMeta) = Multimodal.mediaSignatureIndex(s,
+        Multimodal.mediaFromDocuments(
+          allDocs.filter(col("doc_id") >= 20 && col("doc_id") < 500)),
+        buckets = 8)
+      medSigs.write.mode("overwrite").partitionBy("sb")
+        .parquet(base + "/mediasigs")
+      medMeta.coalesce(1).write.mode("overwrite")
+        .parquet(base + "/mediameta")
       val dc = allDocs.filter(col("doc_id") < 480)
       val vc = allVecs.filter(col("vec_id") < 480)
       val ec = allEvents.filter(col("event_id") < 800)
@@ -1260,7 +1273,9 @@ object PipelineOps {
         ("model", dcBatches, "batch",
           s.read.parquet(base + "/nbtotals"), "batch_id"),
         ("layout", ec, "event_id",
-          s.read.parquet(base + "/layout/data"), "event_id")))
+          s.read.parquet(base + "/layout/data"), "event_id"),
+        ("mediasig", dc, "doc_id",
+          s.read.parquet(base + "/mediasigs"), "id")))
     },
     "x12_index_repair" -> { (s, d) =>
       // acting on x11's signals: the same drifted stored dedup index
@@ -2003,6 +2018,39 @@ object PipelineOps {
       // threshold; see Multimodal.mediaNearDupScaled)
       Multimodal.mediaNearDupScaled(s,
         Multimodal.mediaFromDocuments(docs(s, d)), thresholdPpm = 999990)
+    },
+    "m05_indexed_media_neardup" -> { (s, d) =>
+      // the media family's STORED-index member (the d18/e21/t28/t29
+      // compute-once/store/probe pattern — the one family that rebuilt
+      // its perceptual candidate structure in-query through r13): the
+      // release builds the grid signature store (content histograms +
+      // exact norms + release-geometry grid cells, PARTITIONED BY the
+      // sb bucket) over media items < 480 plus the 1-row meta geometry;
+      // items >= 480 arrive AFTER the release and append via
+      // mediaSignatureAppend (signature rows derived from the BATCH
+      // payloads only under the STORED geometry — the corpus is never
+      // re-read); the dedup read then self-probes the APPENDED store
+      // (payload-free on the corpus side, candidate recall exactly 1 by
+      // the per-coordinate grid bound). The oracle is m03's index-blind
+      // exact-gate SQL over the full corpus, so a hash match proves
+      // build + append + probe ≡ the brute-force gate end to end —
+      // deterministically, not by an LSH miss budget
+      val all = Multimodal.mediaFromDocuments(docs(s, d))
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_m05_index_" + java.lang.Integer.toHexString(d.hashCode)
+      val (sigs, meta) =
+        Multimodal.mediaSignatureIndex(s, all.filter(col("id") < 480))
+      sigs.write.mode("overwrite").partitionBy("sb")
+        .parquet(base + "/sigs")
+      // meta last: the zorderWrite bounds-last crash ordering
+      meta.coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+      val delta = Multimodal.mediaSignatureAppend(
+        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/meta"),
+        all.filter(col("id") >= 480))
+      delta.write.mode("append").partitionBy("sb").parquet(base + "/sigs")
+      Multimodal.mediaNearDupIndexed(
+        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/meta"),
+        all)
     }
   )
 
@@ -3538,8 +3586,8 @@ object PipelineOps {
                   AS n_orphaned,
                 CAST((SELECT count(*) FROM c JOIN i USING (id)) * 1000000
                   // (SELECT count(*) FROM c) AS BIGINT) AS fresh_ppm""",
-    // x13: five x11-style set-arithmetic rows — one per stored index
-    // family over its own corpus and drifted cut — re-derived
+    // x13: one x11-style set-arithmetic row per stored index family
+    // (eleven) over its own corpus and drifted cut — re-derived
     // index-blindly and unioned; a hash match certifies every family's
     // stored id column reports its true coverage through one statement
     "x13_release_audit" -> {
@@ -3581,7 +3629,9 @@ object PipelineOps {
          m_i AS (SELECT DISTINCT doc_id // 60 AS id FROM documents
              WHERE doc_id < 360),
          l_i AS (SELECT DISTINCT event_id AS id FROM events
-             WHERE event_id >= 50 AND event_id < 900)
+             WHERE event_id >= 50 AND event_id < 900),
+         g_i AS (SELECT DISTINCT doc_id AS id FROM documents
+             WHERE doc_id >= 20 AND doc_id < 500)
          ${fam("bm25", "dc", "p_i")}
          UNION ALL ${fam("contamination", "dc", "f_i")}
          UNION ALL ${fam("dedup", "dc", "d_i")}
@@ -3592,6 +3642,7 @@ object PipelineOps {
          UNION ALL ${fam("bloom", "bc", "b_i")}
          UNION ALL ${fam("model", "bc", "m_i")}
          UNION ALL ${fam("layout", "ec", "l_i")}
+         UNION ALL ${fam("mediasig", "dc", "g_i")}
          ORDER BY family"""
     },
     // x12: x11's set arithmetic extended with the repair rule itself —
@@ -5026,6 +5077,10 @@ object PipelineOps {
     // d05-style recall argument
     "m03_media_neardup" -> mediaNearDupOracle,
     "m04_media_neardup_lsh" -> mediaNearDupOracle,
+    // m05 (stored signature index) shares it too: grid blocking has
+    // recall exactly 1 and the verify gate is identical, so the
+    // probe-over-store output EQUALS the brute result by argument
+    "m05_indexed_media_neardup" -> mediaNearDupOracle,
     "m01_media_features" ->
       """WITH d AS (SELECT doc_id AS id,
            ['jpeg','png','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,

@@ -512,6 +512,18 @@ object PlanDump {
         "the identical exact decimal gate, so the probe changes cost, " +
         "never the answer. The plan below shows whichever tier the " +
         "fixture's data routed to."),
+    "m05_indexed_media_neardup" ->
+      ("Media near-dup through the STORED grid signature index: the " +
+        "corpus side scans the sb-partitioned signature store (narrow " +
+        "rows — payloads are read once ever, at release/ingestion), " +
+        "the probe side histograms its own payloads map-side, 3×3-" +
+        "replicates its cells (recall exactly 1) and equi-joins the " +
+        "store on (sb, format, c1, c2); a batch-sized probe broadcasts " +
+        "and arms sb dynamic partition pruning, the gate's corpus-" +
+        "sized self-probe takes the explicitly-repartitioned shuffle " +
+        "join (the AQE-coalesce exemption — narrow input, pair-" +
+        "explosive output). The identical exact decimal gate decides " +
+        "survivors, so storage moves cost, never the answer."),
     "d16_substring_dedup" ->
       ("Substring-level exact dedup: sliding 5-word anchors hash-join " +
         "on md5-60 prefixes (an equi-join on anchor keys — candidates " +

@@ -1769,6 +1769,92 @@ class HttpFacadeSpec extends SparkSuite {
       rn.body)
   }
 
+  test("media-search route: probes the stored signature index with a " +
+    "catalog media table, reconciled with the direct operator; geometry " +
+    "drift and shape errors are 400s") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // corpus media (ids < 480 of the documents fixture) -> released store
+    val corpusMedia = graft.ops.Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") < 480).select(col("doc_id"), col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("httpapi-mediasig").toString
+    val (sigs, meta) =
+      graft.ops.Multimodal.mediaSignatureIndex(spark, corpusMedia)
+    sigs.write.mode("overwrite").partitionBy("sb").parquet(s"$dir/sigs")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // probe table: two arriving items — one a same-format copy of a
+    // corpus text (doc 5: 9 = 5 mod 4), one novel
+    val probeTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 5).select(
+        (col("doc_id") + 4).as("doc_id"), col("text"))
+      .unionByName(Seq((9998L, "entirely novel probe payload zzz"))
+        .toDF("doc_id", "text"))
+    graft.ops.Multimodal.mediaFromDocuments(probeTexts)
+      .write.mode("overwrite").parquet(s"$dir/probe")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.media_probe
+      USING parquet LOCATION '$dir/probe'""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.media_sigs
+      USING parquet LOCATION '$dir/sigs'""")
+    spark.sql("ALTER TABLE httpapi.media_sigs RECOVER PARTITIONS")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.media_meta
+      USING parquet LOCATION '$dir/meta'""")
+    val base = "/api/v1/catalog/tables/httpapi.media_probe/media-search"
+    val q = "?index=httpapi.media_sigs&meta=httpapi.media_meta" +
+      "&format=meta.format"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    val expected = graft.ops.Multimodal.mediaSignatureProbe(
+        spark.table("httpapi.media_sigs"),
+        spark.table("httpapi.media_meta"),
+        spark.table("httpapi.media_probe"))
+      .orderBy(col("id"), col("probe_id")).collect()
+    assert(lg(m.body, "n_results") === expected.length.toLong)
+    assert(expected.exists(r => r.getLong(0) === 5L &&
+      r.getLong(1) === 9L), expected.mkString(", "))
+    val pairPat = """\{"id":(-?\d+),"probe_id":(-?\d+)\}""".r
+    val got = pairPat.findAllMatchIn(m.body)
+      .map(g => (g.group(1).toLong, g.group(2).toLong)).toSeq
+    assert(got === expected.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(!got.exists(_._2 == 9998L), m.body) // the novel probe matches nothing
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?index=httpapi.media_sigs").statusCode === 400)
+    assert(get(base + q.replace("httpapi.media_sigs", "nodots"))
+      .statusCode === 400)
+    assert(get(base + q.replace("httpapi.media_sigs", "httpapi.nope"))
+      .statusCode === 404)
+    // a table that is not a signature store fails the column gate
+    assert(get(base + q.replace("index=httpapi.media_sigs",
+      "index=httpapi.media_probe")).statusCode === 400)
+    assert(get(base + q + "&id=payload").statusCode === 400)
+    assert(get(base + q + "&payload=id").statusCode === 400)
+    assert(get(base + q + "&format=nope.deep").statusCode === 400)
+    assert(get(base + q + "&limit=-1").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/nodots/media-search" + q)
+      .statusCode === 400)
+    // geometry drift: a meta whose buckets disagree with the stored
+    // rows is a 400 naming the remedy, not a silent empty result
+    val metaRow = meta.head()
+    spark.range(1).select(
+        lit(metaRow.getAs[Int]("bin1")).as("bin1"),
+        lit(metaRow.getAs[Int]("bin2")).as("bin2"),
+        lit(metaRow.getAs[Int]("threshold_ppm")).as("threshold_ppm"),
+        lit(7).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/badmeta")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.media_meta_bad
+      USING parquet LOCATION '$dir/badmeta'""")
+    val rb = get(base + q.replace("httpapi.media_meta",
+      "httpapi.media_meta_bad"))
+    assert(rb.statusCode === 400, rb.body)
+    assert(rb.body.contains("meta geometry"), rb.body)
+  }
+
   test("distinct-sketch route: estimate from the stored sketch rows, " +
     "reconciled with the direct operator") {
     spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")

