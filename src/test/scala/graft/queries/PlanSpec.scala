@@ -389,6 +389,17 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  /** A REAL runtime prune. AQE silently degrades a dynamic-partition-
+    * pruning filter whose broadcast cannot be stage-cache-reused to
+    * dynamicpruningexpression(true) — the SAME substring, but a full
+    * store scan (measured on the m05 probe before its probe-key
+    * checkpoint; the object-plan probe side broke canonicalized
+    * exchange reuse). Every DPP pin therefore excludes the degenerate
+    * form instead of matching the bare substring. */
+  private def reallyPruned(scanLine: String): Boolean =
+    scanLine.contains("dynamicpruningexpression") &&
+      !scanLine.contains("dynamicpruningexpression(true)")
+
   private def pipelinePlan(name: String): String = {
     val df = graft.queries.PipelineOps.queries(name)(spark, sf)
     df.collect()
@@ -595,7 +606,7 @@ class PlanSpec extends SparkSuite {
         l.contains("graft_e21_index_")).toSeq
     val assign = assignScans.filter(_.contains("/assign"))
     assert(assign.nonEmpty, plan)
-    assert(assign.forall(_.contains("dynamicpruningexpression")),
+    assert(assign.forall(reallyPruned),
       assignScans.mkString("\n"))
   }
 
@@ -634,7 +645,7 @@ class PlanSpec extends SparkSuite {
     // broadcasts, so the stored scan carries a DPP subquery — with a
     // realistic small probe the bucket set is sparse and the read
     // touches those buckets' files only
-    assert(idxScans.forall(_.contains("dynamicpruningexpression")),
+    assert(idxScans.forall(reallyPruned),
       idxScans.mkString("\n"))
     // the corpus text feeds only the index BUILD (before this plan
     // exists): the probe plan's documents scan is the 20-doc probe
@@ -659,7 +670,7 @@ class PlanSpec extends SparkSuite {
         l.contains("graft_e22_index_")).toSeq
     val assign = assignScans.filter(_.contains("/assign"))
     assert(assign.nonEmpty, plan)
-    assert(assign.forall(_.contains("dynamicpruningexpression")),
+    assert(assign.forall(reallyPruned),
       assignScans.mkString("\n"))
   }
 
@@ -824,7 +835,7 @@ class PlanSpec extends SparkSuite {
       .filter(l => l.contains("FileScan parquet") &&
         l.contains("graft_t31_index_")).toSeq
     assert(idxScans.nonEmpty, plan)
-    assert(idxScans.forall(_.contains("dynamicpruningexpression")),
+    assert(idxScans.forall(reallyPruned),
       idxScans.mkString("\n"))
     // the probe plan's only documents read is the 20-doc probe side
     val docScans = finalPlan.linesIterator
@@ -846,7 +857,7 @@ class PlanSpec extends SparkSuite {
     assert(codeScans.nonEmpty, plan)
     // the list-membership join key is the partition column and the
     // probed set broadcasts, so the codes scan carries a DPP subquery
-    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+    assert(codeScans.forall(reallyPruned),
       codeScans.mkString("\n"))
     // the codes read is (id, sub, code) + the partition column — the
     // whole point of the tier: no vector column at rest on the probe
@@ -873,7 +884,7 @@ class PlanSpec extends SparkSuite {
         l.contains("graft_e24_index_")).toSeq
       .filter(_.contains("/codes"))
     assert(codeScans.nonEmpty, plan)
-    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+    assert(codeScans.forall(reallyPruned),
       codeScans.mkString("\n"))
     assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
   }
@@ -891,7 +902,7 @@ class PlanSpec extends SparkSuite {
         l.contains("graft_e26_index_")).toSeq
     val codeScans = idxScans.filter(_.contains("/codes"))
     assert(codeScans.nonEmpty, plan)
-    assert(codeScans.forall(_.contains("dynamicpruningexpression")),
+    assert(codeScans.forall(reallyPruned),
       codeScans.mkString("\n"))
     assert(!codeScans.exists(_.contains("vec")), codeScans.mkString("\n"))
     // the refinement tier: the raw store is read ONLY through the
@@ -899,7 +910,7 @@ class PlanSpec extends SparkSuite {
     // probed partitions, never the whole corpus
     val rawScans = idxScans.filter(_.contains("/raw"))
     assert(rawScans.nonEmpty, plan)
-    assert(rawScans.forall(_.contains("dynamicpruningexpression")),
+    assert(rawScans.forall(reallyPruned),
       rawScans.mkString("\n"))
     assert(rawScans.forall(_.contains("vec")), rawScans.mkString("\n"))
     // the only embeddings read is the 10-query probe side
@@ -927,7 +938,7 @@ class PlanSpec extends SparkSuite {
     val assign = scans.filter(s =>
       s.contains("graft_t32_index_") && s.contains("/assign"))
     assert(assign.nonEmpty, plan)
-    assert(assign.forall(_.contains("dynamicpruningexpression")),
+    assert(assign.forall(reallyPruned),
       assign.mkString("\n"))
     // the dense side's only embeddings read is the single query vector
     val embScans = scans.filter(_.contains("embeddings"))
