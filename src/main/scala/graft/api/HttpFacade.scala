@@ -1700,7 +1700,9 @@ final class HttpFacade(
 
   /** Perceptual media search over a STORED signature index
     * (`?index=<ns.sigs>&meta=<ns.meta>[&id=id][&payload=payload]
-    * [&format=format][&limit=1000]`): the m05 serving loop — the
+    * [&format=format][&limit=1000][&broadcast=true|false]` —
+    * `broadcast=false` for a corpus-sized probe table, trading a
+    * shuffle join for the broadcast limit): the m05 serving loop — the
     * media family's symmetric of contamination-search/bm25-search,
     * closing the family's HTTP-serving checklist entry. `{tablePath}`
     * is the probe table of arriving media (an integral id column, a
@@ -1739,6 +1741,18 @@ final class HttpFacade(
       val limit = intParam(ex, qp, "limit", 1000, 0, 10000) match {
         case None => return
         case Some(v) => v
+      }
+      // a corpus-sized probe table must not ride the broadcast path
+      // (the operator 9x-replicates and broadcasts the probe keys —
+      // fine for an arriving batch, an OOM/8 GB-limit hazard for a
+      // whole corpus); nothing restricts what table a caller points
+      // here, so the route exposes the operator's own escape hatch
+      val broadcastProbe = qp.getOrElse("broadcast", "true") match {
+        case "true" => true
+        case "false" => false
+        case _ =>
+          sendJson(ex, 400, detail("broadcast must be true or false"))
+          return
       }
       val index = loadStored(ex, indexPath.get, "index",
         Seq("id", "format", "hist", "nn", "c1", "c2", "sb")) match {
@@ -1792,7 +1806,8 @@ final class HttpFacade(
       // geometry drift is a caller error (wrong meta for this index),
       // not a 500
       val result = try {
-        graft.ops.Multimodal.mediaSignatureProbe(index, metaDf, probeMedia)
+        graft.ops.Multimodal.mediaSignatureProbe(index, metaDf,
+          probeMedia, broadcastProbe)
       } catch {
         case e: IllegalArgumentException =>
           sendJson(ex, 400, detail(e.getMessage)); return

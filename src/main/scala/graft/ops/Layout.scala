@@ -184,10 +184,34 @@ object Layout {
    * loudly (same gate as the append side — an out-of-envelope value
    * has no cell). Cells get coarser as an envelope widens (cell width
    * = domain/2^bits), which trades probe tightness, never correctness.
+   *
+   * `batch_id` is a RESERVED column name across the stored families
+   * (the streaming maintenance stamp; probes drop it from output), so
+   * a release over a raw table that carries its own `batch_id` data
+   * column is rejected loudly here — silently serving probes with the
+   * user's column stripped would break the "row-identical to filtering
+   * the raw table" contract. Rename the column before laying out.
+   * (Maintenance rewrites — [[zorderWiden]]/[[zorderRepair]] — pass
+   * store rows whose batch_id IS the stamp; they enter through the
+   * internal path below.)
    */
   def zorderWrite(df: DataFrame, colA: String, colB: String, dir: String,
                   bits: Int = 5, nBuckets: Int = 64,
                   envelope: Option[(Long, Long, Long, Long)] = None)
+      : (Long, Long, Long, Long) = {
+    require(!df.columns.contains("batch_id"),
+      "batch_id is reserved for the streaming maintenance stamp (box " +
+        "probes drop it from output) - rename the input column before " +
+        "creating a layout over it")
+    zorderWriteInternal(df, colA, colB, dir, bits, nBuckets, envelope)
+  }
+
+  /** [[zorderWrite]] without the reserved-name gate — the maintenance
+    * rewrites' entry ([[zorderWiden]]: the corpus legitimately carries
+    * the streams' batch_id stamps). */
+  private def zorderWriteInternal(df: DataFrame, colA: String,
+      colB: String, dir: String, bits: Int, nBuckets: Int,
+      envelope: Option[(Long, Long, Long, Long)])
       : (Long, Long, Long, Long) = {
     integral(df, colA); integral(df, colB)
     require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
@@ -293,8 +317,10 @@ object Layout {
       s"zorderAppend: delta [$colA ${b.getLong(0)}..${b.getLong(1)}, " +
         s"$colB ${b.getLong(2)}..${b.getLong(3)}] falls outside the " +
         s"stored envelope [$mnA..$mxA, $mnB..$mxB] - widen first " +
-        "(zorderWiden with an envelope covering the delta); an " +
-        "out-of-envelope value has no cell under the stored quantization")
+        "(zorderWidenStore with an envelope covering the delta; it " +
+        "reads the store with mergeSchema so streaming batch markers " +
+        "survive); an out-of-envelope value has no cell under the " +
+        "stored quantization")
     clusteredBy(delta, colA, colB, mnA, mxA, mnB, mxB, bits, nBuckets)
       .write.mode("append").partitionBy("zbucket").parquet(s"$dir/data")
   }
@@ -352,7 +378,7 @@ object Layout {
     val tmp = dir + ".__widen"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-    zorderWrite(corpus.drop("z", "zbucket"), colA, colB, tmp,
+    zorderWriteInternal(corpus.drop("z", "zbucket"), colA, colB, tmp,
       bits.getOrElse(p.getAs[Int]("bits")),
       nBuckets.getOrElse(p.getAs[Int]("n_buckets")),
       envelope = Some(envelope))
@@ -367,6 +393,30 @@ object Layout {
     require(fs.rename(tmpPath, dirPath), s"could not move $tmp into place")
     fs.delete(old, true)
   }
+
+  /**
+   * The MAINTENANCE form of [[zorderWiden]]: widen the layout at `dir`
+   * from its own store. This is the remedy a streaming-maintenance
+   * envelope failure should use ([[graft.streaming.EventStreams
+   * .layoutBatch]]): the store is read HERE with `mergeSchema`, so the
+   * streams' `batch_id` commit markers survive the rewrite regardless
+   * of the store's mixed release/appended file schemas. A caller-side
+   * `spark.read.parquet(dir + "/data")` without the merge samples ONE
+   * arbitrary footer — if it lands on a release file the rewrite
+   * silently drops the batch_id column, the resumed stream's
+   * skip-if-present guard stops recognizing committed batches, and the
+   * last in-flight batch double-appends (spec-pinned against).
+   * Use the DataFrame form only when re-deriving the layout from a
+   * source table rather than from the store itself.
+   */
+  def zorderWidenStore(spark: SparkSession, dir: String,
+                       colA: String, colB: String,
+                       envelope: (Long, Long, Long, Long),
+                       bits: Option[Int] = None,
+                       nBuckets: Option[Int] = None): Unit =
+    zorderWiden(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/data"),
+      colA, colB, dir, envelope, bits, nBuckets)
 
   /**
    * Reconcile a [[zorderWrite]] layout with its corpus — the layout
@@ -485,10 +535,14 @@ object Layout {
    */
   def boxProbe(spark: SparkSession, dir: String, colA: String, colB: String,
                loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
-    storedBounds(spark, dir) // loud mid-swap / crashed-write detection
-    boxProbeTables(
+    // storedBounds FIRST (before the data read resolves the path): it
+    // does the loud mid-swap / crashed-write detection AND is the one
+    // bounds read (boxProbeCore takes the row, so the 1-row table is
+    // not re-read per probe — this is the hot serving path)
+    val p = storedBounds(spark, dir)
+    boxProbeCore(
       spark.read.option("mergeSchema", "true").parquet(s"$dir/data"),
-      spark.read.parquet(s"$dir/bounds"), colA, colB, loA, hiA, loB, hiB)
+      p, colA, colB, loA, hiA, loB, hiB)
   }
 
   /** [[boxProbe]] over already-loaded store/bounds tables — the HTTP
@@ -497,13 +551,22 @@ object Layout {
   def boxProbeTables(store: DataFrame, boundsDf: DataFrame,
                      colA: String, colB: String,
                      loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
-    integral(store, colA); integral(store, colB)
-    require(store.columns.contains("zbucket"),
-      "store is not a zorderWrite layout (no zbucket column)")
     val boundsRows = boundsDf.head(1)
     require(boundsRows.nonEmpty,
       "bounds table is empty - not a zorderWrite layout")
-    val p = boundsRows(0)
+    boxProbeCore(store, boundsRows(0), colA, colB, loA, hiA, loB, hiB)
+  }
+
+  /** The probe dataflow over an already-extracted bounds row — shared
+    * by [[boxProbe]] (one storedBounds read) and [[boxProbeTables]]
+    * (HTTP-supplied tables). */
+  private def boxProbeCore(store: DataFrame, p: org.apache.spark.sql.Row,
+                           colA: String, colB: String,
+                           loA: Long, hiA: Long, loB: Long, hiB: Long)
+      : DataFrame = {
+    integral(store, colA); integral(store, colB)
+    require(store.columns.contains("zbucket"),
+      "store is not a zorderWrite layout (no zbucket column)")
     val (mnA, mxA, mnB, mxB) = (p.getAs[Long]("min_a"),
       p.getAs[Long]("max_a"), p.getAs[Long]("min_b"), p.getAs[Long]("max_b"))
     val bits = p.getAs[Int]("bits")

@@ -175,10 +175,20 @@ object Multimodal {
    * keep this as the verifier on candidate buckets, the d04/d02 split.
    */
   def mediaNearDup(spark: SparkSession, media: DataFrame,
-                   thresholdPpm: Int = 999990): DataFrame = {
+                   thresholdPpm: Int = 999990): DataFrame =
+    nearDupFromHists(spark, histsOf(media).localCheckpoint(true),
+      thresholdPpm)
+
+  /** [[mediaNearDup]] over an ALREADY-materialized histogram table —
+    * the entry [[graft.streaming.MediaStreams]] uses so one payload
+    * pass per micro-batch serves the within-batch gate, the stored-
+    * index probe AND the append rows (payload histogramming is the
+    * dominant cost at media scale — the module's own claim, which
+    * three separate histsOf calls per batch would quietly break). */
+  private[graft] def nearDupFromHists(spark: SparkSession,
+      hists: DataFrame, thresholdPpm: Int): DataFrame = {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
       s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
-    val hists = histsOf(media).localCheckpoint(true)
     val thr2 = thresholdPpm.toLong * thresholdPpm
     val nPart = spark.sparkContext.defaultParallelism
     Dedup.minNeighborReps(hists.select(col("id")),
@@ -245,11 +255,19 @@ object Multimodal {
         aggregate(transform(col("hist"), x => x * x), lit(0L), _ + _))
   }
 
-  /** Spec access to the shared histogram pass ([[histsOf]]), checkpointed
-    * exactly like the operator entry points do before fanning out. */
+  /** The checkpointed histogram pass ([[histsOf]]) as a reusable
+    * artifact — ONE payload read serving every hist-level consumer
+    * ([[nearDupFromHists]], [[probeFromHists]], [[appendFromHists]]);
+    * the streaming ingestion's per-batch entry. */
+  private[graft] def mediaHists(spark: SparkSession,
+                                media: DataFrame): DataFrame =
+    histsOf(media).localCheckpoint(true)
+
+  /** Spec access to the shared histogram pass, checkpointed exactly
+    * like the operator entry points do before fanning out. */
   private[graft] def histsForTest(spark: SparkSession,
                                   media: DataFrame): DataFrame =
-    histsOf(media).localCheckpoint(true)
+    mediaHists(spark, media)
 
   /** The exact ppm-cosine gate over (dot, na, nb) columns: a conservative
     * double prescreen (margin 1e-9 vs ~4-ulp product error — keeps every
@@ -337,19 +355,24 @@ object Multimodal {
     * under ANSI overflow checking. */
   private val ZeroNormCell = -1000L
 
-  /** (id, format, c1, c2) cell keys: each row's NORMALIZED value in the
-    * two blocking bins, quantized to width-`w` cells; zero-norm rows map
-    * to the [[ZeroNormCell]] sentinel so the both-empty pairing
+  /** The grid cell of one histogram bin at width `w` over (hist, nn)
+    * columns — the ONE quantization both the in-query tiers
+    * ([[gridKeysOf]] → m03/m04) and the stored-signature tier
+    * ([[sigRowsOf]] → m05) derive cells from, so the two can never
+    * drift; [[cellValOf]] is its driver mirror. Zero-norm rows map to
+    * the [[ZeroNormCell]] sentinel so the both-empty pairing
     * convention survives blocking. */
+  private def cellCol(bin: Int, w: Double): org.apache.spark.sql.Column =
+    when(col("nn") === 0, lit(ZeroNormCell))
+      .otherwise(floor(element_at(col("hist"), bin + 1).cast("double") /
+        (sqrt(col("nn").cast("double")) * w)))
+
+  /** (id, format, c1, c2) cell keys: each row's NORMALIZED value in the
+    * two blocking bins, quantized to width-`w` cells. */
   private def gridKeysOf(hists: DataFrame, w: Double,
-                         bins: (Int, Int)): DataFrame = {
-    def cell(bin: Int): org.apache.spark.sql.Column =
-      when(col("nn") === 0, lit(ZeroNormCell))
-        .otherwise(floor(element_at(col("hist"), bin + 1).cast("double") /
-          (sqrt(col("nn").cast("double")) * w)))
+                         bins: (Int, Int)): DataFrame =
     hists.select(col("id"), col("format"),
-      cell(bins._1).as("c1"), cell(bins._2).as("c2"))
-  }
+      cellCol(bins._1, w).as("c1"), cellCol(bins._2, w).as("c2"))
 
   /** Grid-blocking candidate tier: quantize each row's two highest-
     * variance NORMALIZED histogram coordinates to cells of width
@@ -571,12 +594,8 @@ object Multimodal {
   private def sigRowsOf(hists: DataFrame, thresholdPpm: Int,
                         bins: (Int, Int), buckets: Int): DataFrame = {
     val w = gridCellWidth(thresholdPpm)
-    def cell(bin: Int): org.apache.spark.sql.Column =
-      when(col("nn") === 0, lit(ZeroNormCell))
-        .otherwise(floor(element_at(col("hist"), bin + 1).cast("double") /
-          (sqrt(col("nn").cast("double")) * w)))
     hists.select(col("id"), col("format"), col("hist"), col("nn"),
-        cell(bins._1).as("c1"), cell(bins._2).as("c2"))
+        cellCol(bins._1, w).as("c1"), cellCol(bins._2, w).as("c2"))
       .withColumn("sb", sigBucket(col("c1"), col("c2"), buckets))
   }
 
@@ -689,11 +708,18 @@ object Multimodal {
    */
   def mediaSignatureProbe(index: DataFrame, meta: DataFrame,
                           probes: DataFrame,
-                          broadcastProbe: Boolean = true): DataFrame = {
+                          broadcastProbe: Boolean = true): DataFrame =
+    probeFromHists(index, meta, histsOf(probes), broadcastProbe)
+
+  /** [[mediaSignatureProbe]] over already-computed probe histograms —
+    * the one-payload-pass streaming entry (see [[nearDupFromHists]]). */
+  private[graft] def probeFromHists(index: DataFrame, meta: DataFrame,
+                                    probeHists: DataFrame,
+                                    broadcastProbe: Boolean): DataFrame = {
     val (bins, thresholdPpm, buckets) = readSigMeta(meta)
     validateSigGeometry(index, bins, thresholdPpm, buckets)
     val thr2 = thresholdPpm.toLong * thresholdPpm
-    val probeSigs = sigRowsOf(histsOf(probes), thresholdPpm, bins, buckets)
+    val probeSigs = sigRowsOf(probeHists, thresholdPpm, bins, buckets)
     // broadcast path: materialize the (batch-sized by definition)
     // probe keys ONCE — the histogram pass is an OBJECT plan
     // (mapPartitions), and AQE's dynamic-partition-pruning reuse
@@ -740,9 +766,15 @@ object Multimodal {
     * [[graft.ops.Profile.indexRepair]]'s buildRows closure (signature
     * rows are per-item facts, so the media family repairs row-level
     * like dedup/postings/fps). */
-  def mediaSignatureRows(meta: DataFrame, newMedia: DataFrame): DataFrame = {
+  def mediaSignatureRows(meta: DataFrame, newMedia: DataFrame): DataFrame =
+    rowsFromHists(meta, histsOf(newMedia))
+
+  /** [[mediaSignatureRows]] over already-computed histograms (the
+    * streaming first-batch path — see [[nearDupFromHists]]). */
+  private[graft] def rowsFromHists(meta: DataFrame,
+                                   hists: DataFrame): DataFrame = {
     val (bins, thresholdPpm, buckets) = readSigMeta(meta)
-    sigRowsOf(histsOf(newMedia), thresholdPpm, bins, buckets)
+    sigRowsOf(hists, thresholdPpm, bins, buckets)
   }
 
   /**
@@ -768,10 +800,16 @@ object Multimodal {
    * convention; [[graft.ops.Profile.indexAudit]] is the drift check).
    */
   def mediaSignatureAppend(index: DataFrame, meta: DataFrame,
-                           newMedia: DataFrame): DataFrame = {
+                           newMedia: DataFrame): DataFrame =
+    appendFromHists(index, meta, histsOf(newMedia))
+
+  /** [[mediaSignatureAppend]] over already-computed histograms (the
+    * streaming append path — see [[nearDupFromHists]]). */
+  private[graft] def appendFromHists(index: DataFrame, meta: DataFrame,
+                                     hists: DataFrame): DataFrame = {
     val (bins, thresholdPpm, buckets) = readSigMeta(meta)
     validateSigGeometry(index, bins, thresholdPpm, buckets)
-    sigRowsOf(histsOf(newMedia), thresholdPpm, bins, buckets)
+    sigRowsOf(hists, thresholdPpm, bins, buckets)
   }
 
   /**

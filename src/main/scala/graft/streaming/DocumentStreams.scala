@@ -241,6 +241,12 @@ object DocumentStreams {
     * [[graft.ops.Sketches.histSketch]] over the corpus store's lengths
     * would produce (spec-pinned — including null-text survivors, which
     * contribute no bin on EITHER path: a NULL length has no rank).
+    * Migration note: a `hists/` store written BEFORE the null
+    * exclusion (r14) binned null-text survivors at length 0, so for
+    * such corpora the stored low bins sit above the rebuild's; the
+    * remedy is the synopsis-family staleness remedy — rebuild the
+    * store once (histSketch over the corpus store, shard = batch
+    * column) — since per-bin counts cannot be subtracted.
     *
     * With `nbLabel` set (a boolean Column over the batch's columns —
     * the teacher being distilled, e.g. the t33 lang-id verdict),

@@ -266,11 +266,12 @@ object EventStreams {
    * the first batch's min/max would make nearly every later batch
    * out-of-envelope), and an out-of-envelope batch fails the batch
    * loudly through [[graft.ops.Layout.zorderAppend]]'s gate — the
-   * operator widens via [[graft.ops.Layout.zorderWiden]] passing the
-   * STORE (`dir/data`) as the widen corpus, so the rows' `batch_id`
-   * commit markers survive the rewrite, then resumes (widening from
-   * the raw facts instead would strip the markers and double-append
-   * the last in-flight batch on resume). Exactly-once under
+   * operator widens via [[graft.ops.Layout.zorderWidenStore]] (which
+   * reads the store itself WITH mergeSchema, so the rows' `batch_id`
+   * commit markers survive the rewrite — a caller-side plain parquet
+   * read can sample a release-file footer, silently drop the stamp
+   * column, and double-append the last in-flight batch on resume),
+   * then resumes. Exactly-once under
    * foreachBatch replay: rows are stamped `batch_id` and the append is
    * skip-if-present, the standard store-commit-marker device; empty
    * micro-batches append nothing. Compact with
@@ -309,13 +310,32 @@ object EventStreams {
     * actually committed. */
   def layoutMaintenanceQuery(stream: DataFrame, dir: String,
                              colA: String, colB: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // migration gate: a stream deployed before the sibling-checkpoint
+    // change has its checkpoint INSIDE the layout dir. Starting fresh
+    // at the new location would silently restart batch ids at 0 and
+    // collide with the store's existing markers — the skip-if-present
+    // guard would then drop every fresh micro-batch (the exact data
+    // loss the relocation exists to prevent). Fail loudly with the
+    // one-time remedy instead.
+    val spark = stream.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/_checkpoint")
+    val sibling = new org.apache.hadoop.fs.Path(dir + ".__checkpoint")
+    if (fs.exists(legacy) && !fs.exists(sibling))
+      throw new IllegalStateException(
+        s"found a legacy checkpoint at $dir/_checkpoint - move it to " +
+          s"$dir.__checkpoint (one rename, stream stopped) before " +
+          "resuming; starting fresh would restart batch ids at 0 and " +
+          "silently skip batches that collide with the store's markers")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         layoutBatch(batch.sparkSession, batch, batchId, dir, colA, colB)
       }
       .option("checkpointLocation", dir + ".__checkpoint")
       .start()
+  }
 
   /** Run any events transform to completion over a bounded stream and
     * return the materialized sink table (used by specs and backfills). */

@@ -58,27 +58,43 @@ object MediaStreams {
    */
   def dedupeStep(index: Option[DataFrame], meta: DataFrame,
                  batch: DataFrame): (DataFrame, DataFrame) = {
+    val (decisions, _) = dedupeStepHists(index, meta, batch)
+    (decisions,
+      batch.join(decisions.filter(col("is_new")).select(col("id")), "id"))
+  }
+
+  /** The hist-level step [[processBatch]] composes on: returns
+    * (decisions, batch histograms) — the histograms are the ONE
+    * payload pass of the batch ([[Multimodal.mediaHists]],
+    * checkpointed), reused by the within-batch gate, the stored-index
+    * probe, AND the caller's append-row derivation. Three separate
+    * histsOf calls here would quietly triple the cost the module's
+    * scaladoc names as dominant at media scale. */
+  private def dedupeStepHists(index: Option[DataFrame], meta: DataFrame,
+                              batch: DataFrame): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val thresholdPpm =
       meta.select(col("threshold_ppm").cast("int")).head().getInt(0)
-    val within = Multimodal.mediaNearDup(spark, batch, thresholdPpm)
+    val hists = Multimodal.mediaHists(spark, batch)
+    val within = Multimodal.nearDupFromHists(spark, hists, thresholdPpm)
     val withinDups = within.filter(col("is_dup"))
       .select(col("id"), col("keep_id"))
-    val reps = batch.join(
+    val repHists = hists.join(
       within.filter(!col("is_dup")).select(col("id")), "id")
 
     val repDecisions = index match {
       case Some(ix) =>
-        val hits = Multimodal.mediaSignatureProbe(ix, meta, reps)
+        val hits = Multimodal
+          .probeFromHists(ix, meta, repHists, broadcastProbe = true)
           .groupBy(col("probe_id"))
           .agg(min(col("id")).as("index_dup_of"))
           .select(col("probe_id").as("id"), col("index_dup_of"))
-        reps.select(col("id")).join(hits, Seq("id"), "left")
+        repHists.select(col("id")).join(hits, Seq("id"), "left")
           .select(col("id"), col("index_dup_of"),
             lit(null).cast("long").as("batch_dup_of"),
             col("index_dup_of").isNull.as("is_new"))
       case None =>
-        reps.select(col("id"),
+        repHists.select(col("id"),
           lit(null).cast("long").as("index_dup_of"),
           lit(null).cast("long").as("batch_dup_of"),
           lit(true).as("is_new"))
@@ -90,9 +106,7 @@ object MediaStreams {
         lit(null).cast("long").as("index_dup_of"),
         col("keep_id").as("batch_dup_of"),
         lit(false).as("is_new")))
-    val survivors = batch.join(
-      decisions.filter(col("is_new")).select(col("id")), "id")
-    (decisions, survivors)
+    (decisions, hists)
   }
 
   /** The foreachBatch body: require the released meta geometry, load
@@ -128,16 +142,20 @@ object MediaStreams {
             col("batch_id") =!= batchId).drop("batch_id")
         else ix
       }
-      val (decisions, survivors) = dedupeStep(index, meta, persisted)
+      val (decisions, hists) = dedupeStepHists(index, meta, persisted)
       decisions.persist()
       try {
         if (!DocumentStreams.committedIn(decisionsStore, batchId))
           decisions.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(s"$stateDir/decisions")
+        // survivors' signature rows derive from the SAME checkpointed
+        // batch histograms the gate and probe read — the payloads are
+        // histogrammed exactly once per micro-batch
+        val survHists = hists.join(
+          decisions.filter(col("is_new")).select(col("id")), "id")
         val deltaSigs = (index match {
-          case Some(ix) => Multimodal.mediaSignatureAppend(ix, meta,
-            survivors)
-          case None => Multimodal.mediaSignatureRows(meta, survivors)
+          case Some(ix) => Multimodal.appendFromHists(ix, meta, survHists)
+          case None => Multimodal.rowsFromHists(meta, survHists)
         }).persist()
         try {
           // empty-append guard (the sibling streams' rule): an

@@ -342,7 +342,8 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/data").count() === 100L)
   }
 
-  test("guards: non-integral columns, bad bucket counts, empty input") {
+  test("guards: non-integral columns, bad bucket counts, empty input, " +
+    "reserved batch_id column") {
     val df = Seq((1L, "x")).toDF("a", "s")
     val dir = tmp("guard")
     intercept[IllegalArgumentException](
@@ -353,5 +354,12 @@ class LayoutSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Layout.zorderWrite(df.withColumn("b", lit(1L)).filter(lit(false)),
         "a", "b", dir))
+    // batch_id is the streaming maintenance stamp (probes DROP it), so
+    // a release over a table carrying its OWN batch_id column would
+    // silently strip user data from every probe — rejected loudly
+    val e = intercept[IllegalArgumentException](
+      Layout.zorderWrite(df.withColumn("b", lit(1L))
+        .withColumn("batch_id", lit(7L)), "a", "b", dir))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 }

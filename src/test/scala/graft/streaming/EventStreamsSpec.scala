@@ -355,14 +355,16 @@ class EventStreamsSpec extends SparkSuite {
       "user_id", "event_id")
     EventStreams.layoutBatch(spark, facts((200L, 2L)), 1L, dir,
       "user_id", "event_id")
-    // batch 2 lands outside the envelope -> fails loudly; the remedy:
-    // widen with the STORE as corpus (markers ride the rewrite)
-    intercept[IllegalArgumentException](
+    // batch 2 lands outside the envelope -> fails loudly; the remedy
+    // the error names: zorderWidenStore, which reads the store itself
+    // WITH mergeSchema (a caller-side plain read can sample a release
+    // footer, silently drop batch_id, and double-append on resume)
+    val e = intercept[IllegalArgumentException](
       EventStreams.layoutBatch(spark, facts((5000L, 3L)), 2L, dir,
         "user_id", "event_id"))
-    graft.ops.Layout.zorderWiden(
-      spark.read.option("mergeSchema", "true").parquet(s"$dir/data"),
-      "user_id", "event_id", dir, (0L, 10L, 0L, 9999L))
+    assert(e.getMessage.contains("zorderWidenStore"), e.getMessage)
+    graft.ops.Layout.zorderWidenStore(spark, dir,
+      "user_id", "event_id", (0L, 10L, 0L, 9999L))
     // resume: the failed batch replays under its id and now lands
     EventStreams.layoutBatch(spark, facts((5000L, 3L)), 2L, dir,
       "user_id", "event_id")
@@ -381,5 +383,28 @@ class EventStreamsSpec extends SparkSuite {
         "event_id", 0L, 10L, 50L, 9000L)
       .select(col("event_id")).as[Long].collect().sorted.toSeq
     assert(got === Seq(100L, 200L, 999L, 5000L))
+  }
+
+  test("legacy in-dir checkpoint: resuming through the relocated " +
+      "sibling path fails loudly with the one-rename remedy instead " +
+      "of silently restarting batch ids at 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("evstream-legacy").toString + "/layout"
+    graft.ops.Layout.zorderWrite(
+      Seq((0L, 0L, "t"), (999L, 10L, "t"))
+        .toDF("event_id", "user_id", "event_type"),
+      "user_id", "event_id", dir, bits = 4, nBuckets = 16)
+    // simulate the pre-relocation deployment: a checkpoint INSIDE dir
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_checkpoint"))
+    val input = MemoryStream[(Long, Long, String)]
+    val e = intercept[IllegalStateException](
+      EventStreams.layoutMaintenanceQuery(
+        input.toDF().toDF("event_id", "user_id", "event_type"),
+        dir, "user_id", "event_id"))
+    assert(e.getMessage.contains("_checkpoint") &&
+      e.getMessage.contains(".__checkpoint"), e.getMessage)
   }
 }
