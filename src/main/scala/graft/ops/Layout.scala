@@ -191,9 +191,10 @@ object Layout {
    * column is rejected loudly here — silently serving probes with the
    * user's column stripped would break the "row-identical to filtering
    * the raw table" contract. Rename the column before laying out.
-   * (Maintenance rewrites — [[zorderWiden]]/[[zorderRepair]] — pass
-   * store rows whose batch_id IS the stamp; they enter through the
-   * internal path below.)
+   * ([[zorderWiden]] passes store rows whose batch_id IS the stamp and
+   * enters through the internal path below; [[zorderRepair]] rewrites
+   * through its own clusteredBy + write-verify-swap and never
+   * re-enters here.)
    */
   def zorderWrite(df: DataFrame, colA: String, colB: String, dir: String,
                   bits: Int = 5, nBuckets: Int = 64,
@@ -296,6 +297,23 @@ object Layout {
    */
   def zorderAppend(delta: DataFrame, colA: String, colB: String,
                    dir: String): Unit = {
+    // same reserved-name gate as zorderWrite: a user data column named
+    // batch_id would read as COMMIT MARKERS to streaming maintenance
+    // (committedIn) — a later micro-batch whose id collides with the
+    // planted values would be silently skipped. The streams stamp their
+    // own batch_id and enter through the internal path.
+    require(!delta.columns.contains("batch_id"),
+      "batch_id is reserved for the streaming maintenance stamp - " +
+        "rename the input column, or append through " +
+        "EventStreams.layoutBatch if this IS a stamped maintenance batch")
+    zorderAppendInternal(delta, colA, colB, dir)
+  }
+
+  /** [[zorderAppend]] without the reserved-name gate — the streaming
+    * maintenance entry ([[graft.streaming.EventStreams.layoutBatch]]
+    * stamps batch_id deliberately). */
+  private[graft] def zorderAppendInternal(delta: DataFrame, colA: String,
+                                          colB: String, dir: String): Unit = {
     integral(delta, colA); integral(delta, colB)
     val spark = delta.sparkSession
     val p = storedBounds(spark, dir)
@@ -375,6 +393,17 @@ object Layout {
         "widening must never drop domain")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // a legacy (pre-relocation) streaming checkpoint INSIDE the layout
+    // dir would be destroyed by the whole-dir swap below — the resumed
+    // stream would then restart batch ids at 0, collide with the
+    // store's markers, and silently drop fresh batches. Refuse BEFORE
+    // the (expensive) rewrite; the remedy is the same one rename the
+    // maintenance query's migration gate names.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_checkpoint")))
+      throw new IllegalStateException(
+        s"$dir holds a legacy streaming checkpoint at $dir/_checkpoint " +
+          s"- the widen swap would destroy it; move it to " +
+          s"$dir.__checkpoint (one rename, stream stopped) first")
     val tmp = dir + ".__widen"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
@@ -479,8 +508,10 @@ object Layout {
         require(mb.getLong(0) >= mnA && mb.getLong(1) <= mxA &&
             mb.getLong(2) >= mnB && mb.getLong(3) <= mxB,
           s"zorderRepair: unindexed rows fall outside the stored envelope " +
-            s"[$mnA..$mxA, $mnB..$mxB] - widen first (zorderWiden with an " +
-            "envelope covering the corpus)")
+            s"[$mnA..$mxA, $mnB..$mxB] - widen first (zorderWidenStore " +
+            "with an envelope covering the corpus; it reads the store " +
+            "with mergeSchema so streaming batch markers survive, then " +
+            "re-run the repair)")
         missing.count()
       }
       val repaired = kept.unionByName(

@@ -175,9 +175,14 @@ object Multimodal {
    * keep this as the verifier on candidate buckets, the d04/d02 split.
    */
   def mediaNearDup(spark: SparkSession, media: DataFrame,
-                   thresholdPpm: Int = 999990): DataFrame =
+                   thresholdPpm: Int = 999990): DataFrame = {
+    // validate BEFORE the histogram pass: the eager checkpoint is the
+    // dominant payload scan, and a bad threshold must not pay it
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [0, 1000000], got $thresholdPpm")
     nearDupFromHists(spark, histsOf(media).localCheckpoint(true),
       thresholdPpm)
+  }
 
   /** [[mediaNearDup]] over an ALREADY-materialized histogram table —
     * the entry [[graft.streaming.MediaStreams]] uses so one payload
@@ -258,16 +263,10 @@ object Multimodal {
   /** The checkpointed histogram pass ([[histsOf]]) as a reusable
     * artifact — ONE payload read serving every hist-level consumer
     * ([[nearDupFromHists]], [[probeFromHists]], [[appendFromHists]]);
-    * the streaming ingestion's per-batch entry. */
-  private[graft] def mediaHists(spark: SparkSession,
-                                media: DataFrame): DataFrame =
+    * the streaming ingestion's per-batch entry and the specs' access
+    * point. */
+  private[graft] def mediaHists(media: DataFrame): DataFrame =
     histsOf(media).localCheckpoint(true)
-
-  /** Spec access to the shared histogram pass, checkpointed exactly
-    * like the operator entry points do before fanning out. */
-  private[graft] def histsForTest(spark: SparkSession,
-                                  media: DataFrame): DataFrame =
-    mediaHists(spark, media)
 
   /** The exact ppm-cosine gate over (dot, na, nb) columns: a conservative
     * double prescreen (margin 1e-9 vs ~4-ulp product error — keeps every

@@ -280,6 +280,12 @@ object EventStreams {
    */
   def layoutBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                   dir: String, colA: String, colB: String): Unit = {
+    // the stamp below would silently OVERWRITE a user column of the
+    // reserved name — the same silent-strip hazard zorderWrite gates
+    // at release time; reject the streamed facts loudly instead
+    require(!batch.columns.contains("batch_id"),
+      "batch_id is reserved for the maintenance stamp - rename the " +
+        "stream's column before layout maintenance")
     val store = DocumentStreams.loadStore(spark, s"$dir/data")
     require(store.isDefined,
       s"no layout at $dir - streaming layout maintenance APPENDS into " +
@@ -287,7 +293,7 @@ object EventStreams {
         "release's envelope); create it with zorderWrite first")
     if (batch.isEmpty) return
     if (!DocumentStreams.committedIn(store, batchId))
-      graft.ops.Layout.zorderAppend(
+      graft.ops.Layout.zorderAppendInternal(
         batch.withColumn("batch_id", lit(batchId)), colA, colB, dir)
   }
 
@@ -329,6 +335,19 @@ object EventStreams {
           s"$dir.__checkpoint (one rename, stream stopped) before " +
           "resuming; starting fresh would restart batch ids at 0 and " +
           "silently skip batches that collide with the store's markers")
+    // both existing is ALWAYS anomalous (the remedy is a MOVE, which
+    // removes the legacy path): it means a resume already ran without
+    // the migration — the sibling checkpoint's batch ids restarted at
+    // 0 and batches may already have been silently dropped. Continuing
+    // would keep dropping them; fail loudly for a human reconcile.
+    if (fs.exists(legacy) && fs.exists(sibling))
+      throw new IllegalStateException(
+        s"BOTH $dir/_checkpoint and $dir.__checkpoint exist - a resume " +
+          "likely ran without migrating the legacy checkpoint (batch " +
+          "ids restarted; batches may have been dropped). Reconcile: " +
+          "audit the store against the source, keep the checkpoint " +
+          "whose committed batch id matches the store's max batch_id, " +
+          "delete the other")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         layoutBatch(batch.sparkSession, batch, batchId, dir, colA, colB)

@@ -75,7 +75,7 @@ object MediaStreams {
     val spark = batch.sparkSession
     val thresholdPpm =
       meta.select(col("threshold_ppm").cast("int")).head().getInt(0)
-    val hists = Multimodal.mediaHists(spark, batch)
+    val hists = Multimodal.mediaHists(batch)
     val within = Multimodal.nearDupFromHists(spark, hists, thresholdPpm)
     val withinDups = within.filter(col("is_dup"))
       .select(col("id"), col("keep_id"))

@@ -361,5 +361,30 @@ class LayoutSpec extends SparkSuite {
       Layout.zorderWrite(df.withColumn("b", lit(1L))
         .withColumn("batch_id", lit(7L)), "a", "b", dir))
     assert(e.getMessage.contains("reserved"), e.getMessage)
+    // the APPEND side gates the same name: a user batch_id value would
+    // read as a COMMIT MARKER to committedIn and silently skip the
+    // colliding future micro-batch
+    val good = spark.range(20).select(col("id").as("a"), col("id").as("b"))
+    Layout.zorderWrite(good, "a", "b", dir, bits = 3, nBuckets = 4)
+    val e2 = intercept[IllegalArgumentException](
+      Layout.zorderAppend(good.withColumn("batch_id", lit(5L)),
+        "a", "b", dir))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("zorderWiden refuses to swap while a legacy in-dir streaming " +
+    "checkpoint exists (the whole-dir swap would destroy it and the " +
+    "resumed stream would restart batch ids at 0)") {
+    val dir = tmp("widen-legacy") + "/layout"
+    val corpus = spark.range(50).select(col("id").as("a"), col("id").as("b"))
+    Layout.zorderWrite(corpus, "a", "b", dir, bits = 3, nBuckets = 4)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_checkpoint"))
+    val e = intercept[IllegalStateException](
+      Layout.zorderWidenStore(spark, dir, "a", "b", (0L, 999L, 0L, 999L)))
+    assert(e.getMessage.contains("_checkpoint") &&
+      e.getMessage.contains(".__checkpoint"), e.getMessage)
+    // the layout is untouched by the refused widen
+    assert(spark.read.parquet(s"$dir/data").count() === 50L)
   }
 }

@@ -126,7 +126,7 @@ class MultimodalSpec extends SparkSuite {
       (9005L, "the quick brown fox jumps over the lazy dog"), // same format as 9001
       (9013L, ""), (9017L, "")                                // empty pair
     ).toDF("doc_id", "text")
-    val hists = Multimodal.histsForTest(spark,
+    val hists = Multimodal.mediaHists(
       Multimodal.mediaFromDocuments(base.unionAll(planted)))
     val thr2 = 999990L * 999990L
     def pairs(df: org.apache.spark.sql.DataFrame) =

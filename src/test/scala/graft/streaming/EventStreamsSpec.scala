@@ -406,5 +406,22 @@ class EventStreamsSpec extends SparkSuite {
         dir, "user_id", "event_id"))
     assert(e.getMessage.contains("_checkpoint") &&
       e.getMessage.contains(".__checkpoint"), e.getMessage)
+    // BOTH existing is always anomalous (the remedy is a MOVE) — it
+    // means a resume already ran ungated and batches may already have
+    // been dropped; also loud, with the reconcile recipe
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".__checkpoint"))
+    val e2 = intercept[IllegalStateException](
+      EventStreams.layoutMaintenanceQuery(
+        input.toDF().toDF("event_id", "user_id", "event_type"),
+        dir, "user_id", "event_id"))
+    assert(e2.getMessage.contains("BOTH"), e2.getMessage)
+    // a user batch_id column on the streamed facts would be silently
+    // overwritten by the stamp — rejected loudly instead
+    val e3 = intercept[IllegalArgumentException](
+      EventStreams.layoutBatch(spark,
+        Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "batch_id"),
+        9L, dir, "user_id", "event_id"))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
   }
 }
