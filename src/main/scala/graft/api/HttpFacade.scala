@@ -181,6 +181,8 @@ final class HttpFacade(
           indexAuditRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "classify")) =>
           classifyRoute(ex, tp)
+        case ("GET", List("api", "v1", "catalog", "tables", tp, "tokenize")) =>
+          tokenizeRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "media-search")) =>
           mediaSearchRoute(ex, tp)
         case ("GET", List("api", "v1", "catalog", "tables", tp, "box-search")) =>
@@ -2485,6 +2487,180 @@ final class HttpFacade(
           "margin_scaled" -> r.getLong(2),
           "prior_scaled" -> r.getLong(3),
           "is_pos" -> r.getBoolean(4))))))
+    } catch {
+      case e: graft.catalog.NoSuchEntityException =>
+        sendJson(ex, 404, detail(e.getMessage))
+    }
+  }
+
+  /** Tokenizer serving over any catalog table
+    * (`?merges=<ns.table>[&text=text][&id=doc_id][&limit=100]`):
+    * graft.ops.TextAnalysis.bpeSegment against a STORED merge table —
+    * the (rank, lhs, rhs) release artifact bpeTrain (t27) writes, read
+    * back as a plain catalog table ("engine state lives in tables") —
+    * making the tokenizer family symmetric with the classifier: TRAIN
+    * in-query (t27), ship the merge list, APPLY over HTTP without
+    * retraining. Apply-only by design: training is a corpus-sized
+    * multi-round job for the SQL/batch surface; serving is a read
+    * path (one codegen'd expression pass per doc, zero exchange
+    * beyond the output order).
+    *
+    * The stored list is validated as the trainer's own contract
+    * before any corpus work: ranks integral and DISTINCT (rank IS the
+    * apply order — a duplicate makes the greedy pass order depend on
+    * read order), sides non-null and non-empty (an empty side would
+    * corrupt the separator-wrapped replace device the semantics are
+    * defined by), at most 64 merges (bpeTrain's own cap — the list is
+    * driver-held apply state, so an unbounded stored table must not
+    * become an unbounded collect), and at least one (the native
+    * expression's own contract — an empty table only comes out of
+    * bpeTrain on a degenerate corpus, a broken artifact to serve
+    * from, surfaced as a 400 not a 500). Response: top-`limit` rows
+    * in id order (orderBy precedes the capped collect — the r10 rule)
+    * plus the corpus-wide doc count. Read-only, outside the op lock. */
+  private def tokenizeRoute(ex: HttpExchange, tablePath: String): Unit = {
+    val parts = tablePath.split("\\.").toSeq
+    if (parts.length < 2) {
+      sendJson(ex, 400, detail(s"Invalid table path: $tablePath")); return
+    }
+    val (ns, table) = (parts.init, parts.last)
+    try {
+      if (!provider.tableExists(ns, table)) {
+        sendJson(ex, 404, detail(s"Table not found: $tablePath")); return
+      }
+      val df = spark.table(tablePath)
+      val qp = queryParams(ex)
+      val mergesPath = qp.get("merges").filter(_.nonEmpty)
+      if (mergesPath.isEmpty) {
+        sendJson(ex, 400, detail("merges parameter is required")); return
+      }
+      val textCol = qp.getOrElse("text", "text")
+      val idCol = qp.getOrElse("id", "doc_id")
+      val limit = intParam(ex, qp, "limit", 100, 1, 10000) match {
+        case None => return
+        case Some(v) => v
+      }
+      val mergesStored = loadStored(ex, mergesPath.get, "merges",
+        Seq("rank", "lhs", "rhs")) match {
+        case None => return
+        case Some(t) => t
+      }
+      val rankIntegral = mergesStored.schema("rank").dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!rankIntegral) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "rank column is not an integral column")); return
+      }
+      val nonString = Seq("lhs", "rhs").filter(c =>
+        mergesStored.schema(c).dataType !=
+          org.apache.spark.sql.types.StringType)
+      if (nonString.nonEmpty) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          s"columns are not strings: ${nonString.mkString(", ")}")); return
+      }
+      // limit(65) bounds the collect whatever the stored table holds;
+      // 65 rows back means the table is over the trainer's cap
+      val mergeRows = mergesStored
+        .select(org.apache.spark.sql.functions.col("rank"),
+          org.apache.spark.sql.functions.col("lhs"),
+          org.apache.spark.sql.functions.col("rhs"))
+        .orderBy(org.apache.spark.sql.functions.col("rank"))
+        .limit(65).collect()
+      if (mergeRows.length > 64) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "holds more than 64 merges - not a bpeTrain artifact " +
+          "(the trainer's cap; the list is driver-held apply state)"))
+        return
+      }
+      if (mergeRows.isEmpty) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "is empty - the segmenter needs at least one merge (bpeTrain " +
+          "emits zero rows only on a degenerate corpus)")); return
+      }
+      if (mergeRows.exists(r => r.isNullAt(0))) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "has a NULL rank")); return
+      }
+      val ranks = mergeRows.map(_.getAs[Number](0).longValue())
+      if (ranks.distinct.length != ranks.length) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "has duplicate ranks - the apply order is ambiguous"))
+        return
+      }
+      if (mergeRows.exists(r => r.isNullAt(1) || r.isNullAt(2) ||
+          r.getString(1).isEmpty || r.getString(2).isEmpty)) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "has a NULL or empty merge side")); return
+      }
+      if (mergeRows.exists(r =>
+          !(r.getString(1) + r.getString(2)).matches("[a-z0-9]+"))) {
+        sendJson(ex, 400, detail(s"Merges table ${mergesPath.get} " +
+          "has a merge side outside [a-z0-9]+ - not over the " +
+          "segmenter's word alphabet (bpeTrain only ever learns " +
+          "lowercase alphanumeric sides)")); return
+      }
+      val merges = mergeRows.toSeq.map(r => (r.getString(1), r.getString(2)))
+      val missing = Seq(textCol, idCol).filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        sendJson(ex, 400,
+          detail(s"Unknown columns: ${missing.mkString(", ")}")); return
+      }
+      val idIntegral = df.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!idIntegral) {
+        sendJson(ex, 400, detail(
+          s"Id column $idCol is not an integral column")); return
+      }
+      if (df.schema(textCol).dataType !=
+          org.apache.spark.sql.types.StringType) {
+        sendJson(ex, 400, detail(
+          s"Text column $textCol is not a string column")); return
+      }
+      // the expression's own construction contract is the backstop for
+      // any artifact defect the checks above don't name - a broken
+      // stored table is a caller error, not a 500
+      val seg =
+        try graft.ops.TextAnalysis.bpeSegment(df, textCol, idCol, merges)
+        catch {
+          case e: IllegalArgumentException =>
+            sendJson(ex, 400, detail(e.getMessage)); return
+        }
+      // two actions read the plan (capped collect + count) - persist so
+      // the segmentation pass executes once (the r11 constant-factor
+      // class; plain persist with lineage kept, fine outside the lock)
+      seg.persist()
+      val (rows, total) = try {
+        (seg.limit(limit).collect(), seg.count())
+      } finally { seg.unpersist(); () }
+      // a NULL text segments to NULL counts (the expression is
+      // null-intolerant, the SQL convention) - render them as JSON
+      // nulls rather than NPE-500ing the whole response
+      def optLong(r: org.apache.spark.sql.Row, i: Int): Any =
+        if (r.isNullAt(i)) null else r.getLong(i)
+      sendJson(ex, 200, Json.obj(
+        "table" -> tablePath,
+        "merges" -> mergesPath.get,
+        "n_merges" -> merges.length.toLong,
+        "n_docs" -> total,
+        "n_returned" -> rows.length.toLong,
+        "docs" -> rows.toSeq.map(r => Json.Raw(Json.obj(
+          "id" -> (if (r.isNullAt(0)) null
+                   else r.getAs[Number](0).longValue()),
+          "n_words" -> optLong(r, 1),
+          "n_chars" -> optLong(r, 2),
+          "n_tokens" -> optLong(r, 3),
+          "seg_prefix" -> (if (r.isNullAt(4)) null else r.getString(4)),
+          "tokens_per_char_ppm" -> optLong(r, 5))))))
     } catch {
       case e: graft.catalog.NoSuchEntityException =>
         sendJson(ex, 404, detail(e.getMessage))

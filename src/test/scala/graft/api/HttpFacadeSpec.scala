@@ -1769,6 +1769,144 @@ class HttpFacadeSpec extends SparkSuite {
       rn.body)
   }
 
+  test("tokenize route: segments a catalog table under the STORED merge " +
+    "table, reconciled row-for-row with the direct operator; malformed " +
+    "merge artifacts are 400s") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS httpapi")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.documents
+      USING parquet LOCATION '$sf/documents.parquet'""")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // train the release artifact in-query (t27) and ship it as a table
+    val learned = graft.ops.TextAnalysis.bpeTrain(
+      spark.table("httpapi.documents").filter(col("doc_id") < 200),
+      "text", "doc_id", nMerges = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("httpapi-bpe").toString
+    learned.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_merges
+      USING parquet LOCATION '$dir/merges'""")
+    val base = "/api/v1/catalog/tables/httpapi.documents/tokenize"
+    val q = "?merges=httpapi.bpe_merges&limit=7"
+    val m = get(base + q)
+    assert(m.statusCode === 200, m.body)
+    def lg(body: String, field: String): Long =
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(body).get
+        .group(1).toLong
+    // reconcile against the direct operator under the SAME stored list
+    val mergeSeq = spark.table("httpapi.bpe_merges")
+      .orderBy(col("rank")).collect()
+      .toSeq.map(r => (r.getString(1), r.getString(2)))
+    assert(mergeSeq.length === 8)
+    val expected = graft.ops.TextAnalysis.bpeSegment(
+      spark.table("httpapi.documents"), "text", "doc_id", mergeSeq)
+    assert(lg(m.body, "n_merges") === 8L)
+    assert(lg(m.body, "n_docs") === expected.count())
+    assert(lg(m.body, "n_returned") === 7L)
+    // the returned docs are the FIRST 7 in id order with exact fields
+    val first = expected.limit(7).collect()
+    val docPat = ("""\{"id":(-?\d+),"n_words":(-?\d+),"n_chars":(-?\d+),""" +
+      """"n_tokens":(-?\d+),"seg_prefix":"([^"]*)",""" +
+      """"tokens_per_char_ppm":(-?\d+)\}""").r
+    val got = docPat.findAllMatchIn(m.body).toSeq
+    assert(got.length === 7, m.body)
+    for ((g, e) <- got.zip(first)) {
+      assert(g.group(1).toLong === e.getLong(0))
+      assert(g.group(2).toLong === e.getLong(1))
+      assert(g.group(3).toLong === e.getLong(2))
+      assert(g.group(4).toLong === e.getLong(3))
+      assert(g.group(5) === e.getString(4))
+      assert(g.group(6).toLong === e.getLong(5))
+    }
+    // an EMPTY merge table is a 400 (the native expression's >= 1
+    // contract surfaced as a caller error - bpeTrain emits zero rows
+    // only on a degenerate corpus, a broken artifact to serve from)
+    Seq.empty[(Long, String, String)].toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/empty")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_empty
+      USING parquet LOCATION '$dir/empty'""")
+    val mz = get(base + "?merges=httpapi.bpe_empty&limit=1")
+    assert(mz.statusCode === 400, mz.body)
+    assert(mz.body.contains("empty"), mz.body)
+    // validation edges
+    assert(get(base).statusCode === 400)
+    assert(get(base + "?merges=nodots").statusCode === 400)
+    assert(get(base + "?merges=httpapi.nope").statusCode === 404)
+    // a table that is NOT a merges table fails the required-columns gate
+    assert(get(base + "?merges=httpapi.documents").statusCode === 400)
+    assert(get(base + q + "&text=nope").statusCode === 400)
+    assert(get(base + q + "&id=lang").statusCode === 400)
+    assert(get(base + q + "&limit=0").statusCode === 400)
+    assert(get(base + q + "&limit=abc").statusCode === 400)
+    assert(get("/api/v1/catalog/tables/httpapi.nope/tokenize" + q)
+      .statusCode === 404)
+    assert(get("/api/v1/catalog/tables/nodots/tokenize" + q)
+      .statusCode === 400)
+    // malformed stored artifacts, each named: over the trainer's cap
+    (1 to 65).map(i => (i.toLong, "a", "b")).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/big")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_big
+      USING parquet LOCATION '$dir/big'""")
+    val rb = get(base + "?merges=httpapi.bpe_big")
+    assert(rb.statusCode === 400, rb.body)
+    assert(rb.body.contains("64"), rb.body)
+    // duplicate ranks (ambiguous apply order)
+    Seq((1L, "a", "b"), (1L, "c", "d")).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/dup")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_dup
+      USING parquet LOCATION '$dir/dup'""")
+    val rd = get(base + "?merges=httpapi.bpe_dup")
+    assert(rd.statusCode === 400, rd.body)
+    assert(rd.body.contains("ambiguous"), rd.body)
+    // empty merge side (would corrupt the replace device)
+    Seq((1L, "a", "")).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/side")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_side
+      USING parquet LOCATION '$dir/side'""")
+    val rs = get(base + "?merges=httpapi.bpe_side")
+    assert(rs.statusCode === 400, rs.body)
+    assert(rs.body.contains("empty"), rs.body)
+    // non-integral rank column
+    Seq(("x", "a", "b")).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/srank")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_srank
+      USING parquet LOCATION '$dir/srank'""")
+    val rr = get(base + "?merges=httpapi.bpe_srank")
+    assert(rr.statusCode === 400, rr.body)
+    assert(rr.body.contains("integral"), rr.body)
+    // non-string merge sides (getString would otherwise 500)
+    Seq((1L, 2, 3)).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/intside")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_intside
+      USING parquet LOCATION '$dir/intside'""")
+    val ri = get(base + "?merges=httpapi.bpe_intside")
+    assert(ri.statusCode === 400, ri.body)
+    assert(ri.body.contains("not strings"), ri.body)
+    // a non-string corpus text column is a 400, not an
+    // AnalysisException-500 out of the expression's type check
+    assert(get(base + q + "&text=doc_id").statusCode === 400)
+    // a side outside the segmenter's [a-z0-9]+ word alphabet (the
+    // expression's own construction contract, surfaced as a 400)
+    Seq((1L, "A", "b")).toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/upper")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_upper
+      USING parquet LOCATION '$dir/upper'""")
+    val ru = get(base + "?merges=httpapi.bpe_upper")
+    assert(ru.statusCode === 400, ru.body)
+    assert(ru.body.contains("alphabet"), ru.body)
+    // a NULL text segments to NULL counts - rendered as JSON nulls,
+    // never an NPE-500
+    Seq((1L, Option("ab ab")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/nulldocs")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS httpapi.bpe_nulldocs
+      USING parquet LOCATION '$dir/nulldocs'""")
+    val rn2 = get("/api/v1/catalog/tables/httpapi.bpe_nulldocs/tokenize" + q)
+    assert(rn2.statusCode === 200, rn2.body)
+    assert(rn2.body.contains("\"id\":2,\"n_words\":null"), rn2.body)
+    assert(rn2.body.contains("\"n_docs\":2"), rn2.body)
+  }
+
   test("media-search route: probes the stored signature index with a " +
     "catalog media table, reconciled with the direct operator; geometry " +
     "drift and shape errors are 400s") {
