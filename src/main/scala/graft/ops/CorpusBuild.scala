@@ -84,15 +84,20 @@ object CorpusBuild {
       shuffleSeed: String = "p14"): DataFrame = {
 
     // ---- stage 1: filter verdicts (consumed by survivors + report) ----
-    val fc = TextAnalysis.filterChain(docs, textCol, idCol,
-        allowedLangs, minQuality)
-      .select(col("id"), col("keep"), col("reject_reason"))
-      .transform(graft.ops.CorpusBuild.cp)
-    // t26 token weights for EVERY doc — the report prices every
-    // rejection in tokens, not only the mix
-    val wts = TextAnalysis.bpeSegment(docs, textCol, idCol, merges)
-      .select(col("id"), col("n_tokens").as("w"))
-      .transform(graft.ops.CorpusBuild.cp)
+    // The filter-verdict pass and the t26 token-weight pass are
+    // independent one-pass scans of the same corpus; their eager
+    // checkpoint materializations overlap (guide §2.6) instead of
+    // running back-to-back.
+    val (fc, wts) = Par.both(
+      TextAnalysis.filterChain(docs, textCol, idCol,
+          allowedLangs, minQuality)
+        .select(col("id"), col("keep"), col("reject_reason"))
+        .transform(graft.ops.CorpusBuild.cp),
+      // t26 token weights for EVERY doc — the report prices every
+      // rejection in tokens, not only the mix
+      TextAnalysis.bpeSegment(docs, textCol, idCol, merges)
+        .select(col("id"), col("n_tokens").as("w"))
+        .transform(graft.ops.CorpusBuild.cp))
 
     // ---- stage 2: split assignment over filter survivors ----
     val fsurv = fc.filter(col("keep")).select(col("id"))
@@ -280,13 +285,28 @@ object CorpusBuild {
       shuffleSeed: String = "p16"): DataFrame = {
 
     // ---- stage 1: delta filter verdicts + token weights ----
-    val fc = TextAnalysis.filterChain(deltaDocs, textCol, idCol,
-        allowedLangs, minQuality)
-      .select(col("id"), col("keep"), col("reject_reason"))
-      .transform(graft.ops.CorpusBuild.cp)
-    val wts = TextAnalysis.bpeSegment(deltaDocs, textCol, idCol, merges)
-      .select(col("id"), col("n_tokens").as("w"))
-      .transform(graft.ops.CorpusBuild.cp)
+    // Three independent eager materializations overlap here (guide
+    // §2.6): the delta's filter-verdict pass, the delta's token-weight
+    // pass, and the EXISTING build's interface projection. The existing
+    // rows are checkpointed ONCE as the narrow (id, kept, reason, copy)
+    // projection all three downstream readers (eval ids, canonical ids,
+    // the 1-row mix count) derive from — when `existing` is a live
+    // corpusBuild plan (the p16 composition) rather than a table read,
+    // the three un-checkpointed readers each re-executed that plan's
+    // whole final assembly (unions + joins + the orderBy sort) — three
+    // sorts of the existing build for three tiny projections.
+    val (fc, (wts, ex)) = Par.both(
+      TextAnalysis.filterChain(deltaDocs, textCol, idCol,
+          allowedLangs, minQuality)
+        .select(col("id"), col("keep"), col("reject_reason"))
+        .transform(graft.ops.CorpusBuild.cp),
+      Par.both(
+        TextAnalysis.bpeSegment(deltaDocs, textCol, idCol, merges)
+          .select(col("id"), col("n_tokens").as("w"))
+          .transform(graft.ops.CorpusBuild.cp),
+        existing
+          .select(col("id"), col("kept"), col("reason"), col("copy"))
+          .transform(graft.ops.CorpusBuild.cp)))
 
     // ---- stage 2: split assignment over delta survivors ----
     val fsurv = fc.filter(col("keep")).select(col("id"))
@@ -294,13 +314,10 @@ object CorpusBuild {
 
     // ---- stage 3: decontaminate vs the (existing ∪ new) eval split ----
     // The three reads of the EXISTING state (eval ids, canonical ids,
-    // the 1-row mix count) are localCheckpointed at the interface: each
-    // is tiny, and when `existing` is a live corpusBuild plan (the p16
-    // composition) rather than a table read, every un-checkpointed
-    // consumer would re-embed that entire plan — catalyst planning cost
-    // explodes combinatorially through the downstream joins/unions
-    // (measured: 123 s -> delta-bound seconds at sf0.01)
-    val evalIds = existing.filter(col("reason") === "eval_holdout")
+    // the 1-row mix count) stay localCheckpointed at the interface:
+    // each is tiny and multiply consumed downstream; they are now cheap
+    // derivations of the `ex` checkpoint above.
+    val evalIds = ex.filter(col("reason") === "eval_holdout")
       .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
     val unionDocs = deltaDocs
       .join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
@@ -320,7 +337,7 @@ object CorpusBuild {
       .transform(graft.ops.CorpusBuild.cp)
 
     // ---- stage 4: delta-vs-existing-canonical dedup (the d07 probe) ----
-    val canonIds = existing.filter(col("kept") &&
+    val canonIds = ex.filter(col("kept") &&
         (col("reason").isNull || col("reason") === "budget"))
       .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
     val canonDocs = corpusDocs.join(
@@ -395,7 +412,7 @@ object CorpusBuild {
     // the 1-row existing-mix count broadcasts onto delta units: new
     // positions land strictly after the existing max (pos is dense
     // 0..n-1 on the existing side, so offset = existing unit count)
-    val posOff = existing
+    val posOff = ex
       .agg(count(when(col("copy").isNotNull, 1)).as("__posoff"))
       .transform(graft.ops.CorpusBuild.cp)
     val pos = Sampling.shufflePositions(units.select(col("uid")), "uid",

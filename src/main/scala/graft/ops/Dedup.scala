@@ -806,7 +806,20 @@ object Dedup {
         }
       }
     }
-    docs.select(col(idCol).as("id"), out.as("__r"))
+    // widen below the projection (r14, guide §2.5 input parallelism):
+    // this operator is ONE map projection — the doc-local sort/filter
+    // array algebra is its entire cost — and on a single-split fixture
+    // scan it ran whole-corpus in one task. The widen exchange moves
+    // raw (id, text) rows once and the final orderBy re-exchanges
+    // anyway, so no downstream shuffle gains map-task count. Measured
+    // (solo in-proc pair, sf0.1): 0.86 s -> 0.74 s. The same widen was
+    // MEASURED A LOSS for every shuffle-bound dedup op (24.1 -> 35.0 s
+    // over the 14-query family: each widened map side multiplies every
+    // downstream exchange's block count 32x, and at bench scale that
+    // overhead dwarfs the parallelized compute), so it is deliberately
+    // applied only to map-only shapes like this one.
+    Par.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), out.as("__r"))
       .select(col("id"), col("__r.kept_text"), col("__r.n_chunks"),
         col("__r.n_dropped"))
       .orderBy(col("id"))

@@ -478,9 +478,12 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (assign, cent) =
         Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
-      assign.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/assign")
-      cent.write.mode("overwrite").parquet(base + "/cent")
+      // the two index artifacts land in disjoint dirs — overlap the
+      // writes (guide §2.6)
+      graft.ops.Par.both(
+        assign.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/assign"),
+        cent.write.mode("overwrite").parquet(base + "/cent"))
       Similarity.ivfTopKPartitioned(
           s.read.parquet(base + "/assign"), "vec", "id", "cid",
           queries, "embedding", "vec_id",
@@ -513,9 +516,12 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (assign, cent) =
         Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
-      assign.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/assign")
-      cent.write.mode("overwrite").parquet(base + "/cent")
+      // release writes overlap (disjoint dirs); the append below needs
+      // BOTH committed (reads /cent, appends into /assign)
+      graft.ops.Par.both(
+        assign.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/assign"),
+        cent.write.mode("overwrite").parquet(base + "/cent"))
       Similarity.ivfIndexAppend(delta, "embedding", "vec_id",
           s.read.parquet(base + "/cent"), "cvec", "cid")
         .write.mode("append").partitionBy("cid").parquet(base + "/assign")
@@ -549,11 +555,14 @@ object PipelineOps {
         corpus, "embedding", "vec_id", "label",
         corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
         m = 4, dim = 64)
-      codes.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/codes")
-      codebook.write.mode("overwrite").parquet(base + "/codebook")
-      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
-        .write.mode("overwrite").parquet(base + "/cent")
+      // three independent release artifacts — overlap (guide §2.6)
+      graft.ops.Par.inParallel[Unit](Seq(
+        () => codes.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/codes"),
+        () => codebook.write.mode("overwrite").parquet(base + "/codebook"),
+        () => Similarity.minIdCentroids(corpus, "embedding", "vec_id",
+            "label")
+          .write.mode("overwrite").parquet(base + "/cent")))
       Similarity.ivfPqProbe(
         s.read.parquet(base + "/codes"),
         s.read.parquet(base + "/cent"), "cvec", "cid",
@@ -585,11 +594,16 @@ object PipelineOps {
       val (codes, codebook) = Similarity.ivfPqIndex(
         corpus, "embedding", "vec_id", "label",
         seeds, "embedding", "vec_id", m = 4, dim = 64)
-      codes.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/codes")
-      codebook.write.mode("overwrite").parquet(base + "/codebook")
-      Similarity.minIdCentroids(corpus, "embedding", "vec_id", "label")
-        .write.mode("overwrite").parquet(base + "/cent")
+      // three independent release artifacts — overlap; the append below
+      // needs all three committed (reads /cent + /codebook, appends
+      // into /codes)
+      graft.ops.Par.inParallel[Unit](Seq(
+        () => codes.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/codes"),
+        () => codebook.write.mode("overwrite").parquet(base + "/codebook"),
+        () => Similarity.minIdCentroids(corpus, "embedding", "vec_id",
+            "label")
+          .write.mode("overwrite").parquet(base + "/cent")))
       Similarity.ivfPqIndexAppend(delta, "embedding", "vec_id",
           s.read.parquet(base + "/cent"), "cvec", "cid",
           s.read.parquet(base + "/codebook"), m = 4, dim = 64)
@@ -640,14 +654,16 @@ object PipelineOps {
         corpus, "embedding", "vec_id", "label",
         corpus.filter(col("vec_id") < 8), "embedding", "vec_id",
         m = 4, dim = 64)
-      codes.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/codes")
-      codebook.write.mode("overwrite").parquet(base + "/codebook")
       val (assign, cent) =
         Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
-      assign.write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/raw")
-      cent.write.mode("overwrite").parquet(base + "/cent")
+      // four independent release artifacts — overlap (guide §2.6)
+      graft.ops.Par.inParallel[Unit](Seq(
+        () => codes.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/codes"),
+        () => codebook.write.mode("overwrite").parquet(base + "/codebook"),
+        () => assign.write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/raw"),
+        () => cent.write.mode("overwrite").parquet(base + "/cent")))
       Similarity.ivfPqRerank(
           s.read.parquet(base + "/codes"),
           s.read.parquet(base + "/cent"), "cvec", "cid",
@@ -948,9 +964,11 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (post, stats) =
         graft.ops.Retrieval.bm25Index(docs(s, d), "text", "doc_id")
-      post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
-        .write.mode("overwrite").parquet(base + "/postings")
-      stats.write.mode("overwrite").parquet(base + "/stats")
+      // postings and stats land in disjoint dirs — overlap (guide §2.6)
+      graft.ops.Par.both(
+        post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+          .write.mode("overwrite").parquet(base + "/postings"),
+        stats.write.mode("overwrite").parquet(base + "/stats"))
       graft.ops.Retrieval.bm25Probe(
         s.read.parquet(base + "/postings"),
         s.read.parquet(base + "/stats"),
@@ -973,17 +991,22 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (post, stats) = graft.ops.Retrieval.bm25Index(
         all.filter(col("doc_id") < 480), "text", "doc_id")
-      post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
-        .write.mode("overwrite").parquet(base + "/postings")
-      stats.write.mode("overwrite").parquet(base + "/stats")
+      // release writes land in disjoint dirs — overlap (guide §2.6)
+      graft.ops.Par.both(
+        post.repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+          .write.mode("overwrite").parquet(base + "/postings"),
+        stats.write.mode("overwrite").parquet(base + "/stats"))
       val (deltaPost, newStats) = graft.ops.Retrieval.bm25IndexAppend(
         all.filter(col("doc_id") >= 480), "text", "doc_id",
         s.read.parquet(base + "/stats"))
-      deltaPost.write.mode("append").parquet(base + "/postings")
-      // postings-first write order (the op's crash-consistency note);
-      // the 1-row stats rewrite goes to a fresh generation dir — a
-      // same-path overwrite would race its own input scan
-      newStats.write.mode("overwrite").parquet(base + "/stats2")
+      // postings-first write order within the probe's read set is the
+      // op's crash-consistency note; here BOTH append-phase writes
+      // complete before any probe read, and they touch disjoint dirs
+      // (/postings append vs the fresh /stats2 generation, which only
+      // reads the already-committed /stats) — so they overlap safely
+      graft.ops.Par.both(
+        deltaPost.write.mode("append").parquet(base + "/postings"),
+        newStats.write.mode("overwrite").parquet(base + "/stats2"))
       graft.ops.Retrieval.bm25Probe(
         s.read.parquet(base + "/postings"),
         s.read.parquet(base + "/stats2"),
@@ -1177,82 +1200,97 @@ object PipelineOps {
       val base = System.getProperty("java.io.tmpdir") +
         "/graft_x13_index_" +
         java.lang.Integer.toHexString(d.hashCode)
-      Dedup.incrementalIndex(
-          allDocs.filter(col("doc_id") >= 30 && col("doc_id") < 490),
-          "text", "doc_id")
-        .write.mode("overwrite").parquet(base + "/dedup")
-      graft.ops.Retrieval.bm25Index(
-          allDocs.filter(col("doc_id") < 450), "text", "doc_id")._1
-        .repartitionByRange(col("t")).sortWithinPartitions(col("t"))
-        .write.mode("overwrite").parquet(base + "/postings")
-      TextAnalysis.contaminationIndex(
-          allDocs.filter(col("doc_id") < 480), "text", "doc_id",
-          hashMode = "md5")
-        .write.mode("overwrite").partitionBy("fpb").parquet(base + "/fps")
-      Similarity.ivfIndex(
-          allVecs.filter(col("vec_id") >= 10 && col("vec_id") < 480),
-          "embedding", "vec_id", "label")._1
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/assign")
-      Similarity.ivfPqIndex(
-          allVecs.filter(col("vec_id") >= 5 && col("vec_id") < 490),
-          "embedding", "vec_id", "label",
-          allVecs.filter(col("vec_id") < 8), "embedding", "vec_id",
-          m = 4, dim = 64)._1
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(base + "/codes")
-      // synopsis stores (real artifacts, batch-sharded like the
-      // streamed stores maintain them): KMV over batches 0..6, the
-      // histogram over all 8, the Bloom word rows per batch 1..8
+      // the ELEVEN artifact builds are pairwise independent (disjoint
+      // store dirs, no data dependencies — only the audit below reads
+      // them), so they are submitted CONCURRENTLY (optimization guide
+      // §2.6 "overlap independent jobs"): the r14 profile measured this
+      // build phase as ~6.5 s of back-to-back mostly-one-task actions
+      // with the other 31 cores idle — exactly the tail-fill case the
+      // guide's thread-pool device addresses. Same stores, same rows,
+      // same audit input; only the submission order changes.
       val batchOf = expr("doc_id DIV 60")
-      Sketches.kmvSketch(
-          allDocs.filter(col("doc_id") < 420)
-            .select(batchOf.cast("int").as("shard"),
-              explode(Sketches.wordTrigrams(col("text"))).as("v")),
-          "v", "shard", 256)
-        .write.mode("overwrite").parquet(base + "/kmv")
-      Sketches.histSketch(
-          allDocs.filter(col("doc_id") < 480)
-            .select(batchOf.cast("int").as("shard"), col("n_chars")),
-          "n_chars", "shard", 0L, 100000L, 64)
-        .write.mode("overwrite").parquet(base + "/hist")
-      graft.ops.Bloom.bloomBuildSharded(
-          allDocs.filter(col("doc_id") >= 60 && col("doc_id") < 540)
-            .select(batchOf.as("batch_id"), col("text")),
-          "text", "batch_id", nWords = 64, k = 4)
-        .withColumnRenamed("shard", "batch_id")
-        .write.mode("overwrite").parquet(base + "/bloomf")
-      // the NB model store: counts from the labeled batches 0..5 plus
-      // the per-batch totals LEDGER (the t34 layout — the audited
-      // column is the ledger's batch_id)
+      val builds: Seq[() => Unit] = Seq(
+        () => Dedup.incrementalIndex(
+            allDocs.filter(col("doc_id") >= 30 && col("doc_id") < 490),
+            "text", "doc_id")
+          .write.mode("overwrite").parquet(base + "/dedup"),
+        () => graft.ops.Retrieval.bm25Index(
+            allDocs.filter(col("doc_id") < 450), "text", "doc_id")._1
+          .repartitionByRange(col("t")).sortWithinPartitions(col("t"))
+          .write.mode("overwrite").parquet(base + "/postings"),
+        () => TextAnalysis.contaminationIndex(
+            allDocs.filter(col("doc_id") < 480), "text", "doc_id",
+            hashMode = "md5")
+          .write.mode("overwrite").partitionBy("fpb")
+          .parquet(base + "/fps"),
+        () => Similarity.ivfIndex(
+            allVecs.filter(col("vec_id") >= 10 && col("vec_id") < 480),
+            "embedding", "vec_id", "label")._1
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/assign"),
+        () => Similarity.ivfPqIndex(
+            allVecs.filter(col("vec_id") >= 5 && col("vec_id") < 490),
+            "embedding", "vec_id", "label",
+            allVecs.filter(col("vec_id") < 8), "embedding", "vec_id",
+            m = 4, dim = 64)._1
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(base + "/codes"),
+        // synopsis stores (real artifacts, batch-sharded like the
+        // streamed stores maintain them): KMV over batches 0..6, the
+        // histogram over all 8, the Bloom word rows per batch 1..8
+        () => Sketches.kmvSketch(
+            allDocs.filter(col("doc_id") < 420)
+              .select(batchOf.cast("int").as("shard"),
+                explode(Sketches.wordTrigrams(col("text"))).as("v")),
+            "v", "shard", 256)
+          .write.mode("overwrite").parquet(base + "/kmv"),
+        () => Sketches.histSketch(
+            allDocs.filter(col("doc_id") < 480)
+              .select(batchOf.cast("int").as("shard"), col("n_chars")),
+            "n_chars", "shard", 0L, 100000L, 64)
+          .write.mode("overwrite").parquet(base + "/hist"),
+        () => graft.ops.Bloom.bloomBuildSharded(
+            allDocs.filter(col("doc_id") >= 60 && col("doc_id") < 540)
+              .select(batchOf.as("batch_id"), col("text")),
+            "text", "batch_id", nWords = 64, k = 4)
+          .withColumnRenamed("shard", "batch_id")
+          .write.mode("overwrite").parquet(base + "/bloomf"),
+        // the NB model store: counts from the labeled batches 0..5 plus
+        // the per-batch totals LEDGER (the t34 layout — the audited
+        // column is the ledger's batch_id)
+        () => {
+          val teacher = call_function("graft_lang_id",
+            Shingles.words(col("text"))) === "en"
+          val labeled = allDocs.filter(col("doc_id") < 360)
+          graft.ops.Classifier.nbTrain(labeled, "text", "doc_id", teacher)
+            ._1.write.mode("overwrite").parquet(base + "/nbcounts")
+          labeled.select(batchOf.as("batch_id"), teacher.as("pos"))
+            .groupBy(col("batch_id"))
+            .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+              sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+            .write.mode("overwrite").parquet(base + "/nbtotals")
+        },
+        // the events layout, built from the drifted cut
+        () => graft.ops.Layout.zorderWrite(
+          allEvents.filter(col("event_id") >= 50 && col("event_id") < 900),
+          "user_id", "event_id", base + "/layout"): Unit,
+        // the media signature store (m05) from the drifted cut [20, 500):
+        // 20 media items unindexed, 20 orphaned signatures — a per-item
+        // index family, audited by id coverage like dedup/postings/fps
+        // buckets = 8: the audit reads ids, never probes — no need to
+        // pay the 64-directory dynamic-partition write latency here
+        () => {
+          val (medSigs, medMeta) = Multimodal.mediaSignatureIndex(s,
+            Multimodal.mediaFromDocuments(
+              allDocs.filter(col("doc_id") >= 20 && col("doc_id") < 500)),
+            buckets = 8)
+          medSigs.write.mode("overwrite").partitionBy("sb")
+            .parquet(base + "/mediasigs")
+          medMeta.coalesce(1).write.mode("overwrite")
+            .parquet(base + "/mediameta")
+        })
       graft.functions.GraftFunctions.register(s)
-      val teacher = call_function("graft_lang_id",
-        Shingles.words(col("text"))) === "en"
-      val labeled = allDocs.filter(col("doc_id") < 360)
-      graft.ops.Classifier.nbTrain(labeled, "text", "doc_id", teacher)
-        ._1.write.mode("overwrite").parquet(base + "/nbcounts")
-      labeled.select(batchOf.as("batch_id"), teacher.as("pos"))
-        .groupBy(col("batch_id"))
-        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
-          sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
-        .write.mode("overwrite").parquet(base + "/nbtotals")
-      // the events layout, built from the drifted cut
-      graft.ops.Layout.zorderWrite(
-        allEvents.filter(col("event_id") >= 50 && col("event_id") < 900),
-        "user_id", "event_id", base + "/layout")
-      // the media signature store (m05) from the drifted cut [20, 500):
-      // 20 media items unindexed, 20 orphaned signatures — a per-item
-      // index family, audited by id coverage like dedup/postings/fps
-      // buckets = 8: the audit reads ids, never probes — no need to
-      // pay the 64-directory dynamic-partition write latency here
-      val (medSigs, medMeta) = Multimodal.mediaSignatureIndex(s,
-        Multimodal.mediaFromDocuments(
-          allDocs.filter(col("doc_id") >= 20 && col("doc_id") < 500)),
-        buckets = 8)
-      medSigs.write.mode("overwrite").partitionBy("sb")
-        .parquet(base + "/mediasigs")
-      medMeta.coalesce(1).write.mode("overwrite")
-        .parquet(base + "/mediameta")
+      graft.ops.Par.inParallel(builds)
       val dc = allDocs.filter(col("doc_id") < 480)
       val vc = allVecs.filter(col("vec_id") < 480)
       val ec = allEvents.filter(col("event_id") < 800)
@@ -1495,8 +1533,12 @@ object PipelineOps {
         all.filter(col("doc_id") < 400), "text", "doc_id",
         call_function("graft_lang_id",
           Shingles.words(col("text"))) === "en")
-      counts.write.mode("overwrite").parquet(base + "/counts")
-      totals.coalesce(1).write.mode("overwrite").parquet(base + "/totals")
+      // the two model-table writes land in disjoint dirs with no
+      // ordering contract — overlap them (guide §2.6)
+      graft.ops.Par.both(
+        counts.write.mode("overwrite").parquet(base + "/counts"),
+        totals.coalesce(1).write.mode("overwrite")
+          .parquet(base + "/totals"))
       graft.ops.Classifier.nbScore(
         all.filter(col("doc_id") >= 400), "text", "doc_id",
         s.read.parquet(base + "/counts"), s.read.parquet(base + "/totals"))
@@ -1521,13 +1563,17 @@ object PipelineOps {
         Shingles.words(col("text"))) === "en"
       val (c1, t1) = graft.ops.Classifier.nbTrain(
         all.filter(col("doc_id") < 300), "text", "doc_id", teacher)
-      c1.write.mode("overwrite").parquet(base + "/counts")
-      t1.coalesce(1).write.mode("overwrite").parquet(base + "/totals")
       val (c2, t2) = graft.ops.Classifier.nbTrain(
         all.filter(col("doc_id") >= 300 && col("doc_id") < 400),
         "text", "doc_id", teacher)
-      c2.write.mode("append").parquet(base + "/counts")
-      t2.coalesce(1).write.mode("append").parquet(base + "/totals")
+      // per-dir ordering (overwrite BEFORE append) is the only real
+      // dependency; the counts chain and the totals chain touch
+      // disjoint dirs, so the two chains overlap (guide §2.6)
+      graft.ops.Par.both(
+        { c1.write.mode("overwrite").parquet(base + "/counts")
+          c2.write.mode("append").parquet(base + "/counts") },
+        { t1.coalesce(1).write.mode("overwrite").parquet(base + "/totals")
+          t2.coalesce(1).write.mode("append").parquet(base + "/totals") })
       val (fc, ft) = graft.ops.Classifier.nbModelFold(
         s.read.parquet(base + "/counts"), s.read.parquet(base + "/totals"))
       graft.ops.Classifier.nbScore(
