@@ -608,7 +608,12 @@ object TextAnalysis {
                          hashMode: String = "xx",
                          buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"contaminationIndex needs buckets >= 1")
-    fingerprints(docs, textCol, idCol, k, window, hashMode)
+    // widen the corpus text below the winnowing projection (r14, guide
+    // §2.5): the fixture's single-split scan ran the whole corpus's
+    // fingerprinting in one task (profiled ~1 s); at scale the scan is
+    // already parallel and the guard no-ops
+    fingerprints(Par.widen(docs.select(col(idCol), col(textCol))),
+        textCol, idCol, k, window, hashMode)
       .select(col("id").as("cid"), explode(col("fps")).as("fp"))
       .withColumn("fpb", pmod(col("fp"), lit(buckets)).cast("int"))
   }
@@ -838,12 +843,16 @@ object TextAnalysis {
     // RE2's \s lacks \x0B, so a literal '\s+' would NOT be the same
     // pattern there); hashMode "md5" makes each gram hash reproducible in
     // DuckDB (Md5Hash60), which is what lets t04 carry a real oracle.
+    // No orderBy here (r14): this is a building block — the t04 gate
+    // query sorts at its own site. The interior sort cost every index
+    // build a global range exchange PLUS a full re-execution of the
+    // winnowing in the range-partitioner's sampling pass (profiled as
+    // the duplicate ~1 s single-task job in t29/t31).
     docs.select(col(idCol).as("id"),
         graft.functions.GraftFunctions.winnow(
           lower(regexp_replace(col(textCol), "[ \\t\\r\\n\\u000B\\f]+", " ")),
           k, window, hashMode).as("fps"))
       .select(col("id"), col("fps"), size(col("fps")).as("n_fps"))
-      .orderBy(col("id"))
   }
 
   /**

@@ -712,11 +712,14 @@ object PipelineOps {
       // md5 gram-hash mode (DuckDB-reproducible) — see d03's note; the
       // fps array projects to scalars (count/min/max) per the driver's
       // no-array output rule.
+      // orderBy at the gate site (r14): fingerprints() itself no longer
+      // sorts — the interior sort taxed every index build
       TextAnalysis.fingerprints(docs(s, d), "text", "doc_id",
           hashMode = "md5")
         .select(col("id"), col("n_fps"),
           element_at(col("fps"), 1).as("fp_min"),
           element_at(col("fps"), -1).as("fp_max"))
+        .orderBy(col("id"))
     },
 
     "d06_canonical" -> { (s, d) =>
@@ -930,8 +933,13 @@ object PipelineOps {
       val idxPath = System.getProperty("java.io.tmpdir") +
         "/graft_t29_index_" +
         java.lang.Integer.toHexString(d.hashCode)
+      // fpb-keyed exchange before the dynamic-partition write (guide §6
+      // write clustering): the widened 32-task fingerprint stage would
+      // otherwise open a file per (task x bucket) — 2048 tiny files;
+      // keyed, the layout stays at one file set per bucket
       TextAnalysis.contaminationIndex(all, "text", "doc_id",
           hashMode = "md5")
+        .repartition(col("fpb"))
         .write.mode("overwrite").partitionBy("fpb").parquet(idxPath)
       TextAnalysis.contaminationProbe(s.read.parquet(idxPath),
         all.filter(col("doc_id") < 20), "text", "doc_id",
@@ -1027,12 +1035,16 @@ object PipelineOps {
       val idxPath = System.getProperty("java.io.tmpdir") +
         "/graft_t31_index_" +
         java.lang.Integer.toHexString(d.hashCode)
+      // fpb-keyed exchanges before both dynamic-partition writes (see
+      // t29's note): one file set per bucket instead of task x bucket
       TextAnalysis.contaminationIndex(all.filter(col("doc_id") < 480),
           "text", "doc_id", hashMode = "md5")
+        .repartition(col("fpb"))
         .write.mode("overwrite").partitionBy("fpb").parquet(idxPath)
       TextAnalysis.contaminationIndexAppend(s.read.parquet(idxPath),
           all.filter(col("doc_id") >= 480), "text", "doc_id",
           hashMode = "md5")
+        .repartition(col("fpb"))
         .write.mode("append").partitionBy("fpb").parquet(idxPath)
       TextAnalysis.contaminationProbe(s.read.parquet(idxPath),
         all.filter(col("doc_id") < 20), "text", "doc_id",
@@ -1221,6 +1233,7 @@ object PipelineOps {
         () => TextAnalysis.contaminationIndex(
             allDocs.filter(col("doc_id") < 480), "text", "doc_id",
             hashMode = "md5")
+          .repartition(col("fpb"))
           .write.mode("overwrite").partitionBy("fpb")
           .parquet(base + "/fps"),
         () => Similarity.ivfIndex(
