@@ -68,6 +68,15 @@ object CorpusBuild {
   private[ops] def cp(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftCheckpoint.freshStats(df)
 
+  /** [[cp]] with a job description (guide §1.5) so the stage's
+    * materialization is attributable in the UI / profiler. */
+  private[ops] def cp(df: DataFrame, label: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"corpusbuild cp: $label")
+    try cp(df) finally sc.setJobDescription(prev)
+  }
+
   /** The composed per-row build plan. Parameters default to the p14
     * gate configuration; the DuckDB oracle replays the identical chain
     * (PipelineOps `p14_corpus_build`). */
@@ -92,12 +101,12 @@ object CorpusBuild {
       TextAnalysis.filterChain(docs, textCol, idCol,
           allowedLangs, minQuality)
         .select(col("id"), col("keep"), col("reject_reason"))
-        .transform(graft.ops.CorpusBuild.cp),
+        .transform(graft.ops.CorpusBuild.cp(_, "filter verdicts")),
       // t26 token weights for EVERY doc — the report prices every
       // rejection in tokens, not only the mix
       TextAnalysis.bpeSegment(docs, textCol, idCol, merges)
         .select(col("id"), col("n_tokens").as("w"))
-        .transform(graft.ops.CorpusBuild.cp))
+        .transform(graft.ops.CorpusBuild.cp(_, "token weights")))
 
     // ---- stage 2: split assignment over filter survivors ----
     val fsurv = fc.filter(col("keep")).select(col("id"))
@@ -110,7 +119,7 @@ object CorpusBuild {
     val cs = Sampling.crossSplitDedup(sp, "id", "split",
         crossPairs, protectedSplit)
       .select(col("id"), col("split"), col("is_removed"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "decontamination"))
 
     // ---- stage 4: within-train dedup pipeline ----
     val trainIds = cs.filter(!col("is_removed") &&
@@ -120,7 +129,7 @@ object CorpusBuild {
     val dd = Dedup.dedupPipeline(trainDocs, textCol, idCol, lengthCol,
         threshold = dedupThreshold)
       .select(col("id"), col("is_kept"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "train dedup"))
 
     // ---- stage 5: mixture + epoch plan over train canonicals ----
     val tr = dd.filter(col("is_kept")).select(col("id"))
@@ -130,7 +139,7 @@ object CorpusBuild {
     val plan = Sampling.epochPlan(tr, "domain0", "id", "w",
         expr(s"avail * $epochCap"), budget)
       .select(col("id"), col("w"), col("n_copies"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "epoch plan"))
 
     // ---- stage 6: copies -> pack -> positions ----
     val units = plan.filter(col("n_copies") > 0)
@@ -138,7 +147,7 @@ object CorpusBuild {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .withColumn("uid", concat(col("id").cast("string"), lit("#"),
         col("copy").cast("string")))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "copy units"))
     val packed = Sampling.packSequences(units, "uid", "w",
         packBudget, packShards)
       .select(col("uid"), col("shard").as("pack_shard"),
@@ -299,14 +308,14 @@ object CorpusBuild {
       TextAnalysis.filterChain(deltaDocs, textCol, idCol,
           allowedLangs, minQuality)
         .select(col("id"), col("keep"), col("reject_reason"))
-        .transform(graft.ops.CorpusBuild.cp),
+        .transform(graft.ops.CorpusBuild.cp(_, "delta filter verdicts")),
       Par.both(
         TextAnalysis.bpeSegment(deltaDocs, textCol, idCol, merges)
           .select(col("id"), col("n_tokens").as("w"))
-          .transform(graft.ops.CorpusBuild.cp),
+          .transform(graft.ops.CorpusBuild.cp(_, "delta token weights")),
         existing
           .select(col("id"), col("kept"), col("reason"), col("copy"))
-          .transform(graft.ops.CorpusBuild.cp)))
+          .transform(graft.ops.CorpusBuild.cp(_, "existing interface"))))
 
     // ---- stage 2: split assignment over delta survivors ----
     val fsurv = fc.filter(col("keep")).select(col("id"))
@@ -318,7 +327,8 @@ object CorpusBuild {
     // each is tiny and multiply consumed downstream; they are now cheap
     // derivations of the `ex` checkpoint above.
     val evalIds = ex.filter(col("reason") === "eval_holdout")
-      .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
+      .select(col("id")).distinct()
+      .transform(graft.ops.CorpusBuild.cp(_, "existing eval ids"))
     val unionDocs = deltaDocs
       .join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
       .select(col(idCol), col(textCol))
@@ -334,12 +344,13 @@ object CorpusBuild {
         crossPairs, protectedSplit)
       .join(sp.select(col("id")), Seq("id")) // delta rows only
       .select(col("id"), col("split"), col("is_removed"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "delta decontamination"))
 
     // ---- stage 4: delta-vs-existing-canonical dedup (the d07 probe) ----
     val canonIds = ex.filter(col("kept") &&
         (col("reason").isNull || col("reason") === "budget"))
-      .select(col("id")).distinct().transform(graft.ops.CorpusBuild.cp)
+      .select(col("id")).distinct()
+      .transform(graft.ops.CorpusBuild.cp(_, "existing canonical ids"))
     val canonDocs = corpusDocs.join(
       canonIds.withColumnRenamed("id", idCol), Seq(idCol))
 
@@ -362,22 +373,28 @@ object CorpusBuild {
       deltaEvalDocs.select(col(idCol), col(textCol))
         .unionAll(canonDocs.select(col(idCol), col(textCol))),
       textCol, idCol, shingleLen = 3, threshold = crossThreshold)
-    val evalContam = evalPairs
+    val evalContamPlan = evalPairs
       .select(col("id_a").as("id"), col("id_b").as("other"))
       .unionAll(evalPairs.select(col("id_b").as("id"),
         col("id_a").as("other")))
       .join(evalIdsDelta, Seq("id"))
       .join(canonIds.select(col("id").as("other")), Seq("other"))
       .select(col("id")).distinct()
-      .transform(graft.ops.CorpusBuild.cp)
     val trainIds = cs.filter(!col("is_removed") &&
       col("split") =!= protectedSplit).select(col("id"))
     val trainDocs = deltaDocs.join(trainIds.withColumnRenamed("id", idCol),
       Seq(idCol))
-    val inc = Dedup.incremental(canonDocs, trainDocs, textCol, idCol,
-        threshold = dedupThreshold)
-      .select(col("id"), col("is_new"))
-      .transform(graft.ops.CorpusBuild.cp)
+    // the stage-3b holdout-protection pair machine and the stage-4 d07
+    // probe both read only `cs`/`canonIds`/the docs and are independent
+    // of each other — the r14 profile read them as the two largest
+    // back-to-back phases (1.9 s + 1.4 s), so they overlap (guide §2.6)
+    val (evalContam, inc) = Par.both(
+      graft.ops.CorpusBuild.cp(evalContamPlan, "eval contamination"),
+      graft.ops.CorpusBuild.cp(
+        Dedup.incremental(canonDocs, trainDocs, textCol, idCol,
+            threshold = dedupThreshold)
+          .select(col("id"), col("is_new")),
+        "delta-vs-canonical dedup"))
 
     // ---- stage 5: within-delta dedup over the remainder ----
     val remainDocs = trainDocs.join(inc.filter(col("is_new"))
@@ -385,7 +402,7 @@ object CorpusBuild {
     val dd = Dedup.dedupPipeline(remainDocs, textCol, idCol, lengthCol,
         threshold = dedupThreshold)
       .select(col("id"), col("is_kept"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "within-delta dedup"))
 
     // ---- stage 6: mixture + epoch plan over the delta canonicals ----
     val tr = dd.filter(col("is_kept")).select(col("id"))
@@ -395,7 +412,7 @@ object CorpusBuild {
     val plan = Sampling.epochPlan(tr, "domain0", "id", "w",
         expr(s"avail * $epochCap"), deltaBudget)
       .select(col("id"), col("w"), col("n_copies"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "delta epoch plan"))
 
     // ---- stage 7: copies -> fresh shards -> appended positions ----
     val units = plan.filter(col("n_copies") > 0)
@@ -403,7 +420,7 @@ object CorpusBuild {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .withColumn("uid", concat(col("id").cast("string"), lit("#"),
         col("copy").cast("string")))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "copy units"))
     val packed = Sampling.packSequences(units, "uid", "w",
         packBudget, packShards)
       .select(col("uid"),
@@ -414,7 +431,7 @@ object CorpusBuild {
     // 0..n-1 on the existing side, so offset = existing unit count)
     val posOff = ex
       .agg(count(when(col("copy").isNotNull, 1)).as("__posoff"))
-      .transform(graft.ops.CorpusBuild.cp)
+      .transform(graft.ops.CorpusBuild.cp(_, "position offset"))
     val pos = Sampling.shufflePositions(units.select(col("uid")), "uid",
         shuffleSeed)
       .select(col("id").as("uid"), col("pos").as("__pos0"))
