@@ -1325,41 +1325,49 @@ object Similarity {
                               iters: Int): (DataFrame, Column) = {
     require(iters >= 1 && iters <= 64,
       s"power iteration needs 1 <= iters <= 64, got $iters")
-    val upper = gramIntUpper(corpus, vecCol)
-    // mirror the strict upper triangle to get the full symmetric matrix
-    val full = upper.select(col("dim_i").as("i"), col("dim_j").as("j"), col("g"))
-      .unionAll(upper.filter(col("dim_i") =!= col("dim_j"))
-        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("g")))
-      .localCheckpoint()
-    var v = full.select(col("i").as("dim")).distinct()
-      .select(col("dim"), lit(1000000L).as("v"))
-    var growth = lit(0L)
-    var prevW: DataFrame = null
-    for (_ <- 1 to iters) {
-      // w is referenced twice (max and the division) — checkpoint to
-      // keep the plan linear in iters, not exponential
-      val w = full.join(v, full("j") === v("dim"))
-        .groupBy(col("i"))
-        .agg(sum(col("g").cast("decimal(38,0)") * col("v")).as("w"))
-        .localCheckpoint()
-      // the previous step's w fed this one and is now superseded — only
-      // the current step's blocks stay live (IterativeMemory discipline)
-      if (prevW != null) IterativeMemory.release(prevW)
-      prevW = w
-      // greatest(·,1): an all-zero Gram (degenerate corpus) yields m = 0
-      // and v = 0 either way — the clamp just keeps ANSI from aborting
-      // on DIV 0
-      val m = w.agg(greatest(max(abs(col("w"))), lit(1)).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("dim"),
-          expr("CAST((w * 1000000) DIV m AS BIGINT)").as("v"),
-          expr("CAST(m DIV 1000000 AS BIGINT)").as("growth"))
-      growth = col("growth")
+    val spark = corpus.sparkSession
+    // ONE distributed pass builds the dim×dim integer Gram (the only
+    // corpus-sized work); the power recursion itself runs DRIVER-SIDE
+    // over the collected ≤ dim² rows (≤ 64² = 4096 longs — the
+    // candidateBuckets / Lloyd-trace bounded-synopsis class, constant
+    // in corpus size). The r14 profile read the old per-round
+    // distributed form as ~20 jobs of pure fixed overhead: each round
+    // joined a 64-row vector against a 4k-row matrix through a
+    // checkpoint + a 1-row aggregate — cluster machinery iterating on
+    // driver-sized data. Arithmetic is bit-identical: BigInt sums equal
+    // the DECIMAL(38,0) sums, and BigInt `/` truncates toward zero
+    // exactly like SQL DIV, so every ×1e6 iterate coefficient matches
+    // the distributed form's (e16/e18 oracle hashes unchanged).
+    val upperRows = gramIntUpper(corpus, vecCol)
+      .select(col("dim_i").cast("int"), col("dim_j").cast("int"),
+        col("g").cast("long"))
+      .collect()
+    val gram = scala.collection.mutable.HashMap.empty[(Int, Int), BigInt]
+    upperRows.foreach { r =>
+      val (i, j, g) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      gram((i, j)) = g
+      if (i != j) gram((j, i)) = g
     }
-    // the returned iterate reads only the final step's w — the mirrored
-    // Gram's blocks are unreachable from here
-    IterativeMemory.release(full)
-    (v, growth)
+    val dims = upperRows.flatMap(r => Seq(r.getInt(0), r.getInt(1)))
+      .distinct.sorted.toIndexedSeq
+    var v: Map[Int, BigInt] = dims.map(_ -> BigInt(1000000L)).toMap
+    var growthVal = BigInt(0)
+    for (_ <- 1 to iters) {
+      val w: Map[Int, BigInt] = dims.map { i =>
+        i -> dims.foldLeft(BigInt(0)) { (acc, j) =>
+          acc + gram.getOrElse((i, j), BigInt(0)) * v(j)
+        }
+      }.toMap
+      // max(·,1): an all-zero Gram (degenerate corpus) yields m = 0 and
+      // v = 0 either way — the clamp mirrors the old ANSI DIV-0 guard
+      val m = (BigInt(1) +: dims.map(i => w(i).abs)).max
+      v = dims.map(i => i -> (w(i) * 1000000) / m).toMap
+      growthVal = m / 1000000
+    }
+    import spark.implicits._
+    val out = dims.map(i => (i, v(i).toLong, growthVal.toLong))
+      .toDF("dim", "v", "growth")
+    (out, col("growth"))
   }
 
   /**
@@ -1473,21 +1481,25 @@ object Similarity {
       val assigned = assignCentroids(vecs, "vec", "id",
         centDf, "cvec", "cid").persist()
       try {
-        // E-step cost: per-cid member count + decimal-exact inertia
-        val stats = assigned.groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_assigned"),
-            sum(lit(1.0).cast("decimal(10,4)") -
-              col("sim").cast("decimal(10,4)"))
-              .cast("double").as("inertia"))
-          .collect()
-          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
-          .toMap
-        // M-step: truncating 9-dp means, collected as k·dim rows
-        val upd = updateFromAssigned(assigned, vecs)
-          .collect()
-          .flatMap(r => if (r.isNullAt(3)) None
-            else Some((r.getLong(0), r.getInt(1)) -> r.getDouble(3)))
-          .toMap
+        // E-step stats and M-step update both read the persisted
+        // assignment — two independent bounded collects, overlapped
+        // (guide §2.6; the block-manager's per-block locks serialize
+        // the one materialization of `assigned` between them)
+        val (stats, upd) = graft.ops.Par.both(
+          assigned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_assigned"),
+              sum(lit(1.0).cast("decimal(10,4)") -
+                col("sim").cast("decimal(10,4)"))
+                .cast("double").as("inertia"))
+            .collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+            .toMap,
+          // M-step: truncating 9-dp means, collected as k·dim rows
+          updateFromAssigned(assigned, vecs)
+            .collect()
+            .flatMap(r => if (r.isNullAt(3)) None
+              else Some((r.getLong(0), r.getInt(1)) -> r.getDouble(3)))
+            .toMap)
         cent = cent.map { case (cid, old) =>
           (cid, old.indices.map(i => upd.getOrElse((cid, i), old(i))))
         }

@@ -1297,8 +1297,8 @@ object PipelineOps {
             Multimodal.mediaFromDocuments(
               allDocs.filter(col("doc_id") >= 20 && col("doc_id") < 500)),
             buckets = 8)
-          medSigs.write.mode("overwrite").partitionBy("sb")
-            .parquet(base + "/mediasigs")
+          medSigs.repartition(col("sb")).write.mode("overwrite")
+            .partitionBy("sb").parquet(base + "/mediasigs")
           medMeta.coalesce(1).write.mode("overwrite")
             .parquet(base + "/mediameta")
         })
@@ -2099,14 +2099,19 @@ object PipelineOps {
         "/graft_m05_index_" + java.lang.Integer.toHexString(d.hashCode)
       val (sigs, meta) =
         Multimodal.mediaSignatureIndex(s, all.filter(col("id") < 480))
-      sigs.write.mode("overwrite").partitionBy("sb")
+      // sb-keyed exchange before the 64-directory dynamic-partition
+      // write: from one task the writer creates the 64 file sets
+      // SEQUENTIALLY (~1 s of file-commit latency profiled); keyed, 32
+      // tasks create ~2 each in parallel and the layout is unchanged
+      sigs.repartition(col("sb")).write.mode("overwrite").partitionBy("sb")
         .parquet(base + "/sigs")
       // meta last: the zorderWrite bounds-last crash ordering
       meta.coalesce(1).write.mode("overwrite").parquet(base + "/meta")
       val delta = Multimodal.mediaSignatureAppend(
         s.read.parquet(base + "/sigs"), s.read.parquet(base + "/meta"),
         all.filter(col("id") >= 480))
-      delta.write.mode("append").partitionBy("sb").parquet(base + "/sigs")
+      delta.repartition(col("sb")).write.mode("append").partitionBy("sb")
+        .parquet(base + "/sigs")
       Multimodal.mediaNearDupIndexed(
         s.read.parquet(base + "/sigs"), s.read.parquet(base + "/meta"),
         all)
