@@ -189,15 +189,20 @@ class PlanSpec extends SparkSuite {
       !plan.contains("SortMergeJoin"), plan)
   }
 
-  test("d09: intra-doc dedup is map-only — no exchange below the output sort") {
+  test("d09: intra-doc dedup is map-only — no keyed exchange of chunks") {
     val df = graft.queries.PipelineOps.queries("d09_intradoc_dedup")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // fully doc-local: no explode, no aggregation, no join — the only
+    // fully doc-local: no explode, no aggregation, no join — the r14
+    // widen adds ONE round-robin exchange of raw (id, text) rows below
+    // the projection (scan parallelism, Par.widen; no-op on a parallel
+    // scan), but chunk rows still never shuffle KEYED: the only other
     // exchange is the rangepartitioning for the declared ORDER BY
     assert(!plan.contains("HashAggregate") && !plan.contains("Join") &&
       !plan.contains("Generate"), plan)
-    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
   test("t25: bucket assignment is a map-side compare against literal " +
