@@ -30,6 +30,11 @@ object QueryProfile {
 
     val jobs = new scala.collection.mutable.ArrayBuffer[JobRec]
     val byId = new scala.collection.mutable.HashMap[Int, JobRec]
+    // stageId -> jobId, recorded at job start: the temporal "most recent
+    // unfinished job" heuristic this replaced misattributed stages
+    // whenever jobs overlap — exactly the Par.inParallel concurrent-
+    // submission pattern the r14 round introduced.
+    val stageJob = new scala.collection.mutable.HashMap[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
         val desc = Option(e.properties)
@@ -37,20 +42,19 @@ object QueryProfile {
           .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse(""))
         val r = JobRec(e.jobId, desc.take(120), e.time)
         jobs += r; byId(e.jobId) = r
+        e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
         byId.get(e.jobId).foreach(_.ended = e.time)
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         synchronized {
-          // attribute the stage to the most recent unfinished job
           val si = e.stageInfo
-          jobs.reverseIterator.find(j => j.ended == 0L || j.ended >= si.submissionTime.getOrElse(0L))
-            .foreach { j =>
-              j.nTasks += si.numTasks
-              j.taskMs += (si.completionTime.getOrElse(0L) -
-                si.submissionTime.getOrElse(0L))
-            }
+          stageJob.get(si.stageId).flatMap(byId.get).foreach { j =>
+            j.nTasks += si.numTasks
+            j.taskMs += (si.completionTime.getOrElse(0L) -
+              si.submissionTime.getOrElse(0L))
+          }
         }
     }
 

@@ -116,15 +116,29 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
 
+    // checkpoint-FIRST (r15, guide §5 iterative-lineage discipline): the
+    // old shape computed `mx` as a broadcast scalar subquery over the
+    // live `full` plan, so materializing the scaled checkpoint executed
+    // the edge join + aggregation TWICE per half-step (once under the
+    // broadcast build, once in the main path). Materializing `full`
+    // once and collecting the 1-value max as a driver literal trades
+    // one tiny extra job for half the plan executions; the scaled
+    // arithmetic is unchanged (same DECIMAL(38,0) DIV, mx as literal).
     def renorm(mass: DataFrame): DataFrame = {
       val full = nodes.join(mass, Seq("node"), "left")
         .select(col("node"), coalesce(col("m"), lit(0L)).as("m"))
-      val mx = full.agg(greatest(max(col("m")), lit(1L)).as("mx"))
-      full.crossJoin(broadcast(mx))
-        .select(col("node"), expr(
-          s"CAST((CAST(m AS DECIMAL(38,0)) * ${scale}L) DIV mx AS BIGINT)")
+        .localCheckpoint(true)
+      val mxRow = full.agg(max(col("m"))).head()
+      // null max (empty node set) clamps to 1 like the old
+      // greatest(max, 1) did
+      val mx = if (mxRow.isNullAt(0)) 1L
+        else math.max(1L, mxRow.getLong(0))
+      val out = full.select(col("node"), expr(
+          s"CAST((CAST(m AS DECIMAL(38,0)) * ${scale}L) DIV ${mx}L AS BIGINT)")
           .as("s"))
         .localCheckpoint(true)
+      IterativeMemory.release(full)
+      out
     }
 
     var h = nodes.withColumn("s", lit(scale))

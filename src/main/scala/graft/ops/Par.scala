@@ -44,8 +44,13 @@ object Par {
     * rows once and the expensive expression runs on every core. */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // toRdd, not .rdd: the probe still plans df's subtree once (that is
+    // the price of asking), but skips the external-Row encoder stage
+    // .rdd would additionally bolt on. The count is the pre-AQE scan
+    // split count — exactly the "how parallel is the input" question
+    // this guard asks; AQE coalescing happens downstream of the widen.
     val current =
-      try df.rdd.getNumPartitions
+      try df.queryExecution.toRdd.getNumPartitions
       catch { case _: Exception => target } // unplannable: leave as-is
     if (current * 2 >= target) df else df.repartition(target)
   }
@@ -58,18 +63,33 @@ object Par {
   def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.sizeIs <= 1) return thunks.map(_())
     val results = new Array[Any](thunks.size)
-    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    // every worker's failure is kept: the first is rethrown, the rest
+    // ride as suppressed exceptions so a multi-build failure (e.g. two
+    // of x13's eleven stores failing for different reasons) stays
+    // diagnosable. NonFatal discrimination: a fatal VM error
+    // (OutOfMemoryError, LinkageError) must not be downgraded to an
+    // ordinary exception that surfaces only after all siblings finish.
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable])
     val threads = thunks.zipWithIndex.map { case (f, i) =>
       val t = new Thread(() => {
         try results(i) = f()
-        catch { case e: Throwable => err.compareAndSet(null, e) }
+        catch { case e: Throwable => errs.add(e) }
       }, s"graft-par-$i")
       t.setDaemon(true)
       t.start()
       t
     }
     threads.foreach(_.join())
-    if (err.get != null) throw err.get
+    if (!errs.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val all = errs.asScala.toSeq
+      // fatal errors take precedence and propagate as themselves
+      val primary = all.find(e => !scala.util.control.NonFatal(e))
+        .getOrElse(all.head)
+      all.filter(_ ne primary).foreach(primary.addSuppressed)
+      throw primary
+    }
     results.toSeq.map(_.asInstanceOf[A])
   }
 

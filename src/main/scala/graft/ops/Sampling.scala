@@ -302,11 +302,16 @@ object Sampling {
     val tierOrder = tierCols.map { case (c, desc) =>
       if (desc) col(c).desc else col(c).asc }
     val groupCols = tiers :+ col("bucket")
+    // single-group window over the BOUNDED (tier, bucket) COUNT table
+    // (≤ |distinct tiers|·256 rows — for the pure shuffle |tiers| = 1,
+    // for curriculum the distinct fixed-point quality values, a range-
+    // bounded constant), never over corpus rows
     val offsets = keyed.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("offset",
         sum(col("n")).over(
-          Window.orderBy(tierOrder :+ col("bucket").asc: _*)) - col("n"))
+          BoundedWindow.orderBy(col("bucket"),
+            tierOrder :+ col("bucket").asc: _*)) - col("n"))
       .select(groupCols :+ col("offset"): _*)
     keyed.join(broadcast(offsets),
         tierCols.map(_._1) :+ "bucket")
@@ -662,15 +667,19 @@ object Sampling {
     // pinned explicitly: Spark's asc default is NULLS FIRST but the
     // DuckDB oracle's is NULLS LAST, and a null domain must rank the
     // same on both sides
-    val w = Window.orderBy(col("cap").asc_nulls_last,
-      col("domain").asc_nulls_last)
-    val ranked = avail
-      .withColumn("r", row_number().over(w))
-      .withColumn("p", sum(col("cap")).over(w))       // P_r inclusive
-      .withColumn("n", count(lit(1)).over(
-        Window.orderBy(col("cap").asc_nulls_last,
-            col("domain").asc_nulls_last)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val w = BoundedWindow.orderBy(col("avail"),
+      col("cap").asc_nulls_last, col("domain").asc_nulls_last)
+    // one SELECT so all three window expressions land in one analyzer
+    // pass: the shared constant partition key extracts to a single
+    // alias and the Window operators collapse onto one exchange+sort
+    // (sequential withColumns would each extract their own key and
+    // defeat CollapseWindow)
+    val ranked = avail.select(col("domain"), col("avail"), col("cap"),
+      row_number().over(w).as("r"),
+      sum(col("cap")).over(w).as("p"),                 // P_r inclusive
+      count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("n"))
     // capped iff P_{r-1} + cap_r·(n−r+1) ≤ T  (P_{r-1} = p − cap)
     val flagged = ranked.withColumn("capped",
       col("p") - col("cap") + col("cap") * (col("n") - col("r") + 1) <= lit(budget))
@@ -734,13 +743,17 @@ object Sampling {
         conv(substring(col("key"), 1, 2), 16, 10).cast("int"))
     // 256-row offset table: positions AND weights cumulated before each
     // bucket — the one global window runs over bucket aggregates only
-    val wOff = Window.orderBy(col("bucket"))
+    val wOff = BoundedWindow.orderBy(col("bucket"), col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // one SELECT for both cumulations: the shared constant partition
+    // key extracts once and the two window sums stay in ONE Window
+    // operator over one exchange (sequential withColumns would split
+    // them)
     val offsets = keyed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("w")).as("bw"))
-      .withColumn("pos_off", coalesce(sum(col("n")).over(wOff), lit(0L)))
-      .withColumn("w_off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
-      .select(col("bucket"), col("pos_off"), col("w_off"))
+      .select(col("bucket"),
+        coalesce(sum(col("n")).over(wOff), lit(0L)).as("pos_off"),
+        coalesce(sum(col("bw")).over(wOff), lit(0L)).as("w_off"))
     val wb = Window.partitionBy(col("bucket"))
       .orderBy(col("key"), col("id"))
     val assigned = keyed.join(broadcast(offsets), Seq("bucket"))

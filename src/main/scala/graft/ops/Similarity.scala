@@ -1365,6 +1365,14 @@ object Similarity {
       growthVal = m / 1000000
     }
     import spark.implicits._
+    // loud overflow gate: the replaced distributed form CAST(... AS
+    // BIGINT) from DECIMAL(38,0) under ANSI failed loudly past 2^63;
+    // BigInt.toLong would wrap silently. The documented xi·xj < 2^53
+    // envelope keeps v (≤1e6-scaled unit iterate) and growth in range —
+    // this asserts it instead of assuming it.
+    (dims.map(v) :+ growthVal).foreach(b => require(b.isValidLong,
+      s"power iterate overflows BIGINT ($b) - corpus outside the " +
+        "documented xi*xj < 2^53 envelope"))
     val out = dims.map(i => (i, v(i).toLong, growthVal.toLong))
       .toDF("dim", "v", "growth")
     (out, col("growth"))

@@ -131,7 +131,8 @@ object Sketches {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q >= 1 && q <= 1000000),
       s"quantile ppms must be in [1, 1000000]: $qsPpm")
     val cum = merged
-      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bin"))))
+      .withColumn("cum",
+        sum(col("n")).over(BoundedWindow.orderBy(col("bin"), col("bin"))))
       .crossJoin(broadcast(merged.agg(sum(col("n")).as("n_total"))))
     val qs = qsPpm.distinct.sorted
       .map(q => s"($q)").mkString("VALUES ", ", ", " AS q(q_ppm)")
@@ -197,7 +198,8 @@ object Sketches {
   def kmvMerge(sketch: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"kmvMerge needs k >= 2, got $k")
     sketch.select(col("h")).distinct()
-      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .withColumn("rn",
+        row_number().over(BoundedWindow.orderBy(col("h"), col("h"))))
       .filter(col("rn") <= k)
       .select(col("h"))
   }

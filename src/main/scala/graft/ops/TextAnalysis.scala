@@ -1055,9 +1055,14 @@ object TextAnalysis {
     def boundary(cell: Long, rr: Long): Long =
       scored.filter(expr(s"mean_scaled div $cellW") === cell)
         .groupBy(col("mean_scaled")).agg(count(lit(1)).as("c"))
+        // bounded: distinct mean_scaled values inside ONE coarse cell
+        // (≤ cellW = 3,906,250 integers — a range constant, not corpus-
+        // proportional; in practice the cell's occupied values)
         .withColumn("cge",
-          sum(col("c")).over(Window.orderBy(col("mean_scaled").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          sum(col("c")).over(
+            graft.ops.BoundedWindow.orderBy(col("mean_scaled"),
+                col("mean_scaled").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("cge") >= rr)
         .agg(max(col("mean_scaled")))
         .head().getLong(0)

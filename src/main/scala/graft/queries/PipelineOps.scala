@@ -1011,7 +1011,13 @@ object PipelineOps {
       // op's crash-consistency note; here BOTH append-phase writes
       // complete before any probe read, and they touch disjoint dirs
       // (/postings append vs the fresh /stats2 generation, which only
-      // reads the already-committed /stats) — so they overlap safely
+      // reads the already-committed /stats) — so they overlap safely.
+      // VALID ONLY FOR THIS EPHEMERAL REBUILD-FROM-SCRATCH STORE: a
+      // LIVE index maintained across crashes must keep the op's
+      // postings-before-stats ordering — a crash between the two
+      // writes here would leave a stats generation describing postings
+      // that never landed; do not copy this overlap into durable-store
+      // maintenance paths
       graft.ops.Par.both(
         deltaPost.write.mode("append").parquet(base + "/postings"),
         newStats.write.mode("overwrite").parquet(base + "/stats2"))
@@ -1084,10 +1090,10 @@ object PipelineOps {
           s.read.parquet(base + "/postings"),
           s.read.parquet(base + "/stats"),
           Seq("spark", "join", "vector", "window"), k = 10)
-        // 10-row post-limit frame: the single-partition window is fine
+        // 10-row post-limit frame: deliberately single-group, bounded
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_scaled").desc, col("id"))))
+          graft.ops.BoundedWindow.orderBy(col("id"),
+            col("score_scaled").desc, col("id"))))
       val dense = Similarity.ivfTopKPartitioned(
         s.read.parquet(base + "/assign"), "vec", "id", "cid",
         corpus.filter(col("vec_id") === 0), "embedding", "vec_id",
@@ -1104,10 +1110,10 @@ object PipelineOps {
       // touches a corpus-sized row set
       val bm = graft.ops.Retrieval.bm25TopK(docs(s, d), "text", "doc_id",
           Seq("spark", "join", "vector", "window"), k = 20)
-        // 20-row post-limit frame: the single-partition window is fine
+        // 20-row post-limit frame: deliberately single-group, bounded
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_scaled").desc, col("id"))))
+          graft.ops.BoundedWindow.orderBy(col("id"),
+            col("score_scaled").desc, col("id"))))
       val corpus = embs(s, d)
       val dense = Similarity.cosineTopK(corpus, "embedding", "vec_id",
         corpus.filter(col("vec_id") === 0), "embedding", "vec_id", k = 20)
@@ -1428,11 +1434,39 @@ object PipelineOps {
       val est = Sketches.histQuantiles(
         Sketches.histMerge(s.read.parquet(base)),
         Seq(250000L, 500000L, 900000L, 990000L), lo, hi, nBins)
-      val ranked = all.select(col("n_chars"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_chars"))))
-      est.join(ranked, est("rank") === ranked("rn"))
+      // exact rank-th smallest WITHOUT a corpus-sized single-partition
+      // window — this was the r15 audit's one TRUE unpartitioned window
+      // over unit rows (VERDICT item 1; the old form ranked every doc
+      // through one task). Device: per-distinct-value rank INTERVALS
+      // composed from a bin-keyed cumsum — the p08 bucket-offset device
+      // with the histogram's own value-based bin as the bucket. The
+      // 64-row bin-offset table takes the one (bounded) global window;
+      // within-bin cumulative counts run bin-keyed over the DISTINCT-
+      // VALUE table, never unit rows. The rank-th smallest VALUE is
+      // well-defined under ties, so interval membership reproduces the
+      // old row_number-equality join bit-for-bit (n_chars is non-null
+      // by fixture construction — the oracle's ORDER BY already pins
+      // that).
+      val binOf = expr(s"CAST(greatest(0L, least(${nBins - 1}L, " +
+        s"((CAST(n_chars AS DECIMAL(38,0)) - ($lo)) * $nBins)" +
+        s" DIV ((CAST($hi AS DECIMAL(38,0))) - ($lo) + 1))) AS INT)")
+      val vc = all.filter(col("n_chars").isNotNull)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .withColumn("vbin", binOf)
+      val binOff = vc.groupBy(col("vbin")).agg(sum(col("c")).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          graft.ops.BoundedWindow.orderBy(col("vbin"), col("vbin"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              -1)), lit(0L)))
+        .select(col("vbin"), col("off"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vbin")).orderBy(col("n_chars"))
+      val ranked = vc.join(broadcast(binOff), Seq("vbin"))
+        .withColumn("rend", col("off") + sum(col("c")).over(wb))
+        .withColumn("rstart", col("rend") - col("c") + 1)
+      est.join(ranked,
+          est("rank").between(col("rstart"), col("rend")))
         .select(col("q_ppm"), col("rank"), col("bin"), col("est_lo"),
           col("n_chars").as("exact"), col("n_total"))
         .orderBy(col("q_ppm"))

@@ -477,13 +477,25 @@ class PlanSpec extends SparkSuite {
     val plan = pipelinePlan("p15_shard_manifest")
     // corpus rows exchange keyed by the md5 bucket, never globally
     assert(plan.contains("hashpartitioning(bucket"), plan)
-    // exactly ONE SinglePartition exchange exists — the offset table's
-    // ordering window — and it sits above the bucket HashAggregate
-    // (3 columns: bucket, count, weight), not above corpus rows
+    // the offset table's ordering window is the r15 BoundedWindow
+    // device: an explicit constant-key single-group exchange
+    // (hashpartitioning(0, n)) over the ≤256-row bucket aggregate —
+    // never a bare SinglePartition (whose WindowExec warning is
+    // reserved for REAL unpartitioned-window regressions), and never
+    // above corpus rows
     // (count in the FINAL plan only; AQE toString repeats the tree)
-    val single = plan.split("== Initial Plan ==")(0).linesIterator
-      .filter(_.contains("Exchange SinglePartition")).toSeq
-    assert(single.size === 1, plan)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), plan)
+    // the BoundedWindow constant key extracts to ONE `_w*` alias
+    // feeding ONE Window operator that carries BOTH offset cumulations
+    // (pos_off and w_off share the exchange; a split here would double
+    // the offset table's exchanges — and a bare SinglePartition would
+    // mean the constant key got folded away and the warning is back)
+    val offsetWindows = finalPlan.linesIterator.filter(l =>
+      l.contains("Window [") && l.contains("], [_w")).toSeq
+    assert(offsetWindows.size === 1, plan)
+    assert(offsetWindows.head.contains("sum(n#") &&
+      offsetWindows.head.contains("sum(bw#"), plan)
     // the offsets join back as a broadcast; nothing sort-merges
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
