@@ -276,6 +276,22 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 1000): DataFrame =
+    ngramJaccardPairsSized(docs, textCol, idCol, shingleLen, threshold,
+        maxShingleFreq)
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** [[ngramJaccardPairs]] plus the exact integer set sizes the verify
+    * join already holds — (id_a, id_b, sim, inter, ma, mb). Consumers
+    * that need exact-integer jaccard (lshPlan's j_ppm) read it from
+    * here instead of re-joining the pair set against a second shingle
+    * projection (which re-scanned and re-shingled the corpus once per
+    * join side — profiled as the single largest job in d17/x10). The
+    * plain form projects these columns away, so its plan is unchanged
+    * after column pruning. */
+  private[ops] def ngramJaccardPairsSized(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 1000): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
@@ -318,12 +334,17 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    // exact verification on the full shingle sets of surviving pairs
+    // exact verification on the full shingle sets of surviving pairs;
+    // the integer set sizes ride along for exact-ppm consumers
     cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
-        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
+        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("inter"),
+        size(col("a.sh")).cast("long").as("ma"),
+        size(col("b.sh")).cast("long").as("mb"))
       .filter(col("sim") >= threshold)
   }
 
@@ -406,12 +427,13 @@ object Dedup {
    *
    * Scale design: ONE similarity join at the floor threshold builds the
    * verified pair set (the x08 shape — bounded by the true near-dup
-   * mass); exact-integer jaccard re-derives from the shared shingle
-   * scan; the pair set crosses only the ≤ d(numHashes) factorizations
-   * (a broadcast of divisor-count rows, not corpus rows); the S-curve
-   * folds are per-row codegen'd HOFs over ≤ numHashes-step sequences;
-   * everything collapses in one keyed aggregate. The corpus is scanned
-   * twice (pair join + jaccard re-derivation), shuffled never.
+   * mass); exact-integer jaccard comes out of that machine's own verify
+   * join (ngramJaccardPairsSized — no second shingle scan); the pair
+   * set crosses only the ≤ d(numHashes) factorizations (a broadcast of
+   * divisor-count rows, not corpus rows); the S-curve folds are per-row
+   * codegen'd HOFs over ≤ numHashes-step sequences; everything
+   * collapses in one keyed aggregate. The corpus is scanned once,
+   * shuffled never.
    */
   def lshPlan(docs: DataFrame, textCol: String, idCol: String,
               numHashes: Int = 128, floorThreshold: Double = 0.5,
@@ -424,20 +446,19 @@ object Dedup {
     val configs = (1 to numHashes).filter(numHashes % _ == 0)
       .map(b => (b, numHashes / b))
       .toDF("bands", "rows_per_band")
-    val sh = docs.select(col(idCol).as("id"),
-      Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
-    // verified pairs once at the floor; j re-derived as exact integer
-    // ppm (the double `sim` is one correctly-rounded division away from
-    // the true rational — floor(sim·1e6) can land one ulp low)
-    val jp = ngramJaccardPairs(docs, textCol, idCol, shingleLen,
+    // verified pairs once at the floor; j as exact integer ppm (the
+    // double `sim` is one correctly-rounded division away from the true
+    // rational — floor(sim·1e6) can land one ulp low) computed FROM THE
+    // MACHINE'S OWN VERIFY JOIN (ngramJaccardPairsSized): the r14 form
+    // re-joined the pair ids against a second, un-barriered shingle
+    // projection, re-scanning and re-shingling the corpus once per join
+    // side — profiled as the largest single job in d17 (1.45 s) and
+    // x10. Same integer arithmetic, two corpus scans and two joins
+    // removed (guide §2.4).
+    val jp = ngramJaccardPairsSized(docs, textCol, idCol, shingleLen,
         floorThreshold, maxShingleFreq)
-      .select(col("id_a"), col("id_b"))
-      .join(sh.as("a"), col("id_a") === col("a.id"))
-      .join(sh.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
-        expr("(1000000L * size(array_intersect(a.sh, b.sh))) DIV " +
-          "(size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)))")
-          .as("j_ppm"))
+        expr("(1000000L * inter) DIV (ma + mb - inter)").as("j_ppm"))
       .localCheckpoint(true)
     // pair set × divisor table: the only "cross" is a broadcast of
     // d(numHashes) config rows against the bounded verified-pair set

@@ -252,10 +252,27 @@ object Layout {
 
   /** The write-side clustering both [[zorderWrite]] and
     * [[zorderAppend]] share — the in-plan DECIMAL(38,0) quantization
-    * mirrored by [[cellOf]], Morton interleave, bucket fold, range
-    * exchange on z (contiguous buckets → contiguous task ranges; one
-    * open file per task in the dynamic-partition writer) and a
-    * within-task sort for tight row-group stats. */
+    * mirrored by [[cellOf]], Morton interleave, bucket fold, a
+    * zbucket-KEYED hash exchange and a within-task sort by z for tight
+    * row-group stats.
+    *
+    * r15: this was `repartitionByRange(nBuckets, z)`. A range exchange
+    * pays a SECOND full execution of its child for the range
+    * partitioner's reservoir sampling — here the child is the
+    * quantization projection over the whole input, so every layout
+    * write read its corpus twice (profiled at sf0.1: a duplicate
+    * ~0.55 s single-task pass per clusteredBy; at 100 TB a duplicate
+    * full corpus scan). The bucket boundaries are CLOSED-FORM
+    * (zbucket = z div cells/nBuckets), so sampling buys nothing the
+    * key does not already encode: hashing on zbucket keeps every
+    * bucket wholly inside one task (still exactly one file per bucket
+    * directory) and removes the sampling pass outright (guide §2.4).
+    * Trade, stated: hash collisions can land 2–4 of the nBuckets
+    * buckets in one reduce task (the guide §2.5 few-distinct-keys
+    * caveat), a bounded write-tail skew — cheaper than a full extra
+    * corpus pass at any scale. Placement (zbucket dirs), file-per-
+    * bucket count, row order within files (z-sorted), and probe
+    * results are all unchanged. */
   private def clusteredBy(df: DataFrame, colA: String, colB: String,
       mnA: Long, mxA: Long, mnB: Long, mxB: Long,
       bits: Int, nBuckets: Int): DataFrame = {
@@ -266,7 +283,7 @@ object Layout {
     df.withColumn("z",
         morton(cell(colA, mnA, mxA), cell(colB, mnB, mxB), bits))
       .withColumn("zbucket", expr(s"z DIV ${cells / nBuckets}"))
-      .repartitionByRange(nBuckets, col("z"))
+      .repartition(nBuckets, col("zbucket"))
       .sortWithinPartitions(col("z"))
   }
 
