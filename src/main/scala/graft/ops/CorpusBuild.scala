@@ -112,10 +112,29 @@ object CorpusBuild {
     val fsurv = fc.filter(col("keep")).select(col("id"))
     val sp = Sampling.hashSplit(fsurv, "id", kSplits)
 
+    // ---- shared similarity artifacts (r15): each survivor's sha2-256
+    // digest and 3-word shingle set are computed ONCE here; the
+    // decontamination pair machine (stage 3) and the dedup pipeline
+    // (stage 4) consume id-selected subsets instead of each re-scanning
+    // and re-shingling the corpus text (previously: crossPairs
+    // shingled fsDocs, dedupPipeline sha2'd AND shingled trainDocs —
+    // three redundant text passes). Every machine still computes its
+    // own df ordering and hot-shingle cap over its own subset, so the
+    // pair sets are bit-identical to the text forms (the VERDICT r14
+    // recall-safety condition). This is guide §8's "decide with small
+    // rows" shape: text is touched once per expression family, the
+    // machines move only ids, digests and shingle-hash arrays.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val art = docs.join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col(idCol).as("id"),
+        sha2(col(textCol), 256).as("dig"),
+        Shingles.wordShinglesFast(col(textCol), 3).as("sh"))
+      .transform(graft.ops.CorpusBuild.cp(_, "similarity artifacts"))
+
     // ---- stage 3: cross-split decontamination (protect the eval split) ----
-    val fsDocs = docs.join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
-    val crossPairs = Dedup.ngramJaccardPairs(fsDocs, textCol, idCol,
-      shingleLen = 3, threshold = crossThreshold)
+    val crossPairs = Dedup.ngramJaccardPairsFromShingles(
+      art.select(col("id"), col("sh")), crossThreshold,
+      maxShingleFreq = 1000)
     val cs = Sampling.crossSplitDedup(sp, "id", "split",
         crossPairs, protectedSplit)
       .select(col("id"), col("split"), col("is_removed"))
@@ -124,9 +143,9 @@ object CorpusBuild {
     // ---- stage 4: within-train dedup pipeline ----
     val trainIds = cs.filter(!col("is_removed") &&
       col("split") =!= protectedSplit).select(col("id"))
-    val trainDocs = docs.join(trainIds.withColumnRenamed("id", idCol),
-      Seq(idCol))
-    val dd = Dedup.dedupPipeline(trainDocs, textCol, idCol, lengthCol,
+    val dd = Dedup.dedupPipelineFromArtifacts(
+        art.join(trainIds, Seq("id")),
+        docs.select(col(idCol).as("id"), col(lengthCol).as("__len")),
         threshold = dedupThreshold)
       .select(col("id"), col("is_kept"))
       .transform(graft.ops.CorpusBuild.cp(_, "train dedup"))
@@ -321,7 +340,6 @@ object CorpusBuild {
     val fsurv = fc.filter(col("keep")).select(col("id"))
     val sp = Sampling.hashSplit(fsurv, "id", kSplits)
 
-    // ---- stage 3: decontaminate vs the (existing ∪ new) eval split ----
     // The three reads of the EXISTING state (eval ids, canonical ids,
     // the 1-row mix count) stay localCheckpointed at the interface:
     // each is tiny and multiply consumed downstream; they are now cheap
@@ -329,14 +347,37 @@ object CorpusBuild {
     val evalIds = ex.filter(col("reason") === "eval_holdout")
       .select(col("id")).distinct()
       .transform(graft.ops.CorpusBuild.cp(_, "existing eval ids"))
-    val unionDocs = deltaDocs
-      .join(fsurv.withColumnRenamed("id", idCol), Seq(idCol))
-      .select(col(idCol), col(textCol))
-      .unionAll(corpusDocs
-        .join(evalIds.withColumnRenamed("id", idCol), Seq(idCol))
-        .select(col(idCol), col(textCol)))
-    val crossPairs = Dedup.ngramJaccardPairs(unionDocs, textCol, idCol,
-      shingleLen = 3, threshold = crossThreshold)
+    val canonIds = ex.filter(col("kept") &&
+        (col("reason").isNull || col("reason") === "budget"))
+      .select(col("id")).distinct()
+      .transform(graft.ops.CorpusBuild.cp(_, "existing canonical ids"))
+
+    // ---- shared similarity artifacts (r15): one sha2+shingle pass per
+    // side — the delta survivors, and the existing docs any machine can
+    // touch (eval ∪ canonical). Stages 3, 3b, 4 and 5 consume
+    // id-selected subsets; each machine still computes df/hot-cap over
+    // its own subset, so every pair set is bit-identical to the text
+    // forms (previously the delta text was re-scanned+re-shingled by
+    // FOUR machines and the canon/eval text by three). The two
+    // materializations are independent — overlap (guide §2.6).
+    graft.functions.GraftFunctions.register(deltaDocs.sparkSession)
+    def artOf(d: DataFrame, ids: DataFrame, label: String) =
+      graft.ops.CorpusBuild.cp(
+        d.join(ids.withColumnRenamed("id", idCol), Seq(idCol))
+          .select(col(idCol).as("id"),
+            sha2(col(textCol), 256).as("dig"),
+            Shingles.wordShinglesFast(col(textCol), 3).as("sh")), label)
+    val (artDelta, artExisting) = Par.both(
+      artOf(deltaDocs, fsurv, "delta artifacts"),
+      artOf(corpusDocs,
+        evalIds.unionAll(canonIds).distinct(), "existing artifacts"))
+
+    // ---- stage 3: decontaminate vs the (existing ∪ new) eval split ----
+    val crossPairs = Dedup.ngramJaccardPairsFromShingles(
+      artDelta.select(col("id"), col("sh"))
+        .unionAll(artExisting.join(evalIds, Seq("id"))
+          .select(col("id"), col("sh"))),
+      crossThreshold, maxShingleFreq = 1000)
     val splitsTable = sp.select(col("id"), col("split"))
       .unionAll(evalIds.select(col("id"),
         lit(protectedSplit).cast("int").as("split")))
@@ -345,14 +386,6 @@ object CorpusBuild {
       .join(sp.select(col("id")), Seq("id")) // delta rows only
       .select(col("id"), col("split"), col("is_removed"))
       .transform(graft.ops.CorpusBuild.cp(_, "delta decontamination"))
-
-    // ---- stage 4: delta-vs-existing-canonical dedup (the d07 probe) ----
-    val canonIds = ex.filter(col("kept") &&
-        (col("reason").isNull || col("reason") === "budget"))
-      .select(col("id")).distinct()
-      .transform(graft.ops.CorpusBuild.cp(_, "existing canonical ids"))
-    val canonDocs = corpusDocs.join(
-      canonIds.withColumnRenamed("id", idCol), Seq(idCol))
 
     // ---- stage 3b: protect the EXTENDED holdout from the immutable
     // train. The mirror rule the full build expresses differently:
@@ -367,12 +400,11 @@ object CorpusBuild {
     // threshold, no band-recall caveat at the 0.5 floor).
     val evalIdsDelta = cs.filter(!col("is_removed") &&
       col("split") === protectedSplit).select(col("id"))
-    val deltaEvalDocs = deltaDocs.join(
-      evalIdsDelta.withColumnRenamed("id", idCol), Seq(idCol))
-    val evalPairs = Dedup.ngramJaccardPairs(
-      deltaEvalDocs.select(col(idCol), col(textCol))
-        .unionAll(canonDocs.select(col(idCol), col(textCol))),
-      textCol, idCol, shingleLen = 3, threshold = crossThreshold)
+    val artCanon = artExisting.join(canonIds, Seq("id"))
+    val evalPairs = Dedup.ngramJaccardPairsFromShingles(
+      artDelta.join(evalIdsDelta, Seq("id")).select(col("id"), col("sh"))
+        .unionAll(artCanon.select(col("id"), col("sh"))),
+      crossThreshold, maxShingleFreq = 1000)
     val evalContamPlan = evalPairs
       .select(col("id_a").as("id"), col("id_b").as("other"))
       .unionAll(evalPairs.select(col("id_b").as("id"),
@@ -382,24 +414,26 @@ object CorpusBuild {
       .select(col("id")).distinct()
     val trainIds = cs.filter(!col("is_removed") &&
       col("split") =!= protectedSplit).select(col("id"))
-    val trainDocs = deltaDocs.join(trainIds.withColumnRenamed("id", idCol),
-      Seq(idCol))
+    val artTrain = artDelta.join(trainIds, Seq("id"))
     // the stage-3b holdout-protection pair machine and the stage-4 d07
-    // probe both read only `cs`/`canonIds`/the docs and are independent
-    // of each other — the r14 profile read them as the two largest
-    // back-to-back phases (1.9 s + 1.4 s), so they overlap (guide §2.6)
+    // probe both read only `cs`/`canonIds`/the artifacts and are
+    // independent of each other — the r14 profile read them as the two
+    // largest back-to-back phases (1.9 s + 1.4 s), so they overlap
+    // (guide §2.6)
     val (evalContam, inc) = Par.both(
       graft.ops.CorpusBuild.cp(evalContamPlan, "eval contamination"),
       graft.ops.CorpusBuild.cp(
-        Dedup.incremental(canonDocs, trainDocs, textCol, idCol,
-            threshold = dedupThreshold)
+        Dedup.incrementalProbeFromArtifacts(
+            Dedup.incrementalIndexFromArtifacts(artCanon),
+            artTrain, threshold = dedupThreshold)
           .select(col("id"), col("is_new")),
         "delta-vs-canonical dedup"))
 
     // ---- stage 5: within-delta dedup over the remainder ----
-    val remainDocs = trainDocs.join(inc.filter(col("is_new"))
-      .select(col("id").as(idCol)), Seq(idCol))
-    val dd = Dedup.dedupPipeline(remainDocs, textCol, idCol, lengthCol,
+    val dd = Dedup.dedupPipelineFromArtifacts(
+        artTrain.join(inc.filter(col("is_new")).select(col("id")),
+          Seq("id")),
+        deltaDocs.select(col(idCol).as("id"), col(lengthCol).as("__len")),
         threshold = dedupThreshold)
       .select(col("id"), col("is_kept"))
       .transform(graft.ops.CorpusBuild.cp(_, "within-delta dedup"))

@@ -294,8 +294,26 @@ object Dedup {
       shingleLen: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 1000): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("id"),
-      Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+    ngramJaccardPairsFromShingles(
+      docs.select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh")),
+      threshold, maxShingleFreq)
+  }
+
+  /** The PPJoin machine over a PREPARED (id, sh) shingle table — the
+    * composition point the r15 shared-artifact builds use: corpusBuild /
+    * incrementalBuild shingle each document ONCE into a checkpointed
+    * artifact table and run every pair machine over id-selected subsets
+    * of it, instead of re-scanning and re-shingling the corpus text per
+    * machine. The df ordering, prefix filter, hot-shingle cap and exact
+    * verification all run over THIS table's rows — so a machine fed a
+    * per-corpus subset computes exactly the pair set the text form
+    * would (per-corpus df and cap; VERDICT r14's recall-safety
+    * condition). */
+  private[ops] def ngramJaccardPairsFromShingles(
+      sh0: DataFrame, threshold: Double,
+      maxShingleFreq: Int): DataFrame = {
+    val sh = sh0.select(col("id"), col("sh"))
       .repartition(col("id"))   // one shingle computation, reused below
     // set size rides the explode — no second (unordered) window pass is
     // needed to recover it per shingle row
@@ -645,6 +663,59 @@ object Dedup {
       .withColumn("sig", GraftFunctions.minHashSig(col("csh"), numHashes))
   }
 
+  /** [[incrementalIndex]] from a PREPARED (id, dig, sh) artifact table
+    * (the r15 shared-artifact device): same four columns, the sha2 and
+    * shingle expressions read from the artifact instead of re-scanning
+    * text. */
+  private[graft] def incrementalIndexFromArtifacts(
+      art: DataFrame, numHashes: Int = 128): DataFrame = {
+    GraftFunctions.register(art.sparkSession)
+    art.select(col("id").as("cid"), col("dig"), col("sh").as("csh"))
+      .withColumn("sig", GraftFunctions.minHashSig(col("csh"), numHashes))
+  }
+
+  /** [[incrementalProbe]] with the DELTA side read from a PREPARED
+    * (id, dig, sh) artifact table — same dataflow: exact digest layer,
+    * band probe (delta side broadcast), shingle verification; the delta
+    * text is never re-scanned. */
+  private[graft] def incrementalProbeFromArtifacts(
+      index: DataFrame, deltaArt: DataFrame,
+      numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    GraftFunctions.register(deltaArt.sparkSession)
+    val deltaDigs = deltaArt.select(col("id"), col("dig").as("__dig"))
+    val corpusDigests = index
+      .select(col("dig").as("__dig"), col("cid"))
+      .join(deltaDigs.select(col("__dig")).distinct(), Seq("__dig"))
+      .groupBy(col("__dig")).agg(min(col("cid")).as("exact_dup_of"))
+    val exact = deltaDigs
+      .join(corpusDigests, Seq("__dig"), "left")
+      .select(col("id"), col("exact_dup_of"))
+    val deltaSigs = deltaArt
+      .select(col("id"),
+        GraftFunctions.minHashSig(col("sh"), numHashes).as("sig"))
+    val cand = bandedIndex(deltaSigs, bands, rows).as("l")
+      .join(bandedIndex(index.select(col("cid").as("id"), col("sig")),
+          bands, rows).as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.id").as("did"), col("r.id").as("cid"))
+      .distinct()
+    val fuzzy = cand
+      .join(deltaArt.select(col("id").as("did"), col("sh").as("dsh")),
+        Seq("did"))
+      .join(index.select(col("cid"), col("csh")), Seq("cid"))
+      .filter(Shingles.jaccard(col("dsh"), col("csh")) >= threshold)
+      .groupBy(col("did")).agg(min(col("cid")).as("fuzzy_dup_of"))
+      .withColumnRenamed("did", "id")
+    exact.join(fuzzy, Seq("id"), "left")
+      .select(col("id"), col("exact_dup_of"), col("fuzzy_dup_of"),
+        (col("exact_dup_of").isNull && col("fuzzy_dup_of").isNull).as("is_new"))
+      .orderBy(col("id"))
+  }
+
   /**
    * Probe DELTA documents against a prebuilt [[incrementalIndex]] —
    * [[incremental]]'s dataflow with the corpus side read from the
@@ -734,10 +805,78 @@ object Dedup {
   private def minHashSigs(docs: DataFrame, textCol: String, idCol: String,
                           shingleLen: Int, numHashes: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh"))
+    minHashSigsFromShingles(
+      docs.select(col(idCol).as("id"),
+        Shingles.wordShinglesFast(col(textCol), shingleLen).as("sh")),
+      numHashes)
+  }
+
+  /** [[minHashSigs]] over a PREPARED (id, sh) table (the r15 shared-
+    * artifact device — see [[ngramJaccardPairsFromShingles]]); same
+    * exchange barrier, same signature expression. */
+  private def minHashSigsFromShingles(sh: DataFrame,
+                                      numHashes: Int): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
+    sh.select(col("id"), col("sh"))
       .withColumn("sig", GraftFunctions.minHashSig(col("sh"), numHashes))
       .repartition(col("id"))
+  }
+
+  /** [[minHashPairs]] over a PREPARED (id, sh) table. */
+  private[ops] def minHashPairsFromShingles(
+      sh0: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val sigs = minHashSigsFromShingles(sh0, numHashes)
+    val banded = bandedIndex(sigs, bands, rows)
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val bySh = sigs.select(col("id"), col("sh"))
+    cand
+      .join(bySh.as("a"), col("id_a") === col("a.id"))
+      .join(bySh.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        Shingles.jaccard(col("a.sh"), col("b.sh")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** [[dedupPipeline]] over a PREPARED (id, dig, sh) artifact table plus
+    * a (id, __len) length table — the r15 shared-artifact form: the
+    * digest tier reads the precomputed sha2 column, the fuzzy tier's
+    * signatures derive from the precomputed shingle sets, and the text
+    * is never re-scanned. Same stages, same checkpoints, same output as
+    * [[dedupPipeline]] (the expressions are identical per row). */
+  private[graft] def dedupPipelineFromArtifacts(
+      art: DataFrame, lens: DataFrame,
+      numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val er = art.select(col("id"), col("dig").as("__dig"))
+      .select(col("id"),
+        min(col("id")).over(Window.partitionBy(col("__dig")))
+          .as("exact_rep"))
+      .localCheckpoint(true)
+    val survivors = art.join(
+      er.filter(col("id") === col("exact_rep")).select(col("id")),
+      Seq("id"))
+      .localCheckpoint(true)
+    val pairs = minHashPairsFromShingles(
+      survivors.select(col("id"), col("sh")), numHashes, bands, threshold)
+    val reps = graft.ops.ConnectedComponents.clusterReps(
+      survivors.select(col("id")), "id", pairs)
+    val canon = canonicalize(reps,
+      lens.select(col("id"), col("__len").as("__graft_len")),
+      "id", "__graft_len")
+    er.join(canon.select(col("id").as("exact_rep"),
+        col("keep_id").as("cluster_rep"), col("canonical_id")),
+        Seq("exact_rep"))
+      .select(col("id"), col("exact_rep"), col("cluster_rep"),
+        col("canonical_id"), (col("id") === col("canonical_id")).as("is_kept"))
+      .orderBy(col("id"))
   }
 
   /** (id, band_id, band_hash): hash() over the band slice + band id keeps
