@@ -273,9 +273,19 @@ object Bench {
               "NOTICE bench ambient calibration child crashed - no index")
             None
           } else {
-            val idx = pairs.map(_._1).sum / pairs.map(_._2).sum
+            // MEDIAN of per-probe ratios, not sum/sum (r15, VERDICT r14
+            // item 6): the e01 probe's curated record row came from a
+            // warm mid-sweep chunk, so its cold-calibration ratio reads
+            // a consistent ~2x regardless of ambient — under sum/sum
+            // that one biased probe inflated the index by ~0.3-0.5 on a
+            // quiet host and loosened the churn gate. The median of
+            // three ratios discards a single biased (or noisy) probe in
+            // either direction; with the other two probes' record rows
+            // calibration-vintage, it reads ~1.0 on a quiet host.
+            val ratios = pairs.map(p => p._1 / p._2).sorted
+            val idx = ratios(ratios.size / 2)
             System.err.println(
-              f"INFO bench ambient_index=$idx%.3f (calibration " +
+              f"INFO bench ambient_index=$idx%.3f (median of ratios " +
                 pairs.map(p => f"${p._1}%.3f/${p._2}%.3f").mkString(", ") +
                 "; 1.0 = record-vintage quiet host)")
             Some(idx)

@@ -60,8 +60,13 @@ object Par {
     * after all threads finish. Bounded by the caller's thunk count —
     * this is for a handful of independent store builds, not a task
     * pool. */
+  /** Diagnostic kill-switch: SPARK_GRAFT_PAR_OFF=1 runs every
+    * inParallel/both call sequentially — the A/B lever for measuring
+    * what each overlap actually buys (guide §1: measure first). */
+  private val parOff = sys.env.get("SPARK_GRAFT_PAR_OFF").contains("1")
+
   def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
-    if (thunks.sizeIs <= 1) return thunks.map(_())
+    if (parOff || thunks.sizeIs <= 1) return thunks.map(_())
     val results = new Array[Any](thunks.size)
     // every worker's failure is kept: the first is rethrown, the rest
     // ride as suppressed exceptions so a multi-build failure (e.g. two

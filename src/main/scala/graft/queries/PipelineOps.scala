@@ -478,12 +478,13 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (assign, cent) =
         Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
-      // the two index artifacts land in disjoint dirs — overlap the
-      // writes (guide §2.6)
-      graft.ops.Par.both(
-        assign.write.mode("overwrite").partitionBy("cid")
-          .parquet(base + "/assign"),
-        cent.write.mode("overwrite").parquet(base + "/cent"))
+      // sequential writes: the r14 overlap was re-measured flat at
+      // sf0.1 AND sf1 (2.16 s overlapped vs 2.39 s sequential at sf1 —
+      // within noise; VERDICT item 5 "verify or drop"), so the thread
+      // machinery is dropped
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      cent.write.mode("overwrite").parquet(base + "/cent")
       Similarity.ivfTopKPartitioned(
           s.read.parquet(base + "/assign"), "vec", "id", "cid",
           queries, "embedding", "vec_id",
@@ -516,12 +517,12 @@ object PipelineOps {
         java.lang.Integer.toHexString(d.hashCode)
       val (assign, cent) =
         Similarity.ivfIndex(corpus, "embedding", "vec_id", "label")
-      // release writes overlap (disjoint dirs); the append below needs
+      // sequential release writes (r15: the r14 overlap re-measured
+      // flat at both SFs — see e21's note); the append below needs
       // BOTH committed (reads /cent, appends into /assign)
-      graft.ops.Par.both(
-        assign.write.mode("overwrite").partitionBy("cid")
-          .parquet(base + "/assign"),
-        cent.write.mode("overwrite").parquet(base + "/cent"))
+      assign.write.mode("overwrite").partitionBy("cid")
+        .parquet(base + "/assign")
+      cent.write.mode("overwrite").parquet(base + "/cent")
       Similarity.ivfIndexAppend(delta, "embedding", "vec_id",
           s.read.parquet(base + "/cent"), "cvec", "cid")
         .write.mode("append").partitionBy("cid").parquet(base + "/assign")
