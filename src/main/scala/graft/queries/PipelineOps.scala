@@ -1496,11 +1496,18 @@ object PipelineOps {
           pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
           Sketches.wordTrigrams(col("text")).as("g"))
         .select(col("shard"), explode(col("g")).as("v"))
-      Sketches.kmvSketch(tri, "v", "shard", k)
+      // ONE trigram-explode pass (r15): the sketch arm and the exact
+      // gate arm previously each re-ran the corpus explode; the shared
+      // (shard, v)-distinct set serves both — kmvSketch's own distinct
+      // is over already-deduped rows (identical sketch rows), and
+      // count_distinct(v) over the deduped set equals it over the raw
+      // explode by definition of distinct
+      val dv = tri.distinct().localCheckpoint(true)
+      Sketches.kmvSketch(dv, "v", "shard", k)
         .write.mode("overwrite").parquet(base)
       val stored = s.read.parquet(base)
       val est = Sketches.kmvEstimate(Sketches.kmvMerge(stored, k), k)
-      val exact = tri.agg(count_distinct(col("v")).as("exact"))
+      val exact = dv.agg(count_distinct(col("v")).as("exact"))
       val nShards = stored
         .agg(count_distinct(col("shard")).cast("int").as("n_shards"))
       est.crossJoin(exact).crossJoin(nShards)
